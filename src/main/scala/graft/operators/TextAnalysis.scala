@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for an LLM training-data pipeline: tokenization,
+  * language-ID (marker-word heuristic), quality scoring, and document
+  * fingerprinting. Everything is built from codegen'd built-ins (split /
+  * higher-order functions / md5) so the operators stay inside whole-stage
+  * codegen and are expressible 1:1 in the DuckDB oracle.
+  *
+  * Determinism: ratios are int/int double divisions (exact inputs → identical
+  * IEEE results cross-engine); hashes derive from md5 (identical everywhere).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties dropped (multi-space safe). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), w => w =!= "")
+
+  /** BPE-ish word tokens: maximal `[a-z0-9]+` runs over lowercased text. */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** Count of whitespace tokens. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Marker stopword sets per language (deterministic tie order: the
+    * when-chain below prefers en > es > de > fr; no hits → "und").
+    */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "fr" -> Seq("le", "les", "et", "des", "une"),
+  )
+
+  /** Hits of one marker set among the doc's tokens. */
+  def markerHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, w => w.isInCollection(words)))
+
+  /** Predicted language from marker-hit argmax. The when-chain checks each
+    * language against only the languages after it (earlier ones already
+    * failed, so they can't hold the max) — the exact CASE shape the DuckDB
+    * oracle uses, so the two are trivially equivalent.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val hits = markers.map { case (lang, ws) => lang -> markerHits(toks, ws) }
+    hits.tails.collect { case (lang, h) +: rest =>
+      val beatsRest = rest.map { case (_, h2) => h >= h2 }
+        .foldLeft(h > 0)((a, b) => a && b)
+      (beatsRest, lit(lang))
+    }.toSeq.foldRight(lit("und")) { case ((cond, lang), acc) =>
+      when(cond, lang).otherwise(acc)
+    }
+  }
+
+  /** Quality score in [0,1]: half from length saturation (tokens/100 capped
+    * at 1), half from lexical diversity (distinct/total tokens). Pure
+    * int-derived double math — deterministic cross-engine without rounding.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val nd = size(array_distinct(toks)).cast("double")
+    val lengthPart = least(n / lit(100.0), lit(1.0)) * lit(0.5)
+    val diversityPart = when(n === 0.0, 0.0).otherwise(nd / n) * lit(0.5)
+    lengthPart + diversityPart
+  }
+
+  /** Content-defined fingerprint: md5 over the sorted distinct token set —
+    * stable under token reordering and duplication, cross-engine identical.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))).cast("binary"))
+
+  /** 60-bit token hash derived from md5 (first 15 hex chars) — the same
+    * value DuckDB computes with CAST('0x'||substr(md5(t),1,15) AS BIGINT),
+    * so hash-based operators (simhash, minhash) stay oracle-checkable.
+    */
+  def md5Hash60(s: Column): Column =
+    conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant for minhash signature families. */
+  def md5Hash60Seeded(s: Column, seed: Column): Column =
+    md5Hash60(concat(seed.cast("string"), lit(":"), s))
+
+  /** Distinct n-token shingles ("w1 w2 w3" for consecutive triples at n=3)
+    * — the unit of near-dup detection; word-order sensitive where plain
+    * token sets are not.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+  }
+
+  /** SimHash over the distinct token set: for each of 60 bits, sum +1/-1
+    * by that bit of each token hash; the fingerprint sets bits with a
+    * positive sum. HOF-only — one pass, no shuffle, no UDF. Written as a
+    * SQL expression because the Scala `shiftright`/`shiftleft` wrappers
+    * only accept literal shift amounts, while the SQL forms take columns
+    * (and the text mirrors the DuckDB oracle 1:1).
+    */
+  def simhash(textSqlExpr: String): Column = expr(
+    s"""aggregate(
+       |  transform(sequence(0, 59), b -> IF(
+       |    aggregate(
+       |      transform(array_distinct(filter(split($textSqlExpr, ' '), w -> w != '')),
+       |        t -> cast(conv(substring(md5(cast(t as binary)), 1, 15), 16, 10) as bigint)),
+       |      0L, (acc, h) -> acc + IF((shiftright(h, b) & 1L) = 1L, 1L, -1L)) > 0L,
+       |    shiftleft(1L, b), 0L)),
+       |  0L, (acc, v) -> acc + v)""".stripMargin)
+}

@@ -1,0 +1,231 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorOps
+import graft.operators.{AnnSearch, Dedup, TextAnalysis => TA}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline queries (builder-prompt north star): text
+  * analysis (token stats, language-ID, quality, fingerprints, simhash),
+  * dedup (blocked Jaccard, MinHash+LSH, embedding cosine), and similarity
+  * search (cosine top-k, deterministic IVF). Every query has a DuckDB
+  * oracle — all hashing is md5-derived and all float math is double-cast
+  * left-to-right folds, identical in both engines.
+  */
+object Analysis {
+
+  def tokenStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TA.tokenCount(col("text")).cast("long").as("n_tokens"),
+      size(array_distinct(TA.tokens(col("text")))).cast("long").as("n_distinct"),
+      size(TA.regexTokens(col("text"))).cast("long").as("n_regex_tokens"))
+      .orderBy(col("doc_id").asc)
+
+  def langId(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TA.langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id").asc)
+
+  def qualityScore(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TA.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id").asc)
+
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TA.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id").asc)
+
+  def simhash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TA.simhash("text").as("simhash"))
+      .orderBy(col("doc_id").asc)
+
+  /** Unigram token-set near-dups within source blocks (vocab-overlap tier). */
+  def jaccardNearDup(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "source",
+        array_distinct(TA.tokens(col("text"))), 0.9)
+      .orderBy(col("id_a").asc, col("id_b").asc)
+
+  /** Full LSH pipeline: 3-gram shingles → 12 minhashes → 4 bands × 3 →
+    * bucket-join candidates → exact Jaccard >= 0.5 verify.
+    */
+  def minhashLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashNearDup(Tables.documents(s, d), "doc_id",
+        TA.shingles(col("text"), 3), bands = 4, rowsPerBand = 3, threshold = 0.5)
+      .orderBy(col("id_a").asc, col("id_b").asc)
+
+  /** Embedding near-dup pairs: cosine >= 0.4 within label blocks. */
+  def dedupCosine(s: SparkSession, d: String): DataFrame =
+    Dedup.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding", "label", 0.4)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("id_a").asc, col("id_b").asc)
+
+  /** Exact cosine top-10 to the vec_id=0 query vector. Selection and
+    * presentation both by (rounded cos desc, vec_id) — a total order the
+    * oracle computes identically.
+    */
+  def cosineTopk(s: SparkSession, d: String): DataFrame = {
+    val q = VectorOps.queryVector(s, d, 0L)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), VectorOps.cosineToQuery(col("embedding"), q).as("cos_raw"))
+      .withColumn("cos", round(col("cos_raw"), 4))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), col("cos"))
+  }
+
+  /** Deterministic IVF-flat ANN: 16 cells (centroids = vec_id < 16),
+    * probe the 4 cells nearest the query, exact L2 within probed cells.
+    */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val q = VectorOps.queryVector(s, d, 0L)
+    AnnSearch.ivfCandidates(Tables.embeddings(s, d), q, nCells = 16, nProbe = 4)
+      .withColumn("dist", round(col("dist_raw"), 4))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), col("dist"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_stats" -> tokenStats,
+    "q_lang_id" -> langId,
+    "q_quality_score" -> qualityScore,
+    "q_fingerprint" -> fingerprint,
+    "q_simhash" -> simhash,
+    "q_jaccard_neardup" -> jaccardNearDup,
+    "q_minhash_lsh" -> minhashLsh,
+    "q_dedup_cosine" -> dedupCosine,
+    "q_cosine_topk" -> cosineTopk,
+    "q_ann_ivf" -> annIvf,
+  )
+
+  // ---- DuckDB oracle SQL builders (mirror the Spark expressions 1:1) ----
+
+  private val toks = "list_filter(string_split(text, ' '), w -> w <> '')"
+  private val dtoks = s"list_distinct($toks)"
+
+  private def hash60(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** DuckDB 3-gram shingles over the token list `t`. */
+  private def shinglesSql(t: String): String =
+    s"list_distinct(list_transform(range(1, greatest(len($t) - 1, 1)), " +
+      s"i -> list_aggregate(($t)[i:i+2], 'string_agg', ' ')))"
+
+  private def jaccardSql(a: String, b: String): String =
+    s"(CASE WHEN (len($a) + len($b))::DOUBLE - len(list_intersect($a, $b))::DOUBLE = 0.0 THEN 0.0 " +
+      s"ELSE len(list_intersect($a, $b))::DOUBLE / ((len($a) + len($b))::DOUBLE - len(list_intersect($a, $b))::DOUBLE) END)"
+
+  /** Left-to-right double fold of squared L2 between two list columns. */
+  private def l2Sql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1), " +
+      s"i -> (CAST(($a)[i] AS DOUBLE) - CAST(($b)[i] AS DOUBLE)) * (CAST(($a)[i] AS DOUBLE) - CAST(($b)[i] AS DOUBLE))), " +
+      s"(acc, v) -> acc + v)"
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1), " +
+      s"i -> CAST(($a)[i] AS DOUBLE) * CAST(($b)[i] AS DOUBLE)), (acc, v) -> acc + v)"
+
+  private def cosineSql(a: String, b: String): String =
+    s"(CASE WHEN sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}) = 0.0 THEN 0.0 " +
+      s"ELSE ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END)"
+
+  val oracleSql: Map[String, String] = Map(
+    "q_token_stats" ->
+      s"""SELECT doc_id, len($toks) AS n_tokens, len($dtoks) AS n_distinct,
+         |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_regex_tokens
+         |FROM documents ORDER BY doc_id ASC""".stripMargin,
+    "q_lang_id" ->
+      s"""SELECT doc_id, CASE
+         |  WHEN h_en > 0 AND h_en >= h_es AND h_en >= h_de AND h_en >= h_fr THEN 'en'
+         |  WHEN h_es > 0 AND h_es >= h_de AND h_es >= h_fr THEN 'es'
+         |  WHEN h_de > 0 AND h_de >= h_fr THEN 'de'
+         |  WHEN h_fr > 0 THEN 'fr'
+         |  ELSE 'und' END AS lang_pred
+         |FROM (SELECT doc_id,
+         |  len(list_filter($toks, w -> w IN ('the','a','of','and','to'))) AS h_en,
+         |  len(list_filter($toks, w -> w IN ('el','la','de','que','y'))) AS h_es,
+         |  len(list_filter($toks, w -> w IN ('der','die','und','ist','das'))) AS h_de,
+         |  len(list_filter($toks, w -> w IN ('le','les','et','des','une'))) AS h_fr
+         |  FROM documents)
+         |ORDER BY doc_id ASC""".stripMargin,
+    "q_quality_score" ->
+      s"""SELECT doc_id,
+         |  least(n / 100.0, 1.0) * 0.5 +
+         |  (CASE WHEN n = 0.0 THEN 0.0 ELSE nd / n END) * 0.5 AS quality
+         |FROM (SELECT doc_id, len($toks)::DOUBLE AS n, len($dtoks)::DOUBLE AS nd
+         |  FROM documents)
+         |ORDER BY doc_id ASC""".stripMargin,
+    "q_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(list_aggregate(list_sort($dtoks), 'string_agg', ' ')) AS fp
+         |FROM documents ORDER BY doc_id ASC""".stripMargin,
+    "q_simhash" ->
+      s"""SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), b ->
+         |    CASE WHEN coalesce(list_sum(list_transform(hashes,
+         |        h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+         |    THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+         |FROM (SELECT doc_id,
+         |  list_transform($dtoks, t -> ${hash60("t")}) AS hashes
+         |  FROM documents)
+         |ORDER BY doc_id ASC""".stripMargin,
+    "q_jaccard_neardup" ->
+      s"""SELECT id_a, id_b, jaccard FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    ${jaccardSql("a.items", "b.items")} AS jaccard
+         |  FROM (SELECT doc_id, source, $dtoks AS items FROM documents) a
+         |  JOIN (SELECT doc_id, source, $dtoks AS items FROM documents) b
+         |    ON a.source = b.source AND a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.9 ORDER BY id_a ASC, id_b ASC""".stripMargin,
+    "q_minhash_lsh" ->
+      s"""WITH sets AS (SELECT doc_id, ${shinglesSql(toks)} AS items FROM documents),
+         |sigs AS (SELECT doc_id, list_transform(range(0, 12),
+         |    i -> list_min(list_transform(items,
+         |      t -> ${hash60("CAST(i AS VARCHAR) || ':' || t")}))) AS sig
+         |  FROM sets),
+         |banded AS (SELECT doc_id, md5(CAST(b AS VARCHAR) || ':' ||
+         |    list_aggregate(list_transform(sig[b*3+1:b*3+3],
+         |      x -> CAST(x AS VARCHAR)), 'string_agg', ',')) AS bkey
+         |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT c.id_a, c.id_b, ${jaccardSql("ta.items", "tb.items")} AS jaccard
+         |  FROM cand c JOIN sets ta ON c.id_a = ta.doc_id
+         |  JOIN sets tb ON c.id_b = tb.doc_id)
+         |WHERE jaccard >= 0.5 ORDER BY id_a ASC, id_b ASC""".stripMargin,
+    "q_dedup_cosine" ->
+      s"""SELECT id_a, id_b, ROUND(cos_raw, 4) AS cos FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${cosineSql("a.embedding", "b.embedding")} AS cos_raw
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id)
+         |WHERE cos_raw >= 0.4 ORDER BY id_a ASC, id_b ASC""".stripMargin,
+    "q_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, ROUND(cos_raw, 4) AS cos FROM (
+         |  SELECT e.vec_id, ${cosineSql("e.embedding", "q.qe")} AS cos_raw
+         |  FROM embeddings e CROSS JOIN q)
+         |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_ann_ivf" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |cents AS (SELECT vec_id AS cell, embedding AS cvec
+         |  FROM embeddings WHERE vec_id < 16),
+         |assigned AS (SELECT vec_id, embedding, cell FROM (
+         |  SELECT e.vec_id, e.embedding, c.cell, ROW_NUMBER() OVER (
+         |    PARTITION BY e.vec_id
+         |    ORDER BY ${l2Sql("e.embedding", "c.cvec")} ASC, c.cell ASC) AS rn
+         |  FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+         |probed AS (SELECT cell FROM (
+         |  SELECT c.cell, ${l2Sql("c.cvec", "q.qe")} AS qdist
+         |  FROM cents c CROSS JOIN q)
+         |  ORDER BY qdist ASC, cell ASC LIMIT 4)
+         |SELECT vec_id, ROUND(dist_raw, 4) AS dist FROM (
+         |  SELECT a.vec_id, ${l2Sql("a.embedding", "q.qe")} AS dist_raw
+         |  FROM assigned a JOIN probed p ON a.cell = p.cell CROSS JOIN q)
+         |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+  )
+}

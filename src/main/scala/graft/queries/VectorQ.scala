@@ -45,15 +45,18 @@ object VectorQ {
 
   /** Reference score normalization over the top-10 (C8):
     * `round(10/(1+d), 2)` with d = squared L2 (`rag_model_mass.py:13-15`).
+    * Selection and presentation both order by (rounded dist, vec_id) — a
+    * total order computed identically in both engines.
     */
   def scoreNormalize(s: SparkSession, d: String): DataFrame = {
     val q = queryVector(s, d, 0L)
     Tables.embeddings(s, d)
       .select(col("vec_id"),
         squaredL2ToQuery(col("embedding"), q).as("dist_raw"))
-      .orderBy(col("dist_raw").asc, col("vec_id").asc)
+      .withColumn("dist", round(col("dist_raw"), 4))
+      .orderBy(col("dist").asc, col("vec_id").asc)
       .limit(10)
-      .select(col("vec_id"), round(col("dist_raw"), 4).as("dist"),
+      .select(col("vec_id"), col("dist"),
         round(score(col("dist_raw")), 2).as("score"))
       .orderBy(col("dist").asc, col("vec_id").asc)
   }
@@ -79,7 +82,7 @@ object VectorQ {
          |SELECT vec_id, ROUND(dist_raw, 4) AS dist FROM (
          |  SELECT e.vec_id, $distExpr AS dist_raw
          |  FROM embeddings e CROSS JOIN q)
-         |ORDER BY dist_raw ASC, vec_id ASC LIMIT 10""".stripMargin,
+         |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
     "q_knn_per_label" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          |dists AS (
@@ -96,6 +99,6 @@ object VectorQ {
          |  ROUND(10.0 / (1.0 + dist_raw), 2) AS score FROM (
          |  SELECT e.vec_id, $distExpr AS dist_raw
          |  FROM embeddings e CROSS JOIN q)
-         |ORDER BY ROUND(dist_raw, 4) ASC, vec_id ASC LIMIT 10""".stripMargin,
+         |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
   )
 }
