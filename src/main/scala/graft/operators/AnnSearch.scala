@@ -43,11 +43,11 @@ object AnnSearch {
     */
   def ivfAssign(emb: DataFrame, nCells: Int): DataFrame = {
     val cents = emb.where(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell"), toDoubleArr(col("embedding")).as("cvec"))
+      .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cdist").asc, col("cell").asc)
     emb.crossJoin(broadcast(cents))
-      .withColumn("cdist", squaredL2(toDoubleArr(col("embedding")), col("cvec")))
+      .withColumn("cdist", squaredL2(col("embedding"), col("cvec")))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cell"))
@@ -58,7 +58,7 @@ object AnnSearch {
     */
   def ivfCandidates(emb: DataFrame, q: Seq[Double], nCells: Int, nProbe: Int): DataFrame = {
     val cents = emb.where(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell"), toDoubleArr(col("embedding")).as("cvec"))
+      .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
     val probed = cents
       .withColumn("qdist", squaredL2(col("cvec"), typedLit(q)))
       .orderBy(col("qdist").asc, col("cell").asc)

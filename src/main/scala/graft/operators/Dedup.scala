@@ -26,41 +26,105 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Score-then-filter barrier. A naive `join → withColumn(score) →
+    * filter(score ≥ t)` lets Catalyst push the threshold predicate into
+    * the join *condition*, where the expensive set/vector expression is
+    * re-evaluated once per reference (observed: 3× array_intersect per
+    * candidate pair, interpreted, outside codegen). Computing the score as
+    * an aggregate over the (unique) pair key fixes this structurally:
+    * predicates on aggregate outputs cannot be pushed below the Aggregate,
+    * the score is evaluated exactly once per pair in the map-side partial
+    * aggregate, and only (id_a, id_b, score) ever shuffles. At 100 TB the
+    * same shape holds — candidate generation stays a cheap equi-join, the
+    * scoring pass is one map-side evaluation.
+    */
+  private def scorePairs(pairs: DataFrame, score: Column, outName: String,
+                         threshold: Double): DataFrame =
+    pairs.groupBy(col("id_a"), col("id_b"))
+      .agg(min(score).as(outName))
+      .where(col(outName) >= threshold)
+      .select(col("id_a"), col("id_b"), col(outName))
+
   /** Exact duplicate groups by content hash; canonical row = min id. */
   def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.groupBy(md5(col(textCol).cast("binary")).as("text_md5"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** Jaccard similarity of two already-distinct item arrays. */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    val union = (size(a) + size(b)).cast("double") - inter
-    when(union === 0.0, 0.0).otherwise(inter / union)
+  /** Jaccard similarity of two already-distinct item arrays. Note: `a`/`b`
+    * appear once per reference in the expression tree — callers on hot
+    * paths should materialize the intersection size first (see
+    * jaccardFromSizes) so codegen doesn't recompute array_intersect.
+    */
+  def jaccard(a: Column, b: Column): Column =
+    jaccardFromSizes(size(array_intersect(a, b)), size(a), size(b))
+
+  /** Jaccard from precomputed |A∩B|, |A|, |B| (each evaluated once). */
+  def jaccardFromSizes(inter: Column, na: Column, nb: Column): Column = {
+    val i = inter.cast("double")
+    val union = (na + nb).cast("double") - i
+    when(union === 0.0, 0.0).otherwise(i / union)
   }
 
   /** Near-dup pairs (id_a < id_b) with item-set Jaccard >= threshold,
     * restricted to pairs sharing `blockCol` — blocking keeps this an
     * equi-join (block key = shuffle key at scale).
-    * `items` maps the input row to its distinct item array.
+    * `items` maps the input row to its distinct item array. Item sizes are
+    * computed per row before the join; the per-pair work is exactly one
+    * array_intersect.
     */
   def jaccardPairs(df: DataFrame, idCol: String, blockCol: String,
                    items: Column, threshold: Double): DataFrame = {
-    val toks = df.select(col(blockCol).as("block"), col(idCol).as("id"), items.as("items"))
-    val a = toks.select(col("block"), col("id").as("id_a"), col("items").as("items_a"))
-    val b = toks.select(col("block"), col("id").as("id_b"), col("items").as("items_b"))
-    a.join(b, Seq("block"))
-      .where(col("id_a") < col("id_b"))
-      .withColumn("jaccard", jaccard(col("items_a"), col("items_b")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val toks = df.select(col(blockCol).as("block"), col(idCol).as("id"),
+      items.as("items")).withColumn("n", size(col("items")))
+    val a = toks.select(col("block"), col("id").as("id_a"),
+      col("items").as("items_a"), col("n").as("n_a"))
+    val b = toks.select(col("block"), col("id").as("id_b"),
+      col("items").as("items_b"), col("n").as("n_b"))
+    // Size filter (set-similarity-join standard): jaccard >= t implies
+    // min(|A|,|B|) >= t * max(|A|,|B|) because |A∩B| <= min and
+    // |A∪B| >= max. Cheap int predicate, evaluated inside the join,
+    // prunes incompatible pairs before any array_intersect runs.
+    val sizeCompatible =
+      least(col("n_a"), col("n_b")).cast("double") >=
+        greatest(col("n_a"), col("n_b")).cast("double") * threshold
+    scorePairs(
+      a.join(b, Seq("block"))
+        .where(col("id_a") < col("id_b") && sizeCompatible),
+      jaccardFromSizes(size(array_intersect(col("items_a"), col("items_b"))),
+        col("n_a"), col("n_b")),
+      "jaccard", threshold)
   }
 
-  /** Seeded minhash signature over a distinct item array: element i is
-    * min over items of md5-60bit(i + ":" + item).
+  /** Fixed affine constants for the minhash family (< 2^31 so the affine
+    * products stay under 2^61 — no 64-bit overflow in either engine;
+    * DuckDB BIGINT overflow throws rather than wrapping). Single source of
+    * truth: the oracle SQL embeds these same values as list literals.
+    */
+  val minhashA: Seq[Long] = Seq.tabulate(16)(i => ((2654435761L * (2 * i + 1)) & 0x7FFFFFFFL) | 1L)
+  val minhashB: Seq[Long] = Seq.tabulate(16)(i => ((2246822519L * (2 * i + 2)) & 0x7FFFFFFFL) | 1L)
+
+  /** Minhash signature over a distinct item array: one md5 per item, then
+    * per-seed affine transforms of the 60-bit hash split into 30-bit
+    * halves — h_i = A(i)·lo + B(i)·hi + i, signature(i) = min over items.
+    * This is the standard one-base-hash k-permutation construction: it
+    * avoids k md5 evaluations per item (the dominant cost at corpus
+    * scale) while staying bit-reproducible in the DuckDB oracle.
     */
   def minhashSignature(items: Column, nHashes: Int): Column =
-    transform(sequence(lit(0), lit(nHashes - 1)),
-      i => array_min(transform(items, t => md5Hash60Seeded(t, i))))
+    minhashSignatureFromHashes(transform(items, t => md5Hash60(t)), nHashes)
+
+  /** Signature from a precomputed 60-bit hash array — callers with several
+    * downstream uses should materialize the hash column first (HOFs run
+    * interpreted, so each reference re-evaluates its argument).
+    */
+  def minhashSignatureFromHashes(hashes: Column, nHashes: Int): Column = {
+    require(nHashes <= minhashA.size, s"at most ${minhashA.size} hashes supported")
+    transform(sequence(lit(0), lit(nHashes - 1)), i =>
+      array_min(transform(hashes, h =>
+        element_at(typedLit(minhashA), i + 1) * h.bitwiseAND(lit(0x3FFFFFFFL))
+          + element_at(typedLit(minhashB), i + 1) * shiftright(h, 30)
+          + i)))
+  }
 
   /** LSH band key for band b: md5 of "b:" + the band's signature slice.
     * Docs sharing any band key become candidate pairs.
@@ -79,8 +143,18 @@ object Dedup {
   def minhashNearDup(df: DataFrame, idCol: String, items: Column,
                      bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val n = bands * rowsPerBand
+    // The item-set relation feeds three plan branches (banding + both
+    // sides of the verify join), and the signature transform references
+    // the per-item hash array once per seed — higher-order functions run
+    // interpreted (no codegen, no common-subexpression elimination), so
+    // without materialization the md5 pass would run 12× per item and
+    // once more per join branch. Cache AFTER computing the hash column:
+    // at production scale this is the persisted signature table.
     val sets = df.select(col(idCol).as("id"), items.as("items"))
-    val sigs = sets.select(col("id"), minhashSignature(col("items"), n).as("sig"))
+      .withColumn("hashes", transform(col("items"), t => TextAnalysis.md5Hash60(t)))
+      .cache()
+    val sigs = sets.select(col("id"),
+      minhashSignatureFromHashes(col("hashes"), n).as("sig"))
     val banded = sigs
       .select(col("id"), col("sig"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col("id"), bandKey(col("sig"), col("band"), rowsPerBand).as("bkey"))
@@ -89,25 +163,31 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    cand
-      .join(sets.select(col("id").as("id_a"), col("items").as("items_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("items").as("items_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccard(col("items_a"), col("items_b")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    scorePairs(
+      cand
+        .join(sets.select(col("id").as("id_a"), col("items").as("items_a")), Seq("id_a"))
+        .join(sets.select(col("id").as("id_b"), col("items").as("items_b")), Seq("id_b")),
+      jaccard(col("items_a"), col("items_b")),
+      "jaccard", threshold)
   }
 
-  /** Embedding near-dup pairs: cosine >= threshold within blocks. */
+  /** Embedding near-dup pairs: cosine >= threshold within blocks.
+    * L2 norms are computed once per vector before the join (O(n·d)), so
+    * the per-pair work is a single dot product (O(pairs·d)) — at scale
+    * the norm column ships with the shuffle instead of being recomputed
+    * per candidate pair.
+    */
   def cosinePairs(df: DataFrame, idCol: String, embCol: String,
                   blockCol: String, threshold: Double): DataFrame = {
     val v = df.select(col(blockCol).as("block"), col(idCol).as("id"),
-      VectorOps.toDoubleArr(col(embCol)).as("v"))
-    val a = v.select(col("block"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = v.select(col("block"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("block"))
-      .where(col("id_a") < col("id_b"))
-      .withColumn("cos", VectorOps.cosine(col("v_a"), col("v_b")))
-      .where(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cos"))
+        col(embCol).as("v"))
+      .withColumn("nrm", VectorOps.l2Norm(col("v")))
+    val a = v.select(col("block"), col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a"))
+    val b = v.select(col("block"), col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b"))
+    scorePairs(
+      a.join(b, Seq("block")).where(col("id_a") < col("id_b")),
+      when(col("nrm_a") * col("nrm_b") === 0.0, 0.0)
+        .otherwise(VectorOps.dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b"))),
+      "cos", threshold)
   }
 }

@@ -182,10 +182,13 @@ object Analysis {
          |WHERE jaccard >= 0.9 ORDER BY id_a ASC, id_b ASC""".stripMargin,
     "q_minhash_lsh" ->
       s"""WITH sets AS (SELECT doc_id, ${shinglesSql(toks)} AS items FROM documents),
+         |hs AS (SELECT doc_id, list_transform(items, t -> ${hash60("t")}) AS hashes FROM sets),
          |sigs AS (SELECT doc_id, list_transform(range(0, 12),
-         |    i -> list_min(list_transform(items,
-         |      t -> ${hash60("CAST(i AS VARCHAR) || ':' || t")}))) AS sig
-         |  FROM sets),
+         |    i -> list_min(list_transform(hashes, h ->
+         |      (${Dedup.minhashA.take(12).mkString("[", ",", "]")})[i+1] * (h & 1073741823)
+         |      + (${Dedup.minhashB.take(12).mkString("[", ",", "]")})[i+1] * (h >> 30)
+         |      + i))) AS sig
+         |  FROM hs),
          |banded AS (SELECT doc_id, md5(CAST(b AS VARCHAR) || ':' ||
          |    list_aggregate(list_transform(sig[b*3+1:b*3+3],
          |      x -> CAST(x AS VARCHAR)), 'string_agg', ',')) AS bkey
