@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** LLM score-response parser — exact reproduction of the reference's
+  * semantics (`/root/reference/rag_model.py:83-97`):
+  *
+  *  - the scores block is `re.search("SCORES:\s*(.*)", resp, DOTALL)`,
+  *    i.e. everything after the first `SCORES:`; no match → no scores;
+  *  - the block is split into lines; lines without `:` are skipped;
+  *  - each remaining line is `strip()`ed then split on the FIRST `:`;
+  *    key = trimmed left part, score = int of trimmed right part;
+  *  - **all-or-nothing**: the reference wraps the whole comprehension in
+  *    one try/except, so a single non-integer value line discards every
+  *    score for that response (→ empty map), not just the bad line.
+  *
+  * Integer syntax is mirrored as `^[+-]?[0-9]+$` (Python `int()` rejects
+  * decimals like "8.5"; a bare SQL cast would truncate them instead).
+  */
+object ScoreParser {
+
+  private val intPattern = "^[+-]?[0-9]+$"
+
+  /** Array of (section, score) structs parsed from one response column;
+    * empty array when there is no SCORES block or any value is malformed.
+    */
+  def scoresArray(resp: Column): Column = {
+    val block = regexp_extract(resp, "(?s)SCORES:\\s*(.*)", 1)
+    val kvLines = filter(split(block, "\n"), l => instr(l, ":") > 0)
+    val parsed = transform(kvLines, l => {
+      val lt = trim(l)
+      val key = trim(substring_index(lt, ":", 1))
+      val rawVal = trim(expr_substr_after_first_colon(lt))
+      struct(
+        key.as("section"),
+        when(rawVal.rlike(intPattern), rawVal.cast("int")).otherwise(lit(null)).as("score"))
+    })
+    val anyBad = exists(parsed, p => p.getField("score").isNull)
+    when(block === "" || anyBad, array().cast("array<struct<section:string,score:int>>"))
+      .otherwise(parsed)
+  }
+
+  /** Everything after the first ':' (Python split(":", 1)[1]). */
+  private def expr_substr_after_first_colon(s: Column): Column =
+    substring(s, instr(s, ":") + 1, lit(Int.MaxValue))
+
+  /** Explode responses into (idCols..., section, score) rows. */
+  def parseScores(df: DataFrame, respCol: String, idCols: String*): DataFrame = {
+    val ids = idCols.map(col)
+    df.select(ids :+ explode(scoresArray(col(respCol))).as("kv"): _*)
+      .select(ids :+ col("kv.section").as("section") :+ col("kv.score").as("score"): _*)
+  }
+
+  /** Final score per id: mean of section scores rounded to 2 dp
+    * (`app.py:94`; Spark `round` is HALF_UP where Python's is half-even —
+    * indistinguishable away from exact .005 boundaries). Ids with no
+    * scores produce no row (the reference raises instead, `app.py:91-92`).
+    */
+  def finalScores(scores: DataFrame, idCols: String*): DataFrame =
+    scores.groupBy(idCols.map(col): _*)
+      .agg(round(avg(col("score")), 2).as("final_score"))
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.Determinism._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming analytics over the `events` shape (SURVEY.md §7
+  * M5). Every aggregation is written once against a plain DataFrame so
+  * the SAME function serves batch (oracle-checked via q_hourly_window)
+  * and streaming (`readStream`/MemoryStream) inputs — batch-parity is the
+  * correctness argument for the streaming path, which has no DuckDB
+  * oracle (SURVEY §7 risk e).
+  *
+  * Scale notes: watermarks bound state; tumbling/session windows key the
+  * state store by (window, keys) — the shuffle is on the group key exactly
+  * as in batch. `dropDuplicatesWithinWatermark` bounds the dedup state to
+  * the watermark horizon.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour window: count + decimal-exact value sum. Works on
+    * both batch and streaming inputs (batch twin: Relational.hourlyWindow).
+    */
+  def hourlyStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("n"), col("sum_value"))
+
+  /** Streaming form with a watermark bounding state and late data. */
+  def hourlyStatsStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("n"), col("sum_value"))
+
+  /** Sliding windows (1 hour window, 15 min slide) per event type. */
+  def slidingTypeCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
+  /** Session windows per user with an inactivity gap. */
+  def userSessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Streaming session windows (requires a watermark to close sessions). */
+  def userSessionsStream(events: DataFrame, gap: String = "30 minutes",
+                         watermark: String = "2 hours"): DataFrame =
+    userSessions(events.withWatermark("ts", watermark), gap)
+
+  /** Streaming exact dedup by event_id with state bounded by watermark. */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.functions.VectorOps
+import graft.operators.AnnSearch
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnnSearchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val emb = Tables.embeddings(spark, TestSpark.sf0001)
+  lazy val q = VectorOps.queryVector(spark, TestSpark.sf0001, 0L)
+
+  test("exact L2 top-k: query vector itself ranks first with distance 0") {
+    val top = AnnSearch.l2TopK(emb, q, 5).collect()
+    assert(top.head.getLong(0) == 0L && top.head.getDouble(1) == 0.0)
+    val dists = top.map(_.getDouble(1)).toSeq
+    assert(dists == dists.sorted)
+  }
+
+  test("cosine top-k: query vector itself has cosine 1") {
+    val top = AnnSearch.cosineTopK(emb, q, 5).collect()
+    assert(top.head.getLong(0) == 0L)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("IVF assignment: every vector lands in exactly one valid cell") {
+    val assign = AnnSearch.ivfAssign(emb, nCells = 8)
+    val n = emb.count()
+    assert(assign.count() == n)
+    val cells = assign.select("cell").distinct().collect().map(_.getLong(0))
+    assert(cells.forall(c => c >= 0 && c < 8))
+    // centroids assign to themselves (distance 0 to own cell)
+    val selfCells = assign.where(org.apache.spark.sql.functions.col("vec_id") < 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(selfCells.forall { case (v, c) => v == c })
+  }
+
+  test("IVF search: subset of exact results, decent recall, query found") {
+    val k = 10
+    val exact = AnnSearch.l2TopK(emb, q, k).collect().map(_.getLong(0)).toSet
+    val approx = AnnSearch.ivfSearch(emb, q, nCells = 16, nProbe = 4, k = k)
+      .collect().map(_.getLong(0)).toSet
+    assert(approx.contains(0L))
+    val recall = (exact & approx).size.toDouble / k
+    assert(recall >= 0.3, s"IVF recall $recall unexpectedly low even for nProbe=4/16")
+  }
+}

@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Integration net: every declared query runs at sf0.001 and (except the
+  * documented empty-capable ones) returns rows; every query has oracle
+  * SQL; column names stay aligned between Spark results and the oracle
+  * (the driver sorts columns by name before hashing).
+  */
+class QueriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Queries whose core operator is not SQL-expressible (driver records a
+    * rows-only check); their semantics are pinned by unit specs instead.
+    */
+  val rowsOnly: Set[String] = Set("q_match_single")
+
+  test("every declared query has oracle SQL (or is explicitly rows-only)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+
+  test("entry returns rows (driver t1 smoke shape)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001 and returns rows") {
+      val n = fn(spark, TestSpark.sf0001).count()
+      assert(n > 0, s"$name returned no rows at sf0.001")
+    }
+  }
+}

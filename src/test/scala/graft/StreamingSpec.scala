@@ -1,0 +1,95 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Batch-vs-stream parity + watermark behavior (SURVEY §5.4 / §7 M5).
+  * Streaming has no DuckDB oracle; parity with the oracle-checked batch
+  * form is the correctness argument.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val rows = Seq(
+    (1L, ts("2024-01-01 00:05:00"), 10.0),
+    (2L, ts("2024-01-01 00:55:00"), 20.0),
+    (3L, ts("2024-01-01 01:10:00"), 30.0),
+    (4L, ts("2024-01-01 02:00:00"), 40.0),
+    (5L, ts("2024-01-01 02:59:59"), 50.0))
+
+  test("hourlyStats: stream over MemoryStream equals batch over same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val stream = mem.toDF().toDF("event_id", "ts", "value")
+    val q = EventStreams.hourlyStatsStream(stream)
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hourly_out")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+      val batchRows = EventStreams.hourlyStats(rows.toDF("event_id", "ts", "value"))
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(streamed == batchRows.toSet)
+      assert(batchRows.map(_._2).sum == 5)
+    } finally q.stop()
+  }
+
+  test("watermark drops data later than the horizon (append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val stream = mem.toDF().toDF("event_id", "ts", "value")
+    val q = EventStreams.hourlyStatsStream(stream, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts("2024-01-01 00:10:00"), 1.0))
+      q.processAllAvailable()
+      mem.addData((2L, ts("2024-01-01 03:00:00"), 2.0)) // advances watermark to 02:30
+      q.processAllAvailable()
+      mem.addData((3L, ts("2024-01-01 00:20:00"), 4.0)) // late beyond watermark → dropped
+      q.processAllAvailable()
+      mem.addData((4L, ts("2024-01-01 05:00:00"), 8.0)) // closes hour-0 and hour-3 windows
+      q.processAllAvailable()
+      val out = spark.table("late_out")
+        .collect().map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      // hour 00 window emitted with only the on-time row (late row dropped)
+      assert(out(ts("2024-01-01 00:00:00")) == ((1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups repeated event_ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val stream = mem.toDF().toDF("event_id", "ts", "value")
+    val q = EventStreams.dedupStream(stream)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts("2024-01-01 00:00:01"), 1.0),
+        (1L, ts("2024-01-01 00:00:02"), 1.0),
+        (2L, ts("2024-01-01 00:00:03"), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+    } finally q.stop()
+  }
+
+  test("session windows split on inactivity gap (batch form)") {
+    val events = Seq(
+      (7L, ts("2024-01-01 00:00:00"), 1.0),
+      (7L, ts("2024-01-01 00:10:00"), 1.0), // same session (gap 30m)
+      (7L, ts("2024-01-01 01:30:00"), 1.0)  // new session
+    ).toDF("user_id", "ts", "value")
+    val sessions = EventStreams.userSessions(events.withColumn("user_id", col("user_id")))
+      .collect()
+    assert(sessions.length == 2)
+    assert(sessions.map(_.getLong(3)).sorted.toSeq == Seq(1L, 2L))
+  }
+}

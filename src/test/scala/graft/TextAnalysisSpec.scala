@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("text").select(c).collect().head.get(0).asInstanceOf[T]
+
+  private def oneSeq(c: org.apache.spark.sql.Column, text: String): Seq[String] =
+    Seq(text).toDF("text").select(c).collect().head.getSeq[String](0).toList
+
+  test("tokens drops empties from repeated whitespace") {
+    assert(oneSeq(TextAnalysis.tokens(col("text")), "a  b   c") == List("a", "b", "c"))
+  }
+
+  test("shingles: 3-gram windows, distinct, word-order sensitive") {
+    assert(oneSeq(TextAnalysis.shingles(col("text"), 3), "a b c d") ==
+      List("a b c", "b c d"))
+    assert(oneSeq(TextAnalysis.shingles(col("text"), 3), "a b") == Nil)
+  }
+
+  test("langId picks the language with most marker hits; und when none") {
+    assert(one[String](TextAnalysis.langId(col("text")), "the cat and the dog") == "en")
+    assert(one[String](TextAnalysis.langId(col("text")), "el gato y la casa de que") == "es")
+    assert(one[String](TextAnalysis.langId(col("text")), "der hund und die katze ist") == "de")
+    assert(one[String](TextAnalysis.langId(col("text")), "le chat et les maisons des une") == "fr")
+    assert(one[String](TextAnalysis.langId(col("text")), "xyzzy plugh") == "und")
+  }
+
+  test("qualityScore in [0,1]; saturates with length and diversity") {
+    val short = one[Double](TextAnalysis.qualityScore(col("text")), "word")
+    val rich = one[Double](TextAnalysis.qualityScore(col("text")),
+      (1 to 150).map("w" + _).mkString(" "))
+    assert(short >= 0.0 && short <= 1.0 && rich >= 0.0 && rich <= 1.0)
+    assert(rich == 1.0) // 150 distinct tokens: length part 0.5 + diversity 0.5
+    assert(short < rich)
+  }
+
+  test("fingerprint is order- and duplication-invariant") {
+    val a = one[String](TextAnalysis.fingerprint(col("text")), "b a c a")
+    val b = one[String](TextAnalysis.fingerprint(col("text")), "c b a")
+    val c = one[String](TextAnalysis.fingerprint(col("text")), "c b a d")
+    assert(a == b && a != c)
+  }
+
+  test("simhash: identical texts agree; near texts are hamming-close") {
+    def hamming(x: Long, y: Long): Int = java.lang.Long.bitCount(x ^ y)
+    val base = (1 to 50).map("tok" + _).mkString(" ")
+    val near = ((1 to 48).map("tok" + _) ++ Seq("aaa", "bbb")).mkString(" ")
+    val far = (100 to 150).map("zz" + _).mkString(" ")
+    val Seq(h1, h2, h3) = Seq(base, near, far).map(t =>
+      one[Long](TextAnalysis.simhash("text"), t))
+    assert(hamming(h1, h1) == 0)
+    assert(hamming(h1, h2) < hamming(h1, h3))
+  }
+
+  test("md5Hash60 equals the DuckDB construction (hex prefix as bigint)") {
+    // '0x' || substr(md5('abc'),1,15) == 648541476951500027 (probed in DuckDB)
+    assert(one[Long](TextAnalysis.md5Hash60(col("text")), "abc") == 648541476951500027L)
+  }
+}
