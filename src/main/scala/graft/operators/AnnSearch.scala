@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorOps._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -74,4 +74,48 @@ object AnnSearch {
     ivfCandidates(emb, q, nCells, nProbe)
       .orderBy(col("dist_raw").asc, col("vec_id").asc)
       .limit(k)
+
+  // ---- MLlib LSH scale path (seeded; hash model is engine-specific so
+  // these are spec-verified by recall against the exact scan, not
+  // oracle-hashed) ----
+
+  /** Euclidean ANN via BucketedRandomProjectionLSH: returns (vec_id,
+    * dist) of the approximate k nearest neighbors of `q`.
+    */
+  def brpLshNeighbors(emb: DataFrame, q: Seq[Double], k: Int,
+                      bucketLength: Double = 2.0, numTables: Int = 4,
+                      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vectors
+    val df = emb.withColumn("features",
+      array_to_vector(toDoubleArr(col("embedding"))))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(bucketLength).setNumHashTables(numTables).setSeed(seed)
+    val model = lsh.fit(df)
+    model.approxNearestNeighbors(df, Vectors.dense(q.toArray), k)
+      .select(col("vec_id"), col("distCol").as("dist"))
+  }
+
+  /** Jaccard near-dup pairs via MLlib MinHashLSH over hashed binary
+    * item vectors (HashingTF). `threshold` is on Jaccard *similarity*
+    * (MLlib's distance = 1 - similarity).
+    */
+  def minhashLshMllib(df: DataFrame, idCol: String, items: Column,
+                      threshold: Double, numTables: Int = 8,
+                      numFeatures: Int = 1 << 18, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    val sets = df.select(col(idCol).as("id"), items.as("items"))
+    val tf = new HashingTF().setInputCol("items").setOutputCol("features")
+      .setNumFeatures(numFeatures).setBinary(true)
+    val vecs = tf.transform(sets).where(size(col("items")) > 0)
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(numTables).setSeed(seed)
+    val model = lsh.fit(vecs)
+    model.approxSimilarityJoin(vecs, vecs, 1.0 - threshold, "jaccard_dist")
+      .select(col("datasetA.id").as("id_a"), col("datasetB.id").as("id_b"),
+        (lit(1.0) - col("jaccard_dist")).as("jaccard"))
+      .where(col("id_a") < col("id_b"))
+  }
 }

@@ -1,0 +1,102 @@
+package graft.queries
+
+import graft.Determinism._
+import graft.Tables
+import graft.operators.{AnnSearch, AsOfJoin}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Advanced relational/ANN coverage: as-of join, CUBE, exact percentiles,
+  * HLL sketches, MLlib LSH. The last two are rows-only (sketch/hash
+  * internals are engine-specific); the rest are oracle-checked.
+  */
+object Advanced {
+
+  /** Latest order at-or-before each event for the same user (as-of join,
+    * merge-carry-forward — see AsOfJoin). Orders pre-deduped to one row
+    * per (custkey, orderdate) with max orderkey, so the as-of winner is
+    * deterministic in both engines.
+    */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    val orders = Tables.orders(s, d)
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+    AsOfJoin.asOf(
+      Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts")),
+      "user_id", "ts",
+      orders, "o_custkey", "o_orderdate",
+      Seq("o_orderkey", "o_totalprice"))
+      .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("event_id").asc)
+  }
+
+  /** CUBE over (event_type, day): all 4 grouping combinations. */
+  def cubeDaily(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .cube(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)
+
+  /** Exact interpolated percentiles (median, p90) of value per type. */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"))
+      .orderBy(col("event_type").asc)
+
+  /** HLL sketch vs exact distinct per type — rows-only (the sketch is
+    * engine-specific by design; the exact column anchors it in tests).
+    */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .orderBy(col("event_type").asc)
+
+  /** MLlib BucketedRandomProjectionLSH ANN over embeddings — rows-only
+    * (MLlib's random-projection hash model has no cross-engine twin);
+    * recall vs the exact scan is asserted in AnnSearchSpec.
+    */
+  def lshBrpTopk(s: SparkSession, d: String): DataFrame = {
+    val q = graft.functions.VectorOps.queryVector(s, d, 0L)
+    AnnSearch.brpLshNeighbors(Tables.embeddings(s, d), q, k = 10)
+      .select(col("vec_id"), round(col("dist"), 4).as("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> asofJoin,
+    "q_cube_daily" -> cubeDaily,
+    "q_percentiles" -> percentiles,
+    "q_approx_distinct" -> approxDistinct,
+    "q_lsh_brp_topk" -> lshBrpTopk,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH o2 AS (SELECT * FROM orders
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+        |    ORDER BY o_orderkey DESC) = 1)
+        |SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+        |FROM events e ASOF LEFT JOIN o2 o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id ASC""".stripMargin,
+    "q_cube_daily" ->
+      """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY CUBE(event_type, date_trunc('day', ts))
+        |ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin,
+    "q_percentiles" ->
+      """SELECT event_type,
+        |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(value, 0.9), 4) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
+  )
+}

@@ -43,4 +43,27 @@ class AnnSearchSpec extends AnyFunSuite {
     val recall = (exact & approx).size.toDouble / k
     assert(recall >= 0.3, s"IVF recall $recall unexpectedly low even for nProbe=4/16")
   }
+
+  test("MLlib BRP-LSH: finds the query vector, reasonable recall vs exact") {
+    val k = 10
+    val exact = AnnSearch.l2TopK(emb, q, k).collect().map(_.getLong(0)).toSet
+    val lsh = AnnSearch.brpLshNeighbors(emb, q, k).collect()
+    assert(lsh.length == k)
+    val ids = lsh.map(_.getLong(0)).toSet
+    assert(ids.contains(0L)) // the query vector itself
+    assert((exact & ids).size >= k / 2, s"LSH recall under 50% vs exact")
+  }
+
+  test("MLlib MinHashLSH approxSimilarityJoin finds near-identical docs") {
+    import spark.implicits._
+    val base = (1 to 40).map("t" + _)
+    val docs = Seq(
+      (1L, base), (2L, base.updated(3, "x")), (3L, (100 to 140).map("z" + _))
+    ).toDF("id", "items")
+    val pairs = AnnSearch.minhashLshMllib(docs, "id",
+        org.apache.spark.sql.functions.col("items"), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
 }
