@@ -1,0 +1,98 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Document ingestion (SURVEY §2.1 S1–S7): "file → text rows" with
+  * extension dispatch, the reference's loader surface
+  * (`/root/reference/utils.py:11-19`, `app.py:148-157`) re-expressed as
+  * one distributed read over a glob instead of a per-upload driver loop.
+  *
+  * TXT is read natively (`wholetext`). PDF/DOCX need a codec this
+  * container doesn't ship; their byte streams are read via `binaryFile`
+  * and routed through a pluggable extractor function — `extractTextStub`
+  * marks the seam (deterministic printable-ASCII salvage) exactly like
+  * Multimodal.decodeStub. Unknown extensions raise, mirroring the
+  * reference's ValueError dispatch (`utils.py:18-19`).
+  */
+object Sources {
+
+  /** `secure_filename` analog (`app.py:75,149`): keep [A-Za-z0-9_.-]. */
+  def sanitizeFilename(c: Column): Column =
+    regexp_replace(c, "[^A-Za-z0-9_.-]", "_")
+
+  /** Lower-cased file extension of a path column. */
+  def extension(path: Column): Column =
+    lower(regexp_extract(path, "\\.([A-Za-z0-9]+)$", 1))
+
+  /** Sanitized basename of a (URI-encoded) path column —
+    * `input_file_name()`/binaryFile paths percent-encode spaces etc.
+    */
+  private def fileNameOf(path: Column): Column =
+    sanitizeFilename(url_decode(element_at(split(path, "/"), -1)))
+
+  /** S3: whole-file text documents from a glob → (path, file_name, text).
+    * One row per file, read in parallel across executors.
+    */
+  def readWholeText(spark: SparkSession, glob: String): DataFrame =
+    spark.read.option("wholetext", "true").text(glob)
+      .select(input_file_name().as("path"), col("value").as("text"))
+      .withColumn("file_name", fileNameOf(col("path")))
+      .select(col("path"), col("file_name"), col("text"))
+
+  /** STUB text extractor for binary formats: salvages printable-ASCII
+    * runs (≥4 chars) from the bytes. Deterministic; replace with a real
+    * PDF/DOCX parser to productionize — the pipeline shape is unchanged.
+    */
+  def extractTextStub(bytes: Array[Byte]): String = {
+    if (bytes == null) return ""
+    val sb = new StringBuilder
+    val run = new StringBuilder
+    def flush(): Unit = {
+      if (run.length >= 4) {
+        if (sb.nonEmpty) sb.append('\n')
+        sb.append(run)
+      }
+      run.clear()
+    }
+    bytes.foreach { b =>
+      if (b >= 0x20 && b < 0x7f) run.append(b.toChar) else flush()
+    }
+    flush()
+    sb.toString
+  }
+
+  /** S1/S2/S4/S5: load a mixed-format document directory. txt reads as
+    * text; pdf/docx bytes go through `extract` (default: the stub);
+    * unknown extensions fail the job with the dispatch error (reference
+    * `utils.py:18-19`) unless `strict = false` drops them.
+    * Returns (path, file_name, format, text).
+    */
+  def loadDocuments(spark: SparkSession, glob: String,
+                    extract: Array[Byte] => String = extractTextStub,
+                    strict: Boolean = true): DataFrame = {
+    val extractUdf = udf(extract)
+    val raw = spark.read.format("binaryFile").load(glob)
+      .select(col("path"), col("content"))
+      .withColumn("format", extension(col("path")))
+    val dispatched = raw.withColumn("text",
+      when(col("format") === "txt", col("content").cast("string"))
+        .when(col("format").isin("pdf", "docx"), extractUdf(col("content")))
+        .otherwise(
+          if (strict) raise_error(concat(lit("Unsupported file format: ."), col("format")))
+          else lit(null)))
+    val kept = if (strict) dispatched else dispatched.where(col("text").isNotNull)
+    kept.select(col("path"), fileNameOf(col("path")).as("file_name"),
+      col("format"), col("text"))
+  }
+
+  /** Schema-explicit CSV read (no inference — SURVEY §1 discipline). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", header.toString).csv(path)
+
+  /** Schema-explicit JSON-lines read. */
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+}

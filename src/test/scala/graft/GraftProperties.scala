@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.SectionChunker
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck property suites (SURVEY §5.3) for the pure (non-Spark)
+  * operator kernels — fast, no session.
+  */
+object ChunkerProperties extends Properties("SectionChunker") {
+
+  private val word = Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(8))
+  private val header = Gen.oneOf(
+    "Summary:", "SKILLS:", "Work History\n", "projects:", "Education:",
+    "certifications:", "Strengths:", "Objective:", "not a header")
+  private val fragment: Gen[String] = Gen.oneOf(
+    word.map(_ + " "), header, Gen.const("\n"))
+  private val text: Gen[String] =
+    Gen.listOf(fragment).map(_.mkString(""))
+
+  property("keys are canonical") = forAll(text) { t =>
+    SectionChunker.chunk(t).forall { case (k, _, _) =>
+      SectionChunker.sectionPatterns.exists(_._1 == k)
+    }
+  }
+
+  property("content is a trimmed substring of the input") = forAll(text) { t =>
+    SectionChunker.chunk(t).forall { case (_, c, _) =>
+      c == c.trim && (c.isEmpty || t.contains(c))
+    }
+  }
+
+  property("keys are unique (keep-last dedup)") = forAll(text) { t =>
+    val keys = SectionChunker.chunk(t).map(_._1)
+    keys.distinct == keys
+  }
+
+  property("chunking is deterministic") = forAll(text) { t =>
+    SectionChunker.chunk(t) == SectionChunker.chunk(t)
+  }
+}
+
+object ScoreProperties extends Properties("ScoreNormalization") {
+
+  private val dist = Gen.chooseNum(0.0, 1e12)
+
+  property("score in (0, 10] and decreasing in distance") =
+    forAll(dist, dist) { (d1, d2) =>
+      def s(d: Double) = 10.0 / (1.0 + d)
+      val inRange = s(d1) > 0.0 && s(d1) <= 10.0
+      val monotone = (d1 <= d2) == (s(d1) >= s(d2))
+      inRange && monotone
+    }
+
+  property("jaccard from sizes is in [0,1]") =
+    forAll(Gen.chooseNum(0, 1000), Gen.chooseNum(0, 1000), Gen.chooseNum(0, 1000)) {
+      (na, nb, interRaw) =>
+        val inter = math.min(interRaw, math.min(na, nb))
+        val union = na + nb - inter
+        val j = if (union == 0) 0.0 else inter.toDouble / union
+        j >= 0.0 && j <= 1.0
+    }
+}
+
+object MinhashProperties extends Properties("Minhash") {
+
+  property("affine constants are odd, positive, under 2^31") = Prop {
+    (graft.operators.Dedup.minhashA ++ graft.operators.Dedup.minhashB).forall(a =>
+      a > 0 && a % 2 == 1 && a < (1L << 31))
+  }
+
+  property("affine transform stays in non-negative long range (no overflow)") =
+    forAll(Gen.chooseNum(0L, (1L << 60) - 1), Gen.chooseNum(0, 15)) { (h, i) =>
+      val a = graft.operators.Dedup.minhashA(i)
+      val b = graft.operators.Dedup.minhashB(i)
+      val v = a * (h & 0x3FFFFFFFL) + b * (h >> 30) + i
+      v >= 0 // would be negative if the 64-bit product overflowed
+    }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_sources").toString
+    Files.writeString(Paths.get(d, "resume one.txt"), "plain text resume")
+    Files.writeString(Paths.get(d, "other.txt"), "second file")
+    Files.write(Paths.get(d, "cv.pdf"),
+      Array[Byte](0x25, 0x50, 0x44, 0x46) ++ "Hello PDF world".getBytes ++ Array[Byte](0, 1))
+    d
+  }
+
+  test("readWholeText: one row per file, whole content, sanitized names") {
+    val out = Sources.readWholeText(spark, s"$dir/*.txt")
+      .collect().map(r => (r.getString(1), r.getString(2))).toMap
+    assert(out == Map("resume_one.txt" -> "plain text resume",
+      "other.txt" -> "second file"))
+  }
+
+  test("loadDocuments dispatches on extension; stub extracts pdf text") {
+    val out = Sources.loadDocuments(spark, s"$dir/*")
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(3))).toList
+    val byName = out.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byName("resume_one.txt") == (("txt", "plain text resume")))
+    assert(byName("cv.pdf")._1 == "pdf")
+    assert(byName("cv.pdf")._2.contains("Hello PDF world"))
+  }
+
+  test("unknown extension raises in strict mode, dropped otherwise") {
+    val d2 = Files.createTempDirectory("graft_bad").toString
+    Files.writeString(Paths.get(d2, "data.xyz"), "???")
+    val ex = intercept[Exception] {
+      Sources.loadDocuments(spark, s"$d2/*").collect()
+    }
+    assert(ex.getMessage.contains("Unsupported file format") ||
+      Option(ex.getCause).exists(_.getMessage.contains("Unsupported file format")))
+    assert(Sources.loadDocuments(spark, s"$d2/*", strict = false).count() == 0)
+  }
+
+  test("sanitizeFilename mirrors secure_filename behavior") {
+    import spark.implicits._
+    val out = Seq("a b/c.txt", "ok-file_1.pdf", "we?ird*.doc").toDF("n")
+      .select(Sources.sanitizeFilename(col("n"))).as[String].collect().toSeq
+    assert(out == Seq("a_b_c.txt", "ok-file_1.pdf", "we_ird_.doc"))
+  }
+
+  test("schema-explicit csv/json roundtrip") {
+    val d3 = Files.createTempDirectory("graft_fmt").toString
+    Files.writeString(Paths.get(d3, "t.csv"), "id,name\n1,alpha\n2,beta\n")
+    Files.writeString(Paths.get(d3, "t.json"), "{\"id\":3,\"name\":\"gamma\"}\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val csv = Sources.readCsv(spark, s"$d3/t.csv", schema)
+    val json = Sources.readJson(spark, s"$d3/t.json", schema)
+    val all = csv.unionByName(json).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(all == Set((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
+  }
+}
