@@ -18,6 +18,12 @@ object Bench {
     if (args.nonEmpty) selected.foreach { case (name, fn) =>
       println(s"===== $name ====="); fn(spark, sfDir).explain("formatted")
     }
+    // Warm up the session (codegen compiler, parquet footer reads, shuffle
+    // machinery) so the first measured query isn't charged for JVM startup.
+    Tables.names.foreach { t =>
+      try Tables.table(spark, sfDir, t).limit(1).count()
+      catch { case _: Throwable => () }
+    }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
