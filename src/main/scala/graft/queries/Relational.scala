@@ -144,7 +144,36 @@ object Relational {
       .select(col("window.start").as("hour_start"), col("n"), col("sum_value"))
       .orderBy(col("hour_start").asc)
 
+  /** Users who both purchased and signed up (INTERSECT — distinct set op). */
+  def intersectUsers(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    e.where(col("event_type") === "purchase").select(col("user_id"))
+      .intersect(e.where(col("event_type") === "signup").select(col("user_id")))
+      .orderBy(col("user_id").asc)
+  }
+
+  /** Analytic window frames: running decimal-exact sum per user over time
+    * plus the delta to the previous event (lag). Output omits ts (ns vs µs
+    * across engines) — the sort key stays deterministic because (user_id,
+    * ts, event_id) has a unique tiebreak.
+    */
+  def runningTotal(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("running_value",
+        sum(dec2(col("value"))).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double"))
+      .withColumn("delta_prev",
+        (dec2(col("value")) - dec2(lag(col("value"), 1).over(w))).cast("double"))
+      .select(col("user_id"), col("event_id"), col("running_value"), col("delta_prev"))
+      .orderBy(col("user_id").asc, col("event_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_intersect" -> intersectUsers,
+    "q_running_total" -> runningTotal,
     "q_topn_global" -> topnGlobal,
     "q_join_geo" -> joinGeo,
     "q_semi_join" -> semiJoin,
@@ -160,6 +189,19 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT SELECT user_id FROM events WHERE event_type = 'signup'
+        |ORDER BY user_id ASC""".stripMargin,
+    "q_running_total" ->
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |    AS running_value,
+        |  CAST(CAST(value AS DECIMAL(18,2)) - CAST(lag(value, 1) OVER (
+        |    PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |    AS DECIMAL(18,2)) AS DOUBLE) AS delta_prev
+        |FROM events ORDER BY user_id ASC, event_id ASC""".stripMargin,
     "q_topn_global" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 5""".stripMargin,
