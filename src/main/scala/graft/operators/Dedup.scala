@@ -113,11 +113,18 @@ object Dedup {
   def minhashSignature(items: Column, nHashes: Int): Column =
     minhashSignatureFromHashes(transform(items, t => md5Hash60(t)), nHashes)
 
-  /** Signature from a precomputed 60-bit hash array — callers with several
-    * downstream uses should materialize the hash column first (HOFs run
-    * interpreted, so each reference re-evaluates its argument).
+  /** Signature from a precomputed 60-bit hash array (native single-pass
+    * expression — see MinhashSignature; bit-identical to the HOF form).
     */
   def minhashSignatureFromHashes(hashes: Column, nHashes: Int): Column = {
+    require(nHashes <= minhashA.size, s"at most ${minhashA.size} hashes supported")
+    graft.functions.MinhashSignature(hashes, nHashes, minhashA, minhashB)
+  }
+
+  /** Interpreted HOF reference form of the signature (tests cross-check
+    * it against the native expression).
+    */
+  def minhashSignatureHof(hashes: Column, nHashes: Int): Column = {
     require(nHashes <= minhashA.size, s"at most ${minhashA.size} hashes supported")
     transform(sequence(lit(0), lit(nHashes - 1)), i =>
       array_min(transform(hashes, h =>

@@ -61,6 +61,18 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("native minhash signature equals the HOF reference form") {
+    val df = Tables.documents(spark, TestSpark.sf0001).limit(50)
+      .select(col("doc_id"),
+        transform(TextAnalysis.shingles(col("text"), 3),
+          t => TextAnalysis.md5Hash60(t)).as("hashes"))
+    val bad = df.select(
+        Dedup.minhashSignatureFromHashes(col("hashes"), 12).as("nat"),
+        Dedup.minhashSignatureHof(col("hashes"), 12).as("hof"))
+      .where(col("nat") =!= col("hof")).count()
+    assert(bad == 0)
+  }
+
   test("minhash signature estimates jaccard (agreement rate ≈ similarity)") {
     val a = (1 to 60).map("tok" + _)
     val b = (1 to 60).map("tok" + _).updated(0, "other1").updated(1, "other2")
