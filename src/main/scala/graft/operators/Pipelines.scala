@@ -77,6 +77,17 @@ object Pipelines {
       replace(acc, lit("{" + k + "}"), v)
     }
 
+  /** Chunked sections as the reference's map form (`dict[section → text]`,
+    * SURVEY §1 #2): (doc_id, sections MAP<STRING,STRING>). Relational rows
+    * remain the primary form; the map is for API parity with callers that
+    * want the dict shape.
+    */
+  def sectionsAsMap(chunks: DataFrame): DataFrame =
+    chunks.groupBy(col("doc_id"))
+      .agg(map_from_entries(transform(
+        array_sort(collect_list(struct(col("pos"), col("section"), col("content")))),
+        e => struct(e.getField("section"), e.getField("content")))).as("sections"))
+
   /** matchSingle: pages (idCol, pageNoCol, textCol) + JD → per-doc final
     * score. `scorer` maps (doc_id, prompt) → (doc_id, response) — the C12
     * plug (an LLM batch call in production, a deterministic stand-in in

@@ -56,7 +56,8 @@ object Advanced {
       .groupBy(col("event_type"))
       .agg(
         countDistinct(col("user_id")).as("exact_users"),
-        approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        round(percentile_approx(col("value"), lit(0.5), lit(1000)), 4).as("approx_p50"))
       .orderBy(col("event_type").asc)
 
   /** MLlib BucketedRandomProjectionLSH ANN over embeddings — rows-only

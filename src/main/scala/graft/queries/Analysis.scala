@@ -43,10 +43,15 @@ object Analysis {
       .select(col("doc_id"), TA.simhash("text").as("simhash"))
       .orderBy(col("doc_id").asc)
 
-  /** Unigram token-set near-dups within source blocks (vocab-overlap tier). */
+  /** Unigram token-set near-dups within source blocks (vocab-overlap
+    * tier). Tokens are hashed to 60-bit longs before the pairwise
+    * intersect — identical Jaccard values (collisions are mirrored by the
+    * oracle's identical hash), long-array intersection instead of UTF8
+    * string comparison per candidate pair.
+    */
   def jaccardNearDup(s: SparkSession, d: String): DataFrame =
     Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "source",
-        array_distinct(TA.tokens(col("text"))), 0.9)
+        array_distinct(transform(TA.tokens(col("text")), t => TA.md5Hash60(t))), 0.9)
       .orderBy(col("id_a").asc, col("id_b").asc)
 
   /** Full LSH pipeline: 3-gram shingles → 12 minhashes → 4 bands × 3 →
@@ -173,11 +178,13 @@ object Analysis {
          |  FROM documents)
          |ORDER BY doc_id ASC""".stripMargin,
     "q_jaccard_neardup" ->
-      s"""SELECT id_a, id_b, jaccard FROM (
+      s"""WITH hashed AS (SELECT doc_id, source,
+         |  list_distinct(list_transform($toks, w -> ${hash60("w")})) AS items
+         |  FROM documents)
+         |SELECT id_a, id_b, jaccard FROM (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |    ${jaccardSql("a.items", "b.items")} AS jaccard
-         |  FROM (SELECT doc_id, source, $dtoks AS items FROM documents) a
-         |  JOIN (SELECT doc_id, source, $dtoks AS items FROM documents) b
+         |  FROM hashed a JOIN hashed b
          |    ON a.source = b.source AND a.doc_id < b.doc_id)
          |WHERE jaccard >= 0.9 ORDER BY id_a ASC, id_b ASC""".stripMargin,
     "q_minhash_lsh" ->

@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.AsOfJoin
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  lazy val quotes = Seq( // (sym, time, price)
+    ("A", ts("2024-01-01 09:00:00"), 10.0),
+    ("A", ts("2024-01-01 10:00:00"), 11.0),
+    ("B", ts("2024-01-01 09:30:00"), 20.0)
+  ).toDF("sym", "qts", "price")
+
+  lazy val trades = Seq( // (sym, time, qty)
+    ("A", ts("2024-01-01 09:30:00"), 1L), // → price 10.0
+    ("A", ts("2024-01-01 10:00:00"), 2L), // exactly at quote → inclusive → 11.0
+    ("A", ts("2024-01-01 08:00:00"), 3L), // before any quote → null
+    ("B", ts("2024-01-01 11:00:00"), 4L), // → 20.0
+    ("C", ts("2024-01-01 12:00:00"), 5L)  // no quotes for key → null
+  ).toDF("sym", "tts", "qty")
+
+  test("as-of picks the latest right row at-or-before each left row") {
+    val out = AsOfJoin.asOf(trades, "sym", "tts", quotes, "sym", "qts", Seq("price"))
+      .collect().map(r => (r.getLong(2), Option(r.get(3)))).toMap
+    assert(out == Map(
+      1L -> Some(10.0), 2L -> Some(11.0), 3L -> None,
+      4L -> Some(20.0), 5L -> None))
+  }
+
+  test("all left rows survive (left-join semantics)") {
+    val out = AsOfJoin.asOf(trades, "sym", "tts", quotes, "sym", "qts", Seq("price"))
+    assert(out.count() == trades.count())
+    assert(out.columns.toSeq == trades.columns.toSeq :+ "price")
+  }
+}

@@ -57,6 +57,16 @@ class PipelinesSpec extends AnyFunSuite {
     assert(out == Seq("y", "x"))
   }
 
+  test("sectionsAsMap rebuilds the reference dict shape in document order") {
+    val chunks = Seq(
+      (1L, "skills", "spark", 1), (1L, "summary", "eng", 0), (2L, "skills", "sql", 0)
+    ).toDF("doc_id", "section", "content", "pos")
+    val maps = Pipelines.sectionsAsMap(chunks)
+      .collect().map(r => r.getLong(0) -> r.getMap[String, String](1)).toMap
+    assert(maps(1L).toSeq == Seq("summary" -> "eng", "skills" -> "spark"))
+    assert(maps(2L).toSeq == Seq("skills" -> "sql"))
+  }
+
   test("Inference.mapBatches batches correctly and aligns outputs") {
     val df = (1 to 10).map(i => (i.toLong, s"text$i")).toDF("id", "prompt")
     var batchSizes = Seq.empty[Int] // local to driver in local mode tests
