@@ -81,6 +81,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState accumulates per-user state across micro-batches") {
+    import graft.streaming.Stateful
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val events = mem.toDS().map { case (u, v) => Stateful.UserEvent(u, v) }(
+      Stateful.eventEnc)
+    val q = Stateful.runningUserStats(events)
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 10.0), (1L, 5.0), (2L, 1.0))
+      q.processAllAvailable()
+      mem.addData((1L, 1.0)) // second micro-batch: state must carry
+      q.processAllAvailable()
+      val rows = spark.table("state_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains((1L, 2L, 15.0))) // after batch 1
+      assert(rows.contains((1L, 3L, 16.0))) // after batch 2 — accumulated
+      assert(rows.contains((2L, 1L, 1.0)))
+    } finally q.stop()
+  }
+
   test("session windows split on inactivity gap (batch form)") {
     val events = Seq(
       (7L, ts("2024-01-01 00:00:00"), 1.0),
