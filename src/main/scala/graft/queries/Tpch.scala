@@ -1,0 +1,139 @@
+package graft.queries
+
+import graft.Determinism._
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deeper relational coverage: multiway fact joins (TPC-H Q3/Q5 shapes),
+  * the previously-uncovered part/supplier dimensions, and a rangeBetween
+  * window frame. All oracle-checked.
+  */
+object Tpch {
+
+  /** TPC-H Q3 shape: unshipped-order revenue, top 10. Three-way join
+    * where only the filtered customer side is broadcast-eligible; revenue
+    * is decimal-exact.
+    */
+  def q3Revenue(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d).where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(s, d).where(col("l_shipdate") > lit("1996-01-01").cast("timestamp"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast(Dec) - dec2(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: revenue by nation for one region — six-table join
+    * (region, nation broadcast; customer/orders/lineitem/supplier
+    * shuffled on their keys; supplier and customer must share a nation).
+    */
+  def q5RegionRevenue(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).where(col("r_name") === "EUROPE")
+    val n = Tables.nation(s, d)
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+    val su = Tables.supplier(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(su, l("l_suppkey") === su("s_suppkey") &&
+        c("c_nationkey") === su("s_nationkey"))
+      .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast(Dec) - dec2(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  /** Part stats by type prefix and brand (part-table coverage). */
+  def partStats(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .groupBy(substring(col("p_type"), 1, 6).as("type_prefix"), col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        davg(col("p_retailprice")).as("avg_price"),
+        max(col("p_size")).as("max_size"))
+      .orderBy(col("type_prefix").asc, col("p_brand").asc)
+
+  /** Supplier account balances by nation (supplier ⋈ broadcast nation). */
+  def supplierBalance(s: SparkSession, d: String): DataFrame = {
+    val su = Tables.supplier(s, d)
+    val n = Tables.nation(s, d)
+    su.join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(dec2(col("s_acctbal"))).cast("double").as("total_bal"))
+      .orderBy(col("n_name").asc)
+  }
+
+  /** rangeBetween frame: for each event, number of same-type events in
+    * the surrounding ±1 hour (value-range frame over epoch seconds, not
+    * a row-count frame).
+    */
+  def rangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("epoch_s"))
+      .rangeBetween(-3600L, 3600L)
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("epoch_s"))
+      .withColumn("n_nearby", count(lit(1)).over(w))
+      .select(col("event_id"), col("event_type"), col("n_nearby"))
+      .orderBy(col("event_id").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q3" -> q3Revenue,
+    "q_tpch_q5" -> q5RegionRevenue,
+    "q_part_stats" -> partStats,
+    "q_supplier_balance" -> supplierBalance,
+    "q_range_frame" -> rangeFrame,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "q_part_stats" ->
+      """SELECT substr(p_type, 1, 6) AS type_prefix, p_brand,
+        |  COUNT(*) AS n_parts,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  MAX(p_size) AS max_size
+        |FROM part GROUP BY 1, 2 ORDER BY type_prefix ASC, p_brand ASC""".stripMargin,
+    "q_supplier_balance" ->
+      """SELECT n_name, COUNT(*) AS n_suppliers,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name ASC""".stripMargin,
+    "q_range_frame" ->
+      """SELECT event_id, event_type, COUNT(*) OVER (
+        |    PARTITION BY event_type ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |    RANGE BETWEEN 3600 PRECEDING AND 3600 FOLLOWING) AS n_nearby
+        |FROM events ORDER BY event_id ASC""".stripMargin,
+  )
+}
