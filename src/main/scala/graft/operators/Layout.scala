@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout techniques for scale (SURVEY §4 / builder north star):
+  *
+  *  - **salted join**: for a hot key whose rows exceed one executor's
+  *    share, split the stream side across `buckets` sub-keys and
+  *    replicate the build side once per bucket — the classic manual
+  *    skew-join. (Spark's AQE skew handling covers most cases at
+  *    runtime; the manual form is for deterministic layouts and for
+  *    engines/configs where AQE is off.)
+  *  - **salted aggregation**: two-phase groupBy for skewed group keys —
+  *    partial aggregate on (key, salt), final on key. Spark's hash
+  *    aggregate already does map-side partials per task; explicit salt
+  *    matters when a single reduce-side key still overwhelms one task
+  *    (e.g. count-distinct state).
+  *  - **bucketed tables**: `writeBucketed` persists a table pre-shuffled
+  *    on the join key; joins between co-bucketed tables skip their
+  *    Exchange entirely (asserted in LayoutSpec).
+  *  - **partitioned writes**: directory partitioning for coarse keys —
+  *    scans with a partition predicate read only matching directories
+  *    (PartitionFilters in the scan, asserted in LayoutSpec).
+  */
+object Layout {
+
+  /** Deterministic salt in [0, buckets) derived from a distributor
+    * column (any high-cardinality column of the row).
+    */
+  def saltOf(distributor: Column, buckets: Int): Column =
+    pmod(hash(distributor), lit(buckets))
+
+  /** Skew-safe equi-join: `big` is salted by `distributor`, `small` is
+    * replicated `buckets` times. Result equals `big.join(small, key)`.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 buckets: Int, distributor: Column): DataFrame = {
+    val bigSalted = big.withColumn("_salt", saltOf(distributor, buckets))
+    val smallRepl = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    bigSalted.join(smallRepl, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Two-phase salted count+sum aggregation per key. */
+  def saltedSumCount(df: DataFrame, key: String, valueCol: String,
+                     buckets: Int, distributor: Column): DataFrame =
+    df.withColumn("_salt", saltOf(distributor, buckets))
+      .groupBy(col(key), col("_salt"))
+      .agg(count(lit(1)).as("_n"), sum(col(valueCol)).as("_s"))
+      .groupBy(col(key))
+      .agg(sum(col("_n")).as("n"), sum(col("_s")).as("sum_value"))
+
+  /** Persist `df` bucketed (and sorted) on `key` as managed table `name`
+    * — the co-location layout for repeated joins/aggregations on `key`.
+    */
+  def writeBucketed(df: DataFrame, name: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(name)
+
+  /** Persist `df` directory-partitioned by `partCol` at `path`. */
+  def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+}
