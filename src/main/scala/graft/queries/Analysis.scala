@@ -94,7 +94,16 @@ object Analysis {
       .select(col("vec_id"), col("dist"))
   }
 
+  /** Flagship composed pipeline: exact dedup → LSH near-dup removal →
+    * language/quality gate (operators.Curation over the documents table).
+    */
+  def curate(s: SparkSession, d: String): DataFrame =
+    graft.operators.Curation.curate(Tables.documents(s, d), "doc_id", "text",
+        keepLangs = Seq("en"), minQuality = 0.45)
+      .orderBy(col("doc_id").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curate" -> curate,
     "q_token_stats" -> tokenStats,
     "q_lang_id" -> langId,
     "q_quality_score" -> qualityScore,
@@ -138,7 +147,60 @@ object Analysis {
     s"(CASE WHEN sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}) = 0.0 THEN 0.0 " +
       s"ELSE ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END)"
 
+  /** The lang-ID CASE and quality expressions over a relation that has
+    * (doc_id, text) — shared by q_lang_id/q_quality_score/q_curate.
+    */
+  private val langCase: String =
+    """CASE
+      |  WHEN h_en > 0 AND h_en >= h_es AND h_en >= h_de AND h_en >= h_fr THEN 'en'
+      |  WHEN h_es > 0 AND h_es >= h_de AND h_es >= h_fr THEN 'es'
+      |  WHEN h_de > 0 AND h_de >= h_fr THEN 'de'
+      |  WHEN h_fr > 0 THEN 'fr'
+      |  ELSE 'und' END""".stripMargin
+
+  private val markerHits: String =
+    s"""len(list_filter($toks, w -> w IN ('the','a','of','and','to'))) AS h_en,
+       |  len(list_filter($toks, w -> w IN ('el','la','de','que','y'))) AS h_es,
+       |  len(list_filter($toks, w -> w IN ('der','die','und','ist','das'))) AS h_de,
+       |  len(list_filter($toks, w -> w IN ('le','les','et','des','une'))) AS h_fr""".stripMargin
+
+  private val qualityExpr: String =
+    "least(n / 100.0, 1.0) * 0.5 + (CASE WHEN n = 0.0 THEN 0.0 ELSE nd / n END) * 0.5"
+
   val oracleSql: Map[String, String] = Map(
+    "q_curate" ->
+      s"""WITH canon AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |kept1 AS (SELECT d.doc_id, d.text FROM documents d
+         |  JOIN canon c ON d.doc_id = c.doc_id),
+         |sets AS (SELECT doc_id, ${shinglesSql(toks)} AS items FROM kept1),
+         |hs AS (SELECT doc_id, list_transform(items, t -> ${hash60("t")}) AS hashes FROM sets),
+         |sigs AS (SELECT doc_id, list_transform(range(0, 12),
+         |    i -> list_min(list_transform(hashes, h ->
+         |      (${Dedup.minhashA.take(12).mkString("[", ",", "]")})[i+1] * (h & 1073741823)
+         |      + (${Dedup.minhashB.take(12).mkString("[", ",", "]")})[i+1] * (h >> 30)
+         |      + i))) AS sig
+         |  FROM hs),
+         |banded AS (SELECT doc_id, md5(CAST(b AS VARCHAR) || ':' ||
+         |    list_aggregate(list_transform(sig[b*3+1:b*3+3],
+         |      x -> CAST(x AS VARCHAR)), 'string_agg', ',')) AS bkey
+         |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |drops AS (SELECT DISTINCT id_b AS doc_id FROM (
+         |  SELECT c.id_a, c.id_b, ${jaccardSql("ta.items", "tb.items")} AS jaccard
+         |  FROM cand c JOIN sets ta ON c.id_a = ta.doc_id
+         |  JOIN sets tb ON c.id_b = tb.doc_id)
+         |  WHERE jaccard >= 0.5),
+         |kept2 AS (SELECT k.doc_id, k.text FROM kept1 k
+         |  WHERE NOT EXISTS (SELECT 1 FROM drops x WHERE x.doc_id = k.doc_id)),
+         |feat AS (SELECT doc_id, $langCase AS lang_pred, $qualityExpr AS quality
+         |  FROM (SELECT doc_id, $markerHits,
+         |    len($toks)::DOUBLE AS n, len($dtoks)::DOUBLE AS nd
+         |    FROM kept2))
+         |SELECT doc_id, lang_pred, quality FROM feat
+         |WHERE lang_pred IN ('en') AND quality >= 0.45
+         |ORDER BY doc_id ASC""".stripMargin,
     "q_token_stats" ->
       s"""SELECT doc_id, len($toks) AS n_tokens, len($dtoks) AS n_distinct,
          |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_regex_tokens
