@@ -75,6 +75,23 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))).cast("binary"))
 
+  /** Context-window chunks: token windows of `size` with `overlap` tokens
+    * shared between consecutive chunks — the standard LLM-context split.
+    * Returns an array of chunk strings; empty text → single empty chunk
+    * array. Pure HOF slicing, one pass, no shuffle.
+    */
+  def tokenChunks(text: Column, size: Int, overlap: Int): Column = {
+    require(size > overlap && overlap >= 0, "need size > overlap >= 0")
+    val step = size - overlap
+    val toks = tokens(text)
+    val n = org.apache.spark.sql.functions.size(toks)
+    // number of chunks = ceil(max(n - overlap, 0) / step), at least 1 when n > 0
+    val nChunks = ceil((greatest(n - overlap, lit(0))).cast("double") / step).cast("int")
+    when(n === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), greatest(nChunks, lit(1)) - 1),
+        i => concat_ws(" ", slice(toks, i * step + 1, lit(size)))))
+  }
+
   /** 60-bit token hash derived from md5 (first 15 hex chars) — the same
     * value DuckDB computes with CAST('0x'||substr(md5(t),1,15) AS BIGINT),
     * so hash-based operators (simhash, minhash) stay oracle-checkable.

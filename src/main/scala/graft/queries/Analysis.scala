@@ -102,8 +102,40 @@ object Analysis {
         keepLangs = Seq("en"), minQuality = 0.45)
       .orderBy(col("doc_id").asc)
 
+  /** Context-window chunking: docs split into 64-token chunks with
+    * 16-token overlap → (doc_id, chunk_idx, n_chunk_tokens).
+    */
+  def chunkTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(TA.tokenChunks(col("text"), size = 64, overlap = 16))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(TA.tokens(col("chunk"))).cast("long").as("n_chunk_tokens"))
+      .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+
+  /** Greedy-by-order sequence packing: docs in doc_id order accumulate
+    * into 2048-token bins via a running-sum window — one pass, the
+    * distributed packing shape (per-partition at scale with a bin-offset
+    * merge; here a single ordered window for oracle parity).
+    */
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.documents(s, d)
+      .select(col("doc_id"), TA.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("bin",
+        floor((col("cum_tokens") - col("n_tokens")) / 2048.0).cast("long"))
+      .select(col("bin"), col("doc_id"), col("n_tokens"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curate" -> curate,
+    "q_chunk_tokens" -> chunkTokens,
+    "q_pack_sequences" -> packSequences,
     "q_token_stats" -> tokenStats,
     "q_lang_id" -> langId,
     "q_quality_score" -> qualityScore,
@@ -168,6 +200,22 @@ object Analysis {
     "least(n / 100.0, 1.0) * 0.5 + (CASE WHEN n = 0.0 THEN 0.0 ELSE nd / n END) * 0.5"
 
   val oracleSql: Map[String, String] = Map(
+    "q_chunk_tokens" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |ch AS (SELECT doc_id, i AS chunk_idx,
+         |    len(tk[CAST(i*48+1 AS BIGINT) : CAST(i*48+64 AS BIGINT)]) AS n_chunk_tokens
+         |  FROM t CROSS JOIN LATERAL (SELECT unnest(range(0,
+         |    greatest(CAST(ceil(greatest(len(tk) - 16, 0) / 48.0) AS BIGINT), 1))) AS i)
+         |  WHERE len(tk) > 0)
+         |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, n_chunk_tokens
+         |FROM ch ORDER BY doc_id ASC, chunk_idx ASC""".stripMargin,
+    "q_pack_sequences" ->
+      s"""SELECT CAST(floor((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS bin,
+         |  doc_id, n_tokens FROM (
+         |  SELECT doc_id, n_tokens,
+         |    SUM(n_tokens) OVER (ORDER BY doc_id ASC ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |  FROM (SELECT doc_id, len($toks) AS n_tokens FROM documents))
+         |ORDER BY doc_id ASC""".stripMargin,
     "q_curate" ->
       s"""WITH canon AS (
          |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),

@@ -24,6 +24,15 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(oneSeq(TextAnalysis.shingles(col("text"), 3), "a b") == Nil)
   }
 
+  test("tokenChunks: overlapping context windows, tail chunk clamped") {
+    val text = (1 to 10).map("w" + _).mkString(" ")
+    val chunks = oneSeq(TextAnalysis.tokenChunks(col("text"), size = 4, overlap = 1), text)
+    // step 3: ceil((10-1)/3) = 3 chunks at token starts 1,4,7 — full coverage
+    assert(chunks == List("w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    assert(oneSeq(TextAnalysis.tokenChunks(col("text"), 4, 1), "a b") == List("a b"))
+    assert(oneSeq(TextAnalysis.tokenChunks(col("text"), 4, 1), "") == Nil)
+  }
+
   test("langId picks the language with most marker hits; und when none") {
     assert(one[String](TextAnalysis.langId(col("text")), "the cat and the dog") == "en")
     assert(one[String](TextAnalysis.langId(col("text")), "el gato y la casa de que") == "es")
