@@ -52,6 +52,13 @@ object ScoreParser {
       .select(ids :+ col("kv.section").as("section") :+ col("kv.score").as("score"): _*)
   }
 
+  /** C14 feedback/explanation post-process (`rag_model.py:109-114`,
+    * `rag_model_mass.py:58-62`): trimmed response with the reference's
+    * fallback string when the response is null/empty.
+    */
+  def feedback(resp: Column, fallback: String = "Could not extract feedback."): Column =
+    coalesce(nullif(trim(resp), lit("")), lit(fallback))
+
   /** Final score per id: mean of section scores rounded to 2 dp
     * (`app.py:94`; Spark `round` is HALF_UP where Python's is half-even —
     * indistinguishable away from exact .005 boundaries). Ids with no

@@ -59,4 +59,25 @@ object EventStreams {
   def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join: purchases within `window` after the
+    * same user's signup. Both sides carry watermarks so the join state
+    * is bounded (Spark drops a side's state once its watermark passes
+    * the interval bound). Works on batch inputs identically.
+    */
+  def signupToPurchase(signups: DataFrame, purchases: DataFrame,
+                       window: String = "1 hour",
+                       watermark: String = "2 hours"): DataFrame = {
+    val s = signups.withWatermark("ts", watermark)
+      .select(col("user_id").as("s_user"), col("ts").as("signup_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    s.join(p,
+      col("s_user") === col("p_user") &&
+        col("purchase_ts") >= col("signup_ts") &&
+        col("purchase_ts") <= col("signup_ts") + expr(s"INTERVAL $window"))
+      .select(col("s_user").as("user_id"), col("signup_ts"),
+        col("purchase_ts"), col("purchase_value"))
+  }
 }

@@ -81,6 +81,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches purchases to prior signups") {
+    implicit val sqlCtx = spark.sqlContext
+    val sm = MemoryStream[(Long, Timestamp, Double)]
+    val pm = MemoryStream[(Long, Timestamp, Double)]
+    val signups = sm.toDF().toDF("user_id", "ts", "value")
+    val purchases = pm.toDF().toDF("user_id", "ts", "value")
+    val q = EventStreams.signupToPurchase(signups, purchases)
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      sm.addData((1L, ts("2024-01-01 00:00:00"), 0.0),
+        (2L, ts("2024-01-01 00:00:00"), 0.0))
+      pm.addData(
+        (1L, ts("2024-01-01 00:30:00"), 9.99),  // within 1h of signup → match
+        (2L, ts("2024-01-01 02:30:00"), 5.0),   // 2.5h later → no match
+        (3L, ts("2024-01-01 00:10:00"), 1.0))   // no signup → no match
+      q.processAllAvailable()
+      val rows = spark.table("ss_join")
+        .collect().map(r => (r.getLong(0), r.getDouble(3))).toSet
+      assert(rows == Set((1L, 9.99)))
+    } finally q.stop()
+  }
+
+  test("C14 feedback post-process trims and falls back") {
+    import graft.operators.ScoreParser
+    val out = Seq(Some("  good resume  "), Some(""), None)
+      .toDF("resp")
+      .select(ScoreParser.feedback(col("resp")))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("good resume",
+      "Could not extract feedback.", "Could not extract feedback."))
+  }
+
   test("flatMapGroupsWithState accumulates per-user state across micro-batches") {
     import graft.streaming.Stateful
     implicit val sqlCtx = spark.sqlContext
