@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -20,9 +21,13 @@ object Bench {
     }
     // Warm up the session (codegen compiler, parquet footer reads, shuffle
     // machinery) so the first measured query isn't charged for JVM startup.
+    // events needs its dedicated reader (TIMESTAMP(NANOS) legacy conf).
     Tables.names.foreach { t =>
-      try Tables.table(spark, sfDir, t).limit(1).count()
-      catch { case _: Throwable => () }
+      try {
+        val df = if (t == "events") Tables.events(spark, sfDir)
+                 else Tables.table(spark, sfDir, t)
+        df.limit(1).count()
+      } catch { case _: Throwable => () }
     }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -24,18 +24,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  private def binary(name: String, f: (Expression, Expression) => Expression)
+  private def binary(name: String, className: String,
+                     f: (Expression, Expression) => Expression)
   : (String, ExpressionInfo, Seq[Expression] => Expression) =
     (name,
-      new ExpressionInfo(classOf[SquaredL2Distance].getName, name),
+      new ExpressionInfo(className, name),
       { exprs =>
         require(exprs.size == 2, s"$name expects exactly 2 arguments, got ${exprs.size}")
         f(exprs.head, exprs(1))
       })
 
   private[graft] val injections = Seq(
-    binary("squared_l2", SquaredL2Distance(_, _)),
-    binary("dot_product", DotProduct(_, _)))
+    binary("squared_l2", classOf[SquaredL2Distance].getName, SquaredL2Distance(_, _)),
+    binary("dot_product", classOf[DotProduct].getName, DotProduct(_, _)))
 
   /** Register on a live session (idempotent). */
   def registerFunctions(spark: SparkSession): Unit =

@@ -25,6 +25,10 @@ object AsOfJoin {
   def asOf(left: DataFrame, leftKey: String, leftTime: String,
            right: DataFrame, rightKey: String, rightTime: String,
            payload: Seq[String]): DataFrame = {
+    val reserved = Set("_k", "_t", "_side") ++ payload.map("_p_" + _) ++ payload
+    val collisions = left.columns.toSet & reserved
+    require(collisions.isEmpty,
+      s"asOf: left columns collide with payload/internal names: $collisions")
     val rightTypes = payload.map(c => c -> right.schema(c).dataType).toMap
     val leftAug = payload.foldLeft(
       left.withColumn("_k", col(leftKey))

@@ -22,6 +22,13 @@ object ScoreParser {
 
   private val intPattern = "^[+-]?[0-9]+$"
 
+  /** Python str.strip() strips ALL whitespace (\r, \t, …); Spark's trim()
+    * only strips ASCII spaces — a CRLF response would otherwise leave a
+    * trailing \r on every value and void the whole parse.
+    */
+  private def pyStrip(c: Column): Column =
+    regexp_replace(c, "^\\s+|\\s+$", "")
+
   /** Array of (section, score) structs parsed from one response column;
     * empty array when there is no SCORES block or any value is malformed.
     */
@@ -29,9 +36,9 @@ object ScoreParser {
     val block = regexp_extract(resp, "(?s)SCORES:\\s*(.*)", 1)
     val kvLines = filter(split(block, "\n"), l => instr(l, ":") > 0)
     val parsed = transform(kvLines, l => {
-      val lt = trim(l)
-      val key = trim(substring_index(lt, ":", 1))
-      val rawVal = trim(expr_substr_after_first_colon(lt))
+      val lt = pyStrip(l)
+      val key = pyStrip(substring_index(lt, ":", 1))
+      val rawVal = pyStrip(expr_substr_after_first_colon(lt))
       struct(
         key.as("section"),
         when(rawVal.rlike(intPattern), rawVal.cast("int")).otherwise(lit(null)).as("score"))

@@ -51,9 +51,11 @@ object SectionChunker {
       k -> java.util.regex.Pattern.compile(p, java.util.regex.Pattern.CASE_INSENSITIVE)
     }
 
-  /** Pure chunker: text → (section, content, pos) with keep-last dedup
-    * applied (pos = index of the winning header occurrence among all
-    * header matches). Mirrors the reference's dict insertion/overwrite.
+  /** Pure chunker: text → (section, content, pos). Mirrors the
+    * reference's dict overwrite exactly: a duplicate header replaces the
+    * CONTENT but keeps the key's original insertion slot — so `pos` is
+    * the first-occurrence index and the content is the last
+    * occurrence's (Python `d[k] = v` preserves insertion order).
     */
   def chunk(text: String): Seq[(String, String, Int)] = {
     val m = headerPattern.matcher(text)
@@ -68,9 +70,10 @@ object SectionChunker {
       }
       key.map(k => (k, text.substring(end, next).trim, i))
     }
-    // keep-last per canonical key, output in winning-occurrence order
-    raw.groupBy(_._1).map { case (_, occ) => occ.maxBy(_._3) }
-      .toSeq.sortBy(_._3)
+    // content from the LAST occurrence, position from the FIRST
+    raw.groupBy(_._1).map { case (k, occ) =>
+      (k, occ.maxBy(_._3)._2, occ.map(_._3).min)
+    }.toSeq.sortBy(_._3)
   }
 
   private val chunkUdf = udf { text: String =>

@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   *    SectionChunkerSpec/ScoreParserSpec/PipelinesSpec instead;
   *  - q_session_window / q_sliding_window: batch forms of the streaming
   *    windows (EventStreams), oracled via gaps-and-islands / window
-  *    self-expansion SQL. Outputs truncate to seconds so Spark's µs
-  *    timestamps and DuckDB's ns timestamps agree (SURVEY §7 risk c).
+  *    self-expansion SQL. The session oracle truncates ts to µs BEFORE
+  *    the gap comparison (Spark reads the ns parquet at µs precision, so
+  *    the grouping decision must run on the same values), and outputs
+  *    truncate to seconds (SURVEY §7 risk c).
   */
 object PipelineQ {
 
@@ -53,10 +55,14 @@ object PipelineQ {
         lit("Experience: "), substring(col("text"), 241, 10000)).as("text"))
     val scorer: DataFrame => DataFrame = prompts => {
       // Deterministic stand-in for the LLM (C12): for each "- section"
-      // line in the prompt, score = min(10, overlap of the doc's tokens
-      // with the JD tokens) — computed purely from the prompt text.
+      // line in the prompt, score = min(10, overlap of the doc's SECTION
+      // tokens with the JD tokens). Only the text before the JOB
+      // DESCRIPTION block counts — the prompt embeds the JD itself, and
+      // scoring over the whole prompt would give every doc the same
+      // constant overlap.
       val sectionNames = filter(split(col("prompt"), "\n"), l => l.startsWith("- "))
-      val promptTokens = array_distinct(split(regexp_replace(col("prompt"), "\n", " "), " "))
+      val resumePart = element_at(split(col("prompt"), "JOB DESCRIPTION:"), 1)
+      val promptTokens = array_distinct(split(regexp_replace(resumePart, "\n", " "), " "))
       val overlap = size(filter(promptTokens, t => t.isInCollection(jdTokens)))
       prompts.withColumn("response",
         concat(lit("SCORES:\n"),
@@ -103,10 +109,12 @@ object PipelineQ {
          |SELECT file_name, ROUND(10.0 / (1.0 + dist), 2) AS score, content
          |FROM d ORDER BY dist ASC, file_name ASC LIMIT 5""".stripMargin,
     "q_session_window" ->
-      """WITH o AS (SELECT user_id, ts, value,
+      """WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts,
+        |    value, event_id FROM events),
+        |o AS (SELECT user_id, ts, value,
         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |      >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
-        |  FROM events),
+        |  FROM e),
         |s AS (SELECT user_id, ts, value,
         |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
         |      ROWS UNBOUNDED PRECEDING) AS sid

@@ -37,6 +37,12 @@ class ScoreParserSpec extends AnyFunSuite {
     assert(parse("I cannot rate this resume.") == Seq.empty)
   }
 
+  test("CRLF responses parse like Python str.strip (\\r is whitespace)") {
+    assert(parse("SCORES:\r\nskills: 8\r\neducation: 6\r\n") ==
+      Seq(("skills", 8), ("education", 6)))
+    assert(parse("SCORES:\n\tskills\t: \t7\t") == Seq(("skills", 7)))
+  }
+
   test("negative and plus-signed integers parse like Python int()") {
     assert(parse("SCORES:\na: -2\nb: +3") == Seq(("a", -2), ("b", 3)))
   }

@@ -43,6 +43,15 @@ class SectionChunkerSpec extends AnyFunSuite {
     assert(chunks("skills")._1 == "python only")
   }
 
+  test("duplicate section keeps its FIRST insertion position (dict order)") {
+    // Python: d[k] = v replaces the value but not the key's slot — skills
+    // was inserted before projects/education even though its winning
+    // content comes from the final occurrence.
+    val order = SectionChunker.chunk(resume).map(_._1)
+    assert(order == Seq("summary", "experience", "skills", "projects",
+      "education", "certifications", "strengths"))
+  }
+
   test("headers match via ':' or newline form, case-insensitively") {
     assert(chunks.contains("experience")) // "Work History\n" — newline form
     assert(chunks.contains("summary"))    // "SUMMARY:" — uppercase + colon
