@@ -43,6 +43,24 @@ object Analysis {
       .select(col("doc_id"), TA.simhash("text").as("simhash"))
       .orderBy(col("doc_id").asc)
 
+  /** SimHash near-dups: pairs within source blocks whose 60-bit
+    * fingerprints differ in ≤4 bits. The fingerprint is computed once per
+    * row before the join; the per-pair work is one XOR + popcount —
+    * the cheapest of the near-dup tiers.
+    */
+  def simhashNearDup(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("source").as("block"), col("doc_id"), TA.simhash("text").as("sh"))
+    val a = sh.select(col("block"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("block"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("block"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .where(col("hamming") <= 4)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy(col("id_a").asc, col("id_b").asc)
+  }
+
   /** Unigram token-set near-dups within source blocks (vocab-overlap
     * tier). Tokens are hashed to 60-bit longs before the pairwise
     * intersect — identical Jaccard values (collisions are mirrored by the
@@ -141,6 +159,7 @@ object Analysis {
     "q_quality_score" -> qualityScore,
     "q_fingerprint" -> fingerprint,
     "q_simhash" -> simhash,
+    "q_simhash_neardup" -> simhashNearDup,
     "q_jaccard_neardup" -> jaccardNearDup,
     "q_minhash_lsh" -> minhashLsh,
     "q_dedup_cosine" -> dedupCosine,
@@ -198,6 +217,13 @@ object Analysis {
 
   private val qualityExpr: String =
     "least(n / 100.0, 1.0) * 0.5 + (CASE WHEN n = 0.0 THEN 0.0 ELSE nd / n END) * 0.5"
+
+  /** 60-bit simhash over a `hashes` list column (mirrors TA.simhash). */
+  private val simhashSql: String =
+    """CAST(list_sum(list_transform(range(0, 60), b ->
+      |    CASE WHEN coalesce(list_sum(list_transform(hashes,
+      |        h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+      |    THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_chunk_tokens" ->
@@ -279,14 +305,21 @@ object Analysis {
          |  md5(list_aggregate(list_sort($dtoks), 'string_agg', ' ')) AS fp
          |FROM documents ORDER BY doc_id ASC""".stripMargin,
     "q_simhash" ->
-      s"""SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), b ->
-         |    CASE WHEN coalesce(list_sum(list_transform(hashes,
-         |        h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
-         |    THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+      s"""SELECT doc_id, $simhashSql AS simhash
          |FROM (SELECT doc_id,
          |  list_transform($dtoks, t -> ${hash60("t")}) AS hashes
          |  FROM documents)
          |ORDER BY doc_id ASC""".stripMargin,
+    "q_simhash_neardup" ->
+      s"""WITH sh AS (SELECT source, doc_id, $simhashSql AS sh
+         |  FROM (SELECT source, doc_id,
+         |    list_transform($dtoks, t -> ${hash60("t")}) AS hashes
+         |    FROM documents))
+         |SELECT id_a, id_b, hamming FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+         |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id)
+         |WHERE hamming <= 4 ORDER BY id_a ASC, id_b ASC""".stripMargin,
     "q_jaccard_neardup" ->
       s"""WITH hashed AS (SELECT doc_id, source,
          |  list_distinct(list_transform($toks, w -> ${hash60("w")})) AS items
