@@ -69,3 +69,54 @@ object MinhashSignature {
     GraftExpressionBridge.column(new MinhashSignature(
       GraftExpressionBridge.expression(hashes), nHashes, a.take(nHashes), b.take(nHashes)))
 }
+
+/** 60-bit SimHash over a precomputed hash array: bit b of the result is
+  * set iff Σ_h (±1 by bit b of h) > 0. Single native pass; the HOF/SQL
+  * formulation re-evaluates its input argument once per bit (60× the
+  * tokenize+md5 work — measured 23s vs ~1s on the near-dup join at
+  * sf0.1) because interpreted lambdas have no common-subexpression
+  * elimination. Empty input → 0, matching the fold-from-zero semantics.
+  */
+case class SimHash60(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val hashes = input.asInstanceOf[ArrayData]
+    val n = hashes.numElements()
+    val acc = new Array[Int](60)
+    var j = 0
+    while (j < n) {
+      val h = hashes.getLong(j)
+      var b = 0
+      while (b < 60) {
+        if (((h >> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash60 {
+  def apply(hashes: Column): Column =
+    GraftExpressionBridge.column(new SimHash60(GraftExpressionBridge.expression(hashes)))
+}

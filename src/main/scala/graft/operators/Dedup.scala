@@ -26,6 +26,9 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Most recent minhashNearDup signature cache (see its comment). */
+  private var lastSetsCache: Option[DataFrame] = None
+
   /** Score-then-filter barrier. A naive `join → withColumn(score) →
     * filter(score ≥ t)` lets Catalyst push the threshold predicate into
     * the join *condition*, where the expensive set/vector expression is
@@ -156,10 +159,16 @@ object Dedup {
     // interpreted (no codegen, no common-subexpression elimination), so
     // without materialization the md5 pass would run 12× per item and
     // once more per join branch. Cache AFTER computing the hash column:
-    // at production scale this is the persisted signature table.
+    // at production scale this is the persisted signature table. Only the
+    // most recent invocation's cache is kept live (a 52-query Verify/Bench
+    // run would otherwise accumulate one pinned copy per call).
     val sets = df.select(col(idCol).as("id"), items.as("items"))
       .withColumn("hashes", transform(col("items"), t => TextAnalysis.md5Hash60(t)))
       .cache()
+    Dedup.synchronized {
+      lastSetsCache.foreach(_.unpersist(blocking = false))
+      lastSetsCache = Some(sets)
+    }
     val sigs = sets.select(col("id"),
       minhashSignatureFromHashes(col("hashes"), n).as("sig"))
     val banded = sigs

@@ -117,18 +117,12 @@ object TextAnalysis {
 
   /** SimHash over the distinct token set: for each of 60 bits, sum +1/-1
     * by that bit of each token hash; the fingerprint sets bits with a
-    * positive sum. HOF-only — one pass, no shuffle, no UDF. Written as a
-    * SQL expression because the Scala `shiftright`/`shiftleft` wrappers
-    * only accept literal shift amounts, while the SQL forms take columns
-    * (and the text mirrors the DuckDB oracle 1:1).
+    * positive sum. The token-hash array is built once per row (single
+    * reference) and the 60-bit vote loop runs as a native expression —
+    * an all-HOF formulation would re-evaluate the tokenize+md5 pipeline
+    * once per bit (interpreted lambdas have no CSE).
     */
-  def simhash(textSqlExpr: String): Column = expr(
-    s"""aggregate(
-       |  transform(sequence(0, 59), b -> IF(
-       |    aggregate(
-       |      transform(array_distinct(filter(split($textSqlExpr, ' '), w -> w != '')),
-       |        t -> cast(conv(substring(md5(cast(t as binary)), 1, 15), 16, 10) as bigint)),
-       |      0L, (acc, h) -> acc + IF((shiftright(h, b) & 1L) = 1L, 1L, -1L)) > 0L,
-       |    shiftleft(1L, b), 0L)),
-       |  0L, (acc, v) -> acc + v)""".stripMargin)
+  def simhash(text: Column): Column =
+    graft.functions.SimHash60(
+      transform(array_distinct(tokens(text)), t => md5Hash60(t)))
 }

@@ -40,24 +40,27 @@ object Analysis {
 
   def simhash(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), TA.simhash("text").as("simhash"))
+      .select(col("doc_id"), TA.simhash(col("text")).as("simhash"))
       .orderBy(col("doc_id").asc)
 
   /** SimHash near-dups: pairs within source blocks whose 60-bit
     * fingerprints differ in ≤4 bits. The fingerprint is computed once per
-    * row before the join; the per-pair work is one XOR + popcount —
-    * the cheapest of the near-dup tiers.
+    * row below the join (native SimHash60 — the HOF form re-evaluated the
+    * tokenize+md5 pipeline once per bit); the per-pair work is one XOR +
+    * popcount. The hamming threshold runs above a groupBy(id_a, id_b)
+    * aggregate so it cannot be inlined into the join condition.
     */
   def simhashNearDup(s: SparkSession, d: String): DataFrame = {
     val sh = Tables.documents(s, d)
-      .select(col("source").as("block"), col("doc_id"), TA.simhash("text").as("sh"))
+      .select(col("source").as("block"), col("doc_id"), TA.simhash(col("text")).as("sh"))
     val a = sh.select(col("block"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("block"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("block"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long")).as("hamming"))
       .where(col("hamming") <= 4)
-      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy(col("id_a").asc, col("id_b").asc)
   }
 

@@ -63,7 +63,7 @@ class TextAnalysisSpec extends AnyFunSuite {
     val near = ((1 to 48).map("tok" + _) ++ Seq("aaa", "bbb")).mkString(" ")
     val far = (100 to 150).map("zz" + _).mkString(" ")
     val Seq(h1, h2, h3) = Seq(base, near, far).map(t =>
-      one[Long](TextAnalysis.simhash("text"), t))
+      one[Long](TextAnalysis.simhash(col("text")), t))
     assert(hamming(h1, h1) == 0)
     assert(hamming(h1, h2) < hamming(h1, h3))
   }
