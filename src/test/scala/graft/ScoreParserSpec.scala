@@ -47,6 +47,18 @@ class ScoreParserSpec extends AnyFunSuite {
     assert(parse("SCORES:\na: -2\nb: +3") == Seq(("a", -2), ("b", 3)))
   }
 
+  test("parser never throws and never emits null scores on arbitrary input") {
+    val rnd = new scala.util.Random(42)
+    val weird = (1 to 200).map { i =>
+      val chars = "SCORES:\n\r\t :abc0189+-é☃"
+      (i.toLong, (0 until rnd.nextInt(40)).map(_ => chars(rnd.nextInt(chars.length))).mkString)
+    }
+    val out = ScoreParser.parseScores(
+      weird.toDF("doc_id", "response"), "response", "doc_id")
+    val rows = out.collect()
+    assert(rows.forall(!_.isNullAt(2))) // int-validated before cast
+  }
+
   test("final score is the 2dp-rounded mean (app.py:94)") {
     val scores = Seq((1L, "s1", 7), (1L, "s2", 8), (2L, "s1", 1))
       .toDF("doc_id", "section", "score")
