@@ -153,7 +153,21 @@ object Analysis {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Reproducible 10% corpus sample with a deterministic shuffle order:
+    * membership = md5-hash bucket of the id (stable under reruns,
+    * engine-independent — unlike TABLESAMPLE/rand), output order = md5 of
+    * a salted id (a deterministic "shuffle" for training-data ordering).
+    */
+  def stableSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .where(pmod(TA.md5Hash60(col("doc_id").cast("string")), lit(100L)) < 10)
+      .select(col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit(":shuffle")).cast("binary"))
+          .as("shuffle_key"))
+      .orderBy(col("shuffle_key").asc, col("doc_id").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stable_sample" -> stableSample,
     "q_curate" -> curate,
     "q_chunk_tokens" -> chunkTokens,
     "q_pack_sequences" -> packSequences,
@@ -229,6 +243,11 @@ object Analysis {
       |    THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_stable_sample" ->
+      s"""SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':shuffle') AS shuffle_key
+         |FROM documents
+         |WHERE ${hash60("CAST(doc_id AS VARCHAR)")} % 100 < 10
+         |ORDER BY shuffle_key ASC, doc_id ASC""".stripMargin,
     "q_chunk_tokens" ->
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
          |ch AS (SELECT doc_id, i AS chunk_idx,
