@@ -75,6 +75,18 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))).cast("binary"))
 
+  /** Polynomial rolling hash over the token stream (order-SENSITIVE,
+    * Rabin–Karp style): acc = (acc·31 + h(token) mod P) mod P with
+    * P = 2^31−1 — the left-to-right fold keeps every intermediate under
+    * 2^36, overflow-safe in both engines, and `list_reduce` reproduces it
+    * exactly. Complements `fingerprint` (order-free): equal token
+    * multisets in different order fingerprint equal but roll different.
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      transform(tokens(text), t => md5Hash60(t) % 2147483647L),
+      lit(0L), (acc, h) => (acc * 31L + h) % 2147483647L)
+
   /** Context-window chunks: token windows of `size` with `overlap` tokens
     * shared between consecutive chunks — the standard LLM-context split.
     * Returns an array of chunk strings; empty text → single empty chunk

@@ -35,7 +35,8 @@ object Analysis {
 
   def fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), TA.fingerprint(col("text")).as("fp"))
+      .select(col("doc_id"), TA.fingerprint(col("text")).as("fp"),
+        TA.rollingHash(col("text")).as("fp_rolling"))
       .orderBy(col("doc_id").asc)
 
   def simhash(s: SparkSession, d: String): DataFrame =
@@ -324,7 +325,11 @@ object Analysis {
          |ORDER BY doc_id ASC""".stripMargin,
     "q_fingerprint" ->
       s"""SELECT doc_id,
-         |  md5(list_aggregate(list_sort($dtoks), 'string_agg', ' ')) AS fp
+         |  md5(list_aggregate(list_sort($dtoks), 'string_agg', ' ')) AS fp,
+         |  coalesce(list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform($toks, t -> ${hash60("t")} % 2147483647)),
+         |    (acc, h) -> (acc * 31 + h) % 2147483647), 0) AS fp_rolling
          |FROM documents ORDER BY doc_id ASC""".stripMargin,
     "q_simhash" ->
       s"""SELECT doc_id, $simhashSql AS simhash

@@ -57,6 +57,15 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(a == b && a != c)
   }
 
+  test("rollingHash is order-sensitive where fingerprint is not") {
+    val a = one[Long](TextAnalysis.rollingHash(col("text")), "a b c")
+    val b = one[Long](TextAnalysis.rollingHash(col("text")), "c b a")
+    val a2 = one[Long](TextAnalysis.rollingHash(col("text")), "a b c")
+    assert(a == a2 && a != b)
+    assert(a >= 0 && a < 2147483647L)
+    assert(one[Long](TextAnalysis.rollingHash(col("text")), "") == 0L)
+  }
+
   test("simhash: identical texts agree; near texts are hamming-close") {
     def hamming(x: Long, y: Long): Int = java.lang.Long.bitCount(x ^ y)
     val base = (1 to 50).map("tok" + _).mkString(" ")
