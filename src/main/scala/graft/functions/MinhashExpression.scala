@@ -120,3 +120,55 @@ object SimHash60 {
   def apply(hashes: Column): Column =
     GraftExpressionBridge.column(new SimHash60(GraftExpressionBridge.expression(hashes)))
 }
+
+/** |A ∩ B| for two SORTED long arrays via a single merge scan — no hash
+  * set, no allocation per call. `array_intersect` builds an OpenHashSet
+  * per invocation, which dominates when the operator runs once per
+  * candidate pair in a near-dup join. Callers must pre-sort (one
+  * array_sort per row, amortized over all pairs the row joins into) and
+  * pre-deduplicate; both inputs here are md5-derived distinct-item hash
+  * sets, so equal counts to set intersection (collisions are mirrored in
+  * the oracle's identical hashing).
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two array<bigint>, got ${l.simpleString}, ${r.simpleString}")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCount {
+  def apply(a: Column, b: Column): Column =
+    GraftExpressionBridge.column(new SortedIntersectCount(
+      GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
+}

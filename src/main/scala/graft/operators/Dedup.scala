@@ -73,7 +73,8 @@ object Dedup {
     * equi-join (block key = shuffle key at scale).
     * `items` maps the input row to its distinct item array. Item sizes are
     * computed per row before the join; the per-pair work is exactly one
-    * array_intersect.
+    * array_intersect. Generic over element type — prefer
+    * `jaccardPairsHashed` on hot paths (sorted-merge native intersect).
     */
   def jaccardPairs(df: DataFrame, idCol: String, blockCol: String,
                    items: Column, threshold: Double): DataFrame = {
@@ -94,6 +95,32 @@ object Dedup {
       a.join(b, Seq("block"))
         .where(col("id_a") < col("id_b") && sizeCompatible),
       jaccardFromSizes(size(array_intersect(col("items_a"), col("items_b"))),
+        col("n_a"), col("n_b")),
+      "jaccard", threshold)
+  }
+
+  /** jaccardPairs over md5-hashed distinct item arrays (array<bigint>):
+    * arrays are sorted once per row and each pair's intersection count is
+    * a native merge scan (SortedIntersectCount) — no per-pair hash-set
+    * allocation. Jaccard values equal the string-set form modulo md5
+    * collisions, which the oracle mirrors by hashing identically.
+    */
+  def jaccardPairsHashed(df: DataFrame, idCol: String, blockCol: String,
+                         hashedItems: Column, threshold: Double): DataFrame = {
+    val toks = df.select(col(blockCol).as("block"), col(idCol).as("id"),
+      array_sort(hashedItems).as("items")).withColumn("n", size(col("items")))
+    val a = toks.select(col("block"), col("id").as("id_a"),
+      col("items").as("items_a"), col("n").as("n_a"))
+    val b = toks.select(col("block"), col("id").as("id_b"),
+      col("items").as("items_b"), col("n").as("n_b"))
+    val sizeCompatible =
+      least(col("n_a"), col("n_b")).cast("double") >=
+        greatest(col("n_a"), col("n_b")).cast("double") * threshold
+    scorePairs(
+      a.join(b, Seq("block"))
+        .where(col("id_a") < col("id_b") && sizeCompatible),
+      jaccardFromSizes(
+        graft.functions.SortedIntersectCount(col("items_a"), col("items_b")),
         col("n_a"), col("n_b")),
       "jaccard", threshold)
   }
@@ -164,6 +191,7 @@ object Dedup {
     // run would otherwise accumulate one pinned copy per call).
     val sets = df.select(col(idCol).as("id"), items.as("items"))
       .withColumn("hashes", transform(col("items"), t => TextAnalysis.md5Hash60(t)))
+      .withColumn("hsorted", array_sort(col("hashes")))
       .cache()
     Dedup.synchronized {
       lastSetsCache.foreach(_.unpersist(blocking = false))
@@ -179,11 +207,16 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+    // Verification runs on the sorted hash arrays (native merge-scan
+    // intersect) — counts equal the item-set form, collisions mirrored by
+    // the oracle's identical md5 hashing.
     scorePairs(
       cand
-        .join(sets.select(col("id").as("id_a"), col("items").as("items_a")), Seq("id_a"))
-        .join(sets.select(col("id").as("id_b"), col("items").as("items_b")), Seq("id_b")),
-      jaccard(col("items_a"), col("items_b")),
+        .join(sets.select(col("id").as("id_a"), col("hsorted").as("items_a")), Seq("id_a"))
+        .join(sets.select(col("id").as("id_b"), col("hsorted").as("items_b")), Seq("id_b")),
+      jaccardFromSizes(
+        graft.functions.SortedIntersectCount(col("items_a"), col("items_b")),
+        size(col("items_a")), size(col("items_b"))),
       "jaccard", threshold)
   }
 

@@ -72,7 +72,7 @@ object Analysis {
     * string comparison per candidate pair.
     */
   def jaccardNearDup(s: SparkSession, d: String): DataFrame =
-    Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "source",
+    Dedup.jaccardPairsHashed(Tables.documents(s, d), "doc_id", "source",
         array_distinct(transform(TA.tokens(col("text")), t => TA.md5Hash60(t))), 0.9)
       .orderBy(col("id_a").asc, col("id_b").asc)
 
@@ -285,9 +285,9 @@ object Analysis {
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
          |drops AS (SELECT DISTINCT id_b AS doc_id FROM (
-         |  SELECT c.id_a, c.id_b, ${jaccardSql("ta.items", "tb.items")} AS jaccard
-         |  FROM cand c JOIN sets ta ON c.id_a = ta.doc_id
-         |  JOIN sets tb ON c.id_b = tb.doc_id)
+         |  SELECT c.id_a, c.id_b, ${jaccardSql("ta.hashes", "tb.hashes")} AS jaccard
+         |  FROM cand c JOIN hs ta ON c.id_a = ta.doc_id
+         |  JOIN hs tb ON c.id_b = tb.doc_id)
          |  WHERE jaccard >= 0.5),
          |kept2 AS (SELECT k.doc_id, k.text FROM kept1 k
          |  WHERE NOT EXISTS (SELECT 1 FROM drops x WHERE x.doc_id = k.doc_id)),
@@ -373,9 +373,9 @@ object Analysis {
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b, jaccard FROM (
-         |  SELECT c.id_a, c.id_b, ${jaccardSql("ta.items", "tb.items")} AS jaccard
-         |  FROM cand c JOIN sets ta ON c.id_a = ta.doc_id
-         |  JOIN sets tb ON c.id_b = tb.doc_id)
+         |  SELECT c.id_a, c.id_b, ${jaccardSql("ta.hashes", "tb.hashes")} AS jaccard
+         |  FROM cand c JOIN hs ta ON c.id_a = ta.doc_id
+         |  JOIN hs tb ON c.id_b = tb.doc_id)
          |WHERE jaccard >= 0.5 ORDER BY id_a ASC, id_b ASC""".stripMargin,
     "q_dedup_cosine" ->
       s"""SELECT id_a, id_b, ROUND(cos_raw, 4) AS cos FROM (
