@@ -189,9 +189,13 @@ object Dedup {
     // at production scale this is the persisted signature table. Only the
     // most recent invocation's cache is kept live (a 52-query Verify/Bench
     // run would otherwise accumulate one pinned copy per call).
+    // Only the hash arrays are cached — the shingle strings themselves are
+    // consumed by the md5 pass and never needed again (signature, banding,
+    // and verification all run on the 60-bit hashes).
     val sets = df.select(col(idCol).as("id"), items.as("items"))
       .withColumn("hashes", transform(col("items"), t => TextAnalysis.md5Hash60(t)))
       .withColumn("hsorted", array_sort(col("hashes")))
+      .select(col("id"), col("hashes"), col("hsorted"))
       .cache()
     Dedup.synchronized {
       lastSetsCache.foreach(_.unpersist(blocking = false))
