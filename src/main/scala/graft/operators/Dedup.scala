@@ -77,27 +77,9 @@ object Dedup {
     * `jaccardPairsHashed` on hot paths (sorted-merge native intersect).
     */
   def jaccardPairs(df: DataFrame, idCol: String, blockCol: String,
-                   items: Column, threshold: Double): DataFrame = {
-    val toks = df.select(col(blockCol).as("block"), col(idCol).as("id"),
-      items.as("items")).withColumn("n", size(col("items")))
-    val a = toks.select(col("block"), col("id").as("id_a"),
-      col("items").as("items_a"), col("n").as("n_a"))
-    val b = toks.select(col("block"), col("id").as("id_b"),
-      col("items").as("items_b"), col("n").as("n_b"))
-    // Size filter (set-similarity-join standard): jaccard >= t implies
-    // min(|A|,|B|) >= t * max(|A|,|B|) because |A∩B| <= min and
-    // |A∪B| >= max. Cheap int predicate, evaluated inside the join,
-    // prunes incompatible pairs before any array_intersect runs.
-    val sizeCompatible =
-      least(col("n_a"), col("n_b")).cast("double") >=
-        greatest(col("n_a"), col("n_b")).cast("double") * threshold
-    scorePairs(
-      a.join(b, Seq("block"))
-        .where(col("id_a") < col("id_b") && sizeCompatible),
-      jaccardFromSizes(size(array_intersect(col("items_a"), col("items_b"))),
-        col("n_a"), col("n_b")),
-      "jaccard", threshold)
-  }
+                   items: Column, threshold: Double): DataFrame =
+    jaccardPairsImpl(df, idCol, blockCol, items, threshold,
+      (a, b) => size(array_intersect(a, b)))
 
   /** jaccardPairs over md5-hashed distinct item arrays (array<bigint>):
     * arrays are sorted once per row and each pair's intersection count is
@@ -106,9 +88,21 @@ object Dedup {
     * collisions, which the oracle mirrors by hashing identically.
     */
   def jaccardPairsHashed(df: DataFrame, idCol: String, blockCol: String,
-                         hashedItems: Column, threshold: Double): DataFrame = {
+                         hashedItems: Column, threshold: Double): DataFrame =
+    jaccardPairsImpl(df, idCol, blockCol, array_sort(hashedItems), threshold,
+      (a, b) => graft.functions.SortedIntersectCount(a, b))
+
+  /** Shared skeleton: block self-join with the set-similarity size filter
+    * (jaccard >= t implies min(|A|,|B|) >= t·max — |A∩B| <= min and
+    * |A∪B| >= max; cheap int predicate inside the join, pruning pairs
+    * before any intersection runs), then score above the Aggregate
+    * barrier. `intersectCount` supplies the per-pair |A∩B| expression.
+    */
+  private def jaccardPairsImpl(df: DataFrame, idCol: String, blockCol: String,
+                               items: Column, threshold: Double,
+                               intersectCount: (Column, Column) => Column): DataFrame = {
     val toks = df.select(col(blockCol).as("block"), col(idCol).as("id"),
-      array_sort(hashedItems).as("items")).withColumn("n", size(col("items")))
+      items.as("items")).withColumn("n", size(col("items")))
     val a = toks.select(col("block"), col("id").as("id_a"),
       col("items").as("items_a"), col("n").as("n_a"))
     val b = toks.select(col("block"), col("id").as("id_b"),
@@ -119,8 +113,7 @@ object Dedup {
     scorePairs(
       a.join(b, Seq("block"))
         .where(col("id_a") < col("id_b") && sizeCompatible),
-      jaccardFromSizes(
-        graft.functions.SortedIntersectCount(col("items_a"), col("items_b")),
+      jaccardFromSizes(intersectCount(col("items_a"), col("items_b")),
         col("n_a"), col("n_b")),
       "jaccard", threshold)
   }
@@ -187,22 +180,25 @@ object Dedup {
     // without materialization the md5 pass would run 12× per item and
     // once more per join branch. Cache AFTER computing the hash column:
     // at production scale this is the persisted signature table. Only the
-    // most recent invocation's cache is kept live (a 52-query Verify/Bench
-    // run would otherwise accumulate one pinned copy per call).
-    // Only the hash arrays are cached — the shingle strings themselves are
-    // consumed by the md5 pass and never needed again (signature, banding,
-    // and verification all run on the 60-bit hashes).
+    // most recent invocation's cache is kept live (a multi-query
+    // Verify/Bench run would otherwise accumulate one pinned copy per call).
+    // Only the SORTED hash array is cached — the shingle strings are
+    // consumed by the md5 pass, and the minhash signature (min over
+    // affine transforms) is order-insensitive, so one array serves both
+    // the signature and the sorted-merge verification.
     val sets = df.select(col(idCol).as("id"), items.as("items"))
-      .withColumn("hashes", transform(col("items"), t => TextAnalysis.md5Hash60(t)))
-      .withColumn("hsorted", array_sort(col("hashes")))
-      .select(col("id"), col("hashes"), col("hsorted"))
+      .withColumn("hsorted",
+        array_sort(transform(col("items"), t => TextAnalysis.md5Hash60(t))))
+      .select(col("id"), col("hsorted"))
       .cache()
     Dedup.synchronized {
-      lastSetsCache.foreach(_.unpersist(blocking = false))
+      // guard: the previous cache may belong to an already-stopped session
+      lastSetsCache.filterNot(_.sparkSession.sparkContext.isStopped)
+        .foreach(d => scala.util.Try(d.unpersist(blocking = false)))
       lastSetsCache = Some(sets)
     }
     val sigs = sets.select(col("id"),
-      minhashSignatureFromHashes(col("hashes"), n).as("sig"))
+      minhashSignatureFromHashes(col("hsorted"), n).as("sig"))
     val banded = sigs
       .select(col("id"), col("sig"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col("id"), bandKey(col("sig"), col("band"), rowsPerBand).as("bkey"))

@@ -41,10 +41,13 @@ object ScoreParser {
       val rawVal = pyStrip(expr_substr_after_first_colon(lt))
       struct(
         key.as("section"),
-        when(rawVal.rlike(intPattern), rawVal.cast("int")).otherwise(lit(null)).as("score"))
+        // try_cast: ANSI mode would otherwise THROW on a >2^63 digit run
+        // (Python's unbounded int() succeeds there — beyond long range the
+        // line is treated as malformed instead, voiding the doc's scores).
+        when(rawVal.rlike(intPattern), rawVal.try_cast("long")).otherwise(lit(null)).as("score"))
     })
     val anyBad = exists(parsed, p => p.getField("score").isNull)
-    when(block === "" || anyBad, array().cast("array<struct<section:string,score:int>>"))
+    when(block === "" || anyBad, array().cast("array<struct<section:string,score:bigint>>"))
       .otherwise(parsed)
   }
 

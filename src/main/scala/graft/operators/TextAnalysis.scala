@@ -83,9 +83,11 @@ object TextAnalysis {
     * multisets in different order fingerprint equal but roll different.
     */
   def rollingHash(text: Column): Column =
-    aggregate(
-      transform(tokens(text), t => md5Hash60(t) % 2147483647L),
-      lit(0L), (acc, h) => (acc * 31L + h) % 2147483647L)
+    coalesce( // NULL text → 0, matching the oracle's coalesce(..., 0)
+      aggregate(
+        transform(tokens(text), t => md5Hash60(t) % 2147483647L),
+        lit(0L), (acc, h) => (acc * 31L + h) % 2147483647L),
+      lit(0L))
 
   /** Context-window chunks: token windows of `size` with `overlap` tokens
     * shared between consecutive chunks — the standard LLM-context split.
@@ -135,6 +137,8 @@ object TextAnalysis {
     * once per bit (interpreted lambdas have no CSE).
     */
   def simhash(text: Column): Column =
-    graft.functions.SimHash60(
-      transform(array_distinct(tokens(text)), t => md5Hash60(t)))
+    coalesce( // NULL text → 0, matching the oracle's coalesce(list_sum, 0)
+      graft.functions.SimHash60(
+        transform(array_distinct(tokens(text)), t => md5Hash60(t))),
+      lit(0L))
 }

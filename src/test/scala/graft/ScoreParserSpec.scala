@@ -10,9 +10,9 @@ class ScoreParserSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def parse(resp: String): Seq[(String, Int)] =
+  private def parse(resp: String): Seq[(String, Long)] =
     ScoreParser.parseScores(Seq((1L, resp)).toDF("doc_id", "response"), "response", "doc_id")
-      .collect().map(r => (r.getString(1), r.getInt(2))).toSeq
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
 
   test("well-formed response parses to section→score rows") {
     assert(parse("SCORES:\nskills: 8\nexperience: 6") ==
@@ -48,6 +48,8 @@ class ScoreParserSpec extends AnyFunSuite {
   }
 
   test("parser never throws and never emits null scores on arbitrary input") {
+    assert(parse("SCORES:\na: 99999999999") == Seq(("a", 99999999999L))) // > Int.MaxValue
+    assert(parse("SCORES:\na: 999999999999999999999999") == Seq.empty) // > Long range -> malformed
     val rnd = new scala.util.Random(42)
     val weird = (1 to 200).map { i =>
       val chars = "SCORES:\n\r\t :abc0189+-é☃"
