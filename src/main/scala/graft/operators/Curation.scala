@@ -22,11 +22,20 @@ object Curation {
 
   /** Curate (doc_id, text, ...) rows: returns the surviving docs with
     * their language prediction and quality score.
+    *
+    * `sharedSets`: an optional prebuilt `(id, hsorted)` shingle-hash
+    * relation (Dedup.hashedSets) covering at least the input docs — e.g.
+    * a cached signature table shared with a standalone LSH pass. Extra
+    * ids are ignored (the relation is semi-joined down to the exact-dedup
+    * survivors, and a doc's signature depends only on its own text, so
+    * restriction ≡ recomputation). Passing one avoids re-running the
+    * shingle→md5 pass per plan branch.
     */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              keepLangs: Seq[String], minQuality: Double,
              bands: Int = 4, rowsPerBand: Int = 3,
-             nearDupThreshold: Double = 0.5): DataFrame = {
+             nearDupThreshold: Double = 0.5,
+             sharedSets: Option[DataFrame] = None): DataFrame = {
     val ids = docs.select(col(idCol), col(textCol))
     // 1. exact dedup
     val canonical = ids
@@ -35,8 +44,10 @@ object Curation {
       .select(col(idCol))
     val exactKept = ids.join(canonical, Seq(idCol), "left_semi")
     // 2. near-dup drop (higher id of each verified pair)
-    val drops = Dedup.minhashNearDup(exactKept, idCol,
-        TA.shingles(col(textCol), 3), bands, rowsPerBand, nearDupThreshold)
+    val sets = sharedSets
+      .map(_.join(exactKept.select(col(idCol).as("id")), Seq("id"), "left_semi"))
+      .getOrElse(Dedup.hashedSets(exactKept, idCol, TA.shingles(col(textCol), 3)))
+    val drops = Dedup.minhashNearDupFromSets(sets, bands, rowsPerBand, nearDupThreshold)
       .select(col("id_b").as(idCol)).distinct()
     val nearKept = exactKept.join(drops, Seq(idCol), "left_anti")
     // 3. quality gate

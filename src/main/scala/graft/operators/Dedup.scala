@@ -26,9 +26,6 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Most recent minhashNearDup signature cache (see its comment). */
-  private var lastSetsCache: Option[DataFrame] = None
-
   /** Score-then-filter barrier. A naive `join → withColumn(score) →
     * filter(score ≥ t)` lets Catalyst push the threshold predicate into
     * the join *condition*, where the expensive set/vector expression is
@@ -86,11 +83,55 @@ object Dedup {
     * a native merge scan (SortedIntersectCount) — no per-pair hash-set
     * allocation. Jaccard values equal the string-set form modulo md5
     * collisions, which the oracle mirrors by hashing identically.
+    *
+    * Candidate generation is PREFIX FILTERING (SSJoin/PPJoin), not raw
+    * block pairing: with items in a global sort order, any pair with
+    * Jaccard >= t must share at least one element among each side's first
+    * (n - ceil(t·n) + 1) elements, so candidates come from an equi-join on
+    * (block, prefix-element). Candidate count is bounded by per-element
+    * frequency within the prefix — a single huge block no longer
+    * enumerates O(block²) pairs. Output is identical to exhaustive
+    * block pairing (the prefix theorem guarantees recall; verification is
+    * exact).
     */
   def jaccardPairsHashed(df: DataFrame, idCol: String, blockCol: String,
-                         hashedItems: Column, threshold: Double): DataFrame =
-    jaccardPairsImpl(df, idCol, blockCol, array_sort(hashedItems), threshold,
-      (a, b) => graft.functions.SortedIntersectCount(a, b))
+                         hashedItems: Column, threshold: Double): DataFrame = {
+    val toks = df.select(col(blockCol).as("block"), col(idCol).as("id"),
+      array_sort(hashedItems).as("items")).withColumn("n", size(col("items")))
+    val cand = jaccardCandidatesHashed(toks, threshold)
+    scorePairs(
+      cand
+        .join(toks.select(col("id").as("id_a"), col("items").as("items_a"),
+          col("n").as("n_a")), Seq("id_a"))
+        .join(toks.select(col("id").as("id_b"), col("items").as("items_b"),
+          col("n").as("n_b")), Seq("id_b")),
+      jaccardFromSizes(
+        graft.functions.SortedIntersectCount(col("items_a"), col("items_b")),
+        col("n_a"), col("n_b")),
+      "jaccard", threshold)
+  }
+
+  /** Prefix-filter candidate pairs over a (block, id, items sorted-asc, n)
+    * relation: explode each row's length-(n - ceil(t·n) + 1) prefix and
+    * equi-join on (block, element), with the size-compatibility predicate
+    * (jaccard >= t ⇒ min(n_a,n_b) >= t·max(n_a,n_b)) pruning inside the
+    * join. Exposed package-private so tests can assert the candidate
+    * count stays bounded on pathological blocks.
+    */
+  private[graft] def jaccardCandidatesHashed(toks: DataFrame, threshold: Double): DataFrame = {
+    val prefLen = greatest(
+      (col("n") - ceil(col("n") * threshold) + 1).cast("int"), lit(1))
+    val pref = toks.select(col("block"), col("id"), col("n"),
+      explode(slice(col("items"), lit(1), prefLen)).as("item"))
+    val a = pref.select(col("block"), col("item"), col("id").as("id_a"), col("n").as("n_a"))
+    val b = pref.select(col("block"), col("item"), col("id").as("id_b"), col("n").as("n_b"))
+    a.join(b, Seq("block", "item"))
+      .where(col("id_a") < col("id_b") &&
+        least(col("n_a"), col("n_b")).cast("double") >=
+          greatest(col("n_a"), col("n_b")).cast("double") * threshold)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
 
   /** Shared skeleton: block self-join with the set-similarity size filter
     * (jaccard >= t implies min(|A|,|B|) >= t·max — |A∩B| <= min and
@@ -165,38 +206,43 @@ object Dedup {
         slice(sig, band * rowsPerBand + 1, lit(rowsPerBand)),
         x => x.cast("string")))).cast("binary"))
 
+  /** The hashed item-set relation `(id, hsorted)` that feeds MinHash+LSH:
+    * one md5 per distinct item, sorted ascending. Only the sorted hash
+    * array is kept — the item strings are consumed by the md5 pass, and
+    * the minhash signature (min over affine transforms) is
+    * order-insensitive, so one array serves both the signature and the
+    * sorted-merge verification.
+    *
+    * This relation feeds three plan branches downstream (banding + both
+    * sides of the verify join), so hot-path callers should materialize it
+    * — `hashedSets(...).persist()` or a cached temp view — and pass it to
+    * `minhashNearDupFromSets`. At production scale this is the persisted
+    * signature table; its lifecycle belongs to the caller (this object
+    * holds no state).
+    */
+  def hashedSets(df: DataFrame, idCol: String, items: Column): DataFrame =
+    df.select(col(idCol).as("id"),
+      array_sort(transform(items, t => TextAnalysis.md5Hash60(t))).as("hsorted"))
+
   /** MinHash+LSH near-dup pairs: signature → band buckets → bucket
     * equi-join (distinct id pairs) → exact Jaccard verification.
     * nHashes = bands * rowsPerBand. The candidate join shuffles on the
     * band key only; item arrays are joined back for verification.
+    * Convenience form — builds the hashed-set relation inline and does
+    * NOT materialize it (three plan branches recompute the md5 pass);
+    * callers on hot paths should cache `hashedSets` themselves and use
+    * `minhashNearDupFromSets`.
     */
   def minhashNearDup(df: DataFrame, idCol: String, items: Column,
-                     bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+                     bands: Int, rowsPerBand: Int, threshold: Double): DataFrame =
+    minhashNearDupFromSets(hashedSets(df, idCol, items), bands, rowsPerBand, threshold)
+
+  /** MinHash+LSH over a prebuilt `(id, hsorted)` relation (see
+    * `hashedSets`). Caching/persistence of `sets` is the caller's.
+    */
+  def minhashNearDupFromSets(sets: DataFrame,
+                             bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val n = bands * rowsPerBand
-    // The item-set relation feeds three plan branches (banding + both
-    // sides of the verify join), and the signature transform references
-    // the per-item hash array once per seed — higher-order functions run
-    // interpreted (no codegen, no common-subexpression elimination), so
-    // without materialization the md5 pass would run 12× per item and
-    // once more per join branch. Cache AFTER computing the hash column:
-    // at production scale this is the persisted signature table. Only the
-    // most recent invocation's cache is kept live (a multi-query
-    // Verify/Bench run would otherwise accumulate one pinned copy per call).
-    // Only the SORTED hash array is cached — the shingle strings are
-    // consumed by the md5 pass, and the minhash signature (min over
-    // affine transforms) is order-insensitive, so one array serves both
-    // the signature and the sorted-merge verification.
-    val sets = df.select(col(idCol).as("id"), items.as("items"))
-      .withColumn("hsorted",
-        array_sort(transform(col("items"), t => TextAnalysis.md5Hash60(t))))
-      .select(col("id"), col("hsorted"))
-      .cache()
-    Dedup.synchronized {
-      // guard: the previous cache may belong to an already-stopped session
-      lastSetsCache.filterNot(_.sparkSession.sparkContext.isStopped)
-        .foreach(d => scala.util.Try(d.unpersist(blocking = false)))
-      lastSetsCache = Some(sets)
-    }
     val sigs = sets.select(col("id"),
       minhashSignatureFromHashes(col("hsorted"), n).as("sig"))
     val banded = sigs

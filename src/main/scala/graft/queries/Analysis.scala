@@ -47,16 +47,28 @@ object Analysis {
   /** SimHash near-dups: pairs within source blocks whose 60-bit
     * fingerprints differ in ≤4 bits. The fingerprint is computed once per
     * row below the join (native SimHash60 — the HOF form re-evaluated the
-    * tokenize+md5 pipeline once per bit); the per-pair work is one XOR +
-    * popcount. The hamming threshold runs above a groupBy(id_a, id_b)
-    * aggregate so it cannot be inlined into the join condition.
+    * tokenize+md5 pipeline once per bit).
+    *
+    * Candidate generation is pigeonhole banding, not block pairing: the
+    * 60-bit fingerprint splits into 5 disjoint 12-bit bands; Hamming ≤ 4
+    * guarantees at least one band is bit-identical, so an equi-join on
+    * (source, band_idx, band_value) has perfect recall while enumerating
+    * only pairs that collide on a full band — O(block²) candidate blowup
+    * on a huge source block is gone. The groupBy(id_a, id_b) dedups pairs
+    * that collide in several bands and keeps the hamming filter above an
+    * aggregate barrier (not inlined into the join condition).
     */
   def simhashNearDup(s: SparkSession, d: String): DataFrame = {
     val sh = Tables.documents(s, d)
       .select(col("source").as("block"), col("doc_id"), TA.simhash(col("text")).as("sh"))
-    val a = sh.select(col("block"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("block"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("block"))
+    val banded = sh.select(col("block"), col("doc_id"), col("sh"),
+      posexplode(array((0 until 5).map(b =>
+        shiftright(col("sh"), b * 12).bitwiseAND(lit(4095L))): _*)).as(Seq("band", "bval")))
+    val a = banded.select(col("block"), col("band"), col("bval"),
+      col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("block"), col("band"), col("bval"),
+      col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("block", "band", "bval"))
       .where(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long")).as("hamming"))
@@ -76,12 +88,35 @@ object Analysis {
         array_distinct(transform(TA.tokens(col("text")), t => TA.md5Hash60(t))), 0.9)
       .orderBy(col("id_a").asc, col("id_b").asc)
 
+  /** The hashed 3-gram shingle-set relation over `documents`, cached once
+    * per (session, sf dir) in the SESSION CATALOG as a temp view — the
+    * "persisted signature table" pattern. Both q_minhash_lsh and q_curate
+    * read it, so the shingle→md5→sort pass (the dominant LSH cost) runs
+    * once per Verify/Bench session instead of once per plan branch per
+    * query. Lifecycle is owned by the catalog (dropped with the session);
+    * no process-global mutable state.
+    */
+  private def shingleSets(s: SparkSession, d: String): DataFrame = {
+    val name = "graft_shingle_sets_" + java.security.MessageDigest
+      .getInstance("MD5").digest(d.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    this.synchronized {
+      if (!s.catalog.tableExists(name)) {
+        Dedup.hashedSets(Tables.documents(s, d), "doc_id", TA.shingles(col("text"), 3))
+          .createOrReplaceTempView(name)
+        s.catalog.cacheTable(name)
+      }
+    }
+    s.table(name)
+  }
+
   /** Full LSH pipeline: 3-gram shingles → 12 minhashes → 4 bands × 3 →
-    * bucket-join candidates → exact Jaccard >= 0.5 verify.
+    * bucket-join candidates → exact Jaccard >= 0.5 verify, over the
+    * shared cached signature table.
     */
   def minhashLsh(s: SparkSession, d: String): DataFrame =
-    Dedup.minhashNearDup(Tables.documents(s, d), "doc_id",
-        TA.shingles(col("text"), 3), bands = 4, rowsPerBand = 3, threshold = 0.5)
+    Dedup.minhashNearDupFromSets(shingleSets(s, d),
+        bands = 4, rowsPerBand = 3, threshold = 0.5)
       .orderBy(col("id_a").asc, col("id_b").asc)
 
   /** Embedding near-dup pairs: cosine >= 0.4 within label blocks. */
@@ -121,7 +156,8 @@ object Analysis {
     */
   def curate(s: SparkSession, d: String): DataFrame =
     graft.operators.Curation.curate(Tables.documents(s, d), "doc_id", "text",
-        keepLangs = Seq("en"), minQuality = 0.45)
+        keepLangs = Seq("en"), minQuality = 0.45,
+        sharedSets = Some(shingleSets(s, d)))
       .orderBy(col("doc_id").asc)
 
   /** Context-window chunking: docs split into 64-token chunks with
@@ -137,17 +173,35 @@ object Analysis {
       .orderBy(col("doc_id").asc, col("chunk_idx").asc)
 
   /** Greedy-by-order sequence packing: docs in doc_id order accumulate
-    * into 2048-token bins via a running-sum window — one pass, the
-    * distributed packing shape (per-partition at scale with a bin-offset
-    * merge; here a single ordered window for oracle parity).
+    * into 2048-token bins via a two-phase distributed running sum — no
+    * global single-partition window anywhere in the plan:
+    *   1. range-partition by doc_id, cumulative-sum WITHIN each partition
+    *      (window partitioned by spark_partition_id → hashpartitioning
+    *      exchange, every partition sums independently);
+    *   2. per-partition totals (≤ numPartitions rows) get a tiny
+    *      prefix-sum and broadcast back as offsets; global cumsum =
+    *      local cumsum + partition offset.
+    * Exact integer sums, so the result is identical to the single-window
+    * form regardless of where the range boundaries land.
     */
   def packSequences(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("doc_id").asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    Tables.documents(s, d)
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
       .select(col("doc_id"), TA.tokenCount(col("text")).cast("long").as("n_tokens"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    val parted = toks.repartitionByRange(32, col("doc_id"))
+      .withColumn("part", spark_partition_id())
+    val wLocal = Window.partitionBy(col("part")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = parted.withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
+    // one row per partition: prefix-sum of earlier partitions' totals
+    val wOff = Window.orderBy(col("part").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parted.groupBy(col("part"))
+      .agg(sum(col("n_tokens")).as("part_total"))
+      .withColumn("offset", coalesce(sum(col("part_total")).over(wOff), lit(0L)))
+      .select(col("part"), col("offset"))
+    local.join(broadcast(offsets), Seq("part"))
+      .withColumn("cum_tokens", col("local_cum") + col("offset"))
       .withColumn("bin",
         floor((col("cum_tokens") - col("n_tokens")) / 2048.0).cast("long"))
       .select(col("bin"), col("doc_id"), col("n_tokens"))

@@ -35,22 +35,20 @@ object Typed {
   }
 
   /** Per-label embedding centroid: element-wise mean via posexplode +
-    * two-level aggregation — the distributed mean-pooling shape (no
-    * per-group collect). Sums go through DECIMAL(25,10) so partition
-    * merge order cannot perturb the result (doubles would), then the
-    * mean is double division, rounded for output.
+    * aggregation — the distributed mean-pooling shape (no per-group
+    * collect). Sums go through DECIMAL(25,10) so partition merge order
+    * cannot perturb the result (doubles would), then the mean is double
+    * division, rounded for output. Emitted as scalar (label, pos, m)
+    * rows — one row per centroid dimension — so the result is hashable
+    * by any columnar checker (an ARRAY output column is not).
     */
   def centroidByLabel(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
-      .agg((sum(col("v").cast("double").cast("decimal(25,10)")).cast("double") /
-        count(lit(1))).as("m"))
-      .groupBy(col("label"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("m")))),
-        e => round(e.getField("m"), 6)).as("centroid"))
-      .orderBy(col("label").asc)
+      .agg(round(sum(col("v").cast("double").cast("decimal(25,10)")).cast("double") /
+        count(lit(1)), 6).as("m"))
+      .orderBy(col("label").asc, col("pos").asc)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_topk_per_label" -> topkPerLabel,
@@ -84,12 +82,9 @@ object Typed {
       """WITH expl AS (
         |  SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
         |  FROM embeddings CROSS JOIN LATERAL (
-        |    SELECT unnest(range(1, len(embedding) + 1)) AS i)),
-        |means AS (
-        |  SELECT label, pos,
-        |    CAST(SUM(CAST(v AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*) AS m
-        |  FROM expl GROUP BY label, pos)
-        |SELECT label, list(ROUND(m, 6) ORDER BY pos ASC) AS centroid
-        |FROM means GROUP BY label ORDER BY label ASC""".stripMargin,
+        |    SELECT unnest(range(1, len(embedding) + 1)) AS i))
+        |SELECT label, CAST(pos AS INTEGER) AS pos,
+        |  ROUND(CAST(SUM(CAST(v AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*), 6) AS m
+        |FROM expl GROUP BY label, pos ORDER BY label ASC, pos ASC""".stripMargin,
   )
 }
