@@ -25,28 +25,32 @@ object AsOfJoin {
   def asOf(left: DataFrame, leftKey: String, leftTime: String,
            right: DataFrame, rightKey: String, rightTime: String,
            payload: Seq[String]): DataFrame = {
-    val reserved = Set("_k", "_t", "_side") ++ payload.map("_p_" + _) ++ payload
+    val reserved = Set("_k", "_t", "_side", "_p") ++ payload
     val collisions = left.columns.toSet & reserved
     require(collisions.isEmpty,
       s"asOf: left columns collide with payload/internal names: $collisions")
-    val rightTypes = payload.map(c => c -> right.schema(c).dataType).toMap
-    val leftAug = payload.foldLeft(
-      left.withColumn("_k", col(leftKey))
-        .withColumn("_t", col(leftTime))
-        .withColumn("_side", lit(1))) {
-      case (df, c) => df.withColumn(s"_p_$c", lit(null).cast(rightTypes(c)))
-    }
-    val rightSel = right.select(
-      col(rightKey).as("_k") +: col(rightTime).as("_t") +: lit(0).as("_side") +:
-        payload.map(c => col(c).as(s"_p_$c")): _*)
+    // All payload fields travel in ONE struct carried by a single
+    // last(ignoreNulls) — so every field of a stitched result comes from
+    // the SAME matched right row. (Per-column carries would mix fields
+    // from different right rows whenever a payload cell is genuinely
+    // NULL, and would resurrect stale values in its place.) The struct
+    // itself is non-null for every right row even when all its fields are
+    // null, so ignoreNulls skips exactly the left-side filler rows.
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(c).copy(nullable = true)))
+    val leftAug = left.withColumn("_k", col(leftKey))
+      .withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(1))
+      .withColumn("_p", lit(null).cast(payloadType))
+    val rightSel = right.select(col(rightKey).as("_k"), col(rightTime).as("_t"),
+      lit(0).as("_side"), struct(payload.map(col): _*).as("_p"))
     val unioned = leftAug.unionByName(rightSel, allowMissingColumns = true)
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_t").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned) { case (df, c) =>
-      df.withColumn(c, last(col(s"_p_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = unioned.withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
     carried.where(col("_side") === 1)
-      .select(left.columns.map(col) ++ payload.map(col): _*)
+      .select(left.columns.map(col) ++
+        payload.map(c => col("_p").getField(c).as(c)): _*)
   }
 }

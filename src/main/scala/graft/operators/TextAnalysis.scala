@@ -71,9 +71,14 @@ object TextAnalysis {
 
   /** Content-defined fingerprint: md5 over the sorted distinct token set —
     * stable under token reordering and duplication, cross-engine identical.
+    * Empty or NULL text fingerprints as NULL (not md5("")), matching the
+    * oracle's list_aggregate over an empty/NULL list.
     */
-  def fingerprint(text: Column): Column =
-    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))).cast("binary"))
+  def fingerprint(text: Column): Column = {
+    val dtoks = array_sort(array_distinct(tokens(text)))
+    when(size(dtoks) > 0, md5(concat_ws(" ", dtoks).cast("binary")))
+      .otherwise(lit(null).cast("string"))
+  }
 
   /** Polynomial rolling hash over the token stream (order-SENSITIVE,
     * Rabin–Karp style): acc = (acc·31 + h(token) mod P) mod P with

@@ -9,12 +9,13 @@ import org.apache.spark.sql.types.StructType
   * (`/root/reference/utils.py:11-19`, `app.py:148-157`) re-expressed as
   * one distributed read over a glob instead of a per-upload driver loop.
   *
-  * TXT is read natively (`wholetext`). PDF/DOCX need a codec this
-  * container doesn't ship; their byte streams are read via `binaryFile`
-  * and routed through a pluggable extractor function — `extractTextStub`
-  * marks the seam (deterministic printable-ASCII salvage) exactly like
-  * Multimodal.decodeStub. Unknown extensions raise, mirroring the
-  * reference's ValueError dispatch (`utils.py:18-19`).
+  * TXT is read natively (`wholetext`). PDF/DOCX byte streams are read
+  * via `binaryFile` and routed through a pluggable extractor function —
+  * by default `BinaryText.extract`, a pure-JVM PDF/DOCX text parser
+  * (FlateDecode + Tj/TJ operators; zip + w:t runs) that falls back to
+  * `extractTextStub`'s printable-ASCII salvage for anything it can't
+  * read. Unknown extensions raise, mirroring the reference's ValueError
+  * dispatch (`utils.py:18-19`).
   */
 object Sources {
 
@@ -41,9 +42,10 @@ object Sources {
       .withColumn("file_name", fileNameOf(col("path")))
       .select(col("path"), col("file_name"), col("text"))
 
-  /** STUB text extractor for binary formats: salvages printable-ASCII
-    * runs (≥4 chars) from the bytes. Deterministic; replace with a real
-    * PDF/DOCX parser to productionize — the pipeline shape is unchanged.
+  /** Fallback text extractor for binary formats: salvages printable-ASCII
+    * runs (≥4 chars) from the bytes. Deterministic; `BinaryText.extract`
+    * (the loadDocuments default) tries the real PDF/DOCX parsers first
+    * and lands here only for unparseable bytes.
     */
   def extractTextStub(bytes: Array[Byte]): String = {
     if (bytes == null) return ""
@@ -64,13 +66,14 @@ object Sources {
   }
 
   /** S1/S2/S4/S5: load a mixed-format document directory. txt reads as
-    * text; pdf/docx bytes go through `extract` (default: the stub);
-    * unknown extensions fail the job with the dispatch error (reference
-    * `utils.py:18-19`) unless `strict = false` drops them.
+    * text; pdf/docx bytes go through `extract` (default: the real
+    * BinaryText parser with stub fallback); unknown extensions fail the
+    * job with the dispatch error (reference `utils.py:18-19`) unless
+    * `strict = false` drops them.
     * Returns (path, file_name, format, text).
     */
   def loadDocuments(spark: SparkSession, glob: String,
-                    extract: Array[Byte] => String = extractTextStub,
+                    extract: Array[Byte] => String = BinaryText.extract,
                     strict: Boolean = true): DataFrame = {
     val extractUdf = udf(extract)
     val raw = spark.read.format("binaryFile").load(glob)

@@ -37,4 +37,22 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.count() == trades.count())
     assert(out.columns.toSeq == trades.columns.toSeq :+ "price")
   }
+
+  test("NULL payload cells come from the matched row, never a stale older one") {
+    // The 10:00 quote has a NULL price but a real venue: a trade after it
+    // must see (NULL, Y) — all fields from that row — not the 09:00 price
+    // stitched with the 10:00 venue.
+    val q = Seq(
+      ("A", ts("2024-01-01 09:00:00"), Option(10.0), "X"),
+      ("A", ts("2024-01-01 10:00:00"), Option.empty[Double], "Y")
+    ).toDF("sym", "qts", "price", "venue")
+    val t = Seq(
+      ("A", ts("2024-01-01 09:30:00"), 1L), // → (10.0, X)
+      ("A", ts("2024-01-01 10:30:00"), 2L)  // → (NULL, Y), not (10.0, Y)
+    ).toDF("sym", "tts", "qty")
+    val out = AsOfJoin.asOf(t, "sym", "tts", q, "sym", "qts", Seq("price", "venue"))
+      .collect().map(r => (r.getLong(2), (Option(r.get(3)), r.getString(4)))).toMap
+    assert(out(1L) == (Some(10.0), "X"))
+    assert(out(2L) == (None, "Y"))
+  }
 }

@@ -1,0 +1,92 @@
+package graft
+
+import graft.sources.{BinaryText, Sources}
+import org.scalatest.funsuite.AnyFunSuite
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.ISO_8859_1
+import java.util.zip.{Deflater, ZipEntry, ZipOutputStream}
+
+class BinaryTextSpec extends AnyFunSuite {
+
+  /** A syntactically-real one-object PDF around the given content stream. */
+  private def pdfAround(stream: Array[Byte], dictExtra: String = ""): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    bos.write("%PDF-1.4\n1 0 obj << /Length ".getBytes(ISO_8859_1))
+    bos.write(s"${stream.length}$dictExtra >>\nstream\n".getBytes(ISO_8859_1))
+    bos.write(stream)
+    bos.write("\nendstream\nendobj\n%%EOF\n".getBytes(ISO_8859_1))
+    bos.toByteArray
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater()
+    d.setInput(data); d.finish()
+    val buf = new Array[Byte](8192)
+    val bos = new ByteArrayOutputStream()
+    while (!d.finished()) { val n = d.deflate(buf); bos.write(buf, 0, n) }
+    d.end(); bos.toByteArray
+  }
+
+  private def docxAround(documentXml: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val zos = new ZipOutputStream(bos)
+    zos.putNextEntry(new ZipEntry("[Content_Types].xml"))
+    zos.write("<Types/>".getBytes("UTF-8")); zos.closeEntry()
+    zos.putNextEntry(new ZipEntry("word/document.xml"))
+    zos.write(documentXml.getBytes("UTF-8")); zos.closeEntry()
+    zos.close()
+    bos.toByteArray
+  }
+
+  test("PDF: Tj/TJ operators, Td/T* line breaks, escapes, hex strings") {
+    val content = ("BT /F1 12 Tf 72 720 Td (Hello) Tj ( World) Tj T* " +
+      "[(Sec) -20 (ond)] TJ T* (par\\(en\\)s \\101nd \\\\slash) Tj T* " +
+      "<48657821> Tj ET").getBytes(ISO_8859_1)
+    val txt = BinaryText.extract(pdfAround(content))
+    assert(txt == "Hello World\nSecond\npar(en)s And \\slash\nHex!")
+  }
+
+  test("PDF: FlateDecode stream inflates and extracts") {
+    val content = "BT (Compressed stream text) Tj ET".getBytes(ISO_8859_1)
+    val pdf = pdfAround(deflate(content), dictExtra = " /Filter /FlateDecode")
+    assert(BinaryText.extract(pdf) == "Compressed stream text")
+  }
+
+  test("PDF: multiple streams concatenate; quote op breaks line") {
+    val s1 = "BT (Page one) Tj ET".getBytes(ISO_8859_1)
+    val s2 = "BT (line a) Tj (line b) ' ET".getBytes(ISO_8859_1)
+    val bos = new ByteArrayOutputStream()
+    bos.write("%PDF-1.4\n".getBytes(ISO_8859_1))
+    for (s <- Seq(s1, s2)) {
+      bos.write(s"9 0 obj << /Length ${s.length} >>\nstream\n".getBytes(ISO_8859_1))
+      bos.write(s)
+      bos.write("\nendstream\nendobj\n".getBytes(ISO_8859_1))
+    }
+    bos.write("%%EOF\n".getBytes(ISO_8859_1))
+    assert(BinaryText.extract(bos.toByteArray) == "Page one\nline a\nline b")
+  }
+
+  test("DOCX: w:t runs, paragraph breaks, entity decode") {
+    val xml = "<w:document><w:body>" +
+      "<w:p><w:r><w:t>First para</w:t></w:r></w:p>" +
+      "<w:p><w:r><w:t>Second &amp; more</w:t></w:r><w:r><w:t xml:space=\"preserve\"> tail</w:t></w:r></w:p>" +
+      "</w:body></w:document>"
+    assert(BinaryText.extract(docxAround(xml)) == "First para\nSecond & more tail")
+  }
+
+  test("non-PDF/zip bytes fall back to printable-ASCII salvage") {
+    val junk = Array[Byte](0, 1, 2) ++ "salvageable run".getBytes(ISO_8859_1) ++ Array[Byte](3)
+    assert(BinaryText.extract(junk) == "salvageable run")
+    assert(BinaryText.extract(null) == "")
+  }
+
+  test("loadDocuments end-to-end: real PDF fixture extracts its known text") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_pdf").toString
+    val content = "BT (Resume of A. Candidate) Tj T* (Skills: Spark) Tj ET".getBytes(ISO_8859_1)
+    Files.write(Paths.get(dir, "resume.pdf"), pdfAround(content))
+    val out = Sources.loadDocuments(TestSpark.spark, s"$dir/*.pdf")
+      .collect().map(r => (r.getString(1), r.getString(3))).toMap
+    assert(out("resume.pdf") == "Resume of A. Candidate\nSkills: Spark")
+  }
+}

@@ -61,6 +61,30 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("prefix filtering bounds candidates on a pathological block") {
+    // 100 mutually-disjoint docs plus one planted near-dup pair, ALL in one
+    // block: raw block pairing would enumerate 102*101/2 = 5151 candidate
+    // pairs; prefix filtering only pairs docs sharing a prefix element, so
+    // the candidate set is exactly the planted pair.
+    val disjoint = (1 to 100).map(i => (i.toLong, "big",
+      (1 to 10).map(j => s"tok_${i}_$j").mkString(" ")))
+    val near = Seq(
+      (101L, "big", (1 to 30).map("shared" + _).mkString(" ")),
+      (102L, "big", ((1 to 29).map("shared" + _) :+ "sharedX").mkString(" ")))
+    val docs2 = (disjoint ++ near).toDF("id", "block", "text")
+    val items = array_distinct(transform(TextAnalysis.tokens(col("text")),
+      t => TextAnalysis.md5Hash60(t)))
+    val toks = docs2.select(col("block"), col("id"),
+        array_sort(items).as("items"))
+      .withColumn("n", size(col("items")))
+    val cands = Dedup.jaccardCandidatesHashed(toks, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands == Set((101L, 102L)), s"candidates not bounded: $cands")
+    val pairs = Dedup.jaccardPairsHashed(docs2, "id", "block", items, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((101L, 102L))) // 29/31 ≈ 0.935 >= 0.9
+  }
+
   test("native minhash signature equals the HOF reference form") {
     val df = Tables.documents(spark, TestSpark.sf0001).limit(50)
       .select(col("doc_id"),

@@ -136,6 +136,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("userSessionsStream: late events merge in-watermark, drop beyond; equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val stream = mem.toDF().toDF("user_id", "ts", "value")
+    val q = EventStreams.userSessionsStream(stream, gap = "30 minutes", watermark = "1 hour")
+      .writeStream.format("memory").queryName("sess_stream_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (7L, ts("2024-01-01 00:00:00"), 1.0),
+        (7L, ts("2024-01-01 00:10:00"), 2.0),
+        (8L, ts("2024-01-01 00:05:00"), 5.0))
+      q.processAllAvailable()
+      // arrives a micro-batch later but within the watermark: must MERGE
+      // into user 7's open session, not start a new one
+      mem.addData((7L, ts("2024-01-01 00:25:00"), 3.0))
+      q.processAllAvailable()
+      // far-future event pushes the watermark past both session ends,
+      // closing and emitting them
+      mem.addData((9L, ts("2024-01-02 00:00:00"), 0.0))
+      q.processAllAvailable()
+      // now BEYOND the watermark (2024-01-01 23:00): must be dropped, not
+      // resurrect user 8's already-emitted session
+      mem.addData((8L, ts("2024-01-01 00:40:00"), 99.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_stream_out").collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      // batch twin over exactly the accepted rows (user 9's session is
+      // still open in the stream, so it is not in the append output)
+      val accepted = Seq(
+        (7L, ts("2024-01-01 00:00:00"), 1.0),
+        (7L, ts("2024-01-01 00:10:00"), 2.0),
+        (8L, ts("2024-01-01 00:05:00"), 5.0),
+        (7L, ts("2024-01-01 00:25:00"), 3.0))
+      val batch = EventStreams.userSessions(accepted.toDF("user_id", "ts", "value"))
+        .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(streamed == batch)
+      assert(streamed.exists { case (_, _, u, n, v) => u == 7L && n == 3L && v == 6.0 })
+    } finally q.stop()
+  }
+
   test("session windows split on inactivity gap (batch form)") {
     val events = Seq(
       (7L, ts("2024-01-01 00:00:00"), 1.0),

@@ -57,6 +57,14 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(a == b && a != c)
   }
 
+  test("fingerprint of empty, whitespace-only, and NULL text is NULL") {
+    // matches the oracle: list_aggregate over an empty/NULL list is NULL
+    val out = Seq(Some(""), Some("   "), None, Some("a"))
+      .toDF("text").select(TextAnalysis.fingerprint(col("text")))
+      .collect().map(r => Option(r.get(0)))
+    assert(out(0).isEmpty && out(1).isEmpty && out(2).isEmpty && out(3).nonEmpty)
+  }
+
   test("rollingHash is order-sensitive where fingerprint is not") {
     val a = one[Long](TextAnalysis.rollingHash(col("text")), "a b c")
     val b = one[Long](TextAnalysis.rollingHash(col("text")), "c b a")
