@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Advanced, Analysis, PipelineQ, Relational, Text, Tpch, Typed, VectorQ}
+import graft.queries.{Advanced, Analysis, Clustering, PipelineQ, Relational, Stats, Text, Tpch, Typed, VectorQ}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -22,12 +22,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Text.queries ++ VectorQ.queries ++
-      Analysis.queries ++ PipelineQ.queries ++ Advanced.queries ++ Tpch.queries ++ Typed.queries
+      Analysis.queries ++ PipelineQ.queries ++ Advanced.queries ++ Tpch.queries ++
+      Typed.queries ++ Clustering.queries ++ Stats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ Text.oracleSql ++ VectorQ.oracleSql ++
-      Analysis.oracleSql ++ PipelineQ.oracleSql ++ Advanced.oracleSql ++ Tpch.oracleSql ++ Typed.oracleSql
+      Analysis.oracleSql ++ PipelineQ.oracleSql ++ Advanced.oracleSql ++ Tpch.oracleSql ++
+      Typed.oracleSql ++ Clustering.oracleSql ++ Stats.oracleSql
 }

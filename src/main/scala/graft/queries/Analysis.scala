@@ -241,10 +241,10 @@ object Analysis {
 
   // ---- DuckDB oracle SQL builders (mirror the Spark expressions 1:1) ----
 
-  private val toks = "list_filter(string_split(text, ' '), w -> w <> '')"
+  private[queries] val toks = "list_filter(string_split(text, ' '), w -> w <> '')"
   private val dtoks = s"list_distinct($toks)"
 
-  private def hash60(e: String): String =
+  private[queries] def hash60(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
 
   /** DuckDB 3-gram shingles over the token list `t`. */
@@ -252,7 +252,7 @@ object Analysis {
     s"list_distinct(list_transform(range(1, greatest(len($t) - 1, 1)), " +
       s"i -> list_aggregate(($t)[i:i+2], 'string_agg', ' ')))"
 
-  private def jaccardSql(a: String, b: String): String =
+  private[queries] def jaccardSql(a: String, b: String): String =
     s"(CASE WHEN (len($a) + len($b))::DOUBLE - len(list_intersect($a, $b))::DOUBLE = 0.0 THEN 0.0 " +
       s"ELSE len(list_intersect($a, $b))::DOUBLE / ((len($a) + len($b))::DOUBLE - len(list_intersect($a, $b))::DOUBLE) END)"
 

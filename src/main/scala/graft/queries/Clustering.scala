@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{ConnectedComponents, Dedup, TextAnalysis => TA}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cluster-level dedup and corpus-construction queries — the step AFTER
+  * pair detection: resolving near-dup pairs into components, blocked
+  * edit-distance grouping, exact stratified sampling, and TF-IDF term
+  * selection. All oracled (the components oracle is a DuckDB recursive
+  * CTE computing the same min-label closure).
+  */
+object Clustering {
+
+  /** Every document labeled with its near-dup cluster's canonical
+    * (minimum) doc_id: edges = blocked token-Jaccard >= 0.9 pairs
+    * (exactly q_jaccard_neardup's relation), components via distributed
+    * min-label propagation. Singletons keep their own id, so this is the
+    * full dedup assignment table a curation pipeline joins against.
+    */
+  def dupClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.jaccardPairsHashed(docs, "doc_id", "source",
+        array_distinct(transform(TA.tokens(col("text")), t => TA.md5Hash60(t))), 0.9)
+      .select(col("id_a"), col("id_b"))
+    ConnectedComponents.assign(docs.select(col("doc_id").as("id")), pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Blocked edit-distance near-dup pairs over customer names: block on
+    * market segment, prune with the length-difference bound
+    * (levenshtein(a,b) >= abs(len(a)-len(b)), a cheap int predicate
+    * inside the join), then the exact distance once per pair above an
+    * aggregate barrier (same anti-pushdown shape as Dedup.scorePairs).
+    */
+  def editDistancePairs(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(
+      col("c_mktsegment").as("block"), col("c_custkey").as("id"),
+      col("c_name").as("name"), length(col("c_name")).as("len"))
+    val a = c.select(col("block"), col("id").as("id_a"), col("name").as("name_a"), col("len").as("len_a"))
+    val b = c.select(col("block"), col("id").as("id_b"), col("name").as("name_b"), col("len").as("len_b"))
+    a.join(b, Seq("block"))
+      .where(col("id_a") < col("id_b") && abs(col("len_a") - col("len_b")) <= 2)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(levenshtein(col("name_a"), col("name_b"))).cast("long").as("dist"))
+      .where(col("dist") <= 2)
+      .orderBy(col("id_a").asc, col("id_b").asc)
+  }
+
+  /** Exact proportional stratified sample: 20% of each source stratum,
+    * membership by rank of a deterministic md5 sort key within the
+    * stratum (so every stratum contributes exactly ceil(0.2·n) rows —
+    * unlike bernoulli hash sampling, which only hits the rate in
+    * expectation). One window shuffle on the stratum key.
+    */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val keyed = Tables.documents(s, d).select(col("source"), col("doc_id"),
+      md5(concat(col("doc_id").cast("string"), lit(":strat")).cast("binary")).as("skey"))
+    val w = Window.partitionBy(col("source")).orderBy(col("skey").asc, col("doc_id").asc)
+    keyed
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .where(col("rn") <= ceil(col("n_src") * 0.2))
+      .select(col("source"), col("doc_id"))
+      .orderBy(col("source").asc, col("doc_id").asc)
+  }
+
+  /** Top-3 TF-IDF terms per document. The score is integer-scaled
+    * (tf · 10^6 · N_docs div df — BIGINT arithmetic end to end) so
+    * ranking is bit-identical across engines with no float logs; ranking
+    * ties break on the term string. df comes from the (doc, term)
+    * relation itself (one extra aggregation, map-side combined).
+    */
+  def tfidfTop3(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(TA.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(nDocs))
+      .withColumn("score_scaled", expr("tf * 1000000L * n_docs div df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_scaled").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("score_scaled"))
+      .orderBy(col("doc_id").asc, col("rk").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dup_clusters" -> dupClusters,
+    "q_edit_distance_dedup" -> editDistancePairs,
+    "q_stratified_sample" -> stratifiedSample,
+    "q_tfidf" -> tfidfTop3,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE hashed AS (SELECT doc_id, source,
+         |    list_distinct(list_transform(${Analysis.toks}, w -> ${Analysis.hash60("w")})) AS items
+         |  FROM documents),
+         |pairs AS (SELECT id_a, id_b FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |      ${Analysis.jaccardSql("a.items", "b.items")} AS jaccard
+         |    FROM hashed a JOIN hashed b
+         |      ON a.source = b.source AND a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.9),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach(id, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
+         |SELECT id AS doc_id, MIN(label) AS cluster_id
+         |FROM reach GROUP BY id ORDER BY doc_id ASC""".stripMargin,
+    "q_edit_distance_dedup" ->
+      """SELECT id_a, id_b, dist FROM (
+        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |    levenshtein(a.c_name, b.c_name) AS dist
+        |  FROM customer a JOIN customer b
+        |    ON a.c_mktsegment = b.c_mktsegment AND a.c_custkey < b.c_custkey
+        |    AND abs(length(a.c_name) - length(b.c_name)) <= 2)
+        |WHERE dist <= 2 ORDER BY id_a ASC, id_b ASC""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':strat') ASC, doc_id ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n_src
+        |  FROM documents)
+        |WHERE rn <= ceil(n_src * 0.2)
+        |ORDER BY source ASC, doc_id ASC""".stripMargin,
+    "q_tfidf" ->
+      s"""WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, unnest(${Analysis.toks}) AS term FROM documents)
+         |  GROUP BY doc_id, term),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |scored AS (SELECT tf.doc_id, tf.term,
+         |    (tf.tf * 1000000 * n.n_docs) // df.df AS score_scaled
+         |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+         |SELECT doc_id, rk, term, score_scaled FROM (
+         |  SELECT doc_id, term, score_scaled,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY score_scaled DESC, term ASC) AS rk
+         |  FROM scored)
+         |WHERE rk <= 3 ORDER BY doc_id ASC, rk ASC""".stripMargin,
+  )
+}

@@ -1,0 +1,250 @@
+package graft.queries
+
+import graft.Determinism._
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical / reshaping coverage: pivot, grouping sets, ntile-family
+  * windows, exact-sum moment statistics (corr/covar/stddev), single-pass
+  * column profiling, and a salt-demonstrating skew join. All oracled.
+  *
+  * Float rule (SURVEY §2.4): every aggregate feeding a float formula is
+  * an exact DECIMAL sum cast to DOUBLE; the closed-form formulas then run
+  * the same IEEE double ops left-to-right in both engines, so results are
+  * bit-identical without engine-native corr/stddev (whose merge order is
+  * partition-dependent in Spark).
+  */
+object Stats {
+
+  /** Order counts per month pivoted across status values — Spark
+    * `.pivot` with an explicit value list (no extra distinct-values job,
+    * and the output schema is fixed at plan time, a requirement for any
+    * production pipeline). Missing combinations coalesce to 0 to match
+    * SQL's `FILTER` counts.
+    */
+  def pivotStatus(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(month(col("o_orderdate")).cast("long").as("mon"), col("o_orderstatus"))
+      .groupBy(col("mon"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("mon"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy(col("mon").asc)
+
+  /** GROUPING SETS with grouping flags — the general form rollup/cube
+    * specialize. SQL surface (spark.sql over a temp view) because the
+    * Dataset API only exposes rollup/cube; the plan is the same single
+    * Expand + partial-aggregated HashAggregate. Explicit NULLS FIRST on
+    * both engines (Spark defaults ASC→NULLS FIRST, DuckDB →NULLS LAST).
+    */
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_li_gs")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM graft_li_gs
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY g_rf ASC, g_ls ASC, l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** ntile / percent_rank / cume_dist over a per-segment account-balance
+    * ordering. The window order is total (balance, custkey) so rank-based
+    * fractions are engine-independent; percent_rank and cume_dist are
+    * small-int divisions — identical IEEE results.
+    */
+  def ntileWindows(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables.customer(s, d).select(
+        col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy(col("c_mktsegment").asc, col("c_custkey").asc)
+  }
+
+  /** Correlation / population covariance / population stddev of
+    * (l_quantity, l_extendedprice) per return flag, from exact decimal
+    * moment sums (n, Σx, Σy, Σx², Σy², Σxy) — one map-side-combined
+    * aggregation pass; the closed forms run in double on exact inputs.
+    * Spark's built-in corr/stddev use a streaming merge whose float
+    * result depends on partition order — unusable for a bit-exact gate
+    * (and the exact-sums form is also what a 1000-executor run wants:
+    * six decimal partials, no second pass).
+    */
+  def statsMoments(s: SparkSession, d: String): DataFrame = {
+    val x = dec2(col("l_quantity"))
+    val y = dec2(col("l_extendedprice"))
+    // Decimal → STRING → double: the square/cross sums exceed 2^53 in
+    // scaled-integer magnitude, and each engine's direct decimal→double
+    // path double-rounds differently (1-ulp divergence observed). Both
+    // engines' string→double parses are correctly rounded, so converting
+    // through the exact digit string makes the formula inputs
+    // bit-identical.
+    def viaStr(c: Column): Column = c.cast("string").cast("double")
+    val agg = Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        viaStr(sum(x)).as("sx"), viaStr(sum(y)).as("sy"),
+        viaStr(sum(x * x)).as("sxx"), viaStr(sum(y * y)).as("syy"),
+        viaStr(sum(x * y)).as("sxy"))
+    val n = col("n").cast("double")
+    val (sx, sy, sxx, syy, sxy) = (col("sx"), col("sy"), col("sxx"), col("syy"), col("sxy"))
+    agg.select(col("l_returnflag"), col("n"),
+        ((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).as("corr_qp"),
+        ((n * sxy - sx * sy) / (n * n)).as("covar_pop_qp"),
+        (sqrt(n * sxx - sx * sx) / n).as("std_qty"),
+        (sqrt(n * syy - sy * sy) / n).as("std_price"))
+      .orderBy(col("l_returnflag").asc)
+  }
+
+  /** Single-pass column profiling of `orders`: per column non-null
+    * count, distinct count, numeric min/max (timestamps as epoch
+    * seconds, strings profile counts only). The multi-distinct plan is
+    * one scan with an Expand (one grouping per distinct aggregate) — at
+    * warehouse scale the distinct counts would switch to
+    * approx_count_distinct to drop the Expand entirely.
+    */
+  def profile(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).agg(
+        count(col("o_orderkey")).as("nn_ok"), countDistinct(col("o_orderkey")).as("nd_ok"),
+        min(col("o_orderkey")).cast("double").as("mn_ok"), max(col("o_orderkey")).cast("double").as("mx_ok"),
+        count(col("o_custkey")).as("nn_ck"), countDistinct(col("o_custkey")).as("nd_ck"),
+        min(col("o_custkey")).cast("double").as("mn_ck"), max(col("o_custkey")).cast("double").as("mx_ck"),
+        count(col("o_totalprice")).as("nn_tp"), countDistinct(col("o_totalprice")).as("nd_tp"),
+        min(col("o_totalprice")).as("mn_tp"), max(col("o_totalprice")).as("mx_tp"),
+        count(col("o_orderdate")).as("nn_od"), countDistinct(col("o_orderdate")).as("nd_od"),
+        // NTZ has no direct double cast; via TIMESTAMP (session tz UTC) →
+        // epoch seconds, matching the oracle's epoch().
+        min(col("o_orderdate")).cast("timestamp").cast("double").as("mn_od"),
+        max(col("o_orderdate")).cast("timestamp").cast("double").as("mx_od"),
+        count(col("o_orderstatus")).as("nn_os"), countDistinct(col("o_orderstatus")).as("nd_os"),
+        count(col("o_orderpriority")).as("nn_op"), countDistinct(col("o_orderpriority")).as("nd_op"))
+      .selectExpr(
+        """stack(6,
+          |  'o_custkey',       nn_ck, nd_ck, mn_ck, mx_ck,
+          |  'o_orderdate',     nn_od, nd_od, mn_od, mx_od,
+          |  'o_orderkey',      nn_ok, nd_ok, mn_ok, mx_ok,
+          |  'o_orderpriority', nn_op, nd_op, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+          |  'o_orderstatus',   nn_os, nd_os, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+          |  'o_totalprice',    nn_tp, nd_tp, mn_tp, mx_tp)
+          |AS (col_name, n_nonnull, n_distinct, min_val, max_val)""".stripMargin)
+      .orderBy(col("col_name").asc)
+
+  /** Brand revenue via an explicitly SALTED join: the part side is
+    * replicated across 8 salt values, the lineitem side hashes its salt
+    * from l_orderkey, and the join key becomes (p_partkey, salt) — a hot
+    * part key's rows now land on 8 shuffle partitions instead of one.
+    * The shuffle-hash hint keeps the demonstration honest (the dimension
+    * would otherwise broadcast at this SF and no salt would be needed —
+    * at 100 TB both sides of a skewed fact-fact join shuffle). Result is
+    * salt-invariant: the oracle is the PLAIN join, proving equivalence.
+    */
+  def saltedJoin(s: SparkSession, d: String): DataFrame = {
+    val nSalts = 8
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .withColumn("salt", pmod(col("l_orderkey"), lit(nSalts.toLong)).cast("int"))
+    val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+      .withColumn("salt", explode(array((0 until nSalts).map(lit): _*)))
+    li.hint("shuffle_hash")
+      .join(p, li("l_partkey") === p("p_partkey") && li("salt") === p("salt"))
+      .groupBy(col("p_brand"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast(Dec) - dec2(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot" -> pivotStatus,
+    "q_grouping_sets" -> groupingSets,
+    "q_ntile" -> ntileWindows,
+    "q_stats_moments" -> statsMoments,
+    "q_profile" -> profile,
+    "q_salted_join" -> saltedJoin,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_pivot" ->
+      """SELECT CAST(month(o_orderdate) AS BIGINT) AS mon,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY 1 ORDER BY mon ASC""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY g_rf ASC, g_ls ASC, l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_ntile" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  PERCENT_RANK() OVER w AS pr,
+        |  CUME_DIST() OVER w AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+        |ORDER BY c_mktsegment ASC, c_custkey ASC""".stripMargin,
+    "q_stats_moments" ->
+      """WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(SUM(x*x) AS VARCHAR) AS DOUBLE) AS sxx,
+        |    CAST(CAST(SUM(y*y) AS VARCHAR) AS DOUBLE) AS syy,
+        |    CAST(CAST(SUM(x*y) AS VARCHAR) AS DOUBLE) AS sxy
+        |  FROM (SELECT l_returnflag,
+        |      CAST(l_quantity AS DECIMAL(18,2)) AS x,
+        |      CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+        |    FROM lineitem)
+        |  GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (CAST(n AS DOUBLE)*sxy - sx*sy) /
+        |    sqrt((CAST(n AS DOUBLE)*sxx - sx*sx) * (CAST(n AS DOUBLE)*syy - sy*sy)) AS corr_qp,
+        |  (CAST(n AS DOUBLE)*sxy - sx*sy) / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE)) AS covar_pop_qp,
+        |  sqrt(CAST(n AS DOUBLE)*sxx - sx*sx) / CAST(n AS DOUBLE) AS std_qty,
+        |  sqrt(CAST(n AS DOUBLE)*syy - sy*sy) / CAST(n AS DOUBLE) AS std_price
+        |FROM m ORDER BY l_returnflag ASC""".stripMargin,
+    "q_profile" ->
+      """WITH a AS (SELECT
+        |    COUNT(o_orderkey) AS nn_ok, COUNT(DISTINCT o_orderkey) AS nd_ok,
+        |    CAST(MIN(o_orderkey) AS DOUBLE) AS mn_ok, CAST(MAX(o_orderkey) AS DOUBLE) AS mx_ok,
+        |    COUNT(o_custkey) AS nn_ck, COUNT(DISTINCT o_custkey) AS nd_ck,
+        |    CAST(MIN(o_custkey) AS DOUBLE) AS mn_ck, CAST(MAX(o_custkey) AS DOUBLE) AS mx_ck,
+        |    COUNT(o_totalprice) AS nn_tp, COUNT(DISTINCT o_totalprice) AS nd_tp,
+        |    MIN(o_totalprice) AS mn_tp, MAX(o_totalprice) AS mx_tp,
+        |    COUNT(o_orderdate) AS nn_od, COUNT(DISTINCT o_orderdate) AS nd_od,
+        |    epoch(MIN(o_orderdate)) AS mn_od, epoch(MAX(o_orderdate)) AS mx_od,
+        |    COUNT(o_orderstatus) AS nn_os, COUNT(DISTINCT o_orderstatus) AS nd_os,
+        |    COUNT(o_orderpriority) AS nn_op, COUNT(DISTINCT o_orderpriority) AS nd_op
+        |  FROM orders)
+        |SELECT col_name, n_nonnull, n_distinct, min_val, max_val FROM (
+        |  SELECT 'o_custkey' AS col_name, nn_ck AS n_nonnull, nd_ck AS n_distinct,
+        |    mn_ck AS min_val, mx_ck AS max_val FROM a
+        |  UNION ALL SELECT 'o_orderdate', nn_od, nd_od, mn_od, mx_od FROM a
+        |  UNION ALL SELECT 'o_orderkey', nn_ok, nd_ok, mn_ok, mx_ok FROM a
+        |  UNION ALL SELECT 'o_orderpriority', nn_op, nd_op, NULL, NULL FROM a
+        |  UNION ALL SELECT 'o_orderstatus', nn_os, nd_os, NULL, NULL FROM a
+        |  UNION ALL SELECT 'o_totalprice', nn_tp, nd_tp, mn_tp, mx_tp FROM a)
+        |ORDER BY col_name ASC""".stripMargin,
+    "q_salted_join" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand ASC""".stripMargin,
+  )
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.ConnectedComponents
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+class ConnectedComponentsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def nodes(ids: Long*): DataFrame = ids.toDF("id")
+  private def edges(es: (Long, Long)*): DataFrame = es.toDF("id_a", "id_b")
+
+  private def run(n: DataFrame, e: DataFrame): Map[Long, Long] =
+    ConnectedComponents.assign(n, e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain collapses to its minimum id (diameter > 1 propagation)") {
+    val got = run(nodes(1L, 2L, 3L, 4L, 5L), edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("two cliques and a singleton stay separate components") {
+    val got = run(
+      nodes(1L, 2L, 3L, 10L, 11L, 12L, 99L),
+      edges((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
+  }
+
+  test("edge direction does not matter (high id listed first)") {
+    val got = run(nodes(1L, 2L, 3L), edges((3L, 1L), (2L, 3L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("star graph converges in one propagation round") {
+    val got = run(nodes(5L, 6L, 7L, 8L), edges((5L, 6L), (5L, 7L), (5L, 8L)))
+    assert(got.values.toSet == Set(5L))
+  }
+
+  test("no edges: every node is its own component") {
+    val got = run(nodes(4L, 7L), edges())
+    assert(got == Map(4L -> 4L, 7L -> 7L))
+  }
+
+  test("maxRounds guard throws instead of returning a partial merge") {
+    val chain = (1L until 12L).map(i => (i, i + 1))
+    intercept[IllegalStateException] {
+      ConnectedComponents.assign(nodes(1L to 12L: _*), edges(chain: _*), maxRounds = 2)
+    }
+  }
+}
