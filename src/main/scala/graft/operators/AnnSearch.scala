@@ -75,6 +75,60 @@ object AnnSearch {
       .orderBy(col("dist_raw").asc, col("vec_id").asc)
       .limit(k)
 
+  // ---- deterministic random-hyperplane LSH (oracle-checkable, like the
+  // IVF tier: "training" is md5-derived, so the DuckDB oracle regenerates
+  // the identical hyperplanes and codes) ----
+
+  /** md5-derived 60-bit hash of a string on the JVM — same value as the
+    * columnar TextAnalysis.md5Hash60 / the oracle's
+    * `CAST('0x'||substr(md5(s),1,15) AS BIGINT)`.
+    */
+  private def md5Hash60Jvm(s: String): Long = {
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      dig.take(8).map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component (p, j) =
+    * (md5("rp:p:j") mod 2001 − 1000) / 1000 ∈ [−1, 1]. Not Gaussian, but
+    * symmetric around 0 — sign-of-dot hashing only needs direction
+    * diversity, and determinism buys an exact cross-engine oracle.
+    */
+  def rpPlanes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim)((p, j) =>
+      (md5Hash60Jvm(s"rp:$p:$j") % 2001 - 1000) / 1000.0)
+
+  /** Sign-bit code column: bit p set iff dot(v, plane_p) > 0. Narrow
+    * per-row work (nPlanes codegen'd dot products), no shuffle.
+    */
+  def rpCode(emb: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, p) =>
+      when(dot(emb, typedLit(plane.toSeq)) > 0.0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Driver-side code of a query vector (identical fold order: 0.0-init
+    * left-to-right dot, strict `> 0`).
+    */
+  def rpCodeOf(q: Seq[Double], planes: Array[Array[Double]]): Long =
+    planes.zipWithIndex.map { case (plane, p) =>
+      val d = plane.indices.foldLeft(0.0)((acc, i) => acc + q(i) * plane(i))
+      if (d > 0.0) 1L << p else 0L
+    }.sum
+
+  /** RP-LSH search: exact cosine top-k restricted to the query's code
+    * bucket. One narrow scan computing the code + a pushable equality
+    * filter — at scale the code is a precomputed partition/bucket column
+    * and the filter prunes partitions before any vector math runs.
+    */
+  def rpLshSearch(emb: DataFrame, q: Seq[Double], nPlanes: Int, k: Int): DataFrame = {
+    val planes = rpPlanes(nPlanes, q.length)
+    val qcode = rpCodeOf(q, planes)
+    emb.withColumn("code", rpCode(col("embedding"), planes))
+      .where(col("code") === lit(qcode))
+      .select(col("vec_id"), cosineToQuery(col("embedding"), q).as("cos_raw"))
+  }
+
   // ---- MLlib LSH scale path (seeded; hash model is engine-specific so
   // these are spec-verified by recall against the exact scan, not
   // oracle-hashed) ----

@@ -60,17 +60,18 @@ object ConnectedComponents {
         .join(labels.select(col("id").as("src"), col("cluster_id").as("nl")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("nl")).as("nbr_min"))
+      // Carry the previous label through the checkpoint so convergence
+      // detection is a scan of the materialized relation, not another
+      // join against the prior round.
       val next = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          col("cluster_id").as("prev"))
         .localCheckpoint()
-      val changed = next.alias("n")
-        .join(labels.select(col("id"), col("cluster_id").as("prev")), Seq("id"))
-        .where(col("cluster_id") =!= col("prev"))
-        .limit(1).count()
-      labels = next
+      val changed = next.where(col("cluster_id") =!= col("prev")).limit(1).count()
+      labels = next.select(col("id"), col("cluster_id"))
       if (changed == 0L) return labels
       round += 1
     }

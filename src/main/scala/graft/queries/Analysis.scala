@@ -151,6 +151,20 @@ object Analysis {
       .select(col("vec_id"), col("dist"))
   }
 
+  /** Random-hyperplane LSH ANN: cosine top-10 within the query's 8-bit
+    * sign-code bucket. Hyperplanes are md5-derived (AnnSearch.rpPlanes)
+    * so the oracle regenerates them exactly — the LSH analog of the
+    * deterministic IVF tier.
+    */
+  def annRpLsh(s: SparkSession, d: String): DataFrame = {
+    val q = VectorOps.queryVector(s, d, 0L)
+    AnnSearch.rpLshSearch(Tables.embeddings(s, d), q, nPlanes = 8, k = 10)
+      .withColumn("cos", round(col("cos_raw"), 4))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), col("cos"))
+  }
+
   /** Flagship composed pipeline: exact dedup → LSH near-dup removal →
     * language/quality gate (operators.Curation over the documents table).
     */
@@ -237,6 +251,7 @@ object Analysis {
     "q_dedup_cosine" -> dedupCosine,
     "q_cosine_topk" -> cosineTopk,
     "q_ann_ivf" -> annIvf,
+    "q_ann_rplsh" -> annRpLsh,
   )
 
   // ---- DuckDB oracle SQL builders (mirror the Spark expressions 1:1) ----
@@ -443,6 +458,22 @@ object Analysis {
          |SELECT vec_id, ROUND(cos_raw, 4) AS cos FROM (
          |  SELECT e.vec_id, ${cosineSql("e.embedding", "q.qe")} AS cos_raw
          |  FROM embeddings e CROSS JOIN q)
+         |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_ann_rplsh" ->
+      s"""WITH planes AS (SELECT p, list_transform(range(0, 64), j ->
+         |    ((${hash60("'rp:' || p || ':' || j")} % 2001) - 1000) / 1000.0) AS hp
+         |  FROM (SELECT unnest(range(0, 8)) AS p)),
+         |codes AS (SELECT e.vec_id,
+         |    CAST(SUM(CASE WHEN ${dotSql("e.embedding", "pl.hp")} > 0
+         |      THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS BIGINT) AS code
+         |  FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |qc AS (SELECT code AS qcode FROM codes WHERE vec_id = 0)
+         |SELECT vec_id, ROUND(cos_raw, 4) AS cos FROM (
+         |  SELECT e.vec_id, ${cosineSql("e.embedding", "q.qe")} AS cos_raw
+         |  FROM embeddings e JOIN codes c ON e.vec_id = c.vec_id
+         |    CROSS JOIN q CROSS JOIN qc
+         |  WHERE c.code = qc.qcode)
          |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
     "q_ann_ivf" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

