@@ -37,7 +37,7 @@ object Clustering {
     * neighborhood membership has perfect recall for the exact verify.
     * |neighborhood| is O(len^τ) per string — ~170 for len 18, τ 2.
     */
-  private[queries] def deletionNeighborhood(s: String, maxDel: Int): Array[String] = {
+  private[graft] def deletionNeighborhood(s: String, maxDel: Int): Array[String] = {
     var frontier = Set(s)
     val all = scala.collection.mutable.Set(s)
     for (_ <- 1 to maxDel) {
@@ -131,11 +131,49 @@ object Clustering {
       .orderBy(col("doc_id").asc, col("rk").asc)
   }
 
+  /** Symmetric int8 quantization of the embedding column (the 4×
+    * memory/IO cut a 100 TB vector corpus takes before serving):
+    * scale = max|x| / 127 per vector, q_i = floor(x_i/scale + 0.5).
+    * Output exploded to scalar (vec_id, pos, qval, scale) rows — the
+    * checker hashes scalars only. All math is IEEE double on identical
+    * inputs (floats widen exactly), so quantized codes match the oracle
+    * bit-for-bit; floor(x + 0.5) is used instead of round() because the
+    * engines' ROUND-on-double semantics differ.
+    */
+  def quantizeEmbeddings(s: SparkSession, d: String): DataFrame = {
+    val amax = array_max(transform(col("embedding"), e => abs(e.cast("double"))))
+    val scaleC = when(amax === 0.0, lit(0.0)).otherwise(amax / 127.0)
+    Tables.embeddings(s, d)
+      .withColumn("scale", scaleC)
+      .select(col("vec_id"), col("scale"),
+        posexplode(transform(col("embedding"), e =>
+          when(col("scale") === 0.0, lit(0L))
+            .otherwise(floor(e.cast("double") / col("scale") + 0.5).cast("long"))))
+          .as(Seq("pos", "qval")))
+      .select(col("vec_id"), col("pos"), col("qval"), col("scale"))
+      .orderBy(col("vec_id").asc, col("pos").asc)
+  }
+
+  /** Deterministic 80/10/10 train/val/test assignment by md5 bucket of
+    * the doc id — stable under reruns, engine-independent, and safe to
+    * recompute on any cluster (the split a training pipeline joins
+    * against instead of materializing three copies of the corpus).
+    */
+  def trainSplit(s: SparkSession, d: String): DataFrame = {
+    val bucket = pmod(TA.md5Hash60(concat(col("doc_id").cast("string"), lit(":split"))), lit(100L))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dup_clusters" -> dupClusters,
     "q_edit_distance_dedup" -> editDistancePairs,
     "q_stratified_sample" -> stratifiedSample,
     "q_tfidf" -> tfidfTop3,
+    "q_quantize_embeddings" -> quantizeEmbeddings,
+    "q_train_split" -> trainSplit,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -174,6 +212,25 @@ object Clustering {
         |  FROM documents)
         |WHERE rn <= ceil(n_src * 0.2)
         |ORDER BY source ASC, doc_id ASC""".stripMargin,
+    "q_quantize_embeddings" ->
+      """WITH v AS (SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, e -> abs(CAST(e AS DOUBLE)))) AS amax
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, embedding,
+        |    CASE WHEN amax = 0.0 THEN 0.0 ELSE amax / 127.0 END AS scale FROM v)
+        |SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
+        |  CASE WHEN scale = 0.0 THEN 0
+        |    ELSE CAST(floor(CAST(embedding[i] AS DOUBLE) / scale + 0.5) AS BIGINT)
+        |    END AS qval,
+        |  scale
+        |FROM s CROSS JOIN LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+        |ORDER BY vec_id ASC, pos ASC""".stripMargin,
+    "q_train_split" ->
+      s"""SELECT doc_id, CASE
+         |  WHEN ${Analysis.hash60("CAST(doc_id AS VARCHAR) || ':split'")} % 100 < 80 THEN 'train'
+         |  WHEN ${Analysis.hash60("CAST(doc_id AS VARCHAR) || ':split'")} % 100 < 90 THEN 'val'
+         |  ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id ASC""".stripMargin,
     "q_tfidf" ->
       s"""WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM (
          |    SELECT doc_id, unnest(${Analysis.toks}) AS term FROM documents)

@@ -43,6 +43,25 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got == Map(4L -> 4L, 7L -> 7L))
   }
 
+  test("random graphs match a driver-side union-find reference") {
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      val n = 20 + rnd.nextInt(20)
+      val ids = (1L to n.toLong).toSeq
+      val es = Seq.fill(n / 2)((ids(rnd.nextInt(n)), ids(rnd.nextInt(n))))
+        .filter { case (a, b) => a != b }
+      // union-find reference
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = ids.map(i => i -> find(i)).toMap
+      assert(run(nodes(ids: _*), edges(es: _*)) == expect)
+    }
+  }
+
   test("maxRounds guard throws instead of returning a partial merge") {
     val chain = (1L until 12L).map(i => (i, i + 1))
     intercept[IllegalStateException] {

@@ -77,3 +77,46 @@ object MinhashProperties extends Properties("Minhash") {
       v >= 0 // would be negative if the 64-bit product overflowed
     }
 }
+
+/** FastSS deletion-neighborhood recall: if lev(a, b) <= τ, the
+  * ≤τ-deletion neighborhoods of a and b must intersect (the candidate
+  * generation of Clustering.editDistancePairs rests on exactly this).
+  */
+object DeletionNeighborhoodProperties extends Properties("DeletionNeighborhood") {
+  import graft.queries.Clustering.deletionNeighborhood
+
+  private val base: Gen[String] =
+    Gen.chooseNum(4, 20).flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar))
+
+  /** One random edit: substitution, insertion, or deletion. */
+  private def edited(s: String): Gen[String] = for {
+    kind <- Gen.oneOf("sub", "ins", "del")
+    i <- Gen.chooseNum(0, math.max(s.length - 1, 0))
+    c <- Gen.alphaNumChar
+  } yield kind match {
+    case "sub" if s.nonEmpty => s.updated(i, c)
+    case "ins" => s.substring(0, i) + c + s.substring(i)
+    case "del" if s.nonEmpty => s.substring(0, i) + s.substring(i + 1)
+    case _ => s
+  }
+
+  property("one edit ⇒ τ=1 neighborhoods intersect") = forAll(base) { a =>
+    forAll(edited(a)) { b =>
+      deletionNeighborhood(a, 1).intersect(deletionNeighborhood(b, 1)).nonEmpty
+    }
+  }
+
+  property("two edits ⇒ τ=2 neighborhoods intersect") = forAll(base) { a =>
+    forAll(edited(a)) { m =>
+      forAll(edited(m)) { b =>
+        deletionNeighborhood(a, 2).intersect(deletionNeighborhood(b, 2)).nonEmpty
+      }
+    }
+  }
+
+  property("neighborhood size is 1 + n + O(n²) and contains the string") =
+    forAll(base) { a =>
+      val nb = deletionNeighborhood(a, 2)
+      nb.contains(a) && nb.length <= 1 + a.length + a.length * a.length
+    }
+}
