@@ -1,12 +1,15 @@
 package graft
 
-import graft.functions.{DotProduct, SquaredL2Distance}
+import graft.functions.{DotProduct, MinhashSignature, SimHash60, SortedIntersectCount, SquaredL2Distance}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
-/** SQL surface for the native vector expressions: `squared_l2(a, b)` and
-  * `dot_product(a, b)` become callable from `spark.sql(...)`.
+/** SQL surface for the native expressions: `squared_l2(a, b)`,
+  * `dot_product(a, b)`, `sorted_intersect_count(a, b)`, `simhash60(h)`
+  * and `minhash_signature(h, n)` (the library's affine constants) become
+  * callable from `spark.sql(...)`.
   *
   * Two registration paths:
   *  - `GraftExtensions` for `spark.sql.extensions=graft.GraftExtensions`
@@ -36,7 +39,28 @@ object GraftExtensions {
 
   private[graft] val injections = Seq(
     binary("squared_l2", classOf[SquaredL2Distance].getName, SquaredL2Distance(_, _)),
-    binary("dot_product", classOf[DotProduct].getName, DotProduct(_, _)))
+    binary("dot_product", classOf[DotProduct].getName, DotProduct(_, _)),
+    binary("sorted_intersect_count", classOf[SortedIntersectCount].getName,
+      SortedIntersectCount(_, _)),
+    ("simhash60",
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 1, s"simhash60 expects exactly 1 argument, got ${exprs.size}")
+        SimHash60(exprs.head)
+      }),
+    ("minhash_signature",
+      new ExpressionInfo(classOf[MinhashSignature].getName, "minhash_signature"),
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 2,
+          s"minhash_signature expects (hashes, nHashes), got ${exprs.size} arguments")
+        val n = exprs(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_signature: nHashes must be an INT literal, got $other")
+        }
+        MinhashSignature(exprs.head, n,
+          graft.operators.Dedup.minhashA, graft.operators.Dedup.minhashB)
+      }))
 
   /** Register on a live session (idempotent). */
   def registerFunctions(spark: SparkSession): Unit =

@@ -95,9 +95,18 @@ object Dedup {
     * exact).
     */
   def jaccardPairsHashed(df: DataFrame, idCol: String, blockCol: String,
-                         hashedItems: Column, threshold: Double): DataFrame = {
-    val toks = df.select(col(blockCol).as("block"), col(idCol).as("id"),
-      array_sort(hashedItems).as("items")).withColumn("n", size(col("items")))
+                         hashedItems: Column, threshold: Double): DataFrame =
+    jaccardPairsHashedFromSets(
+      df.select(col(blockCol).as("block"), col(idCol).as("id"),
+        array_sort(hashedItems).as("items")), threshold)
+
+  /** jaccardPairsHashed over a prebuilt `(block, id, items sorted-asc)`
+    * relation — callers that reuse the token-hash pass across queries
+    * (the persisted-signature-table pattern, like `Dedup.hashedSets` for
+    * minhash) materialize it once and feed it here.
+    */
+  def jaccardPairsHashedFromSets(sets: DataFrame, threshold: Double): DataFrame = {
+    val toks = sets.withColumn("n", size(col("items")))
     val cand = jaccardCandidatesHashed(toks, threshold)
     scorePairs(
       cand

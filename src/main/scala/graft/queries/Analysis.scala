@@ -84,9 +84,28 @@ object Analysis {
     * string comparison per candidate pair.
     */
   def jaccardNearDup(s: SparkSession, d: String): DataFrame =
-    Dedup.jaccardPairsHashed(Tables.documents(s, d), "doc_id", "source",
-        array_distinct(transform(TA.tokens(col("text")), t => TA.md5Hash60(t))), 0.9)
+    Dedup.jaccardPairsHashedFromSets(tokenSets(s, d), 0.9)
       .orderBy(col("id_a").asc, col("id_b").asc)
+
+  /** The hashed unigram token-set relation `(block=source, id=doc_id,
+    * items sorted-asc)` shared by q_jaccard_neardup and q_dup_clusters —
+    * same session-catalog cached-view lifecycle as `shingleSets`.
+    */
+  private[queries] def tokenSets(s: SparkSession, d: String): DataFrame = {
+    val name = "graft_token_sets_" + java.security.MessageDigest
+      .getInstance("MD5").digest(d.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    this.synchronized {
+      if (!s.catalog.tableExists(name)) {
+        Tables.documents(s, d).select(col("source").as("block"), col("doc_id").as("id"),
+            array_sort(array_distinct(transform(TA.tokens(col("text")),
+              t => TA.md5Hash60(t)))).as("items"))
+          .createOrReplaceTempView(name)
+        s.catalog.cacheTable(name)
+      }
+    }
+    s.table(name)
+  }
 
   /** The hashed 3-gram shingle-set relation over `documents`, cached once
     * per (session, sf dir) in the SESSION CATALOG as a temp view — the

@@ -22,8 +22,7 @@ object Clustering {
     */
   def dupClusters(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val pairs = Dedup.jaccardPairsHashed(docs, "doc_id", "source",
-        array_distinct(transform(TA.tokens(col("text")), t => TA.md5Hash60(t))), 0.9)
+    val pairs = Dedup.jaccardPairsHashedFromSets(Analysis.tokenSets(s, d), 0.9)
       .select(col("id_a"), col("id_b"))
     ConnectedComponents.assign(docs.select(col("doc_id").as("id")), pairs)
       .select(col("id").as("doc_id"), col("cluster_id"))

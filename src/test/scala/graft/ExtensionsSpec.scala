@@ -15,6 +15,24 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getDouble(1) == 11.0)
   }
 
+  test("set/sketch functions match their Column-API forms") {
+    GraftExtensions.registerFunctions(spark)
+    val row = spark.sql(
+      """SELECT sorted_intersect_count(array(1L, 3L, 7L), array(3L, 5L, 7L)) AS ic,
+        |       simhash60(array(5L, 9L)) AS sh,
+        |       minhash_signature(array(5L, 9L), 2) AS sig""".stripMargin)
+      .collect().head
+    assert(row.getInt(0) == 2)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ref = Seq(Seq(5L, 9L)).toDF("h")
+      .select(graft.functions.SimHash60(col("h")).as("sh"),
+        graft.operators.Dedup.minhashSignatureFromHashes(col("h"), 2).as("sig"))
+      .collect().head
+    assert(row.getLong(1) == ref.getLong(0))
+    assert(row.getSeq[Long](2) == ref.getSeq[Long](1))
+  }
+
   test("registration is idempotent and float arrays are accepted") {
     GraftExtensions.registerFunctions(spark)
     GraftExtensions.registerFunctions(spark)
