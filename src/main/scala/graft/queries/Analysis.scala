@@ -276,7 +276,7 @@ object Analysis {
   // ---- DuckDB oracle SQL builders (mirror the Spark expressions 1:1) ----
 
   private[queries] val toks = "list_filter(string_split(text, ' '), w -> w <> '')"
-  private val dtoks = s"list_distinct($toks)"
+  private[queries] val dtoks = s"list_distinct($toks)"
 
   private[queries] def hash60(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
@@ -307,7 +307,7 @@ object Analysis {
   /** The lang-ID CASE and quality expressions over a relation that has
     * (doc_id, text) — shared by q_lang_id/q_quality_score/q_curate.
     */
-  private val langCase: String =
+  private[queries] val langCase: String =
     """CASE
       |  WHEN h_en > 0 AND h_en >= h_es AND h_en >= h_de AND h_en >= h_fr THEN 'en'
       |  WHEN h_es > 0 AND h_es >= h_de AND h_es >= h_fr THEN 'es'
@@ -315,13 +315,13 @@ object Analysis {
       |  WHEN h_fr > 0 THEN 'fr'
       |  ELSE 'und' END""".stripMargin
 
-  private val markerHits: String =
+  private[queries] val markerHits: String =
     s"""len(list_filter($toks, w -> w IN ('the','a','of','and','to'))) AS h_en,
        |  len(list_filter($toks, w -> w IN ('el','la','de','que','y'))) AS h_es,
        |  len(list_filter($toks, w -> w IN ('der','die','und','ist','das'))) AS h_de,
        |  len(list_filter($toks, w -> w IN ('le','les','et','des','une'))) AS h_fr""".stripMargin
 
-  private val qualityExpr: String =
+  private[queries] val qualityExpr: String =
     "least(n / 100.0, 1.0) * 0.5 + (CASE WHEN n = 0.0 THEN 0.0 ELSE nd / n END) * 0.5"
 
   /** 60-bit simhash over a `hashes` list column (mirrors TA.simhash). */

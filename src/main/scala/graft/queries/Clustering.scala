@@ -166,8 +166,49 @@ object Clustering {
       .orderBy(col("doc_id").asc)
   }
 
+  /** End-to-end corpus build — the whole training-data prep pipeline as
+    * ONE declared query: exact dedup (min id per content hash) →
+    * near-dup CLUSTER resolution (token-Jaccard pairs → connected
+    * components; keep only canonical cluster representatives — strictly
+    * stronger than pair-based dropping, which keeps a doc transitively
+    * connected to a smaller near-dup when no direct pair links them) →
+    * language + quality gate → context-window chunking → split
+    * assignment. Output: one row per kept chunk with its split label.
+    * Every stage is the already-oracled operator; the oracle composes
+    * the same CTEs plus the recursive-CTE component closure.
+    */
+  def corpusBuild(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val kept1Ids = docs
+      .groupBy(md5(col("text").cast("binary")))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val sets = Analysis.tokenSets(s, d)
+      .join(kept1Ids.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+    val pairs = Dedup.jaccardPairsHashedFromSets(sets, 0.9)
+      .select(col("id_a"), col("id_b"))
+    val canon = ConnectedComponents
+      .assign(kept1Ids.select(col("doc_id").as("id")), pairs)
+      .where(col("id") === col("cluster_id"))
+      .select(col("id").as("doc_id"))
+    val gated = docs
+      .join(canon, Seq("doc_id"), "left_semi")
+      .where(TA.langId(col("text")) === "en" && TA.qualityScore(col("text")) >= 0.45)
+    val bucket = pmod(TA.md5Hash60(concat(col("doc_id").cast("string"), lit(":split"))), lit(100L))
+    gated
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .select(col("doc_id"), col("split"),
+        posexplode(TA.tokenChunks(col("text"), size = 64, overlap = 16))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(TA.tokens(col("chunk"))).cast("long").as("n_chunk_tokens"), col("split"))
+      .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dup_clusters" -> dupClusters,
+    "q_corpus_build" -> corpusBuild,
     "q_edit_distance_dedup" -> editDistancePairs,
     "q_stratified_sample" -> stratifiedSample,
     "q_tfidf" -> tfidfTop3,
@@ -194,6 +235,44 @@ object Clustering {
          |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
          |SELECT id AS doc_id, MIN(label) AS cluster_id
          |FROM reach GROUP BY id ORDER BY doc_id ASC""".stripMargin,
+    "q_corpus_build" ->
+      s"""WITH RECURSIVE kept1 AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |hashed AS (SELECT d.doc_id, d.source,
+         |    list_distinct(list_transform(${Analysis.toks}, w -> ${Analysis.hash60("w")})) AS items
+         |  FROM documents d JOIN kept1 k ON d.doc_id = k.doc_id),
+         |pairs AS (SELECT id_a, id_b FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |      ${Analysis.jaccardSql("a.items", "b.items")} AS jaccard
+         |    FROM hashed a JOIN hashed b
+         |      ON a.source = b.source AND a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.9),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach(id, label) AS (
+         |  SELECT doc_id, doc_id FROM kept1
+         |  UNION
+         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+         |canon AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING id = MIN(label)),
+         |feat AS (SELECT doc_id, text, ${Analysis.langCase} AS lang_pred,
+         |    ${Analysis.qualityExpr} AS quality
+         |  FROM (SELECT d.doc_id, d.text, ${Analysis.markerHits},
+         |      len(${Analysis.toks})::DOUBLE AS n, len(${Analysis.dtoks})::DOUBLE AS nd
+         |    FROM documents d JOIN canon c ON d.doc_id = c.doc_id)),
+         |kept2 AS (SELECT doc_id, text FROM feat
+         |  WHERE lang_pred = 'en' AND quality >= 0.45),
+         |t AS (SELECT doc_id, ${Analysis.toks} AS tk, CASE
+         |    WHEN ${Analysis.hash60("CAST(doc_id AS VARCHAR) || ':split'")} % 100 < 80 THEN 'train'
+         |    WHEN ${Analysis.hash60("CAST(doc_id AS VARCHAR) || ':split'")} % 100 < 90 THEN 'val'
+         |    ELSE 'test' END AS split
+         |  FROM kept2),
+         |ch AS (SELECT doc_id, split, i AS chunk_idx,
+         |    len(tk[CAST(i*48+1 AS BIGINT) : CAST(i*48+64 AS BIGINT)]) AS n_chunk_tokens
+         |  FROM t CROSS JOIN LATERAL (SELECT unnest(range(0,
+         |    greatest(CAST(ceil(greatest(len(tk) - 16, 0) / 48.0) AS BIGINT), 1))) AS i)
+         |  WHERE len(tk) > 0)
+         |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, n_chunk_tokens, split
+         |FROM ch ORDER BY doc_id ASC, chunk_idx ASC""".stripMargin,
     "q_edit_distance_dedup" ->
       """SELECT id_a, id_b, dist FROM (
         |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
