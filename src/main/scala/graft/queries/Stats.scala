@@ -164,8 +164,29 @@ object Stats {
       .orderBy(col("p_brand").asc)
   }
 
+  /** Cohort retention over the event stream table: users grouped by
+    * first-seen day, distinct actives per (cohort_day, activity_day).
+    * Two aggregations (first-seen, then the retention matrix) and one
+    * self-join on user_id — each shuffle keys on user or the compact
+    * (cohort, day) pair; at 100 TB the distinct count would switch to
+    * approx_count_distinct per cell.
+    */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    // days as ISO strings: a DATE output column arrives as datetime.date
+    // from Spark parquet but midnight datetime64 from DuckDB — strings
+    // compare identically in the gate.
+    val e = graft.Tables.events(s, d)
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    val firstDay = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    e.join(firstDay, Seq("user_id"))
+      .groupBy(col("cohort_day"), col("day"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day").asc, col("day").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pivot" -> pivotStatus,
+    "q_cohort_retention" -> cohortRetention,
     "q_grouping_sets" -> groupingSets,
     "q_ntile" -> ntileWindows,
     "q_stats_moments" -> statsMoments,
@@ -174,6 +195,12 @@ object Stats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT f.cohort_day, e.day, COUNT(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_day ASC, day ASC""".stripMargin,
     "q_pivot" ->
       """SELECT CAST(month(o_orderdate) AS BIGINT) AS mon,
         |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,

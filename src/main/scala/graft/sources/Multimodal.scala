@@ -52,6 +52,62 @@ object Multimodal {
         col("content").as("bytes"),
         map(lit("path"), col("path"), lit("length"), col("length").cast("string")).as("meta"))
 
+  /** REAL image header parsing (no codec needed): container format and
+    * pixel dimensions from the first bytes of PNG (IHDR), GIF (logical
+    * screen), BMP (BITMAPINFOHEADER), and JPEG (marker walk to the
+    * frame's SOFn segment). This is the metadata a corpus pipeline
+    * filters/buckets on (drop icons, cap megapixels, bucket by aspect)
+    * without ever decoding pixels — the decode itself stays behind
+    * `decodeStub`'s seam.
+    */
+  def imageDims(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    if (bytes == null || bytes.length < 10) return None
+    def u8(i: Int) = bytes(i) & 0xFF
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    if (bytes.length >= 24 && u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G')
+      return Some(("png", be32(16), be32(20)))
+    if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')
+      return Some(("gif", le16(6), le16(8)))
+    if (bytes.length >= 26 && bytes(0) == 'B' && bytes(1) == 'M')
+      return Some(("bmp", le32(18), le32(22)))
+    if (u8(0) == 0xFF && u8(1) == 0xD8) { // JPEG: walk segment markers
+      var i = 2
+      while (i + 9 < bytes.length) {
+        if (u8(i) != 0xFF) return None
+        val marker = u8(i + 1)
+        if (marker >= 0xD0 && marker <= 0xD9) i += 2 // standalone RSTn/SOI/EOI
+        else {
+          val len = be16(i + 2)
+          if (len < 2) return None
+          // SOF0..SOF15 except DHT(C4)/JPG(C8)/DAC(CC): [len][prec][h][w]
+          if (marker >= 0xC0 && marker <= 0xCF &&
+              marker != 0xC4 && marker != 0xC8 && marker != 0xCC)
+            return if (i + 8 < bytes.length) Some(("jpeg", be16(i + 7), be16(i + 5))) else None
+          i += 2 + len
+        }
+      }
+      return None
+    }
+    None
+  }
+
+  /** Parsed (img_format, width, height) columns for image rows — NULL
+    * for non-images or unparseable bytes. Per-row narrow work; the UDF
+    * reads only header bytes.
+    */
+  def withImageMeta(df: DataFrame): DataFrame = {
+    val dims = udf((b: Array[Byte]) => imageDims(b))
+    df.withColumn("img",
+        when(col("modality") === "image", dims(col("bytes"))))
+      .withColumn("img_format", col("img._1"))
+      .withColumn("width", col("img._2"))
+      .withColumn("height", col("img._3"))
+      .drop("img")
+  }
+
   /** STUB decoder: deterministic pseudo feature vector from bytes (md5
     * expansion). Replace with a real codec (`??? -> libjpeg/ffmpeg`) to
     * productionize; the surrounding plumbing is unchanged.

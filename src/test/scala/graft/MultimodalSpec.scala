@@ -38,3 +38,60 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fv.distinct.size == fv.size)
   }
 }
+
+class ImageHeaderSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def png(w: Int, h: Int): Array[Byte] = {
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+      0x0D.toByte, 0x0A.toByte, 0x1A.toByte, 0x0A.toByte) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0)
+  }
+
+  private def jpeg(w: Int, h: Int): Array[Byte] = {
+    def be16(v: Int) = Array((v >> 8).toByte, v.toByte)
+    Array(0xFF.toByte, 0xD8.toByte) ++                       // SOI
+      (Array(0xFF.toByte, 0xE0.toByte) ++ be16(16) ++ Array.fill[Byte](14)(0)) ++ // APP0
+      (Array(0xFF.toByte, 0xC0.toByte) ++ be16(11) ++        // SOF0
+        Array[Byte](8) ++ be16(h) ++ be16(w) ++ Array[Byte](1, 0x11, 0, 0))
+  }
+
+  private def gif(w: Int, h: Int): Array[Byte] =
+    "GIF89a".getBytes ++ Array((w & 0xFF).toByte, (w >> 8).toByte,
+      (h & 0xFF).toByte, (h >> 8).toByte) ++ Array[Byte](0, 0, 0)
+
+  private def bmp(w: Int, h: Int): Array[Byte] = {
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    "BM".getBytes ++ Array.fill[Byte](12)(0) ++ le32(40) ++ le32(w) ++ le32(h) ++ Array[Byte](0, 0)
+  }
+
+  test("header parsing recovers format and dimensions for all four containers") {
+    assert(Multimodal.imageDims(png(320, 240)).contains(("png", 320, 240)))
+    assert(Multimodal.imageDims(jpeg(320, 240)).contains(("jpeg", 320, 240)))
+    assert(Multimodal.imageDims(gif(320, 240)).contains(("gif", 320, 240)))
+    assert(Multimodal.imageDims(bmp(320, 240)).contains(("bmp", 320, 240)))
+  }
+
+  test("garbage, truncated, and null bytes parse to None") {
+    assert(Multimodal.imageDims(null).isEmpty)
+    assert(Multimodal.imageDims(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.imageDims(png(320, 240).take(12)).isEmpty)
+    assert(Multimodal.imageDims(jpeg(320, 240).take(6)).isEmpty)
+    assert(Multimodal.imageDims("not an image at all".getBytes).isEmpty)
+  }
+
+  test("withImageMeta annotates image rows and leaves others NULL") {
+    val media = Multimodal.fromBytes(spark, Seq(
+      (1L, "image", png(64, 32), Map.empty[String, String]),
+      (2L, "image", jpeg(100, 50), Map.empty[String, String]),
+      (3L, "audio", Array[Byte](1, 2, 3, 4), Map.empty[String, String]),
+      (4L, "image", Array[Byte](9, 9, 9), Map.empty[String, String])))
+    val got = Multimodal.withImageMeta(media).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(4)), Option(r.get(5)), Option(r.get(6)))).toMap
+    assert(got(1L) == (Some("png"), Some(64), Some(32)))
+    assert(got(2L) == (Some("jpeg"), Some(100), Some(50)))
+    assert(got(3L) == (None, None, None))
+    assert(got(4L) == (None, None, None))
+  }
+}

@@ -190,4 +190,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions.length == 2)
     assert(sessions.map(_.getLong(3)).sorted.toSeq == Seq(1L, 2L))
   }
+
+  test("curateDocs: streaming dedup+gate equals the batch twin") {
+    import graft.streaming.DocStreams
+    implicit val sqlCtx = spark.sqlContext
+    // en/high-quality texts (pass the gate) and a Spanish one (gated out);
+    // doc 3 duplicates doc 1's text and must be dropped by fingerprint.
+    // Arrival order equals (ts, doc_id) order so the stream's
+    // first-arrival-wins dedup coincides with the batch twin's
+    // earliest-(ts, doc_id) rule.
+    // ≥100 tokens so the length term of the quality score saturates
+    val en = "the quick brown fox jumps over the lazy dog and the cat " * 10
+    val es = "el perro y el gato que corren en la casa de la abuela " * 10
+    val docs = Seq(
+      (ts("2024-01-01 00:00:00"), 1L, en),
+      (ts("2024-01-01 00:10:00"), 2L, en + "extra tail tokens here"),
+      (ts("2024-01-01 00:20:00"), 3L, en),           // dup of doc 1
+      (ts("2024-01-01 00:30:00"), 4L, es))           // gated out (lang)
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = DocStreams.curateDocs(mem.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.format("memory").queryName("curated_docs")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 03:00:00"), 9L, "watermark advancer " * 20))
+      q.processAllAvailable()
+      val streamed = spark.table("curated_docs")
+        .collect().map(_.getLong(1)).toSet
+      val batch = DocStreams.curateDocsBatch(docs.toDF("ts", "doc_id", "text"))
+        .collect().map(_.getLong(1)).toSet
+      assert(streamed.intersect(Set(1L, 2L, 3L, 4L)) == batch)
+      assert(batch == Set(1L, 2L))
+    } finally q.stop()
+  }
 }
