@@ -244,7 +244,13 @@ object Dedup {
     */
   def minhashNearDup(df: DataFrame, idCol: String, items: Column,
                      bands: Int, rowsPerBand: Int, threshold: Double): DataFrame =
-    minhashNearDupFromSets(hashedSets(df, idCol, items), bands, rowsPerBand, threshold)
+    // localCheckpoint materializes the hashed-set relation once for the
+    // three plan branches (banding + both verify sides) without
+    // process-global cache state — the RDD is GC-cleaned when the plan
+    // is dropped. Callers with a longer-lived signature table use
+    // minhashNearDupFromSets over their own cached relation.
+    minhashNearDupFromSets(hashedSets(df, idCol, items).localCheckpoint(),
+      bands, rowsPerBand, threshold)
 
   /** MinHash+LSH over a prebuilt `(id, hsorted)` relation (see
     * `hashedSets`). Caching/persistence of `sets` is the caller's.

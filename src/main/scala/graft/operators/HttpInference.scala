@@ -83,16 +83,7 @@ object HttpInference {
   }
 
   /** JSON string literal of `s` (the wire format of one batch line). */
-  private[graft] def encode(s: String): String =
-    "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  private[graft] def encode(s: String): String = graft.Jsons.escape(s)
 
   /** Inverse of `encode` (lenient: unknown escapes pass through). */
   private[graft] def decode(line: String): String = {
@@ -110,7 +101,8 @@ object HttpInference {
           case 't' => sb.append('\t'); i += 2
           case '"' => sb.append('"'); i += 2
           case '\\' => sb.append('\\'); i += 2
-          case 'u' if i + 5 < s.length + 1 && i + 6 <= s.length =>
+          case 'u' if i + 6 <= s.length &&
+              s.substring(i + 2, i + 6).forall(c => Character.digit(c, 16) >= 0) =>
             sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
           case other => sb.append(other); i += 2
         }

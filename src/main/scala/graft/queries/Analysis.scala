@@ -221,8 +221,13 @@ object Analysis {
     import org.apache.spark.sql.expressions.Window
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), TA.tokenCount(col("text")).cast("long").as("n_tokens"))
+    // localCheckpoint pins the part assignment: spark_partition_id over a
+    // sampled range exchange is nondeterministic, and BOTH the local-cumsum
+    // and the offsets branch consume `part` — without materialization,
+    // correctness would silently ride on physical exchange reuse.
     val parted = toks.repartitionByRange(32, col("doc_id"))
       .withColumn("part", spark_partition_id())
+      .localCheckpoint()
     val wLocal = Window.partitionBy(col("part")).orderBy(col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = parted.withColumn("local_cum", sum(col("n_tokens")).over(wLocal))

@@ -88,15 +88,70 @@ object Tpch {
       .orderBy(col("event_id").asc)
   }
 
+  /** TPC-H Q17 shape (small-quantity revenue): lineitems below 20% of
+    * their part's average quantity — the correlated-scalar-subquery
+    * pattern expressed as an aggregate + equi-join (what Catalyst's
+    * decorrelation produces anyway, but explicit: one shuffle on
+    * l_partkey for the averages, one for the join; averages are
+    * exact-decimal-sum / count, so the float threshold compare is
+    * engine-identical).
+    */
+  def smallQtyRevenue(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val avgQ = l.groupBy(col("l_partkey"))
+      .agg((sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
+    l.join(avgQ, Seq("l_partkey"))
+      .where(col("l_quantity") < col("avg_qty") * 0.2)
+      .agg(sum(dec2(col("l_extendedprice"))).cast("double").as("sum_price"),
+        count(lit(1)).as("n"))
+  }
+
+  /** first/last/nth value window functions over the full-partition frame
+    * (per segment: poorest, richest, and second-poorest customer). The
+    * window order is total (balance, custkey) so values are unique.
+    */
+  def valueWindows(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"),
+        first(col("c_name")).over(w).as("poorest"),
+        last(col("c_name")).over(w).as("richest"),
+        nth_value(col("c_name"), 2).over(w).as("second_poorest"))
+      .distinct()
+      .orderBy(col("c_mktsegment").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q3" -> q3Revenue,
     "q_tpch_q5" -> q5RegionRevenue,
     "q_part_stats" -> partStats,
     "q_supplier_balance" -> supplierBalance,
     "q_range_frame" -> rangeFrame,
+    "q_small_qty_revenue" -> smallQtyRevenue,
+    "q_value_windows" -> valueWindows,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_small_qty_revenue" ->
+      """WITH a AS (SELECT l_partkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n
+        |FROM lineitem l JOIN a ON l.l_partkey = a.l_partkey
+        |WHERE l.l_quantity < a.avg_qty * 0.2""".stripMargin,
+    "q_value_windows" ->
+      """SELECT DISTINCT c_mktsegment,
+        |  FIRST_VALUE(c_name) OVER w AS poorest,
+        |  LAST_VALUE(c_name) OVER w AS richest,
+        |  NTH_VALUE(c_name, 2) OVER w AS second_poorest
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |  ORDER BY c_acctbal ASC, c_custkey ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_mktsegment ASC""".stripMargin,
     "q_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))

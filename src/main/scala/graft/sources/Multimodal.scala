@@ -72,13 +72,16 @@ object Multimodal {
     if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')
       return Some(("gif", le16(6), le16(8)))
     if (bytes.length >= 26 && bytes(0) == 'B' && bytes(1) == 'M')
-      return Some(("bmp", le32(18), le32(22)))
+      // BITMAPINFOHEADER height is SIGNED: negative = top-down row order,
+      // same pixel count — surface the magnitude.
+      return Some(("bmp", le32(18), math.abs(le32(22))))
     if (u8(0) == 0xFF && u8(1) == 0xD8) { // JPEG: walk segment markers
       var i = 2
       while (i + 9 < bytes.length) {
         if (u8(i) != 0xFF) return None
         val marker = u8(i + 1)
-        if (marker >= 0xD0 && marker <= 0xD9) i += 2 // standalone RSTn/SOI/EOI
+        if (marker == 0xFF) i += 1 // 0xFF fill bytes before a marker (T.81 B.1.1.2)
+        else if (marker >= 0xD0 && marker <= 0xD9) i += 2 // standalone RSTn/SOI/EOI
         else {
           val len = be16(i + 2)
           if (len < 2) return None

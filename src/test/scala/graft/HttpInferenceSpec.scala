@@ -94,4 +94,10 @@ class HttpInferenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val nasty = "line1\nline2\t\"quoted\" back\\slash"
     assert(HttpInference.decode(HttpInference.encode(nasty)) == nasty)
   }
+
+  test("decode is lenient on malformed \\u escapes (no throw, passthrough)") {
+    assert(HttpInference.decode("\"a\\uZZZZb\"") == "auZZZZb")
+    assert(HttpInference.decode("\"a\\u12\"") == "au12")
+    assert(HttpInference.decode("\"a\\u0041b\"") == "aAb")
+  }
 }

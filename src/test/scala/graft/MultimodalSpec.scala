@@ -73,6 +73,19 @@ class ImageHeaderSpec extends AnyFunSuite {
     assert(Multimodal.imageDims(bmp(320, 240)).contains(("bmp", 320, 240)))
   }
 
+  test("JPEG 0xFF fill bytes before a marker are skipped (T.81 B.1.1.2)") {
+    val j = jpeg(320, 240)
+    val padded = j.take(2) ++ Array(0xFF.toByte, 0xFF.toByte) ++ j.drop(2)
+    assert(Multimodal.imageDims(padded).contains(("jpeg", 320, 240)))
+  }
+
+  test("top-down BMP (negative signed height) yields the magnitude") {
+    val b = bmp(320, 240)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val topDown = b.patch(22, le32(-240), 4)
+    assert(Multimodal.imageDims(topDown).contains(("bmp", 320, 240)))
+  }
+
   test("garbage, truncated, and null bytes parse to None") {
     assert(Multimodal.imageDims(null).isEmpty)
     assert(Multimodal.imageDims(Array[Byte](1, 2, 3)).isEmpty)
