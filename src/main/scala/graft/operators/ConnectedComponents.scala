@@ -77,7 +77,75 @@ object ConnectedComponents {
     }
     throw new IllegalStateException(
       s"connected components did not converge in $maxRounds rounds — " +
-        "graph diameter exceeds the bound; raise maxRounds or switch the " +
-        "propagation loop to alternating large-star/small-star")
+        "graph diameter exceeds the bound; raise maxRounds or use " +
+        "assignAlternatingStar (O(log n) rounds on deep graphs)")
+  }
+
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * deep-graph path: converges in O(log n) rounds regardless of
+    * diameter, where min-label propagation needs diameter rounds.
+    *
+    * Each half-round is one aggregation (per-node minimum over the
+    * symmetric neighborhood — never a collect_list) plus one join
+    * emitting the rewired edges:
+    *   - large-star(u): every neighbor v > u re-points to
+    *     m = min(N(u) ∪ {u});
+    *   - small-star(u): every neighbor v ≤ u, and u itself, re-point
+    *     to m.
+    * The edge multiset shrinks toward stars centered on component
+    * minima; convergence = the canonical edge set stops changing
+    * (checked with an except-probe on the checkpointed relations, not a
+    * full driver-side compare).
+    */
+  def assignAlternatingStar(nodes: DataFrame, edges: DataFrame,
+                            maxRounds: Int = 60): DataFrame = {
+    def canon(e: DataFrame): DataFrame =
+      e.where(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("src"),
+          greatest(col("src"), col("dst")).as("dst"))
+        .distinct()
+
+    def minOverNbrs(sym: DataFrame): DataFrame =
+      sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+
+    var e = canon(edges.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .localCheckpoint()
+    var round = 0
+    var done = e.isEmpty
+    while (!done && round < maxRounds) {
+      val sym = e.select(col("src").as("u"), col("dst").as("v"))
+        .union(e.select(col("dst").as("u"), col("src").as("v")))
+      // large-star: (v, m(u)) for v ∈ N(u), v > u
+      val large = sym.where(col("v") > col("u"))
+        .join(minOverNbrs(sym), Seq("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+      val eL = canon(large).localCheckpoint()
+      val symL = eL.select(col("src").as("u"), col("dst").as("v"))
+        .union(eL.select(col("dst").as("u"), col("src").as("v")))
+      // small-star: (v, m(u)) for v ∈ N(u) ∪ {u}, v ≤ u — the self case
+      // is one row per u straight from the aggregate
+      val smallMin = minOverNbrs(symL)
+      val small = symL.where(col("v") < col("u"))
+        .join(smallMin, Seq("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .union(smallMin.select(col("u").as("src"), col("m").as("dst")))
+      val eS = canon(small).localCheckpoint()
+      // fixpoint: same canonical edge set as the previous round
+      done = eS.exceptAll(e).isEmpty && e.exceptAll(eS).isEmpty
+      e = eS
+      round += 1
+    }
+    if (!done && round >= maxRounds)
+      throw new IllegalStateException(
+        s"alternating-star did not converge in $maxRounds rounds")
+    // At the fixpoint the graph is stars centered on component minima;
+    // in canonical (src < dst) form that is (root, leaf). Singletons are
+    // nodes without edges.
+    val rootOf = e.select(col("src").as("cluster_id"), col("dst").as("id"))
+    nodes.select(col("id"))
+      .join(rootOf, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 }

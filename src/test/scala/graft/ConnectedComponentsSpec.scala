@@ -68,4 +68,38 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       ConnectedComponents.assign(nodes(1L to 12L: _*), edges(chain: _*), maxRounds = 2)
     }
   }
+
+  private def runStar(n: DataFrame, e: DataFrame): Map[Long, Long] =
+    ConnectedComponents.assignAlternatingStar(n, e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("alternating-star: 60-node chain converges where propagation's default bound cannot") {
+    val n = 60
+    val chain = (1L until n.toLong).map(i => (i, i + 1))
+    val got = runStar(nodes(1L to n.toLong: _*), edges(chain: _*))
+    assert(got.values.toSet == Set(1L))
+    intercept[IllegalStateException] {
+      ConnectedComponents.assign(nodes(1L to n.toLong: _*), edges(chain: _*), maxRounds = 25)
+    }
+  }
+
+  test("alternating-star handles cliques, singletons, and reversed edges") {
+    val got = runStar(
+      nodes(1L, 2L, 3L, 10L, 11L, 12L, 99L),
+      edges((3L, 1L), (2L, 3L), (10L, 11L), (12L, 10L), (11L, 12L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
+  }
+
+  test("alternating-star matches min-label propagation on random graphs") {
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { _ =>
+      val n = 15 + rnd.nextInt(15)
+      val ids = (1L to n.toLong).toSeq
+      val es = Seq.fill(n)((ids(rnd.nextInt(n)), ids(rnd.nextInt(n))))
+        .filter { case (a, b) => a != b }
+      val expect = run(nodes(ids: _*), edges(es: _*))
+      assert(runStar(nodes(ids: _*), edges(es: _*)) == expect)
+    }
+  }
 }
