@@ -184,9 +184,51 @@ object Stats {
       .orderBy(col("cohort_day").asc, col("day").asc)
   }
 
+  /** Two-phase SALTED aggregation: partials on (key, salt) — 16 shuffle
+    * cells per hot key instead of one — then an exact decimal merge. The
+    * oracle is the plain single-phase groupBy, proving the decomposition
+    * is lossless; this is the explicit form of what map-side partial
+    * aggregation does implicitly, needed when one group key dominates a
+    * partition even after partials (the aggregation twin of
+    * q_salted_join).
+    */
+  def skewAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"))
+      .withColumn("salt", pmod(col("l_orderkey"), lit(16L)).cast("int"))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(dec2(col("l_quantity"))).as("pq"), count(lit(1)).as("pn"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("pq")).cast("double").as("sum_qty"), sum(col("pn")).as("n"))
+      .orderBy(col("l_returnflag").asc)
+
+  /** Map-column roundtrip: per document, a MAP(language → marker-word
+    * hit count) built with `map`, then `explode`d back to scalar rows
+    * the gate can hash — the map-functions surface exercised inside an
+    * oracled query (the oracle computes the same counts relationally;
+    * markers are the q_lang_id vocabulary, so hits are guaranteed).
+    */
+  private[queries] val markerPatterns: Seq[(String, String)] = Seq(
+    "en" -> "(the|a|of|and|to)",
+    "es" -> "(el|la|de|que|y)",
+    "de" -> "(der|die|und|ist|das)",
+    "fr" -> "(le|les|et|des|une)")
+
+  def mapMarkers(s: SparkSession, d: String): DataFrame = {
+    val entries = markerPatterns.flatMap { case (key, pat) =>
+      Seq(lit(key), regexp_count(lower(col("text")), lit(s"\\b$pat\\b")).cast("long"))
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(map(entries: _*)).as(Seq("lang_family", "n_markers")))
+      .where(col("n_markers") > 0)
+      .orderBy(col("doc_id").asc, col("lang_family").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pivot" -> pivotStatus,
     "q_cohort_retention" -> cohortRetention,
+    "q_skew_agg" -> skewAgg,
+    "q_map_markers" -> mapMarkers,
     "q_grouping_sets" -> groupingSets,
     "q_ntile" -> ntileWindows,
     "q_stats_moments" -> statsMoments,
@@ -195,6 +237,20 @@ object Stats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_skew_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag ASC""".stripMargin,
+    "q_map_markers" -> {
+      val branches = markerPatterns.map { case (k, pat) =>
+        s"SELECT doc_id, '$k' AS lang_family, " +
+          s"len(regexp_extract_all(lower(text), '\\b$pat\\b')) AS n_markers FROM documents"
+      }.mkString("\nUNION ALL ")
+      s"""SELECT doc_id, lang_family, n_markers FROM (
+         |$branches)
+         |WHERE n_markers > 0 ORDER BY doc_id ASC, lang_family ASC""".stripMargin
+    },
     "q_cohort_retention" ->
       """WITH e AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events),
         |f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id)
