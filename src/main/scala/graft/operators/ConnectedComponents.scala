@@ -132,8 +132,11 @@ object ConnectedComponents {
         .select(col("v").as("src"), col("m").as("dst"))
         .union(smallMin.select(col("u").as("src"), col("m").as("dst")))
       val eS = canon(small).localCheckpoint()
-      // fixpoint: same canonical edge set as the previous round
-      done = eS.exceptAll(e).isEmpty && e.exceptAll(eS).isEmpty
+      // fixpoint: same canonical edge set as the previous round. Both
+      // sides are distinct (canon), so equal counts + one empty except
+      // suffice — the common non-converged round pays two cheap counts
+      // over checkpointed RDDs instead of two exceptAll shuffles.
+      done = e.count() == eS.count() && eS.exceptAll(e).isEmpty
       e = eS
       round += 1
     }

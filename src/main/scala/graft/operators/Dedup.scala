@@ -237,10 +237,10 @@ object Dedup {
     * equi-join (distinct id pairs) → exact Jaccard verification.
     * nHashes = bands * rowsPerBand. The candidate join shuffles on the
     * band key only; item arrays are joined back for verification.
-    * Convenience form — builds the hashed-set relation inline and does
-    * NOT materialize it (three plan branches recompute the md5 pass);
-    * callers on hot paths should cache `hashedSets` themselves and use
-    * `minhashNearDupFromSets`.
+    * Convenience form — builds the hashed-set relation inline and
+    * materializes it once (localCheckpoint) for the three consuming plan
+    * branches; callers with a longer-lived signature table should cache
+    * `hashedSets` themselves and use `minhashNearDupFromSets`.
     */
   def minhashNearDup(df: DataFrame, idCol: String, items: Column,
                      bands: Int, rowsPerBand: Int, threshold: Double): DataFrame =

@@ -73,8 +73,9 @@ object Multimodal {
       return Some(("gif", le16(6), le16(8)))
     if (bytes.length >= 26 && bytes(0) == 'B' && bytes(1) == 'M')
       // BITMAPINFOHEADER height is SIGNED: negative = top-down row order,
-      // same pixel count — surface the magnitude.
-      return Some(("bmp", le32(18), math.abs(le32(22))))
+      // same pixel count — surface the magnitude (via Long: abs(Int.Min)
+      // would stay negative).
+      return Some(("bmp", le32(18), math.abs(le32(22).toLong).toInt))
     if (u8(0) == 0xFF && u8(1) == 0xD8) { // JPEG: walk segment markers
       var i = 2
       while (i + 9 < bytes.length) {
