@@ -224,11 +224,41 @@ object Stats {
       .orderBy(col("doc_id").asc, col("lang_family").asc)
   }
 
+  /** Time-series gap filling: daily revenue per status regularized onto
+    * the complete (status × day) grid — `sequence` generates the day
+    * spine from the data's own bounds, missing days left-join to NULL,
+    * and a carry-forward window (`last` ignoreNulls over day order)
+    * fills them, flagged in `is_filled`. The spine is tiny
+    * (statuses × days) so its cross join broadcasts; the only real
+    * shuffle is the daily aggregate.
+    */
+  def gapFill(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val daily = o
+      .groupBy(col("o_orderstatus"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(dec2(col("o_totalprice"))).cast("double").as("rev"))
+    val days = o
+      .agg(to_date(min(col("o_orderdate"))).as("mn"), to_date(max(col("o_orderdate"))).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"))).as("dt"))
+      .select(date_format(col("dt"), "yyyy-MM-dd").as("day"))
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    o.select(col("o_orderstatus")).distinct()
+      .crossJoin(days)
+      .join(daily, Seq("o_orderstatus", "day"), "left")
+      .withColumn("rev_filled",
+        coalesce(last(col("rev"), ignoreNulls = true).over(w), lit(0.0)))
+      .withColumn("is_filled", col("rev").isNull)
+      .select(col("o_orderstatus"), col("day"), col("rev_filled"), col("is_filled"))
+      .orderBy(col("o_orderstatus").asc, col("day").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pivot" -> pivotStatus,
     "q_cohort_retention" -> cohortRetention,
     "q_skew_agg" -> skewAgg,
     "q_map_markers" -> mapMarkers,
+    "q_gap_fill" -> gapFill,
     "q_grouping_sets" -> groupingSets,
     "q_ntile" -> ntileWindows,
     "q_stats_moments" -> statsMoments,
@@ -251,6 +281,25 @@ object Stats {
          |$branches)
          |WHERE n_markers > 0 ORDER BY doc_id ASC, lang_family ASC""".stripMargin
     },
+    "q_gap_fill" ->
+      """WITH b AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS mn,
+        |    MAX(CAST(o_orderdate AS DATE)) AS mx FROM orders),
+        |days AS (SELECT strftime(d, '%Y-%m-%d') AS day
+        |  FROM b CROSS JOIN LATERAL (SELECT unnest(generate_series(mn, mx,
+        |    INTERVAL 1 DAY)) AS d)),
+        |st AS (SELECT DISTINCT o_orderstatus FROM orders),
+        |daily AS (SELECT o_orderstatus, strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |grid AS (SELECT st.o_orderstatus, days.day, daily.rev
+        |  FROM st CROSS JOIN days
+        |  LEFT JOIN daily ON daily.o_orderstatus = st.o_orderstatus
+        |    AND daily.day = days.day)
+        |SELECT o_orderstatus, day,
+        |  coalesce(last_value(rev IGNORE NULLS) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY day ASC ROWS UNBOUNDED PRECEDING), 0.0) AS rev_filled,
+        |  (rev IS NULL) AS is_filled
+        |FROM grid ORDER BY o_orderstatus ASC, day ASC""".stripMargin,
     "q_cohort_retention" ->
       """WITH e AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events),
         |f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id)
