@@ -52,12 +52,16 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""errors":$errs,"failed":${results.count(_._3.isDefined)},"sf":${jstr(sfDir)}}"""
-    // Stdout for the driver, plus an optional file sink so a consumer never
-    // has to strip sbt's [info] prefix from the line.
-    println(json)
+    // Optional file sink so a consumer never has to strip sbt's [info]
+    // prefix from the line.
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n")
     }
+    // Stdout for the driver — printed LAST, after the session is fully
+    // stopped with logging silenced, so no shutdown WARN line can trail
+    // the JSON (r1's driver parse failed on exactly that).
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(json)
   }
 }
