@@ -281,6 +281,43 @@ object Dedup {
       "jaccard", threshold)
   }
 
+  /** Incremental MinHash+LSH: near-dup pairs where at least one side is
+    * from the NEW batch — the continuous-ingestion shape. A 100 TB
+    * corpus never re-runs all-pairs when a batch arrives: the existing
+    * signature table is persisted (see `hashedSets`), only the new
+    * batch's signatures are computed, and the band join probes NEW
+    * against (existing ∪ new) — existing↔existing pairs are never
+    * enumerated again. Output convention matches the full form
+    * (id_a < id_b, exact Jaccard verify), so
+    *   incremental(new, existing) ≡ full(existing ∪ new) ∖ full(existing)
+    * — asserted in DedupSpec.
+    */
+  def minhashNearDupIncremental(newSets: DataFrame, existingSets: DataFrame,
+                                bands: Int, rowsPerBand: Int,
+                                threshold: Double): DataFrame = {
+    val n = bands * rowsPerBand
+    def banded(sets: DataFrame): DataFrame = sets
+      .select(col("id"), minhashSignatureFromHashes(col("hsorted"), n).as("sig"))
+      .select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("band"),
+        col("sig"))
+      .select(col("id"), bandKey(col("sig"), col("band"), rowsPerBand).as("bkey"))
+    val all = existingSets.union(newSets)
+    val cand = banded(newSets).select(col("bkey"), col("id").as("id_n"))
+      .join(banded(all).select(col("bkey"), col("id").as("id_o")), Seq("bkey"))
+      .where(col("id_n") =!= col("id_o"))
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"))
+      .distinct()
+    scorePairs(
+      cand
+        .join(all.select(col("id").as("id_a"), col("hsorted").as("items_a")), Seq("id_a"))
+        .join(all.select(col("id").as("id_b"), col("hsorted").as("items_b")), Seq("id_b")),
+      jaccardFromSizes(
+        graft.functions.SortedIntersectCount(col("items_a"), col("items_b")),
+        size(col("items_a")), size(col("items_b"))),
+      "jaccard", threshold)
+  }
+
   /** Embedding near-dup pairs: cosine >= threshold within blocks.
     * L2 norms are computed once per vector before the join (O(n·d)), so
     * the per-pair work is a single dot product (O(pairs·d)) — at scale

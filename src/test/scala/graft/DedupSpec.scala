@@ -106,4 +106,29 @@ class DedupSpec extends AnyFunSuite {
     val agree = sigs(0).zip(sigs(1)).count { case (x, y) => x == y }
     assert(agree >= 10, s"expected most of 16 minhashes to agree for ~93% similar sets, got $agree")
   }
+
+  test("incremental LSH equals full-pairs(all) minus full-pairs(existing)") {
+    import org.apache.spark.sql.DataFrame
+    val mk: String => String = suffix => (1 to 30).map("w" + _).mkString(" ") + " " + suffix
+    val existing = Seq(
+      (1L, mk("alpha")), (2L, mk("alpha beta")), (3L, "totally different content here now")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, mk("alpha")),                        // near-dup of 1 and 2
+      (11L, "unrelated brand new words entirely") // no partner
+    ).toDF("doc_id", "text")
+    def sets(df: DataFrame): DataFrame =
+      Dedup.hashedSets(df, "doc_id", TextAnalysis.shingles(col("text"), 3))
+    def pairsOf(df: DataFrame): Set[(Long, Long)] =
+      Dedup.minhashNearDup(df, "doc_id", TextAnalysis.shingles(col("text"), 3),
+          bands = 4, rowsPerBand = 3, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = pairsOf(existing.union(fresh)) -- pairsOf(existing)
+    val got = Dedup.minhashNearDupIncremental(sets(fresh), sets(existing),
+        bands = 4, rowsPerBand = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)                         // 10 pairs with 1 and/or 2
+    assert(got.forall { case (a, b) => a >= 10L || b >= 10L }) // new side present
+  }
 }
