@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SCD-1-style change application (the MERGE statement's semantics)
+  * without a lake format: one left join of base against the change set
+  * on the key — updates overwrite their payload columns, deletes drop
+  * the row, untouched rows pass through unchanged.
+  *
+  * Scale shape: ONE equi-join shuffled on the merge key (changes are
+  * normally ≪ base, so AQE broadcasts them); no row of the base is
+  * rewritten unless keyed by a change — the classic copy-on-write merge
+  * a table format would do per-file, expressed relationally.
+  *
+  * Inserts (op 'I') are a disjoint concern — rows not present in the
+  * base by definition don't join; append them with
+  * `result.unionByName(inserts)` after an anti-join guard.
+  */
+object Merge {
+
+  /** Apply (key, op, payload...) changes to `base`. `changes` must have
+    * the key column, `opCol` with values 'U' (update) or 'D' (delete),
+    * and payload columns NAMED AS IN BASE — each is overwritten on 'U'.
+    */
+  def applyChanges(base: DataFrame, changes: DataFrame, keyCol: String,
+                   opCol: String = "op"): DataFrame = {
+    val payload = changes.columns.filterNot(c => c == keyCol || c == opCol)
+    require(payload.forall(base.columns.contains),
+      s"change payload columns ${payload.mkString(",")} must exist in base")
+    val chg = changes.select(
+      col(keyCol) +: col(opCol).as("__op") +: payload.map(c => col(c).as("__u_" + c)): _*)
+    base.join(chg, Seq(keyCol), "left")
+      .where(col("__op").isNull || col("__op") =!= "D")
+      .select(base.columns.map { c =>
+        if (payload.contains(c))
+          when(col("__op") === "U", col("__u_" + c)).otherwise(col(c)).as(c)
+        else col(c)
+      }: _*)
+  }
+}

@@ -253,12 +253,33 @@ object Stats {
       .orderBy(col("o_orderstatus").asc, col("day").asc)
   }
 
+  /** MERGE semantics over the customer dimension: a deterministic CDC
+    * set derived from orders (each ordering customer's balance becomes
+    * their exact-decimal order total; every 10th key is a delete) is
+    * applied with operators.Merge — updates overwrite, deletes drop,
+    * untouched rows pass through. The oracle is the equivalent
+    * LEFT JOIN + CASE + anti-delete filter.
+    */
+  def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val changes = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(sum(dec2(col("o_totalprice"))).cast("double").as("c_acctbal"))
+      .withColumn("op",
+        when(pmod(col("c_custkey"), lit(10L)) === 0, "D").otherwise("U"))
+    graft.operators.Merge.applyChanges(
+        Tables.customer(s, d).select(col("c_custkey"), col("c_name"),
+          col("c_acctbal"), col("c_mktsegment")),
+        changes, "c_custkey")
+      .orderBy(col("c_custkey").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pivot" -> pivotStatus,
     "q_cohort_retention" -> cohortRetention,
     "q_skew_agg" -> skewAgg,
     "q_map_markers" -> mapMarkers,
     "q_gap_fill" -> gapFill,
+    "q_merge_upsert" -> mergeUpsert,
     "q_grouping_sets" -> groupingSets,
     "q_ntile" -> ntileWindows,
     "q_stats_moments" -> statsMoments,
@@ -281,6 +302,17 @@ object Stats {
          |$branches)
          |WHERE n_markers > 0 ORDER BY doc_id ASC, lang_family ASC""".stripMargin
     },
+    "q_merge_upsert" ->
+      """WITH ch AS (SELECT o_custkey AS c_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS new_bal,
+        |    CASE WHEN o_custkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c.c_custkey, c.c_name,
+        |  CASE WHEN ch.op = 'U' THEN ch.new_bal ELSE c.c_acctbal END AS c_acctbal,
+        |  c.c_mktsegment
+        |FROM customer c LEFT JOIN ch ON c.c_custkey = ch.c_custkey
+        |WHERE ch.op IS NULL OR ch.op <> 'D'
+        |ORDER BY c.c_custkey ASC""".stripMargin,
     "q_gap_fill" ->
       """WITH b AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS mn,
         |    MAX(CAST(o_orderdate AS DATE)) AS mx FROM orders),
