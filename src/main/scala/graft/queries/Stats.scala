@@ -273,7 +273,44 @@ object Stats {
       .orderBy(col("c_custkey").asc)
   }
 
+  /** Ordered event funnel: users reaching view → click-after-view →
+    * purchase-after-click, with per-stage user counts. Each stage is an
+    * aggregate on user_id (first qualifying timestamp) feeding the next
+    * — three key-shuffled aggregations + joins, no window over the full
+    * event stream, and stage relations shrink monotonically.
+    */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val e = graft.Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val v = e.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = e.where(col("event_type") === "click")
+      .join(v, Seq("user_id")).where(col("ts") >= col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = e.where(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).where(col("ts") >= col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+      .unionByName(c.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_click").as("stage"), col("n_users")))
+      .unionByName(p.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase").as("stage"), col("n_users")))
+      .orderBy(col("stage").asc)
+  }
+
+  /** Fixed-width histogram of order totals: bucket = floor(v / 25000)
+    * (identical double division + floor in both engines), count and
+    * exact decimal sum per bucket.
+    */
+  def histogram(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(floor(col("o_totalprice") / 25000.0).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy(col("bucket").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> funnel,
+    "q_histogram" -> histogram,
     "q_pivot" -> pivotStatus,
     "q_cohort_retention" -> cohortRetention,
     "q_skew_agg" -> skewAgg,
@@ -288,6 +325,26 @@ object Stats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |v AS (SELECT user_id, MIN(ts) AS t_view FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM e JOIN v
+        |  ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase FROM e JOIN c
+        |  ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY e.user_id)
+        |SELECT stage, n_users FROM (
+        |  SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+        |  UNION ALL SELECT '2_click', COUNT(*) FROM c
+        |  UNION ALL SELECT '3_purchase', COUNT(*) FROM p)
+        |ORDER BY stage ASC""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY bucket ASC""".stripMargin,
     "q_skew_agg" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
