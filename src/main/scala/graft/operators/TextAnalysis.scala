@@ -134,6 +134,31 @@ object TextAnalysis {
         i => concat_ws(" ", slice(toks, i, lit(n))))))
   }
 
+  /** PII patterns for redaction (Java∩RE2 syntax — no lookarounds, so
+    * the same patterns run in any engine): email, NANP-style phone,
+    * SSN, IPv4. Ordered so no earlier replacement creates a later match.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ssn" -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+    "phone" -> "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b",
+    "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
+
+  /** Replace each PII match with its [kind] placeholder — the redaction
+    * pass a training corpus runs before anything else persists the
+    * text. Chained codegen'd regexp_replace, narrow per-row work.
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (name, pat)) =>
+      regexp_replace(c, pat, s"[$name]")
+    }
+
+  /** MAP(kind → match count) for auditing what redaction would remove. */
+  def piiCounts(text: Column): Column =
+    map(piiPatterns.flatMap { case (n, p) =>
+      Seq(lit(n), regexp_count(text, lit(p)).cast("long"))
+    }: _*)
+
   /** SimHash over the distinct token set: for each of 60 bits, sum +1/-1
     * by that bit of each token hash; the fingerprint sets bits with a
     * positive sum. The token-hash array is built once per row (single

@@ -170,6 +170,34 @@ object Analysis {
       .select(col("vec_id"), col("dist"))
   }
 
+  /** Gopher/C4-style repetition and quality signals per document, all as
+    * integer-scaled ppm fractions (BIGINT div — no float logs, so
+    * bit-exact cross-engine): repeated-3-gram fraction (the repetition
+    * filter), max word length, stop-word fraction, and symbol-to-char
+    * ratio. One narrow pass per row; at 100 TB these are the pre-filter
+    * columns a curation job computes once and predicates on.
+    */
+  def qualitySignals(s: SparkSession, d: String): DataFrame = {
+    val toks = TA.tokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n"),
+        greatest(size(toks) - 2, lit(0)).cast("long").as("total3"),
+        size(TA.shingles(col("text"), 3)).cast("long").as("distinct3"),
+        size(filter(toks, t =>
+          t.isin("the", "a", "of", "and", "to"))).cast("long").as("stop"),
+        length(col("text")).cast("long").as("txt_len"),
+        length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", "")).cast("long").as("aln"),
+        coalesce(array_max(transform(toks, t => length(t))), lit(0))
+          .cast("long").as("max_word_len"))
+      .selectExpr("doc_id",
+        "CASE WHEN total3 <= 0 THEN 0L ELSE (total3 - distinct3) * 1000000L div total3 END AS dup_shingle_ppm",
+        "max_word_len",
+        "CASE WHEN n = 0 THEN 0L ELSE stop * 1000000L div n END AS stopword_ppm",
+        "CASE WHEN txt_len = 0 THEN 0L ELSE (txt_len - aln) * 1000000L div txt_len END AS symbol_ppm")
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Random-hyperplane LSH ANN: cosine top-10 within the query's 8-bit
     * sign-code bucket. Hyperplanes are md5-derived (AnnSearch.rpPlanes)
     * so the oracle regenerates them exactly — the LSH analog of the
@@ -276,6 +304,7 @@ object Analysis {
     "q_cosine_topk" -> cosineTopk,
     "q_ann_ivf" -> annIvf,
     "q_ann_rplsh" -> annRpLsh,
+    "q_quality_signals" -> qualitySignals,
   )
 
   // ---- DuckDB oracle SQL builders (mirror the Spark expressions 1:1) ----
@@ -483,6 +512,22 @@ object Analysis {
          |  SELECT e.vec_id, ${cosineSql("e.embedding", "q.qe")} AS cos_raw
          |  FROM embeddings e CROSS JOIN q)
          |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_quality_signals" ->
+      s"""WITH f AS (SELECT doc_id,
+         |    len($toks) AS n,
+         |    greatest(len($toks) - 2, 0) AS total3,
+         |    len(${shinglesSql(toks)}) AS distinct3,
+         |    len(list_filter($toks, w -> w IN ('the','a','of','and','to'))) AS stop,
+         |    length(text) AS txt_len,
+         |    length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS aln,
+         |    coalesce(list_max(list_transform($toks, w -> length(w))), 0) AS max_word_len
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN total3 <= 0 THEN 0 ELSE (total3 - distinct3) * 1000000 // total3 END AS dup_shingle_ppm,
+         |  max_word_len,
+         |  CASE WHEN n = 0 THEN 0 ELSE stop * 1000000 // n END AS stopword_ppm,
+         |  CASE WHEN txt_len = 0 THEN 0 ELSE (txt_len - aln) * 1000000 // txt_len END AS symbol_ppm
+         |FROM f ORDER BY doc_id ASC""".stripMargin,
     "q_ann_rplsh" ->
       s"""WITH planes AS (SELECT p, list_transform(range(0, 64), j ->
          |    ((${hash60("'rp:' || p || ':' || j")} % 2001) - 1000) / 1000.0) AS hp

@@ -89,4 +89,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     // '0x' || substr(md5('abc'),1,15) == 648541476951500027 (probed in DuckDB)
     assert(one[Long](TextAnalysis.md5Hash60(col("text")), "abc") == 648541476951500027L)
   }
+
+  test("PII redaction replaces emails, SSNs, phones, IPs and counts them") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1L, "mail me at jane.doe+x@corp-name.io or call 555-123-4567 today"),
+      (2L, "ssn 123-45-6789 from host 10.0.255.7"),
+      (3L, "no sensitive content in this perfectly ordinary sentence")
+    ).toDF("id", "text")
+    val got = rows.select(col("id"),
+        TextAnalysis.redactPii(col("text")).as("red"),
+        TextAnalysis.piiCounts(col("text")).as("cnt"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getMap[String, Long](2).toMap)).toMap
+    assert(got(1L)._1 == "mail me at [email] or call [phone] today")
+    assert(got(1L)._2 == Map("email" -> 1L, "ssn" -> 0L, "phone" -> 1L, "ipv4" -> 0L))
+    assert(got(2L)._1 == "ssn [ssn] from host [ipv4]")
+    assert(got(2L)._2 == Map("email" -> 0L, "ssn" -> 1L, "phone" -> 0L, "ipv4" -> 1L))
+    assert(got(3L)._1 == got(3L)._1 && !got(3L)._1.contains("["))
+    assert(got(3L)._2.values.forall(_ == 0L))
+  }
 }
