@@ -257,12 +257,7 @@ object Dedup {
     */
   def minhashNearDupFromSets(sets: DataFrame,
                              bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
-    val n = bands * rowsPerBand
-    val sigs = sets.select(col("id"),
-      minhashSignatureFromHashes(col("hsorted"), n).as("sig"))
-    val banded = sigs
-      .select(col("id"), col("sig"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .select(col("id"), bandKey(col("sig"), col("band"), rowsPerBand).as("bkey"))
+    val banded = bandTable(sets, bands, rowsPerBand)
     val cand = banded.select(col("bkey"), col("id").as("id_a"))
       .join(banded.select(col("bkey"), col("id").as("id_b")), Seq("bkey"))
       .where(col("id_a") < col("id_b"))
@@ -281,33 +276,51 @@ object Dedup {
       "jaccard", threshold)
   }
 
+  /** The banded LSH key relation `(id, bkey)` for a `(id, hsorted)`
+    * signature relation — at production scale this is PERSISTED next to
+    * the signature table and only ever appended to (one batch's worth
+    * of signature work per batch).
+    */
+  def bandTable(sets: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sets
+      .select(col("id"),
+        minhashSignatureFromHashes(col("hsorted"), bands * rowsPerBand).as("sig"))
+      .select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
+      .select(col("id"), bandKey(col("sig"), col("band"), rowsPerBand).as("bkey"))
+
   /** Incremental MinHash+LSH: near-dup pairs where at least one side is
-    * from the NEW batch — the continuous-ingestion shape. A 100 TB
-    * corpus never re-runs all-pairs when a batch arrives: the existing
-    * signature table is persisted (see `hashedSets`), only the new
-    * batch's signatures are computed, and the band join probes NEW
-    * against (existing ∪ new) — existing↔existing pairs are never
-    * enumerated again. Output convention matches the full form
-    * (id_a < id_b, exact Jaccard verify), so
+    * from the NEW batch — the continuous-ingestion shape. Per-batch
+    * signature/band work is the BATCH's: the new batch is banded once
+    * (checkpointed — it feeds two joins), and the existing corpus
+    * contributes through `existingBanded`, the persisted band table
+    * (when absent it is derived here, which costs one corpus pass —
+    * fine for tests, not the production path). Candidates are
+    * new↔new plus new↔existing; existing↔existing pairs are never
+    * enumerated. Re-ingested ids supersede their existing rows (the
+    * new version wins — one anti-join), so ids are effectively
+    * disjoint and the output convention matches the full form
+    * (id_a < id_b, exact Jaccard verify):
     *   incremental(new, existing) ≡ full(existing ∪ new) ∖ full(existing)
-    * — asserted in DedupSpec.
+    * for disjoint ids — asserted in DedupSpec.
     */
   def minhashNearDupIncremental(newSets: DataFrame, existingSets: DataFrame,
-                                bands: Int, rowsPerBand: Int,
-                                threshold: Double): DataFrame = {
-    val n = bands * rowsPerBand
-    def banded(sets: DataFrame): DataFrame = sets
-      .select(col("id"), minhashSignatureFromHashes(col("hsorted"), n).as("sig"))
-      .select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("band"),
-        col("sig"))
-      .select(col("id"), bandKey(col("sig"), col("band"), rowsPerBand).as("bkey"))
-    val all = existingSets.union(newSets)
-    val cand = banded(newSets).select(col("bkey"), col("id").as("id_n"))
-      .join(banded(all).select(col("bkey"), col("id").as("id_o")), Seq("bkey"))
+                                bands: Int, rowsPerBand: Int, threshold: Double,
+                                existingBanded: Option[DataFrame] = None): DataFrame = {
+    // new version of a re-ingested id supersedes the existing row
+    val existing = existingSets.join(newSets.select(col("id")), Seq("id"), "left_anti")
+    val bandedNew = bandTable(newSets, bands, rowsPerBand).localCheckpoint()
+    val bandedExisting = existingBanded.getOrElse(bandTable(existing, bands, rowsPerBand))
+      // superseded ids must not surface from a stale persisted band table
+      .join(newSets.select(col("id")), Seq("id"), "left_anti")
+    val cand = bandedNew.select(col("bkey"), col("id").as("id_n"))
+      .join(bandedNew.select(col("bkey"), col("id").as("id_o"))
+          .union(bandedExisting.select(col("bkey"), col("id").as("id_o"))),
+        Seq("bkey"))
       .where(col("id_n") =!= col("id_o"))
       .select(least(col("id_n"), col("id_o")).as("id_a"),
         greatest(col("id_n"), col("id_o")).as("id_b"))
       .distinct()
+    val all = existing.union(newSets)
     scorePairs(
       cand
         .join(all.select(col("id").as("id_a"), col("hsorted").as("items_a")), Seq("id_a"))

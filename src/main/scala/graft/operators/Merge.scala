@@ -28,8 +28,17 @@ object Merge {
     val payload = changes.columns.filterNot(c => c == keyCol || c == opCol)
     require(payload.forall(base.columns.contains),
       s"change payload columns ${payload.mkString(",")} must exist in base")
-    val chg = changes.select(
-      col(keyCol) +: col(opCol).as("__op") +: payload.map(c => col(c).as("__u_" + c)): _*)
+    // SQL MERGE's single-match invariant: a key with >1 change row would
+    // fan out the join and silently duplicate base rows — raise at
+    // runtime instead (the count is a cheap aggregate over the small
+    // change set, evaluated with the change row itself).
+    val dupGuard = changes.groupBy(col(keyCol)).agg(count(lit(1)).as("__n_changes"))
+    val chg = changes.join(dupGuard, Seq(keyCol)).select(
+      col(keyCol) +:
+        when(col("__n_changes") > 1,
+          raise_error(concat(lit("multiple change rows for merge key "), col(keyCol))))
+          .otherwise(col(opCol)).as("__op") +:
+        payload.map(c => col(c).as("__u_" + c)): _*)
     base.join(chg, Seq(keyCol), "left")
       .where(col("__op").isNull || col("__op") =!= "D")
       .select(base.columns.map { c =>

@@ -153,11 +153,20 @@ object TextAnalysis {
       regexp_replace(c, pat, s"[$name]")
     }
 
-  /** MAP(kind → match count) for auditing what redaction would remove. */
-  def piiCounts(text: Column): Column =
-    map(piiPatterns.flatMap { case (n, p) =>
-      Seq(lit(n), regexp_count(text, lit(p)).cast("long"))
-    }: _*)
+  /** MAP(kind → match count) of what `redactPii` actually removes: each
+    * pattern is counted on the text AFTER the earlier patterns' redaction
+    * (matching the sequential replace), so an overlapping span — a phone
+    * number inside an email local part, say — is attributed to exactly
+    * the pattern that consumes it, never double-reported.
+    */
+  def piiCounts(text: Column): Column = {
+    val (pairs, _) = piiPatterns.foldLeft((Seq.empty[Column], text)) {
+      case ((acc, cur), (n, p)) =>
+        (acc ++ Seq(lit(n), regexp_count(cur, lit(p)).cast("long")),
+          regexp_replace(cur, p, s"[$n]"))
+    }
+    map(pairs: _*)
+  }
 
   /** SimHash over the distinct token set: for each of 60 bits, sum +1/-1
     * by that bit of each token hash; the fingerprint sets bits with a

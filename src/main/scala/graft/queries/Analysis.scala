@@ -184,8 +184,7 @@ object Analysis {
         size(toks).cast("long").as("n"),
         greatest(size(toks) - 2, lit(0)).cast("long").as("total3"),
         size(TA.shingles(col("text"), 3)).cast("long").as("distinct3"),
-        size(filter(toks, t =>
-          t.isin("the", "a", "of", "and", "to"))).cast("long").as("stop"),
+        TA.markerHits(toks, TA.markers.head._2).cast("long").as("stop"),
         length(col("text")).cast("long").as("txt_len"),
         length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", "")).cast("long").as("aln"),
         coalesce(array_max(transform(toks, t => length(t))), lit(0))

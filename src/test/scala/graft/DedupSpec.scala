@@ -131,4 +131,22 @@ class DedupSpec extends AnyFunSuite {
     assert(got.nonEmpty)                         // 10 pairs with 1 and/or 2
     assert(got.forall { case (a, b) => a >= 10L || b >= 10L }) // new side present
   }
+
+  test("incremental LSH: re-ingested id supersedes the existing version") {
+    import org.apache.spark.sql.DataFrame
+    val mk: String => String = suffix => (1 to 30).map("w" + _).mkString(" ") + " " + suffix
+    // id 2 exists with UNRELATED text; the new batch re-delivers id 2 as a
+    // near-dup of id 1 — with stale rows superseded, the (1, 2) pair must
+    // surface (min-over-copies against the stale version would kill it).
+    val existing = Seq(
+      (1L, mk("alpha")), (2L, "completely unrelated stale old content here")
+    ).toDF("doc_id", "text")
+    val fresh = Seq((2L, mk("alpha beta"))).toDF("doc_id", "text")
+    def sets(df: DataFrame): DataFrame =
+      Dedup.hashedSets(df, "doc_id", TextAnalysis.shingles(col("text"), 3))
+    val got = Dedup.minhashNearDupIncremental(sets(fresh), sets(existing),
+        bands = 4, rowsPerBand = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+  }
 }

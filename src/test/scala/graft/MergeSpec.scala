@@ -37,4 +37,12 @@ class MergeSpec extends AnyFunSuite {
     val out = Merge.applyChanges(base, changes, "id")
     assert(out.columns.toSeq == base.columns.toSeq)
   }
+
+  test("multiple change rows for one key raise (MERGE single-match invariant)") {
+    val changes = Seq((2L, "U", 99.0), (2L, "U", 50.0)).toDF("id", "op", "bal")
+    val ex = intercept[Exception] {
+      Merge.applyChanges(base, changes, "id").collect()
+    }
+    assert(ex.getMessage.contains("multiple change rows"))
+  }
 }

@@ -106,7 +106,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(1L)._2 == Map("email" -> 1L, "ssn" -> 0L, "phone" -> 1L, "ipv4" -> 0L))
     assert(got(2L)._1 == "ssn [ssn] from host [ipv4]")
     assert(got(2L)._2 == Map("email" -> 0L, "ssn" -> 1L, "phone" -> 0L, "ipv4" -> 1L))
-    assert(got(3L)._1 == got(3L)._1 && !got(3L)._1.contains("["))
+    assert(got(3L)._1 == "no sensitive content in this perfectly ordinary sentence")
     assert(got(3L)._2.values.forall(_ == 0L))
+  }
+
+  test("PII counts attribute overlapping spans to the consuming pattern") {
+    import org.apache.spark.sql.functions.col
+    val got = Seq("reach 555-123-4567@corp.io today").toDF("text")
+      .select(TextAnalysis.redactPii(col("text")).as("red"),
+        TextAnalysis.piiCounts(col("text")).as("cnt"))
+      .collect().head
+    assert(got.getString(0) == "reach [email] today")
+    val cnt = got.getMap[String, Long](1).toMap
+    assert(cnt("email") == 1L && cnt("phone") == 0L && cnt("ssn") == 0L)
   }
 }
