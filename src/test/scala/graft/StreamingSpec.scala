@@ -224,4 +224,27 @@ class StreamingSpec extends AnyFunSuite {
       assert(batch == Set(1L, 2L))
     } finally q.stop()
   }
+
+  test("idempotent foreachBatch sink: replayed batch overwrites, not appends") {
+    import graft.streaming.Sinks
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sink_out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_sink_ck").toString
+    val mem = MemoryStream[(Long, Double)]
+    val q = Sinks.idempotentParquet(mem.toDF().toDF("id", "v"), outDir, ckDir)
+    try {
+      mem.addData((1L, 1.0), (2L, 2.0))
+      q.processAllAvailable()
+      mem.addData((3L, 3.0))
+      q.processAllAvailable()
+      val all = spark.read.parquet(outDir)
+      assert(all.count() == 3)
+      assert(all.columns.contains("batch_id"))
+      // simulate a replay of batch 0 after failure: same id, same rows
+      val replay = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
+      Sinks.writeBatchIdempotent(replay, 0L, outDir)
+      Sinks.writeBatchIdempotent(replay, 0L, outDir)
+      assert(spark.read.parquet(outDir).count() == 3) // no duplicates
+    } finally q.stop()
+  }
 }
