@@ -308,8 +308,26 @@ object Stats {
         sum(dec2(col("o_totalprice"))).cast("double").as("sum_price"))
       .orderBy(col("bucket").asc)
 
+  /** Event transition matrix: per-user next-event pairs (lead over the
+    * total (ts, event_id) order) aggregated into (from, to, n) — the
+    * Markov-chain view of the event stream. One window shuffle on
+    * user_id, then a tiny aggregate.
+    */
+  def transitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    graft.Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type").asc, col("next_type").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> funnel,
+    "q_transitions" -> transitions,
     "q_histogram" -> histogram,
     "q_pivot" -> pivotStatus,
     "q_cohort_retention" -> cohortRetention,
@@ -340,6 +358,17 @@ object Stats {
         |  UNION ALL SELECT '2_click', COUNT(*) FROM c
         |  UNION ALL SELECT '3_purchase', COUNT(*) FROM p)
         |ORDER BY stage ASC""".stripMargin,
+    "q_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |p AS (SELECT event_type,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS next_type
+        |  FROM e)
+        |SELECT event_type, next_type, COUNT(*) AS n FROM p
+        |WHERE next_type IS NOT NULL
+        |GROUP BY event_type, next_type
+        |ORDER BY event_type ASC, next_type ASC""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
         |  COUNT(*) AS n,
