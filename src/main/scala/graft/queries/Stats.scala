@@ -6,9 +6,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Statistical / reshaping coverage: pivot, grouping sets, ntile-family
-  * windows, exact-sum moment statistics (corr/covar/stddev), single-pass
-  * column profiling, and a salt-demonstrating skew join. All oracled.
+/** Statistical / reshaping / time-series coverage: pivot, grouping
+  * sets, ntile-family windows, exact-sum moment statistics
+  * (corr/covar/stddev), single-pass column profiling, salted skew join
+  * and aggregation, cohort retention, ordered funnel, transition matrix,
+  * histogram, gap filling, map roundtrip, and MERGE/upsert application.
+  * All oracled.
   *
   * Float rule (SURVEY §2.4): every aggregate feeding a float formula is
   * an exact DECIMAL sum cast to DOUBLE; the closed-form formulas then run
