@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{ExplainMode, FormattedMode}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regressions: SCALE.md's claims about scan pushdown,
+  * broadcast dimensions, top-k compilation, and salted-join shape are
+  * pinned here so an optimizer-hostile refactor (a UDF slipping into a
+  * filter, a lost hint, an accidental global window) fails the suite
+  * instead of silently degrading the 100 TB story.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  test("document scan pushes predicates and prunes columns") {
+    val plan = formatted(graft.queries.Text.queries("q_doc_scan_filter")(spark, TestSpark.sf0001))
+    assert(plan.contains("PushedFilters"), "no pushed filters on the parquet scan")
+    assert(plan.contains("EqualTo(lang,en)") || plan.contains("EqualTo(lang, en)"),
+      s"lang filter not pushed:\n${plan.take(2000)}")
+    assert(!plan.contains("text"), "text column should be pruned from the scan")
+  }
+
+  test("geo join broadcasts both dimension tables") {
+    val plan = formatted(graft.queries.Relational.queries("q_join_geo")(spark, TestSpark.sf0001))
+    assert("BroadcastExchange".r.findAllIn(plan).size >= 2,
+      "nation/region should both broadcast")
+  }
+
+  test("global top-n compiles to TakeOrderedAndProject (no global sort)") {
+    val plan = formatted(graft.queries.Relational.queries("q_topn_global")(spark, TestSpark.sf0001))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("salted join stays a shuffled hash join on the salted key") {
+    val plan = formatted(graft.queries.Stats.queries("q_salted_join")(spark, TestSpark.sf0001))
+    assert(plan.contains("ShuffledHashJoin"), "salt demo must not broadcast")
+    assert(plan.contains("salt"), "join key must include the salt column")
+  }
+
+  test("pack_sequences runs its data window hash-partitioned by part") {
+    val plan = formatted(graft.queries.Analysis.queries("q_pack_sequences")(spark, TestSpark.sf0001))
+    assert(plan.contains("hashpartitioning(part"),
+      "per-partition cumsum window must partition by part, not run globally")
+  }
+}
