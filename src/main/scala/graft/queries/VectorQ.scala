@@ -61,10 +61,33 @@ object VectorQ {
       .orderBy(col("dist").asc, col("vec_id").asc)
   }
 
+  /** Batch multi-query top-k — the serving shape for scoring MANY probe
+    * vectors in one pass: the query set broadcasts (tiny by definition),
+    * every corpus row computes its distance to each query in a single
+    * scan, and a per-query window keeps k. One corpus scan regardless of
+    * query count, vs. one scan PER query in the single-probe form.
+    */
+  def multiQueryTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dist_raw").asc, col("vec_id").asc)
+    emb.crossJoin(broadcast(probes))
+      .select(col("qid"), col("vec_id"),
+        squaredL2(col("embedding"), col("qvec")).as("dist_raw"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("qid"), col("rn").cast("long").as("rk"),
+        col("vec_id"), round(col("dist_raw"), 4).as("dist"))
+      .orderBy(col("qid").asc, col("rk").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_l2_topk" -> l2Topk,
     "q_knn_per_label" -> knnPerLabel,
     "q_score_normalize" -> scoreNormalize,
+    "q_multi_query_topk" -> multiQueryTopK,
   )
 
   /** DuckDB squared-L2: identical left-to-right double fold via
@@ -77,6 +100,17 @@ object VectorQ {
       |  (acc, v) -> acc + v)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_multi_query_topk" ->
+      s"""WITH probes AS (SELECT vec_id AS qid, embedding AS qe
+         |  FROM embeddings WHERE vec_id < 3),
+         |dists AS (SELECT q.qid, e.vec_id, $distExpr AS dist_raw
+         |  FROM embeddings e CROSS JOIN probes q),
+         |ranked AS (SELECT qid, vec_id, dist_raw,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY dist_raw ASC, vec_id ASC) AS rk
+         |  FROM dists)
+         |SELECT qid, rk, vec_id, ROUND(dist_raw, 4) AS dist
+         |FROM ranked WHERE rk <= 3 ORDER BY qid ASC, rk ASC""".stripMargin,
     "q_l2_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, ROUND(dist_raw, 4) AS dist FROM (
