@@ -328,9 +328,24 @@ object Stats {
       .orderBy(col("event_type").asc, col("next_type").asc)
   }
 
+  /** rank vs dense_rank with genuine ties: part sizes repeat within a
+    * brand, so the two functions diverge (gaps vs no gaps) — the tie
+    * semantics row_number-based queries can't exercise. Output order is
+    * total (brand, partkey) so ties don't destabilize row order.
+    */
+  def rankDense(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_size").asc)
+    Tables.part(s, d).select(
+        col("p_brand"), col("p_partkey"), col("p_size"),
+        rank().over(w).cast("long").as("rk"),
+        dense_rank().over(w).cast("long").as("drk"))
+      .orderBy(col("p_brand").asc, col("p_partkey").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> funnel,
     "q_transitions" -> transitions,
+    "q_rank_dense" -> rankDense,
     "q_histogram" -> histogram,
     "q_pivot" -> pivotStatus,
     "q_cohort_retention" -> cohortRetention,
@@ -361,6 +376,12 @@ object Stats {
         |  UNION ALL SELECT '2_click', COUNT(*) FROM c
         |  UNION ALL SELECT '3_purchase', COUNT(*) FROM p)
         |ORDER BY stage ASC""".stripMargin,
+    "q_rank_dense" ->
+      """SELECT p_brand, p_partkey, p_size,
+        |  RANK() OVER w AS rk, DENSE_RANK() OVER w AS drk
+        |FROM part
+        |WINDOW w AS (PARTITION BY p_brand ORDER BY p_size ASC)
+        |ORDER BY p_brand ASC, p_partkey ASC""".stripMargin,
     "q_transitions" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |    CAST(ts AS TIMESTAMP) AS ts FROM events),
