@@ -1,0 +1,117 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{TextAnalysis => TA}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus retrieval and hygiene queries: conjunctive keyword search over
+  * an inverted-postings relation, and benchmark decontamination — the
+  * 13-gram-overlap test-set leak scan every serious training corpus runs
+  * before release (the n-gram collision method used for GPT-3/Gopher-
+  * style decontamination). Both oracled.
+  */
+object Retrieval {
+
+  /** Documents containing ALL `terms`, scored by summed term frequency.
+    * The shape is an inverted-index lookup: tokens are filtered to the
+    * query vocabulary BEFORE the explode (array `filter` inside the row),
+    * so the shuffle carries only (doc, query-term, tf) postings — corpus
+    * text never moves. Conjunction = HAVING count(distinct term) = |terms|
+    * above the per-(doc, term) aggregate; at warehouse scale the same
+    * plan runs against a materialized postings table bucketed by term.
+    */
+  def conjunctiveSearch(docs: DataFrame, idCol: String, textCol: Column,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val postings = docs
+      .select(col(idCol), explode(filter(TA.tokens(textCol),
+        t => t.isInCollection(terms))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    postings.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("score"))
+      .where(col("n_terms") === terms.size)
+      .select(col(idCol), col("score"))
+  }
+
+  /** Train-split documents sharing at least one n-token shingle with any
+    * test-split document, with the count of distinct colliding shingles.
+    * Shingles are 60-bit md5 hashes, so the contamination join moves
+    * 8-byte keys, not text; the test side is DISTINCT-reduced before the
+    * join (a benchmark suite is tiny next to a 100 TB corpus — at scale
+    * that side broadcasts or becomes a bloom filter pushed into the scan).
+    * Both relations derive from one `grams` pass over the corpus.
+    */
+  def contaminated(grams: DataFrame, trainPred: Column, testPred: Column,
+      idCol: String, gramCol: String): DataFrame = {
+    val testGrams = grams.where(testPred).select(col(gramCol)).distinct()
+    grams.where(trainPred)
+      .join(testGrams, Seq(gramCol))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col(gramCol)).as("n_hits"))
+  }
+
+  /** (doc_id, split bucket, hashed n-gram) relation over `documents` —
+    * the decontamination scan's single corpus pass.
+    */
+  private def splitGrams(s: SparkSession, d: String, n: Int): DataFrame = {
+    val bucket = pmod(TA.md5Hash60(
+      concat(col("doc_id").cast("string"), lit(":split"))), lit(100L))
+    Tables.documents(s, d)
+      .select(col("doc_id"), bucket.as("b"),
+        explode(TA.shingles(col("text"), n)).as("g"))
+      .select(col("doc_id"), col("b"), TA.md5Hash60(col("g")).as("gh"))
+  }
+
+  def keywordSearch(s: SparkSession, d: String): DataFrame =
+    conjunctiveSearch(Tables.documents(s, d), "doc_id", col("text"),
+        Seq("vector", "join", "filter"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+
+  /** 13-gram decontamination against the q_train_split assignment: train
+    * docs (buckets 0-79) leaking any 13-gram of the test slice (90-99).
+    */
+  def decontaminate(s: SparkSession, d: String): DataFrame =
+    contaminated(splitGrams(s, d, 13),
+        trainPred = col("b") < 80, testPred = col("b") >= 90,
+        idCol = "doc_id", gramCol = "gh")
+      .orderBy(col("doc_id").asc)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_keyword_search" -> keywordSearch,
+    "q_decontaminate" -> decontaminate,
+  )
+
+  import Analysis.{toks, hash60}
+
+  /** DuckDB distinct n-token shingles over token list `t` (general-n form
+    * of Analysis.shinglesSql, which is fixed at n=3).
+    */
+  private def shinglesNSql(t: String, n: Int): String =
+    s"list_distinct(list_transform(range(1, greatest(len($t) - ${n - 2}, 1)), " +
+      s"i -> list_aggregate(($t)[i:i+${n - 1}], 'string_agg', ' ')))"
+
+  val oracleSql: Map[String, String] = Map(
+    "q_keyword_search" ->
+      s"""WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, unnest(list_filter($toks,
+         |      w -> w IN ('vector', 'join', 'filter'))) AS term
+         |    FROM documents)
+         |  GROUP BY doc_id, term)
+         |SELECT doc_id, SUM(tf) AS score FROM tf
+         |GROUP BY doc_id HAVING COUNT(*) = 3
+         |ORDER BY score DESC, doc_id ASC""".stripMargin,
+    "q_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk,
+         |    ${hash60("CAST(doc_id AS VARCHAR) || ':split'")} % 100 AS b
+         |  FROM documents),
+         |sh AS (SELECT doc_id, b, ${hash60("g")} AS gh
+         |  FROM (SELECT doc_id, b, unnest(${shinglesNSql("tk", 13)}) AS g
+         |    FROM t WHERE len(tk) >= 13)),
+         |test AS (SELECT DISTINCT gh FROM sh WHERE b >= 90)
+         |SELECT s.doc_id, COUNT(DISTINCT s.gh) AS n_hits
+         |FROM sh s JOIN test USING (gh) WHERE s.b < 80
+         |GROUP BY s.doc_id ORDER BY doc_id ASC""".stripMargin,
+  )
+}
