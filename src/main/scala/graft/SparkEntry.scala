@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Advanced, Analysis, Clustering, PipelineQ, Relational, Retrieval, Stats, Text, Tpch, Typed, VectorQ}
+import graft.queries.{Advanced, Analysis, Clustering, PipelineQ, Relational, Retrieval, Stats, Temporal, Text, Tpch, Typed, VectorQ}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -23,7 +23,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Text.queries ++ VectorQ.queries ++
       Analysis.queries ++ PipelineQ.queries ++ Advanced.queries ++ Tpch.queries ++
-      Typed.queries ++ Clustering.queries ++ Stats.queries ++ Retrieval.queries
+      Typed.queries ++ Clustering.queries ++ Stats.queries ++ Retrieval.queries ++
+      Temporal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -31,5 +32,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ Text.oracleSql ++ VectorQ.oracleSql ++
       Analysis.oracleSql ++ PipelineQ.oracleSql ++ Advanced.oracleSql ++ Tpch.oracleSql ++
-      Typed.oracleSql ++ Clustering.oracleSql ++ Stats.oracleSql ++ Retrieval.oracleSql
+      Typed.oracleSql ++ Clustering.oracleSql ++ Stats.oracleSql ++ Retrieval.oracleSql ++
+      Temporal.oracleSql
 }

@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.Determinism._
+import graft.Tables
+import graft.operators.RangeJoin
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Interval analytics: a no-equi-key point-in-interval join (via the
+  * binned RangeJoin operator) and an active-interval daily count done as
+  * a sweep instead of a join. Both oracled against the naive BETWEEN
+  * formulation in DuckDB — same result, very different plan.
+  */
+object Temporal {
+
+  /** Days since 1970-01-01 as a long — the integral axis both interval
+    * queries bin and sweep on.
+    */
+  private def epochDay(ts: Column): Column =
+    datediff(ts.cast("date"), lit("1970-01-01").cast("date")).cast("long")
+
+  /** For each lineitem, the count and summed value of "big" orders
+    * (totalprice >= 490k, ~top 2%) whose 7-day fulfillment window
+    * [o_orderdate, +6d] contains the ship date. No join key exists
+    * between the two relations — this is the RangeJoin showcase: 7-day
+    * bins on the date axis (= the interval length, so each interval
+    * explodes to ≤2 bin rows), equi-join on the bin, exact BETWEEN
+    * verify, then a key-shuffled aggregate. The naive plan Spark would
+    * pick for the raw theta join is BroadcastNestedLoopJoin — O(|L|·|O|)
+    * comparisons; binned, each lineitem meets only the big orders of its
+    * own week.
+    */
+  def intervalJoin(s: SparkSession, d: String): DataFrame = {
+    val points = Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"), epochDay(col("l_shipdate")).as("pd"))
+    val big = Tables.orders(s, d)
+      .where(col("o_totalprice") >= 490000.0)
+      .select(epochDay(col("o_orderdate")).as("d0"), col("o_totalprice"))
+      .withColumn("d1", col("d0") + 6)
+    RangeJoin.pointInInterval(points, big,
+        point = col("pd"), lo = col("d0"), hi = col("d1"), binWidth = 7L)
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("n_big"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
+  }
+
+  /** Daily count of orders inside their 4-day fulfillment window
+    * [o_orderdate, +3d] — interval overlap counting WITHOUT a range join:
+    * each interval contributes +1 at its start day and -1 one past its
+    * end day; the daily active count is the running sum of the per-day
+    * deltas. The heavy input collapses to ≤2 delta rows per interval in
+    * one map-side-combined aggregate; the window that follows runs over
+    * at most one row per calendar day — cardinality bounded by the date
+    * domain (~2.4k days here), INDEPENDENT of data scale, which is what
+    * makes its single-partition sort safe at 100 TB where a per-row
+    * global window would not be.
+    */
+  def inTransit(s: SparkSession, d: String): DataFrame = {
+    val d0 = epochDay(col("o_orderdate"))
+    val o = Tables.orders(s, d)
+    val deltas = o.select(d0.as("day"), lit(1L).as("delta"))
+      .unionAll(o.select((d0 + 4).as("day"), lit(-1L).as("delta")))
+    val daily = deltas.groupBy(col("day")).agg(sum(col("delta")).as("delta"))
+    daily
+      .withColumn("active", sum(col("delta"))
+        .over(Window.orderBy(col("day").asc).rowsBetween(Window.unboundedPreceding, 0)))
+      .select(date_format(date_add(lit("1970-01-01").cast("date"),
+          col("day").cast("int")), "yyyy-MM-dd").as("day_iso"),
+        col("active").cast("long").as("active"))
+      .orderBy(col("day_iso").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interval_join" -> intervalJoin,
+    "q_in_transit" -> inTransit,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_interval_join" ->
+      """WITH big AS (SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS d0,
+        |    o_totalprice
+        |  FROM orders WHERE o_totalprice >= 490000.0)
+        |SELECT l_orderkey, l_linenumber, CAST(COUNT(*) AS BIGINT) AS n_big,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem l JOIN big b
+        |  ON (CAST(l_shipdate AS DATE) - DATE '1970-01-01') BETWEEN b.d0 AND b.d0 + 6
+        |GROUP BY l_orderkey, l_linenumber
+        |ORDER BY l_orderkey ASC, l_linenumber ASC""".stripMargin,
+    "q_in_transit" ->
+      """WITH iv AS (SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS d0
+        |  FROM orders),
+        |deltas AS (SELECT d0 AS day, 1 AS delta FROM iv
+        |  UNION ALL SELECT d0 + 4 AS day, -1 AS delta FROM iv),
+        |daily AS (SELECT day, SUM(delta) AS delta FROM deltas GROUP BY day)
+        |SELECT CAST(DATE '1970-01-01' + CAST(day AS INTEGER) AS VARCHAR) AS day_iso,
+        |  CAST(SUM(delta) OVER (ORDER BY day ASC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS active
+        |FROM daily ORDER BY day_iso ASC""".stripMargin,
+  )
+}
