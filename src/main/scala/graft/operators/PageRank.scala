@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Weighted PageRank in pure BIGINT arithmetic — rank mass is carried as
+  * integers scaled by `scale`, every division is a floor div, so the
+  * result is bit-identical on any engine / any partitioning (no float
+  * accumulation order anywhere). The price is the usual integer-PageRank
+  * simplifications: flooring loses sub-unit mass and dangling-node mass
+  * leaks (both deterministic, both standard for rank-as-integer
+  * formulations).
+  *
+  * Distributed shape per iteration (the classic Pregel dataflow, as two
+  * key-shuffled aggregates — no driver-side per-vertex work):
+  *   contributions: ranks ⋈ edges on src (shuffle on src),
+  *     c = (r·w) div out_w(src);
+  *   inflow: groupBy dst, SUM(c) (map-side combined);
+  *   update: vertex spine LEFT JOIN inflow, r' = teleport + (85·inflow) div 100.
+  * `localCheckpoint` after each round caps the lineage at O(1) instead of
+  * O(iterations) — the same guard the connected-components loop uses.
+  *
+  * Overflow bound: r ≤ scale and intermediate r·w must stay under 2^63,
+  * so require scale · max_edge_weight < 9.2e18 (at the default 10^12
+  * scale: edge weights up to ~9·10^6).
+  */
+object PageRank {
+
+  /** `vertices`: one `node` column (the complete vertex set — vertices
+    * with no in-edges keep teleport-only rank). `edges`: (src, dst, w
+    * BIGINT) — multi-edges should be pre-aggregated. Returns (node,
+    * rank_scaled) where rank_scaled ≈ rank · scale, damping 0.85.
+    */
+  def run(vertices: DataFrame, edges: DataFrame, iterations: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    val n = vertices.count()
+    require(n > 0, "empty vertex set")
+    val base = scale / n              // floor, positive operands
+    val teleport = 15L * base / 100L  // (0.15 · base) floored
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val ew = edges.join(outw, Seq("src")).localCheckpoint()
+    var ranks = vertices.select(col("node"), lit(base).as("r"))
+    for (_ <- 1 to iterations) {
+      val inflow = ranks.join(ew, col("node") === col("src"))
+        .selectExpr("dst", "(r * w) div ow AS c")
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        .withColumnRenamed("dst", "node")
+      ranks = vertices.select(col("node"))
+        .join(inflow, Seq("node"), "left")
+        .selectExpr("node", s"$teleport + (85 * coalesce(s, 0)) div 100 AS r")
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("r").as("rank_scaled"))
+  }
+}
