@@ -98,4 +98,25 @@ object Sources {
   /** Schema-explicit JSON-lines read. */
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** JSONL corpus ingest — the interchange format bulk text corpora
+    * actually ship as. Schema-explicit (no inference pass over 100 TB),
+    * with malformed-line policy surfaced as data, not job failure:
+    *   - permissive (default): bad lines yield a row with data columns
+    *     NULL and the raw line captured in `_corrupt` — quarantine by
+    *     `where(col("_corrupt").isNotNull)` and keep loading;
+    *   - dropMalformed: bad lines silently dropped;
+    *   - failFast: first bad line fails the read (CI-gate mode).
+    * The `_corrupt` column exists only in permissive mode (Spark requires
+    * it declared in the schema to capture into it).
+    */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType,
+                mode: String = "PERMISSIVE"): DataFrame = {
+    val m = mode.toUpperCase
+    val withCorrupt = if (m == "PERMISSIVE") schema.add("_corrupt", "string") else schema
+    spark.read.schema(withCorrupt)
+      .option("mode", m)
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+  }
 }

@@ -63,4 +63,39 @@ class SourcesSpec extends AnyFunSuite {
     val all = csv.unionByName(json).collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(all == Set((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
   }
+
+  lazy val jsonlDir: String = {
+    val d = Files.createTempDirectory("graft_jsonl").toString
+    Files.writeString(Paths.get(d, "corpus.jsonl"),
+      """{"doc_id":1,"text":"good row"}
+        |{"doc_id":2 BROKEN
+        |{"doc_id":3,"text":"another good row"}
+        |""".stripMargin)
+    d
+  }
+  val jsonlSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  test("jsonl permissive mode quarantines corrupt lines as data") {
+    val out = Sources.readJsonl(spark, s"$jsonlDir/corpus.jsonl", jsonlSchema)
+    val good = out.where(col("_corrupt").isNull)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(good == Set((1L, "good row"), (3L, "another good row")))
+    // Spark disallows projecting ONLY the corrupt column from a raw JSON
+    // scan — keep a data column in the projection
+    val bad = out.where(col("_corrupt").isNotNull)
+      .select(col("doc_id"), col("_corrupt"))
+      .collect().map(_.getString(1))
+    assert(bad.toList == List("""{"doc_id":2 BROKEN"""))
+  }
+
+  test("jsonl dropMalformed drops bad lines; failFast fails the read") {
+    val dropped = Sources.readJsonl(spark, s"$jsonlDir/corpus.jsonl",
+      jsonlSchema, mode = "DROPMALFORMED")
+    assert(dropped.count() == 2 && !dropped.columns.contains("_corrupt"))
+    assertThrows[Exception] {
+      Sources.readJsonl(spark, s"$jsonlDir/corpus.jsonl",
+        jsonlSchema, mode = "FAILFAST").collect()
+    }
+  }
 }
