@@ -170,6 +170,33 @@ object Analysis {
       .select(col("vec_id"), col("dist"))
   }
 
+  /** MMR-diversified top-5 for the vec_id=0 query: candidates = cosine
+    * top-20 (the distributed stage), then greedy maximal-marginal-
+    * relevance selection with λ=0.5 (operators.Rerank) — the serving-side
+    * diversification pass that keeps a result list from being five
+    * near-copies of the best hit. rel and pairwise sims are pre-rounded
+    * to 4 dp, so every argmax compares identical doubles cross-engine;
+    * the oracle unrolls the 5 greedy rounds as chained CTEs.
+    */
+  def mmrTopk(s: SparkSession, d: String): DataFrame = {
+    val q = VectorOps.queryVector(s, d, 0L)
+    val cand = Tables.embeddings(s, d).where(col("vec_id") =!= 0)
+      .select(col("vec_id").as("id"),
+        round(VectorOps.cosineToQuery(col("embedding"), q), 4).as("rel"),
+        col("embedding"))
+      .orderBy(col("rel").desc, col("id").asc).limit(20)
+      .localCheckpoint()
+    val sims = cand.select(col("id").as("ia"), col("embedding").as("ea"))
+      .crossJoin(cand.select(col("id").as("ib"), col("embedding").as("eb")))
+      .where(col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"),
+        round(VectorOps.cosine(col("ea"), col("eb")), 4).as("sim"))
+    graft.operators.Rerank.mmrSelect(cand.select(col("id"), col("rel")),
+        sims, k = 5, lambda = 0.5)
+      .select(col("pick"), col("id").as("vec_id"), col("rel"), col("mmr"))
+      .orderBy(col("pick").asc)
+  }
+
   /** Gopher/C4-style repetition and quality signals per document, all as
     * integer-scaled ppm fractions (BIGINT div — no float logs, so
     * bit-exact cross-engine): repeated-3-gram fraction (the repetition
@@ -304,6 +331,7 @@ object Analysis {
     "q_ann_ivf" -> annIvf,
     "q_ann_rplsh" -> annRpLsh,
     "q_quality_signals" -> qualitySignals,
+    "q_mmr_topk" -> mmrTopk,
   )
 
   // ---- DuckDB oracle SQL builders (mirror the Spark expressions 1:1) ----
@@ -364,7 +392,39 @@ object Analysis {
       |        h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
       |    THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
 
+  /** The q_mmr_topk oracle: candidate top-20 + pairwise sims, then the
+    * k greedy rounds unrolled as chained CTEs (selN picks round N's
+    * argmax, accN accumulates the picked set).
+    */
+  private def mmrOracle(k: Int, lambda: Double): String = {
+    val rounds = (2 to k).map { i =>
+      s"""sel$i AS (SELECT $i AS pick, c.id, c.rel, c.rel - $lambda * ms.m AS mmr
+         |  FROM cand c JOIN (SELECT ia AS id, MAX(sim) AS m FROM pairs
+         |    WHERE ib IN (SELECT id FROM acc${i - 1}) GROUP BY ia) ms USING (id)
+         |  WHERE c.id NOT IN (SELECT id FROM acc${i - 1})
+         |  ORDER BY mmr DESC, id ASC LIMIT 1),
+         |acc$i AS (SELECT * FROM acc${i - 1} UNION ALL SELECT * FROM sel$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |cand AS (SELECT id, rel FROM (
+       |    SELECT e.vec_id AS id, ROUND(${cosineSql("e.embedding", "q.qe")}, 4) AS rel
+       |    FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)
+       |  ORDER BY rel DESC, id ASC LIMIT 20),
+       |ce AS (SELECT c.id, e.embedding FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.id),
+       |pairs AS (SELECT a.id AS ia, b.id AS ib,
+       |    ROUND(${cosineSql("a.embedding", "b.embedding")}, 4) AS sim
+       |  FROM ce a JOIN ce b ON a.id <> b.id),
+       |sel1 AS (SELECT 1 AS pick, id, rel, rel AS mmr FROM cand
+       |  ORDER BY rel DESC, id ASC LIMIT 1),
+       |acc1 AS (SELECT * FROM sel1),
+       |$rounds
+       |SELECT CAST(pick AS BIGINT) AS pick, id AS vec_id, rel, mmr
+       |FROM acc$k ORDER BY pick ASC""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_mmr_topk" -> mmrOracle(5, 0.5),
     "q_stable_sample" ->
       s"""SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':shuffle') AS shuffle_key
          |FROM documents

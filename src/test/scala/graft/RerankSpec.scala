@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.Rerank
+import org.scalatest.funsuite.AnyFunSuite
+
+class RerankSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 2 is a near-copy of 1 (sim .95); everything else mutually dissimilar
+  lazy val cand = Seq((1L, 0.9), (2L, 0.85), (3L, 0.8), (4L, 0.5))
+    .toDF("id", "rel")
+  lazy val sims = {
+    val half = Seq((1L, 2L, 0.95), (1L, 3L, 0.1), (1L, 4L, 0.1),
+      (2L, 3L, 0.1), (2L, 4L, 0.1), (3L, 4L, 0.1))
+    (half ++ half.map { case (a, b, s) => (b, a, s) }).toDF("ia", "ib", "sim")
+  }
+
+  test("greedy MMR skips the near-duplicate despite higher relevance") {
+    val picks = Rerank.mmrSelect(cand, sims, k = 3, lambda = 0.5)
+      .orderBy("pick").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // round 2: 2 scores .85-.5*.95=.375 < 3's .8-.05=.75; round 3: 4's .45 > 2's .375
+    assert(picks.toList == List((1L, 1L), (2L, 3L), (3L, 4L)))
+  }
+
+  test("lambda = 0 degenerates to pure relevance order") {
+    val picks = Rerank.mmrSelect(cand, sims, k = 4, lambda = 0.0)
+      .orderBy("pick").collect().map(_.getLong(1))
+    assert(picks.toList == List(1L, 2L, 3L, 4L))
+  }
+
+  test("first pick's mmr equals its rel; penalized rounds are <= rel") {
+    val rows = Rerank.mmrSelect(cand, sims, k = 3, lambda = 0.5)
+      .orderBy("pick").collect()
+    assert(rows.head.getDouble(2) == rows.head.getDouble(3))
+    assert(rows.tail.forall(r => r.getDouble(3) <= r.getDouble(2)))
+  }
+}
