@@ -71,7 +71,21 @@ object Advanced {
       .orderBy(col("dist").asc, col("vec_id").asc)
   }
 
+  /** Pareto frontier of parts — cheapest price at every size level that
+    * no bigger-or-equal size beats (minimize p_retailprice, maximize
+    * p_size) via the two-phase distributed skyline (operators.Skyline):
+    * block-local dominance prune, then a global sweep bounded by the
+    * frontier size. Oracle is the NOT EXISTS dominance definition.
+    */
+  def skyline(s: SparkSession, d: String): DataFrame =
+    graft.operators.Skyline.skyline2d(Tables.part(s, d),
+        x = col("p_retailprice"), y = col("p_size").cast("long"), id = col("p_partkey"))
+      .select(col("y").as("p_size"), col("x").as("p_retailprice"),
+        col("rep").as("p_partkey"), col("cnt"))
+      .orderBy(col("p_size").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skyline" -> skyline,
     "q_asof_join" -> asofJoin,
     "q_cube_daily" -> cubeDaily,
     "q_percentiles" -> percentiles,
@@ -80,6 +94,14 @@ object Advanced {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_skyline" ->
+      """WITH pts AS (SELECT p_retailprice AS x, CAST(p_size AS BIGINT) AS y,
+        |    MIN(p_partkey) AS rep, COUNT(*) AS cnt
+        |  FROM part GROUP BY p_retailprice, p_size)
+        |SELECT y AS p_size, x AS p_retailprice, rep AS p_partkey, cnt
+        |FROM pts a WHERE NOT EXISTS (SELECT 1 FROM pts b
+        |  WHERE b.x <= a.x AND b.y >= a.y AND (b.x < a.x OR b.y > a.y))
+        |ORDER BY p_size ASC""".stripMargin,
     "q_asof_join" ->
       """WITH o2 AS (SELECT * FROM orders
         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
