@@ -62,6 +62,10 @@ object Retrieval {
       .select(col("doc_id"), bucket.as("b"),
         explode(TA.shingles(col("text"), n)).as("g"))
       .select(col("doc_id"), col("b"), TA.md5Hash60(col("g")).as("gh"))
+      // both the train and the test branch of the contamination join scan
+      // this relation — materialize the shingle+md5 pass once instead of
+      // once per branch
+      .localCheckpoint()
   }
 
   def keywordSearch(s: SparkSession, d: String): DataFrame =
