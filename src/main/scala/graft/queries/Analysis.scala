@@ -300,6 +300,29 @@ object Analysis {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Sequence packing WITHIN each train/val/test split — the form the
+    * packing step actually ships in (bins must not mix splits). Unlike
+    * the global q_pack_sequences, the running sum here partitions by the
+    * split key, so it is a plain key-shuffled window — scale-safe with
+    * no two-phase trick needed (each split's ordering work distributes
+    * across its partition).
+    */
+  def packGrouped(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucket = pmod(TA.md5Hash60(
+      concat(col("doc_id").cast("string"), lit(":split"))), lit(100L))
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"),
+      TA.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("split")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    toks.withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("split"),
+        floor((col("cum") - col("n_tokens")) / 2048.0).cast("long").as("bin"),
+        col("doc_id"), col("n_tokens"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Reproducible 10% corpus sample with a deterministic shuffle order:
     * membership = md5-hash bucket of the id (stable under reruns,
     * engine-independent — unlike TABLESAMPLE/rand), output order = md5 of
@@ -332,6 +355,7 @@ object Analysis {
     "q_ann_rplsh" -> annRpLsh,
     "q_quality_signals" -> qualitySignals,
     "q_mmr_topk" -> mmrTopk,
+    "q_pack_grouped" -> packGrouped,
   )
 
   // ---- DuckDB oracle SQL builders (mirror the Spark expressions 1:1) ----
@@ -439,6 +463,19 @@ object Analysis {
          |  WHERE len(tk) > 0)
          |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, n_chunk_tokens
          |FROM ch ORDER BY doc_id ASC, chunk_idx ASC""".stripMargin,
+    "q_pack_grouped" ->
+      s"""SELECT split, CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin,
+         |  doc_id, n_tokens FROM (
+         |  SELECT split, doc_id, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY split ORDER BY doc_id ASC
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM (SELECT doc_id, CASE
+         |      WHEN ${hash60("CAST(doc_id AS VARCHAR) || ':split'")} % 100 < 80 THEN 'train'
+         |      WHEN ${hash60("CAST(doc_id AS VARCHAR) || ':split'")} % 100 < 90 THEN 'val'
+         |      ELSE 'test' END AS split,
+         |      len($toks) AS n_tokens
+         |    FROM documents))
+         |ORDER BY doc_id ASC""".stripMargin,
     "q_pack_sequences" ->
       s"""SELECT CAST(floor((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS bin,
          |  doc_id, n_tokens FROM (

@@ -68,6 +68,39 @@ object Retrieval {
       .localCheckpoint()
   }
 
+  /** Top-20 bigram collocations by integer-scaled lift — PMI ranking
+    * without a single float log: PMI = log(N·c_xy/(c_x·c_y)) is monotone
+    * in its argument, so ranking by `(c_xy·N·10^6) div (c_x·c_y)` (pure
+    * BIGINT) orders identically to ranking by PMI and is bit-exact
+    * cross-engine. Occurrence counts (not per-doc distinct): three
+    * map-side-combined aggregates over the exploded token/pair streams.
+    * Overflow headroom: c_xy·N·10^6 needs N·c_xy < 9.2e12 — at corpus
+    * scale drop the 10^6 factor (ranking is unaffected, it's a constant).
+    */
+  def collocations(s: SparkSession, d: String): DataFrame = {
+    val toks = TA.tokens(col("text"))
+    val docs = Tables.documents(s, d)
+    val pairs = docs.select(explode(
+        when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1), i =>
+            struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+    val uni = docs.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum(col("c")).as("n_tokens"))
+    pairs.where(col("c_xy") >= 5)
+      .join(uni.select(col("w").as("w1"), col("c").as("c_x")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .selectExpr("w1", "w2", "c_xy",
+        "(c_xy * n_tokens * 1000000L) div (c_x * c_y) AS lift_scaled")
+      .orderBy(col("lift_scaled").desc, col("w1").asc, col("w2").asc)
+      .limit(20)
+  }
+
   def keywordSearch(s: SparkSession, d: String): DataFrame =
     conjunctiveSearch(Tables.documents(s, d), "doc_id", col("text"),
         Seq("vector", "join", "filter"))
@@ -85,6 +118,7 @@ object Retrieval {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_keyword_search" -> keywordSearch,
     "q_decontaminate" -> decontaminate,
+    "q_collocations" -> collocations,
   )
 
   import Analysis.{toks, hash60}
@@ -97,6 +131,20 @@ object Retrieval {
       s"i -> list_aggregate(($t)[i:i+${n - 1}], 'string_agg', ' ')))"
 
   val oracleSql: Map[String, String] = Map(
+    "q_collocations" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |pr AS (SELECT w1, w2, COUNT(*) AS c_xy FROM (
+         |    SELECT tk[i] AS w1, tk[i+1] AS w2 FROM t
+         |    CROSS JOIN LATERAL (SELECT unnest(range(1, len(tk))) AS i))
+         |  GROUP BY w1, w2),
+         |uni AS (SELECT w, COUNT(*) AS c FROM (
+         |    SELECT unnest(tk) AS w FROM t) GROUP BY w),
+         |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM uni)
+         |SELECT w1, w2, c_xy,
+         |  CAST((c_xy * n.n_tokens * 1000000) // (a.c * b.c) AS BIGINT) AS lift_scaled
+         |FROM pr JOIN uni a ON pr.w1 = a.w JOIN uni b ON pr.w2 = b.w CROSS JOIN n
+         |WHERE c_xy >= 5
+         |ORDER BY lift_scaled DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin,
     "q_keyword_search" ->
       s"""WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM (
          |    SELECT doc_id, unnest(list_filter($toks,

@@ -342,7 +342,37 @@ object Stats {
       .orderBy(col("p_brand").asc, col("p_partkey").asc)
   }
 
+  /** Half-life-decayed value sum per event type (1-week half-life,
+    * anchored at the newest event) — the recency weighting a feedback/
+    * engagement pipeline applies. Bit-exact float discipline: decay
+    * factors are powers of two (2^-k, k = whole weeks of age), so each
+    * term is `exact-weekly-sum / (1L << k)` — an EXACT double scaling,
+    * no pow/exp anywhere; and the final per-type sum folds the ≤
+    * week-count terms in k order via a sorted-array aggregate, pinning
+    * the float addition order that a parallel SUM would leave to
+    * partition luck. Weekly sums are one map-side-combined decimal
+    * aggregate; the fold input is bounded by the calendar, not the data.
+    */
+  def timeDecay(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"),
+      datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("day"))
+    val anchor = ev.agg(max(col("day")).as("anchor"))
+    val weekly = ev.crossJoin(broadcast(anchor))
+      .withColumn("k", expr("(anchor - day) div 7"))
+      .groupBy(col("event_type"), col("k"))
+      .agg(dsum(col("value")).as("wsum"))
+    weekly
+      .withColumn("term", expr("wsum / cast(shiftleft(1L, cast(k AS int)) AS double)"))
+      .groupBy(col("event_type"))
+      .agg(
+        aggregate(sort_array(collect_list(struct(col("k"), col("term")))),
+          lit(0.0), (acc, x) => acc + x.getField("term")).as("decayed"),
+        count(lit(1)).as("n_weeks"))
+      .orderBy(col("event_type").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_time_decay" -> timeDecay,
     "q_funnel" -> funnel,
     "q_transitions" -> transitions,
     "q_rank_dense" -> rankDense,
@@ -376,6 +406,20 @@ object Stats {
         |  UNION ALL SELECT '2_click', COUNT(*) FROM c
         |  UNION ALL SELECT '3_purchase', COUNT(*) FROM p)
         |ORDER BY stage ASC""".stripMargin,
+    "q_time_decay" ->
+      """WITH e AS (SELECT event_type, value,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' AS day
+        |  FROM events),
+        |a AS (SELECT MAX(day) AS anchor FROM e),
+        |w AS (SELECT event_type, (a.anchor - day) // 7 AS k,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS wsum
+        |  FROM e CROSS JOIN a GROUP BY event_type, (a.anchor - day) // 7),
+        |t AS (SELECT event_type, k,
+        |    wsum / CAST(CAST(1 AS BIGINT) << k AS DOUBLE) AS term FROM w)
+        |SELECT event_type,
+        |  list_reduce(list(term ORDER BY k), (x, y) -> x + y) AS decayed,
+        |  CAST(COUNT(*) AS BIGINT) AS n_weeks
+        |FROM t GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
     "q_rank_dense" ->
       """SELECT p_brand, p_partkey, p_size,
         |  RANK() OVER w AS rk, DENSE_RANK() OVER w AS drk
