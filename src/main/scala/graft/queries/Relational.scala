@@ -171,7 +171,29 @@ object Relational {
       .orderBy(col("user_id").asc, col("event_id").asc)
   }
 
+  /** FULL OUTER join of two monthly series — orders placed vs lineitems
+    * shipped per calendar month. Ship months extend past the last order
+    * month, so genuinely unmatched rows appear and surface as NULL
+    * counts (kept as NULLs — the outer-join semantics under test).
+    * Plan: two map-side-combined pre-aggregates (one row per month each)
+    * full-outer-joined on the month key — aggregate-then-join, never
+    * join-then-aggregate, so the outer join touches hundreds of rows
+    * regardless of fact size.
+    */
+  def fullOuter(s: SparkSession, d: String): DataFrame = {
+    val om = Tables.orders(s, d)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mon"))
+      .agg(count(lit(1)).as("n_orders"))
+    val sm = Tables.lineitem(s, d)
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("mon"))
+      .agg(count(lit(1)).as("n_shipped"))
+    om.join(sm, Seq("mon"), "full_outer")
+      .select(col("mon"), col("n_orders"), col("n_shipped"))
+      .orderBy(col("mon").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_full_outer" -> fullOuter,
     "q_intersect" -> intersectUsers,
     "q_running_total" -> runningTotal,
     "q_topn_global" -> topnGlobal,
@@ -189,6 +211,14 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_full_outer" ->
+      """WITH om AS (SELECT strftime(o_orderdate, '%Y-%m') AS mon,
+        |    COUNT(*) AS n_orders FROM orders GROUP BY 1),
+        |sm AS (SELECT strftime(l_shipdate, '%Y-%m') AS mon,
+        |    COUNT(*) AS n_shipped FROM lineitem GROUP BY 1)
+        |SELECT COALESCE(om.mon, sm.mon) AS mon, om.n_orders, sm.n_shipped
+        |FROM om FULL OUTER JOIN sm ON om.mon = sm.mon
+        |ORDER BY mon ASC""".stripMargin,
     "q_intersect" ->
       """SELECT user_id FROM events WHERE event_type = 'purchase'
         |INTERSECT SELECT user_id FROM events WHERE event_type = 'signup'

@@ -80,4 +80,22 @@ object EventStreams {
       .select(col("s_user").as("user_id"), col("signup_ts"),
         col("purchase_ts"), col("purchase_value"))
   }
+
+  /** Stream-static enrichment: join each micro-batch against a static
+    * dimension (user → attributes). The static side re-plans as an
+    * ordinary batch relation every micro-batch — no streaming state, no
+    * watermark; `broadcast` keeps the stream side shuffle-free, the same
+    * dim-join discipline as the batch queries. Left join so unknown
+    * users pass through with NULL attributes rather than vanishing.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+
+  /** Per-attribute running counts over the enriched stream (complete
+    * mode downstream) — enrichment feeding a keyed aggregate.
+    */
+  def countsByDim(events: DataFrame, dim: DataFrame, attr: String): DataFrame =
+    enrichWithDim(events, dim)
+      .groupBy(col(attr))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
 }

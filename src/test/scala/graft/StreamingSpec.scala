@@ -104,6 +104,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join enriches micro-batches; unknown users keep NULL dim") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val stream = mem.toDF().toDF("user_id", "ts", "value")
+    val q = EventStreams.countsByDim(stream, dim, "segment")
+      .writeStream.format("memory").queryName("dim_counts")
+      .outputMode("complete").start()
+    try {
+      mem.addData((1L, ts("2024-01-01 00:05:00"), 10.0),
+        (1L, ts("2024-01-01 00:06:00"), 5.0),
+        (2L, ts("2024-01-01 00:07:00"), 2.0),
+        (9L, ts("2024-01-01 00:08:00"), 1.0)) // not in dim → NULL segment
+      q.processAllAvailable()
+      val out = spark.table("dim_counts")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(out == Set(("gold", 2L, 15.0), ("silver", 1L, 2.0), (null, 1L, 1.0)))
+      // batch twin over the same rows must agree
+      val batch = EventStreams.countsByDim(
+          Seq((1L, ts("2024-01-01 00:05:00"), 10.0),
+            (1L, ts("2024-01-01 00:06:00"), 5.0),
+            (2L, ts("2024-01-01 00:07:00"), 2.0),
+            (9L, ts("2024-01-01 00:08:00"), 1.0)).toDF("user_id", "ts", "value"),
+          dim, "segment")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(batch == out)
+    } finally q.stop()
+  }
+
   test("C14 feedback post-process trims and falls back") {
     import graft.operators.ScoreParser
     val out = Seq(Some("  good resume  "), Some(""), None)
