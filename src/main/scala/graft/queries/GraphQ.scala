@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.PageRank
+import graft.operators.{PageRank, Triangles}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -41,8 +41,21 @@ object GraphQ {
       .select(col("node").as("n_name"), col("rank_scaled"))
       .orderBy(col("n_name").asc)
 
+  /** Per-nation triangle participation in the undirected trade graph —
+    * how many pairs of a nation's trade partners also trade with each
+    * other. Degree-ordered wedge enumeration (operators.Triangles)
+    * bounds the join volume at O(m^1.5) under skew.
+    */
+  def triangles(s: SparkSession, d: String): DataFrame =
+    Triangles.perNode(
+        Tables.nation(s, d).select(col("n_name").as("id")),
+        tradeEdges(s, d).select(col("src").as("id_a"), col("dst").as("id_b")))
+      .select(col("id").as("n_name"), col("n_tri"))
+      .orderBy(col("n_name").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> pageRank,
+    "q_triangles" -> triangles,
   )
 
   /** The oracle unrolls the 8 iterations as chained CTEs (standard SQL
@@ -77,7 +90,40 @@ object GraphQ {
        |ORDER BY n_name ASC""".stripMargin
   }
 
+  /** The oracle enumerates each triangle once in id order (a < b < c)
+    * — a different but equivalent canonicalization to the engine's
+    * degree orientation; the triangle SET is identical, so the per-node
+    * counts hash-match.
+    */
+  private val triOracle: String =
+    """WITH dedges AS (
+      |  SELECT cn.n_name AS src, sn.n_name AS dst
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
+      |  JOIN nation sn ON su.s_nationkey = sn.n_nationkey
+      |  GROUP BY cn.n_name, sn.n_name),
+      |und AS (
+      |  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      |  FROM dedges WHERE src <> dst GROUP BY 1, 2),
+      |tri AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM und e1
+      |  JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+      |  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+      |pn AS (
+      |  SELECT x AS node FROM tri
+      |  UNION ALL SELECT y FROM tri
+      |  UNION ALL SELECT z FROM tri),
+      |cnt AS (SELECT node, COUNT(*) AS n_tri FROM pn GROUP BY node)
+      |SELECT n.n_name, COALESCE(cnt.n_tri, 0) AS n_tri
+      |FROM nation n LEFT JOIN cnt ON cnt.node = n.n_name
+      |ORDER BY n_name ASC""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_pagerank" -> prOracle(8),
+    "q_triangles" -> triOracle,
   )
 }
