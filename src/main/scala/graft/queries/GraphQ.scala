@@ -86,7 +86,7 @@ object GraphQ {
        |nn AS (SELECT COUNT(*) AS n FROM nation),
        |r0 AS (SELECT n_name AS node, $scale // (SELECT n FROM nn) AS r FROM nation),
        |$iters
-       |SELECT node AS n_name, r AS rank_scaled FROM r$iterations
+       |SELECT node AS n_name, CAST(r AS BIGINT) AS rank_scaled FROM r$iterations
        |ORDER BY n_name ASC""".stripMargin
   }
 

@@ -151,7 +151,7 @@ object Retrieval {
          |      w -> w IN ('vector', 'join', 'filter'))) AS term
          |    FROM documents)
          |  GROUP BY doc_id, term)
-         |SELECT doc_id, SUM(tf) AS score FROM tf
+         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS score FROM tf
          |GROUP BY doc_id HAVING COUNT(*) = 3
          |ORDER BY score DESC, doc_id ASC""".stripMargin,
     "q_decontaminate" ->

@@ -66,6 +66,22 @@ def main():
         if len(s) != len(d):
             print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}")
             fails.append(name); continue
+        # dtype-strict: the driver hashes materialized values, so an int64
+        # column vs a float64 column (DuckDB HUGEINT/DOUBLE widening) hash-
+        # mismatches even when every cell compares equal in Python. Compare
+        # numpy dtype *kind* (i/u/f/b/M/O) per column and fail on any drift.
+        kind_fail = None
+        for c in s.columns:
+            sk, dk = s[c].dtype.kind, d[c].dtype.kind
+            if sk in ("i", "u") and dk in ("i", "u"):
+                continue  # width differences (int32 vs int64) hash alike
+            if sk != dk:
+                kind_fail = (c, s[c].dtype, d[c].dtype)
+                break
+        if kind_fail:
+            c, st, dt = kind_fail
+            print(f"FAIL {name}: dtype col={c} spark={st} duck={dt}")
+            fails.append(name); continue
         mismatch = None
         for ci, c in enumerate(s.columns):
             sv = [norm_cell(x) for x in s[c].tolist()]
