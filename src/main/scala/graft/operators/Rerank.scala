@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Maximal Marginal Relevance (MMR) rerank — the diversification pass a
@@ -9,42 +10,68 @@ import org.apache.spark.sql.functions._
   * relevance against redundancy (Carbonell & Goldstein 1998).
   *
   * Scale shape: candidate generation is the distributed part (top-N scan
-  * / IVF probe); MMR itself is O(k·N²) on N ≤ a few hundred candidates.
-  * It is still expressed as dataflow (pairwise-sim relation + k
-  * argmax-join rounds, localCheckpoint'd like the other iterative
-  * operators) rather than a driver-side loop over collected rows, so the
-  * same code serves one query or a whole batch of queries partitioned by
-  * query id.
+  * / IVF probe); MMR itself is O(k·N²) on N ≤ a few hundred candidates
+  * PER QUERY. The batch form (`mmrSelectBatch`) is the real serving
+  * shape: every greedy round is ONE dataflow job whose argmax is a
+  * per-query-id window `row_number`, so k rounds serve an arbitrary
+  * number of concurrent queries — round count never depends on the
+  * probe-set size, and each round shuffles on the compact (qid, id) key.
+  * The single-query `mmrSelect` is the batch form with one constant qid.
   */
 object Rerank {
 
-  /** `cand`: (id, rel, pairwise-similarity source column already joined —
-    * see `sims`). `sims`: (ia, ib, sim) complete pairwise similarity over
-    * the candidate ids. Returns (pick 1..k, id, rel, mmr) where the first
-    * pick's mmr equals its rel (no penalty yet). Ties at every argmax
-    * break on ascending id; rel/sim are expected pre-rounded by the
-    * caller if cross-engine determinism matters.
+  /** Batched MMR over many queries at once. `cand`: (qid, id, rel) — each
+    * query id's candidate list. `sims`: (qid, ia, ib, sim) — complete
+    * pairwise similarity within each qid's candidates. Returns
+    * (qid, pick 1..k, id, rel, mmr); the first pick's mmr equals its rel
+    * (no penalty yet). Ties at every per-qid argmax break on ascending
+    * id; rel/sim are expected pre-rounded by the caller if cross-engine
+    * determinism matters. A qid with fewer than k candidates simply stops
+    * contributing rows once exhausted.
     */
-  def mmrSelect(cand: DataFrame, sims: DataFrame, k: Int,
+  def mmrSelectBatch(cand: DataFrame, sims: DataFrame, k: Int,
       lambda: Double): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val c = cand.select(col("id"), col("rel")).localCheckpoint()
+    val c = cand.select(col("qid"), col("id"), col("rel")).localCheckpoint()
     val p = sims.localCheckpoint()
-    var selected = c.orderBy(col("rel").desc, col("id").asc).limit(1)
-      .select(lit(1L).as("pick"), col("id"), col("rel"), col("rel").as("mmr"))
+    val w1 = Window.partitionBy(col("qid"))
+      .orderBy(col("rel").desc, col("id").asc)
+    var selected = c.withColumn("rn", row_number().over(w1))
+      .where(col("rn") === 1)
+      .select(col("qid"), lit(1L).as("pick"), col("id"), col("rel"),
+        col("rel").as("mmr"))
       .localCheckpoint()
     for (i <- 2 to k) {
-      val maxSim = p.join(selected.select(col("id").as("ib")), Seq("ib"))
-        .groupBy(col("ia")).agg(max(col("sim")).as("msim"))
+      val maxSim = p
+        .join(selected.select(col("qid"), col("id").as("ib")), Seq("qid", "ib"))
+        .groupBy(col("qid"), col("ia")).agg(max(col("sim")).as("msim"))
         .withColumnRenamed("ia", "id")
+      val wi = Window.partitionBy(col("qid"))
+        .orderBy(col("mmr").desc, col("id").asc)
       val next = c
-        .join(selected.select(col("id")), Seq("id"), "left_anti")
-        .join(maxSim, Seq("id"))
-        .select(lit(i.toLong).as("pick"), col("id"), col("rel"),
+        .join(selected.select(col("qid"), col("id")), Seq("qid", "id"), "left_anti")
+        .join(maxSim, Seq("qid", "id"))
+        .select(col("qid"), col("id"), col("rel"),
           (col("rel") - lit(lambda) * col("msim")).as("mmr"))
-        .orderBy(col("mmr").desc, col("id").asc).limit(1)
+        .withColumn("rn", row_number().over(wi))
+        .where(col("rn") === 1)
+        .select(col("qid"), lit(i.toLong).as("pick"), col("id"), col("rel"),
+          col("mmr"))
       selected = selected.unionAll(next).localCheckpoint()
     }
     selected
   }
+
+  /** Single-query MMR: `cand`: (id, rel); `sims`: (ia, ib, sim) complete
+    * pairwise similarity over the candidate ids. Returns
+    * (pick 1..k, id, rel, mmr). Delegates to `mmrSelectBatch` with one
+    * constant query id.
+    */
+  def mmrSelect(cand: DataFrame, sims: DataFrame, k: Int,
+      lambda: Double): DataFrame =
+    mmrSelectBatch(
+      cand.select(lit(0L).as("qid"), col("id"), col("rel")),
+      sims.select(lit(0L).as("qid"), col("ia"), col("ib"), col("sim")),
+      k, lambda)
+      .select(col("pick"), col("id"), col("rel"), col("mmr"))
 }

@@ -197,6 +197,43 @@ object Analysis {
       .orderBy(col("pick").asc)
   }
 
+  /** Batch MMR — the serving shape: TWO probe vectors (vec_id 0 and 1)
+    * diversified in the SAME k greedy rounds. Candidates are each qid's
+    * cosine top-20 from one corpus scan (broadcast probe set + per-qid
+    * window); pairwise sims are computed within each qid's candidate set;
+    * `Rerank.mmrSelectBatch` then advances every qid one pick per round
+    * via a per-qid window argmax. Round count is k regardless of how many
+    * queries are in flight — the property the single-probe form lacks.
+    */
+  def mmrBatch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.where(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("rel").desc, col("id").asc)
+    val cand = emb.crossJoin(broadcast(probes))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("id"),
+        round(VectorOps.cosine(col("embedding"), col("qvec")), 4).as("rel"),
+        col("embedding"))
+      .withColumn("rn", row_number().over(wTop))
+      .where(col("rn") <= 20)
+      .drop("rn")
+      .localCheckpoint()
+    val sims = cand.select(col("qid"), col("id").as("ia"), col("embedding").as("ea"))
+      .join(cand.select(col("qid"), col("id").as("ib"), col("embedding").as("eb")),
+        Seq("qid"))
+      .where(col("ia") =!= col("ib"))
+      .select(col("qid"), col("ia"), col("ib"),
+        round(VectorOps.cosine(col("ea"), col("eb")), 4).as("sim"))
+    graft.operators.Rerank.mmrSelectBatch(
+        cand.select(col("qid"), col("id"), col("rel")), sims, k = 5, lambda = 0.5)
+      .select(col("qid"), col("pick"), col("id").as("vec_id"), col("rel"),
+        col("mmr"))
+      .orderBy(col("qid").asc, col("pick").asc)
+  }
+
   /** Gopher/C4-style repetition and quality signals per document, all as
     * integer-scaled ppm fractions (BIGINT div — no float logs, so
     * bit-exact cross-engine): repeated-3-gram fraction (the repetition
@@ -355,6 +392,7 @@ object Analysis {
     "q_ann_rplsh" -> annRpLsh,
     "q_quality_signals" -> qualitySignals,
     "q_mmr_topk" -> mmrTopk,
+    "q_mmr_batch" -> mmrBatch,
     "q_pack_grouped" -> packGrouped,
   )
 
@@ -447,8 +485,52 @@ object Analysis {
        |FROM acc$k ORDER BY pick ASC""".stripMargin
   }
 
+  /** The q_mmr_batch oracle: per-qid top-20 candidates + within-qid
+    * pairwise sims, then the k greedy rounds unrolled as chained CTEs —
+    * each round's argmax is a per-qid ROW_NUMBER, mirroring
+    * Rerank.mmrSelectBatch exactly.
+    */
+  private def mmrBatchOracle(k: Int, lambda: Double): String = {
+    val rounds = (2 to k).map { i =>
+      s"""sel$i AS (SELECT qid, $i AS pick, id, rel, mmr FROM (
+         |    SELECT qid, id, rel, mmr,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY mmr DESC, id ASC) AS rn
+         |    FROM (SELECT c.qid, c.id, c.rel, c.rel - $lambda * ms.m AS mmr
+         |      FROM cand c JOIN (SELECT p.qid, p.ia AS id, MAX(p.sim) AS m
+         |          FROM pairs p JOIN acc${i - 1} a ON a.qid = p.qid AND a.id = p.ib
+         |          GROUP BY p.qid, p.ia) ms ON ms.qid = c.qid AND ms.id = c.id
+         |      WHERE NOT EXISTS (SELECT 1 FROM acc${i - 1} x
+         |        WHERE x.qid = c.qid AND x.id = c.id)))
+         |  WHERE rn = 1),
+         |acc$i AS (SELECT * FROM acc${i - 1} UNION ALL SELECT * FROM sel$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH probes AS (SELECT vec_id AS qid, embedding AS qe
+       |  FROM embeddings WHERE vec_id < 2),
+       |cand AS (SELECT qid, id, rel FROM (
+       |    SELECT qid, id, rel,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, id ASC) AS rn
+       |    FROM (SELECT q.qid, e.vec_id AS id,
+       |        ROUND(${cosineSql("e.embedding", "q.qe")}, 4) AS rel
+       |      FROM embeddings e CROSS JOIN probes q WHERE e.vec_id <> q.qid))
+       |  WHERE rn <= 20),
+       |ce AS (SELECT c.qid, c.id, e.embedding FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.id),
+       |pairs AS (SELECT a.qid, a.id AS ia, b.id AS ib,
+       |    ROUND(${cosineSql("a.embedding", "b.embedding")}, 4) AS sim
+       |  FROM ce a JOIN ce b ON a.qid = b.qid AND a.id <> b.id),
+       |sel1 AS (SELECT qid, 1 AS pick, id, rel, rel AS mmr FROM (
+       |    SELECT qid, id, rel,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, id ASC) AS rn
+       |    FROM cand) WHERE rn = 1),
+       |acc1 AS (SELECT * FROM sel1),
+       |$rounds
+       |SELECT qid, CAST(pick AS BIGINT) AS pick, id AS vec_id, rel, mmr
+       |FROM acc$k ORDER BY qid ASC, pick ASC""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_mmr_topk" -> mmrOracle(5, 0.5),
+    "q_mmr_batch" -> mmrBatchOracle(5, 0.5),
     "q_stable_sample" ->
       s"""SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':shuffle') AS shuffle_key
          |FROM documents

@@ -35,4 +35,38 @@ class RerankSpec extends AnyFunSuite {
     assert(rows.head.getDouble(2) == rows.head.getDouble(3))
     assert(rows.tail.forall(r => r.getDouble(3) <= r.getDouble(2)))
   }
+
+  test("batch form advances every qid independently in the same rounds") {
+    // qid 0 = the single-query fixture; qid 1 = reversed relevances and no
+    // near-duplicate, so its greedy order is pure relevance.
+    val bcand = (Seq((1L, 0.9), (2L, 0.85), (3L, 0.8), (4L, 0.5))
+        .map { case (i, r) => (0L, i, r) } ++
+      Seq((1L, 0.5), (2L, 0.6), (3L, 0.7), (4L, 0.8))
+        .map { case (i, r) => (1L, i, r) })
+      .toDF("qid", "id", "rel")
+    val half0 = Seq((1L, 2L, 0.95), (1L, 3L, 0.1), (1L, 4L, 0.1),
+      (2L, 3L, 0.1), (2L, 4L, 0.1), (3L, 4L, 0.1))
+    val bsims = ((half0 ++ half0.map { case (a, b, s) => (b, a, s) })
+      .map { case (a, b, s) => (0L, a, b, s) } ++
+      (half0 ++ half0.map { case (a, b, s) => (b, a, s) })
+        .map { case (a, b, _) => (1L, a, b, 0.1) })
+      .toDF("qid", "ia", "ib", "sim")
+    val picks = Rerank.mmrSelectBatch(bcand, bsims, k = 3, lambda = 0.5)
+      .orderBy("qid", "pick").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(picks.toList == List(
+      (0L, 1L, 1L), (0L, 2L, 3L), (0L, 3L, 4L),
+      (1L, 1L, 4L), (1L, 2L, 3L), (1L, 3L, 2L)))
+  }
+
+  test("a qid with fewer than k candidates stops contributing rows") {
+    val bcand = Seq((0L, 1L, 0.9), (0L, 2L, 0.8), (1L, 7L, 0.5))
+      .toDF("qid", "id", "rel")
+    val bsims = Seq((0L, 1L, 2L, 0.2), (0L, 2L, 1L, 0.2))
+      .toDF("qid", "ia", "ib", "sim")
+    val rows = Rerank.mmrSelectBatch(bcand, bsims, k = 3, lambda = 0.5)
+      .orderBy("qid", "pick").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toList == List((0L, 1L, 1L), (0L, 2L, 2L), (1L, 1L, 7L)))
+  }
 }
