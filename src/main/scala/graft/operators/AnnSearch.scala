@@ -120,6 +120,9 @@ object AnnSearch {
     * bucket. One narrow scan computing the code + a pushable equality
     * filter — at scale the code is a precomputed partition/bucket column
     * and the filter prunes partitions before any vector math runs.
+    * Top-k selection (raw cosine desc, vec_id asc tie-break) happens HERE
+    * — a TakeOrderedAndProject over the bucket, so only k rows leave the
+    * operator; callers round/re-order only for presentation.
     */
   def rpLshSearch(emb: DataFrame, q: Seq[Double], nPlanes: Int, k: Int): DataFrame = {
     val planes = rpPlanes(nPlanes, q.length)
@@ -127,6 +130,8 @@ object AnnSearch {
     emb.withColumn("code", rpCode(col("embedding"), planes))
       .where(col("code") === lit(qcode))
       .select(col("vec_id"), cosineToQuery(col("embedding"), q).as("cos_raw"))
+      .orderBy(col("cos_raw").desc, col("vec_id").asc)
+      .limit(k)
   }
 
   // ---- MLlib LSH scale path (seeded; hash model is engine-specific so

@@ -26,6 +26,15 @@ object Merge {
   def applyChanges(base: DataFrame, changes: DataFrame, keyCol: String,
                    opCol: String = "op"): DataFrame = {
     val payload = changes.columns.filterNot(c => c == keyCol || c == opCol)
+    // The join below injects __op/__n_changes/__u_* working columns; a
+    // base or change schema that already uses one of those names would
+    // otherwise surface as an opaque ambiguous-reference AnalysisException
+    // deep in the plan — reject it as a contract error up front.
+    val internal = Set("__op", "__n_changes") ++ payload.map("__u_" + _)
+    val clash = (base.columns ++ changes.columns).toSet.intersect(internal)
+    require(clash.isEmpty,
+      s"column(s) ${clash.mkString(",")} collide with Merge's internal " +
+        "working columns (__op, __n_changes, __u_<payload>)")
     require(payload.forall(base.columns.contains),
       s"change payload columns ${payload.mkString(",")} must exist in base")
     // SQL MERGE's single-match invariant: a key with >1 change row would

@@ -268,10 +268,11 @@ object Analysis {
     */
   def annRpLsh(s: SparkSession, d: String): DataFrame = {
     val q = VectorOps.queryVector(s, d, 0L)
+    // selection (top-k by raw cosine) lives in the operator; here only
+    // presentation rounding + display order
     AnnSearch.rpLshSearch(Tables.embeddings(s, d), q, nPlanes = 8, k = 10)
       .withColumn("cos", round(col("cos_raw"), 4))
       .orderBy(col("cos").desc, col("vec_id").asc)
-      .limit(10)
       .select(col("vec_id"), col("cos"))
   }
 
@@ -720,8 +721,9 @@ object Analysis {
          |  SELECT e.vec_id, ${cosineSql("e.embedding", "q.qe")} AS cos_raw
          |  FROM embeddings e JOIN codes c ON e.vec_id = c.vec_id
          |    CROSS JOIN q CROSS JOIN qc
-         |  WHERE c.code = qc.qcode)
-         |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
+         |  WHERE c.code = qc.qcode
+         |  ORDER BY cos_raw DESC, e.vec_id ASC LIMIT 10)
+         |ORDER BY cos DESC, vec_id ASC""".stripMargin,
     "q_ann_ivf" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          |cents AS (SELECT vec_id AS cell, embedding AS cvec

@@ -362,7 +362,12 @@ object Stats {
       .groupBy(col("event_type"), col("k"))
       .agg(dsum(col("value")).as("wsum"))
     weekly
-      .withColumn("term", expr("wsum / cast(shiftleft(1L, cast(k AS int)) AS double)"))
+      // k clamps at 62: JVM shiftleft wraps mod 64 (DuckDB's << does not),
+      // so an event ≥ 64 weeks old would divide by a wrong (even negative)
+      // power. Beyond 2^-62 the term is below double noise anyway, so the
+      // clamp is semantics-free — but it must be applied in BOTH engines.
+      .withColumn("term",
+        expr("wsum / cast(shiftleft(1L, cast(least(k, 62) AS int)) AS double)"))
       .groupBy(col("event_type"))
       .agg(
         aggregate(sort_array(collect_list(struct(col("k"), col("term")))),
@@ -415,7 +420,7 @@ object Stats {
         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS wsum
         |  FROM e CROSS JOIN a GROUP BY event_type, (a.anchor - day) // 7),
         |t AS (SELECT event_type, k,
-        |    wsum / CAST(CAST(1 AS BIGINT) << k AS DOUBLE) AS term FROM w)
+        |    wsum / CAST(CAST(1 AS BIGINT) << LEAST(k, 62) AS DOUBLE) AS term FROM w)
         |SELECT event_type,
         |  list_reduce(list(term ORDER BY k), (x, y) -> x + y) AS decayed,
         |  CAST(COUNT(*) AS BIGINT) AS n_weeks

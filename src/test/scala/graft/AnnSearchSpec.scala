@@ -54,6 +54,17 @@ class AnnSearchSpec extends AnyFunSuite {
     assert((exact & ids).size >= k / 2, s"LSH recall under 50% vs exact")
   }
 
+  test("rpLshSearch returns at most k rows, in raw-cosine order") {
+    val all = AnnSearch.rpLshSearch(emb, q, nPlanes = 2, k = 1000).collect()
+    assert(all.length > 1, "2-plane bucket should hold several vectors")
+    val k = math.max(all.length - 1, 1)
+    val top = AnnSearch.rpLshSearch(emb, q, nPlanes = 2, k = k).collect()
+    assert(top.length == k)
+    assert(top.map(_.getLong(0)).toSeq == all.take(k).map(_.getLong(0)).toSeq)
+    val cos = top.map(_.getDouble(1)).toSeq
+    assert(cos == cos.sorted.reverse)
+  }
+
   test("MLlib MinHashLSH approxSimilarityJoin finds near-identical docs") {
     import spark.implicits._
     val base = (1 to 40).map("t" + _)

@@ -38,6 +38,19 @@ class MergeSpec extends AnyFunSuite {
     assert(out.columns.toSeq == base.columns.toSeq)
   }
 
+  test("schema colliding with internal working columns is rejected up front") {
+    import org.apache.spark.sql.functions.lit
+    val changes = Seq((2L, "U", 5.0)).toDF("id", "op", "bal")
+    val ex = intercept[IllegalArgumentException] {
+      Merge.applyChanges(base.withColumn("__op", lit("x")), changes, "id")
+    }
+    assert(ex.getMessage.contains("__op"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Merge.applyChanges(base, changes.withColumn("__n_changes", lit(1)), "id")
+    }
+    assert(ex2.getMessage.contains("collide"))
+  }
+
   test("multiple change rows for one key raise (MERGE single-match invariant)") {
     val changes = Seq((2L, "U", 99.0), (2L, "U", 50.0)).toDF("id", "op", "bal")
     val ex = intercept[Exception] {

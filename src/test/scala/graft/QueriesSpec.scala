@@ -30,4 +30,18 @@ class QueriesSpec extends AnyFunSuite {
       assert(n > 0, s"$name returned no rows at sf0.001")
     }
   }
+
+  test("time-decay shiftleft clamp: k >= 63 stays positive and saturates at 2^-62") {
+    // unclamped, k=63 divides by 1L<<63 = Long.MIN_VALUE (negative term)
+    // and k=100 by the mod-64-wrapped 1<<36 — the clamp pins both to 2^-62
+    import spark.implicits._
+    val terms = Seq((0L, 1.0), (62L, 1.0), (63L, 1.0), (100L, 1.0))
+      .toDF("k", "wsum")
+      .withColumn("term", org.apache.spark.sql.functions.expr(
+        "wsum / cast(shiftleft(1L, cast(least(k, 62) AS int)) AS double)"))
+      .orderBy("k").collect().map(_.getDouble(2))
+    assert(terms.forall(_ > 0.0))
+    assert(terms(0) == 1.0)
+    assert(terms(1) == terms(2) && terms(2) == terms(3))
+  }
 }
