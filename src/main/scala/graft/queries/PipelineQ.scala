@@ -14,10 +14,14 @@ import org.apache.spark.sql.functions._
   *    over the embeddings table, oracle-checked;
   *  - q_match_single: the single-resume route end-to-end (page concat →
   *    section chunk → prompt assembly → deterministic scorer → parse →
-  *    mean). The chunker's Scala regex pass is not SQL-expressible, so
-  *    this query is declared rows-only (no oracle entry — the driver
-  *    records the weaker rows>0 check); its semantics are pinned by
-  *    SectionChunkerSpec/ScoreParserSpec/PipelinesSpec instead;
+  *    mean), fully oracled: the chunker's find-all-headers + slice pass
+  *    is `regexp_extract_all` (headers, in order) + `regexp_split_to_
+  *    array` (the content between them) over the same regex — RE2 and
+  *    java.util.regex agree on leftmost-first alternation for these
+  *    patterns — with keep-last/first-pos dedup as arg_max/min GROUP BY.
+  *    The deterministic scorer gives every section the same clamped
+  *    JD-token overlap, so parse → mean collapses to that overlap,
+  *    computed over the prompt prefix exactly as the Spark scorer does;
   *  - q_session_window / q_sliding_window: batch forms of the streaming
   *    windows (EventStreams), oracled via gaps-and-islands / window
   *    self-expansion SQL. The session oracle truncates ts to µs BEFORE
@@ -100,7 +104,56 @@ object PipelineQ {
       |     * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qe[i] AS DOUBLE))),
       |  (acc, v) -> acc + v)""".stripMargin
 
+  /** The combined header regex, RE2-flagged; group 1 = the alias (same
+    * alternation order as SectionChunker.sectionPatterns).
+    */
+  private val hdrRe: String =
+    "(?i)(" + graft.operators.SectionChunker.sectionPatterns.map(_._2)
+      .map(p => p.stripPrefix("(").stripSuffix(")")).mkString("|") + ")\\s*[:\\n]"
+
+  private def canonCase: String =
+    graft.operators.SectionChunker.sectionPatterns.map { case (k, p) =>
+      s"    WHEN regexp_full_match(hdr, '(?i)$p') THEN '$k'"
+    }.mkString("CASE\n", "\n", "\n    END")
+
+  private val matchSingleOracle: String =
+    s"""WITH pt AS (SELECT doc_id,
+       |    'Summary: ' || substr(text, 1, 120) || chr(10) ||
+       |    'Skills: ' || substr(text, 121, 120) || chr(10) ||
+       |    'Experience: ' || substr(text, 241, 10000) AS text
+       |  FROM documents),
+       |m AS (SELECT doc_id,
+       |    regexp_extract_all(text, '$hdrRe', 1) AS hdrs,
+       |    regexp_split_to_array(text, '$hdrRe') AS parts
+       |  FROM pt),
+       |raw AS (SELECT doc_id, i AS pos0, hdrs[CAST(i AS BIGINT)] AS hdr,
+       |    trim(parts[CAST(i + 1 AS BIGINT)], ' ' || chr(9) || chr(10) || chr(13)) AS content
+       |  FROM m CROSS JOIN LATERAL (SELECT unnest(range(1, len(hdrs) + 1)) AS i)),
+       |canon AS (SELECT doc_id, pos0, content, $canonCase AS section
+       |  FROM raw),
+       |ded AS (SELECT doc_id, section, MIN(pos0) AS pos,
+       |    arg_max(content, pos0) AS content
+       |  FROM canon GROUP BY doc_id, section),
+       |agg AS (SELECT doc_id,
+       |    string_agg('[' || section || ']' || chr(10) || content,
+       |      chr(10) || chr(10) ORDER BY pos) AS sections_text,
+       |    string_agg('- ' || section, chr(10) ORDER BY pos) AS names
+       |  FROM ded GROUP BY doc_id),
+       |pr AS (SELECT doc_id,
+       |    'Rate each resume section against the job description from 0 to 10.' || chr(10) ||
+       |    'Sections:' || chr(10) || names || chr(10) || chr(10) ||
+       |    'RESUME SECTIONS:' || chr(10) || sections_text || chr(10) || chr(10) AS prefix
+       |  FROM agg),
+       |sc AS (SELECT doc_id,
+       |    len(list_filter(list_distinct(string_split(
+       |      replace(str_split(prefix, 'JOB DESCRIPTION:')[1], chr(10), ' '), ' ')),
+       |      t -> t IN ('spark','data','query','join','filter','window','stream'))) AS overlap
+       |  FROM pr)
+       |SELECT doc_id, CAST(LEAST(overlap, 10) AS DOUBLE) AS final_score
+       |FROM sc ORDER BY doc_id ASC""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_match_single" -> matchSingleOracle,
     "q_shortlist" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          |d AS (SELECT 'vec_' || lpad(CAST(e.vec_id AS VARCHAR), 6, '0') AS file_name,

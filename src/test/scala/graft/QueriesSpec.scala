@@ -13,7 +13,7 @@ class QueriesSpec extends AnyFunSuite {
   /** Queries whose core operator is not SQL-expressible (driver records a
     * rows-only check); their semantics are pinned by unit specs instead.
     */
-  val rowsOnly: Set[String] = Set("q_match_single", "q_approx_distinct", "q_lsh_brp_topk")
+  val rowsOnly: Set[String] = Set("q_approx_distinct", "q_lsh_brp_topk")
 
   test("every declared query has oracle SQL (or is explicitly rows-only)") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
