@@ -13,9 +13,13 @@ import scala.util.Try
   *  - PDF: locate `stream … endstream` segments, inflate /FlateDecode
   *    ones via java.util.zip, and interpret the text-showing content
   *    operators (Tj, TJ, ', ") over literal `(…)` and hex `<…>` strings,
-  *    with Td, TD, T-star, BT, ET treated as line breaks. Single-byte encodings
-  *    only — no CMap/ToUnicode table handling — which covers PDFs from
-  *    simple generators; anything it can't read falls back to
+  *    with Td, TD, T-star, BT, ET treated as line breaks. ToUnicode CMaps
+  *    (PDF 1.7 §9.10.3) ARE handled: bfchar/bfrange tables from every
+  *    CMap stream are merged and applied to show-strings whose codes all
+  *    resolve (2-byte codes first — the Identity-H case — then 1-byte),
+  *    falling back to single-byte ISO-8859-1 when they don't. Multiple
+  *    fonts with CONFLICTING code→text tables aren't distinguished (no
+  *    Tf font-state tracking); anything unreadable falls back to
   *    printable-ASCII salvage.
   *  - DOCX: read `word/document.xml` out of the zip container, emit
   *    `<w:t>` runs, break on paragraph ends / tabs / breaks, decode the
@@ -44,9 +48,26 @@ object BinaryText {
   private val StreamKw = "stream".getBytes(Ascii)
   private val EndstreamKw = "endstream".getBytes(Ascii)
 
-  /** Text of every content stream in the PDF, one paragraph per stream. */
+  /** Text of every content stream in the PDF, one paragraph per stream.
+    * First pass collects the decoded streams; ToUnicode CMap streams are
+    * parsed into merged code→text tables and excluded from the output;
+    * the remaining streams are interpreted with those tables available.
+    */
   def pdfText(bytes: Array[Byte]): String = {
-    val parts = mutable.Buffer[String]()
+    val streams = decodedStreams(bytes)
+    val (cmapStreams, content) = streams.partition(isCMapStream)
+    val (map1, map2) = cmapStreams
+      .map(d => parseCMap(new String(d, Ascii)))
+      .foldLeft((Map.empty[Int, String], Map.empty[Int, String])) {
+        case ((a1, a2), (b1, b2)) => (a1 ++ b1, a2 ++ b2)
+      }
+    content.map(contentText(_, map1, map2)).filter(_.nonEmpty)
+      .mkString("\n").trim
+  }
+
+  /** All stream segments, inflated where /FlateDecode. */
+  private def decodedStreams(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val parts = mutable.Buffer[Array[Byte]]()
     var pos = 0
     var done = false
     while (!done) {
@@ -70,18 +91,21 @@ object BinaryText {
             if (de > ds && bytes(de - 1) == '\n') de -= 1
             if (de > ds && bytes(de - 1) == '\r') de -= 1
             val raw = java.util.Arrays.copyOfRange(bytes, ds, de)
-            val data =
-              if (dictBefore(bytes, s).contains("/FlateDecode"))
+            parts +=
+              (if (dictBefore(bytes, s).contains("/FlateDecode"))
                 Try(inflate(raw)).getOrElse(Array.empty[Byte])
-              else raw
-            val txt = contentText(data)
-            if (txt.nonEmpty) parts += txt
+              else raw)
             pos = e + EndstreamKw.length
           }
         }
       }
     }
-    parts.mkString("\n").trim
+    parts.toSeq
+  }
+
+  private def isCMapStream(data: Array[Byte]): Boolean = {
+    val s = new String(data, Ascii)
+    s.contains("begincmap") || s.contains("beginbfchar") || s.contains("beginbfrange")
   }
 
   /** Text of a DOCX container: the w:t runs of word/document.xml. */
@@ -150,13 +174,21 @@ object BinaryText {
     bos.toByteArray
   }
 
-  /** Interpret the text-showing operators of one decoded content stream. */
-  private def contentText(content: Array[Byte]): String = {
+  /** Interpret the text-showing operators of one decoded content stream.
+    * `map1`/`map2` are the merged ToUnicode tables (1-byte / 2-byte
+    * codes); a show-string whose codes ALL resolve through one of them is
+    * mapped (2-byte first — Identity-H), otherwise shown as raw
+    * single-byte chars.
+    */
+  private def contentText(content: Array[Byte],
+      map1: Map[Int, String] = Map.empty,
+      map2: Map[Int, String] = Map.empty): String = {
     val s = new String(content, Ascii)
     val out = new StringBuilder
     val pending = new StringBuilder
     def newline(): Unit =
       if (out.nonEmpty && out.last != '\n') out.append('\n')
+    def show(): Unit = { out.append(applyCMap(pending.toString, map1, map2)); pending.clear() }
     var i = 0
     val n = s.length
     while (i < n) {
@@ -175,8 +207,8 @@ object BinaryText {
           val st = i
           while (i < n && (s(i).isLetterOrDigit || s(i) == '\'' || s(i) == '"' || s(i) == '*')) i += 1
           s.substring(st, i) match {
-            case "Tj" | "TJ" => out.append(pending); pending.clear()
-            case "'" | "\"" => newline(); out.append(pending); pending.clear()
+            case "Tj" | "TJ" => show()
+            case "'" | "\"" => newline(); show()
             case "Td" | "TD" | "T*" | "BT" | "ET" => newline(); pending.clear()
             case _ => pending.clear() // string was an operand of a non-text op
           }
@@ -184,6 +216,108 @@ object BinaryText {
       }
     }
     out.toString.trim
+  }
+
+  /** Map a show-string through the ToUnicode tables: 2-byte codes when
+    * the length is even and every pair resolves (the Identity-H shape),
+    * else 1-byte codes when every char resolves, else the raw string.
+    */
+  private def applyCMap(s: String, map1: Map[Int, String],
+      map2: Map[Int, String]): String = {
+    if (s.isEmpty) return s
+    if (map2.nonEmpty && s.length % 2 == 0) {
+      val codes = (0 until s.length by 2).map(i => (s(i).toInt << 8) | s(i + 1).toInt)
+      if (codes.forall(map2.contains)) return codes.map(map2).mkString
+    }
+    if (map1.nonEmpty && s.forall(c => map1.contains(c.toInt)))
+      s.map(c => map1(c.toInt)).mkString
+    else s
+  }
+
+  private val BfCharPat = java.util.regex.Pattern.compile("(?s)beginbfchar(.*?)endbfchar")
+  private val BfRangePat = java.util.regex.Pattern.compile("(?s)beginbfrange(.*?)endbfrange")
+  private val HexTokPat = java.util.regex.Pattern.compile("<([0-9A-Fa-f]*)>")
+
+  /** Parse one CMap's bfchar/bfrange sections into (1-byte, 2-byte)
+    * code→text maps. Source code width follows the hex token length
+    * (2 digits = 1 byte, 4 = 2 bytes); destination hex is UTF-16BE.
+    * Ranges wider than 2^16 are ignored as malformed.
+    */
+  private[graft] def parseCMap(s: String): (Map[Int, String], Map[Int, String]) = {
+    val m1 = mutable.Map[Int, String]()
+    val m2 = mutable.Map[Int, String]()
+    def put(srcHex: String, dst: String): Unit = {
+      val code = Integer.parseInt(srcHex, 16)
+      if (srcHex.length <= 2) m1(code) = dst else if (srcHex.length == 4) m2(code) = dst
+    }
+    def utf16(hex: String): String = {
+      val h = if (hex.length % 2 == 1) hex + "0" else hex
+      val bytes = Array.tabulate(h.length / 2)(k =>
+        Integer.parseInt(h.substring(k * 2, k * 2 + 2), 16).toByte)
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_16BE)
+    }
+    val mc = BfCharPat.matcher(s)
+    while (mc.find()) {
+      val toks = hexTokens(mc.group(1))
+      toks.grouped(2).foreach {
+        case Seq(src, dst) if src.nonEmpty && dst.nonEmpty => put(src, utf16(dst))
+        case _ =>
+      }
+    }
+    // src hex at the same width as `lo`, so put() keeps the code width
+    def srcHexAt(width: Int, v: Int): String =
+      ("0" * width + v.toHexString.toUpperCase).takeRight(width)
+    val mr = BfRangePat.matcher(s)
+    while (mr.find()) {
+      rangeTriples(mr.group(1)).foreach {
+        case (lo, hi, Left(dstStart)) =>
+          val l = Integer.parseInt(lo, 16); val h = Integer.parseInt(hi, 16)
+          if (h >= l && h - l <= 0xFFFF && dstStart.nonEmpty) {
+            val base = utf16(dstStart).toCharArray
+            for (k <- 0 to (h - l)) {
+              val chars = base.clone()
+              // PDF 1.7 §9.10.3: only the LAST code unit increments
+              chars(chars.length - 1) = (chars(chars.length - 1) + k).toChar
+              put(srcHexAt(lo.length, l + k), new String(chars))
+            }
+          }
+        case (lo, hi, Right(dsts)) =>
+          val l = Integer.parseInt(lo, 16); val h = Integer.parseInt(hi, 16)
+          if (h >= l && h - l < dsts.length)
+            for (k <- 0 to (h - l)) put(srcHexAt(lo.length, l + k), utf16(dsts(k)))
+      }
+    }
+    (m1.toMap, m2.toMap)
+  }
+
+  private def hexTokens(body: String): Seq[String] = {
+    val m = HexTokPat.matcher(body)
+    val out = mutable.Buffer[String]()
+    while (m.find()) out += m.group(1)
+    out.toSeq
+  }
+
+  /** Tokenize a bfrange body into (lo, hi, dstStart | dstArray) triples. */
+  private def rangeTriples(body: String): Seq[(String, String, Either[String, Seq[String]])] = {
+    val toks = mutable.Buffer[Either[String, Seq[String]]]()
+    var i = 0
+    val n = body.length
+    while (i < n) {
+      body(i) match {
+        case '<' =>
+          val j = body.indexOf('>', i)
+          if (j < 0) i = n
+          else { toks += Left(body.substring(i + 1, j).trim); i = j + 1 }
+        case '[' =>
+          val j = body.indexOf(']', i)
+          if (j < 0) i = n
+          else { toks += Right(hexTokens(body.substring(i + 1, j))); i = j + 1 }
+        case _ => i += 1
+      }
+    }
+    toks.toSeq.grouped(3).collect {
+      case Seq(Left(lo), Left(hi), third) if lo.nonEmpty && hi.nonEmpty => (lo, hi, third)
+    }.toSeq
   }
 
   /** PDF literal string starting at `(`: nesting + escape sequences.

@@ -98,6 +98,54 @@ object Multimodal {
     None
   }
 
+  /** REAL audio header parsing (no codec needed): WAV/RIFF chunk walk —
+    * `fmt ` yields channels/sample-rate/byte-rate, `data` yields the
+    * payload size, and duration_ms = data_bytes · 1000 / byte_rate. The
+    * audio analog of `imageDims`: the columns a curation pipeline
+    * filters/buckets on (drop sub-second clips, bucket by rate) without
+    * decoding samples.
+    */
+  def audioMeta(bytes: Array[Byte]): Option[(String, Int, Int, Long)] = {
+    if (bytes == null || bytes.length < 36) return None
+    def u8(i: Int) = bytes(i) & 0xFF
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+        bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'))
+      return None
+    var i = 12
+    var rate = 0; var channels = 0; var byteRate = 0L; var dataLen = -1L
+    while (i + 8 <= bytes.length && (rate == 0 || dataLen < 0)) {
+      val id = new String(bytes, i, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val size = le32(i + 4)
+      if (size < 0 || size > Int.MaxValue) return None
+      if (id == "fmt ") {
+        if (i + 24 > bytes.length) return None
+        channels = le16(i + 10)
+        rate = le32(i + 12).toInt
+        byteRate = le32(i + 16)
+      } else if (id == "data") dataLen = size
+      i += 8 + size.toInt + (size.toInt & 1) // chunks pad to even length
+    }
+    if (rate <= 0 || channels <= 0 || byteRate <= 0 || dataLen < 0) None
+    else Some(("wav", rate, channels, dataLen * 1000L / byteRate))
+  }
+
+  /** Parsed (audio_format, sample_rate, channels, duration_ms) columns
+    * for audio rows — NULL for non-audio or unparseable bytes.
+    */
+  def withAudioMeta(df: DataFrame): DataFrame = {
+    val meta = udf((b: Array[Byte]) => audioMeta(b))
+    df.withColumn("aud",
+        when(col("modality") === "audio", meta(col("bytes"))))
+      .withColumn("audio_format", col("aud._1"))
+      .withColumn("sample_rate", col("aud._2"))
+      .withColumn("channels", col("aud._3"))
+      .withColumn("duration_ms", col("aud._4"))
+      .drop("aud")
+  }
+
   /** Parsed (img_format, width, height) columns for image rows — NULL
     * for non-images or unparseable bytes. Per-row narrow work; the UDF
     * reads only header bytes.

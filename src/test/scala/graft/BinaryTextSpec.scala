@@ -66,6 +66,74 @@ class BinaryTextSpec extends AnyFunSuite {
     assert(BinaryText.extract(bos.toByteArray) == "Page one\nline a\nline b")
   }
 
+  /** Two-stream PDF: a ToUnicode CMap object + an Identity-H-style
+    * content stream showing 2-byte hex-string glyph codes.
+    */
+  private def identityHPdf(cmap: String, content: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    bos.write("%PDF-1.7\n".getBytes(ISO_8859_1))
+    for ((s, extra) <- Seq((cmap, " /Type /CMap"), (content, ""))) {
+      val b = s.getBytes(ISO_8859_1)
+      bos.write(s"8 0 obj << /Length ${b.length}$extra >>\nstream\n".getBytes(ISO_8859_1))
+      bos.write(b)
+      bos.write("\nendstream\nendobj\n".getBytes(ISO_8859_1))
+    }
+    bos.write("%%EOF\n".getBytes(ISO_8859_1))
+    bos.toByteArray
+  }
+
+  private val toUnicode =
+    """/CIDInit /ProcSet findresource begin
+      |begincmap
+      |1 begincodespacerange
+      |<0000> <FFFF>
+      |endcodespacerange
+      |2 beginbfchar
+      |<001B> <0057>
+      |<001C> <00660066>
+      |endbfchar
+      |1 beginbfrange
+      |<0001> <001A> <0061>
+      |endbfrange
+      |endcmap
+      |CMapName currentdict /CMap defineresource pop
+      |end""".stripMargin
+
+  test("PDF: Identity-H two-byte codes map through the ToUnicode CMap") {
+    // 0008 0005 000C 000C 000F → "hello" (bfrange 0001-001A → a-z);
+    // 001B → "W" (bfchar), 001C → "ff" (multi-code-unit bfchar dst)
+    val content = "BT /F1 12 Tf <00080005000C000C000F> Tj T* " +
+      "<001B> Tj <001C> Tj T* (plain) Tj ET"
+    val txt = BinaryText.extract(identityHPdf(toUnicode, content))
+    // the literal string has odd length → no 2-byte interpretation → raw
+    assert(txt == "hello\nWff\nplain")
+  }
+
+  test("PDF: TJ hex-string arrays with kerning also map through the CMap") {
+    val content = "BT [<00080005> -120 <000C000C000F>] TJ ET"
+    assert(BinaryText.extract(identityHPdf(toUnicode, content)) == "hello")
+  }
+
+  test("parseCMap: bfrange array form and 1-byte codes") {
+    val (m1, m2) = BinaryText.parseCMap(
+      """beginbfchar
+        |<41> <0058>
+        |endbfchar
+        |beginbfrange
+        |<0010> <0012> [<0041> <00420043> <0044>]
+        |endbfrange""".stripMargin)
+    assert(m1 == Map(0x41 -> "X"))
+    assert(m2 == Map(0x10 -> "A", 0x11 -> "BC", 0x12 -> "D"))
+  }
+
+  test("PDF: codes outside the CMap fall back to raw single-byte text") {
+    val content = "BT (Uncovered text stays) Tj <48657821> Tj ET"
+    // "Uncovered text stays" (odd/unmapped) + <48657821> = "Hex!" raw:
+    // 0x4865/0x7821 are not in the table, so 2-byte mapping declines
+    assert(BinaryText.extract(identityHPdf(toUnicode, content)) ==
+      "Uncovered text staysHex!")
+  }
+
   test("DOCX: w:t runs, paragraph breaks, entity decode") {
     val xml = "<w:document><w:body>" +
       "<w:p><w:r><w:t>First para</w:t></w:r></w:p>" +

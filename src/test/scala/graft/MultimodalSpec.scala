@@ -94,6 +94,54 @@ class ImageHeaderSpec extends AnyFunSuite {
     assert(Multimodal.imageDims("not an image at all".getBytes).isEmpty)
   }
 
+  private def wav(rate: Int, channels: Int, bits: Int, dataBytes: Int): Array[Byte] = {
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val byteRate = rate * channels * bits / 8
+    "RIFF".getBytes ++ le32(36 + dataBytes) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(rate) ++ le32(byteRate) ++ le16(channels * bits / 8) ++ le16(bits) ++
+      "data".getBytes ++ le32(dataBytes)
+  }
+
+  test("WAV header parsing recovers rate, channels, and duration") {
+    // 16 kHz mono 16-bit → 32000 B/s; 64000 data bytes → 2000 ms
+    assert(Multimodal.audioMeta(wav(16000, 1, 16, 64000))
+      .contains(("wav", 16000, 1, 2000L)))
+    // 44.1 kHz stereo 16-bit → 176400 B/s; 88200 bytes → 500 ms
+    assert(Multimodal.audioMeta(wav(44100, 2, 16, 88200))
+      .contains(("wav", 44100, 2, 500L)))
+  }
+
+  test("WAV chunk walk skips unknown chunks before fmt/data") {
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val base = wav(8000, 1, 8, 4000) // 8000 B/s → 500 ms
+    // splice a LIST chunk (odd size 5, padded to 6) between WAVE and fmt
+    val spliced = base.take(12) ++
+      ("LIST".getBytes ++ le32(5) ++ Array.fill[Byte](6)(0)) ++ base.drop(12)
+    assert(Multimodal.audioMeta(spliced).contains(("wav", 8000, 1, 500L)))
+  }
+
+  test("garbage, truncated, and null audio bytes parse to None") {
+    assert(Multimodal.audioMeta(null).isEmpty)
+    assert(Multimodal.audioMeta("RIFFxxxxNOPE".getBytes).isEmpty)
+    assert(Multimodal.audioMeta(wav(16000, 1, 16, 64000).take(20)).isEmpty)
+    assert(Multimodal.audioMeta(png(4, 4)).isEmpty)
+  }
+
+  test("withAudioMeta annotates audio rows and leaves others NULL") {
+    val media = Multimodal.fromBytes(spark, Seq(
+      (1L, "audio", wav(16000, 1, 16, 32000), Map.empty[String, String]),
+      (2L, "image", png(8, 8), Map.empty[String, String]),
+      (3L, "audio", Array[Byte](1, 2, 3, 4), Map.empty[String, String])))
+    val got = Multimodal.withAudioMeta(media).collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(4)), Option(r.get(5)), Option(r.get(6)), Option(r.get(7)))).toMap
+    assert(got(1L) == (Some("wav"), Some(16000), Some(1), Some(1000L)))
+    assert(got(2L) == (None, None, None, None))
+    assert(got(3L) == (None, None, None, None))
+  }
+
   test("withImageMeta annotates image rows and leaves others NULL") {
     val media = Multimodal.fromBytes(spark, Seq(
       (1L, "image", png(64, 32), Map.empty[String, String]),
