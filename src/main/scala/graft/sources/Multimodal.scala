@@ -132,6 +132,59 @@ object Multimodal {
     else Some(("wav", rate, channels, dataLen * 1000L / byteRate))
   }
 
+  /** REAL video container metadata (no codec needed): ISO BMFF / MP4 box
+    * walk to moov → mvhd, yielding (format, duration_ms) from the
+    * movie-header timescale + duration (both mvhd v0 and v1 layouts).
+    * Completes the image/audio/video metadata family.
+    */
+  def videoMeta(bytes: Array[Byte]): Option[(String, Long)] = {
+    if (bytes == null || bytes.length < 16) return None
+    def u8(i: Int) = bytes(i) & 0xFF
+    def be32(i: Int): Long = (u8(i).toLong << 24) | (u8(i + 1) << 16) |
+      (u8(i + 2) << 8) | u8(i + 3)
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def boxType(i: Int) = new String(bytes, i + 4, 4,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (boxType(0) != "ftyp") return None
+    // find a box's (payloadStart, payloadEnd) among siblings in [from, end)
+    def findBox(from: Int, end: Int, name: String): Option[(Int, Int)] = {
+      var i = from
+      while (i + 8 <= end) {
+        var size = be32(i)
+        var hdr = 8
+        if (size == 1 && i + 16 <= end) { size = be64(i + 8); hdr = 16 }
+        else if (size == 0) size = (end - i).toLong
+        if (size < hdr || size > end - i) return None
+        if (boxType(i) == name) return Some((i + hdr, i + size.toInt))
+        i += size.toInt
+      }
+      None
+    }
+    for {
+      moov <- findBox(0, bytes.length, "moov")
+      mvhd <- findBox(moov._1, moov._2, "mvhd")
+      v = u8(mvhd._1)
+      if mvhd._2 - mvhd._1 >= (if (v == 1) 32 else 20)
+      timescale = if (v == 1) be32(mvhd._1 + 20) else be32(mvhd._1 + 12)
+      if timescale > 0
+    } yield {
+      val duration = if (v == 1) be64(mvhd._1 + 24) else be32(mvhd._1 + 16)
+      ("mp4", duration * 1000L / timescale)
+    }
+  }
+
+  /** Parsed (video_format, duration_ms) columns for video rows — NULL
+    * for non-video or unparseable bytes.
+    */
+  def withVideoMeta(df: DataFrame): DataFrame = {
+    val meta = udf((b: Array[Byte]) => videoMeta(b))
+    df.withColumn("vid",
+        when(col("modality") === "video", meta(col("bytes"))))
+      .withColumn("video_format", col("vid._1"))
+      .withColumn("duration_ms", col("vid._2"))
+      .drop("vid")
+  }
+
   /** Parsed (audio_format, sample_rate, channels, duration_ms) columns
     * for audio rows — NULL for non-audio or unparseable bytes.
     */

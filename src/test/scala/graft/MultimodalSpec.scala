@@ -129,6 +129,39 @@ class ImageHeaderSpec extends AnyFunSuite {
     assert(Multimodal.audioMeta(png(4, 4)).isEmpty)
   }
 
+  private def mp4(timescale: Int, duration: Long, v1: Boolean = false): Array[Byte] = {
+    def be32(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def be64(v: Long) = be32(v >> 32) ++ be32(v & 0xFFFFFFFFL)
+    val ftyp = be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(512)
+    val mvhdBody =
+      if (v1) Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++ be32(timescale) ++ be64(duration) ++ Array.fill[Byte](76)(0)
+      else Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++ be32(timescale) ++ be32(duration) ++ Array.fill[Byte](76)(0)
+    val mvhd = be32(8 + mvhdBody.length) ++ "mvhd".getBytes ++ mvhdBody
+    // an unrelated sibling box before mvhd exercises the walk
+    val junk = be32(12) ++ "udta".getBytes ++ Array.fill[Byte](4)(0)
+    val moov = be32(8 + junk.length + mvhd.length) ++ "moov".getBytes ++ junk ++ mvhd
+    ftyp ++ moov
+  }
+
+  test("MP4 mvhd parsing recovers duration for v0 and v1 headers") {
+    // timescale 600, duration 9000 ticks → 15000 ms
+    assert(Multimodal.videoMeta(mp4(600, 9000)).contains(("mp4", 15000L)))
+    assert(Multimodal.videoMeta(mp4(1000, 2500, v1 = true)).contains(("mp4", 2500L)))
+    assert(Multimodal.videoMeta(wav(8000, 1, 8, 100)).isEmpty)
+    assert(Multimodal.videoMeta(mp4(600, 9000).take(20)).isEmpty)
+    assert(Multimodal.videoMeta(null).isEmpty)
+  }
+
+  test("withVideoMeta annotates video rows and leaves others NULL") {
+    val media = Multimodal.fromBytes(spark, Seq(
+      (1L, "video", mp4(600, 600 * 42), Map.empty[String, String]),
+      (2L, "audio", wav(8000, 1, 8, 100), Map.empty[String, String])))
+    val got = Multimodal.withVideoMeta(media).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(4)), Option(r.get(5)))).toMap
+    assert(got(1L) == (Some("mp4"), Some(42000L)))
+    assert(got(2L) == (None, None))
+  }
+
   test("withAudioMeta annotates audio rows and leaves others NULL") {
     val media = Multimodal.fromBytes(spark, Seq(
       (1L, "audio", wav(16000, 1, 16, 32000), Map.empty[String, String]),
