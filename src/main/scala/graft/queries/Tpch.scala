@@ -123,7 +123,57 @@ object Tpch {
       .orderBy(col("c_mktsegment").asc)
   }
 
+  /** TPC-H Q18 shape (large-volume orders): the HAVING-subquery becomes
+    * one aggregate on l_orderkey semi-joining the fact — the big table is
+    * aggregated ONCE on its natural key, and only qualifying orderkeys
+    * (a tiny set) flow into the 3-way join; sum re-use instead of a
+    * second lineitem pass. Quantities compare as exact decimals.
+    */
+  def q18LargeOrders(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val big = l.groupBy(col("l_orderkey"))
+      .agg(sum(dec2(col("l_quantity"))).as("sum_qty_d"))
+      .where(col("sum_qty_d") > lit(150).cast(Dec))
+    val o = Tables.orders(s, d)
+    big.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"),
+        dec2(col("o_totalprice")).cast("double").as("o_totalprice"),
+        col("sum_qty_d").cast("double").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate").asc,
+        col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  /** TPC-H Q20 shape (supply concentration): suppliers that shipped more
+    * than 20% of some part's total shipped quantity — the nested
+    * double-aggregation + semi-join pattern. Both aggregates shuffle on
+    * compact keys ((suppkey, partkey) then partkey); the share predicate
+    * is integer-exact (q·5 > total, decimals) so no float threshold can
+    * diverge cross-engine; the supplier dim enters via one final
+    * semi-join and the nation name via a broadcast.
+    */
+  def q20Concentration(s: SparkSession, d: String): DataFrame = {
+    val sp = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(dec2(col("l_quantity"))).as("qty"))
+    val tot = sp.groupBy(col("l_partkey"))
+      .agg(sum(col("qty")).as("tot_qty"))
+    val hot = sp.join(tot, Seq("l_partkey"))
+      .where(col("qty") * 5 > col("tot_qty"))
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(s, d)
+      .join(hot, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy(col("s_suppkey").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q18" -> q18LargeOrders,
+    "q_tpch_q20" -> q20Concentration,
     "q_tpch_q3" -> q3Revenue,
     "q_tpch_q5" -> q5RegionRevenue,
     "q_part_stats" -> partStats,
@@ -134,6 +184,29 @@ object Tpch {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_tpch_q18" ->
+      """WITH big AS (SELECT l_orderkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty_d
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+        |  CAST(sum_qty_d AS DOUBLE) AS sum_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+        |LIMIT 100""".stripMargin,
+    "q_tpch_q20" ->
+      """WITH sp AS (SELECT l_suppkey, l_partkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |  FROM lineitem GROUP BY l_suppkey, l_partkey),
+        |tot AS (SELECT l_partkey, SUM(qty) AS tot_qty FROM sp GROUP BY l_partkey),
+        |hot AS (SELECT DISTINCT l_suppkey FROM sp JOIN tot USING (l_partkey)
+        |  WHERE qty * 5 > tot_qty)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM hot)
+        |ORDER BY s_suppkey ASC""".stripMargin,
     "q_small_qty_revenue" ->
       """WITH a AS (SELECT l_partkey,
         |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty

@@ -46,4 +46,20 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("hashpartitioning(part"),
       "per-partition cumsum window must partition by part, not run globally")
   }
+
+  test("Q18: one lineitem aggregate, qualifying keys reach the joins, top-100 via TakeOrdered") {
+    val plan = formatted(graft.queries.Tpch.queries("q_tpch_q18")(spark, TestSpark.sf0001))
+    assert("(?s)HashAggregate.*l_orderkey".r.findFirstIn(plan).isDefined,
+      "lineitem must aggregate on l_orderkey")
+    assert(plan.contains("TakeOrderedAndProject"), "top-100 must not global-sort")
+    // the HAVING filter must run on the aggregate, before the joins fan out
+    assert("(?s)Filter.*sum_qty_d".r.findFirstIn(plan).isDefined ||
+      plan.contains("(sum(l_quantity"), "threshold filter missing from the aggregate side")
+  }
+
+  test("Q20: semi-join keeps the supplier dim lean and the nation dim broadcasts") {
+    val plan = formatted(graft.queries.Tpch.queries("q_tpch_q20")(spark, TestSpark.sf0001))
+    assert(plan.contains("LeftSemi"), "supplier filter must stay a semi-join")
+    assert(plan.contains("BroadcastExchange"), "nation dim should broadcast")
+  }
 }
