@@ -1,7 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Custom streaming state (SURVEY §2.3 streaming row:
   * `flatMapGroupsWithState`): running per-user statistics that survive
@@ -49,4 +50,59 @@ object Stateful {
             Iterator.single(UserUpdate(user, next.n_events, next.sum_value))
           }
       }
+
+  case class FpDoc(fp: Long, doc_id: Long)
+
+  implicit val fpDocEnc = Encoders.product[FpDoc]
+
+  /** Streaming first-seen filter on the `transformWithState` API (the
+    * Spark 4 arbitrary-state processor): emit a document only the FIRST
+    * time its fingerprint is seen — the streaming analog of exact dedup
+    * for a curation pipeline. State is one boolean per live fingerprint,
+    * shuffled on fp.
+    *
+    * With a TTL the marker expires after the last write, bounding the
+    * store by PROCESSING time — the complement to
+    * `dropDuplicatesWithinWatermark` (which bounds state by EVENT time).
+    * Note the TTL form runs in TimeMode.ProcessingTime, where the engine
+    * keeps scheduling eviction micro-batches even with no new data —
+    * correct for a production stream, but `processAllAvailable()` in a
+    * default-trigger test never quiesces; test the unbounded form, or
+    * use an explicit trigger.
+    *
+    * Requires the RocksDB state store provider (transformWithState's
+    * backing store) — set
+    * `spark.sql.streaming.stateStore.providerClass` to
+    * `...RocksDBStateStoreProvider` on the session running the query.
+    */
+  class FirstSeenProcessor(ttl: Option[java.time.Duration])
+      extends StatefulProcessor[Long, FpDoc, FpDoc] {
+    @transient private var seen: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen", Encoders.scalaBoolean,
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+
+    override def handleInputRows(key: Long, rows: Iterator[FpDoc],
+        timerValues: TimerValues): Iterator[FpDoc] = {
+      if (seen.exists()) Iterator.empty
+      else {
+        seen.update(true)
+        // within one micro-batch, duplicates of a new key also collapse
+        // to the first row (iterator order = shuffle-stable batch order)
+        if (rows.hasNext) Iterator.single(rows.next()) else Iterator.empty
+      }
+    }
+  }
+
+  /** First occurrence of each fingerprint across the stream's lifetime
+    * (within the TTL window when one is given); duplicates — in-batch or
+    * cross-batch — are dropped.
+    */
+  def firstSeen(docs: Dataset[FpDoc],
+                ttl: Option[java.time.Duration] = None): Dataset[FpDoc] =
+    docs.groupByKey(_.fp)
+      .transformWithState(new FirstSeenProcessor(ttl),
+        ttl.map(_ => TimeMode.ProcessingTime()).getOrElse(TimeMode.None()),
+        OutputMode.Append())
 }

@@ -165,6 +165,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState firstSeen: dedups in-batch and across micro-batches") {
+    import graft.streaming.Stateful
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // state-store partition count is fixed at query start = shuffle
+    // partitions; one native RocksDB instance per partition per batch is
+    // the whole cost here, so keep it tiny for the fixture
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    val mem = MemoryStream[(Long, Long)]
+    val docs = mem.toDS().map { case (fp, id) => Stateful.FpDoc(fp, id) }(
+      Stateful.fpDocEnc)
+    val q = Stateful.firstSeen(docs)
+      .writeStream.format("memory").queryName("first_seen_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((10L, 1L), (10L, 2L), (20L, 3L)) // in-batch dup of fp 10
+      q.processAllAvailable()
+      mem.addData((10L, 4L), (30L, 5L)) // cross-batch dup of fp 10
+      q.processAllAvailable()
+      val rows = spark.table("first_seen_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((10L, 1L), (20L, 3L), (30L, 5L)))
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("userSessionsStream: late events merge in-watermark, drop beyond; equals batch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]
