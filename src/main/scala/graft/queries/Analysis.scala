@@ -234,6 +234,34 @@ object Analysis {
       .orderBy(col("qid").asc, col("pick").asc)
   }
 
+  /** Heavy-hitter tokens (frequency > 1% of the whole corpus) via
+    * sketch-then-verify: one bounded-memory Misra–Gries pass (k = 100
+    * counters, map-side partials — functions.HeavyHitters) nominates a
+    * candidate set guaranteed to include everything over n/101, then ONE
+    * exact counting pass restricted to the candidates (broadcast
+    * semi-join, so the count shuffle carries ≤ 100 distinct keys)
+    * applies the exact cnt·100 > n threshold. No full vocabulary
+    * histogram is ever materialized: at 100 TB the shuffle is ~100 keys,
+    * not the whole token space — and the verified output is
+    * deterministic even though the sketch's internal counts are
+    * merge-order-dependent.
+    */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(explode(TA.tokens(col("text"))).as("tok"))
+    val cands = toks.as[String]
+      .select(graft.functions.HeavyHitters.candidates(100).name("cands"))
+      .select(explode(col("cands")).as("tok"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(broadcast(cands), Seq("tok"), "left_semi")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .where(col("cnt") * 100 > col("n_total"))
+      .select(col("tok"), col("cnt"))
+      .orderBy(col("tok").asc)
+  }
+
   /** Gopher/C4-style repetition and quality signals per document, all as
     * integer-scaled ppm fractions (BIGINT div — no float logs, so
     * bit-exact cross-engine): repeated-3-gram fraction (the repetition
@@ -394,6 +422,7 @@ object Analysis {
     "q_quality_signals" -> qualitySignals,
     "q_mmr_topk" -> mmrTopk,
     "q_mmr_batch" -> mmrBatch,
+    "q_heavy_hitters" -> heavyHitters,
     "q_pack_grouped" -> packGrouped,
   )
 
@@ -532,6 +561,12 @@ object Analysis {
   val oracleSql: Map[String, String] = Map(
     "q_mmr_topk" -> mmrOracle(5, 0.5),
     "q_mmr_batch" -> mmrBatchOracle(5, 0.5),
+    "q_heavy_hitters" ->
+      s"""WITH t AS (SELECT unnest($toks) AS tok FROM documents),
+         |c AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok),
+         |n AS (SELECT COUNT(*) AS n_total FROM t)
+         |SELECT tok, cnt FROM c CROSS JOIN n
+         |WHERE cnt * 100 > n_total ORDER BY tok ASC""".stripMargin,
     "q_stable_sample" ->
       s"""SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':shuffle') AS shuffle_key
          |FROM documents
