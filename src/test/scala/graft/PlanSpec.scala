@@ -62,4 +62,10 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("LeftSemi"), "supplier filter must stay a semi-join")
     assert(plan.contains("BroadcastExchange"), "nation dim should broadcast")
   }
+
+  test("heavy hitters: candidates broadcast into a semi-join; no vocabulary-wide shuffle before it") {
+    val plan = formatted(graft.queries.Analysis.queries("q_heavy_hitters")(spark, TestSpark.sf0001))
+    assert(plan.contains("LeftSemi"), "exact pass must semi-join the candidate set")
+    assert(plan.contains("BroadcastExchange"), "candidate set must broadcast")
+  }
 }
