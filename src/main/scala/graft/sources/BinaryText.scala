@@ -246,11 +246,20 @@ object BinaryText {
   private[graft] def parseCMap(s: String): (Map[Int, String], Map[Int, String]) = {
     val m1 = mutable.Map[Int, String]()
     val m2 = mutable.Map[Int, String]()
-    def put(srcHex: String, dst: String): Unit = {
-      val code = Integer.parseInt(srcHex, 16)
-      if (srcHex.length <= 2) m1(code) = dst else if (srcHex.length == 4) m2(code) = dst
-    }
+    // lenient per-entry: one malformed mapping (oversized hex, junk token)
+    // must not void the whole CMap — or worse, abort extraction of the
+    // document's OTHER streams
+    def put(srcHex: String, dst: String): Unit =
+      if (srcHex.length <= 4 && srcHex.nonEmpty) {
+        val code = Integer.parseInt(srcHex, 16)
+        if (srcHex.length <= 2) m1(code) = dst else m2(code) = dst
+      }
+    def isHex(h: String): Boolean =
+      h.nonEmpty && h.forall(c => Character.digit(c, 16) >= 0)
+    def hexInt(h: String): Option[Int] =
+      if (isHex(h) && h.length <= 6) Some(Integer.parseInt(h, 16)) else None
     def utf16(hex: String): String = {
+      if (!isHex(hex)) return ""
       val h = if (hex.length % 2 == 1) hex + "0" else hex
       val bytes = Array.tabulate(h.length / 2)(k =>
         Integer.parseInt(h.substring(k * 2, k * 2 + 2), 16).toByte)
@@ -271,20 +280,24 @@ object BinaryText {
     while (mr.find()) {
       rangeTriples(mr.group(1)).foreach {
         case (lo, hi, Left(dstStart)) =>
-          val l = Integer.parseInt(lo, 16); val h = Integer.parseInt(hi, 16)
-          if (h >= l && h - l <= 0xFFFF && dstStart.nonEmpty) {
-            val base = utf16(dstStart).toCharArray
-            for (k <- 0 to (h - l)) {
-              val chars = base.clone()
-              // PDF 1.7 §9.10.3: only the LAST code unit increments
-              chars(chars.length - 1) = (chars(chars.length - 1) + k).toChar
-              put(srcHexAt(lo.length, l + k), new String(chars))
-            }
+          (hexInt(lo), hexInt(hi)) match {
+            case (Some(l), Some(h))
+                if h >= l && h - l <= 0xFFFF && utf16(dstStart).nonEmpty =>
+              val base = utf16(dstStart).toCharArray
+              for (k <- 0 to (h - l)) {
+                val chars = base.clone()
+                // PDF 1.7 §9.10.3: only the LAST code unit increments
+                chars(chars.length - 1) = (chars(chars.length - 1) + k).toChar
+                put(srcHexAt(lo.length, l + k), new String(chars))
+              }
+            case _ =>
           }
         case (lo, hi, Right(dsts)) =>
-          val l = Integer.parseInt(lo, 16); val h = Integer.parseInt(hi, 16)
-          if (h >= l && h - l < dsts.length)
-            for (k <- 0 to (h - l)) put(srcHexAt(lo.length, l + k), utf16(dsts(k)))
+          (hexInt(lo), hexInt(hi)) match {
+            case (Some(l), Some(h)) if h >= l && h - l < dsts.length =>
+              for (k <- 0 to (h - l)) put(srcHexAt(lo.length, l + k), utf16(dsts(k)))
+            case _ =>
+          }
       }
     }
     (m1.toMap, m2.toMap)

@@ -120,3 +120,30 @@ object DeletionNeighborhoodProperties extends Properties("DeletionNeighborhood")
       nb.contains(a) && nb.length <= 1 + a.length + a.length * a.length
     }
 }
+
+object CMapProperties extends Properties("ParseCMap") {
+
+  private val hexTok: Gen[String] =
+    Gen.chooseNum(0, 0xFFFF).map(v => f"<$v%04X>")
+  private val junk: Gen[String] = Gen.oneOf(
+    "<>", "<ZZ>", "<FFFFFFFFFF>", "[", "]", "beginbfchar", "endbfrange",
+    "(str)", "\\n", "<0041", "0041>", "[<0041> <0042>]")
+  private val body: Gen[String] =
+    Gen.listOf(Gen.oneOf(
+      hexTok, junk, Gen.const(" "), Gen.const("\n"),
+      Gen.const("beginbfchar"), Gen.const("endbfchar"),
+      Gen.const("beginbfrange"), Gen.const("endbfrange")))
+      .map(_.mkString(" "))
+
+  property("never throws, 1-byte codes stay under 0x100") = forAll(body) { s =>
+    val (m1, m2) = graft.sources.BinaryText.parseCMap(s)
+    m1.keys.forall(c => c >= 0 && c < 0x100) &&
+      m2.keys.forall(c => c >= 0 && c <= 0xFFFF)
+  }
+
+  property("well-formed bfchar pairs always land") = forAll(
+    Gen.chooseNum(0, 0xFFFF), Gen.chooseNum(0x20, 0x7E)) { (src, dst) =>
+    val s = f"beginbfchar\n<$src%04X> <$dst%04X>\nendbfchar"
+    graft.sources.BinaryText.parseCMap(s)._2.get(src).contains(dst.toChar.toString)
+  }
+}
