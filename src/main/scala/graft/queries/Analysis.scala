@@ -234,6 +234,20 @@ object Analysis {
       .orderBy(col("qid").asc, col("pick").asc)
   }
 
+  /** Long/tidy form of the quality signals via relational UNPIVOT — the
+    * melt a feature store or metric warehouse ingests (one row per
+    * (doc, metric) instead of one column per metric). Narrow per-row
+    * reshape, no shuffle beyond the source's.
+    */
+  def signalsLong(s: SparkSession, d: String): DataFrame =
+    qualitySignals(s, d)
+      .unpivot(
+        Array(col("doc_id")),
+        Array(col("dup_shingle_ppm"), col("max_word_len"),
+          col("stopword_ppm"), col("symbol_ppm")),
+        "metric", "value")
+      .orderBy(col("doc_id").asc, col("metric").asc)
+
   /** Heavy-hitter tokens (frequency > 1% of the whole corpus) via
     * sketch-then-verify: one bounded-memory Misra–Gries pass (k = 100
     * counters, map-side partials — functions.HeavyHitters) nominates a
@@ -423,6 +437,7 @@ object Analysis {
     "q_mmr_topk" -> mmrTopk,
     "q_mmr_batch" -> mmrBatch,
     "q_heavy_hitters" -> heavyHitters,
+    "q_signals_long" -> signalsLong,
     "q_pack_grouped" -> packGrouped,
   )
 
@@ -514,6 +529,27 @@ object Analysis {
        |SELECT CAST(pick AS BIGINT) AS pick, id AS vec_id, rel, mmr
        |FROM acc$k ORDER BY pick ASC""".stripMargin
   }
+
+  /** Shared quality-signal derivation (no trailing ORDER BY so it can
+    * nest as a CTE) — q_quality_signals and q_signals_long both build
+    * on it.
+    */
+  private def qualitySignalsSql: String =
+    s"""WITH f AS (SELECT doc_id,
+       |    len($toks) AS n,
+       |    greatest(len($toks) - 2, 0) AS total3,
+       |    len(${shinglesSql(toks)}) AS distinct3,
+       |    len(list_filter($toks, w -> w IN ('the','a','of','and','to'))) AS stop,
+       |    length(text) AS txt_len,
+       |    length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS aln,
+       |    coalesce(list_max(list_transform($toks, w -> length(w))), 0) AS max_word_len
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN total3 <= 0 THEN 0 ELSE (total3 - distinct3) * 1000000 // total3 END AS dup_shingle_ppm,
+       |  max_word_len,
+       |  CASE WHEN n = 0 THEN 0 ELSE stop * 1000000 // n END AS stopword_ppm,
+       |  CASE WHEN txt_len = 0 THEN 0 ELSE (txt_len - aln) * 1000000 // txt_len END AS symbol_ppm
+       |FROM f""".stripMargin
 
   /** The q_mmr_batch oracle: per-qid top-20 candidates + within-qid
     * pairwise sims, then the k greedy rounds unrolled as chained CTEs —
@@ -727,21 +763,14 @@ object Analysis {
          |  FROM embeddings e CROSS JOIN q)
          |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
     "q_quality_signals" ->
-      s"""WITH f AS (SELECT doc_id,
-         |    len($toks) AS n,
-         |    greatest(len($toks) - 2, 0) AS total3,
-         |    len(${shinglesSql(toks)}) AS distinct3,
-         |    len(list_filter($toks, w -> w IN ('the','a','of','and','to'))) AS stop,
-         |    length(text) AS txt_len,
-         |    length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS aln,
-         |    coalesce(list_max(list_transform($toks, w -> length(w))), 0) AS max_word_len
-         |  FROM documents)
-         |SELECT doc_id,
-         |  CASE WHEN total3 <= 0 THEN 0 ELSE (total3 - distinct3) * 1000000 // total3 END AS dup_shingle_ppm,
-         |  max_word_len,
-         |  CASE WHEN n = 0 THEN 0 ELSE stop * 1000000 // n END AS stopword_ppm,
-         |  CASE WHEN txt_len = 0 THEN 0 ELSE (txt_len - aln) * 1000000 // txt_len END AS symbol_ppm
-         |FROM f ORDER BY doc_id ASC""".stripMargin,
+      s"""$qualitySignalsSql
+         |ORDER BY doc_id ASC""".stripMargin,
+    "q_signals_long" ->
+      s"""WITH q AS ($qualitySignalsSql)
+         |SELECT doc_id, metric, value FROM (UNPIVOT q
+         |  ON dup_shingle_ppm, max_word_len, stopword_ppm, symbol_ppm
+         |  INTO NAME metric VALUE value)
+         |ORDER BY doc_id ASC, metric ASC""".stripMargin,
     "q_ann_rplsh" ->
       s"""WITH planes AS (SELECT p, list_transform(range(0, 64), j ->
          |    ((${hash60("'rp:' || p || ':' || j")} % 2001) - 1000) / 1000.0) AS hp

@@ -171,8 +171,31 @@ object Tpch {
       .orderBy(col("s_suppkey").asc)
   }
 
+  /** TPC-H Q10 shape (returned-item reporting): revenue lost to returns
+    * per customer over a quarter, top 20. The returnflag + date filters
+    * prune BOTH fact inputs before any join (pushed to the scans); the
+    * lineitem⋈orders join shuffles on orderkey, the customer join on
+    * custkey, nation broadcasts, and the top-20 is TakeOrderedAndProject.
+    */
+  def q10ReturnedItems(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d).where(col("l_returnflag") === "R")
+    val o = Tables.orders(s, d)
+      .where(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-07-01").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast(Dec) - dec2(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q18" -> q18LargeOrders,
+    "q_tpch_q10" -> q10ReturnedItems,
     "q_tpch_q20" -> q20Concentration,
     "q_tpch_q3" -> q3Revenue,
     "q_tpch_q5" -> q5RegionRevenue,
@@ -184,6 +207,18 @@ object Tpch {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
     "q_tpch_q18" ->
       """WITH big AS (SELECT l_orderkey,
         |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty_d
