@@ -193,7 +193,39 @@ object Tpch {
       .limit(20)
   }
 
+  /** TPC-H Q7 shape (volume shipping): trade volume between DISTINCT
+    * nation pairs by ship year — the double-role dimension join (nation
+    * joins twice under two aliases, both broadcast) over the
+    * lineitem⋈orders⋈customer⋈supplier fact chain. Grouped over all
+    * pairs rather than Q7's two fixed nations so the result is
+    * non-empty at every scale factor; the shape (two broadcasts of the
+    * same dim, fact chain shuffled on its keys, year derived from the
+    * ship date) is identical.
+    */
+  def q7VolumeShipping(s: SparkSession, d: String): DataFrame = {
+    val nat = (alias: String) => Tables.nation(s, d)
+      .select(col("n_nationkey").as(s"${alias}_key"), col("n_name").as(alias))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"),
+        (dec2(col("l_extendedprice")) * (lit(1).cast(Dec) - dec2(col("l_discount"))))
+          .as("volume"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat("supp_nation")), col("s_nationkey") === col("supp_nation_key"))
+      .join(broadcast(nat("cust_nation")), col("c_nationkey") === col("cust_nation_key"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(col("volume")).cast("double").as("revenue"))
+      .orderBy(col("supp_nation").asc, col("cust_nation").asc, col("l_year").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q7" -> q7VolumeShipping,
     "q_tpch_q18" -> q18LargeOrders,
     "q_tpch_q10" -> q10ReturnedItems,
     "q_tpch_q20" -> q20Concentration,
@@ -207,6 +239,19 @@ object Tpch {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation ASC, cust_nation ASC, l_year ASC""".stripMargin,
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name, n_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
