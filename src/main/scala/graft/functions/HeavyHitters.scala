@@ -46,18 +46,24 @@ object HeavyHitters {
     }
   }
 
-  /** Candidate items (sorted for stable downstream plans): a superset of
-    * everything with frequency > n/(k+1).
+  /** (candidate items sorted for stable downstream plans, total item
+    * count): the candidates are a superset of everything with frequency
+    * > n/(k+1), and n rides along in the buffer so callers get the
+    * threshold denominator from the SAME pass instead of re-scanning.
     */
-  def sketch(k: Int): Aggregator[String, Counts, Seq[String]] =
-    new Aggregator[String, Counts, Seq[String]] {
-      def zero: Counts = Map.empty
-      def reduce(b: Counts, a: String): Counts = add(b, a, k)
-      def merge(b1: Counts, b2: Counts): Counts = mergeCounts(b1, b2, k)
-      def finish(r: Counts): Seq[String] = r.keys.toSeq.sorted
-      def bufferEncoder: Encoder[Counts] = ExpressionEncoder()
-      def outputEncoder: Encoder[Seq[String]] = ExpressionEncoder()
+  def sketch(k: Int): Aggregator[String, (Counts, Long), (Seq[String], Long)] =
+    new Aggregator[String, (Counts, Long), (Seq[String], Long)] {
+      def zero: (Counts, Long) = (Map.empty, 0L)
+      def reduce(b: (Counts, Long), a: String): (Counts, Long) =
+        (add(b._1, a, k), b._2 + 1)
+      def merge(b1: (Counts, Long), b2: (Counts, Long)): (Counts, Long) =
+        (mergeCounts(b1._1, b2._1, k), b1._2 + b2._2)
+      def finish(r: (Counts, Long)): (Seq[String], Long) =
+        (r._1.keys.toSeq.sorted, r._2)
+      def bufferEncoder: Encoder[(Counts, Long)] = ExpressionEncoder()
+      def outputEncoder: Encoder[(Seq[String], Long)] = ExpressionEncoder()
     }
 
-  def candidates(k: Int): TypedColumn[String, Seq[String]] = sketch(k).toColumn
+  def candidates(k: Int): TypedColumn[String, (Seq[String], Long)] =
+    sketch(k).toColumn
 }

@@ -264,10 +264,14 @@ object Analysis {
     import s.implicits._
     val toks = Tables.documents(s, d)
       .select(explode(TA.tokens(col("text"))).as("tok"))
-    val cands = toks.as[String]
-      .select(graft.functions.HeavyHitters.candidates(100).name("cands"))
-      .select(explode(col("cands")).as("tok"))
-    val total = toks.agg(count(lit(1)).as("n_total"))
+    // one row: (candidate list, total token count) — n rides in the
+    // sketch buffer so no separate counting scan; localCheckpoint so the
+    // two derivations below don't re-run the pass
+    val sk = toks.as[String]
+      .select(graft.functions.HeavyHitters.candidates(100).name("sk"))
+      .localCheckpoint() // tuple output flattens to columns _1/_2
+    val cands = sk.select(explode(col("_1")).as("tok"))
+    val total = sk.select(col("_2").as("n_total"))
     toks.join(broadcast(cands), Seq("tok"), "left_semi")
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(total))

@@ -172,7 +172,7 @@ object Tpch {
   }
 
   /** TPC-H Q10 shape (returned-item reporting): revenue lost to returns
-    * per customer over a quarter, top 20. The returnflag + date filters
+    * per customer over a six-month window, top 20. The returnflag + date filters
     * prune BOTH fact inputs before any join (pushed to the scans); the
     * lineitem⋈orders join shuffles on orderkey, the customer join on
     * custkey, nation broadcasts, and the top-20 is TakeOrderedAndProject.

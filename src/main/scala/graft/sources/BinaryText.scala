@@ -49,19 +49,22 @@ object BinaryText {
   private val EndstreamKw = "endstream".getBytes(Ascii)
 
   /** Text of every content stream in the PDF, one paragraph per stream.
-    * First pass collects the decoded streams; ToUnicode CMap streams are
-    * parsed into merged code→text tables and excluded from the output;
-    * the remaining streams are interpreted with those tables available.
+    * First pass collects the decoded streams and merges the bfchar/
+    * bfrange tables of every CMap-bearing one; second pass interprets
+    * ALL streams with those tables available. CMap streams are not
+    * excluded from the text pass — their syntax has no text-showing
+    * operators, so they contribute nothing — which means a CONTENT
+    * stream whose shown text merely mentions "begincmap" still extracts
+    * normally instead of being misclassified and dropped.
     */
   def pdfText(bytes: Array[Byte]): String = {
     val streams = decodedStreams(bytes)
-    val (cmapStreams, content) = streams.partition(isCMapStream)
-    val (map1, map2) = cmapStreams
+    val (map1, map2) = streams.filter(isCMapStream)
       .map(d => parseCMap(new String(d, Ascii)))
       .foldLeft((Map.empty[Int, String], Map.empty[Int, String])) {
         case ((a1, a2), (b1, b2)) => (a1 ++ b1, a2 ++ b2)
       }
-    content.map(contentText(_, map1, map2)).filter(_.nonEmpty)
+    streams.map(contentText(_, map1, map2)).filter(_.nonEmpty)
       .mkString("\n").trim
   }
 
@@ -278,11 +281,17 @@ object BinaryText {
       ("0" * width + v.toHexString.toUpperCase).takeRight(width)
     val mr = BfRangePat.matcher(s)
     while (mr.find()) {
-      rangeTriples(mr.group(1)).foreach {
+    // hi must FIT lo's hex width: otherwise srcHexAt's takeRight would
+    // wrap codes mod 16^width and a single width-mismatched range (e.g.
+    // <00> <FFFF> <0041>) would poison the whole 1-byte table — exactly
+    // the blast radius the per-entry leniency exists to prevent
+    def fitsWidth(v: Int, widthDigits: Int): Boolean =
+      widthDigits >= 1 && widthDigits <= 4 && v < (1 << (4 * widthDigits))
+    rangeTriples(mr.group(1)).foreach {
         case (lo, hi, Left(dstStart)) =>
           (hexInt(lo), hexInt(hi)) match {
             case (Some(l), Some(h))
-                if h >= l && h - l <= 0xFFFF && utf16(dstStart).nonEmpty =>
+                if h >= l && fitsWidth(h, lo.length) && utf16(dstStart).nonEmpty =>
               val base = utf16(dstStart).toCharArray
               for (k <- 0 to (h - l)) {
                 val chars = base.clone()
@@ -294,7 +303,8 @@ object BinaryText {
           }
         case (lo, hi, Right(dsts)) =>
           (hexInt(lo), hexInt(hi)) match {
-            case (Some(l), Some(h)) if h >= l && h - l < dsts.length =>
+            case (Some(l), Some(h))
+                if h >= l && fitsWidth(h, lo.length) && h - l < dsts.length =>
               for (k <- 0 to (h - l)) put(srcHexAt(lo.length, l + k), utf16(dsts(k)))
             case _ =>
           }

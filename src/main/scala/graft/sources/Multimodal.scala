@@ -119,14 +119,16 @@ object Multimodal {
     while (i + 8 <= bytes.length && (rate == 0 || dataLen < 0)) {
       val id = new String(bytes, i, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
       val size = le32(i + 4)
-      if (size < 0 || size > Int.MaxValue) return None
       if (id == "fmt ") {
         if (i + 24 > bytes.length) return None
         channels = le16(i + 10)
         rate = le32(i + 12).toInt
         byteRate = le32(i + 16)
       } else if (id == "data") dataLen = size
-      i += 8 + size.toInt + (size.toInt & 1) // chunks pad to even length
+      // advance in Long: a hostile declared size near 2^31 would wrap an
+      // Int offset negative and re-enter the loop out of bounds
+      val next = i.toLong + 8L + size + (size & 1L) // chunks pad to even
+      i = if (next > bytes.length.toLong) bytes.length else next.toInt
     }
     if (rate <= 0 || channels <= 0 || byteRate <= 0 || dataLen < 0) None
     else Some(("wav", rate, channels, dataLen * 1000L / byteRate))

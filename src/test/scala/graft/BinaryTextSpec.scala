@@ -126,6 +126,23 @@ class BinaryTextSpec extends AnyFunSuite {
     assert(m2 == Map(0x10 -> "A", 0x11 -> "BC", 0x12 -> "D"))
   }
 
+  test("parseCMap: width-mismatched bfrange is skipped, not wrapped mod width") {
+    // hi (FFFF) does not fit lo's 1-byte width: naive takeRight would
+    // fold 65536 codes onto 256 one-byte slots and poison every
+    // single-byte string in the document
+    val (m1, m2) = BinaryText.parseCMap(
+      """beginbfrange
+        |<00> <FFFF> <0041>
+        |endbfrange""".stripMargin)
+    assert(m1.isEmpty && m2.isEmpty)
+  }
+
+  test("PDF: content stream that merely mentions begincmap still extracts") {
+    val content = "BT (see begincmap and beginbfchar for syntax) Tj ET"
+    assert(BinaryText.extract(identityHPdf(toUnicode, content)) ==
+      "see begincmap and beginbfchar for syntax")
+  }
+
   test("PDF: codes outside the CMap fall back to raw single-byte text") {
     val content = "BT (Uncovered text stays) Tj <48657821> Tj ET"
     // "Uncovered text stays" (odd/unmapped) + <48657821> = "Hex!" raw:

@@ -42,9 +42,17 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(m == Map("a" -> 9L, "b" -> 4L, "c" -> 2L)) // d's 1 is the cut
   }
 
-  test("sketch finish returns the sorted candidate set") {
+  test("sketch finish returns the sorted candidate set and the total count") {
     val agg = HeavyHitters.sketch(5)
-    val buf = foldAll(Seq("b", "a", "b", "c", "a", "b"), 5)
-    assert(agg.finish(buf) == Seq("a", "b", "c"))
+    val items = Seq("b", "a", "b", "c", "a", "b")
+    val buf = items.foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(buf) == (Seq("a", "b", "c"), 6L))
+  }
+
+  test("sketch merge sums totals across partials") {
+    val agg = HeavyHitters.sketch(5)
+    val b1 = Seq("a", "b").foldLeft(agg.zero)(agg.reduce)
+    val b2 = Seq("a", "c", "c").foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(agg.merge(b1, b2))._2 == 5L)
   }
 }

@@ -129,6 +129,19 @@ class ImageHeaderSpec extends AnyFunSuite {
     assert(Multimodal.audioMeta(png(4, 4)).isEmpty)
   }
 
+  test("hostile declared chunk size near 2^31 returns None instead of throwing") {
+    def le32(v: Long) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    // first chunk claims ~2 GiB: an Int offset would wrap negative and
+    // the 4-byte id read would go out of bounds
+    val hostile = "RIFF".getBytes ++ le32(0x7FFFFFF0L) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ le32(0x7FFFFFF0L) ++ Array.fill[Byte](32)(0)
+    assert(Multimodal.audioMeta(hostile).isEmpty)
+    // and a 32-bit size over Int.MaxValue on the data chunk (field at
+    // offset 40: 12 RIFF/WAVE + 24 fmt + 4 "data")
+    val big = wav(8000, 1, 8, 4000).patch(40, le32(0xFFFFFFF0L), 4)
+    assert(Multimodal.audioMeta(big).nonEmpty) // still parses fmt, huge data len
+  }
+
   private def mp4(timescale: Int, duration: Long, v1: Boolean = false): Array[Byte] = {
     def be32(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
     def be64(v: Long) = be32(v >> 32) ++ be32(v & 0xFFFFFFFFL)
