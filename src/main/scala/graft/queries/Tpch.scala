@@ -224,7 +224,154 @@ object Tpch {
       .orderBy(col("supp_nation").asc, col("cust_nation").asc, col("l_year").asc)
   }
 
+  /** TPC-H Q6 shape (forecast revenue change): filter-only aggregate —
+    * every predicate (date range, discount band, quantity cap) pushes to
+    * the parquet scan, so at 100 TB only matching row groups are read and
+    * the whole query is one scan + one partial/final agg, no shuffle of
+    * anything but 32 partial rows. Revenue = exact decimal sum of
+    * price×discount.
+    */
+  def q6ForecastRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(dec2(col("l_extendedprice")) * dec2(col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q4 shape (order priority checking): orders with at least one
+    * lineitem shipped more than 60 days after the order date, counted per
+    * priority. The EXISTS becomes a left-semi join (equi on orderkey +
+    * non-equi lag condition evaluated inside the join) — the fact table
+    * is never duplicated per match, and the date window prunes the orders
+    * scan before the shuffle.
+    */
+  def q4PriorityCheck(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .where(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-07-01").cast("timestamp"))
+    val l = Tables.lineitem(s, d)
+    o.join(l, o("o_orderkey") === l("l_orderkey") &&
+        l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority").asc)
+  }
+
+  /** TPC-H Q12 shape (shipping-priority classes; adapted to this schema's
+    * columns — returnflag plays shipmode): one orders⋈lineitem join with
+    * the year filter pushed to the lineitem scan, then conditional
+    * aggregation (CASE inside SUM) splitting critical from ordinary
+    * priorities — two counts in a single pass instead of two queries.
+    */
+  def q12PriorityClasses(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+    l.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_returnflag").asc)
+  }
+
+  /** TPC-H Q14 shape (promotion effect): promo share of one month's
+    * revenue. Numerator and denominator come out of the SAME pass
+    * (conditional sum over the joined rows), the month filter prunes the
+    * lineitem scan, and the part side carries only (partkey, type) after
+    * column pruning. The final percentage is one double division —
+    * identical IEEE op in both engines over exact decimal sums.
+    */
+  def q14PromoEffect(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1995-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-10-01").cast("timestamp"))
+    val disc = dec2(col("l_extendedprice")) * (lit(1).cast(Dec) - dec2(col("l_discount")))
+    l.join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) * sum(when(col("p_type") === "PROMO", disc)).cast("double")
+        / sum(disc).cast("double")).as("promo_revenue"))
+  }
+
+  /** TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    * count per part attribute bucket, excluding a supplier denylist via
+    * anti-join. The partsupp table is derived as DISTINCT
+    * (partkey, suppkey) pairs from lineitem — one shuffle on the pair
+    * key; the part-side attribute filter prunes before the join; the
+    * denylist anti-join runs on the compact pair table, not the fact.
+    */
+  def q16SupplierCnt(s: SparkSession, d: String): DataFrame = {
+    val ps = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val denied = Tables.supplier(s, d)
+      .where(col("s_name").like("%0")).select(col("s_suppkey"))
+    val p = Tables.part(s, d)
+      .where(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    ps.join(denied, ps("l_suppkey") === denied("s_suppkey"), "left_anti")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+        col("p_type").asc, col("p_size").asc)
+  }
+
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicates): the
+    * classic OR-of-conjunction-groups condition. Catalyst extracts the
+    * part-only disjunction ((brand,size) bands) and pushes it into the
+    * part scan, and likewise the quantity disjunction into lineitem — so
+    * even though the full predicate needs both sides, each scan is pruned
+    * by its own projection of the OR before the join ships any row.
+    */
+  def q19DiscountedRevenue(s: SparkSession, d: String): DataFrame = {
+    val cond =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey") && cond)
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast(Dec) - dec2(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q22 shape (global sales opportunity): rich customers with no
+    * recent orders, by nation. The scalar threshold (avg positive
+    * balance) is a one-row aggregate broadcast into the filter — computed
+    * once, never a per-row subquery; inactivity is a left-anti join
+    * against the date-pruned orders scan; the final rollup groups the
+    * tiny survivor set.
+    */
+  def q22GlobalSales(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val avgBal = c.where(col("c_acctbal") > 0)
+      .agg((sum(dec2(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_bal"))
+    val active = Tables.orders(s, d)
+      .where(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(avgBal))
+      .where(col("c_acctbal") > col("avg_bal"))
+      .join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(dec2(col("c_acctbal"))).cast("double").as("total_bal"))
+      .orderBy(col("c_nationkey").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q4" -> q4PriorityCheck,
+    "q_tpch_q6" -> q6ForecastRevenue,
+    "q_tpch_q12" -> q12PriorityClasses,
+    "q_tpch_q14" -> q14PromoEffect,
+    "q_tpch_q16" -> q16SupplierCnt,
+    "q_tpch_q19" -> q19DiscountedRevenue,
+    "q_tpch_q22" -> q22GlobalSales,
     "q_tpch_q7" -> q7VolumeShipping,
     "q_tpch_q18" -> q18LargeOrders,
     "q_tpch_q10" -> q10ReturnedItems,
@@ -239,6 +386,77 @@ object Tpch {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority ASC""".stripMargin,
+    "q_tpch_q6" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q_tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag ASC""".stripMargin,
+    "q_tpch_q14" ->
+      """SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |  AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'""".stripMargin,
+    "q_tpch_q16" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM ps JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |    WHERE s_name LIKE '%0')
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC""".stripMargin,
+    "q_tpch_q19" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q_tpch_q22" ->
+      """WITH t AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    / COUNT(*) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer, t
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = customer.c_custkey
+        |      AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY c_nationkey ORDER BY c_nationkey ASC""".stripMargin,
     "q_tpch_q7" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS INTEGER) AS l_year,

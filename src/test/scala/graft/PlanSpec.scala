@@ -63,6 +63,32 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastExchange"), "nation dim should broadcast")
   }
 
+  test("Q6: all three predicates push to the lineitem scan; no join, no wide shuffle") {
+    val plan = formatted(graft.queries.Tpch.queries("q_tpch_q6")(spark, TestSpark.sf0001))
+    assert(plan.contains("PushedFilters"), "scan must carry pushed filters")
+    assert("GreaterThanOrEqual\\(l_discount".r.findFirstIn(plan).isDefined,
+      s"discount band not pushed:\n${plan.take(2000)}")
+    assert("LessThan\\(l_quantity".r.findFirstIn(plan).isDefined, "quantity cap not pushed")
+    assert(!plan.contains("Join"), "Q6 is scan+agg only")
+  }
+
+  test("Q19: Catalyst extracts each side's projection of the disjunction into its scan") {
+    val plan = formatted(graft.queries.Tpch.queries("q_tpch_q19")(spark, TestSpark.sf0001))
+    // part side: OR over (brand,size) bands must reach the part scan filter;
+    // lineitem side: OR over quantity bands must prune the fact scan.
+    assert("(?s)Filter.*p_brand.*Brand#12.*Brand#23".r.findFirstIn(plan).isDefined,
+      "part-side disjunction not extracted below the join")
+    assert("(?s)Filter.*l_quantity.*l_quantity".r.findFirstIn(plan).isDefined,
+      "lineitem-side quantity disjunction not extracted below the join")
+  }
+
+  test("Q22: scalar threshold broadcasts; inactivity check stays an anti-join") {
+    val plan = formatted(graft.queries.Tpch.queries("q_tpch_q22")(spark, TestSpark.sf0001))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "one-row avg must broadcast, not shuffle")
+    assert(plan.contains("LeftAnti"), "no-recent-orders must be an anti-join")
+  }
+
   test("heavy hitters: candidates broadcast into a semi-join; no vocabulary-wide shuffle before it") {
     val plan = formatted(graft.queries.Analysis.queries("q_heavy_hitters")(spark, TestSpark.sf0001))
     assert(plan.contains("LeftSemi"), "exact pass must semi-join the candidate set")
