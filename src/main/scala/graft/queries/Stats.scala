@@ -376,7 +376,33 @@ object Stats {
       .orderBy(col("event_type").asc)
   }
 
+  /** Per-type 3σ anomaly flags over `events.value`, without stddev: the
+    * z-score test |x−μ| > 3σ is evaluated as the equivalent integer-free
+    * inequality (n·x−S)²·(n−1) > 9·n·(n·Q−S²) on exact decimal moments
+    * S=Σx, Q=Σx² surfaced as doubles — stddev_samp itself is NOT
+    * cross-engine stable (Welford vs naive accumulation drift), but
+    * identical-input IEEE arithmetic is. Two passes over the fact: one
+    * partial-aggregated moment scan (5 rows out), then a broadcast of
+    * those moments back into a flagging scan — at 100 TB this beats a
+    * per-type window (which would shuffle the whole fact) because the
+    * second pass is map-side only.
+    */
+  def anomalyZscore(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("event_id"), col("event_type"), col("value"))
+    val g = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast("double").as("s"),
+        sum(dec2(col("value")) * dec2(col("value"))).cast("double").as("q"))
+    val dev = col("n") * col("value") - col("s")
+    e.join(broadcast(g), Seq("event_type"))
+      .where(dev * dev * (col("n") - lit(1)) >
+        lit(9.0) * col("n") * (col("n") * col("q") - col("s") * col("s")))
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anomaly_zscore" -> anomalyZscore,
     "q_time_decay" -> timeDecay,
     "q_funnel" -> funnel,
     "q_transitions" -> transitions,
@@ -396,6 +422,17 @@ object Stats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_anomaly_zscore" ->
+      """WITH g AS (SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))
+        |      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS q
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type, value
+        |FROM events e JOIN g ON e.event_type = g.event_type
+        |WHERE (n * value - s) * (n * value - s) * (n - 1)
+        |    > 9.0 * n * (n * q - s * s)
+        |ORDER BY event_id ASC""".stripMargin,
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |v AS (SELECT user_id, MIN(ts) AS t_view FROM e
