@@ -192,7 +192,29 @@ object Relational {
       .orderBy(col("mon").asc)
   }
 
+  /** Schema-evolution union: a "legacy" orders feed (no priority column)
+    * unioned with the current feed via `unionByName(allowMissingColumns)`
+    * — the schema-drift case every long-lived 100 TB table hits (new
+    * columns appear; old partitions lack them). Spark aligns by NAME and
+    * null-fills the missing column; a positional `union` would silently
+    * mis-bind. Aggregated so the null-fill is observable per bucket.
+    */
+  def unionEvolution(s: SparkSession, d: String): DataFrame = {
+    val legacy = Tables.orders(s, d)
+      .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val current = Tables.orders(s, d)
+      .where(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    legacy.unionByName(current, allowMissingColumns = true)
+      .groupBy(coalesce(col("o_orderpriority"), lit("(legacy)")).as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("total_price"))
+      .orderBy(col("priority").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_union_evolution" -> unionEvolution,
     "q_full_outer" -> fullOuter,
     "q_intersect" -> intersectUsers,
     "q_running_total" -> runningTotal,
@@ -211,6 +233,17 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_union_evolution" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT COALESCE(o_orderpriority, '(legacy)') AS priority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM u GROUP BY 1 ORDER BY priority ASC""".stripMargin,
     "q_full_outer" ->
       """WITH om AS (SELECT strftime(o_orderdate, '%Y-%m') AS mon,
         |    COUNT(*) AS n_orders FROM orders GROUP BY 1),
