@@ -89,6 +89,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("LeftAnti"), "no-recent-orders must be an anti-join")
   }
 
+  test("anomaly flags: moments broadcast back into the fact; no whole-fact window") {
+    val plan = formatted(graft.queries.Stats.queries("q_anomaly_zscore")(spark, TestSpark.sf0001))
+    assert(plan.contains("BroadcastExchange"), "per-type moments must broadcast")
+    assert(!plan.contains("Window"), "flagging must not run as a whole-fact window")
+  }
+
+  test("union evolution: drift union aggregates with a map-side partial, one shuffle") {
+    val plan = formatted(graft.queries.Relational.queries("q_union_evolution")(spark, TestSpark.sf0001))
+    assert(plan.contains("Union"), "feeds must combine as a Union, not a join")
+    assert("partial_(sum|count)".r.findFirstIn(plan).isDefined,
+      "aggregate must keep its map-side partial below the union")
+  }
+
   test("heavy hitters: candidates broadcast into a semi-join; no vocabulary-wide shuffle before it") {
     val plan = formatted(graft.queries.Analysis.queries("q_heavy_hitters")(spark, TestSpark.sf0001))
     assert(plan.contains("LeftSemi"), "exact pass must semi-join the candidate set")
