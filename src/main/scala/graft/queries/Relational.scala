@@ -208,8 +208,7 @@ object Relational {
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
     legacy.unionByName(current, allowMissingColumns = true)
       .groupBy(coalesce(col("o_orderpriority"), lit("(legacy)")).as("priority"))
-      .agg(count(lit(1)).as("n_orders"),
-        sum(dec2(col("o_totalprice"))).cast("double").as("total_price"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
       .orderBy(col("priority").asc)
   }
 

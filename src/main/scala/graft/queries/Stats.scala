@@ -390,8 +390,7 @@ object Stats {
   def anomalyZscore(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d).select(col("event_id"), col("event_type"), col("value"))
     val g = e.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(dec2(col("value"))).cast("double").as("s"),
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("s"),
         sum(dec2(col("value")) * dec2(col("value"))).cast("double").as("q"))
     val dev = col("n") * col("value") - col("s")
     e.join(broadcast(g), Seq("event_type"))

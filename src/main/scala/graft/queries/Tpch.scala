@@ -351,7 +351,7 @@ object Tpch {
   def q22GlobalSales(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d)
     val avgBal = c.where(col("c_acctbal") > 0)
-      .agg((sum(dec2(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_bal"))
+      .agg(davg(col("c_acctbal")).as("avg_bal"))
     val active = Tables.orders(s, d)
       .where(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
       .select(col("o_custkey"))
@@ -359,8 +359,7 @@ object Tpch {
       .where(col("c_acctbal") > col("avg_bal"))
       .join(active, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey"))
-      .agg(count(lit(1)).as("n_cust"),
-        sum(dec2(col("c_acctbal"))).cast("double").as("total_bal"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
       .orderBy(col("c_nationkey").asc)
   }
 
@@ -430,8 +429,8 @@ object Tpch {
         |FROM ps JOIN part ON l_partkey = p_partkey
         |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
         |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
-        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-        |    WHERE s_name LIKE '%0')
+        |  AND NOT EXISTS (SELECT 1 FROM supplier
+        |    WHERE s_name LIKE '%0' AND s_suppkey = ps.l_suppkey)
         |GROUP BY p_brand, p_type, p_size
         |ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC""".stripMargin,
     "q_tpch_q19" ->

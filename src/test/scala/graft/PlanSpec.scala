@@ -72,20 +72,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), "Q6 is scan+agg only")
   }
 
-  test("Q19: Catalyst extracts each side's projection of the disjunction into its scan") {
+  test("Q19: each side's projection of the disjunction reaches its parquet scan") {
     val plan = formatted(graft.queries.Tpch.queries("q_tpch_q19")(spark, TestSpark.sf0001))
-    // part side: OR over (brand,size) bands must reach the part scan filter;
-    // lineitem side: OR over quantity bands must prune the fact scan.
-    assert("(?s)Filter.*p_brand.*Brand#12.*Brand#23".r.findFirstIn(plan).isDefined,
-      "part-side disjunction not extracted below the join")
-    assert("(?s)Filter.*l_quantity.*l_quantity".r.findFirstIn(plan).isDefined,
-      "lineitem-side quantity disjunction not extracted below the join")
+    // The Or(...) trees appear ONLY in scan PushedFilters (a join condition
+    // prints as && / ||), so these can't be satisfied vacuously.
+    assert(plan.contains("Or(Or(And(EqualTo(p_brand,Brand#12)"),
+      "part-side (brand,size) disjunction not pushed to the part scan")
+    assert(plan.contains("Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)"),
+      "lineitem-side quantity disjunction not pushed to the fact scan")
   }
 
-  test("Q22: scalar threshold broadcasts; inactivity check stays an anti-join") {
+  test("Q22: scalar threshold joins as a broadcast nested loop; inactivity stays an anti-join") {
     val plan = formatted(graft.queries.Tpch.queries("q_tpch_q22")(spark, TestSpark.sf0001))
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
-      "one-row avg must broadcast, not shuffle")
+    // BNLJ is the specific one-row-broadcast shape; the generic
+    // BroadcastExchange check would be satisfied by the anti-join's own
+    // broadcast and could not detect a lost hint.
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "one-row avg must join as a broadcast nested loop, not shuffle/cartesian")
     assert(plan.contains("LeftAnti"), "no-recent-orders must be an anti-join")
   }
 
