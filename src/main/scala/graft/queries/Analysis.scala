@@ -420,7 +420,29 @@ object Analysis {
           .as("shuffle_key"))
       .orderBy(col("shuffle_key").asc, col("doc_id").asc)
 
+  /** Static mixture rebalancing (the data-mixing step of corpus prep):
+    * downsample every language to the smallest language's count so the
+    * mixture is balanced. The keep test is integer-exact —
+    * `h % n_lang < n_min` on the md5-derived 60-bit row hash gives an
+    * expected keep-fraction of n_min/n_lang with no float arithmetic to
+    * diverge cross-engine, and membership is a pure function of doc_id
+    * (stable under reruns and partitioning). One count aggregate
+    * broadcast back into a map-side filter — the fact never shuffles.
+    */
+  def mixtureRebalance(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val nMin = counts.agg(min(col("n_lang")).as("n_min"))
+    docs.join(broadcast(counts), Seq("lang"))
+      .crossJoin(broadcast(nMin))
+      .where(pmod(TA.md5Hash60(concat(col("doc_id").cast("string"), lit(":mix"))),
+        col("n_lang")) < col("n_min"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mixture_rebalance" -> mixtureRebalance,
     "q_stable_sample" -> stableSample,
     "q_curate" -> curate,
     "q_chunk_tokens" -> chunkTokens,
@@ -607,6 +629,13 @@ object Analysis {
          |n AS (SELECT COUNT(*) AS n_total FROM t)
          |SELECT tok, cnt FROM c CROSS JOIN n
          |WHERE cnt * 100 > n_total ORDER BY tok ASC""".stripMargin,
+    "q_mixture_rebalance" ->
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+         |m AS (SELECT MIN(n_lang) AS n_min FROM c)
+         |SELECT doc_id, d.lang
+         |FROM documents d JOIN c ON d.lang = c.lang CROSS JOIN m
+         |WHERE ${hash60("CAST(doc_id AS VARCHAR) || ':mix'")} % n_lang < n_min
+         |ORDER BY doc_id ASC""".stripMargin,
     "q_stable_sample" ->
       s"""SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':shuffle') AS shuffle_key
          |FROM documents
