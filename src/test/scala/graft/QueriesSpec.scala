@@ -31,6 +31,47 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("anomaly flags agree with a naive mean/stddev z-score (guard-banded)") {
+    import org.apache.spark.sql.functions._
+    val d = TestSpark.sf0001
+    val flagged = graft.queries.Stats.queries("q_anomaly_zscore")(spark, d)
+      .collect().map(r => r.getLong(0)).toSet
+    val stats = Tables.events(spark, d)
+      .groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val rows = Tables.events(spark, d)
+      .select(col("event_id"), col("event_type"), col("value")).collect()
+    rows.foreach { r =>
+      val (mu, sd) = stats(r.getString(1))
+      val z = math.abs(r.getDouble(2) - mu) / sd
+      val id = r.getLong(0)
+      // guard bands keep the check away from the float knife-edge at z=3
+      if (z > 3.01) assert(flagged.contains(id), s"missed anomaly id=$id z=$z")
+      if (z < 2.99) assert(!flagged.contains(id), s"false flag id=$id z=$z")
+    }
+    assert(flagged.nonEmpty)
+  }
+
+  test("mixture rebalance keeps ~n_min per language (binomial bound)") {
+    import org.apache.spark.sql.functions._
+    val d = TestSpark.sf0001
+    val kept = graft.queries.Analysis.queries("q_mixture_rebalance")(spark, d)
+      .groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = Tables.documents(spark, d)
+      .groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = counts.values.min
+    counts.foreach { case (lang, n) =>
+      val k = kept.getOrElse(lang, 0L)
+      assert(k <= n, s"$lang kept more than it has")
+      // E[kept] = n_min for every language; 5-sigma binomial band
+      assert(math.abs(k - nMin) <= 5 * math.sqrt(nMin.toDouble) + 1,
+        s"$lang kept $k, expected ~$nMin of $n")
+    }
+  }
+
   test("time-decay shiftleft clamp: k >= 63 stays positive and saturates at 2^-62") {
     // unclamped, k=63 divides by 1L<<63 = Long.MIN_VALUE (negative term)
     // and k=100 by the mod-64-wrapped 1<<36 — the clamp pins both to 2^-62
