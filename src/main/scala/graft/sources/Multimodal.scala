@@ -45,7 +45,7 @@ object Multimodal {
     spark.read.format("binaryFile").load(glob)
       .select(
         xxhash64(col("path")).as("media_id"),
-        when(col("path").rlike("(?i)\\.(png|jpe?g|gif|bmp)$"), "image")
+        when(col("path").rlike("(?i)\\.(png|jpe?g|gif|bmp|webp)$"), "image")
           .when(col("path").rlike("(?i)\\.(wav|mp3|flac|ogg)$"), "audio")
           .when(col("path").rlike("(?i)\\.(mp4|avi|mkv|webm)$"), "video")
           .otherwise("unknown").as("modality"),
@@ -54,8 +54,8 @@ object Multimodal {
 
   /** REAL image header parsing (no codec needed): container format and
     * pixel dimensions from the first bytes of PNG (IHDR), GIF (logical
-    * screen), BMP (BITMAPINFOHEADER), and JPEG (marker walk to the
-    * frame's SOFn segment). This is the metadata a corpus pipeline
+    * screen), BMP (BITMAPINFOHEADER), WEBP (RIFF first chunk — VP8/VP8L/
+    * VP8X layouts), and JPEG (marker walk to the frame's SOFn segment). This is the metadata a corpus pipeline
     * filters/buckets on (drop icons, cap megapixels, bucket by aspect)
     * without ever decoding pixels — the decode itself stays behind
     * `decodeStub`'s seam.
@@ -76,6 +76,26 @@ object Multimodal {
       // same pixel count — surface the magnitude (via Long: abs(Int.Min)
       // would stay negative).
       return Some(("bmp", le32(18), math.abs(le32(22).toLong).toInt))
+    // WEBP (RIFF container): "RIFF"....."WEBP" then one of three first-chunk
+    // layouts — VP8X (extended: 24-bit LE canvas minus-one fields), VP8L
+    // (lossless: 14-bit fields packed after the 0x2F signature), VP8
+    // (lossy: 14-bit LE fields after the 9D 01 2A sync code).
+    if (bytes.length >= 30 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+        bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'E' && bytes(10) == 'B' &&
+        bytes(11) == 'P') {
+      def le24(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)
+      val cc = new String(bytes.slice(12, 16), "US-ASCII")
+      cc match {
+        case "VP8X" =>
+          return Some(("webp", le24(24) + 1, le24(27) + 1))
+        case "VP8L" if u8(20) == 0x2F =>
+          val b = le32(21)
+          return Some(("webp", (b & 0x3FFF) + 1, ((b >> 14) & 0x3FFF) + 1))
+        case "VP8 " if u8(23) == 0x9D && u8(24) == 0x01 && u8(25) == 0x2A =>
+          return Some(("webp", le16(26) & 0x3FFF, le16(28) & 0x3FFF))
+        case _ => return None
+      }
+    }
     if (u8(0) == 0xFF && u8(1) == 0xD8) { // JPEG: walk segment markers
       var i = 2
       while (i + 9 < bytes.length) {

@@ -66,11 +66,40 @@ class ImageHeaderSpec extends AnyFunSuite {
     "BM".getBytes ++ Array.fill[Byte](12)(0) ++ le32(40) ++ le32(w) ++ le32(h) ++ Array[Byte](0, 0)
   }
 
-  test("header parsing recovers format and dimensions for all four containers") {
+  private def riffWebp(chunk: String, body: Array[Byte]): Array[Byte] =
+    "RIFF".getBytes ++ Array.fill[Byte](4)(0) ++ "WEBP".getBytes ++
+      chunk.getBytes ++ Array.fill[Byte](4)(0) ++ body
+
+  private def webpX(w: Int, h: Int): Array[Byte] = {
+    def le24(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte)
+    riffWebp("VP8X", Array.fill[Byte](4)(0) ++ le24(w - 1) ++ le24(h - 1))
+  }
+
+  private def webpL(w: Int, h: Int): Array[Byte] = {
+    val b = (w - 1) | ((h - 1) << 14)
+    riffWebp("VP8L", Array(0x2F.toByte, b.toByte, (b >> 8).toByte,
+      (b >> 16).toByte, (b >> 24).toByte) ++ Array.fill[Byte](5)(0))
+  }
+
+  private def webpLossy(w: Int, h: Int): Array[Byte] =
+    riffWebp("VP8 ", Array[Byte](0, 0, 0, 0x9D.toByte, 0x01, 0x2A,
+      w.toByte, (w >> 8).toByte, h.toByte, (h >> 8).toByte))
+
+  test("header parsing recovers format and dimensions for all five containers") {
     assert(Multimodal.imageDims(png(320, 240)).contains(("png", 320, 240)))
     assert(Multimodal.imageDims(jpeg(320, 240)).contains(("jpeg", 320, 240)))
     assert(Multimodal.imageDims(gif(320, 240)).contains(("gif", 320, 240)))
     assert(Multimodal.imageDims(bmp(320, 240)).contains(("bmp", 320, 240)))
+    assert(Multimodal.imageDims(webpX(320, 240)).contains(("webp", 320, 240)))
+    assert(Multimodal.imageDims(webpL(320, 240)).contains(("webp", 320, 240)))
+    assert(Multimodal.imageDims(webpLossy(320, 240)).contains(("webp", 320, 240)))
+  }
+
+  test("WEBP with a bad VP8L signature or missing VP8 sync code parses to None") {
+    val badL = webpL(320, 240).patch(20, Array(0x00.toByte), 1)
+    assert(Multimodal.imageDims(badL).isEmpty)
+    val badSync = webpLossy(320, 240).patch(23, Array(0x00.toByte), 1)
+    assert(Multimodal.imageDims(badSync).isEmpty)
   }
 
   test("JPEG 0xFF fill bytes before a marker are skipped (T.81 B.1.1.2)") {
