@@ -120,10 +120,11 @@ object Multimodal {
 
   /** REAL audio header parsing (no codec needed): WAV/RIFF chunk walk —
     * `fmt ` yields channels/sample-rate/byte-rate, `data` yields the
-    * payload size, and duration_ms = data_bytes · 1000 / byte_rate. The
-    * audio analog of `imageDims`: the columns a curation pipeline
-    * filters/buckets on (drop sub-second clips, bucket by rate) without
-    * decoding samples.
+    * payload size, and duration_ms = data_bytes · 1000 / byte_rate — and
+    * FLAC STREAMINFO (rate/channels/total-samples from the mandatory
+    * first metadata block). The audio analog of `imageDims`: the columns
+    * a curation pipeline filters/buckets on (drop sub-second clips,
+    * bucket by rate) without decoding samples.
     */
   def audioMeta(bytes: Array[Byte]): Option[(String, Int, Int, Long)] = {
     if (bytes == null || bytes.length < 36) return None
@@ -131,6 +132,19 @@ object Multimodal {
     def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
     def le32(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
       (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    // FLAC: "fLaC" magic, then METADATA_BLOCK_HEADER [last|type7][len BE24];
+    // STREAMINFO (type 0) is mandatory-first per the spec — sample rate
+    // (20 bits), channels-1 (3), bits-1 (5), total samples (36) packed at
+    // byte 18; duration_ms = total_samples · 1000 / rate.
+    if (bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' && bytes(3) == 'C') {
+      if ((u8(4) & 0x7F) != 0) return None // first block must be STREAMINFO
+      val rate = (u8(18) << 12) | (u8(19) << 4) | (u8(20) >> 4)
+      val channels = ((u8(20) >> 1) & 0x7) + 1
+      val totalSamples = ((u8(21) & 0xF).toLong << 32) | (u8(22).toLong << 24) |
+        (u8(23).toLong << 16) | (u8(24).toLong << 8) | u8(25).toLong
+      return if (rate <= 0) None
+        else Some(("flac", rate, channels, totalSamples * 1000L / rate))
+    }
     if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
         bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'))
       return None

@@ -133,6 +133,28 @@ class ImageHeaderSpec extends AnyFunSuite {
       "data".getBytes ++ le32(dataBytes)
   }
 
+  private def flac(rate: Int, channels: Int, bits: Int, totalSamples: Long): Array[Byte] = {
+    val b18 = (rate >> 12) & 0xFF
+    val b19 = (rate >> 4) & 0xFF
+    val b20 = ((rate & 0xF) << 4) | ((channels - 1) << 1) | ((bits - 1) >> 4)
+    val b21 = (((bits - 1) & 0xF) << 4) | ((totalSamples >> 32) & 0xF).toInt
+    "fLaC".getBytes ++ Array[Byte](0x00, 0, 0, 34) ++ // STREAMINFO header
+      Array.fill[Byte](10)(0) ++ // block/frame size fields
+      Array(b18.toByte, b19.toByte, b20.toByte, b21.toByte,
+        ((totalSamples >> 24) & 0xFF).toByte, ((totalSamples >> 16) & 0xFF).toByte,
+        ((totalSamples >> 8) & 0xFF).toByte, (totalSamples & 0xFF).toByte) ++
+      Array.fill[Byte](16)(0) // md5 signature
+  }
+
+  test("FLAC STREAMINFO parsing recovers rate, channels, and duration") {
+    // 44.1 kHz stereo, 44100 samples → exactly 1000 ms
+    assert(Multimodal.audioMeta(flac(44100, 2, 16, 44100L))
+      .contains(("flac", 44100, 2, 1000L)))
+    // first metadata block not STREAMINFO → None
+    val wrongType = flac(44100, 2, 16, 44100L).patch(4, Array(0x04.toByte), 1)
+    assert(Multimodal.audioMeta(wrongType).isEmpty)
+  }
+
   test("WAV header parsing recovers rate, channels, and duration") {
     // 16 kHz mono 16-bit → 32000 B/s; 64000 data bytes → 2000 ms
     assert(Multimodal.audioMeta(wav(16000, 1, 16, 64000))
