@@ -363,7 +363,83 @@ object Tpch {
       .orderBy(col("c_nationkey").asc)
   }
 
+  /** TPC-H Q13 shape (customer order-count distribution): the double
+    * aggregation over a LEFT join — customers with zero orders must
+    * survive into the c_count=0 bucket, which an inner join would drop.
+    * First aggregate shuffles on custkey, second on the tiny count
+    * domain; both hash aggregates with map-side partials.
+    */
+  def q13CustDist(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey"))
+      .join(Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q15 shape (top supplier): quarterly revenue per supplier, then
+    * the suppliers hitting the maximum. The max is a one-row aggregate
+    * broadcast back into an equality filter (aggregate-then-broadcast-
+    * back, like Q22); the equality compares EXACT DECIMALS — a double
+    * max could tie-break differently across engines, a decimal cannot.
+    */
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast(Dec) - dec2(col("l_discount"))))
+        .as("total_rev_d"))
+    val top = rev.agg(max(col("total_rev_d")).as("max_rev_d"))
+    rev.crossJoin(broadcast(top))
+      .where(col("total_rev_d") === col("max_rev_d"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev_d").cast("double").as("total_rev"))
+      .orderBy(col("s_suppkey").asc)
+  }
+
+  /** TPC-H Q8 shape (national market share): one nation's share of a
+    * region's STANDARD-part import volume by order year. The share's
+    * numerator and denominator come from the same pass (conditional sum);
+    * nation enters twice — once to scope the customer region (broadcast
+    * into a semi-ish inner), once to name the supplier side; part's type
+    * filter prunes that scan before the join.
+    */
+  def q8MarketShare(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.nation(s, d)
+    val custRegion = Tables.customer(s, d)
+      .join(broadcast(n.join(broadcast(Tables.region(s, d)
+          .where(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"))),
+        col("c_nationkey") === col("cn_key"))
+      .select(col("c_custkey"))
+    val suppNation = Tables.supplier(s, d)
+      .join(broadcast(n.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val vol = dec2(col("l_extendedprice")) * (lit(1).cast(Dec) - dec2(col("l_discount")))
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d).where(col("p_type") === "STANDARD")
+        .select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year")), col("l_orderkey") === col("o_orderkey"))
+      .join(custRegion, col("o_custkey") === col("c_custkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg((sum(when(col("supp_nation") === "NATION_18", vol)).cast("double")
+        / sum(vol).cast("double")).as("mkt_share"))
+      .orderBy(col("o_year").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q8" -> q8MarketShare,
+    "q_tpch_q13" -> q13CustDist,
+    "q_tpch_q15" -> q15TopSupplier,
     "q_tpch_q4" -> q4PriorityCheck,
     "q_tpch_q6" -> q6ForecastRevenue,
     "q_tpch_q12" -> q12PriorityClasses,
@@ -385,6 +461,43 @@ object Tpch {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_tpch_q8" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_18'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |  AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE p_type = 'STANDARD' AND r_name = 'EUROPE'
+        |GROUP BY 1 ORDER BY o_year ASC""".stripMargin,
+    "q_tpch_q13" ->
+      """WITH cc AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM cc GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_tpch_q15" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev_d
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_rev_d AS DOUBLE) AS total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev_d = (SELECT MAX(total_rev_d) FROM rev)
+        |ORDER BY s_suppkey ASC""".stripMargin,
     "q_tpch_q4" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders
         |FROM orders o
