@@ -6,9 +6,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Deeper relational coverage: multiway fact joins (TPC-H Q3/Q5 shapes),
-  * the previously-uncovered part/supplier dimensions, and a rangeBetween
-  * window frame. All oracle-checked.
+/** Deeper relational coverage: the TPC-H family — all 18 of the 22
+  * query shapes expressible on this synthetic schema (Q2/Q9/Q11/Q21
+  * need partsupp or commit/receipt dates, which the driver tables lack;
+  * Q1 lives in Relational.aggPricing), plus part/supplier dimension
+  * stats and a rangeBetween window frame. All oracle-checked.
   */
 object Tpch {
 
