@@ -427,7 +427,10 @@ object Analysis {
     * expected keep-fraction of n_min/n_lang with no float arithmetic to
     * diverge cross-engine, and membership is a pure function of doc_id
     * (stable under reruns and partitioning). One count aggregate
-    * broadcast back into a map-side filter — the fact never shuffles.
+    * broadcast back into a map-side filter — the FILTER stage never
+    * shuffles the fact; the terminal orderBy exists only for the
+    * deterministic oracle contract and would be dropped in production
+    * (a mixture filter feeds a writer, not a sort).
     */
   def mixtureRebalance(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))

@@ -142,7 +142,10 @@ object Multimodal {
       val channels = ((u8(20) >> 1) & 0x7) + 1
       val totalSamples = ((u8(21) & 0xF).toLong << 32) | (u8(22).toLong << 24) |
         (u8(23).toLong << 16) | (u8(24).toLong << 8) | u8(25).toLong
-      return if (rate <= 0) None
+      // total_samples=0 legally means "unknown length" (streamed encode) —
+      // surface None rather than a 0 ms duration a curation gate would
+      // misread as a sub-second clip (same policy as WAV's byteRate<=0).
+      return if (rate <= 0 || totalSamples == 0L) None
         else Some(("flac", rate, channels, totalSamples * 1000L / rate))
     }
     if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&

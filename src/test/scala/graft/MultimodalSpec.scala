@@ -153,6 +153,8 @@ class ImageHeaderSpec extends AnyFunSuite {
     // first metadata block not STREAMINFO → None
     val wrongType = flac(44100, 2, 16, 44100L).patch(4, Array(0x04.toByte), 1)
     assert(Multimodal.audioMeta(wrongType).isEmpty)
+    // total_samples=0 legally means "unknown length" → None, not 0 ms
+    assert(Multimodal.audioMeta(flac(44100, 2, 16, 0L)).isEmpty)
   }
 
   test("WAV header parsing recovers rate, channels, and duration") {
