@@ -133,6 +133,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("anomaly gate: batch moments flag stream outliers; equals batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.Determinism._
+    // offline corpus: tight cluster around 10 → sd small, 100 is >3σ out
+    val corpus = (Seq.tabulate(20)(i => ("click", 9.0 + (i % 3))) :+ ("click", 100.0))
+      .toDF("event_type", "value")
+    val moments = corpus.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("s"),
+        sum(dec2(col("value")) * dec2(col("value"))).cast("double").as("q"))
+    val mem = MemoryStream[(Long, String, Double)]
+    val stream = mem.toDF().toDF("event_id", "event_type", "value")
+    val q = EventStreams.anomalyGate(stream, moments)
+      .writeStream.format("memory").queryName("anomaly_gate")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "click", 10.0), (2L, "click", 100.0),
+        (3L, "click", 9.5), (4L, "other", 1e9)) // unknown type: no moments → dropped
+      q.processAllAvailable()
+      val out = spark.table("anomaly_gate").collect().map(_.getLong(0)).toSet
+      assert(out == Set(2L), s"expected only the 100.0 outlier, got $out")
+      // batch twin over the same rows must agree
+      val batch = EventStreams.anomalyGate(
+          Seq((1L, "click", 10.0), (2L, "click", 100.0),
+            (3L, "click", 9.5), (4L, "other", 1e9))
+            .toDF("event_id", "event_type", "value"),
+          moments)
+        .collect().map(_.getLong(0)).toSet
+      assert(batch == out)
+    } finally q.stop()
+  }
+
   test("C14 feedback post-process trims and falls back") {
     import graft.operators.ScoreParser
     val out = Seq(Some("  good resume  "), Some(""), None)
