@@ -46,7 +46,7 @@ object Multimodal {
       .select(
         xxhash64(col("path")).as("media_id"),
         when(col("path").rlike("(?i)\\.(png|jpe?g|gif|bmp|webp)$"), "image")
-          .when(col("path").rlike("(?i)\\.(wav|mp3|flac|ogg)$"), "audio")
+          .when(col("path").rlike("(?i)\\.(wav|mp3|flac|ogg|opus)$"), "audio")
           .when(col("path").rlike("(?i)\\.(mp4|avi|mkv|webm)$"), "video")
           .otherwise("unknown").as("modality"),
         col("content").as("bytes"),
@@ -132,6 +132,8 @@ object Multimodal {
     def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
     def le32(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
       (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    if (bytes(0) == 'O' && bytes(1) == 'g' && bytes(2) == 'g' && bytes(3) == 'S')
+      return opusMeta(bytes)
     // FLAC: "fLaC" magic, then METADATA_BLOCK_HEADER [last|type7][len BE24];
     // STREAMINFO (type 0) is mandatory-first per the spec — sample rate
     // (20 bits), channels-1 (3), bits-1 (5), total samples (36) packed at
@@ -169,6 +171,43 @@ object Multimodal {
     }
     if (rate <= 0 || channels <= 0 || byteRate <= 0 || dataLen < 0) None
     else Some(("wav", rate, channels, dataLen * 1000L / byteRate))
+  }
+
+  /** OGG/Opus metadata: the first page's packet must be "OpusHead"
+    * (channels, pre-skip, original input rate); duration comes from the
+    * LAST page's granule position — Opus granules tick at 48 kHz
+    * regardless of input rate, so duration_ms = (granule − preskip) /
+    * 48. The tail scan finds the final "OggS" capture pattern; a
+    * headers-only fixture (no audio pages yet) yields duration 0.
+    */
+  def opusMeta(bytes: Array[Byte]): Option[(String, Int, Int, Long)] = {
+    if (bytes == null || bytes.length < 47) return None
+    def u8(i: Int) = bytes(i) & 0xFF
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le64(i: Int): Long =
+      (0 until 8).map(k => u8(i + k).toLong << (8 * k)).reduce(_ | _)
+    if (!(bytes(0) == 'O' && bytes(1) == 'g' && bytes(2) == 'g' && bytes(3) == 'S' &&
+        u8(4) == 0)) return None
+    val nSegs = u8(26)
+    val body = 27 + nSegs // first packet starts after the segment table
+    if (body + 19 > bytes.length) return None
+    if (new String(bytes, body, 8, java.nio.charset.StandardCharsets.ISO_8859_1)
+        != "OpusHead") return None
+    val channels = u8(body + 9)
+    val preSkip = le16(body + 10)
+    val inputRate = le16(body + 12) | (le16(body + 14) << 16)
+    // last page's granule position: scan back for the final capture pattern
+    var i = bytes.length - 27
+    var granule = -1L
+    while (i >= 0 && granule < 0) {
+      if (bytes(i) == 'O' && bytes(i + 1) == 'g' && bytes(i + 2) == 'g' &&
+          bytes(i + 3) == 'S' && u8(i + 4) == 0)
+        granule = le64(i + 6)
+      i -= 1
+    }
+    if (channels <= 0 || granule < 0) None
+    else Some(("opus", inputRate, channels,
+      math.max(0L, granule - preSkip) * 1000L / 48000L))
   }
 
   /** REAL video container metadata (no codec needed): ISO BMFF / MP4 box

@@ -146,6 +146,34 @@ class ImageHeaderSpec extends AnyFunSuite {
       Array.fill[Byte](16)(0) // md5 signature
   }
 
+  private def oggPage(granule: Long, nSegs: Int, body: Array[Byte]): Array[Byte] = {
+    def le64(v: Long) = Array.tabulate[Byte](8)(k => (v >> (8 * k)).toByte)
+    "OggS".getBytes ++ Array[Byte](0, 0) ++ le64(granule) ++
+      Array.fill[Byte](12)(0) ++ Array(nSegs.toByte) ++
+      Array.fill[Byte](nSegs)(body.length.toByte) ++ body
+  }
+
+  private def opus(rate: Int, channels: Int, preSkip: Int, granule: Long): Array[Byte] = {
+    val head = "OpusHead".getBytes ++ Array[Byte](1, channels.toByte,
+      preSkip.toByte, (preSkip >> 8).toByte,
+      rate.toByte, (rate >> 8).toByte, (rate >> 16).toByte, (rate >> 24).toByte,
+      0, 0, 0) // output gain + mapping family
+    oggPage(0L, 1, head) ++ oggPage(granule, 1, Array[Byte](1, 2, 3))
+  }
+
+  test("OGG/Opus parsing recovers rate, channels, and granule-based duration") {
+    // 48000 granules - 312 preskip at the fixed 48 kHz tick → 993 ms
+    assert(Multimodal.audioMeta(opus(48000, 2, 312, 48312L))
+      .contains(("opus", 48000, 2, 1000L)))
+    // headers-only file (single page, granule 0) → duration 0, not None
+    assert(Multimodal.audioMeta(oggPage(0L, 1,
+      "OpusHead".getBytes ++ Array[Byte](1, 1, 0, 0, 64, -62, 0, 0, 0, 0, 0)))
+      .contains(("opus", 49728, 1, 0L)))
+    // an OGG page whose first packet is not OpusHead (e.g. Vorbis) → None
+    assert(Multimodal.audioMeta(oggPage(0L, 1, "NotOpus!".getBytes ++
+      Array.fill[Byte](11)(0))).isEmpty)
+  }
+
   test("FLAC STREAMINFO parsing recovers rate, channels, and duration") {
     // 44.1 kHz stereo, 44100 samples → exactly 1000 ms
     assert(Multimodal.audioMeta(flac(44100, 2, 16, 44100L))
