@@ -389,13 +389,8 @@ object Stats {
     */
   def anomalyZscore(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d).select(col("event_id"), col("event_type"), col("value"))
-    val g = e.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), dsum(col("value")).as("s"),
-        sum(dec2(col("value")) * dec2(col("value"))).cast("double").as("q"))
-    val dev = col("n") * col("value") - col("s")
-    e.join(broadcast(g), Seq("event_type"))
-      .where(dev * dev * (col("n") - lit(1)) >
-        lit(9.0) * col("n") * (col("n") * col("q") - col("s") * col("s")))
+    val g = graft.operators.AnomalyGate.moments(e, "event_type", "value")
+    graft.operators.AnomalyGate.gate(e, g, "event_type", "value")
       .select(col("event_id"), col("event_type"), col("value"))
       .orderBy(col("event_id").asc)
   }

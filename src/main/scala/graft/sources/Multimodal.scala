@@ -174,11 +174,15 @@ object Multimodal {
   }
 
   /** OGG/Opus metadata: the first page's packet must be "OpusHead"
-    * (channels, pre-skip, original input rate); duration comes from the
-    * LAST page's granule position — Opus granules tick at 48 kHz
-    * regardless of input rate, so duration_ms = (granule − preskip) /
-    * 48. The tail scan finds the final "OggS" capture pattern; a
-    * headers-only fixture (no audio pages yet) yields duration 0.
+    * version 1 (channels, pre-skip, original input rate); duration comes
+    * from the LAST page's granule position — Opus granules tick at
+    * 48 kHz regardless of input rate, so duration_ms = (granule −
+    * preskip) / 48. The last page is found by WALKING pages forward via
+    * each header's segment table (never by scanning bytes for "OggS",
+    * which can false-sync on the pattern inside compressed payload and
+    * read garbage as the granule). A headers-only file (no audio pages
+    * yet) yields duration 0; rate 0 ("unknown" per RFC 7845) returns
+    * None like the WAV/FLAC degenerate-rate paths.
     */
   def opusMeta(bytes: Array[Byte]): Option[(String, Int, Int, Long)] = {
     if (bytes == null || bytes.length < 47) return None
@@ -186,26 +190,37 @@ object Multimodal {
     def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
     def le64(i: Int): Long =
       (0 until 8).map(k => u8(i + k).toLong << (8 * k)).reduce(_ | _)
-    if (!(bytes(0) == 'O' && bytes(1) == 'g' && bytes(2) == 'g' && bytes(3) == 'S' &&
-        u8(4) == 0)) return None
-    val nSegs = u8(26)
-    val body = 27 + nSegs // first packet starts after the segment table
+    def pageAt(p: Int): Boolean =
+      p + 27 <= bytes.length && bytes(p) == 'O' && bytes(p + 1) == 'g' &&
+        bytes(p + 2) == 'g' && bytes(p + 3) == 'S' && u8(p + 4) == 0
+    if (!pageAt(0)) return None
+    val body = 27 + u8(26) // first packet starts after the segment table
     if (body + 19 > bytes.length) return None
     if (new String(bytes, body, 8, java.nio.charset.StandardCharsets.ISO_8859_1)
         != "OpusHead") return None
+    // RFC 7845 §5.1: reject if the version's upper nibble isn't 0 — the
+    // field layout below is only defined for the v1 family.
+    if ((u8(body + 8) >> 4) != 0) return None
     val channels = u8(body + 9)
     val preSkip = le16(body + 10)
     val inputRate = le16(body + 12) | (le16(body + 14) << 16)
-    // last page's granule position: scan back for the final capture pattern
-    var i = bytes.length - 27
+    // walk pages via segment-table lengths; keep the last valid granule
+    // (-1 marks a page where no packet completes — skip those)
+    var p = 0
     var granule = -1L
-    while (i >= 0 && granule < 0) {
-      if (bytes(i) == 'O' && bytes(i + 1) == 'g' && bytes(i + 2) == 'g' &&
-          bytes(i + 3) == 'S' && u8(i + 4) == 0)
-        granule = le64(i + 6)
-      i -= 1
+    var ok = true
+    while (ok && pageAt(p)) {
+      val ns = u8(p + 26)
+      if (p + 27 + ns > bytes.length) ok = false
+      else {
+        val g = le64(p + 6)
+        if (g >= 0) granule = g
+        var bodyLen = 0
+        for (k <- 0 until ns) bodyLen += u8(p + 27 + k)
+        p += 27 + ns + bodyLen
+      }
     }
-    if (channels <= 0 || granule < 0) None
+    if (channels <= 0 || inputRate <= 0 || granule < 0) None
     else Some(("opus", inputRate, channels,
       math.max(0L, granule - preSkip) * 1000L / 48000L))
   }

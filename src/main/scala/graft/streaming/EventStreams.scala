@@ -100,18 +100,15 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
 
   /** Streaming anomaly gate — the serving twin of the batch
-    * `Stats.anomalyZscore`: per-type moments (n, S=Σx, Q=Σx²) are
-    * computed OFFLINE on the batch corpus and join the live stream as a
-    * broadcast static side; the same exact-moment inequality
-    * (n·x−S)²·(n−1) > 9·n·(n·Q−S²) flags outliers per micro-batch.
-    * No streaming state, no watermark, no stream-side shuffle — the
-    * standard threshold-serving pattern (model offline, gate online).
+    * `Stats.anomalyZscore`, sharing `operators.AnomalyGate` so the two
+    * inequalities can never diverge: offline per-type moments join the
+    * live stream as a broadcast static side and outliers are flagged
+    * map-side per micro-batch. No streaming state, no watermark, no
+    * stream-side shuffle. The static side re-plans EVERY micro-batch —
+    * pass `moments.cache()`d (or a read of the persisted moment table),
+    * never the raw corpus aggregation, or each batch re-scans the corpus.
     */
-  def anomalyGate(events: DataFrame, moments: DataFrame): DataFrame = {
-    val dev = col("n") * col("value") - col("s")
-    events.join(broadcast(moments), Seq("event_type"))
-      .where(dev * dev * (col("n") - lit(1)) >
-        lit(9.0) * col("n") * (col("n") * col("q") - col("s") * col("s")))
+  def anomalyGate(events: DataFrame, moments: DataFrame): DataFrame =
+    graft.operators.AnomalyGate.gate(events, moments, "event_type", "value")
       .select(col("event_id"), col("event_type"), col("value"))
-  }
 }

@@ -172,6 +172,23 @@ class ImageHeaderSpec extends AnyFunSuite {
     // an OGG page whose first packet is not OpusHead (e.g. Vorbis) → None
     assert(Multimodal.audioMeta(oggPage(0L, 1, "NotOpus!".getBytes ++
       Array.fill[Byte](11)(0))).isEmpty)
+    // version upper nibble != 0 → incompatible layout → None (RFC 7845)
+    val v16 = opus(48000, 2, 312, 48312L)
+    assert(Multimodal.audioMeta(v16.patch(36, Array(0x10.toByte), 1)).isEmpty)
+    // input rate 0 legally means "unknown" → None like WAV/FLAC
+    assert(Multimodal.audioMeta(opus(0, 2, 312, 48312L)).isEmpty)
+  }
+
+  test("Opus page walk is immune to 'OggS' bytes inside compressed payload") {
+    // a payload containing the capture pattern + fake granule bytes: a
+    // byte-scan parser would false-sync and read 0xFF.. as the granule;
+    // the segment-table walk must step OVER the payload to the real page
+    val trap = "OggS".getBytes ++ Array[Byte](0, 0) ++ Array.fill[Byte](8)(0x42) ++
+      Array.fill[Byte](13)(0)
+    val head = "OpusHead".getBytes ++ Array[Byte](1, 2, 56, 1, // preskip 312
+      (48000 & 0xFF).toByte, (48000 >> 8).toByte, 0, 0, 0, 0, 0)
+    val fixture = oggPage(0L, 1, head) ++ oggPage(48312L, 1, trap)
+    assert(Multimodal.audioMeta(fixture).contains(("opus", 48000, 2, 1000L)))
   }
 
   test("FLAC STREAMINFO parsing recovers rate, channels, and duration") {

@@ -140,9 +140,10 @@ class StreamingSpec extends AnyFunSuite {
     // offline corpus: tight cluster around 10 → sd small, 100 is >3σ out
     val corpus = (Seq.tabulate(20)(i => ("click", 9.0 + (i % 3))) :+ ("click", 100.0))
       .toDF("event_type", "value")
-    val moments = corpus.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), dsum(col("value")).as("s"),
-        sum(dec2(col("value")) * dec2(col("value"))).cast("double").as("q"))
+    // cache: the static side of a stream-static join re-plans per
+    // micro-batch — uncached, every batch would re-aggregate the corpus
+    val moments = graft.operators.AnomalyGate
+      .moments(corpus, "event_type", "value").cache()
     val mem = MemoryStream[(Long, String, Double)]
     val stream = mem.toDF().toDF("event_id", "event_type", "value")
     val q = EventStreams.anomalyGate(stream, moments)
