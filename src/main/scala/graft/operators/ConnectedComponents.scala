@@ -25,10 +25,11 @@ import org.apache.spark.sql.functions._
   *    scheme (Kiveris et al., "Connected Components in MapReduce and
   *    Beyond", SoCC'14) drops rounds to O(log n); the loop below is the
   *    drop-in site for it;
-  *  - every round `localCheckpoint`s the label relation: iterative plans
-  *    otherwise nest the full lineage once per round and Catalyst
-  *    re-optimizes/re-executes an exponentially growing tree. On a real
-  *    cluster this would be `checkpoint` against reliable storage.
+  *  - every round materializes the label relation (Iterate.cap):
+  *    iterative plans otherwise nest the full lineage once per round and
+  *    Catalyst re-optimizes/re-executes an exponentially growing tree.
+  *    Pass `checkpointDir` to use reliable `checkpoint` storage on a
+  *    real cluster; the default is executor-local.
   *
   * Convergence is detected with a `limit(1)` existence probe on changed
   * labels (short-circuits; no full count), and `maxRounds` is a safety
@@ -46,13 +47,14 @@ object ConnectedComponents {
     *              edges; ids must be non-null
     * @return (`id`, `cluster_id`) with one row per input node
     */
-  def assign(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 25): DataFrame = {
+  def assign(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 25,
+             checkpointDir: Option[String] = None): DataFrame = {
+    val ck = Iterate.cap(checkpointDir) _
     // Symmetrize once: propagation below only follows src -> dst.
-    val adj = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
+    val adj = ck(edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst"))))
 
-    var labels = nodes.select(col("id"), col("id").as("cluster_id")).localCheckpoint()
+    var labels = ck(nodes.select(col("id"), col("id").as("cluster_id")))
     var round = 0
     while (round < maxRounds) {
       // Min label among each node's in-neighbors (absent for isolated nodes).
@@ -63,13 +65,12 @@ object ConnectedComponents {
       // Carry the previous label through the checkpoint so convergence
       // detection is a scan of the materialized relation, not another
       // join against the prior round.
-      val next = labels
+      val next = ck(labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"),
-          col("cluster_id").as("prev"))
-        .localCheckpoint()
+          col("cluster_id").as("prev")))
       val changed = next.where(col("cluster_id") =!= col("prev")).limit(1).count()
       labels = next.select(col("id"), col("cluster_id"))
       if (changed == 0L) return labels
@@ -99,7 +100,9 @@ object ConnectedComponents {
     * full driver-side compare).
     */
   def assignAlternatingStar(nodes: DataFrame, edges: DataFrame,
-                            maxRounds: Int = 60): DataFrame = {
+                            maxRounds: Int = 60,
+                            checkpointDir: Option[String] = None): DataFrame = {
+    val ck = Iterate.cap(checkpointDir) _
     def canon(e: DataFrame): DataFrame =
       e.where(col("src") =!= col("dst"))
         .select(least(col("src"), col("dst")).as("src"),
@@ -110,8 +113,7 @@ object ConnectedComponents {
       sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
 
-    var e = canon(edges.select(col("id_a").as("src"), col("id_b").as("dst")))
-      .localCheckpoint()
+    var e = ck(canon(edges.select(col("id_a").as("src"), col("id_b").as("dst"))))
     var round = 0
     var done = e.isEmpty
     while (!done && round < maxRounds) {
@@ -121,7 +123,7 @@ object ConnectedComponents {
       val large = sym.where(col("v") > col("u"))
         .join(minOverNbrs(sym), Seq("u"))
         .select(col("v").as("src"), col("m").as("dst"))
-      val eL = canon(large).localCheckpoint()
+      val eL = ck(canon(large))
       val symL = eL.select(col("src").as("u"), col("dst").as("v"))
         .union(eL.select(col("dst").as("u"), col("src").as("v")))
       // small-star: (v, m(u)) for v ∈ N(u) ∪ {u}, v ≤ u — the self case
@@ -131,7 +133,7 @@ object ConnectedComponents {
         .join(smallMin, Seq("u"))
         .select(col("v").as("src"), col("m").as("dst"))
         .union(smallMin.select(col("u").as("src"), col("m").as("dst")))
-      val eS = canon(small).localCheckpoint()
+      val eS = ck(canon(small))
       // fixpoint: same canonical edge set as the previous round. Both
       // sides are distinct (canon), so equal counts + one empty except
       // suffice — the common non-converged round pays two cheap counts

@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
   *     c = (r·w) div out_w(src);
   *   inflow: groupBy dst, SUM(c) (map-side combined);
   *   update: vertex spine LEFT JOIN inflow, r' = teleport + (85·inflow) div 100.
-  * `localCheckpoint` after each round caps the lineage at O(1) instead of
-  * O(iterations) — the same guard the connected-components loop uses.
+  * Each round is materialized via Iterate.cap, capping the lineage at
+  * O(1) instead of O(iterations) — pass `checkpointDir` for reliable
+  * checkpoint storage on a real cluster (default executor-local).
   *
   * Overflow bound: r ≤ scale and intermediate r·w must stay under 2^63,
   * so require scale · max_edge_weight < 9.2e18 (at the default 10^12
@@ -32,24 +33,25 @@ object PageRank {
     * rank_scaled) where rank_scaled ≈ rank · scale, damping 0.85.
     */
   def run(vertices: DataFrame, edges: DataFrame, iterations: Int,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
+    val ck = Iterate.cap(checkpointDir) _
     val n = vertices.count()
     require(n > 0, "empty vertex set")
     val base = scale / n              // floor, positive operands
     val teleport = 15L * base / 100L  // (0.15 · base) floored
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
-    val ew = edges.join(outw, Seq("src")).localCheckpoint()
+    val ew = ck(edges.join(outw, Seq("src")))
     var ranks = vertices.select(col("node"), lit(base).as("r"))
     for (_ <- 1 to iterations) {
       val inflow = ranks.join(ew, col("node") === col("src"))
         .selectExpr("dst", "(r * w) div ow AS c")
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
         .withColumnRenamed("dst", "node")
-      ranks = vertices.select(col("node"))
+      ranks = ck(vertices.select(col("node"))
         .join(inflow, Seq("node"), "left")
-        .selectExpr("node", s"$teleport + (85 * coalesce(s, 0)) div 100 AS r")
-        .localCheckpoint()
+        .selectExpr("node", s"$teleport + (85 * coalesce(s, 0)) div 100 AS r"))
     }
     ranks.select(col("node"), col("r").as("rank_scaled"))
   }

@@ -30,18 +30,25 @@ object Rerank {
     * contributing rows once exhausted.
     */
   def mmrSelectBatch(cand: DataFrame, sims: DataFrame, k: Int,
-      lambda: Double): DataFrame = {
+      lambda: Double, checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val c = cand.select(col("qid"), col("id"), col("rel")).localCheckpoint()
-    val p = sims.localCheckpoint()
+    val ck = Iterate.cap(checkpointDir) _
+    val c = ck(cand.select(col("qid"), col("id"), col("rel")))
+    val p = ck(sims)
     val w1 = Window.partitionBy(col("qid"))
       .orderBy(col("rel").desc, col("id").asc)
-    var selected = c.withColumn("rn", row_number().over(w1))
+    val first = ck(c.withColumn("rn", row_number().over(w1))
       .where(col("rn") === 1)
       .select(col("qid"), lit(1L).as("pick"), col("id"), col("rel"),
-        col("rel").as("mmr"))
-      .localCheckpoint()
+        col("rel").as("mmr")))
+    // Each round materializes only its DELTA (one row per qid); the
+    // running selection is a lazy union of the already-checkpointed
+    // deltas, so lineage stays flat without re-materializing a growing
+    // relation every round (round 5's slowest query was exactly that
+    // re-checkpoint overhead).
+    val picks = scala.collection.mutable.ListBuffer(first)
     for (i <- 2 to k) {
+      val selected = picks.reduce(_ unionAll _)
       val maxSim = p
         .join(selected.select(col("qid"), col("id").as("ib")), Seq("qid", "ib"))
         .groupBy(col("qid"), col("ia")).agg(max(col("sim")).as("msim"))
@@ -57,9 +64,9 @@ object Rerank {
         .where(col("rn") === 1)
         .select(col("qid"), lit(i.toLong).as("pick"), col("id"), col("rel"),
           col("mmr"))
-      selected = selected.unionAll(next).localCheckpoint()
+      picks += ck(next)
     }
-    selected
+    picks.reduce(_ unionAll _)
   }
 
   /** Single-query MMR: `cand`: (id, rel); `sims`: (ia, ib, sim) complete

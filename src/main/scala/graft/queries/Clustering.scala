@@ -16,15 +16,17 @@ object Clustering {
 
   /** Every document labeled with its near-dup cluster's canonical
     * (minimum) doc_id: edges = blocked token-Jaccard >= 0.9 pairs
-    * (exactly q_jaccard_neardup's relation), components via distributed
-    * min-label propagation. Singletons keep their own id, so this is the
-    * full dedup assignment table a curation pipeline joins against.
+    * (exactly q_jaccard_neardup's relation), components via alternating
+    * large-star/small-star (O(log n) rounds on any graph shape — the
+    * scale path; min-label propagation stays as the spec oracle).
+    * Singletons keep their own id, so this is the full dedup assignment
+    * table a curation pipeline joins against.
     */
   def dupClusters(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val pairs = Dedup.jaccardPairsHashedFromSets(Analysis.tokenSets(s, d), 0.9)
       .select(col("id_a"), col("id_b"))
-    ConnectedComponents.assign(docs.select(col("doc_id").as("id")), pairs)
+    ConnectedComponents.assignAlternatingStar(docs.select(col("doc_id").as("id")), pairs)
       .select(col("id").as("doc_id"), col("cluster_id"))
       .orderBy(col("doc_id").asc)
   }
@@ -188,7 +190,7 @@ object Clustering {
     val pairs = Dedup.jaccardPairsHashedFromSets(sets, 0.9)
       .select(col("id_a"), col("id_b"))
     val canon = ConnectedComponents
-      .assign(kept1Ids.select(col("doc_id").as("id")), pairs)
+      .assignAlternatingStar(kept1Ids.select(col("doc_id").as("id")), pairs)
       .where(col("id") === col("cluster_id"))
       .select(col("id").as("doc_id"))
     val gated = docs

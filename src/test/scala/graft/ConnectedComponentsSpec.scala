@@ -91,6 +91,16 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
   }
 
+  test("alternating-star: adversarial 10k-node chain converges within 2·log2(n) rounds") {
+    val n = 10000
+    val bound = 2 * math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt // 28
+    val chain = (1L until n.toLong).map(i => (i, i + 1))
+    val got = ConnectedComponents.assignAlternatingStar(
+      nodes(1L to n.toLong: _*), edges(chain: _*), maxRounds = bound)
+    // converged (no IllegalStateException) within the bound, to one component
+    assert(got.select("cluster_id").distinct().collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
   test("alternating-star matches min-label propagation on random graphs") {
     val rnd = new scala.util.Random(7)
     (1 to 3).foreach { _ =>
