@@ -27,13 +27,19 @@ object AnomalyGate {
   /** Rows of `rows` whose `valueCol` deviates from their key's mean by
     * more than 3 sample stddevs; moments broadcast, filter map-side,
     * moment columns dropped. Keys absent from `moments` drop (inner).
+    * The positive-variance guard handles the σ=0 group: with all values
+    * equal, double rounding can make n·Q−S² come out a hair negative
+    * while the left side rounds to a hair positive, flagging EVERY row
+    * of a constant group — but σ=0 means no row deviates, so such
+    * groups must never flag.
     */
   def gate(rows: DataFrame, moments: DataFrame, key: String,
            valueCol: String): DataFrame = {
     val dev = col("n") * col(valueCol) - col("s")
+    val variance = col("n") * col("q") - col("s") * col("s")
     rows.join(broadcast(moments), Seq(key))
-      .where(dev * dev * (col("n") - lit(1)) >
-        lit(9.0) * col("n") * (col("n") * col("q") - col("s") * col("s")))
+      .where(variance > lit(0.0) &&
+        dev * dev * (col("n") - lit(1)) > lit(9.0) * col("n") * variance)
       .drop("n", "s", "q")
   }
 }

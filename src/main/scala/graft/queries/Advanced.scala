@@ -48,26 +48,48 @@ object Advanced {
         round(expr("percentile(value, 0.9)"), 4).as("p90"))
       .orderBy(col("event_type").asc)
 
-  /** HLL sketch vs exact distinct per type — rows-only (the sketch is
-    * engine-specific by design; the exact column anchors it in tests).
+  /** HLL / approx-percentile sketches vs exact, per type — oracled on
+    * ERROR-BOUND assertions, not the estimates: each engine's sketch
+    * internals differ (Spark HLL++ vs DuckDB HLL, KLL vs t-digest), but
+    * both must land inside the published bound, so the boolean columns
+    * |hll − exact|/exact < 0.05 and p40 ≤ approx_p50 ≤ p60 hash
+    * identically (all true) while still exercising the sketch path
+    * end-to-end. `exact_users` stays as an exactly-hashed anchor.
     */
   def approxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("event_type"))
       .agg(
         countDistinct(col("user_id")).as("exact_users"),
-        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-        round(percentile_approx(col("value"), lit(0.5), lit(1000)), 4).as("approx_p50"))
+        approx_count_distinct(col("user_id"), 0.02).as("hll"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("ap50"),
+        expr("percentile(value, 0.4)").as("p40"),
+        expr("percentile(value, 0.6)").as("p60"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("hll") - col("exact_users")) / col("exact_users") < 0.05)
+          .as("hll_ok"),
+        (col("ap50") >= col("p40") && col("ap50") <= col("p60")).as("p50_ok"))
       .orderBy(col("event_type").asc)
 
   /** MLlib BucketedRandomProjectionLSH ANN over embeddings — rows-only
-    * (MLlib's random-projection hash model has no cross-engine twin);
-    * recall vs the exact scan is asserted in AnnSearchSpec.
+    * (MLlib's random-projection hash model has no cross-engine twin),
+    * but SELF-ASSERTING: every output row carries recall@10 of the LSH
+    * result against the exact scan plus a `recall_ok` (≥ 0.9) flag, all
+    * computed in-flow (one broadcast of the 10-row exact top-k — no
+    * driver collect), so the driver's rows-only check still fails loudly
+    * if the LSH tier degrades. Recall is also asserted in AnnSearchSpec.
     */
   def lshBrpTopk(s: SparkSession, d: String): DataFrame = {
     val q = graft.functions.VectorOps.queryVector(s, d, 0L)
-    AnnSearch.brpLshNeighbors(Tables.embeddings(s, d), q, k = 10)
+    val k = 10
+    val lsh = AnnSearch.brpLshNeighbors(Tables.embeddings(s, d), q, k = k)
       .select(col("vec_id"), round(col("dist"), 4).as("dist"))
+    val exact = AnnSearch.l2TopK(Tables.embeddings(s, d), q, k)
+      .select(col("vec_id"))
+    val recall = lsh.join(broadcast(exact), Seq("vec_id"), "left_semi")
+      .agg((count(lit(1)) / k.toDouble).as("recall"))
+    lsh.crossJoin(broadcast(recall))
+      .withColumn("recall_ok", col("recall") >= 0.9)
       .orderBy(col("dist").asc, col("vec_id").asc)
   }
 
@@ -120,6 +142,17 @@ object Advanced {
       """SELECT event_type,
         |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
         |  ROUND(quantile_cont(value, 0.9), 4) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
+    // Sketch estimates are engine-specific; the ORACLE asserts the error
+    // bounds (each engine checks its own sketch against its own exact
+    // values — identical TRUEs hash identically).
+    "q_approx_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        |  abs(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+        |    / CAST(COUNT(DISTINCT user_id) AS DOUBLE) < 0.05 AS hll_ok,
+        |  approx_quantile(value, 0.5)
+        |    BETWEEN quantile_cont(value, 0.4) AND quantile_cont(value, 0.6)
+        |    AS p50_ok
         |FROM events GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
   )
 }

@@ -424,7 +424,8 @@ object Stats {
         |  FROM events GROUP BY event_type)
         |SELECT event_id, e.event_type, value
         |FROM events e JOIN g ON e.event_type = g.event_type
-        |WHERE (n * value - s) * (n * value - s) * (n - 1)
+        |WHERE (n * q - s * s) > 0
+        |  AND (n * value - s) * (n * value - s) * (n - 1)
         |    > 9.0 * n * (n * q - s * s)
         |ORDER BY event_id ASC""".stripMargin,
     "q_funnel" ->

@@ -180,14 +180,20 @@ object Multimodal {
     * preskip) / 48. The last page is found by WALKING pages forward via
     * each header's segment table (never by scanning bytes for "OggS",
     * which can false-sync on the pattern inside compressed payload and
-    * read garbage as the granule). A headers-only file (no audio pages
-    * yet) yields duration 0; rate 0 ("unknown" per RFC 7845) returns
-    * None like the WAV/FLAC degenerate-rate paths.
+    * read garbage as the granule). Only pages carrying the SAME
+    * bitstream serial number as page 0 contribute a granule: a chained
+    * or multiplexed Ogg file interleaves pages of other logical streams
+    * (different serial), and taking whichever page happens to end last
+    * would read some other stream's clock. A headers-only file (no audio
+    * pages yet) yields duration 0; rate 0 ("unknown" per RFC 7845)
+    * returns None like the WAV/FLAC degenerate-rate paths.
     */
   def opusMeta(bytes: Array[Byte]): Option[(String, Int, Int, Long)] = {
     if (bytes == null || bytes.length < 47) return None
     def u8(i: Int) = bytes(i) & 0xFF
     def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32u(i: Int): Long =
+      (0 until 4).map(k => u8(i + k).toLong << (8 * k)).reduce(_ | _)
     def le64(i: Int): Long =
       (0 until 8).map(k => u8(i + k).toLong << (8 * k)).reduce(_ | _)
     def pageAt(p: Int): Boolean =
@@ -205,7 +211,9 @@ object Multimodal {
     val preSkip = le16(body + 10)
     val inputRate = le16(body + 12) | (le16(body + 14) << 16)
     // walk pages via segment-table lengths; keep the last valid granule
-    // (-1 marks a page where no packet completes — skip those)
+    // (-1 marks a page where no packet completes — skip those) of the
+    // Opus stream identified by page 0's serial (bytes 14-17)
+    val serial = le32u(14)
     var p = 0
     var granule = -1L
     var ok = true
@@ -214,7 +222,7 @@ object Multimodal {
       if (p + 27 + ns > bytes.length) ok = false
       else {
         val g = le64(p + 6)
-        if (g >= 0) granule = g
+        if (g >= 0 && le32u(p + 14) == serial) granule = g
         var bodyLen = 0
         for (k <- 0 until ns) bodyLen += u8(p + 27 + k)
         p += 27 + ns + bodyLen

@@ -146,10 +146,12 @@ class ImageHeaderSpec extends AnyFunSuite {
       Array.fill[Byte](16)(0) // md5 signature
   }
 
-  private def oggPage(granule: Long, nSegs: Int, body: Array[Byte]): Array[Byte] = {
+  private def oggPage(granule: Long, nSegs: Int, body: Array[Byte],
+      serial: Int = 0): Array[Byte] = {
     def le64(v: Long) = Array.tabulate[Byte](8)(k => (v >> (8 * k)).toByte)
+    def le32(v: Int) = Array.tabulate[Byte](4)(k => (v >> (8 * k)).toByte)
     "OggS".getBytes ++ Array[Byte](0, 0) ++ le64(granule) ++
-      Array.fill[Byte](12)(0) ++ Array(nSegs.toByte) ++
+      le32(serial) ++ Array.fill[Byte](8)(0) ++ Array(nSegs.toByte) ++
       Array.fill[Byte](nSegs)(body.length.toByte) ++ body
   }
 
@@ -189,6 +191,19 @@ class ImageHeaderSpec extends AnyFunSuite {
       (48000 & 0xFF).toByte, (48000 >> 8).toByte, 0, 0, 0, 0, 0)
     val fixture = oggPage(0L, 1, head) ++ oggPage(48312L, 1, trap)
     assert(Multimodal.audioMeta(fixture).contains(("opus", 48000, 2, 1000L)))
+  }
+
+  test("Opus granule walk ignores pages of other logical streams (chained/muxed Ogg)") {
+    // a chained file: after the Opus stream (serial 0, last granule
+    // 48312) a second logical stream's page (serial 7) ends the file
+    // with a huge granule on ITS clock — duration must come from the
+    // Opus stream's last page, not whatever page ends last
+    val head = "OpusHead".getBytes ++ Array[Byte](1, 2, 56, 1, // preskip 312
+      (48000 & 0xFF).toByte, (48000 >> 8).toByte, 0, 0, 0, 0, 0)
+    val chained = oggPage(0L, 1, head) ++
+      oggPage(48312L, 1, Array[Byte](1, 2, 3)) ++
+      oggPage(96000000L, 1, Array[Byte](4, 5, 6), serial = 7)
+    assert(Multimodal.audioMeta(chained).contains(("opus", 48000, 2, 1000L)))
   }
 
   test("FLAC STREAMINFO parsing recovers rate, channels, and duration") {

@@ -12,8 +12,10 @@ class QueriesSpec extends AnyFunSuite {
 
   /** Queries whose core operator is not SQL-expressible (driver records a
     * rows-only check); their semantics are pinned by unit specs instead.
+    * q_lsh_brp_topk additionally self-asserts recall@10 >= 0.9 in-flow;
+    * q_approx_distinct graduated to an error-bound oracle in round 6.
     */
-  val rowsOnly: Set[String] = Set("q_approx_distinct", "q_lsh_brp_topk")
+  val rowsOnly: Set[String] = Set("q_lsh_brp_topk")
 
   test("every declared query has oracle SQL (or is explicitly rows-only)") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
@@ -29,6 +31,13 @@ class QueriesSpec extends AnyFunSuite {
       val n = fn(spark, TestSpark.sf0001).count()
       assert(n > 0, s"$name returned no rows at sf0.001")
     }
+  }
+
+  test("q_lsh_brp_topk self-assertion: recall_ok holds on every row") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.Advanced.queries("q_lsh_brp_topk")(spark, TestSpark.sf0001)
+    assert(rows.where(not(col("recall_ok"))).count() == 0)
+    assert(rows.count() > 0)
   }
 
   test("anomaly flags agree with a naive mean/stddev z-score (guard-banded)") {

@@ -166,6 +166,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("anomaly gate: zero-variance (constant) group never flags") {
+    import org.apache.spark.sql.functions._
+    // all values equal → σ=0 → no row deviates; without the positive-
+    // variance guard, double rounding of S and Q can flip the inequality
+    // and flag EVERY row of the constant group. 0.1 is the classic
+    // non-representable double that makes the rounding bite.
+    val const = Seq.fill(7)(("flat", 0.1)) ++ Seq.fill(3)(("flat", 0.1))
+    val corpus = const.toDF("event_type", "value")
+    val moments = graft.operators.AnomalyGate
+      .moments(corpus, "event_type", "value")
+    val flagged = graft.operators.AnomalyGate
+      .gate(corpus.withColumn("event_id", monotonically_increasing_id()),
+        moments, "event_type", "value")
+      .count()
+    assert(flagged == 0L)
+  }
+
   test("C14 feedback post-process trims and falls back") {
     import graft.operators.ScoreParser
     val out = Seq(Some("  good resume  "), Some(""), None)
