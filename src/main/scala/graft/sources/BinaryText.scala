@@ -14,13 +14,18 @@ import scala.util.Try
   *    ones via java.util.zip, and interpret the text-showing content
   *    operators (Tj, TJ, ', ") over literal `(…)` and hex `<…>` strings,
   *    with Td, TD, T-star, BT, ET treated as line breaks. ToUnicode CMaps
-  *    (PDF 1.7 §9.10.3) ARE handled: bfchar/bfrange tables from every
-  *    CMap stream are merged and applied to show-strings whose codes all
-  *    resolve (2-byte codes first — the Identity-H case — then 1-byte),
-  *    falling back to single-byte ISO-8859-1 when they don't. Multiple
-  *    fonts with CONFLICTING code→text tables aren't distinguished (no
-  *    Tf font-state tracking); anything unreadable falls back to
-  *    printable-ASCII salvage.
+  *    (PDF 1.7 §9.10.3) ARE handled, scoped PER FONT via Tf tracking:
+  *    the object graph is resolved name → font object (`/Font <<
+  *    /F1 5 0 R >>` resource dicts) → `/ToUnicode` stream, and each
+  *    `/F<n> Tf` operator switches the active code→text tables, so two
+  *    fonts with CONFLICTING tables decode correctly. Show-strings
+  *    resolve 2-byte codes first (the Identity-H case) then 1-byte,
+  *    falling back to the merged-table view (fonts without their own
+  *    CMap, or no Tf seen) and then to single-byte ISO-8859-1. Resource
+  *    names are resolved file-wide (last binding wins): per-page
+  *    re-binding of the SAME name to different fonts is not
+  *    distinguished. Anything unreadable falls back to printable-ASCII
+  *    salvage.
   *  - DOCX: read `word/document.xml` out of the zip container, emit
   *    `<w:t>` runs, break on paragraph ends / tabs / breaks, decode the
   *    five XML entities.
@@ -49,28 +54,89 @@ object BinaryText {
   private val EndstreamKw = "endstream".getBytes(Ascii)
 
   /** Text of every content stream in the PDF, one paragraph per stream.
-    * First pass collects the decoded streams and merges the bfchar/
-    * bfrange tables of every CMap-bearing one; second pass interprets
-    * ALL streams with those tables available. CMap streams are not
-    * excluded from the text pass — their syntax has no text-showing
-    * operators, so they contribute nothing — which means a CONTENT
-    * stream whose shown text merely mentions "begincmap" still extracts
-    * normally instead of being misclassified and dropped.
+    * First pass collects the decoded streams and parses every
+    * CMap-bearing one; the object graph (resource name → font object →
+    * /ToUnicode stream) scopes each table to its font, and the merged
+    * view of all tables remains the fallback for fonts without their
+    * own CMap. Second pass interprets ALL streams with those tables
+    * available. CMap streams are not excluded from the text pass — their
+    * syntax has no text-showing operators, so they contribute nothing —
+    * which means a CONTENT stream whose shown text merely mentions
+    * "begincmap" still extracts normally instead of being misclassified
+    * and dropped.
     */
   def pdfText(bytes: Array[Byte]): String = {
     val streams = decodedStreams(bytes)
-    val (map1, map2) = streams.filter(isCMapStream)
-      .map(d => parseCMap(new String(d, Ascii)))
+    val cmaps = streams.collect {
+      case (pos, d) if isCMapStream(d) => (pos, parseCMap(new String(d, Ascii)))
+    }
+    val (map1, map2) = cmaps.map(_._2)
       .foldLeft((Map.empty[Int, String], Map.empty[Int, String])) {
         case ((a1, a2), (b1, b2)) => (a1 ++ b1, a2 ++ b2)
       }
-    streams.map(contentText(_, map1, map2)).filter(_.nonEmpty)
-      .mkString("\n").trim
+    val fonts =
+      if (cmaps.isEmpty) Map.empty[String, (Map[Int, String], Map[Int, String])]
+      else fontTables(new String(bytes, Ascii), cmaps)
+    streams.map { case (_, d) => contentText(d, map1, map2, fonts) }
+      .filter(_.nonEmpty).mkString("\n").trim
   }
 
-  /** All stream segments, inflated where /FlateDecode. */
-  private def decodedStreams(bytes: Array[Byte]): Seq[Array[Byte]] = {
-    val parts = mutable.Buffer[Array[Byte]]()
+  private val ObjHeaderPat =
+    java.util.regex.Pattern.compile("(\\d+)\\s+\\d+\\s+obj\\b")
+  private val ToUniPat =
+    java.util.regex.Pattern.compile("/ToUnicode\\s+(\\d+)\\s+\\d+\\s+R\\b")
+  private val FontResPat =
+    java.util.regex.Pattern.compile("(?s)/Font\\s*<<(.*?)>>")
+  private val FontEntryPat =
+    java.util.regex.Pattern.compile("/([^\\s/<>\\[\\]()]+)\\s+(\\d+)\\s+\\d+\\s+R\\b")
+
+  /** Resource-name → (1-byte, 2-byte) ToUnicode tables, by walking the
+    * uncompressed object graph: `/Font << /F1 5 0 R >>` resource entries
+    * name font objects; a font object's `/ToUnicode N 0 R` names the
+    * CMap stream object; `cmaps` carries each parsed CMap keyed by the
+    * byte offset of its `stream` keyword, matched to the nearest
+    * preceding object header. Entries without a resolvable chain are
+    * simply absent (the caller falls back to the merged tables).
+    */
+  private def fontTables(whole: String,
+      cmaps: Seq[(Int, (Map[Int, String], Map[Int, String]))])
+      : Map[String, (Map[Int, String], Map[Int, String])] = {
+    if (cmaps.isEmpty) return Map.empty
+    // object headers in file order: (offset, objNum)
+    val headers = mutable.Buffer[(Int, Int)]()
+    val hm = ObjHeaderPat.matcher(whole)
+    while (hm.find()) headers += ((hm.start(), hm.group(1).toInt))
+    def objAt(pos: Int): Option[Int] =
+      headers.takeWhile(_._1 < pos).lastOption.map(_._2)
+    val cmapByObj = cmaps.flatMap { case (pos, maps) =>
+      objAt(pos).map(_ -> maps)
+    }.toMap
+    // font object → its ToUnicode stream object (scan per object span)
+    val fontToUni = mutable.Map[Int, Int]()
+    for (k <- headers.indices) {
+      val (start, objNum) = headers(k)
+      val end = if (k + 1 < headers.length) headers(k + 1)._1 else whole.length
+      val tm = ToUniPat.matcher(whole).region(start, end)
+      if (tm.find()) fontToUni(objNum) = tm.group(1).toInt
+    }
+    // resource name → font object (file-wide, last binding wins)
+    val out = mutable.Map[String, (Map[Int, String], Map[Int, String])]()
+    val fm = FontResPat.matcher(whole)
+    while (fm.find()) {
+      val em = FontEntryPat.matcher(fm.group(1))
+      while (em.find()) {
+        val maps = fontToUni.get(em.group(2).toInt).flatMap(cmapByObj.get)
+        maps.foreach(out(em.group(1)) = _)
+      }
+    }
+    out.toMap
+  }
+
+  /** All stream segments with the byte offset of their `stream` keyword,
+    * inflated where /FlateDecode.
+    */
+  private def decodedStreams(bytes: Array[Byte]): Seq[(Int, Array[Byte])] = {
+    val parts = mutable.Buffer[(Int, Array[Byte])]()
     var pos = 0
     var done = false
     while (!done) {
@@ -94,10 +160,10 @@ object BinaryText {
             if (de > ds && bytes(de - 1) == '\n') de -= 1
             if (de > ds && bytes(de - 1) == '\r') de -= 1
             val raw = java.util.Arrays.copyOfRange(bytes, ds, de)
-            parts +=
-              (if (dictBefore(bytes, s).contains("/FlateDecode"))
+            parts += ((s,
+              if (dictBefore(bytes, s).contains("/FlateDecode"))
                 Try(inflate(raw)).getOrElse(Array.empty[Byte])
-              else raw)
+              else raw))
             pos = e + EndstreamKw.length
           }
         }
@@ -178,20 +244,28 @@ object BinaryText {
   }
 
   /** Interpret the text-showing operators of one decoded content stream.
-    * `map1`/`map2` are the merged ToUnicode tables (1-byte / 2-byte
-    * codes); a show-string whose codes ALL resolve through one of them is
-    * mapped (2-byte first — Identity-H), otherwise shown as raw
-    * single-byte chars.
+    * `map1`/`map2` are the MERGED ToUnicode tables (1-byte / 2-byte
+    * codes) — the fallback; `fonts` carries each font's own scoped
+    * tables, switched in by `/F<n> Tf`. A show-string whose codes ALL
+    * resolve through the active pair is mapped (2-byte first —
+    * Identity-H), otherwise shown as raw single-byte chars.
     */
   private def contentText(content: Array[Byte],
       map1: Map[Int, String] = Map.empty,
-      map2: Map[Int, String] = Map.empty): String = {
+      map2: Map[Int, String] = Map.empty,
+      fonts: Map[String, (Map[Int, String], Map[Int, String])] = Map.empty)
+      : String = {
     val s = new String(content, Ascii)
     val out = new StringBuilder
     val pending = new StringBuilder
+    var active = (map1, map2)
+    var lastName = ""
     def newline(): Unit =
       if (out.nonEmpty && out.last != '\n') out.append('\n')
-    def show(): Unit = { out.append(applyCMap(pending.toString, map1, map2)); pending.clear() }
+    def show(): Unit = {
+      out.append(applyCMap(pending.toString, active._1, active._2))
+      pending.clear()
+    }
     var i = 0
     val n = s.length
     while (i < n) {
@@ -203,9 +277,11 @@ object BinaryText {
           val (str, ni) = hexString(s, i); pending.append(str); i = ni
         case '%' => // comment to end of line
           while (i < n && s(i) != '\n' && s(i) != '\r') i += 1
-        case '/' => // name token
+        case '/' => // name token — remembered as the potential Tf operand
+          val st = i + 1
           i += 1
           while (i < n && !" \t\r\n()<>[]{}/%".contains(s(i))) i += 1
+          lastName = s.substring(st, i)
         case c if c.isLetter || c == '\'' || c == '"' =>
           val st = i
           while (i < n && (s(i).isLetterOrDigit || s(i) == '\'' || s(i) == '"' || s(i) == '*')) i += 1
@@ -213,6 +289,9 @@ object BinaryText {
             case "Tj" | "TJ" => show()
             case "'" | "\"" => newline(); show()
             case "Td" | "TD" | "T*" | "BT" | "ET" => newline(); pending.clear()
+            case "Tf" => // font switch; unknown fonts keep the merged view
+              active = fonts.getOrElse(lastName, (map1, map2))
+              pending.clear()
             case _ => pending.clear() // string was an operand of a non-text op
           }
         case _ => i += 1

@@ -151,6 +151,46 @@ class BinaryTextSpec extends AnyFunSuite {
       "Uncovered text staysHex!")
   }
 
+  /** A structurally-real multi-font PDF: a page object binding resource
+    * names to font objects, each font carrying its own /ToUnicode CMap
+    * stream, plus one content stream.
+    */
+  private def twoFontPdf(cmapA: String, cmapB: String, content: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    bos.write(("%PDF-1.7\n" +
+      "1 0 obj << /Type /Page /Resources << /Font << /FA 2 0 R /FB 3 0 R >> >> " +
+      "/Contents 6 0 R >> endobj\n" +
+      "2 0 obj << /Type /Font /Subtype /Type0 /ToUnicode 4 0 R >> endobj\n" +
+      "3 0 obj << /Type /Font /Subtype /Type0 /ToUnicode 5 0 R >> endobj\n").getBytes(ISO_8859_1))
+    for ((num, s) <- Seq((4, cmapA), (5, cmapB), (6, content))) {
+      val b = s.getBytes(ISO_8859_1)
+      bos.write(s"$num 0 obj << /Length ${b.length} >>\nstream\n".getBytes(ISO_8859_1))
+      bos.write(b)
+      bos.write("\nendstream\nendobj\n".getBytes(ISO_8859_1))
+    }
+    bos.write("%%EOF\n".getBytes(ISO_8859_1))
+    bos.toByteArray
+  }
+
+  test("PDF: conflicting per-font CMaps resolve through Tf font tracking") {
+    // both fonts map code 0x41, to DIFFERENT glyphs: a merged-table
+    // parser decodes both shows through whichever CMap parsed last;
+    // Tf scoping must yield X then Y
+    val cmapA = "begincmap 1 beginbfchar <41> <0058> endbfchar endcmap" // A → X
+    val cmapB = "begincmap 1 beginbfchar <41> <0059> endbfchar endcmap" // A → Y
+    val content = "BT /FA 12 Tf <41> Tj /FB 12 Tf <41> Tj ET"
+    assert(BinaryText.extract(twoFontPdf(cmapA, cmapB, content)) == "XY")
+  }
+
+  test("PDF: font without its own CMap falls back to the merged tables") {
+    // /FC is bound to no font object; a show after switching to it
+    // still resolves through the merged view of all tables
+    val cmapA = "begincmap 1 beginbfchar <42> <0051> endbfchar endcmap" // B → Q
+    val cmapB = "begincmap 1 beginbfchar <43> <0052> endbfchar endcmap" // C → R
+    val content = "BT /FC 9 Tf <4243> Tj ET"
+    assert(BinaryText.extract(twoFontPdf(cmapA, cmapB, content)) == "QR")
+  }
+
   test("DOCX: w:t runs, paragraph breaks, entity decode") {
     val xml = "<w:document><w:body>" +
       "<w:p><w:r><w:t>First para</w:t></w:r></w:p>" +

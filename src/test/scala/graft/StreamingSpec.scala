@@ -339,6 +339,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source curate + idempotent sink: kill, forced replay, restart is exactly-once") {
+    import graft.streaming.{DocStreams, Sinks}
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val srcDir = Files.createTempDirectory("graft_fsrc").toString
+    val outDir = Files.createTempDirectory("graft_fout").toString
+    val ckDir = Files.createTempDirectory("graft_fck").toString
+    val en = "the quick brown fox jumps over the lazy dog and the cat " * 10
+    val en2 = "a completely different english document about rivers and streams " * 10
+    val es = "el perro y el gato que corren en la casa de la abuela " * 10
+    def wave(name: String, rows: Seq[(String, Long, String)]): Unit =
+      Files.write(Paths.get(srcDir, name), rows.map { case (t, id, x) =>
+        s"""{"ts":"$t","doc_id":$id,"text":"$x"}"""
+      }.asJava)
+    def start() = Sinks.idempotentParquet(
+      DocStreams.curateDocs(spark.readStream
+        .schema("ts TIMESTAMP, doc_id LONG, text STRING").json(srcDir)),
+      outDir, ckDir)
+    // wave 1: two distinct en docs, an exact dup, a Spanish doc
+    wave("w1.json", Seq(("2024-01-01T00:00:00", 1L, en),
+      ("2024-01-01T00:10:00", 2L, en + "extra tail tokens here"),
+      ("2024-01-01T00:20:00", 3L, en), ("2024-01-01T00:30:00", 4L, es)))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop() // kill mid-stream
+    // simulate crash-BEFORE-commit: drop the newest commit marker so the
+    // restarted query must REPLAY that batch against the same sink dir
+    val commits = Paths.get(ckDir, "commits")
+    val latest = Files.list(commits).iterator().asScala
+      .filter(p => p.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toLong)
+    Files.delete(latest)
+    // also the local-FS checksum sibling: a stale .crc makes the replayed
+    // commit write fail and masquerade as a concurrent-query conflict
+    Files.deleteIfExists(
+      commits.resolve("." + latest.getFileName.toString + ".crc"))
+    // wave 2: a late duplicate of doc 1 (state must survive the restart)
+    // and one genuinely new doc
+    wave("w2.json", Seq(("2024-01-01T00:40:00", 5L, en),
+      ("2024-01-01T00:50:00", 6L, en2)))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    // exactly-once: the replayed batch overwrote itself, the dedup state
+    // survived the restart, and the result equals the batch twin's
+    assert(got.sorted == Seq(1L, 2L, 6L), s"got $got")
+    val batchTwin = DocStreams.curateDocsBatch(
+      Seq((ts("2024-01-01 00:00:00"), 1L, en),
+        (ts("2024-01-01 00:10:00"), 2L, en + "extra tail tokens here"),
+        (ts("2024-01-01 00:20:00"), 3L, en), (ts("2024-01-01 00:30:00"), 4L, es),
+        (ts("2024-01-01 00:40:00"), 5L, en), (ts("2024-01-01 00:50:00"), 6L, en2))
+        .toDF("ts", "doc_id", "text"))
+      .collect().map(_.getLong(1)).toSet
+    assert(got.toSet == batchTwin)
+  }
+
   test("idempotent foreachBatch sink: replayed batch overwrites, not appends") {
     import graft.streaming.Sinks
     implicit val sqlCtx = spark.sqlContext
