@@ -1,0 +1,94 @@
+package graft.streaming
+
+import graft.operators.{Dedup, TextAnalysis => TA}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType}
+
+/** Continuous near-dup-gated ingestion — the streaming form of the
+  * incremental MinHash+LSH dedup (`Dedup.minhashNearDupIncremental`):
+  * each micro-batch of (doc_id, text) documents is shingled and
+  * minhashed ONCE, probed against the PERSISTED signature + band tables
+  * (new↔new and new↔existing candidates only — the existing corpus is
+  * never re-paired against itself), and only novel documents reach the
+  * corpus output; the state tables grow by exactly the kept rows.
+  *
+  * Contract: ids are monotone across arrivals (an ingestion sequence
+  * number) — the drop rule "a doc is a duplicate iff it near-dups an
+  * EARLIER doc" is then exactly "id appears as the pair's id_b", which
+  * makes the stream's cumulative output equal the batch twin over all
+  * rows seen (asserted in DedupStreamSpec):
+  *   kept ≡ all ∖ { id_b | (id_a, id_b) ∈ minhashNearDup(all) }
+  *
+  * Replay-idempotent by construction: every write (corpus, signatures,
+  * bands) is keyed by batch id and overwrites its own directory, and a
+  * replayed batch's ids are superseded out of the state read by the
+  * incremental operator's anti-joins, so re-executing a batch after a
+  * crash reproduces the same kept set and overwrites the same
+  * partitions — effectively-once on top of at-least-once.
+  *
+  * Scale shape: per-batch cost tracks the BATCH (one signature pass +
+  * band equi-joins against the persisted band table, shuffling on band
+  * keys); the corpus-sized relations are only ever probed through
+  * equi-joins, never scanned pairwise. State lives in plain parquet
+  * next to the checkpoint — at production scale, a lake table with the
+  * same append discipline.
+  */
+object DedupStream {
+
+  private val setsSchema = StructType(Seq(
+    StructField("id", LongType), StructField("hsorted", ArrayType(LongType))))
+  private val bandsSchema = StructType(Seq(
+    StructField("id", LongType), StructField("bkey", StringType)))
+
+  /** Read a batch-id-partitioned state table, or an empty relation
+    * before the first batch commits.
+    */
+  private def readStateOr(s: SparkSession, dir: String,
+      schema: StructType): DataFrame =
+    scala.util.Try(s.read.parquet(dir).select(schema.fieldNames.map(col).toSeq: _*))
+      .getOrElse(s.createDataFrame(s.sparkContext.emptyRDD[Row], schema))
+
+  /** One micro-batch: gate `batch` against the persisted state under
+    * `stateDir`, append kept docs to `outDir/batch_id=N` and kept
+    * signatures/bands to the state tables (all overwrite-by-batch-id).
+    * Exposed for direct testing, like `Sinks.writeBatchIdempotent`.
+    */
+  def processBatch(batch: Dataset[Row], batchId: Long, stateDir: String,
+      outDir: String, bands: Int, rowsPerBand: Int, threshold: Double): Unit = {
+    val s = batch.sparkSession
+    val newSets = Dedup.hashedSets(
+        batch.select(col("doc_id"), col("text")), "doc_id",
+        array_distinct(TA.tokens(col("text"))))
+      .localCheckpoint() // feeds the band table and both verify sides
+    val existingSets = readStateOr(s, s"$stateDir/sets", setsSchema)
+    val existingBands = readStateOr(s, s"$stateDir/bands", bandsSchema)
+    val pairs = Dedup.minhashNearDupIncremental(newSets, existingSets,
+      bands, rowsPerBand, threshold, existingBanded = Some(existingBands))
+    // monotone ids: id_b is always the later arrival, so dropping every
+    // id_b implements "duplicate of an earlier doc"
+    val dropped = pairs.select(col("id_b").as("id")).distinct()
+    val keptSets = newSets.join(dropped, Seq("id"), "left_anti").localCheckpoint()
+    val keptDocs = batch.join(dropped.withColumnRenamed("id", "doc_id"),
+      Seq("doc_id"), "left_anti")
+    keptDocs.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    keptSets.write.mode("overwrite").parquet(s"$stateDir/sets/batch_id=$batchId")
+    Dedup.bandTable(keptSets, bands, rowsPerBand)
+      .write.mode("overwrite").parquet(s"$stateDir/bands/batch_id=$batchId")
+  }
+
+  /** Start the ingestion stream over a streaming (doc_id, text, ...)
+    * frame. Readers see the growing corpus as one partitioned parquet
+    * table at `outDir`.
+    */
+  def nearDupIngest(docs: DataFrame, stateDir: String, outDir: String,
+      checkpointDir: String, bands: Int = 8, rowsPerBand: Int = 2,
+      threshold: Double = 0.9): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        processBatch(batch, batchId, stateDir, outDir, bands, rowsPerBand, threshold)
+      }
+      .start()
+}
