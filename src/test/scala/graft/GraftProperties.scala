@@ -147,3 +147,59 @@ object CMapProperties extends Properties("ParseCMap") {
     graft.sources.BinaryText.parseCMap(s)._2.get(src).contains(dst.toChar.toString)
   }
 }
+
+/** Binary media/document parsers run inside executors over untrusted
+  * bytes; an uncaught throw there fails a whole task (and with it the
+  * job), so total robustness is a correctness property, not a nicety:
+  * every parser must return (a possibly-empty Option / salvage string)
+  * on ARBITRARY input. The generators bias toward the nasty region —
+  * real magic prefixes followed by garbage, truncations of valid
+  * fixtures, hostile declared lengths — not just uniform noise.
+  */
+object BinaryFuzzProperties extends Properties("BinaryParserFuzz") {
+  import graft.sources.{BinaryText, Multimodal, Sources}
+
+  private val rawBytes: Gen[Array[Byte]] =
+    Gen.containerOf[Array, Byte](Gen.chooseNum(-128, 127).map(_.toByte))
+  private val magic: Gen[Array[Byte]] = Gen.oneOf(
+    "OggS".getBytes, "RIFF1234WAVE".getBytes, "fLaC".getBytes,
+    "%PDF-1.7".getBytes, "PK".getBytes,
+    Array[Byte](0x89.toByte) ++ "PNG\r\n".getBytes ++ Array[Byte](0x1a, 0x0a),
+    "GIF89a".getBytes, "BM".getBytes,
+    Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte),
+    Array[Byte](0, 0, 0, 16) ++ "ftypmp42".getBytes,
+    "RIFF1234WEBP".getBytes)
+  private val magicPlusJunk: Gen[Array[Byte]] =
+    for { m <- magic; b <- rawBytes } yield m ++ b
+  private val anyBytes: Gen[Array[Byte]] =
+    Gen.oneOf(rawBytes, magicPlusJunk)
+
+  private def total(b: Array[Byte]): Boolean = {
+    Multimodal.imageDims(b)
+    Multimodal.audioMeta(b)
+    Multimodal.videoMeta(b)
+    BinaryText.extract(b) != null
+  }
+
+  property("parsers are total on arbitrary and magic-prefixed bytes") =
+    forAll(anyBytes)(total)
+
+  property("parsers are total on truncations of valid files") = {
+    // a real (tiny) PNG header + a real OGG/Opus file, cut at every length
+    val png = Array[Byte](0x89.toByte) ++ "PNG\r\n".getBytes ++
+      Array[Byte](0x1a, 0x0a, 0, 0, 0, 13) ++ "IHDR".getBytes ++
+      Array[Byte](0, 0, 0, 64, 0, 0, 0, 32, 8, 2, 0, 0, 0)
+    val opusHead = "OpusHead".getBytes ++ Array[Byte](1, 2, 56, 1, -128, -69, 0, 0, 0, 0, 0)
+    val ogg = "OggS".getBytes ++ Array[Byte](0, 0) ++ Array.fill[Byte](8)(0) ++
+      Array.fill[Byte](12)(0) ++ Array[Byte](1, opusHead.length.toByte) ++ opusHead
+    Prop.all(
+      (0 to png.length).forall(k => total(png.take(k))),
+      (0 to ogg.length).forall(k => total(ogg.take(k))))
+  }
+
+  property("extract falls back to printable salvage, never null") =
+    forAll(anyBytes) { b =>
+      val s = Sources.extractTextStub(b)
+      s != null && BinaryText.extract(b) != null
+    }
+}

@@ -110,4 +110,20 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("LeftSemi"), "exact pass must semi-join the candidate set")
     assert(plan.contains("BroadcastExchange"), "candidate set must broadcast")
   }
+
+  test("approx sketches: one aggregate pass, map-side partials, single shuffle") {
+    val plan = formatted(graft.queries.Advanced.queries("q_approx_distinct")(spark, TestSpark.sf0001))
+    assert("partial_(approx_count_distinct|count)".r.findFirstIn(plan).isDefined,
+      "sketch aggregate must keep its map-side partial")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+      "error-bound columns must not add shuffles beyond the one aggregate")
+  }
+
+  test("LSH top-k self-assertion: exact top-k and recall broadcast; no cartesian blowup") {
+    val plan = formatted(graft.queries.Advanced.queries("q_lsh_brp_topk")(spark, TestSpark.sf0001))
+    assert(plan.contains("BroadcastExchange"),
+      "the 10-row exact top-k / recall aggregate must broadcast")
+    assert(!plan.contains("CartesianProduct"),
+      "recall attach must be a broadcast nested loop, not a cartesian shuffle")
+  }
 }
