@@ -1,0 +1,149 @@
+package graft.operators
+
+import java.awt.{BasicStroke, Color, RenderingHints}
+import java.awt.image.BufferedImage
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** C15 — score chart rendering as base64 PNG (the reference's
+  * `utils.py:21-71`: a 0–10 bar chart of per-section scores and a
+  * Match/Remaining donut), re-expressed pure-JDK (`BufferedImage` +
+  * `ImageIO`, headless-safe, zero non-JDK deps).
+  *
+  * Scale scope: this is the SERVING EDGE — one render per final match
+  * row, never on the corpus path. The Spark surface is a plain UDF by
+  * design (a binary codec, like the Multimodal decoders): the input is
+  * the tiny post-aggregation result set, so codegen economics are
+  * irrelevant and a native expression would buy nothing.
+  *
+  * Text labels (axis titles, percentages) are drawn best-effort: a
+  * container JVM without fontconfig can fail font resolution, and a
+  * missing label must not fail the render — the guarded draw degrades
+  * to the chart geometry alone (the structural content tests assert
+  * geometry, not glyphs).
+  */
+object Charts {
+
+  /** matplotlib's default C0 bar color and the reference donut colors. */
+  private val BarBlue = new Color(0x1f, 0x77, 0xb4)
+  private val MatchGreen = new Color(0x4C, 0xAF, 0x50)
+  private val RemainGray = new Color(0xe0, 0xe0, 0xe0)
+
+  private def drawStringSafe(g: java.awt.Graphics2D, s: String, x: Int, y: Int): Unit =
+    try g.drawString(s, x, y) catch { case _: Throwable => () }
+
+  private def png(img: BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Bar chart of (section, score) pairs on a fixed 0–10 y-axis with
+    * dashed horizontal gridlines — `plot_scores_bar_chart`. Bar order
+    * follows the input sequence (the reference preserves dict order).
+    * Scores clamp into [0, 10].
+    */
+  def barChartPng(scores: Seq[(String, Double)], w: Int = 1000, h: Int = 600): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setRenderingHint(RenderingHints.KEY_ANTIALIASING, RenderingHints.VALUE_ANTIALIAS_ON)
+    g.setColor(Color.WHITE); g.fillRect(0, 0, w, h)
+    val (left, right, top, bottom) = (80, 30, 60, 80)
+    val pw = w - left - right
+    val ph = h - top - bottom
+    // dashed y gridlines at each integer score
+    g.setStroke(new BasicStroke(1f, BasicStroke.CAP_BUTT, BasicStroke.JOIN_MITER,
+      10f, Array(4f, 4f), 0f))
+    g.setColor(new Color(180, 180, 180))
+    for (v <- 0 to 10) {
+      val y = top + ph - (ph * v / 10)
+      g.drawLine(left, y, left + pw, y)
+      drawStringSafe(g, v.toString, left - 25, y + 5)
+    }
+    // bars
+    g.setStroke(new BasicStroke(1f))
+    val n = math.max(scores.size, 1)
+    val slot = pw.toDouble / n
+    val barW = math.max((slot * 0.8).toInt, 1)
+    scores.zipWithIndex.foreach { case ((label, raw), i) =>
+      val v = math.min(math.max(raw, 0.0), 10.0)
+      val bh = (ph * v / 10.0).toInt
+      val x = left + (slot * i + (slot - barW) / 2).toInt
+      g.setColor(BarBlue)
+      g.fillRect(x, top + ph - bh, barW, bh)
+      g.setColor(Color.BLACK)
+      drawStringSafe(g, label.take(16), x, top + ph + 20)
+    }
+    // axes + titles
+    g.setColor(Color.BLACK)
+    g.drawLine(left, top, left, top + ph)
+    g.drawLine(left, top + ph, left + pw, top + ph)
+    drawStringSafe(g, "Resume Sections vs Matching Scores", w / 2 - 120, top / 2)
+    drawStringSafe(g, "Resume Sections", w / 2 - 50, h - 20)
+    drawStringSafe(g, "Matching Score", 15, h / 2)
+    g.dispose()
+    png(img)
+  }
+
+  /** Match/Remaining donut out of 10 — `pie_plot_score_chart`: green
+    * match wedge from 12 o'clock counterclockwise (matplotlib's
+    * startangle=90 default direction), gray remainder, ring width 0.4·R,
+    * percentage labels at the wedge centroids.
+    */
+  def donutChartPng(score: Double, w: Int = 400, h: Int = 160): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setRenderingHint(RenderingHints.KEY_ANTIALIASING, RenderingHints.VALUE_ANTIALIAS_ON)
+    g.setColor(Color.WHITE); g.fillRect(0, 0, w, h)
+    val v = math.min(math.max(score, 0.0), 10.0)
+    val frac = v / 10.0
+    val r = math.min(w, h) / 2 - 8
+    val (cx, cy) = (w / 2, h / 2)
+    val matchDeg = (frac * 360.0).round.toInt
+    // fillArc: positive extent = counterclockwise, 90 = 12 o'clock
+    g.setColor(MatchGreen)
+    g.fillArc(cx - r, cy - r, 2 * r, 2 * r, 90, matchDeg)
+    g.setColor(RemainGray)
+    g.fillArc(cx - r, cy - r, 2 * r, 2 * r, 90 + matchDeg, 360 - matchDeg)
+    // cut the hole: ring width 0.4·R leaves inner radius 0.6·R
+    val ir = (r * 0.6).toInt
+    g.setColor(Color.WHITE)
+    g.fillOval(cx - ir, cy - ir, 2 * ir, 2 * ir)
+    // percentage labels at wedge centroids (mid-ring radius)
+    def pct(p: Double) = f"${p * 100}%.1f%%"
+    val mid = (r + ir) / 2
+    def at(deg: Double) = {
+      val rad = math.toRadians(deg)
+      (cx + (mid * math.cos(rad)).toInt, cy - (mid * math.sin(rad)).toInt)
+    }
+    g.setColor(Color.BLACK)
+    if (matchDeg > 0) {
+      val (x, y) = at(90 + matchDeg / 2.0); drawStringSafe(g, pct(frac), x - 12, y)
+    }
+    if (matchDeg < 360) {
+      val (x, y) = at(90 + matchDeg + (360 - matchDeg) / 2.0)
+      drawStringSafe(g, pct(1 - frac), x - 12, y)
+    }
+    g.dispose()
+    png(img)
+  }
+
+  private def b64(bytes: Array[Byte]): String =
+    java.util.Base64.getEncoder.encodeToString(bytes)
+
+  /** Column form of the bar chart over `array<struct<section, score>>`
+    * (array, not map, so section order is preserved as the reference's
+    * dict order is). Returns base64 PNG.
+    */
+  val scoreBarChart: Column => Column = {
+    val f = udf((rows: Seq[org.apache.spark.sql.Row]) =>
+      b64(barChartPng(rows.map(r => (r.getString(0), r.getDouble(1))))))
+    (scores: Column) => f(scores)
+  }
+
+  /** Column form of the donut over a double score in [0, 10]. */
+  val scoreDonut: Column => Column = {
+    val f = udf((score: Double) => b64(donutChartPng(score)))
+    (score: Column) => f(score)
+  }
+}
