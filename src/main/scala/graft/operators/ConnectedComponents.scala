@@ -48,7 +48,32 @@ object ConnectedComponents {
     * @return (`id`, `cluster_id`) with one row per input node
     */
   def assign(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 25,
-             checkpointDir: Option[String] = None): DataFrame = {
+             checkpointDir: Option[String] = None): DataFrame =
+    propagate(nodes, edges, maxRounds, checkpointDir).getOrElse(
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxRounds rounds — " +
+          "graph diameter exceeds the bound; raise maxRounds or use " +
+          "assignAlternatingStar (O(log n) rounds on deep graphs)"))
+
+  /** Adaptive resolution — the production default: a few rounds of
+    * min-label propagation first (2 cheap jobs per round; near-dup
+    * graphs are near-cliques and converge in 2–4), escalating to the
+    * alternating-star algorithm only when the graph is actually deep.
+    * Worst case pays `quickRounds` wasted cheap rounds before the
+    * O(log n) path; common case skips the star machinery's ~4× higher
+    * per-round job count entirely.
+    */
+  def assignAdaptive(nodes: DataFrame, edges: DataFrame,
+                     quickRounds: Int = 4, maxRounds: Int = 60,
+                     checkpointDir: Option[String] = None): DataFrame =
+    propagate(nodes, edges, quickRounds, checkpointDir).getOrElse(
+      assignAlternatingStar(nodes, edges, maxRounds, checkpointDir))
+
+  /** Min-label propagation core: `Some(labels)` at fixpoint, `None` if
+    * still changing after `maxRounds`.
+    */
+  private def propagate(nodes: DataFrame, edges: DataFrame, maxRounds: Int,
+                        checkpointDir: Option[String]): Option[DataFrame] = {
     val ck = Iterate.cap(checkpointDir) _
     // Symmetrize once: propagation below only follows src -> dst.
     val adj = ck(edges.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -73,13 +98,10 @@ object ConnectedComponents {
           col("cluster_id").as("prev")))
       val changed = next.where(col("cluster_id") =!= col("prev")).limit(1).count()
       labels = next.select(col("id"), col("cluster_id"))
-      if (changed == 0L) return labels
+      if (changed == 0L) return Some(labels)
       round += 1
     }
-    throw new IllegalStateException(
-      s"connected components did not converge in $maxRounds rounds — " +
-        "graph diameter exceeds the bound; raise maxRounds or use " +
-        "assignAlternatingStar (O(log n) rounds on deep graphs)")
+    None
   }
 
   /** Alternating large-star/small-star connected components (Kiveris et
@@ -114,8 +136,11 @@ object ConnectedComponents {
         .select(col("u"), least(col("mn"), col("u")).as("m"))
 
     var e = ck(canon(edges.select(col("id_a").as("src"), col("id_b").as("dst"))))
+    // carried across rounds: |e| is last round's |eS|, so the fixpoint
+    // probe pays ONE count per round, not two
+    var eCount = e.count()
     var round = 0
-    var done = e.isEmpty
+    var done = eCount == 0L
     while (!done && round < maxRounds) {
       val sym = e.select(col("src").as("u"), col("dst").as("v"))
         .union(e.select(col("dst").as("u"), col("src").as("v")))
@@ -136,10 +161,12 @@ object ConnectedComponents {
       val eS = ck(canon(small))
       // fixpoint: same canonical edge set as the previous round. Both
       // sides are distinct (canon), so equal counts + one empty except
-      // suffice — the common non-converged round pays two cheap counts
-      // over checkpointed RDDs instead of two exceptAll shuffles.
-      done = e.count() == eS.count() && eS.exceptAll(e).isEmpty
+      // suffice — the common non-converged round pays one cheap count
+      // over a checkpointed RDD instead of exceptAll shuffles.
+      val eSCount = eS.count()
+      done = eCount == eSCount && eS.exceptAll(e).isEmpty
       e = eS
+      eCount = eSCount
       round += 1
     }
     if (!done && round >= maxRounds)

@@ -16,9 +16,10 @@ object Clustering {
 
   /** Every document labeled with its near-dup cluster's canonical
     * (minimum) doc_id: edges = blocked token-Jaccard >= 0.9 pairs
-    * (exactly q_jaccard_neardup's relation), components via alternating
-    * large-star/small-star (O(log n) rounds on any graph shape — the
-    * scale path; min-label propagation stays as the spec oracle).
+    * (exactly q_jaccard_neardup's relation), components via the adaptive
+    * resolver (cheap propagation rounds first, alternating large-star/
+    * small-star escalation for deep graphs — O(log n) rounds on any
+    * shape; min-label propagation stays as the spec oracle).
     * Singletons keep their own id, so this is the full dedup assignment
     * table a curation pipeline joins against.
     */
@@ -26,7 +27,7 @@ object Clustering {
     val docs = Tables.documents(s, d)
     val pairs = Dedup.jaccardPairsHashedFromSets(Analysis.tokenSets(s, d), 0.9)
       .select(col("id_a"), col("id_b"))
-    ConnectedComponents.assignAlternatingStar(docs.select(col("doc_id").as("id")), pairs)
+    ConnectedComponents.assignAdaptive(docs.select(col("doc_id").as("id")), pairs)
       .select(col("id").as("doc_id"), col("cluster_id"))
       .orderBy(col("doc_id").asc)
   }
@@ -190,7 +191,7 @@ object Clustering {
     val pairs = Dedup.jaccardPairsHashedFromSets(sets, 0.9)
       .select(col("id_a"), col("id_b"))
     val canon = ConnectedComponents
-      .assignAlternatingStar(kept1Ids.select(col("doc_id").as("id")), pairs)
+      .assignAdaptive(kept1Ids.select(col("doc_id").as("id")), pairs)
       .where(col("id") === col("cluster_id"))
       .select(col("id").as("doc_id"))
     val gated = docs

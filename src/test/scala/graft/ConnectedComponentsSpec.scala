@@ -101,6 +101,21 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got.select("cluster_id").distinct().collect().map(_.getLong(0)).toSet == Set(1L))
   }
 
+  test("adaptive resolver: shallow graphs converge in the quick phase, deep ones escalate") {
+    // near-clique (diameter 2): quick propagation suffices
+    val clique = ConnectedComponents.assignAdaptive(
+      nodes(1L, 2L, 3L, 4L), edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clique == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    // 40-node chain: deeper than quickRounds — must escalate to the
+    // star path and still fully converge
+    val chain = (1L until 40L).map(i => (i, i + 1))
+    val got = ConnectedComponents.assignAdaptive(
+      nodes(1L to 40L: _*), edges(chain: _*), quickRounds = 3)
+      .collect().map(_.getLong(1)).toSet
+    assert(got == Set(1L))
+  }
+
   test("alternating-star matches min-label propagation on random graphs") {
     val rnd = new scala.util.Random(7)
     (1 to 3).foreach { _ =>
