@@ -138,6 +138,22 @@ object Analysis {
         bands = 4, rowsPerBand = 3, threshold = 0.5)
       .orderBy(col("id_a").asc, col("id_b").asc)
 
+  /** Incremental LSH over the same shared signature table — the
+    * continuous-ingestion shape, oracled. Rows with doc_id % 5 == 0 play
+    * the NEW batch and the rest the existing corpus; ids are disjoint, so
+    * by the equivalence asserted in DedupSpec the output is exactly the
+    * full LSH pair set restricted to at-least-one-new-side — which is how
+    * the oracle states it (full pipeline + the % 5 predicate).
+    */
+  def minhashLshIncremental(s: SparkSession, d: String): DataFrame = {
+    val sets = shingleSets(s, d)
+    Dedup.minhashNearDupIncremental(
+        sets.where(col("id") % 5 === 0),
+        sets.where(col("id") % 5 =!= 0),
+        bands = 4, rowsPerBand = 3, threshold = 0.5)
+      .orderBy(col("id_a").asc, col("id_b").asc)
+  }
+
   /** Embedding near-dup pairs: cosine >= 0.4 within label blocks. */
   def dedupCosine(s: SparkSession, d: String): DataFrame =
     Dedup.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding", "label", 0.4)
@@ -458,6 +474,7 @@ object Analysis {
     "q_simhash_neardup" -> simhashNearDup,
     "q_jaccard_neardup" -> jaccardNearDup,
     "q_minhash_lsh" -> minhashLsh,
+    "q_lsh_incremental" -> minhashLshIncremental,
     "q_dedup_cosine" -> dedupCosine,
     "q_cosine_topk" -> cosineTopk,
     "q_ann_ivf" -> annIvf,
@@ -482,6 +499,34 @@ object Analysis {
   private def shinglesSql(t: String): String =
     s"list_distinct(list_transform(range(1, greatest(len($t) - 1, 1)), " +
       s"i -> list_aggregate(($t)[i:i+2], 'string_agg', ' ')))"
+
+  /** The full MinHash+LSH oracle pipeline (shingles → 12 minhashes →
+    * 4 bands × 3 → bucket candidates → exact Jaccard >= 0.5), with an
+    * optional extra predicate on the verified pair set. q_minhash_lsh
+    * uses it bare; q_lsh_incremental appends the at-least-one-new-side
+    * filter, which by the DedupSpec equivalence (disjoint ids) is exactly
+    * what the incremental operator computes.
+    */
+  private def minhashLshSql(extraPred: String): String =
+    s"""WITH sets AS (SELECT doc_id, ${shinglesSql(toks)} AS items FROM documents),
+       |hs AS (SELECT doc_id, list_transform(items, t -> ${hash60("t")}) AS hashes FROM sets),
+       |sigs AS (SELECT doc_id, list_transform(range(0, 12),
+       |    i -> list_min(list_transform(hashes, h ->
+       |      (${Dedup.minhashA.take(12).mkString("[", ",", "]")})[i+1] * (h & 1073741823)
+       |      + (${Dedup.minhashB.take(12).mkString("[", ",", "]")})[i+1] * (h >> 30)
+       |      + i))) AS sig
+       |  FROM hs),
+       |banded AS (SELECT doc_id, md5(CAST(b AS VARCHAR) || ':' ||
+       |    list_aggregate(list_transform(sig[b*3+1:b*3+3],
+       |      x -> CAST(x AS VARCHAR)), 'string_agg', ',')) AS bkey
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, jaccard FROM (
+       |  SELECT c.id_a, c.id_b, ${jaccardSql("ta.hashes", "tb.hashes")} AS jaccard
+       |  FROM cand c JOIN hs ta ON c.id_a = ta.doc_id
+       |  JOIN hs tb ON c.id_b = tb.doc_id)
+       |WHERE jaccard >= 0.5$extraPred ORDER BY id_a ASC, id_b ASC""".stripMargin
 
   private[queries] def jaccardSql(a: String, b: String): String =
     s"(CASE WHEN (len($a) + len($b))::DOUBLE - len(list_intersect($a, $b))::DOUBLE = 0.0 THEN 0.0 " +
@@ -765,26 +810,9 @@ object Analysis {
          |  FROM hashed a JOIN hashed b
          |    ON a.source = b.source AND a.doc_id < b.doc_id)
          |WHERE jaccard >= 0.9 ORDER BY id_a ASC, id_b ASC""".stripMargin,
-    "q_minhash_lsh" ->
-      s"""WITH sets AS (SELECT doc_id, ${shinglesSql(toks)} AS items FROM documents),
-         |hs AS (SELECT doc_id, list_transform(items, t -> ${hash60("t")}) AS hashes FROM sets),
-         |sigs AS (SELECT doc_id, list_transform(range(0, 12),
-         |    i -> list_min(list_transform(hashes, h ->
-         |      (${Dedup.minhashA.take(12).mkString("[", ",", "]")})[i+1] * (h & 1073741823)
-         |      + (${Dedup.minhashB.take(12).mkString("[", ",", "]")})[i+1] * (h >> 30)
-         |      + i))) AS sig
-         |  FROM hs),
-         |banded AS (SELECT doc_id, md5(CAST(b AS VARCHAR) || ':' ||
-         |    list_aggregate(list_transform(sig[b*3+1:b*3+3],
-         |      x -> CAST(x AS VARCHAR)), 'string_agg', ',')) AS bkey
-         |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)
-         |SELECT id_a, id_b, jaccard FROM (
-         |  SELECT c.id_a, c.id_b, ${jaccardSql("ta.hashes", "tb.hashes")} AS jaccard
-         |  FROM cand c JOIN hs ta ON c.id_a = ta.doc_id
-         |  JOIN hs tb ON c.id_b = tb.doc_id)
-         |WHERE jaccard >= 0.5 ORDER BY id_a ASC, id_b ASC""".stripMargin,
+    "q_minhash_lsh" -> minhashLshSql(extraPred = ""),
+    "q_lsh_incremental" ->
+      minhashLshSql(extraPred = " AND (id_a % 5 = 0 OR id_b % 5 = 0)"),
     "q_dedup_cosine" ->
       s"""SELECT id_a, id_b, ROUND(cos_raw, 4) AS cos FROM (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -40,6 +40,16 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.count() > 0)
   }
 
+  test("q_lsh_incremental equals full LSH pairs restricted to a new side") {
+    import org.apache.spark.sql.functions._
+    val d = TestSpark.sf0001
+    val full = graft.queries.Analysis.queries("q_minhash_lsh")(spark, d)
+      .where(col("id_a") % 5 === 0 || col("id_b") % 5 === 0)
+    val inc = graft.queries.Analysis.queries("q_lsh_incremental")(spark, d)
+    assert(inc.count() > 0)
+    assert(inc.exceptAll(full).count() == 0 && full.exceptAll(inc).count() == 0)
+  }
+
   test("anomaly flags agree with a naive mean/stddev z-score (guard-banded)") {
     import org.apache.spark.sql.functions._
     val d = TestSpark.sf0001
