@@ -48,32 +48,55 @@ object ConnectedComponents {
     * @return (`id`, `cluster_id`) with one row per input node
     */
   def assign(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 25,
-             checkpointDir: Option[String] = None): DataFrame =
-    propagate(nodes, edges, maxRounds, checkpointDir).getOrElse(
-      throw new IllegalStateException(
-        s"connected components did not converge in $maxRounds rounds — " +
-          "graph diameter exceeds the bound; raise maxRounds or use " +
-          "assignAlternatingStar (O(log n) rounds on deep graphs)"))
+             checkpointDir: Option[String] = None): DataFrame = {
+    val (labels, converged) = propagate(nodes, edges, maxRounds, checkpointDir)
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge in $maxRounds rounds — " +
+        "graph diameter exceeds the bound; raise maxRounds or use " +
+        "assignAlternatingStar (O(log n) rounds on deep graphs)")
+    labels
+  }
 
   /** Adaptive resolution — the production default: a few rounds of
     * min-label propagation first (2 cheap jobs per round; near-dup
-    * graphs are near-cliques and converge in 2–4), escalating to the
-    * alternating-star algorithm only when the graph is actually deep.
-    * Worst case pays `quickRounds` wasted cheap rounds before the
-    * O(log n) path; common case skips the star machinery's ~4× higher
-    * per-round job count entirely.
+    * graphs are near-cliques and mostly converge in 2–5), escalating to
+    * the alternating-star algorithm only when the graph is actually
+    * deep. The quick rounds are never wasted: on escalation the graph
+    * is CONTRACTED by the partial labels (each label-equivalence class
+    * — typically a whole near-clique — collapses to one node), the
+    * star phase runs on the condensed label graph, and the final
+    * labeling is the composition. Partial min-labels are minima of a
+    * node subset of each component, so the condensed component minimum
+    * IS the original component minimum — composition preserves the
+    * min-id contract.
     */
   def assignAdaptive(nodes: DataFrame, edges: DataFrame,
-                     quickRounds: Int = 4, maxRounds: Int = 60,
-                     checkpointDir: Option[String] = None): DataFrame =
-    propagate(nodes, edges, quickRounds, checkpointDir).getOrElse(
-      assignAlternatingStar(nodes, edges, maxRounds, checkpointDir))
+                     quickRounds: Int = 6, maxRounds: Int = 60,
+                     checkpointDir: Option[String] = None): DataFrame = {
+    val (labels, converged) = propagate(nodes, edges, quickRounds, checkpointDir)
+    if (converged) labels
+    else {
+      val la = labels.select(col("id").as("id_a"), col("cluster_id").as("l_a"))
+      val lb = labels.select(col("id").as("id_b"), col("cluster_id").as("l_b"))
+      val contracted = edges.join(la, Seq("id_a")).join(lb, Seq("id_b"))
+        .where(col("l_a") =!= col("l_b"))
+        .select(col("l_a").as("id_a"), col("l_b").as("id_b"))
+      val labelNodes = labels.select(col("cluster_id").as("id")).distinct()
+      val roots = assignAlternatingStar(labelNodes, contracted, maxRounds, checkpointDir)
+        .select(col("id").as("cluster_id"), col("cluster_id").as("root"))
+      labels.join(roots, Seq("cluster_id"))
+        .select(col("id"), col("root").as("cluster_id"))
+    }
+  }
 
-  /** Min-label propagation core: `Some(labels)` at fixpoint, `None` if
-    * still changing after `maxRounds`.
+  /** Min-label propagation core: `(labels, true)` at fixpoint, or
+    * `(partial labels, false)` if still changing after `maxRounds` —
+    * partial labels are valid min-so-far labels (every node's label is
+    * the min id of some subset of its component) and feed the adaptive
+    * path's graph contraction.
     */
   private def propagate(nodes: DataFrame, edges: DataFrame, maxRounds: Int,
-                        checkpointDir: Option[String]): Option[DataFrame] = {
+                        checkpointDir: Option[String]): (DataFrame, Boolean) = {
     val ck = Iterate.cap(checkpointDir) _
     // Symmetrize once: propagation below only follows src -> dst.
     val adj = ck(edges.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -98,10 +121,10 @@ object ConnectedComponents {
           col("cluster_id").as("prev")))
       val changed = next.where(col("cluster_id") =!= col("prev")).limit(1).count()
       labels = next.select(col("id"), col("cluster_id"))
-      if (changed == 0L) return Some(labels)
+      if (changed == 0L) return (labels, true)
       round += 1
     }
-    None
+    (labels, false)
   }
 
   /** Alternating large-star/small-star connected components (Kiveris et
