@@ -68,6 +68,54 @@ object Retrieval {
       .localCheckpoint()
   }
 
+  /** Maximal cross-document repeated token spans — the exact-substring
+    * dedup shape of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" (ACL'22), re-expressed as dataflow instead
+    * of a suffix array: position-indexed k-gram hashes, an equi-join on
+    * the hash, and islands-and-gaps run detection above the join.
+    *
+    *  - one pass builds `(id, p, h)` positioned k-gram hashes (8-byte
+    *    keys move through every shuffle, never text);
+    *  - k-grams appearing in more than `maxDocFreq` docs are dropped
+    *    before the join (the stop-gram cap: boilerplate grams are what
+    *    make the self-join quadratic at corpus scale; spans are then
+    *    maximal runs of RARE matching grams — mirrored in the oracle);
+    *  - matches on the same diagonal (pa − pb constant) with consecutive
+    *    positions are one span: grp = pa − row_number() is constant
+    *    exactly on a consecutive run, so a groupBy(diag, grp) emits
+    *    maximal spans with no iterative merging;
+    *  - span_len = run + k − 1 tokens; spans shorter than `minSpan` drop.
+    */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: Column,
+      k: Int, minSpan: Int, maxDocFreq: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).as("id"), TA.tokens(textCol).as("tk"))
+    val pg = base.where(size(col("tk")) >= k)
+      .select(col("id"),
+        explode(sequence(lit(1), size(col("tk")) - (k - 1))).as("p"), col("tk"))
+      .select(col("id"), col("p").cast("long").as("p"),
+        TA.md5Hash60(concat_ws(" ", slice(col("tk"), col("p"), lit(k)))).as("h"))
+      // three consumers below (df cap + both join sides) — one materialization
+      .localCheckpoint()
+    val rare = pg.groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("df"))
+      .where(col("df") <= maxDocFreq)
+      .select(col("h"))
+    val keep = pg.join(rare, Seq("h"))
+    val m = keep.select(col("h"), col("id").as("id_a"), col("p").as("pa"))
+      .join(keep.select(col("h"), col("id").as("id_b"), col("p").as("pb")), Seq("h"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("pa"), col("pb"))
+    val w = Window.partitionBy(col("id_a"), col("id_b"), col("diag")).orderBy(col("pa"))
+    m.withColumn("diag", col("pa") - col("pb"))
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("grp"))
+      .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
+        (count(lit(1)) + (k - 1)).as("span_len"))
+      .where(col("span_len") >= minSpan)
+      .select(col("id_a"), col("id_b"), col("start_a"), col("start_b"), col("span_len"))
+  }
+
   /** Top-20 bigram collocations by integer-scaled lift — PMI ranking
     * without a single float log: PMI = log(N·c_xy/(c_x·c_y)) is monotone
     * in its argument, so ranking by `(c_xy·N·10^6) div (c_x·c_y)` (pure
@@ -115,10 +163,20 @@ object Retrieval {
         idCol = "doc_id", gramCol = "gh")
       .orderBy(col("doc_id").asc)
 
+  /** 8-gram repeated spans of >= 12 tokens across distinct documents,
+    * stop-gram cap at 50 docs.
+    */
+  def repeatedSpansQ(s: SparkSession, d: String): DataFrame =
+    repeatedSpans(Tables.documents(s, d), "doc_id", col("text"),
+        k = 8, minSpan = 12, maxDocFreq = 50)
+      .orderBy(col("id_a").asc, col("id_b").asc, col("start_a").asc,
+        col("start_b").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_keyword_search" -> keywordSearch,
     "q_decontaminate" -> decontaminate,
     "q_collocations" -> collocations,
+    "q_repeated_spans" -> repeatedSpansQ,
   )
 
   import Analysis.{toks, hash60}
@@ -130,7 +188,32 @@ object Retrieval {
     s"list_distinct(list_transform(range(1, greatest(len($t) - ${n - 2}, 1)), " +
       s"i -> list_aggregate(($t)[i:i+${n - 1}], 'string_agg', ' ')))"
 
+  /** Oracle twin of `repeatedSpans` (k=8, minSpan=12, maxDocFreq=50). */
+  private val repeatedSpansSql: String = {
+    val (k, minSpan, maxDf) = (8, 12, 50)
+    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+       |pg AS (SELECT doc_id AS id, CAST(i AS BIGINT) AS p,
+       |    ${hash60(s"list_aggregate(tk[i:i+${k - 1}], 'string_agg', ' ')")} AS h
+       |  FROM t CROSS JOIN LATERAL
+       |    (SELECT unnest(range(1, len(tk) - ${k - 2})) AS i)
+       |  WHERE len(tk) >= $k),
+       |rare AS (SELECT h FROM (SELECT h, COUNT(DISTINCT id) AS df
+       |    FROM pg GROUP BY h) WHERE df <= $maxDf),
+       |m AS (SELECT a.id AS id_a, b.id AS id_b, a.p AS pa, b.p AS pb
+       |  FROM pg a JOIN pg b ON a.h = b.h AND a.id < b.id
+       |  JOIN rare r ON a.h = r.h),
+       |g AS (SELECT id_a, id_b, pa - pb AS diag, pa, pb,
+       |  pa - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS grp
+       |  FROM m)
+       |SELECT id_a, id_b, MIN(pa) AS start_a, MIN(pb) AS start_b,
+       |  COUNT(*) + ${k - 1} AS span_len
+       |FROM g GROUP BY id_a, id_b, diag, grp
+       |HAVING COUNT(*) + ${k - 1} >= $minSpan
+       |ORDER BY id_a ASC, id_b ASC, start_a ASC, start_b ASC""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_repeated_spans" -> repeatedSpansSql,
     "q_collocations" ->
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
          |pr AS (SELECT w1, w2, COUNT(*) AS c_xy FROM (

@@ -126,4 +126,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"),
       "recall attach must be a broadcast nested loop, not a cartesian shuffle")
   }
+
+  test("repeated spans: gram-hash equi-join, no cartesian, island window above it") {
+    val plan = formatted(graft.queries.Retrieval.queries("q_repeated_spans")(spark, TestSpark.sf0001))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "candidate generation must be the positioned-gram equi-join, never all-pairs")
+    assert(plan.contains("Window"), "maximal runs come from one island window, not iteration")
+  }
 }

@@ -54,4 +54,46 @@ class RetrievalSpec extends AnyFunSuite {
     assert(Retrieval.contaminated(grams,
       col("split") === "train", col("split") === "test", "id", "g").count() == 0)
   }
+
+  test("repeated spans: a planted shared run comes out maximal, once") {
+    // doc 1 tokens 3..9 == doc 2 tokens 1..7 (seven shared tokens);
+    // k=3, minSpan=5 -> exactly one span of length 7 on one diagonal
+    val shared = "v w x y z q r"
+    val docs = Seq(
+      (1L, s"a b $shared"),
+      (2L, s"$shared c d e")
+    ).toDF("id", "text")
+    val got = Retrieval.repeatedSpans(docs, "id", col("text"),
+      k = 3, minSpan = 5, maxDocFreq = 50).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == (1L, 2L, 3L, 1L, 7L))
+  }
+
+  test("repeated spans: two separate runs stay two spans (gap breaks the island)") {
+    val docs = Seq(
+      (1L, "p q r s GAP1 t u v w"),
+      (2L, "p q r s GAP2 t u v w")
+    ).toDF("id", "text")
+    val got = Retrieval.repeatedSpans(docs, "id", col("text"),
+        k = 3, minSpan = 2, maxDocFreq = 50)
+      .orderBy(col("start_a")).collect()
+    // tokens 1-4 and 6-9 match; the differing middle token breaks every
+    // 3-gram that crosses it, so two spans of 4 tokens each
+    assert(got.map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      == Seq((1L, 1L, 4L), (6L, 6L, 4L)))
+  }
+
+  test("repeated spans: stop-gram cap drops grams above the doc-frequency limit") {
+    // the same 5-token run in four docs; maxDocFreq=3 kills every gram
+    val docs = (1L to 4L).map(i => (i, "m n o p q")).toDF("id", "text")
+    assert(Retrieval.repeatedSpans(docs, "id", col("text"),
+      k = 3, minSpan = 3, maxDocFreq = 3).count() == 0)
+    // at maxDocFreq=4 all six pairs surface with the full span
+    val kept = Retrieval.repeatedSpans(docs, "id", col("text"),
+      k = 3, minSpan = 3, maxDocFreq = 4)
+    assert(kept.count() == 6)
+    assert(kept.select(col("span_len")).distinct().collect().map(_.getLong(0)).toSeq == Seq(5L))
+  }
 }
