@@ -149,6 +149,44 @@ object Retrieval {
       .limit(20)
   }
 
+  /** Per-document bigram language-model score — perplexity-style quality
+    * filtering (the KenLM-gate shape of CCNet/Gopher pipelines) with the
+    * corpus itself as the model, in pure BIGINT so both engines agree
+    * bit-for-bit: P(w2|w1) = c(w1,w2)/c(w1·) over bigram-context counts
+    * (sum over w2 of c(w1,w2) = c(w1·), a proper conditional), scaled to
+    * ppm with integer division; the doc score is the integer mean of its
+    * bigrams' ppm probabilities. Low score = improbable token sequence =
+    * gibberish/boilerplate candidate.
+    *
+    * Scale: the exploded bigram stream feeds three consumers (two
+    * map-side-combined count aggregates and the per-doc probe side) —
+    * materialized once. The probe joins on (w1,w2) then (w1): both
+    * equi-joins on aggregate outputs; frequent-first-token skew (`the`)
+    * is the classic AQE skew-join case and salts cleanly if needed.
+    */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: Column): DataFrame = {
+    val toks = TA.tokens(textCol)
+    val bg = docs.select(col(idCol), explode(
+        when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1), i =>
+            struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("p"))
+      .select(col(idCol), col("p.w1"), col("p.w2"))
+      .localCheckpoint()
+    val cxy = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+    val cx = bg.groupBy(col("w1")).agg(count(lit(1)).as("c_x"))
+    bg.join(cxy, Seq("w1", "w2"))
+      .join(cx, Seq("w1"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum((c_xy * 1000000L) div c_x) div count(1)").as("lm_score_ppm"))
+  }
+
+  def bigramLm(s: SparkSession, d: String): DataFrame =
+    bigramLmScore(Tables.documents(s, d), "doc_id", col("text"))
+      .orderBy(col("doc_id").asc)
+
   def keywordSearch(s: SparkSession, d: String): DataFrame =
     conjunctiveSearch(Tables.documents(s, d), "doc_id", col("text"),
         Seq("vector", "join", "filter"))
@@ -177,6 +215,7 @@ object Retrieval {
     "q_decontaminate" -> decontaminate,
     "q_collocations" -> collocations,
     "q_repeated_spans" -> repeatedSpansQ,
+    "q_bigram_lm" -> bigramLm,
   )
 
   import Analysis.{toks, hash60}
@@ -214,6 +253,17 @@ object Retrieval {
 
   val oracleSql: Map[String, String] = Map(
     "q_repeated_spans" -> repeatedSpansSql,
+    "q_bigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+         |  FROM t CROSS JOIN LATERAL (SELECT unnest(range(1, len(tk))) AS i)
+         |  WHERE len(tk) >= 2),
+         |cxy AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bg GROUP BY w1, w2),
+         |cx AS (SELECT w1, COUNT(*) AS c_x FROM bg GROUP BY w1)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  CAST(SUM((c_xy * 1000000) // c_x) // COUNT(*) AS BIGINT) AS lm_score_ppm
+         |FROM bg JOIN cxy USING (w1, w2) JOIN cx USING (w1)
+         |GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin,
     "q_collocations" ->
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
          |pr AS (SELECT w1, w2, COUNT(*) AS c_xy FROM (

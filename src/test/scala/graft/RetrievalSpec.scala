@@ -55,6 +55,17 @@ class RetrievalSpec extends AnyFunSuite {
       col("split") === "train", col("split") === "test", "id", "g").count() == 0)
   }
 
+  test("bigram LM score: hand-computed conditional ppm means") {
+    // corpus: c(a,b)=3 c(b,a)=1 c(b,c)=1; contexts c(a.)=3 c(b.)=2
+    // doc 1 "a b a b": ppm [1e6, 5e5, 1e6] -> mean 833333; doc 2 "a b c":
+    // ppm [1e6, 5e5] -> 750000; doc 3 single-token -> no bigrams, no row
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val scored = Retrieval.bigramLmScore(docs, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(scored == Map(1L -> (3L, 833333L), 2L -> (2L, 750000L)))
+  }
+
   test("repeated spans: a planted shared run comes out maximal, once") {
     // doc 1 tokens 3..9 == doc 2 tokens 1..7 (seven shared tokens);
     // k=3, minSpan=5 -> exactly one span of length 7 on one diagonal
