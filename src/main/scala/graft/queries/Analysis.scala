@@ -154,6 +154,33 @@ object Analysis {
       .orderBy(col("id_a").asc, col("id_b").asc)
   }
 
+  /** Containment near-dup pairs: overlap coefficient |A∩B|/min(|A|,|B|)
+    * >= 0.9 within source blocks — the asymmetric semantic Jaccard
+    * misses (a doc quoted whole inside a larger one scores low Jaccard
+    * but containment ~1). The predicate is integer-exact
+    * (inter·10 >= 9·min) — no float division crosses engines; raw counts
+    * are returned so callers pick their own direction. Candidates reuse
+    * the cached token-set relation and the block self-join; at corpus
+    * scale the candidate step becomes the smaller-side prefix against a
+    * full postings list (containment joins have no symmetric
+    * size-compatibility prune — the whole point is unequal sizes).
+    */
+  def containmentDedup(s: SparkSession, d: String): DataFrame = {
+    val toks = tokenSets(s, d).withColumn("n", size(col("items")))
+    val a = toks.select(col("block"), col("id").as("id_a"),
+      col("items").as("items_a"), col("n").as("n_a"))
+    val b = toks.select(col("block"), col("id").as("id_b"),
+      col("items").as("items_b"), col("n").as("n_b"))
+    a.join(b, Seq("block"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        graft.functions.SortedIntersectCount(col("items_a"), col("items_b"))
+          .cast("long").as("inter"))
+      .where(col("inter") * 10 >= least(col("n_a"), col("n_b")) * 9)
+      .orderBy(col("id_a").asc, col("id_b").asc)
+  }
+
   /** Embedding near-dup pairs: cosine >= 0.4 within label blocks. */
   def dedupCosine(s: SparkSession, d: String): DataFrame =
     Dedup.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding", "label", 0.4)
@@ -475,6 +502,7 @@ object Analysis {
     "q_jaccard_neardup" -> jaccardNearDup,
     "q_minhash_lsh" -> minhashLsh,
     "q_lsh_incremental" -> minhashLshIncremental,
+    "q_containment_dedup" -> containmentDedup,
     "q_dedup_cosine" -> dedupCosine,
     "q_cosine_topk" -> cosineTopk,
     "q_ann_ivf" -> annIvf,
@@ -810,6 +838,19 @@ object Analysis {
          |  FROM hashed a JOIN hashed b
          |    ON a.source = b.source AND a.doc_id < b.doc_id)
          |WHERE jaccard >= 0.9 ORDER BY id_a ASC, id_b ASC""".stripMargin,
+    "q_containment_dedup" ->
+      s"""WITH hashed AS (SELECT doc_id, source,
+         |  list_distinct(list_transform($toks, w -> ${hash60("w")})) AS items
+         |  FROM documents)
+         |SELECT id_a, id_b, n_a, n_b, inter FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(a.items) AS BIGINT) AS n_a,
+         |    CAST(len(b.items) AS BIGINT) AS n_b,
+         |    CAST(len(list_intersect(a.items, b.items)) AS BIGINT) AS inter
+         |  FROM hashed a JOIN hashed b
+         |    ON a.source = b.source AND a.doc_id < b.doc_id)
+         |WHERE inter * 10 >= least(n_a, n_b) * 9
+         |ORDER BY id_a ASC, id_b ASC""".stripMargin,
     "q_minhash_lsh" -> minhashLshSql(extraPred = ""),
     "q_lsh_incremental" ->
       minhashLshSql(extraPred = " AND (id_a % 5 = 0 OR id_b % 5 = 0)"),

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.SectionChunker
+import graft.operators.{SectionChunker, TextAnalysis => TA}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -61,7 +61,31 @@ object Text {
       .orderBy(col("doc_id").asc)
   }
 
+  /** PII redaction, oracled: the synthetic corpus carries no PII, so the
+    * query first SEEDS deterministic PII spans derived from doc_id (an
+    * email, an IPv4, an SSN-shaped serial) into the text — both engines
+    * build the identical seeded text — then runs the sequential
+    * redact + per-kind attribution counts (TextAnalysis.redactPii /
+    * piiCounts: each pattern counted on the text AFTER earlier patterns'
+    * redaction, so overlapping spans are attributed exactly once).
+    */
+  def piiRedact(s: SparkSession, d: String): DataFrame = {
+    val seeded = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@mail.example.com via 10.0."),
+      (col("doc_id") % 256).cast("string"), lit(".7 ref 123-45-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val counts = TA.piiCounts(seeded)
+    Tables.documents(s, d)
+      .select(col("doc_id"), TA.redactPii(seeded).as("redacted"),
+        element_at(counts, "email").as("n_email"),
+        element_at(counts, "ssn").as("n_ssn"),
+        element_at(counts, "phone").as("n_phone"),
+        element_at(counts, "ipv4").as("n_ipv4"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pii_redact" -> piiRedact,
     "q_doc_scan_filter" -> docScanFilter,
     "q_doc_clean_project" -> docCleanProject,
     "q_doc_tokens_top20" -> docTokensTop20,
@@ -72,7 +96,29 @@ object Text {
   private val aliasesSql: String =
     SectionChunker.sectionPatterns.map(_._2.stripPrefix("(").stripSuffix(")")).mkString("|")
 
+  /** Chained sequential redaction mirroring piiCounts/redactPii, generated
+    * from the same piiPatterns list (single source of truth): step i
+    * counts pattern i on the text AFTER steps 0..i-1 redacted theirs.
+    */
+  private val piiRedactSql: String = {
+    val seeded = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+      "'@mail.example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR) || " +
+      "'.7 ref 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    val steps = TA.piiPatterns.zipWithIndex.map { case ((name, pat), i) =>
+      val carried = TA.piiPatterns.take(i).map { case (n, _) => s"n_$n, " }.mkString
+      val src = if (i == 0) "t0" else s"s${i - 1}"
+      s"s$i AS (SELECT doc_id, ${carried}CAST(len(regexp_extract_all(t, '$pat')) AS BIGINT) AS n_$name, " +
+        s"regexp_replace(t, '$pat', '[$name]', 'g') AS t FROM $src)"
+    }
+    val last = s"s${TA.piiPatterns.size - 1}"
+    val countCols = TA.piiPatterns.map { case (n, _) => s"n_$n" }.mkString(", ")
+    s"WITH t0 AS (SELECT doc_id, $seeded AS t FROM documents),\n" +
+      steps.mkString(",\n") +
+      s"\nSELECT doc_id, t AS redacted, $countCols FROM $last ORDER BY doc_id ASC"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_pii_redact" -> piiRedactSql,
     "q_doc_scan_filter" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE lang = 'en' AND n_chars >= 200 ORDER BY doc_id ASC""".stripMargin,
