@@ -173,14 +173,24 @@ object Retrieval {
           .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
         .as("p"))
       .select(col(idCol), col("p.w1"), col("p.w2"))
+    // Everything derives from the per-(doc, bigram) multiplicity relation:
+    // the raw occurrence stream collapses by Zipf long before any join
+    // (one map-side-combined shuffle), corpus counts are rollups of it,
+    // the score table (cxy ⋈ cx) is distinct-bigram-sized, and the probe
+    // join + weighted mean run on the compressed relation — the exploded
+    // stream itself is never shuffled twice or joined at occurrence grain.
+    val bgDoc = bg.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m"))
       .localCheckpoint()
-    val cxy = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
-    val cx = bg.groupBy(col("w1")).agg(count(lit(1)).as("c_x"))
-    bg.join(cxy, Seq("w1", "w2"))
-      .join(cx, Seq("w1"))
+    val cxy = bgDoc.groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("c_xy"))
+    val cx = cxy.groupBy(col("w1")).agg(sum(col("c_xy")).as("c_x"))
+    val score = cxy.join(cx, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        expr("(c_xy * 1000000L) div c_x").as("p_ppm"))
+    bgDoc.join(score, Seq("w1", "w2"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
-        expr("sum((c_xy * 1000000L) div c_x) div count(1)").as("lm_score_ppm"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        expr("sum(m * p_ppm) div sum(m)").as("lm_score_ppm"))
   }
 
   def bigramLm(s: SparkSession, d: String): DataFrame =
