@@ -96,6 +96,72 @@ class RetrievalSpec extends AnyFunSuite {
       == Seq((1L, 1L, 4L), (6L, 6L, 4L)))
   }
 
+  test("repeated spans match a brute-force reference on a randomized corpus") {
+    // tiny alphabet -> dense natural overlaps; df cap disabled so the
+    // reference needs no frequency model
+    val rnd = new scala.util.Random(42)
+    val alphabet = Array("a", "b", "c", "d", "e")
+    val (k, minSpan) = (3, 4)
+    val docsSeq: Seq[(Long, Array[String])] = (1L to 10L).map { id =>
+      id -> Array.fill(10 + rnd.nextInt(31))(alphabet(rnd.nextInt(alphabet.length)))
+    }
+    def brute: Set[(Long, Long, Long, Long, Long)] = {
+      val grams = docsSeq.map { case (id, tk) =>
+        id -> tk.sliding(k).map(_.mkString(" ")).toArray
+      }.toMap
+      val out = scala.collection.mutable.Set.empty[(Long, Long, Long, Long, Long)]
+      for ((ia, ga) <- grams; (ib, gb) <- grams if ia < ib) {
+        for (d <- (1 - gb.length) to (ga.length - 1)) {
+          val paMin = math.max(1, 1 + d)
+          val paMax = math.min(ga.length, gb.length + d)
+          var run = 0; var startA = 0; var pa = paMin
+          while (pa <= paMax + 1) {
+            val hit = pa <= paMax && ga(pa - 1) == gb(pa - d - 1)
+            if (hit) { if (run == 0) startA = pa; run += 1 }
+            else {
+              if (run > 0 && run + k - 1 >= minSpan)
+                out += ((ia, ib, startA.toLong, (startA - d).toLong, (run + k - 1).toLong))
+              run = 0
+            }
+            pa += 1
+          }
+        }
+      }
+      out.toSet
+    }
+    val docs = docsSeq.map { case (id, tk) => (id, tk.mkString(" ")) }.toDF("id", "text")
+    val got = Retrieval.repeatedSpans(docs, "id", col("text"),
+        k = k, minSpan = minSpan, maxDocFreq = 1000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == brute)
+    assert(got.nonEmpty, "fixture should generate at least one span")
+  }
+
+  test("bigram LM matches a brute-force reference on a randomized corpus") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = Array("x", "y", "z", "w")
+    val docsSeq: Seq[(Long, Array[String])] = (1L to 12L).map { id =>
+      id -> Array.fill(2 + rnd.nextInt(20))(alphabet(rnd.nextInt(alphabet.length)))
+    }
+    val allBigrams = docsSeq.flatMap { case (_, tk) => tk.sliding(2).filter(_.length == 2).map(a => (a(0), a(1))) }
+    val cxy = allBigrams.groupBy(identity).map { case (kv, xs) => kv -> xs.size.toLong }
+    val cx = allBigrams.groupBy(_._1).map { case (w, xs) => w -> xs.size.toLong }
+    val expected = docsSeq.flatMap { case (id, tk) =>
+      val bgs = tk.sliding(2).filter(_.length == 2).map(a => (a(0), a(1))).toSeq
+      if (bgs.isEmpty) None
+      else {
+        val ppms = bgs.map { b => cxy(b) * 1000000L / cx(b._1) }
+        Some(id -> (bgs.size.toLong, ppms.sum / bgs.size))
+      }
+    }.toMap
+    val docs = docsSeq.map { case (id, tk) => (id, tk.mkString(" ")) }.toDF("id", "text")
+    val got = Retrieval.bigramLmScore(docs, "id", col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+  }
+
   test("repeated spans: stop-gram cap drops grams above the doc-frequency limit") {
     // the same 5-token run in four docs; maxDocFreq=3 kills every gram
     val docs = (1L to 4L).map(i => (i, "m n o p q")).toDF("id", "text")
