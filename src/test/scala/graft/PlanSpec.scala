@@ -127,6 +127,31 @@ class PlanSpec extends AnyFunSuite {
       "recall attach must be a broadcast nested loop, not a cartesian shuffle")
   }
 
+  test("incremental LSH: band-key equi-joins only; no existing-side self-join") {
+    val plan = formatted(graft.queries.Analysis.queries("q_lsh_incremental")(spark, TestSpark.sf0001))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "candidates must come from the band-key equi-join")
+  }
+
+  test("containment dedup: block equi-join with the intersect above the aggregate barrier") {
+    val plan = formatted(graft.queries.Analysis.queries("q_containment_dedup")(spark, TestSpark.sf0001))
+    assert(!plan.contains("CartesianProduct"),
+      "pairs must come from the block equi-join, not a cross product")
+    assert(plan.contains("sorted_intersect_count"),
+      "verification must use the native merge-scan intersect")
+  }
+
+  test("bigram LM: aggregates before the probe join; no occurrence-grain re-join") {
+    val plan = formatted(graft.queries.Retrieval.queries("q_bigram_lm")(spark, TestSpark.sf0001))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+    // the probe joins the checkpointed per-(doc,bigram) relation; the raw
+    // exploded stream must appear only beneath its single aggregate (the
+    // localCheckpoint scan is what the join consumes)
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("LocalTableScan") ||
+      plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("BroadcastHashJoin"))
+  }
+
   test("repeated spans: gram-hash equi-join, no cartesian, island window above it") {
     val plan = formatted(graft.queries.Retrieval.queries("q_repeated_spans")(spark, TestSpark.sf0001))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
