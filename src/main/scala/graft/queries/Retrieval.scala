@@ -197,6 +197,35 @@ object Retrieval {
     bigramLmScore(Tables.documents(s, d), "doc_id", col("text"))
       .orderBy(col("doc_id").asc)
 
+  /** Per-document corpus-duplication fraction — the doc-level signal
+    * RefinedWeb/FineWeb-style pipelines gate on: of a doc's distinct
+    * 8-gram shingles, how many (in ppm, integer-exact) also appear in at
+    * least one OTHER document. High ppm = mostly-boilerplate doc even when
+    * no single pair crosses a near-dup threshold. One distinct doc-gram
+    * pass, one map-side-combined doc-frequency aggregate on the 60-bit
+    * gram hash, one equi-join back, one per-doc aggregate — 8-byte keys
+    * in every shuffle, text never moves.
+    */
+  def dupGramPpmScore(docs: DataFrame, idCol: String, textCol: Column,
+      n: Int): DataFrame = {
+    val docGrams = docs
+      .select(col(idCol), explode(TA.shingles(textCol, n)).as("g"))
+      .select(col(idCol), TA.md5Hash60(col("g")).as("gh"))
+      .localCheckpoint()
+    val df_ = docGrams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("df"))
+    docGrams.join(df_, Seq("gh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col(idCol), col("n_grams"),
+        expr("(n_dup * 1000000L) div n_grams").as("dup_gram_ppm"))
+  }
+
+  def dupGramPpm(s: SparkSession, d: String): DataFrame =
+    dupGramPpmScore(Tables.documents(s, d), "doc_id", col("text"), n = 8)
+      .orderBy(col("doc_id").asc)
+
   def keywordSearch(s: SparkSession, d: String): DataFrame =
     conjunctiveSearch(Tables.documents(s, d), "doc_id", col("text"),
         Seq("vector", "join", "filter"))
@@ -226,6 +255,7 @@ object Retrieval {
     "q_collocations" -> collocations,
     "q_repeated_spans" -> repeatedSpansQ,
     "q_bigram_lm" -> bigramLm,
+    "q_dup_gram_ppm" -> dupGramPpm,
   )
 
   import Analysis.{toks, hash60}
@@ -263,6 +293,17 @@ object Retrieval {
 
   val oracleSql: Map[String, String] = Map(
     "q_repeated_spans" -> repeatedSpansSql,
+    "q_dup_gram_ppm" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |dg AS (SELECT doc_id, ${hash60("g")} AS gh
+         |  FROM (SELECT doc_id, unnest(${shinglesNSql("tk", 8)}) AS g
+         |    FROM t WHERE len(tk) >= 8)),
+         |df AS (SELECT gh, COUNT(*) AS df FROM dg GROUP BY gh)
+         |SELECT doc_id, COUNT(*) AS n_grams,
+         |  CAST((SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT)
+         |    AS dup_gram_ppm
+         |FROM dg JOIN df USING (gh)
+         |GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin,
     "q_bigram_lm" ->
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
          |bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2

@@ -96,6 +96,20 @@ class RetrievalSpec extends AnyFunSuite {
       == Seq((1L, 1L, 4L), (6L, 6L, 4L)))
   }
 
+  test("dup-gram ppm: exact copies saturate at 1e6, unique docs sit at 0") {
+    // docs 1/2 identical (every gram df>=2 -> ppm 1,000,000); doc 3 disjoint
+    // vocabulary (ppm 0); doc 4 too short for an 8-gram -> no row
+    val ident = "a b c d e f g h i j"
+    val docs = Seq(
+      (1L, ident), (2L, ident),
+      (3L, "q r s t u v w x y z"),
+      (4L, "too short")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.dupGramPpmScore(docs, "doc_id", col("text"), n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 0L))
+  }
+
   test("repeated spans match a brute-force reference on a randomized corpus") {
     // tiny alphabet -> dense natural overlaps; df cap disabled so the
     // reference needs no frequency model
