@@ -32,6 +32,24 @@ object Advanced {
       .orderBy(col("event_id").asc)
   }
 
+  /** Earliest order at-or-after each event for the same user — the
+    * forward as-of ("next scheduled" lookup), same one-shuffle
+    * merge-carry as q_asof_join mirrored to a following frame.
+    */
+  def asofForward(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    val orders = Tables.orders(s, d)
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+    AsOfJoin.asOfForward(
+      Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts")),
+      "user_id", "ts",
+      orders, "o_custkey", "o_orderdate",
+      Seq("o_orderkey", "o_totalprice"))
+      .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("event_id").asc)
+  }
+
   /** CUBE over (event_type, day): all 4 grouping combinations. */
   def cubeDaily(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -109,6 +127,7 @@ object Advanced {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skyline" -> skyline,
     "q_asof_join" -> asofJoin,
+    "q_asof_forward" -> asofForward,
     "q_cube_daily" -> cubeDaily,
     "q_percentiles" -> percentiles,
     "q_approx_distinct" -> approxDistinct,
@@ -131,6 +150,14 @@ object Advanced {
         |SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
         |FROM events e ASOF LEFT JOIN o2 o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id ASC""".stripMargin,
+    "q_asof_forward" ->
+      """WITH o2 AS (SELECT * FROM orders
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+        |    ORDER BY o_orderkey DESC) = 1)
+        |SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+        |FROM events e ASOF LEFT JOIN o2 o
+        |  ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
         |ORDER BY e.event_id ASC""".stripMargin,
     "q_cube_daily" ->
       """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

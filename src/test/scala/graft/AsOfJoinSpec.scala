@@ -38,6 +38,23 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.columns.toSeq == trades.columns.toSeq :+ "price")
   }
 
+  test("forward as-of picks the earliest right row at-or-after each left row") {
+    // trade 1 (09:30) → next quote 10:00 = 11.0; trade 2 exactly at 10:00
+    // → inclusive → 11.0; trade 3 (08:00) → 09:00 = 10.0; trade 4 (11:00,
+    // B) is after B's only quote → null; trade 5 keyless → null
+    val out = AsOfJoin.asOfForward(trades, "sym", "tts", quotes, "sym", "qts", Seq("price"))
+      .collect().map(r => (r.getLong(2), Option(r.get(3)))).toMap
+    assert(out == Map(
+      1L -> Some(11.0), 2L -> Some(11.0), 3L -> Some(10.0),
+      4L -> None, 5L -> None))
+  }
+
+  test("forward keeps all left rows and the left column order") {
+    val out = AsOfJoin.asOfForward(trades, "sym", "tts", quotes, "sym", "qts", Seq("price"))
+    assert(out.count() == trades.count())
+    assert(out.columns.toSeq == trades.columns.toSeq :+ "price")
+  }
+
   test("NULL payload cells come from the matched row, never a stale older one") {
     // The 10:00 quote has a NULL price but a real venue: a trade after it
     // must see (NULL, Y) — all fields from that row — not the 09:00 price
