@@ -226,6 +226,35 @@ object Retrieval {
     dupGramPpmScore(Tables.documents(s, d), "doc_id", col("text"), n = 8)
       .orderBy(col("doc_id").asc)
 
+  /** Vocabulary-growth (Heaps-law) curve: cumulative distinct tokens as
+    * the corpus is consumed in doc_id order, per 100-doc bucket.
+    * Cumulative-distinct is intractable as a per-row running set at
+    * scale; the min-first-occurrence INVERSION makes it dataflow: each
+    * token contributes exactly once at min(doc_id), so the curve is one
+    * token aggregate + one bucket aggregate + a running total over the
+    * BUCKET axis (bounded: corpus_size/100 rows, single tiny window —
+    * never a per-row global window).
+    */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: Column,
+      bucketDocs: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstSeen = docs
+      .select(col(idCol), explode(array_distinct(TA.tokens(textCol))).as("w"))
+      .groupBy(col("w")).agg(min(col(idCol)).as("first_doc"))
+    val perBucket = firstSeen
+      .groupBy(expr(s"first_doc div $bucketDocs").as("bucket"))
+      .agg(count(lit(1)).as("new_tokens"))
+    perBucket
+      .withColumn("cum_vocab", sum(col("new_tokens")).over(
+        Window.orderBy(col("bucket").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("bucket"), col("new_tokens"), col("cum_vocab"))
+  }
+
+  def vocabGrowthQ(s: SparkSession, d: String): DataFrame =
+    vocabGrowth(Tables.documents(s, d), "doc_id", col("text"), bucketDocs = 100)
+      .orderBy(col("bucket").asc)
+
   def keywordSearch(s: SparkSession, d: String): DataFrame =
     conjunctiveSearch(Tables.documents(s, d), "doc_id", col("text"),
         Seq("vector", "join", "filter"))
@@ -256,9 +285,10 @@ object Retrieval {
     "q_repeated_spans" -> repeatedSpansQ,
     "q_bigram_lm" -> bigramLm,
     "q_dup_gram_ppm" -> dupGramPpm,
+    "q_vocab_growth" -> vocabGrowthQ,
   )
 
-  import Analysis.{toks, hash60}
+  import Analysis.{toks, dtoks, hash60}
 
   /** DuckDB distinct n-token shingles over token list `t` (general-n form
     * of Analysis.shinglesSql, which is fixed at n=3).
@@ -293,6 +323,15 @@ object Retrieval {
 
   val oracleSql: Map[String, String] = Map(
     "q_repeated_spans" -> repeatedSpansSql,
+    "q_vocab_growth" ->
+      s"""WITH fs AS (SELECT w, MIN(doc_id) AS first_doc FROM (
+         |    SELECT doc_id, unnest($dtoks) AS w FROM documents) GROUP BY w),
+         |pb AS (SELECT first_doc // 100 AS bucket, COUNT(*) AS new_tokens
+         |  FROM fs GROUP BY 1)
+         |SELECT bucket, new_tokens,
+         |  CAST(SUM(new_tokens) OVER (ORDER BY bucket
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+         |FROM pb ORDER BY bucket ASC""".stripMargin,
     "q_dup_gram_ppm" ->
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
          |dg AS (SELECT doc_id, ${hash60("g")} AS gh

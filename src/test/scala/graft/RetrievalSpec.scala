@@ -110,6 +110,19 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 0L))
   }
 
+  test("vocab growth: tokens count once at first occurrence, buckets accumulate") {
+    // vocab {a,b} enters in bucket 0, {c} in bucket 1 (doc 150), {d} in
+    // bucket 2 (doc 250); re-occurrences (doc 299) add nothing
+    val docs = Seq(
+      (0L, "a b a"), (99L, "b a"),
+      (150L, "c a"), (250L, "d c b"), (299L, "a b c d")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.vocabGrowth(docs, "doc_id", col("text"), bucketDocs = 100)
+      .orderBy(col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, 2L, 2L), (1L, 1L, 3L), (2L, 1L, 4L)))
+  }
+
   test("repeated spans match a brute-force reference on a randomized corpus") {
     // tiny alphabet -> dense natural overlaps; df cap disabled so the
     // reference needs no frequency model
