@@ -69,8 +69,11 @@ object Bench {
     // the gate should track); medians and the raw first pass ride along
     // so a reader can still see the single-shot behavior.
     val firsts = names.map(n => n -> times(n).last)
+    // bench_schema 2 = best-of-N envelope ("value"/"queries" carry per-query
+    // minima); schema 1 (rounds 1-5) carried a single measured pass — the
+    // marker keeps consumers from silently comparing the two semantics.
     val json =
-      s"""{"metric":"total","value":$minTotal,"unit":"sec","queries":${jmap(mins)},""" +
+      s"""{"bench_schema":2,"metric":"total","value":$minTotal,"unit":"sec","queries":${jmap(mins)},""" +
         s""""queries_median":${jmap(meds)},"queries_first":${jmap(firsts)},""" +
         s""""median_total":$medTotal,"first_total":${firsts.map(_._2).sum},""" +
         s""""reps":$reps,"errors":$errs,"failed":${errors.size},"sf":${jstr(sfDir)}}"""

@@ -29,8 +29,18 @@ object Charts {
   private val MatchGreen = new Color(0x4C, 0xAF, 0x50)
   private val RemainGray = new Color(0xe0, 0xe0, 0xe0)
 
+  /** Best-effort text: swallow font-resolution failures (headless JVMs
+    * without fontconfig raise InternalError/NoClassDefFoundError from
+    * FontConfiguration, plus ordinary exceptions) but never mask real
+    * JVM-fatal errors like OutOfMemoryError.
+    */
   private def drawStringSafe(g: java.awt.Graphics2D, s: String, x: Int, y: Int): Unit =
-    try g.drawString(s, x, y) catch { case _: Throwable => () }
+    try g.drawString(s, x, y) catch {
+      case scala.util.control.NonFatal(_) => ()
+      case _: NoClassDefFoundError => ()
+      case _: InternalError => ()
+      case _: UnsatisfiedLinkError => ()
+    }
 
   private def png(img: BufferedImage): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
@@ -116,13 +126,26 @@ object Charts {
       val rad = math.toRadians(deg)
       (cx + (mid * math.cos(rad)).toInt, cy - (mid * math.sin(rad)).toInt)
     }
+    // wedge name labels sit OUTSIDE the ring at the wedge centroids
+    // (matplotlib's labels= placement, radius 1.1·R), clamped into the
+    // canvas since h < 2.2·R here
+    def outside(deg: Double) = {
+      val rad = math.toRadians(deg)
+      val or = r * 1.1
+      (math.min(math.max(cx + (or * math.cos(rad)).toInt - 14, 2), w - 70),
+        math.min(math.max(cy - (or * math.sin(rad)).toInt, 12), h - 4))
+    }
     g.setColor(Color.BLACK)
     if (matchDeg > 0) {
       val (x, y) = at(90 + matchDeg / 2.0); drawStringSafe(g, pct(frac), x - 12, y)
+      val (lx, ly) = outside(90 + matchDeg / 2.0)
+      drawStringSafe(g, "Match", lx, ly)
     }
     if (matchDeg < 360) {
       val (x, y) = at(90 + matchDeg + (360 - matchDeg) / 2.0)
       drawStringSafe(g, pct(1 - frac), x - 12, y)
+      val (lx, ly) = outside(90 + matchDeg + (360 - matchDeg) / 2.0)
+      drawStringSafe(g, "Remaining", lx, ly)
     }
     g.dispose()
     png(img)

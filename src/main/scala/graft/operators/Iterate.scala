@@ -19,6 +19,22 @@ import org.apache.spark.sql.DataFrame
   */
 private[graft] object Iterate {
 
+  /** Reliable-checkpoint directory from the environment: set
+    * `SPARK_GRAFT_CKPT_DIR` and every iterative declared query
+    * (q_dup_clusters, q_corpus_build, q_pagerank) switches from
+    * `localCheckpoint` to reliable `checkpoint` — the production path is
+    * one env var, no code change.
+    *
+    * Cleanup contract: reliable checkpoints write one file set per round
+    * per operator and Spark does NOT delete them at job end
+    * (`spark.cleaner.referenceTracking.cleanCheckpoints` only cleans on
+    * GC of the RDD reference — timing-dependent, not a guarantee). The
+    * directory is scratch space scoped to the run: the job owner deletes
+    * it after the application completes, e.g. a per-run subdirectory
+    * removed by the orchestrator.
+    */
+  def envDir: Option[String] = sys.env.get("SPARK_GRAFT_CKPT_DIR")
+
   /** Materialize `df` and truncate its lineage per the chosen strategy.
     * Setting the SparkContext checkpoint dir is idempotent; distinct
     * concurrent dirs on one context are not supported (last wins), which

@@ -27,7 +27,8 @@ object Clustering {
     val docs = Tables.documents(s, d)
     val pairs = Dedup.jaccardPairsHashedFromSets(Analysis.tokenSets(s, d), 0.9)
       .select(col("id_a"), col("id_b"))
-    ConnectedComponents.assignAdaptive(docs.select(col("doc_id").as("id")), pairs)
+    ConnectedComponents.assignAdaptive(docs.select(col("doc_id").as("id")), pairs,
+        checkpointDir = graft.operators.Iterate.envDir)
       .select(col("id").as("doc_id"), col("cluster_id"))
       .orderBy(col("doc_id").asc)
   }
@@ -191,7 +192,8 @@ object Clustering {
     val pairs = Dedup.jaccardPairsHashedFromSets(sets, 0.9)
       .select(col("id_a"), col("id_b"))
     val canon = ConnectedComponents
-      .assignAdaptive(kept1Ids.select(col("doc_id").as("id")), pairs)
+      .assignAdaptive(kept1Ids.select(col("doc_id").as("id")), pairs,
+        checkpointDir = graft.operators.Iterate.envDir)
       .where(col("id") === col("cluster_id"))
       .select(col("id").as("doc_id"))
     val gated = docs

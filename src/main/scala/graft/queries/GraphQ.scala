@@ -57,7 +57,8 @@ object GraphQ {
   def pageRank(s: SparkSession, d: String): DataFrame =
     PageRank.run(
         Tables.nation(s, d).select(col("n_name").as("node")),
-        tradeEdges(s, d), iterations = 8)
+        tradeEdges(s, d), iterations = 8,
+        checkpointDir = graft.operators.Iterate.envDir)
       .select(col("node").as("n_name"), col("rank_scaled"))
       .orderBy(col("n_name").asc)
 

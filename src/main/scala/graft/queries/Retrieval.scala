@@ -161,8 +161,14 @@ object Retrieval {
     * Scale: the exploded bigram stream feeds three consumers (two
     * map-side-combined count aggregates and the per-doc probe side) —
     * materialized once. The probe joins on (w1,w2) then (w1): both
-    * equi-joins on aggregate outputs; frequent-first-token skew (`the`)
-    * is the classic AQE skew-join case and salts cleanly if needed.
+    * equi-joins on aggregate outputs. Skew story, pinned in PlanSpec:
+    * the Zipf head key rides ONLY the w1-grain join (cxy ⋈ cx — "the"
+    * concentrates every distinct second word in one partition), and that
+    * join is a shuffle equi-join under an AdaptiveSparkPlan with AQE
+    * skew-join handling on (session default, asserted) — at 100× the hot
+    * partition splits at runtime instead of stalling a task. The probe
+    * join keys on (w1,w2), where Zipf mass is already spread across the
+    * w2 axis.
     */
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: Column): DataFrame = {
     val toks = TA.tokens(textCol)
@@ -226,20 +232,23 @@ object Retrieval {
     dupGramPpmScore(Tables.documents(s, d), "doc_id", col("text"), n = 8)
       .orderBy(col("doc_id").asc)
 
-  /** Vocabulary-growth (Heaps-law) curve: cumulative distinct tokens as
-    * the corpus is consumed in doc_id order, per 100-doc bucket.
+  /** Vocabulary-growth (Heaps-law) curve: cumulative distinct n-gram
+    * TYPES as the corpus is consumed in doc_id order, per `bucketDocs`
+    * bucket (n = 1 is the classic word-vocabulary curve; higher n keeps
+    * measuring growth when the unigram vocabulary is closed, as it is in
+    * the synthetic corpus — the standard Heaps probe either way).
     * Cumulative-distinct is intractable as a per-row running set at
     * scale; the min-first-occurrence INVERSION makes it dataflow: each
-    * token contributes exactly once at min(doc_id), so the curve is one
-    * token aggregate + one bucket aggregate + a running total over the
-    * BUCKET axis (bounded: corpus_size/100 rows, single tiny window —
-    * never a per-row global window).
+    * type contributes exactly once at min(doc_id), so the curve is one
+    * type aggregate + one bucket aggregate + a running total over the
+    * BUCKET axis (bounded: corpus_size/bucketDocs rows, single tiny
+    * window — never a per-row global window).
     */
   def vocabGrowth(docs: DataFrame, idCol: String, textCol: Column,
-      bucketDocs: Int): DataFrame = {
+      n: Int, bucketDocs: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val firstSeen = docs
-      .select(col(idCol), explode(array_distinct(TA.tokens(textCol))).as("w"))
+      .select(col(idCol), explode(TA.shingles(textCol, n)).as("w"))
       .groupBy(col("w")).agg(min(col(idCol)).as("first_doc"))
     val perBucket = firstSeen
       .groupBy(expr(s"first_doc div $bucketDocs").as("bucket"))
@@ -251,8 +260,14 @@ object Retrieval {
       .select(col("bucket"), col("new_tokens"), col("cum_vocab"))
   }
 
+  /** 3-gram types per 20-doc bucket: the synthetic corpus draws from a
+    * closed word vocabulary (saturates inside the first bucket at every
+    * SF, collapsing the curve to one row), so the fixture measures
+    * 3-gram type growth — ≥ 5 curve points at the verify scale.
+    */
   def vocabGrowthQ(s: SparkSession, d: String): DataFrame =
-    vocabGrowth(Tables.documents(s, d), "doc_id", col("text"), bucketDocs = 100)
+    vocabGrowth(Tables.documents(s, d), "doc_id", col("text"), n = 3,
+        bucketDocs = 20)
       .orderBy(col("bucket").asc)
 
   def keywordSearch(s: SparkSession, d: String): DataFrame =
@@ -288,7 +303,7 @@ object Retrieval {
     "q_vocab_growth" -> vocabGrowthQ,
   )
 
-  import Analysis.{toks, dtoks, hash60}
+  import Analysis.{toks, hash60}
 
   /** DuckDB distinct n-token shingles over token list `t` (general-n form
     * of Analysis.shinglesSql, which is fixed at n=3).
@@ -324,9 +339,11 @@ object Retrieval {
   val oracleSql: Map[String, String] = Map(
     "q_repeated_spans" -> repeatedSpansSql,
     "q_vocab_growth" ->
-      s"""WITH fs AS (SELECT w, MIN(doc_id) AS first_doc FROM (
-         |    SELECT doc_id, unnest($dtoks) AS w FROM documents) GROUP BY w),
-         |pb AS (SELECT first_doc // 100 AS bucket, COUNT(*) AS new_tokens
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |fs AS (SELECT w, MIN(doc_id) AS first_doc FROM (
+         |    SELECT doc_id, unnest(${shinglesNSql("tk", 3)}) AS w
+         |    FROM t WHERE len(tk) >= 3) GROUP BY w),
+         |pb AS (SELECT first_doc // 20 AS bucket, COUNT(*) AS new_tokens
          |  FROM fs GROUP BY 1)
          |SELECT bucket, new_tokens,
          |  CAST(SUM(new_tokens) OVER (ORDER BY bucket

@@ -43,12 +43,20 @@ object DedupStream {
     StructField("id", LongType), StructField("bkey", StringType)))
 
   /** Read a batch-id-partitioned state table, or an empty relation
-    * before the first batch commits.
+    * before the first batch commits. ONLY the missing-directory case
+    * (probed explicitly) degrades to empty — any failure reading state
+    * that exists (corrupt footer, transient FS error, permissions) must
+    * abort the batch, because an empty state silently disables dedup and
+    * admits every duplicate in the batch.
     */
   private def readStateOr(s: SparkSession, dir: String,
-      schema: StructType): DataFrame =
-    scala.util.Try(s.read.parquet(dir).select(schema.fieldNames.map(col).toSeq: _*))
-      .getOrElse(s.createDataFrame(s.sparkContext.emptyRDD[Row], schema))
+      schema: StructType): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(path))
+      s.read.parquet(dir).select(schema.fieldNames.map(col).toSeq: _*)
+    else s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+  }
 
   /** One micro-batch: gate `batch` against the persisted state under
     * `stateDir`, append kept docs to `outDir/batch_id=N` and kept

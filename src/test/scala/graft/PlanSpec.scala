@@ -152,6 +152,24 @@ class PlanSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"))
   }
 
+  test("bigram LM: Zipf-head w1 join is adaptive + AQE-skew-eligible") {
+    // the skew story for the 100 TB claim: the hot w1 key ("the") is
+    // handled by AQE skew-join splitting at runtime, which requires (a)
+    // adaptive execution with skew handling ON in the session, and (b)
+    // the w1 join staying a shuffle equi-join (skew splitting does not
+    // apply to broadcast/nested-loop shapes; those would also be wrong
+    // at vocab scale)
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+      "AQE must be on (session default) for the skew-join path")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true",
+      "AQE skew-join handling must be on")
+    val plan = formatted(graft.queries.Retrieval.queries("q_bigram_lm")(spark, TestSpark.sf0001))
+    assert(plan.contains("AdaptiveSparkPlan"),
+      "bigram LM must execute under an adaptive plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "every join must stay an equi-join for skew splitting to apply")
+  }
+
   test("repeated spans: gram-hash equi-join, no cartesian, island window above it") {
     val plan = formatted(graft.queries.Retrieval.queries("q_repeated_spans")(spark, TestSpark.sf0001))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),

@@ -117,10 +117,23 @@ class RetrievalSpec extends AnyFunSuite {
       (0L, "a b a"), (99L, "b a"),
       (150L, "c a"), (250L, "d c b"), (299L, "a b c d")
     ).toDF("doc_id", "text")
-    val got = Retrieval.vocabGrowth(docs, "doc_id", col("text"), bucketDocs = 100)
+    val got = Retrieval.vocabGrowth(docs, "doc_id", col("text"), n = 1,
+        bucketDocs = 100)
       .orderBy(col("bucket"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq((0L, 2L, 2L), (1L, 1L, 3L), (2L, 1L, 4L)))
+  }
+
+  test("vocab growth at n=2: bigram types drive the curve; short docs drop") {
+    // doc 0 has types {a b, b a}; doc 10 re-uses "a b" but adds "b c";
+    // doc 25 is too short for a bigram and contributes nothing
+    val docs = Seq((0L, "a b a"), (10L, "a b c"), (25L, "z"))
+      .toDF("doc_id", "text")
+    val got = Retrieval.vocabGrowth(docs, "doc_id", col("text"), n = 2,
+        bucketDocs = 10)
+      .orderBy(col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, 2L, 2L), (1L, 1L, 3L)))
   }
 
   test("repeated spans match a brute-force reference on a randomized corpus") {
