@@ -3,6 +3,19 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private def jstr(s: String): String = Jsons.escape(s)
 
+  /** Per-query SEMANTIC versions: bumped when a query's workload changes
+    * (different computation, not a faster implementation), so a
+    * round-over-round per-query comparison can detect that it is
+    * comparing different work — bench_schema only versions the envelope
+    * semantics, not individual queries. Unlisted queries are version 1.
+    */
+  private val queryVersions: Map[String, Int] = Map(
+    // round 7: saturated unigram curve → 3-gram types per 20-doc bucket
+    "q_vocab_growth" -> 2,
+    // round 8: raw MLlib LSH rows → exact-top-k envelope + recall_ok
+    "q_lsh_brp_topk" -> 2,
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -72,10 +85,14 @@ object Bench {
     // bench_schema 2 = best-of-N envelope ("value"/"queries" carry per-query
     // minima); schema 1 (rounds 1-5) carried a single measured pass — the
     // marker keeps consumers from silently comparing the two semantics.
+    val qvers = queryVersions.filter { case (k, _) => names.contains(k) }
+      .toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val json =
       s"""{"bench_schema":2,"metric":"total","value":$minTotal,"unit":"sec","queries":${jmap(mins)},""" +
         s""""queries_median":${jmap(meds)},"queries_first":${jmap(firsts)},""" +
         s""""median_total":$medTotal,"first_total":${firsts.map(_._2).sum},""" +
+        s""""query_versions":$qvers,""" +
         s""""reps":$reps,"errors":$errs,"failed":${errors.size},"sf":${jstr(sfDir)}}"""
     // Optional file sink so a consumer never has to strip sbt's [info]
     // prefix from the line.

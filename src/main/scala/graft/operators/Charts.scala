@@ -119,36 +119,74 @@ object Charts {
     val ir = (r * 0.6).toInt
     g.setColor(Color.WHITE)
     g.fillOval(cx - ir, cy - ir, 2 * ir, 2 * ir)
-    // percentage labels at wedge centroids (mid-ring radius)
-    def pct(p: Double) = f"${p * 100}%.1f%%"
-    val mid = (r + ir) / 2
-    def at(deg: Double) = {
-      val rad = math.toRadians(deg)
-      (cx + (mid * math.cos(rad)).toInt, cy - (mid * math.sin(rad)).toInt)
-    }
-    // wedge name labels sit OUTSIDE the ring at the wedge centroids
-    // (matplotlib's labels= placement, radius 1.1·R), clamped into the
-    // canvas since h < 2.2·R here
-    def outside(deg: Double) = {
-      val rad = math.toRadians(deg)
-      val or = r * 1.1
-      (math.min(math.max(cx + (or * math.cos(rad)).toInt - 14, 2), w - 70),
-        math.min(math.max(cy - (or * math.sin(rad)).toInt, 12), h - 4))
-    }
     g.setColor(Color.BLACK)
-    if (matchDeg > 0) {
-      val (x, y) = at(90 + matchDeg / 2.0); drawStringSafe(g, pct(frac), x - 12, y)
-      val (lx, ly) = outside(90 + matchDeg / 2.0)
-      drawStringSafe(g, "Match", lx, ly)
-    }
-    if (matchDeg < 360) {
-      val (x, y) = at(90 + matchDeg + (360 - matchDeg) / 2.0)
-      drawStringSafe(g, pct(1 - frac), x - 12, y)
-      val (lx, ly) = outside(90 + matchDeg + (360 - matchDeg) / 2.0)
-      drawStringSafe(g, "Remaining", lx, ly)
-    }
+    donutLabels(v / 10.0, w, h, stringWidthSafe(g, _))
+      .foreach { case (text, x, y) => drawStringSafe(g, text, x, y) }
     g.dispose()
     png(img)
+  }
+
+  /** Measured advance width of `s`, with the same fontless-JVM guard as
+    * drawStringSafe; the fallback approximates the default 12pt sans
+    * advance so layout stays sane when metrics are unavailable.
+    */
+  private def stringWidthSafe(g: java.awt.Graphics2D, s: String): Int =
+    try g.getFontMetrics.stringWidth(s) catch {
+      case scala.util.control.NonFatal(_) => 7 * s.length
+      case _: NoClassDefFoundError => 7 * s.length
+      case _: InternalError => 7 * s.length
+      case _: UnsatisfiedLinkError => 7 * s.length
+    }
+
+  /** Deterministic text layout of the donut's four labels as (text,
+    * baseline-x, baseline-y): percentage labels at the wedge centroids
+    * (mid-ring radius), wedge NAME labels outside the ring at radius
+    * 1.1·R (matplotlib's labels= placement), both centered on their
+    * measured width. Every box is clamped INTO the canvas — max applied
+    * after min, so a canvas narrower than the label still pins to the
+    * left edge instead of inverting — and a name label whose clamped box
+    * would overlap its own percentage text is pushed one text row away,
+    * so thin wedges at small canvases keep both readable. Geometry only
+    * (no Graphics2D), so ChartsSpec pins the non-overlap directly.
+    */
+  private[graft] def donutLabels(frac: Double, w: Int, h: Int,
+      widthOf: String => Int): Seq[(String, Int, Int)] = {
+    val r = math.min(w, h) / 2 - 8
+    val (cx, cy) = (w / 2, h / 2)
+    val matchDeg = (frac * 360.0).round.toInt
+    val ir = (r * 0.6).toInt
+    val mid = (r + ir) / 2
+    val fontH = 12
+    def pctText(p: Double) = f"${p * 100}%.1f%%"
+    def clampX(x: Int, tw: Int) = math.max(math.min(x, w - tw - 2), 2)
+    def clampY(y: Int) = math.max(math.min(y, h - 4), fontH)
+    def place(deg: Double, radius: Double, text: String): (String, Int, Int) = {
+      val rad = math.toRadians(deg)
+      val tw = widthOf(text)
+      (text,
+        clampX(cx + (radius * math.cos(rad)).toInt - tw / 2, tw),
+        clampY(cy - (radius * math.sin(rad)).toInt))
+    }
+    def xOverlap(a: (String, Int, Int), b: (String, Int, Int)): Boolean =
+      a._2 < b._2 + widthOf(b._1) && b._2 < a._2 + widthOf(a._1)
+    // name label one text row off its pct label when the clamp collides them
+    def separate(label: (String, Int, Int), p: (String, Int, Int)) =
+      if (math.abs(label._3 - p._3) < fontH && xOverlap(label, p)) {
+        val pushed = if (p._3 - fontH >= fontH) p._3 - fontH else p._3 + fontH
+        (label._1, label._2, clampY(pushed))
+      } else label
+    val out = scala.collection.mutable.Buffer[(String, Int, Int)]()
+    if (matchDeg > 0) {
+      val deg = 90 + matchDeg / 2.0
+      val p = place(deg, mid, pctText(frac))
+      out += p += separate(place(deg, r * 1.1, "Match"), p)
+    }
+    if (matchDeg < 360) {
+      val deg = 90 + matchDeg + (360 - matchDeg) / 2.0
+      val p = place(deg, mid, pctText(1 - frac))
+      out += p += separate(place(deg, r * 1.1, "Remaining"), p)
+    }
+    out.toSeq
   }
 
   private def b64(bytes: Array[Byte]): String =

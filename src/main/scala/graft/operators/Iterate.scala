@@ -30,8 +30,9 @@ private[graft] object Iterate {
     * (`spark.cleaner.referenceTracking.cleanCheckpoints` only cleans on
     * GC of the RDD reference — timing-dependent, not a guarantee). The
     * directory is scratch space scoped to the run: the job owner deletes
-    * it after the application completes, e.g. a per-run subdirectory
-    * removed by the orchestrator.
+    * it after the application completes — or uses
+    * `withRunScopedCheckpoints`, which creates the per-run subdirectory
+    * and removes it itself once the fixpoint is materialized.
     */
   def envDir: Option[String] = sys.env.get("SPARK_GRAFT_CKPT_DIR")
 
@@ -46,5 +47,33 @@ private[graft] object Iterate {
       if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
       df.checkpoint()
     case None => df.localCheckpoint()
+  }
+
+  /** The ENFORCED form of the cleanup contract above: run an iterative
+    * computation with reliable checkpoints scoped to a fresh per-run
+    * subdirectory of `baseDir`, then delete that subdirectory once the
+    * result no longer depends on it. `body` receives `Some(runDir)` to
+    * pass as its `checkpointDir`; after it returns, the result is
+    * EAGERLY detached from the scratch files (`localCheckpoint()` — the
+    * fixpoint output, e.g. per-vertex labels, is the small end of the
+    * computation) before the directory is removed, so no later action
+    * can dangle on deleted checkpoint data. A failed run also removes
+    * its subdirectory — scratch space never outlives the run either
+    * way. For a fixpoint too large to pin executor-local, write it to a
+    * durable sink inside `body` and return the re-read frame; the
+    * detach is then a no-op read plan with no checkpoint lineage.
+    */
+  def withRunScopedCheckpoints(baseDir: String)
+      (body: Option[String] => DataFrame): DataFrame = {
+    val runDir = s"$baseDir/run-${java.util.UUID.randomUUID()}"
+    try {
+      val out = body(Some(runDir))
+      out.localCheckpoint() // eager: result detaches from runDir files
+    } finally {
+      val path = new org.apache.hadoop.fs.Path(runDir)
+      val fs = path.getFileSystem(
+        org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+      fs.delete(path, true)
+    }
   }
 }

@@ -8,8 +8,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Advanced relational/ANN coverage: as-of join, CUBE, exact percentiles,
-  * HLL sketches, MLlib LSH. The last two are rows-only (sketch/hash
-  * internals are engine-specific); the rest are oracle-checked.
+  * HLL sketches, MLlib LSH. ALL oracle-checked: the sketch/LSH queries
+  * (engine-specific internals) hash deterministic ENVELOPES — exact
+  * anchors plus boolean error-bound/recall assertions — rather than the
+  * raw sketch estimates or hash buckets.
   */
 object Advanced {
 
@@ -89,25 +91,31 @@ object Advanced {
         (col("ap50") >= col("p40") && col("ap50") <= col("p60")).as("p50_ok"))
       .orderBy(col("event_type").asc)
 
-  /** MLlib BucketedRandomProjectionLSH ANN over embeddings — rows-only
-    * (MLlib's random-projection hash model has no cross-engine twin),
-    * but SELF-ASSERTING: every output row carries recall@10 of the LSH
-    * result against the exact scan plus a `recall_ok` (≥ 0.9) flag, all
-    * computed in-flow (one broadcast of the 10-row exact top-k — no
-    * driver collect), so the driver's rows-only check still fails loudly
-    * if the LSH tier degrades. Recall is also asserted in AnnSearchSpec.
+  /** MLlib BucketedRandomProjectionLSH ANN over embeddings, as a fully
+    * ORACLED envelope query (the pattern `q_approx_distinct` set for
+    * engine-specific sketches): the hashable output rows are the EXACT
+    * squared-L2 top-10 — which DuckDB recomputes bit-for-bit — and each
+    * row carries `recall_ok`, the boolean recall@10 ≥ 0.9 of the seeded
+    * MLlib LSH result against that exact set, computed in-flow (one
+    * broadcast of the ≤10-row LSH id set — no driver collect). The
+    * oracle asserts `TRUE AS recall_ok`, so a degraded LSH tier flips
+    * the hash and fails CORRECTNESS loudly, while MLlib's internal hash
+    * model (which has no cross-engine twin) never reaches the hashed
+    * bytes. Exact recall values are additionally asserted in
+    * AnnSearchSpec. Reference semantics: exact-scan parity of
+    * `rag_model_mass.py:37`.
     */
   def lshBrpTopk(s: SparkSession, d: String): DataFrame = {
     val q = graft.functions.VectorOps.queryVector(s, d, 0L)
     val k = 10
-    val lsh = AnnSearch.brpLshNeighbors(Tables.embeddings(s, d), q, k = k)
-      .select(col("vec_id"), round(col("dist"), 4).as("dist"))
     val exact = AnnSearch.l2TopK(Tables.embeddings(s, d), q, k)
+      .select(col("vec_id"), round(col("dist_raw"), 4).as("dist"))
+    val lshIds = AnnSearch.brpLshNeighbors(Tables.embeddings(s, d), q, k = k)
       .select(col("vec_id"))
-    val recall = lsh.join(broadcast(exact), Seq("vec_id"), "left_semi")
+    val recall = exact.join(broadcast(lshIds), Seq("vec_id"), "left_semi")
       .agg((count(lit(1)) / k.toDouble).as("recall"))
-    lsh.crossJoin(broadcast(recall))
-      .withColumn("recall_ok", col("recall") >= 0.9)
+    exact.crossJoin(broadcast(recall))
+      .select(col("vec_id"), col("dist"), (col("recall") >= 0.9).as("recall_ok"))
       .orderBy(col("dist").asc, col("vec_id").asc)
   }
 
@@ -181,5 +189,14 @@ object Advanced {
         |    BETWEEN quantile_cont(value, 0.4) AND quantile_cont(value, 0.6)
         |    AS p50_ok
         |FROM events GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
+    // Envelope oracle: the exact top-10 (recomputed here) is the hashed
+    // content; recall_ok is the Spark-side LSH-vs-exact assertion, which
+    // must be uniformly TRUE for the hash to match.
+    "q_lsh_brp_topk" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, ROUND(dist_raw, 4) AS dist, TRUE AS recall_ok FROM (
+         |  SELECT e.vec_id, ${VectorQ.distExpr} AS dist_raw
+         |  FROM embeddings e CROSS JOIN q)
+         |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
   )
 }

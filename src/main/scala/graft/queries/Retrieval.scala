@@ -163,9 +163,13 @@ object Retrieval {
     * materialized once. The probe joins on (w1,w2) then (w1): both
     * equi-joins on aggregate outputs. Skew story, pinned in PlanSpec:
     * the Zipf head key rides ONLY the w1-grain join (cxy ⋈ cx — "the"
-    * concentrates every distinct second word in one partition), and that
-    * join is a shuffle equi-join under an AdaptiveSparkPlan with AQE
-    * skew-join handling on (session default, asserted) — at 100× the hot
+    * concentrates every distinct second word in one partition). At small
+    * SF Catalyst broadcasts the tiny cx aggregate (the right plan); at
+    * corpus scale, where the vocabulary exceeds any broadcast threshold,
+    * the same declarative join degrades to a shuffle equi-join
+    * hash-partitioned on w1 under an AdaptiveSparkPlan with AQE
+    * skew-join handling on (both regimes asserted in PlanSpec, the
+    * at-scale one by disabling auto-broadcast) — at 100× the hot
     * partition splits at runtime instead of stalling a task. The probe
     * join keys on (w1,w2), where Zipf mass is already spread across the
     * w2 axis.

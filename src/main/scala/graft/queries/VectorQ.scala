@@ -91,9 +91,11 @@ object VectorQ {
   )
 
   /** DuckDB squared-L2: identical left-to-right double fold via
-    * list_reduce over index range (1-based list indexing).
+    * list_reduce over index range (1-based list indexing). Shared with
+    * Advanced's LSH envelope oracle, which re-derives the same exact
+    * top-k the recall assertion is computed against.
     */
-  private val distExpr: String =
+  private[queries] val distExpr: String =
     """list_reduce(list_transform(range(1, len(e.embedding) + 1),
       |    i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qe[i] AS DOUBLE))
       |       * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qe[i] AS DOUBLE))),

@@ -18,7 +18,10 @@ import scala.util.Try
   *    the object graph is resolved name → font object (`/Font <<
   *    /F1 5 0 R >>` resource dicts) → `/ToUnicode` stream, and each
   *    `/F<n> Tf` operator switches the active code→text tables, so two
-  *    fonts with CONFLICTING tables decode correctly. Show-strings
+  *    fonts with CONFLICTING tables decode correctly. /ObjStm compressed
+  *    object streams (PDF 1.5+) are burst open, so font/resource
+  *    dictionaries that modern writers store only in compressed form
+  *    still resolve. Show-strings
   *    resolve 2-byte codes first (the Identity-H case) then 1-byte,
   *    falling back to the merged-table view (fonts without their own
   *    CMap, or no Tf seen) and then to single-byte ISO-8859-1. Resource
@@ -26,9 +29,10 @@ import scala.util.Try
   *    re-binding of the SAME name to different fonts is not
   *    distinguished. Anything unreadable falls back to printable-ASCII
   *    salvage.
-  *  - DOCX: read `word/document.xml` out of the zip container, emit
-  *    `<w:t>` runs, break on paragraph ends / tabs / breaks, decode the
-  *    five XML entities.
+  *  - DOCX: read `word/header*.xml`, `word/document.xml` and
+  *    `word/footer*.xml` out of the zip container (docx2txt's part
+  *    order), emit `<w:t>` runs, break on paragraph ends / tabs /
+  *    breaks, decode the five XML entities.
   *
   * `extract` dispatches on magic bytes (%PDF / PK), so one function
   * serves any binary document column.
@@ -67,6 +71,17 @@ object BinaryText {
     */
   def pdfText(bytes: Array[Byte]): String = {
     val streams = decodedStreams(bytes)
+    // Burst /ObjStm containers (PDF 1.5+ compressed object streams —
+    // where modern writers put ALL non-stream objects: page dicts, font
+    // dicts, resource dicts) into (objNum, body) views, so the font
+    // resolution below sees dictionaries that never appear uncompressed
+    // in the file. Stream objects themselves (content, CMaps) may not
+    // live inside an ObjStm (PDF 32000-1 §7.5.7), so decodedStreams
+    // already sees every one of those.
+    val embedded = streams.flatMap { case (pos, d) =>
+      val dict = dictBefore(bytes, pos)
+      if (dict.contains("/ObjStm")) objStmObjects(dict, d) else Nil
+    }
     val cmaps = streams.collect {
       case (pos, d) if isCMapStream(d) => (pos, parseCMap(new String(d, Ascii)))
     }
@@ -76,9 +91,41 @@ object BinaryText {
       }
     val fonts =
       if (cmaps.isEmpty) Map.empty[String, (Map[Int, String], Map[Int, String])]
-      else fontTables(new String(bytes, Ascii), cmaps)
+      else fontTables(new String(bytes, Ascii), embedded, cmaps)
     streams.map { case (_, d) => contentText(d, map1, map2, fonts) }
       .filter(_.nonEmpty).mkString("\n").trim
+  }
+
+  private val IntKeyPat = java.util.regex.Pattern.compile("/(N|First)\\s+(\\d+)\\b")
+
+  /** Parse one decompressed /ObjStm payload into its embedded objects.
+    * Layout (PDF 32000-1 §7.5.7): the first /First bytes hold N pairs of
+    * integers `objNum offset` (offset relative to /First, increasing);
+    * each object's body runs from its offset to the next object's (or
+    * the payload end). Malformed headers yield no objects rather than
+    * aborting the document.
+    */
+  private def objStmObjects(dict: String, data: Array[Byte]): Seq[(Int, String)] = {
+    var n = -1
+    var first = -1
+    val m = IntKeyPat.matcher(dict)
+    while (m.find()) {
+      if (m.group(1) == "N") n = m.group(2).toInt
+      else first = m.group(2).toInt
+    }
+    val s = new String(data, Ascii)
+    if (n <= 0 || first < 0 || first > s.length) return Nil
+    val nums = mutable.Buffer[Int]()
+    val nm = java.util.regex.Pattern.compile("\\d+").matcher(s.substring(0, first))
+    while (nm.find() && nums.length < 2 * n) nums += nm.group().toInt
+    val pairs = nums.grouped(2).collect { case mutable.Buffer(o, off) => (o, off) }.toSeq
+    pairs.zipWithIndex.map { case ((objNum, off), i) =>
+      val start = math.min(first + off, s.length)
+      val end =
+        if (i + 1 < pairs.length) math.min(first + pairs(i + 1)._2, s.length)
+        else s.length
+      (objNum, s.substring(start, math.max(end, start)))
+    }
   }
 
   private val ObjHeaderPat =
@@ -91,14 +138,17 @@ object BinaryText {
     java.util.regex.Pattern.compile("/([^\\s/<>\\[\\]()]+)\\s+(\\d+)\\s+\\d+\\s+R\\b")
 
   /** Resource-name → (1-byte, 2-byte) ToUnicode tables, by walking the
-    * uncompressed object graph: `/Font << /F1 5 0 R >>` resource entries
-    * name font objects; a font object's `/ToUnicode N 0 R` names the
-    * CMap stream object; `cmaps` carries each parsed CMap keyed by the
-    * byte offset of its `stream` keyword, matched to the nearest
-    * preceding object header. Entries without a resolvable chain are
-    * simply absent (the caller falls back to the merged tables).
+    * object graph: `/Font << /F1 5 0 R >>` resource entries name font
+    * objects; a font object's `/ToUnicode N 0 R` names the CMap stream
+    * object; `cmaps` carries each parsed CMap keyed by the byte offset
+    * of its `stream` keyword, matched to the nearest preceding object
+    * header. Both halves of the walk scan the uncompressed file text AND
+    * the `embedded` (objNum, body) views burst out of /ObjStm containers
+    * — in a modern PDF the font and resource dictionaries live ONLY in
+    * the latter. Entries without a resolvable chain are simply absent
+    * (the caller falls back to the merged tables).
     */
-  private def fontTables(whole: String,
+  private def fontTables(whole: String, embedded: Seq[(Int, String)],
       cmaps: Seq[(Int, (Map[Int, String], Map[Int, String]))])
       : Map[String, (Map[Int, String], Map[Int, String])] = {
     if (cmaps.isEmpty) return Map.empty
@@ -111,7 +161,8 @@ object BinaryText {
     val cmapByObj = cmaps.flatMap { case (pos, maps) =>
       objAt(pos).map(_ -> maps)
     }.toMap
-    // font object → its ToUnicode stream object (scan per object span)
+    // font object → its ToUnicode stream object (scan per object span,
+    // plus each ObjStm-embedded object body)
     val fontToUni = mutable.Map[Int, Int]()
     for (k <- headers.indices) {
       val (start, objNum) = headers(k)
@@ -119,16 +170,26 @@ object BinaryText {
       val tm = ToUniPat.matcher(whole).region(start, end)
       if (tm.find()) fontToUni(objNum) = tm.group(1).toInt
     }
-    // resource name → font object (file-wide, last binding wins)
+    for ((objNum, body) <- embedded) {
+      val tm = ToUniPat.matcher(body)
+      if (tm.find()) fontToUni(objNum) = tm.group(1).toInt
+    }
+    // resource name → font object (file-wide, last binding wins; ObjStm
+    // bodies scan after the raw text, so a compressed re-binding of the
+    // same name wins over a stale uncompressed one)
     val out = mutable.Map[String, (Map[Int, String], Map[Int, String])]()
-    val fm = FontResPat.matcher(whole)
-    while (fm.find()) {
-      val em = FontEntryPat.matcher(fm.group(1))
-      while (em.find()) {
-        val maps = fontToUni.get(em.group(2).toInt).flatMap(cmapByObj.get)
-        maps.foreach(out(em.group(1)) = _)
+    def scanResources(text: String): Unit = {
+      val fm = FontResPat.matcher(text)
+      while (fm.find()) {
+        val em = FontEntryPat.matcher(fm.group(1))
+        while (em.find()) {
+          val maps = fontToUni.get(em.group(2).toInt).flatMap(cmapByObj.get)
+          maps.foreach(out(em.group(1)) = _)
+        }
       }
     }
+    scanResources(whole)
+    embedded.foreach { case (_, body) => scanResources(body) }
     out.toMap
   }
 
@@ -177,18 +238,33 @@ object BinaryText {
     s.contains("begincmap") || s.contains("beginbfchar") || s.contains("beginbfrange")
   }
 
-  /** Text of a DOCX container: the w:t runs of word/document.xml. */
+  private val HeaderPartPat = java.util.regex.Pattern.compile("word/header\\d*\\.xml")
+  private val FooterPartPat = java.util.regex.Pattern.compile("word/footer\\d*\\.xml")
+
+  /** Text of a DOCX container: the w:t runs of every header part, then
+    * word/document.xml, then every footer part (docx2txt's part order,
+    * reference capability `utils.py:14-15`). Header/footer parts join in
+    * part-name order regardless of zip entry order, so output is stable
+    * across writers.
+    */
   def docxText(bytes: Array[Byte]): String = {
     val zis = new ZipInputStream(new ByteArrayInputStream(bytes))
+    val headers = mutable.SortedMap[String, String]()
+    val footers = mutable.SortedMap[String, String]()
+    var main = ""
     try {
       var entry = zis.getNextEntry
       while (entry != null) {
-        if (entry.getName == "word/document.xml")
-          return wordXmlText(new String(zis.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8))
+        val name = entry.getName
+        def xml = new String(zis.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        if (name == "word/document.xml") main = wordXmlText(xml)
+        else if (HeaderPartPat.matcher(name).matches()) headers(name) = wordXmlText(xml)
+        else if (FooterPartPat.matcher(name).matches()) footers(name) = wordXmlText(xml)
         entry = zis.getNextEntry
       }
-      ""
+      (headers.valuesIterator ++ Iterator(main) ++ footers.valuesIterator)
+        .filter(_.nonEmpty).mkString("\n").trim
     } finally zis.close()
   }
 

@@ -22,11 +22,14 @@ import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField,
   *   kept ≡ all ∖ { id_b | (id_a, id_b) ∈ minhashNearDup(all) }
   *
   * Replay-idempotent by construction: every write (corpus, signatures,
-  * bands) is keyed by batch id and overwrites its own directory, and a
-  * replayed batch's ids are superseded out of the state read by the
-  * incremental operator's anti-joins, so re-executing a batch after a
-  * crash reproduces the same kept set and overwrites the same
-  * partitions — effectively-once on top of at-least-once.
+  * bands) is keyed by batch id and overwrites its own directory, a
+  * per-batch COMMIT MARKER (written after all three directories land)
+  * gates what restarts may read — a torn state write from a crash
+  * mid-batch is never read as truth, only overwritten by the replay —
+  * and a replayed committed batch's ids are superseded out of the state
+  * read by the incremental operator's anti-joins, so re-executing a
+  * batch after a crash reproduces the same kept set and overwrites the
+  * same partitions — effectively-once on top of at-least-once.
   *
   * Scale shape: per-batch cost tracks the BATCH (one signature pass +
   * band equi-joins against the persisted band table, shuffling on band
@@ -42,20 +45,48 @@ object DedupStream {
   private val bandsSchema = StructType(Seq(
     StructField("id", LongType), StructField("bkey", StringType)))
 
-  /** Read a batch-id-partitioned state table, or an empty relation
-    * before the first batch commits. ONLY the missing-directory case
-    * (probed explicitly) degrades to empty — any failure reading state
-    * that exists (corrupt footer, transient FS error, permissions) must
-    * abort the batch, because an empty state silently disables dedup and
-    * admits every duplicate in the batch.
-    */
-  private def readStateOr(s: SparkSession, dir: String,
-      schema: StructType): DataFrame = {
+  private def hadoopFs(s: SparkSession, dir: String) = {
     val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(path))
-      s.read.parquet(dir).select(schema.fieldNames.map(col).toSeq: _*)
-    else s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+    (path.getFileSystem(s.sparkContext.hadoopConfiguration), path)
+  }
+
+  /** Batch ids whose state writes fully committed: one empty marker file
+    * per batch under `stateDir/_committed`, written AFTER the batch's
+    * corpus + sets + bands directories are all durably written. A
+    * crashed half-written batch has no marker and is invisible to state
+    * reads — its directories are garbage until the replay overwrites
+    * them.
+    */
+  private def committedIds(s: SparkSession, stateDir: String): Seq[Long] = {
+    val (fs, dir) = hadoopFs(s, s"$stateDir/_committed")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+      .sorted
+  }
+
+  private def commitMarker(s: SparkSession, stateDir: String, batchId: Long): Unit = {
+    val (fs, dir) = hadoopFs(s, s"$stateDir/_committed")
+    fs.mkdirs(dir)
+    fs.create(new org.apache.hadoop.fs.Path(dir, batchId.toString), true).close()
+  }
+
+  /** Read a state table restricted to COMMITTED batch partitions — the
+    * only truth a restart may trust. No markers yet (first batch, or a
+    * crash before the first commit) reads as the empty relation. The
+    * explicit schema means an empty-but-existing committed dir reads as
+    * zero rows instead of failing schema inference, while a corrupt
+    * footer in a COMMITTED partition still aborts at scan time — a
+    * damaged committed state must never silently disable dedup and admit
+    * every duplicate in the batch.
+    */
+  private def readCommittedState(s: SparkSession, stateDir: String,
+      table: String, schema: StructType): DataFrame = {
+    val dirs = committedIds(s, stateDir)
+      .map(id => s"$stateDir/$table/batch_id=$id")
+    if (dirs.isEmpty) s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+    else s.read.schema(schema).parquet(dirs: _*)
+      .select(schema.fieldNames.map(col).toSeq: _*)
   }
 
   /** One micro-batch: gate `batch` against the persisted state under
@@ -70,8 +101,8 @@ object DedupStream {
         batch.select(col("doc_id"), col("text")), "doc_id",
         array_distinct(TA.tokens(col("text"))))
       .localCheckpoint() // feeds the band table and both verify sides
-    val existingSets = readStateOr(s, s"$stateDir/sets", setsSchema)
-    val existingBands = readStateOr(s, s"$stateDir/bands", bandsSchema)
+    val existingSets = readCommittedState(s, stateDir, "sets", setsSchema)
+    val existingBands = readCommittedState(s, stateDir, "bands", bandsSchema)
     val pairs = Dedup.minhashNearDupIncremental(newSets, existingSets,
       bands, rowsPerBand, threshold, existingBanded = Some(existingBands))
     // monotone ids: id_b is always the later arrival, so dropping every
@@ -84,6 +115,9 @@ object DedupStream {
     keptSets.write.mode("overwrite").parquet(s"$stateDir/sets/batch_id=$batchId")
     Dedup.bandTable(keptSets, bands, rowsPerBand)
       .write.mode("overwrite").parquet(s"$stateDir/bands/batch_id=$batchId")
+    // marker LAST: a crash anywhere above leaves batchId uncommitted and
+    // its partial directories unread on restart
+    commitMarker(s, stateDir, batchId)
   }
 
   /** Start the ingestion stream over a streaming (doc_id, text, ...)

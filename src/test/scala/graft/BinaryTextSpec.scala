@@ -191,12 +191,90 @@ class BinaryTextSpec extends AnyFunSuite {
     assert(BinaryText.extract(twoFontPdf(cmapA, cmapB, content)) == "QR")
   }
 
+  /** A modern-writer-shaped PDF: the page dict (with its /Font resource
+    * binding) and the font dict live ONLY inside a Flate-compressed
+    * /ObjStm container; the ToUnicode CMap and the content stream are
+    * regular stream objects (streams may not nest in an ObjStm).
+    */
+  private def objStmPdf(cmap: String, content: String): Array[Byte] = {
+    val obj10 = "<< /Type /Page /Resources << /Font << /F1 11 0 R >> >> /Contents 6 0 R >>"
+    val obj11 = "<< /Type /Font /Subtype /Type0 /ToUnicode 4 0 R >>"
+    val header = s"10 0 11 ${obj10.length + 1}\n"
+    val payload = (header + obj10 + " " + obj11).getBytes(ISO_8859_1)
+    val compressed = deflate(payload)
+    val bos = new ByteArrayOutputStream()
+    bos.write("%PDF-1.5\n".getBytes(ISO_8859_1))
+    bos.write((s"2 0 obj << /Type /ObjStm /N 2 /First ${header.length} " +
+      s"/Length ${compressed.length} /Filter /FlateDecode >>\nstream\n").getBytes(ISO_8859_1))
+    bos.write(compressed)
+    bos.write("\nendstream\nendobj\n".getBytes(ISO_8859_1))
+    for ((num, s) <- Seq((4, cmap), (6, content))) {
+      val b = s.getBytes(ISO_8859_1)
+      bos.write(s"$num 0 obj << /Length ${b.length} >>\nstream\n".getBytes(ISO_8859_1))
+      bos.write(b)
+      bos.write("\nendstream\nendobj\n".getBytes(ISO_8859_1))
+    }
+    bos.write("%%EOF\n".getBytes(ISO_8859_1))
+    bos.toByteArray
+  }
+
+  test("PDF: font graph inside a compressed /ObjStm resolves; non-ASCII CMap text extracts") {
+    // the /Font resource dict and the font object exist ONLY inside the
+    // object stream — a parser reading just uncompressed headers cannot
+    // connect /F1 to the CMap and would emit raw glyph codes
+    val cmap =
+      """begincmap
+        |2 beginbfchar
+        |<0001> <00E9>
+        |<0002> <4F60>
+        |endbfchar
+        |endcmap""".stripMargin
+    val content = "BT /F1 12 Tf <00010002> Tj ET"
+    assert(BinaryText.extract(objStmPdf(cmap, content)) == "é你")
+  }
+
+  test("PDF: malformed ObjStm header degrades to no embedded objects, not an abort") {
+    // /First beyond the payload: burst yields nothing, the content
+    // stream still extracts through the merged-table fallback
+    val payload = deflate("10 0\n<< /X >>".getBytes(ISO_8859_1))
+    val bos = new ByteArrayOutputStream()
+    bos.write("%PDF-1.5\n".getBytes(ISO_8859_1))
+    bos.write((s"2 0 obj << /Type /ObjStm /N 1 /First 9999 " +
+      s"/Length ${payload.length} /Filter /FlateDecode >>\nstream\n").getBytes(ISO_8859_1))
+    bos.write(payload)
+    bos.write("\nendstream\nendobj\n".getBytes(ISO_8859_1))
+    val content = "BT (still works) Tj ET".getBytes(ISO_8859_1)
+    bos.write(s"6 0 obj << /Length ${content.length} >>\nstream\n".getBytes(ISO_8859_1))
+    bos.write(content)
+    bos.write("\nendstream\nendobj\n%%EOF\n".getBytes(ISO_8859_1))
+    assert(BinaryText.extract(bos.toByteArray) == "still works")
+  }
+
   test("DOCX: w:t runs, paragraph breaks, entity decode") {
     val xml = "<w:document><w:body>" +
       "<w:p><w:r><w:t>First para</w:t></w:r></w:p>" +
       "<w:p><w:r><w:t>Second &amp; more</w:t></w:r><w:r><w:t xml:space=\"preserve\"> tail</w:t></w:r></w:p>" +
       "</w:body></w:document>"
     assert(BinaryText.extract(docxAround(xml)) == "First para\nSecond & more tail")
+  }
+
+  test("DOCX: header and footer parts extract, in part order, regardless of zip order") {
+    val bos = new ByteArrayOutputStream()
+    val zos = new ZipOutputStream(bos)
+    def part(name: String, text: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(s"<w:hdr><w:p><w:r><w:t>$text</w:t></w:r></w:p></w:hdr>".getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    // footer FIRST in the zip; output order must still be header,
+    // document, footer (docx2txt part order)
+    part("word/footer1.xml", "Page footer")
+    part("word/document.xml", "Body text")
+    part("word/header1.xml", "Company header")
+    part("word/header2.xml", "Second header")
+    zos.close()
+    assert(BinaryText.extract(bos.toByteArray) ==
+      "Company header\nSecond header\nBody text\nPage footer")
   }
 
   test("non-PDF/zip bytes fall back to printable-ASCII salvage") {

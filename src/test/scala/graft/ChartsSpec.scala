@@ -62,6 +62,33 @@ class ChartsSpec extends AnyFunSuite {
     assert(countColor(empty, green) == 0 && countColor(empty, gray) > 0)
   }
 
+  test("donut labels: every box stays in-canvas; name labels never overlap their pct text") {
+    val widthOf = (s: String) => 7 * s.length
+    val fontH = 12
+    for {
+      score <- Seq(0.1, 0.3, 0.5, 1.0, 2.5, 5.0, 7.5, 9.5, 9.9, 0.0, 10.0)
+      (w, h) <- Seq((400, 160), (300, 300), (1000, 220), (60, 60))
+    } {
+      val boxes = Charts.donutLabels(score / 10.0, w, h, widthOf)
+      boxes.foreach { case (t, x, y) =>
+        assert(x >= 2 && y >= fontH && y <= h - 4,
+          s"'$t' out of canvas at ($x,$y) for score=$score ${w}x$h")
+        if (w >= widthOf(t) + 4)
+          assert(x + widthOf(t) <= w - 2,
+            s"'$t' overflows right edge at ($x,$y) for score=$score ${w}x$h")
+      }
+      // boxes come in (pct, name) pairs per wedge; the name label must
+      // not overlap its pct text even when both clamp to the canvas edge
+      boxes.grouped(2).foreach {
+        case Seq((pt, px, py), (nt, nx, ny)) =>
+          val xOverlap = nx < px + widthOf(pt) && px < nx + widthOf(nt)
+          assert(!(xOverlap && math.abs(ny - py) < fontH),
+            s"'$nt'@($nx,$ny) overlaps '$pt'@($px,$py) for score=$score ${w}x$h")
+        case _ =>
+      }
+    }
+  }
+
   test("renders are deterministic within a JVM") {
     assert(Charts.barChartPng(Seq("x" -> 7.0)).toSeq == Charts.barChartPng(Seq("x" -> 7.0)).toSeq)
     assert(Charts.donutChartPng(7.3).toSeq == Charts.donutChartPng(7.3).toSeq)

@@ -82,4 +82,50 @@ class DedupStreamSpec extends AnyFunSuite {
     assert(setIds.length == setIds.distinct.length)
     assert(setIds.toSet == expectKept)
   }
+
+  test("torn state write (crash mid-batch, no commit marker) is ignored on replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_dds3_state").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_dds3_out").toString
+    def run(batchId: Long, rows: Seq[(Long, String)]): Unit =
+      DedupStream.processBatch(rows.toDF("doc_id", "text"), batchId,
+        stateDir, outDir, bands = 8, rowsPerBand = 2, threshold = 0.9)
+    run(0L, waves(0))
+    // simulate a crash DURING batch 1's state write: the sets directory
+    // exists but holds only an uncommitted _temporary subdir and a torn
+    // (non-parquet) part file; no commit marker was written
+    val torn = java.nio.file.Paths.get(stateDir, "sets", "batch_id=1")
+    java.nio.file.Files.createDirectories(torn.resolve("_temporary"))
+    java.nio.file.Files.write(torn.resolve("part-00000-torn.snappy.parquet"),
+      Array[Byte](1, 2, 3, 4))
+    // the replay must neither read the torn bytes as state nor wedge on
+    // schema inference — it recomputes batch 1 and overwrites the debris
+    run(1L, waves(1))
+    val kept = spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept.length == kept.distinct.length)
+    assert(kept.toSet == expectKept)
+    val setIds = spark.read.parquet(s"$stateDir/sets").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(setIds == expectKept)
+  }
+
+  test("corrupt COMMITTED state aborts the batch instead of admitting duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_dds4_state").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_dds4_out").toString
+    def run(batchId: Long, rows: Seq[(Long, String)]): Unit =
+      DedupStream.processBatch(rows.toDF("doc_id", "text"), batchId,
+        stateDir, outDir, bands = 8, rowsPerBand = 2, threshold = 0.9)
+    run(0L, waves(0))
+    // clobber batch 0's COMMITTED sets partition with non-parquet bytes:
+    // this is damaged truth, not an uncommitted leftover — reading it as
+    // empty would silently disable dedup, so the batch must fail
+    val dir = java.nio.file.Paths.get(stateDir, "sets", "batch_id=0")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .foreach(p => java.nio.file.Files.write(p, Array[Byte](9, 9, 9, 9)))
+    assertThrows[Exception] { run(1L, waves(1)) }
+  }
 }

@@ -53,6 +53,40 @@ class IterateSpec extends AnyFunSuite {
     assert(checkpointFilesUnder(dir) > 0)
   }
 
+  test("run-scoped checkpoints: pagerank result survives, scratch dir is gone") {
+    val v = (1L to 5L).toDF("node")
+    val e = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 1L, 1L), (4L, 3L, 5L))
+      .toDF("src", "dst", "w")
+    val expect = PageRank.run(v, e, iterations = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = tmpDir("scoped")
+    val result = graft.operators.Iterate.withRunScopedCheckpoints(base) { ck =>
+      PageRank.run(v, e, iterations = 8, checkpointDir = ck)
+    }
+    // the per-run subdirectory (and with it every checkpoint file) is
+    // deleted before the frame is handed back...
+    assert(checkpointFilesUnder(base) == 0, "scratch checkpoint files survived the run")
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(base))
+    try assert(!s.iterator().hasNext, "per-run subdirectory survived the run")
+    finally s.close()
+    // ...and the result is still fully actionable afterwards
+    assert(result.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expect)
+  }
+
+  test("run-scoped checkpoints: a failed body still removes its scratch dir") {
+    val base = tmpDir("scoped_fail")
+    assertThrows[IllegalArgumentException] {
+      graft.operators.Iterate.withRunScopedCheckpoints(base) { ck =>
+        PageRank.run(spark.emptyDataFrame.selectExpr("1L as node").where("false"),
+          Seq((1L, 2L, 1L)).toDF("src", "dst", "w"), iterations = 8,
+          checkpointDir = ck) // empty vertex set -> require() fails
+      }
+    }
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(base))
+    try assert(!s.iterator().hasNext, "failed run left scratch behind")
+    finally s.close()
+  }
+
   test("batch MMR on the reliable path picks the same sequence") {
     val cand = Seq((0L, 1L, 0.9), (0L, 2L, 0.85), (0L, 3L, 0.8), (0L, 4L, 0.5))
       .toDF("qid", "id", "rel")

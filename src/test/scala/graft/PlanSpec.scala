@@ -168,6 +168,25 @@ class PlanSpec extends AnyFunSuite {
       "bigram LM must execute under an adaptive plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       "every join must stay an equi-join for skew splitting to apply")
+    // At sf0.001 Catalyst rightly BROADCASTS the tiny cx aggregate — the
+    // skew story only engages at corpus scale, where the unigram table
+    // exceeds any broadcast threshold. Pin THAT shape by disabling
+    // auto-broadcast (the stats regime of the 100 TB case): the w1-grain
+    // join must degrade to a skew-splittable SHUFFLE equi-join
+    // partitioned on w1 alone — never a nested loop, and no broadcast
+    // hint hard-wired into the query that would pin the small-scale plan
+    // at any size.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val big = formatted(graft.queries.Retrieval.queries("q_bigram_lm")(spark, TestSpark.sf0001))
+      assert("SortMergeJoin|ShuffledHashJoin".r.findFirstIn(big).isDefined,
+        "w1-grain join must be a shuffle join when broadcast is unavailable")
+      assert("hashpartitioning\\(w1#\\d+, \\d+\\)".r.findFirstIn(big).isDefined,
+        "an exchange must hash-partition on w1 ALONE (the cxy ⋈ cx grain)")
+      assert(!big.contains("CartesianProduct") && !big.contains("BroadcastNestedLoop"),
+        "no-broadcast regime must not fall back to a nested loop")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("repeated spans: gram-hash equi-join, no cartesian, island window above it") {

@@ -10,12 +10,14 @@ import org.scalatest.funsuite.AnyFunSuite
 class QueriesSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  /** Queries whose core operator is not SQL-expressible (driver records a
-    * rows-only check); their semantics are pinned by unit specs instead.
-    * q_lsh_brp_topk additionally self-asserts recall@10 >= 0.9 in-flow;
-    * q_approx_distinct graduated to an error-bound oracle in round 6.
+  /** Round 8: the set is EMPTY — every declared query now has oracle SQL.
+    * q_approx_distinct graduated to an error-bound oracle in round 6;
+    * q_lsh_brp_topk graduated to the same envelope pattern in round 8
+    * (exact top-k rows + in-flow recall_ok boolean). Kept as a named set
+    * so a future genuinely non-SQL-expressible query has a documented
+    * escape hatch.
     */
-  val rowsOnly: Set[String] = Set("q_lsh_brp_topk")
+  val rowsOnly: Set[String] = Set.empty
 
   test("every declared query has oracle SQL (or is explicitly rows-only)") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly

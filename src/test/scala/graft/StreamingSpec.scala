@@ -339,6 +339,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curateDocs: kill/restart between waves keeps fingerprint state (restart-equivalence)") {
+    // DedupStream's wave-restart shape applied to DocStreams: one source
+    // whose offsets continue across restarts, a FRESH query per wave on
+    // the same checkpoint, and the cumulative output must equal the
+    // batch twin over all rows seen — i.e. the dropDuplicatesWithin-
+    // Watermark state store survives the restart.
+    import graft.streaming.{DocStreams, Sinks}
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft_dcs_out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_dcs_ck").toString
+    val en = "the quick brown fox jumps over the lazy dog and the cat " * 10
+    val en2 = "a completely different english document about rivers and streams " * 10
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    def runWave(rows: Seq[(Timestamp, Long, String)]): Unit = {
+      val q = Sinks.idempotentParquet(
+        DocStreams.curateDocs(mem.toDF().toDF("ts", "doc_id", "text")), outDir, ckDir)
+      try { mem.addData(rows: _*); q.processAllAvailable() } finally q.stop()
+    }
+    val wave1 = Seq((ts("2024-01-01 00:00:00"), 1L, en),
+      (ts("2024-01-01 00:10:00"), 2L, en2))
+    // wave 2 AFTER the kill: doc 3 duplicates doc 1 from before the
+    // restart (within watermark) and must be dropped by recovered state
+    val wave2 = Seq((ts("2024-01-01 00:20:00"), 3L, en),
+      (ts("2024-01-01 00:30:00"), 4L, en2 + "extra tail tokens here"))
+    runWave(wave1)
+    runWave(wave2)
+    val got = spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.length == got.distinct.length, "restart re-emitted rows")
+    val batch = DocStreams.curateDocsBatch((wave1 ++ wave2).toDF("ts", "doc_id", "text"))
+      .collect().map(_.getLong(1)).toSet
+    assert(got.toSet == batch)
+    assert(got.toSet == Set(1L, 2L, 4L))
+  }
+
   test("file-source curate + idempotent sink: kill, forced replay, restart is exactly-once") {
     import graft.streaming.{DocStreams, Sinks}
     import java.nio.file.{Files, Paths}
