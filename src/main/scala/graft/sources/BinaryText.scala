@@ -70,6 +70,13 @@ object BinaryText {
     * and dropped.
     */
   def pdfText(bytes: Array[Byte]): String = {
+    // Encrypted PDFs (trailer carries /Encrypt): every stream's bytes
+    // are RC4/AES-encrypted, so "decoding" them yields garbage that the
+    // operator interpreter would emit as text. Key derivation is out of
+    // scope (like real codecs in Multimodal) — the correct degrade is
+    // an empty parse, which routes `extract` to printable-ASCII salvage
+    // instead of returning ciphertext noise.
+    if (isEncrypted(bytes)) return ""
     val streams = decodedStreams(bytes)
     // Burst /ObjStm containers (PDF 1.5+ compressed object streams —
     // where modern writers put ALL non-stream objects: page dicts, font
@@ -94,6 +101,16 @@ object BinaryText {
       else fontTables(new String(bytes, Ascii), embedded, cmaps)
     streams.map { case (_, d) => contentText(d, map1, map2, fonts) }
       .filter(_.nonEmpty).mkString("\n").trim
+  }
+
+  /** /Encrypt lives in the trailer dictionary, which the spec puts at
+    * the file end (conventional or xref-stream form) — scanning the tail
+    * window avoids false positives from the token appearing inside
+    * compressed stream bytes earlier in the file.
+    */
+  private def isEncrypted(bytes: Array[Byte]): Boolean = {
+    val n = math.min(bytes.length, 2048)
+    new String(bytes, bytes.length - n, n, Ascii).contains("/Encrypt")
   }
 
   private val IntKeyPat = java.util.regex.Pattern.compile("/(N|First)\\s+(\\d+)\\b")

@@ -250,6 +250,24 @@ class BinaryTextSpec extends AnyFunSuite {
     assert(BinaryText.extract(bos.toByteArray) == "still works")
   }
 
+  test("PDF: /Encrypt trailer routes to salvage instead of emitting ciphertext noise") {
+    // an encrypted PDF's stream bytes are ciphertext; a parser that
+    // interprets them as content operators emits garbage "text"
+    val bos = new ByteArrayOutputStream()
+    bos.write("%PDF-1.7\n".getBytes(ISO_8859_1))
+    val cipher = Array.tabulate[Byte](64)(i => ((i * 73 + 31) % 251).toByte)
+    bos.write(s"5 0 obj << /Length ${cipher.length} >>\nstream\n".getBytes(ISO_8859_1))
+    bos.write(cipher)
+    bos.write(("\nendstream\nendobj\n" +
+      "trailer << /Size 8 /Root 1 0 R /Encrypt 7 0 R /ID [<aa><bb>] >>\n" +
+      "Readable salvage marker here\n%%EOF\n").getBytes(ISO_8859_1))
+    val out = BinaryText.extract(bos.toByteArray)
+    assert(out.contains("Readable salvage marker here"), s"salvage path not taken: $out")
+    // salvage keeps printable runs (PDF syntax included) but never the
+    // non-printable ciphertext bytes a naive parse would surface
+    assert(!out.exists(c => c != '\n' && c != '\t' && (c < ' ' || c > '~')))
+  }
+
   test("DOCX: w:t runs, paragraph breaks, entity decode") {
     val xml = "<w:document><w:body>" +
       "<w:p><w:r><w:t>First para</w:t></w:r></w:p>" +
