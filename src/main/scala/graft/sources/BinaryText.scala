@@ -27,8 +27,10 @@ import scala.util.Try
   *    CMap, or no Tf seen) and then to single-byte ISO-8859-1. Resource
   *    names are resolved file-wide (last binding wins): per-page
   *    re-binding of the SAME name to different fonts is not
-  *    distinguished. Anything unreadable falls back to printable-ASCII
-  *    salvage.
+  *    distinguished. Encrypted files unlock via the standard security
+  *    handler with the empty user password (PdfCrypto: RC4-40/128,
+  *    AES-128, AES-256 — the owner-password-restricted case);
+  *    anything unreadable falls back to printable-ASCII salvage.
   *  - DOCX: read `word/header*.xml`, `word/document.xml` and
   *    `word/footer*.xml` out of the zip container (docx2txt's part
   *    order), emit `<w:t>` runs, break on paragraph ends / tabs /
@@ -70,14 +72,16 @@ object BinaryText {
     * and dropped.
     */
   def pdfText(bytes: Array[Byte]): String = {
-    // Encrypted PDFs (trailer carries /Encrypt): every stream's bytes
-    // are RC4/AES-encrypted, so "decoding" them yields garbage that the
-    // operator interpreter would emit as text. Key derivation is out of
-    // scope (like real codecs in Multimodal) — the correct degrade is
-    // an empty parse, which routes `extract` to printable-ASCII salvage
-    // instead of returning ciphertext noise.
-    if (isEncrypted(bytes)) return ""
-    val streams = decodedStreams(bytes)
+    // Encrypted PDFs (trailer carries /Encrypt): PdfCrypto unlocks the
+    // standard security handler with the empty user password (RC4 and
+    // AES, the owner-password-restricted case real readers open
+    // transparently) and every stream decrypts before its filters
+    // apply. A file that cannot be unlocked — non-empty user password,
+    // unsupported handler — yields an empty parse, which routes
+    // `extract` to printable-ASCII salvage instead of ciphertext noise.
+    val crypto = if (isEncrypted(bytes)) PdfCrypto.context(bytes) else None
+    if (isEncrypted(bytes) && crypto.isEmpty) return ""
+    val streams = decodedStreams(bytes, crypto)
     // Burst /ObjStm containers (PDF 1.5+ compressed object streams —
     // where modern writers put ALL non-stream objects: page dicts, font
     // dicts, resource dicts) into (objNum, body) views, so the font
@@ -210,10 +214,39 @@ object BinaryText {
     out.toMap
   }
 
+  private val ObjHeaderGenPat =
+    java.util.regex.Pattern.compile("(\\d+)\\s+(\\d+)\\s+obj\\b")
+
   /** All stream segments with the byte offset of their `stream` keyword,
-    * inflated where /FlateDecode.
+    * decrypted when an unlock context is present (per-object key from
+    * the nearest preceding `N G obj` header; cross-reference streams
+    * and — under /EncryptMetadata false — metadata streams are exempt
+    * per spec), then inflated where /FlateDecode.
     */
-  private def decodedStreams(bytes: Array[Byte]): Seq[(Int, Array[Byte])] = {
+  private def decodedStreams(bytes: Array[Byte],
+      crypto: Option[PdfCrypto.Ctx] = None): Seq[(Int, Array[Byte])] = {
+    // (offset, objNum, genNum) of every object header, only when needed
+    val headers: IndexedSeq[(Int, Int, Int)] = crypto match {
+      case Some(_) =>
+        val m = ObjHeaderGenPat.matcher(new String(bytes, Ascii))
+        val buf = mutable.Buffer[(Int, Int, Int)]()
+        while (m.find()) buf += ((m.start(), m.group(1).toInt, m.group(2).toInt))
+        buf.toIndexedSeq
+      case None => IndexedSeq.empty
+    }
+    def objGenAt(pos: Int): (Int, Int) = {
+      var res = (0, 0)
+      headers.foreach { case (off, o, g) => if (off < pos) res = (o, g) }
+      res
+    }
+    def decrypted(streamAt: Int, dict: String, raw: Array[Byte]): Array[Byte] =
+      crypto match {
+        case Some(ctx) if !dict.contains("/XRef") &&
+            (ctx.encryptMetadata || !dict.contains("/Metadata")) =>
+          val (o, g) = objGenAt(streamAt)
+          Try(ctx.decryptStream(o, g, raw)).getOrElse(Array.empty[Byte])
+        case _ => raw
+      }
     val parts = mutable.Buffer[(Int, Array[Byte])]()
     var pos = 0
     var done = false
@@ -238,10 +271,12 @@ object BinaryText {
             if (de > ds && bytes(de - 1) == '\n') de -= 1
             if (de > ds && bytes(de - 1) == '\r') de -= 1
             val raw = java.util.Arrays.copyOfRange(bytes, ds, de)
+            val dict = dictBefore(bytes, s)
+            val plain = decrypted(s, dict, raw)
             parts += ((s,
-              if (dictBefore(bytes, s).contains("/FlateDecode"))
-                Try(inflate(raw)).getOrElse(Array.empty[Byte])
-              else raw))
+              if (dict.contains("/FlateDecode"))
+                Try(inflate(plain)).getOrElse(Array.empty[Byte])
+              else plain))
             pos = e + EndstreamKw.length
           }
         }
