@@ -275,7 +275,7 @@ object BinaryText {
             val plain = decrypted(s, dict, raw)
             parts += ((s,
               if (dict.contains("/FlateDecode"))
-                Try(inflate(plain)).getOrElse(Array.empty[Byte])
+                Try(unpredict(dict, inflate(plain))).getOrElse(Array.empty[Byte])
               else plain))
             pos = e + EndstreamKw.length
           }
@@ -283,6 +283,73 @@ object BinaryText {
       }
     }
     parts.toSeq
+  }
+
+  private val PredictorPat = java.util.regex.Pattern.compile("/Predictor\\s+(\\d+)")
+  private val ColumnsPat = java.util.regex.Pattern.compile("/Columns\\s+(\\d+)")
+  private val ColorsPat = java.util.regex.Pattern.compile("/Colors\\s+(\\d+)")
+  private val BpcPat = java.util.regex.Pattern.compile("/BitsPerComponent\\s+(\\d+)")
+
+  /** Undo a /DecodeParms predictor after inflation (PDF 32000-1
+    * §7.4.4.4): PNG row filters (/Predictor >= 10 — None/Sub/Up/
+    * Average/Paeth, one filter-type byte per /Columns-wide row) and
+    * TIFF horizontal differencing (/Predictor 2, 8-bit). Object and
+    * cross-reference streams from real writers are routinely
+    * predictor-coded — without this the inflated bytes are garbled and
+    * a predictor-coded /ObjStm cannot burst. /Predictor 1 or absent
+    * passes through untouched.
+    */
+  private def unpredict(dict: String, data: Array[Byte]): Array[Byte] = {
+    def intOf(p: java.util.regex.Pattern, default: Int): Int = {
+      val m = p.matcher(dict); if (m.find()) m.group(1).toInt else default
+    }
+    val pred = intOf(PredictorPat, 1)
+    if (pred <= 1 || data.isEmpty) return data
+    val colors = intOf(ColorsPat, 1)
+    val bpc = intOf(BpcPat, 8)
+    val bpp = math.max(1, colors * bpc / 8)
+    val rowLen = math.max(1, intOf(ColumnsPat, 1) * colors * bpc / 8)
+    if (pred < 10) { // TIFF horizontal differencing; only 8-bit handled
+      if (pred != 2 || bpc != 8) return data
+      val out = data.clone()
+      var r = 0
+      while (r + rowLen <= out.length) {
+        var i = r + bpp
+        while (i < r + rowLen) { out(i) = (out(i) + out(i - bpp)).toByte; i += 1 }
+        r += rowLen
+      }
+      return out
+    }
+    val stride = rowLen + 1 // leading filter-type byte per row
+    val nRows = data.length / stride
+    val out = new Array[Byte](nRows * rowLen)
+    var row = 0
+    while (row < nRows) {
+      val ft = data(row * stride) & 0xff
+      val src = row * stride + 1
+      val dst = row * rowLen
+      var i = 0
+      while (i < rowLen) {
+        val raw = data(src + i) & 0xff
+        val left = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+        val up = if (row > 0) out(dst - rowLen + i) & 0xff else 0
+        val ul = if (row > 0 && i >= bpp) out(dst - rowLen + i - bpp) & 0xff else 0
+        val v = ft match {
+          case 1 => raw + left
+          case 2 => raw + up
+          case 3 => raw + (left + up) / 2
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            raw + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          case _ => raw // 0 = None; unknown types pass the row through
+        }
+        out(dst + i) = v.toByte
+        i += 1
+      }
+      row += 1
+    }
+    out
   }
 
   private def isCMapStream(data: Array[Byte]): Boolean = {

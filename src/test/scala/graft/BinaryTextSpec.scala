@@ -250,6 +250,60 @@ class BinaryTextSpec extends AnyFunSuite {
     assert(BinaryText.extract(bos.toByteArray) == "still works")
   }
 
+  /** PNG Up-filter (type 2) encoder — the predictor-12 shape real
+    * writers emit; pads to a row multiple with spaces (harmless PDF
+    * whitespace).
+    */
+  private def pngUpEncode(data: Array[Byte], columns: Int): Array[Byte] = {
+    val pad = (columns - data.length % columns) % columns
+    val padded = data ++ Array.fill(pad)(' '.toByte)
+    val out = new ByteArrayOutputStream()
+    var prev = new Array[Byte](columns)
+    for (r <- 0 until padded.length / columns) {
+      out.write(2)
+      val row = java.util.Arrays.copyOfRange(padded, r * columns, (r + 1) * columns)
+      for (i <- 0 until columns) out.write((row(i) - prev(i)) & 0xff)
+      prev = row
+    }
+    out.toByteArray
+  }
+
+  test("PDF: FlateDecode with /Predictor 12 PNG Up rows un-filters before parsing") {
+    val content = "BT (Predictor coded text) Tj ET".getBytes(ISO_8859_1)
+    val enc = deflate(pngUpEncode(content, columns = 7))
+    val pdf = pdfAround(enc, dictExtra =
+      " /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 7 >>")
+    assert(BinaryText.extract(pdf) == "Predictor coded text")
+  }
+
+  test("PDF: predictor-coded /ObjStm still bursts and resolves the font graph") {
+    // same modern-writer shape as the ObjStm test, but the container is
+    // PNG-predictor-coded the way compressed object/xref streams are in
+    // the wild: without un-filtering, the burst sees garbled bytes
+    val obj10 = "<< /Type /Page /Resources << /Font << /F1 11 0 R >> >> /Contents 6 0 R >>"
+    val obj11 = "<< /Type /Font /Subtype /Type0 /ToUnicode 4 0 R >>"
+    val header = s"10 0 11 ${obj10.length + 1}\n"
+    val payload = (header + obj10 + " " + obj11).getBytes(ISO_8859_1)
+    val compressed = deflate(pngUpEncode(payload, columns = 5))
+    val cmap = "begincmap 1 beginbfchar <0001> <00E9> endbfchar endcmap"
+    val content = "BT /F1 12 Tf <0001> Tj ET"
+    val bos = new ByteArrayOutputStream()
+    bos.write("%PDF-1.5\n".getBytes(ISO_8859_1))
+    bos.write((s"2 0 obj << /Type /ObjStm /N 2 /First ${header.length} " +
+      s"/Length ${compressed.length} /Filter /FlateDecode " +
+      "/DecodeParms << /Predictor 12 /Columns 5 >> >>\nstream\n").getBytes(ISO_8859_1))
+    bos.write(compressed)
+    bos.write("\nendstream\nendobj\n".getBytes(ISO_8859_1))
+    for ((num, s) <- Seq((4, cmap), (6, content))) {
+      val b = s.getBytes(ISO_8859_1)
+      bos.write(s"$num 0 obj << /Length ${b.length} >>\nstream\n".getBytes(ISO_8859_1))
+      bos.write(b)
+      bos.write("\nendstream\nendobj\n".getBytes(ISO_8859_1))
+    }
+    bos.write("%%EOF\n".getBytes(ISO_8859_1))
+    assert(BinaryText.extract(bos.toByteArray) == "é")
+  }
+
   test("PDF: /Encrypt trailer routes to salvage instead of emitting ciphertext noise") {
     // an encrypted PDF's stream bytes are ciphertext; a parser that
     // interprets them as content operators emits garbage "text"

@@ -177,19 +177,35 @@ class PdfCryptoSpec extends AnyFunSuite {
       s"/O ${hex(o)} /U ${hex(u)} /P $P >>")
   }
 
-  private def aes256Pdf(userPass: String = ""): Array[Byte] = {
+  private def rc4CryptFilterPdf(): Array[Byte] = {
+    val n = 16
+    val o = computeO("owner-secret", "", 4, n)
+    val key = fileKey("", o, P, Id0, 4, n)
+    val u = computeU(key, Id0, 4)
+    // /CFM /V2 = RC4 behind the V4 crypt-filter indirection: same object
+    // key as V2/R3 but WITHOUT the AES sAlT suffix
+    val enc = rc4(objKeyMd5(key, 4, aes = false), deflate(s"BT ($Text) Tj ET".getBytes(ISO_8859_1)))
+    assemble(enc, "<< /Filter /Standard /V 4 /R 4 /Length 128 " +
+      "/CF << /StdCF << /CFM /V2 >> >> /StmF /StdCF /StrF /StdCF " +
+      s"/O ${hex(o)} /U ${hex(u)} /P $P >>")
+  }
+
+  private def aes256Pdf(userPass: String = "", r: Int = 6): Array[Byte] = {
     val key256 = Array.tabulate[Byte](32)(i => (i * 7 + 11).toByte)
     val vsalt = Array.tabulate[Byte](8)(i => (i + 1).toByte)
     val ksalt = Array.tabulate[Byte](8)(i => (i + 9).toByte)
     val pass = userPass.getBytes(ISO_8859_1)
-    val u = hash2B(pass, vsalt) ++ vsalt ++ ksalt
-    val ue = aes(Cipher.ENCRYPT_MODE, hash2B(pass, ksalt), new Array[Byte](16), key256)
+    // R=5 (the deprecated AESV3 revision) hashes with single SHA-256;
+    // R=6 with the Algorithm-2.B loop
+    def h(salt: Array[Byte]) = if (r >= 6) hash2B(pass, salt) else sha(256, pass, salt)
+    val u = h(vsalt) ++ vsalt ++ ksalt
+    val ue = aes(Cipher.ENCRYPT_MODE, h(ksalt), new Array[Byte](16), key256)
     val o48 = Array.tabulate[Byte](48)(i => (i * 3 + 2).toByte) // unused by empty-user unlock
     val oe = Array.tabulate[Byte](32)(i => (i * 11 + 5).toByte)
     val iv = Array.tabulate[Byte](16)(i => (i * 9 + 4).toByte)
     val enc = iv ++ aes(Cipher.ENCRYPT_MODE, key256, iv,
       pkcs7(deflate(s"BT ($Text) Tj ET".getBytes(ISO_8859_1))))
-    assemble(enc, "<< /Filter /Standard /V 5 /R 6 /Length 256 " +
+    assemble(enc, s"<< /Filter /Standard /V 5 /R $r /Length 256 " +
       "/CF << /StdCF << /CFM /AESV3 >> >> /StmF /StdCF /StrF /StdCF " +
       s"/O ${hex(o48)} /OE ${hex(oe)} /U ${hex(u)} /UE ${hex(ue)} /P $P >>")
   }
@@ -210,6 +226,14 @@ class PdfCryptoSpec extends AnyFunSuite {
 
   test("AES-256 (V5 R6): Algorithm-2.B hash validates /U and unwraps /UE") {
     assert(BinaryText.extract(aes256Pdf()) == Text)
+  }
+
+  test("AES-256 (V5 R5): single-SHA-256 revision also unlocks") {
+    assert(BinaryText.extract(aes256Pdf(r = 5)) == Text)
+  }
+
+  test("V4 /CFM /V2: RC4 behind crypt filters (no sAlT in the object key)") {
+    assert(BinaryText.extract(rc4CryptFilterPdf()) == Text)
   }
 
   test("non-empty user password: unlock fails, extraction degrades to salvage") {
