@@ -236,6 +236,46 @@ object Retrieval {
     dupGramPpmScore(Tables.documents(s, d), "doc_id", col("text"), n = 8)
       .orderBy(col("doc_id").asc)
 
+  /** Per-source distribution drift — the data-mixture monitor a corpus
+    * pipeline runs when a new crawl/source lands: L1 distance (= 2·total
+    * variation) between each source's unigram distribution and the whole
+    * corpus's, in integer ppm so both engines agree bit-for-bit (the
+    * same no-float-log trick as `collocations`: ppm buckets instead of
+    * KL's logarithms). Words the source never emits still contribute
+    * their corpus mass: Σ_{w∉s} ppm_c(w) = T − Σ_{w∈s} ppm_c(w), with T
+    * the corpus ppm total — so the absent-word tail costs one scalar,
+    * not an outer join against the vocabulary.
+    *
+    * Scale: the occurrence stream collapses map-side to (source, word)
+    * grain before any join; source totals and corpus counts are rollups
+    * of that relation (materialized once); the single probe join runs at
+    * vocab grain on `w`. Text never moves, every shuffled key is a word
+    * or a source, and the scalars (totals) broadcast.
+    */
+  def sourceDrift(s: SparkSession, d: String): DataFrame = {
+    val sw = Tables.documents(s, d)
+      .select(col("source"), explode(TA.tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_sw"))
+      .localCheckpoint() // feeds ns, cw, and the probe side below
+    val ns = sw.groupBy(col("source")).agg(sum(col("c_sw")).as("n_s"))
+    val cw = sw.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
+    val nTotal = cw.agg(sum(col("c_w")).as("n_total"))
+    val corpusPpm = cw.crossJoin(broadcast(nTotal))
+      .select(col("w"), expr("(c_w * 1000000L) div n_total").as("ppm_c"))
+    val tPpm = corpusPpm.agg(sum(col("ppm_c")).as("t_ppm"))
+    sw.join(broadcast(ns), Seq("source"))
+      .withColumn("ppm_s", expr("(c_sw * 1000000L) div n_s"))
+      .join(corpusPpm, Seq("w"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"),
+        sum(abs(col("ppm_s") - col("ppm_c"))).as("l1_present"),
+        sum(col("ppm_c")).as("ppm_c_present"))
+      .crossJoin(broadcast(tPpm))
+      .select(col("source"), col("n_tokens"),
+        (col("l1_present") + col("t_ppm") - col("ppm_c_present")).as("l1_ppm"))
+      .orderBy(col("source").asc)
+  }
+
   /** Vocabulary-growth (Heaps-law) curve: cumulative distinct n-gram
     * TYPES as the corpus is consumed in doc_id order, per `bucketDocs`
     * bucket (n = 1 is the classic word-vocabulary curve; higher n keeps
@@ -305,6 +345,7 @@ object Retrieval {
     "q_bigram_lm" -> bigramLm,
     "q_dup_gram_ppm" -> dupGramPpm,
     "q_vocab_growth" -> vocabGrowthQ,
+    "q_source_drift" -> sourceDrift,
   )
 
   import Analysis.{toks, hash60}
@@ -409,5 +450,22 @@ object Retrieval {
          |SELECT s.doc_id, COUNT(DISTINCT s.gh) AS n_hits
          |FROM sh s JOIN test USING (gh) WHERE s.b < 80
          |GROUP BY s.doc_id ORDER BY doc_id ASC""".stripMargin,
+    "q_source_drift" ->
+      s"""WITH sw AS (SELECT source, w, COUNT(*) AS c_sw FROM (
+         |    SELECT source, unnest($toks) AS w FROM documents)
+         |  GROUP BY source, w),
+         |ns AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s
+         |  FROM sw GROUP BY source),
+         |cw AS (SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY w),
+         |n AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n_total FROM cw),
+         |cp AS (SELECT w, (c_w * 1000000) // n_total AS ppm_c
+         |  FROM cw CROSS JOIN n),
+         |t AS (SELECT CAST(SUM(ppm_c) AS BIGINT) AS t_ppm FROM cp)
+         |SELECT sw.source, ns.n_s AS n_tokens,
+         |  CAST(SUM(abs((c_sw * 1000000) // n_s - ppm_c))
+         |    + t.t_ppm - SUM(ppm_c) AS BIGINT) AS l1_ppm
+         |FROM sw JOIN ns USING (source) JOIN cp USING (w) CROSS JOIN t
+         |GROUP BY sw.source, ns.n_s, t.t_ppm
+         |ORDER BY source ASC""".stripMargin,
   )
 }

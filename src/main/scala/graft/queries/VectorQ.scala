@@ -83,11 +83,40 @@ object VectorQ {
       .orderBy(col("qid").asc, col("rk").asc)
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * probe, the top-3 nearest corpus vectors whose label DIFFERS from
+    * the probe's — the near-but-wrong examples a triplet/InfoNCE loss
+    * wants. Same one-scan batch shape as `multiQueryTopK` (broadcast
+    * probe set, per-qid window top-k); the label-mismatch predicate
+    * filters the distance stream before ranking, so negatives never
+    * compete with same-class rows for the k slots. At 100 TB: probes
+    * broadcast, the corpus scan partitions freely, and only k rows per
+    * (partition, qid) survive the window's rank cutoff.
+    */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qvec"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dist_raw").asc, col("vec_id").asc)
+    emb.crossJoin(broadcast(probes))
+      .where(col("label") =!= col("qlabel"))
+      .select(col("qid"), col("vec_id"), col("label"),
+        squaredL2(col("embedding"), col("qvec")).as("dist_raw"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("qid"), col("rn").cast("long").as("rk"),
+        col("vec_id"), col("label"), round(col("dist_raw"), 4).as("dist"))
+      .orderBy(col("qid").asc, col("rk").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_l2_topk" -> l2Topk,
     "q_knn_per_label" -> knnPerLabel,
     "q_score_normalize" -> scoreNormalize,
     "q_multi_query_topk" -> multiQueryTopK,
+    "q_hard_negatives" -> hardNegatives,
   )
 
   /** DuckDB squared-L2: identical left-to-right double fold via
@@ -136,5 +165,17 @@ object VectorQ {
          |  SELECT e.vec_id, $distExpr AS dist_raw
          |  FROM embeddings e CROSS JOIN q)
          |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_hard_negatives" ->
+      s"""WITH probes AS (SELECT vec_id AS qid, label AS qlabel,
+         |    embedding AS qe FROM embeddings WHERE vec_id < 3),
+         |dists AS (SELECT q.qid, e.vec_id, e.label, $distExpr AS dist_raw
+         |  FROM embeddings e CROSS JOIN probes q
+         |  WHERE e.label <> q.qlabel),
+         |ranked AS (SELECT qid, vec_id, label, dist_raw,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY dist_raw ASC, vec_id ASC) AS rk
+         |  FROM dists)
+         |SELECT qid, rk, vec_id, label, ROUND(dist_raw, 4) AS dist
+         |FROM ranked WHERE rk <= 3 ORDER BY qid ASC, rk ASC""".stripMargin,
   )
 }
