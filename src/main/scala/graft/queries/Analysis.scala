@@ -213,6 +213,40 @@ object Analysis {
       .select(col("vec_id"), col("dist"))
   }
 
+  /** IVF-blocked k-NN GRAPH — every vector's top-3 same-cell neighbors,
+    * the candidate structure embedding-based clustering and semantic
+    * dedup build first (a k-NN graph feeds connected components /
+    * community detection the same way LSH bands feed near-dup verify).
+    * Blocking = the deterministic IVF assignment `q_ann_ivf` already
+    * oracles (centroids = vec_id < 16), so the whole graph is exactly
+    * reproducible in DuckDB — no all-pairs: candidates come from ONE
+    * shuffle equi-join on `cell`, and per-cell pairwise work is bounded
+    * by the cell population. At corpus scale nCells grows ∝ N / target
+    * cell size, keeping per-cell cost constant; uneven cells ride AQE
+    * skew-join splitting (same story as the LSH band join). Recall gaps
+    * at cell borders are the standard IVF trade — the multi-probe
+    * variant widens each vector to its nProbe nearest cells without
+    * changing the dataflow shape.
+    */
+  def knnGraph(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = AnnSearch.ivfAssign(Tables.embeddings(s, d), nCells = 16)
+      .localCheckpoint() // both sides of the self-join below
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist_raw").asc, col("nbr_id").asc)
+    assigned
+      .join(assigned.select(col("cell"), col("vec_id").as("nbr_id"),
+        col("embedding").as("nvec")), Seq("cell"))
+      .where(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        VectorOps.squaredL2(col("embedding"), col("nvec")).as("dist_raw"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("vec_id"), col("rn").cast("long").as("rk"),
+        col("nbr_id"), round(col("dist_raw"), 4).as("dist"))
+      .orderBy(col("vec_id").asc, col("rk").asc)
+  }
+
   /** MMR-diversified top-5 for the vec_id=0 query: candidates = cosine
     * top-20 (the distributed stage), then greedy maximal-marginal-
     * relevance selection with λ=0.5 (operators.Rerank) — the serving-side
@@ -506,6 +540,7 @@ object Analysis {
     "q_dedup_cosine" -> dedupCosine,
     "q_cosine_topk" -> cosineTopk,
     "q_ann_ivf" -> annIvf,
+    "q_knn_graph" -> knnGraph,
     "q_ann_rplsh" -> annRpLsh,
     "q_quality_signals" -> qualitySignals,
     "q_mmr_topk" -> mmrTopk,
@@ -910,5 +945,23 @@ object Analysis {
          |  SELECT a.vec_id, ${l2Sql("a.embedding", "q.qe")} AS dist_raw
          |  FROM assigned a JOIN probed p ON a.cell = p.cell CROSS JOIN q)
          |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_knn_graph" ->
+      s"""WITH cents AS (SELECT vec_id AS cell, embedding AS cvec
+         |  FROM embeddings WHERE vec_id < 16),
+         |assigned AS (SELECT vec_id, embedding, cell FROM (
+         |  SELECT e.vec_id, e.embedding, c.cell, ROW_NUMBER() OVER (
+         |    PARTITION BY e.vec_id
+         |    ORDER BY ${l2Sql("e.embedding", "c.cvec")} ASC, c.cell ASC) AS rn
+         |  FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+         |pairs AS (SELECT a.vec_id, b.vec_id AS nbr_id,
+         |    ${l2Sql("a.embedding", "b.embedding")} AS dist_raw
+         |  FROM assigned a JOIN assigned b ON a.cell = b.cell
+         |  WHERE a.vec_id <> b.vec_id),
+         |ranked AS (SELECT vec_id, nbr_id, dist_raw, ROW_NUMBER() OVER (
+         |    PARTITION BY vec_id
+         |    ORDER BY dist_raw ASC, nbr_id ASC) AS rk
+         |  FROM pairs)
+         |SELECT vec_id, rk, nbr_id, ROUND(dist_raw, 4) AS dist
+         |FROM ranked WHERE rk <= 3 ORDER BY vec_id ASC, rk ASC""".stripMargin,
   )
 }
