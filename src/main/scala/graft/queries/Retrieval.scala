@@ -252,8 +252,11 @@ object Retrieval {
     * vocab grain on `w`. Text never moves, every shuffled key is a word
     * or a source, and the scalars (totals) broadcast.
     */
-  def sourceDrift(s: SparkSession, d: String): DataFrame = {
-    val sw = Tables.documents(s, d)
+  def sourceDrift(s: SparkSession, d: String): DataFrame =
+    sourceDriftOf(Tables.documents(s, d))
+
+  def sourceDriftOf(docs: DataFrame): DataFrame = {
+    val sw = docs
       .select(col("source"), explode(TA.tokens(col("text"))).as("w"))
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_sw"))
       .localCheckpoint() // feeds ns, cw, and the probe side below

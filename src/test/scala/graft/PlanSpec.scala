@@ -189,6 +189,32 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("knn graph: cell blocking is an equi-join — no cartesian, no nested loop") {
+    val plan = formatted(graft.queries.Analysis.queries("q_knn_graph")(spark, TestSpark.sf0001))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "candidate pairs must come from the equi-join on cell, never all-pairs")
+    assert(plan.contains("Window"), "per-vector top-k must be one ranking window")
+  }
+
+  test("hard negatives: probe set broadcasts; ranking partitions on qid") {
+    val plan = formatted(graft.queries.VectorQ.queries("q_hard_negatives")(spark, TestSpark.sf0001))
+    // the deliberate tiny-probe crossJoin(broadcast(...)) is the ONE
+    // nested-loop allowed here; the corpus side must not shuffle for it
+    assert(plan.contains("BroadcastExchange"), "probes must broadcast")
+    assert(!plan.contains("CartesianProduct"),
+      "a non-broadcast cartesian means the probe hint was lost")
+    assert("hashpartitioning\\(qid#\\d+".r.findFirstIn(plan).isDefined,
+      "top-k window must partition by qid, not run globally")
+  }
+
+  test("source drift: probe join runs at vocab grain on w; no cartesian") {
+    val plan = formatted(graft.queries.Retrieval.queries("q_source_drift")(spark, TestSpark.sf0001))
+    assert(!plan.contains("CartesianProduct"),
+      "only broadcast scalar joins are allowed (totals), never a cartesian")
+    assert("hashpartitioning\\(w#\\d+".r.findFirstIn(plan).isDefined,
+      "the per-word probe join must hash-partition on w")
+  }
+
   test("repeated spans: gram-hash equi-join, no cartesian, island window above it") {
     val plan = formatted(graft.queries.Retrieval.queries("q_repeated_spans")(spark, TestSpark.sf0001))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),

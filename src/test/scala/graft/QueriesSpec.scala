@@ -42,6 +42,44 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.count() > 0)
   }
 
+  test("q_hard_negatives: every mined negative has a label unlike its probe's") {
+    import org.apache.spark.sql.functions._
+    val d = TestSpark.sf0001
+    val probeLabels = Tables.embeddings(spark, d).where(col("vec_id") < 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val rows = graft.queries.VectorQ.queries("q_hard_negatives")(spark, d).collect()
+    assert(rows.nonEmpty)
+    // exactly 3 negatives per probe, ranks 1..3, distances non-decreasing
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L))
+      val dists = rs.sortBy(_.getLong(1)).map(_.getDouble(4))
+      assert(dists.toSeq == dists.sorted.toSeq)
+      rs.foreach(r => assert(r.getInt(3) != probeLabels(qid),
+        s"qid=$qid mined a SAME-label row ${r.getLong(2)}"))
+    }
+  }
+
+  test("q_knn_graph: no self-edges, ranks 1..k, neighbors share the vector's cell") {
+    import org.apache.spark.sql.functions._
+    val d = TestSpark.sf0001
+    val cellOf = graft.operators.AnnSearch
+      .ivfAssign(Tables.embeddings(spark, d), nCells = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val rows = graft.queries.Analysis.queries("q_knn_graph")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (v, rk, nbr) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(v != nbr, s"self-edge at $v")
+      assert(rk >= 1 && rk <= 3)
+      assert(cellOf(v) == cellOf(nbr), s"$v -> $nbr crosses cells (blocking broken)")
+    }
+    // distances non-decreasing within each vector's adjacency list
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val dists = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(dists.toSeq == dists.sorted.toSeq)
+    }
+  }
+
   test("q_lsh_incremental equals full LSH pairs restricted to a new side") {
     import org.apache.spark.sql.functions._
     val d = TestSpark.sf0001

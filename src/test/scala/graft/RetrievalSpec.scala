@@ -213,4 +213,51 @@ class RetrievalSpec extends AnyFunSuite {
     assert(kept.count() == 6)
     assert(kept.select(col("span_len")).distinct().collect().map(_.getLong(0)).toSeq == Seq(5L))
   }
+
+  test("source drift: a lone source IS the corpus distribution — drift exactly 0") {
+    val docs = Seq((1L, "a b c a", "web"), (2L, "c d", "web"))
+      .toDF("doc_id", "text", "source")
+    val got = Retrieval.sourceDriftOf(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // ppm_s = ppm_c word for word (same counts, same total), and the
+    // absent-word tail is empty — the L1 distance is identically zero
+    assert(got.toSeq == Seq(("web", 6L, 0L)))
+  }
+
+  test("source drift: disjoint half-mass vocabularies land exactly at 1M ppm") {
+    // the comparison is source-vs-MIXTURE: a source carrying fraction f of
+    // corpus mass with nothing shared scores 2(1-f) ppm-millions, so two
+    // disjoint halves (f = 1/2) sit exactly at 1M — the 2M ceiling is only
+    // approached as a source's share of the corpus vanishes.
+    // Here: 4 present words |250000-125000| = 500k, absent tail
+    // T - 4*125000 = 500k → exactly 1,000,000, no integer-division dust.
+    val docs = Seq((1L, "a b c d", "crawl"), (2L, "w x y z", "books"))
+      .toDF("doc_id", "text", "source")
+    val got = Retrieval.sourceDriftOf(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == Map("crawl" -> 1_000_000L, "books" -> 1_000_000L))
+  }
+
+  test("source drift: a vanishing-share alien source approaches the 2M ceiling") {
+    // one 2-token alien source inside a 128-token corpus: f = 2/130, so
+    // L1 ≈ 2(1-f) ≈ 1.97M — the small-source regime a drift monitor
+    // actually fires on (a weird new crawl showing up in a huge corpus)
+    val bulk = (1L to 32L).map(i => (i, "a b c d", "web"))
+    val alien = Seq((100L, "zz qq", "alien"))
+    val got = Retrieval.sourceDriftOf((bulk ++ alien).toDF("doc_id", "text", "source"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got("alien") > 1_900_000L && got("alien") <= 2_000_000L,
+      s"expected near-ceiling drift for the alien source, got ${got("alien")}")
+    assert(got("web") < 100_000L, s"bulk source should barely drift, got ${got("web")}")
+  }
+
+  test("source drift: l1_ppm bounded by [0, 2M] on the real corpus") {
+    val rows = Retrieval.sourceDrift(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, l1) =>
+      assert(n > 0, s"$src has no tokens")
+      assert(l1 >= 0L && l1 <= 2_000_000L, s"$src l1_ppm=$l1 out of bounds")
+    }
+  }
 }
