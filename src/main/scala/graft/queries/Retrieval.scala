@@ -256,27 +256,45 @@ object Retrieval {
     sourceDriftOf(Tables.documents(s, d))
 
   def sourceDriftOf(docs: DataFrame): DataFrame = {
-    val sw = docs
-      .select(col("source"), explode(TA.tokens(col("text"))).as("w"))
+    val sw = sourceWordCounts(docs)
+      .localCheckpoint() // feeds ns, the reference rollup, and the probe side
+    l1DriftPpm(sw, sw.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w")))
+      .orderBy(col("source").asc)
+  }
+
+  /** (source, w, c_sw) token-occurrence counts of a documents frame —
+    * the map-side-combined collapse both the batch query and the
+    * streaming drift monitor start from.
+    */
+  def sourceWordCounts(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(TA.tokens(col("text"))).as("w"))
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_sw"))
-      .localCheckpoint() // feeds ns, cw, and the probe side below
+
+  /** Per-source L1 ppm distance of `sw` = (source, w, c_sw) against the
+    * reference distribution `ref` = (w, c_w). LEFT join: a word the
+    * reference has never seen contributes its full ppm_s (the "all of
+    * this is new" signal), and an EMPTY reference scores each source by
+    * its own total mass (~1M ppm) instead of dividing by zero — the
+    * first-batch case of the streaming monitor.
+    */
+  def l1DriftPpm(sw: DataFrame, ref: DataFrame): DataFrame = {
     val ns = sw.groupBy(col("source")).agg(sum(col("c_sw")).as("n_s"))
-    val cw = sw.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
-    val nTotal = cw.agg(sum(col("c_w")).as("n_total"))
-    val corpusPpm = cw.crossJoin(broadcast(nTotal))
+    val nTotal = ref.agg(coalesce(sum(col("c_w")), lit(0L)).as("n_total"))
+    val refPpm = ref.crossJoin(broadcast(nTotal))
+      .where(col("n_total") > 0)
       .select(col("w"), expr("(c_w * 1000000L) div n_total").as("ppm_c"))
-    val tPpm = corpusPpm.agg(sum(col("ppm_c")).as("t_ppm"))
+    val tPpm = refPpm.agg(coalesce(sum(col("ppm_c")), lit(0L)).as("t_ppm"))
     sw.join(broadcast(ns), Seq("source"))
       .withColumn("ppm_s", expr("(c_sw * 1000000L) div n_s"))
-      .join(corpusPpm, Seq("w"))
+      .join(refPpm, Seq("w"), "left")
+      .withColumn("ppm_c0", coalesce(col("ppm_c"), lit(0L)))
       .groupBy(col("source"))
       .agg(max(col("n_s")).as("n_tokens"),
-        sum(abs(col("ppm_s") - col("ppm_c"))).as("l1_present"),
-        sum(col("ppm_c")).as("ppm_c_present"))
+        sum(abs(col("ppm_s") - col("ppm_c0"))).as("l1_present"),
+        sum(col("ppm_c0")).as("ppm_c_present"))
       .crossJoin(broadcast(tPpm))
       .select(col("source"), col("n_tokens"),
         (col("l1_present") + col("t_ppm") - col("ppm_c_present")).as("l1_ppm"))
-      .orderBy(col("source").asc)
   }
 
   /** Vocabulary-growth (Heaps-law) curve: cumulative distinct n-gram

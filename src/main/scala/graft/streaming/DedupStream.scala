@@ -45,49 +45,17 @@ object DedupStream {
   private val bandsSchema = StructType(Seq(
     StructField("id", LongType), StructField("bkey", StringType)))
 
-  private def hadoopFs(s: SparkSession, dir: String) = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    (path.getFileSystem(s.sparkContext.hadoopConfiguration), path)
-  }
-
-  /** Batch ids whose state writes fully committed: one empty marker file
-    * per batch under `stateDir/_committed`, written AFTER the batch's
-    * corpus + sets + bands directories are all durably written. A
-    * crashed half-written batch has no marker and is invisible to state
-    * reads — its directories are garbage until the replay overwrites
-    * them.
-    */
-  private def committedIds(s: SparkSession, stateDir: String): Seq[Long] = {
-    val (fs, dir) = hadoopFs(s, s"$stateDir/_committed")
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq
-      .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
-      .sorted
-  }
-
-  private def commitMarker(s: SparkSession, stateDir: String, batchId: Long): Unit = {
-    val (fs, dir) = hadoopFs(s, s"$stateDir/_committed")
-    fs.mkdirs(dir)
-    fs.create(new org.apache.hadoop.fs.Path(dir, batchId.toString), true).close()
-  }
-
-  /** Read a state table restricted to COMMITTED batch partitions — the
-    * only truth a restart may trust. No markers yet (first batch, or a
-    * crash before the first commit) reads as the empty relation. The
-    * explicit schema means an empty-but-existing committed dir reads as
-    * zero rows instead of failing schema inference, while a corrupt
-    * footer in a COMMITTED partition still aborts at scan time — a
-    * damaged committed state must never silently disable dedup and admit
-    * every duplicate in the batch.
+  /** Commit-gated state reads/writes live in StreamState (shared with
+    * DriftStream): markers written LAST gate what restarts may read, a
+    * damaged COMMITTED partition still aborts at scan time — state must
+    * never silently disable dedup and admit every duplicate in a batch.
+    * Unlike DriftStream, reads here take ALL committed batches (a
+    * replayed batch's own earlier rows are superseded by the incremental
+    * operator's anti-joins, not by exclusion).
     */
   private def readCommittedState(s: SparkSession, stateDir: String,
-      table: String, schema: StructType): DataFrame = {
-    val dirs = committedIds(s, stateDir)
-      .map(id => s"$stateDir/$table/batch_id=$id")
-    if (dirs.isEmpty) s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
-    else s.read.schema(schema).parquet(dirs: _*)
-      .select(schema.fieldNames.map(col).toSeq: _*)
-  }
+      table: String, schema: StructType): DataFrame =
+    StreamState.readCommitted(s, stateDir, table, schema)
 
   /** One micro-batch: gate `batch` against the persisted state under
     * `stateDir`, append kept docs to `outDir/batch_id=N` and kept
@@ -117,7 +85,7 @@ object DedupStream {
       .write.mode("overwrite").parquet(s"$stateDir/bands/batch_id=$batchId")
     // marker LAST: a crash anywhere above leaves batchId uncommitted and
     // its partial directories unread on restart
-    commitMarker(s, stateDir, batchId)
+    StreamState.commitMarker(s, stateDir, batchId)
   }
 
   /** Start the ingestion stream over a streaming (doc_id, text, ...)
