@@ -189,6 +189,22 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("tpch q2: min-join-back stays equi; region/nation dims broadcast") {
+    val plan = formatted(graft.queries.Tpch.queries("q_tpch_q2")(spark, TestSpark.sf0001))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "the decorrelated min subquery must join back on (part, min) equality")
+    assert("BroadcastExchange".r.findAllIn(plan).size >= 2,
+      "nation and region dims should broadcast")
+  }
+
+  test("tpch q21: only-late-supplier logic is semi+anti equi-joins, never a loop") {
+    val plan = formatted(graft.queries.Tpch.queries("q_tpch_q21")(spark, TestSpark.sf0001))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "supplier-inequality must ride the orderkey equi-joins as residual")
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+      "EXISTS/NOT EXISTS must compile to semi and anti joins")
+  }
+
   test("knn graph: cell blocking is an equi-join — no cartesian, no nested loop") {
     val plan = formatted(graft.queries.Analysis.queries("q_knn_graph")(spark, TestSpark.sf0001))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
