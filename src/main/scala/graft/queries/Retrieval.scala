@@ -335,6 +335,64 @@ object Retrieval {
         bucketDocs = 20)
       .orderBy(col("bucket").asc)
 
+  /** BM25-ranked disjunctive retrieval — the lexical ranking twin of
+    * `conjunctiveSearch` (reference behavior: ranked candidate retrieval
+    * ahead of semantic scoring, `rag_model_mass.py`-style shortlist).
+    * Okapi BM25 with k1 = 6/5 and b = 3/4 in PURE BIGINT so both engines
+    * agree bit-for-bit: with those rational constants the term score
+    *
+    *   idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * clears denominators to  idf_milli · 22·tf·Σdl  div
+    * (10·tf·Σdl + 3·Σdl + 9·dl·N)  (avgdl = Σdl/N), and the log-idf is
+    * replaced by its integer-exact pre-log Robertson odds
+    * ((2(N−df)+1)·1000) div (2df+1) — the same monotone no-float-log
+    * trick as `collocations`, so rare terms still dominate and the
+    * ranking is reproducible everywhere. tf-saturation and length
+    * normalization (the parts of BM25 that change candidate ORDER for a
+    * fixed term) survive exactly.
+    *
+    * Scale: tokens are filtered to the query vocabulary INSIDE the row
+    * before the explode, so the only token-grain shuffle carries query
+    * postings; `dl` is a full-corpus side computed without exploding
+    * (one `size()` projection); df (≤ |terms| rows) and the two global
+    * scalars broadcast; the tf ⋈ dl equi-join shuffles on the doc key.
+    * Overflow headroom: idf_milli·22·tf·Σdl < 9.2e18 holds through
+    * ~100M-token corpora — beyond that, drop the ·1000 idf scale (the
+    * ranking is unaffected; it's a constant factor).
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: Column,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val toks = TA.tokens(textCol)
+    val dl = docs.select(col(idCol), size(toks).cast("long").as("dl"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = docs.select(col(idCol),
+        explode(filter(toks, t => t.isInCollection(terms))).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    tf.join(dl, Seq(idCol))
+      .join(broadcast(dfreq), Seq("w"))
+      .crossJoin(broadcast(totals))
+      .withColumn("idf_milli",
+        expr("((2 * (n_docs - df) + 1) * 1000) div (2 * df + 1)"))
+      .withColumn("score_milli", expr(
+        "(idf_milli * 22 * tf * sum_dl) div " +
+          "(10 * tf * sum_dl + 3 * sum_dl + 9 * dl * n_docs)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"), sum(col("score_milli")).as("bm25_milli"))
+      .orderBy(col("bm25_milli").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Top-10 BM25 over ('dup', 'vector', 'spark') — df spread of 25 vs
+    * ~380 of 500 docs at the verify SF, so the idf axis is actually
+    * exercised (docs containing the rare term rank first).
+    */
+  def bm25TopKQ(s: SparkSession, d: String): DataFrame =
+    bm25TopK(Tables.documents(s, d), "doc_id", col("text"),
+        Seq("dup", "vector", "spark"), k = 10)
+
   def keywordSearch(s: SparkSession, d: String): DataFrame =
     conjunctiveSearch(Tables.documents(s, d), "doc_id", col("text"),
         Seq("vector", "join", "filter"))
@@ -360,6 +418,7 @@ object Retrieval {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_keyword_search" -> keywordSearch,
+    "q_bm25_topk" -> bm25TopKQ,
     "q_decontaminate" -> decontaminate,
     "q_collocations" -> collocations,
     "q_repeated_spans" -> repeatedSpansQ,
@@ -460,6 +519,26 @@ object Retrieval {
          |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS score FROM tf
          |GROUP BY doc_id HAVING COUNT(*) = 3
          |ORDER BY score DESC, doc_id ASC""".stripMargin,
+    "q_bm25_topk" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |tot AS (SELECT COUNT(*) AS n_docs,
+         |    CAST(SUM(len(tk)) AS BIGINT) AS sum_dl FROM t),
+         |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM t),
+         |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, unnest(list_filter(tk,
+         |      w -> w IN ('dup', 'vector', 'spark'))) AS w FROM t)
+         |  GROUP BY doc_id, w),
+         |dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+         |s AS (SELECT tf.doc_id,
+         |    ((((2 * (n_docs - df) + 1) * 1000) // (2 * df + 1))
+         |        * 22 * tf * sum_dl)
+         |      // (10 * tf * sum_dl + 3 * sum_dl + 9 * dl * n_docs)
+         |      AS score_milli
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (w) CROSS JOIN tot)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |  CAST(SUM(score_milli) AS BIGINT) AS bm25_milli
+         |FROM s GROUP BY doc_id
+         |ORDER BY bm25_milli DESC, doc_id ASC LIMIT 10""".stripMargin,
     "q_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, $toks AS tk,
          |    ${hash60("CAST(doc_id AS VARCHAR) || ':split'")} % 100 AS b

@@ -237,4 +237,18 @@ class PlanSpec extends AnyFunSuite {
       "candidate generation must be the positioned-gram equi-join, never all-pairs")
     assert(plan.contains("Window"), "maximal runs come from one island window, not iteration")
   }
+
+  test("bm25: top-k never global-sorts; postings filter precedes the explode") {
+    val plan = formatted(graft.queries.Retrieval.queries("q_bm25_topk")(spark, TestSpark.sf0001))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "ranked retrieval must be top-k (TakeOrderedAndProject), not a full Sort")
+    assert(!plan.contains("CartesianProduct"),
+      "only the single-row totals broadcast is allowed, never a cartesian")
+    // the in-row vocabulary filter must run inside the generator input, so
+    // the exploded stream carries query postings only — the explain detail
+    // shows the explode's input as filter(split(...)), never a post-explode
+    // Filter over the full token stream
+    assert("explode.*filter\\(split".r.findFirstIn(plan).isDefined,
+      "the vocabulary filter must sit inside the explode input (in-row), not above it")
+  }
 }

@@ -260,4 +260,31 @@ class RetrievalSpec extends AnyFunSuite {
       assert(l1 >= 0L && l1 <= 2_000_000L, s"$src l1_ppm=$l1 out of bounds")
     }
   }
+
+  test("BM25: hand-computed rational scores; rare term outranks saturated tf") {
+    // N=4, Σdl=16, avgdl=4 so dl/avgdl=1 everywhere.
+    // df(dup)=2 -> idf_milli = 5000 div 5 = 1000
+    // df(x)=1   -> idf_milli = 7000 div 3 = 2333
+    // denom = 160·tf + 192:
+    //   d1 tf(dup)=1: 1000·22·16 div 352  = 1000
+    //   d4 tf(dup)=4: 1000·22·64 div 832  = 1692  (saturated: < 4×1000)
+    //   d2 tf(x)=1:   2333·22·16 div 352  = 2333  (rare term dominates)
+    val docs = Seq(
+      (1L, "dup a a a"), (2L, "x a a a"), (3L, "a a a a"),
+      (4L, "dup dup dup dup")
+    ).toDF("id", "text")
+    val got = Retrieval.bm25TopK(docs, "id", col("text"), Seq("dup", "x"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((2L, 1L, 2333L), (4L, 1L, 1692L), (1L, 1L, 1000L)),
+      s"got ${got.toSeq}")
+  }
+
+  test("BM25: length normalization — same tf, longer doc scores lower") {
+    // N=2, Σdl=8, df(dup)=2 -> idf_milli=200; numer = 200·22·8 = 35200
+    // d1 dl=2: denom 140 -> 251;  d2 dl=6: denom 212 -> 166
+    val docs = Seq((1L, "dup a"), (2L, "dup a a a a a")).toDF("id", "text")
+    val got = Retrieval.bm25TopK(docs, "id", col("text"), Seq("dup"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 251L), (2L, 166L)), s"got ${got.toSeq}")
+  }
 }
