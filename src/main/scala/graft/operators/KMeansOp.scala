@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lloyd k-means over an embedding column in scaled-integer arithmetic —
+  * the clustering primitive a SemDeDup-style semantic-dedup pipeline runs
+  * first (cluster the corpus, then prune near-identical vectors inside
+  * each cluster instead of all-pairs over the corpus).
+  *
+  * Reference analogue: the reference's only vector structure is a flat
+  * FAISS index (/root/reference/vectorDB.py:12,38 — no clustering, no IVF
+  * training); k-means is the capability that turns that flat scan into a
+  * trained coarse quantizer at 100 TB, and SURVEY §2.3 commits the engine
+  * to the scale path the reference lacks.
+  *
+  * Determinism contract (the whole point of the integer design): every
+  * quantity compared or stored is exact.
+  *   - input vectors are scaled once: v_d = floor(x_d · 10^6) as BIGINT
+  *     (float widens to double exactly; ×10^6 and floor are identical
+  *     IEEE ops in Spark and DuckDB);
+  *   - distances are BIGINT sums of squared BIGINT diffs (|v_d| ≤ ~10^7
+  *     ⇒ per-dim square ≤ 10^14, ×64 dims ≪ 2^63 — no overflow);
+  *   - centroid updates divide exactly once per (cluster, dim):
+  *     c_d = floor(double(Σ v_d) / n). Σ v_d ≤ 10^7·|cluster| stays well
+  *     under 2^53, so the double quotient and its floor are bit-identical
+  *     cross-engine;
+  *   - assignment ties break on the lower centroid id.
+  *
+  * Scale shape (100 TB): centroids are k·d integers — broadcast to every
+  * task (the assign step is a broadcast nested-loop over a BOUNDED k,
+  * i.e. a map-side argmin, no shuffle of the corpus). The update step is
+  * one partial-aggregated shuffle of at most k·d cells (posexplode →
+  * groupBy (cid, pos) rides map-side combine, so the shuffle carries
+  * k·d·partitions rows, independent of corpus size). Iterations multiply
+  * cost linearly; k grows ∝ √N for IVF training and the broadcast stays
+  * tiny.
+  */
+object KMeansOp {
+
+  /** floor(x·10^6) per element, BIGINT — the shared integer scale. */
+  def intVec(emb: Column): Column =
+    transform(emb, e => floor(e.cast("double") * 1000000d).cast("long"))
+
+  /** Integer squared L2 between two equal-length BIGINT array columns. */
+  def intDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Nearest-centroid assignment: one row per vector with its winning
+    * (cluster id, integer distance). `vecs` must have (vec_id, v);
+    * `cents` must have (cid, c). k is bounded ⇒ the crossJoin is an
+    * explicit broadcast (map-side argmin, no shuffle of `vecs`); the
+    * argmin itself is a partial-aggregable min over a (dist, cid, v)
+    * struct — (dist, cid) is unique per group, so the trailing v rides
+    * along without influencing the order.
+    */
+  def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        struct(intDist(col("v"), col("c")).as("dist"),
+          col("cid"), col("v")).as("cand"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("cand")).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"),
+        col("m.dist").as("dist"), col("m.v").as("v"))
+
+  /** Recompute centroids from an assignment: per (cluster, dim) exact
+    * integer mean, floor-divided through an exact double (see contract).
+    * Emits (cid, c); clusters that lost every member simply disappear.
+    */
+  def update(assigned: DataFrame): DataFrame =
+    assigned.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .withColumn("cv", floor(col("sx").cast("double") / col("n")).cast("long"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("arr"))
+      .select(col("cid"), transform(col("arr"), s => s.getField("cv")).as("c"))
+
+  /** Full Lloyd loop: seed centroids = the vectors whose id < k (the same
+    * deterministic convention as AnnSearch.ivfAssign), run `iters`
+    * assign→update rounds, return the FINAL assignment
+    * (vec_id, cluster, dist_scaled). The plan is iters+1 assign joins
+    * deep — fine for the small fixed iteration counts a declared query
+    * uses; production loops would localCheckpoint between rounds exactly
+    * as Iterate does.
+    */
+  def lloyd(emb: DataFrame, idCol: String, embCol: Column,
+      k: Int, iters: Int): DataFrame = {
+    val vecs = emb.select(col(idCol).as("vec_id"), intVec(embCol).as("v"))
+    var cents = vecs.where(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+    for (_ <- 1 to iters)
+      cents = update(assign(vecs, cents))
+    assign(vecs, cents)
+      .select(col("vec_id"), col("cid").as("cluster"),
+        col("dist").as("dist_scaled"))
+  }
+}

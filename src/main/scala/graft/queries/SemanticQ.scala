@@ -1,0 +1,129 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorOps
+import graft.operators.KMeansOp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding-space clustering and semantic dedup — the SemDeDup shape
+  * (Abbas et al. 2023): k-means the corpus, then prune near-identical
+  * vectors WITHIN each cluster, so pairwise cosine work is bounded by
+  * cluster population instead of N². The reference stops at a flat FAISS
+  * scan (/root/reference/vectorDB.py:12,38); this module is its 100 TB
+  * continuation per SURVEY §2.3 (dedup / similarity-search north star).
+  *
+  * Both queries are exactly reproducible in DuckDB: k-means runs in the
+  * scaled-integer arithmetic of [[KMeansOp]] (every distance and centroid
+  * is a BIGINT, see the determinism contract there), and the oracle
+  * unrolls the two Lloyd rounds as chained CTEs.
+  */
+object SemanticQ {
+
+  private val K = 8
+  private val Iters = 2
+
+  /** Integer-exact Lloyd assignment after 2 rounds, seeded on vec_id<8:
+    * (vec_id, cluster, dist_scaled). One row per vector — the full
+    * clustering a curation pipeline joins against.
+    */
+  def kmeansQ(s: SparkSession, d: String): DataFrame =
+    KMeansOp.lloyd(Tables.embeddings(s, d), "vec_id", col("embedding"),
+        K, Iters)
+      .orderBy(col("vec_id").asc)
+
+  /** SemDeDup prune over the k-means clusters: within each cluster, a
+    * vector is DROPPED when some lower-id cluster-mate has cosine ≥ 0.4
+    * with it (same threshold and raw-cosine predicate as the oracled
+    * q_dedup_cosine). Output: every vector with its cluster and kept
+    * flag. The pairwise stage is one equi-join on `cluster` — candidate
+    * count is Σ|cluster|², never N²; at 100 TB k grows ∝ √N to hold
+    * cluster populations (and thus per-cluster cost) constant, and a
+    * skewed cluster rides AQE skew-join splitting like any other hot key.
+    */
+  def semdedupQ(s: SparkSession, d: String): DataFrame = {
+    val asg = KMeansOp.lloyd(Tables.embeddings(s, d), "vec_id",
+        col("embedding"), K, Iters)
+      .select(col("vec_id"), col("cluster"))
+    val ve = asg.join(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      Seq("vec_id"))
+    val a = ve.select(col("cluster"), col("vec_id").as("id_a"),
+      col("embedding").as("ea"))
+    val b = ve.select(col("cluster"), col("vec_id").as("id_b"),
+      col("embedding").as("eb"))
+    val drops = a.join(b, Seq("cluster"))
+      .where(col("id_a") < col("id_b"))
+      .where(VectorOps.cosine(col("ea"), col("eb")) >= 0.4)
+      .select(col("id_b").as("vec_id"))
+      .distinct()
+    ve.select(col("vec_id"), col("cluster"))
+      .join(drops.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("dropped"), lit(false)) === false)
+      .toDF("vec_id", "cluster", "kept")
+      .orderBy(col("vec_id").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmeans" -> kmeansQ,
+    "q_semdedup" -> semdedupQ,
+  )
+
+  // ---- DuckDB oracle: the two Lloyd rounds unrolled as CTEs ----
+
+  /** Integer squared L2 between two BIGINT list expressions. */
+  private def idistSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1), " +
+      s"i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i])), (x, y) -> x + y)"
+
+  /** Assignment CTE pair dR/aR against centroid table cPrev. */
+  private def assignSql(r: Int, cPrev: String): String =
+    s"""d$r AS (SELECT q.vec_id, c.cid, ${idistSql("q.v", "c.c")} AS dist
+       |  FROM q CROSS JOIN $cPrev c),
+       |a$r AS (SELECT vec_id, cid, dist FROM (
+       |    SELECT vec_id, cid, dist,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |        ORDER BY dist ASC, cid ASC) AS rn
+       |    FROM d$r) WHERE rn = 1)""".stripMargin
+
+  /** Update CTE pair uR/cR from assignment aR (exact integer mean per
+    * (cluster, dim) through an exact double, as in KMeansOp.update).
+    */
+  private def updateSql(r: Int): String =
+    s"""u$r AS (SELECT a.cid, li.i AS pos,
+       |    CAST(floor(CAST(SUM(q.v[li.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+       |  FROM a$r a JOIN q USING (vec_id)
+       |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(q.v) + 1)) AS i) li
+       |  GROUP BY a.cid, li.i),
+       |c$r AS (SELECT cid, list(cv ORDER BY pos) AS c FROM u$r GROUP BY cid)""".stripMargin
+
+  /** Shared CTE chain ending in the final assignment a3. */
+  private val lloydSql: String =
+    s"""q AS (SELECT vec_id, list_transform(embedding,
+       |    e -> CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, v AS c FROM q WHERE vec_id < $K),
+       |${assignSql(1, "c0")},
+       |${updateSql(1)},
+       |${assignSql(2, "c1")},
+       |${updateSql(2)},
+       |${assignSql(3, "c2")}""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_kmeans" ->
+      s"""WITH $lloydSql
+         |SELECT vec_id, cid AS cluster, dist AS dist_scaled
+         |FROM a3 ORDER BY vec_id ASC""".stripMargin,
+    "q_semdedup" ->
+      s"""WITH $lloydSql,
+         |ve AS (SELECT a3.vec_id, a3.cid AS cluster, e.embedding
+         |  FROM a3 JOIN embeddings e USING (vec_id)),
+         |drops AS (SELECT DISTINCT b.vec_id
+         |  FROM ve a JOIN ve b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE ${Analysis.cosineSql("a.embedding", "b.embedding")} >= 0.4)
+         |SELECT v.vec_id, v.cluster, (d.vec_id IS NULL) AS kept
+         |FROM ve v LEFT JOIN drops d ON v.vec_id = d.vec_id
+         |ORDER BY v.vec_id ASC""".stripMargin,
+  )
+}

@@ -1,0 +1,117 @@
+package graft
+
+import graft.functions.VectorOps
+import graft.operators.KMeansOp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed Lloyd fixtures for the integer k-means, plus full
+  * brute-force invariants for q_kmeans / q_semdedup at sf0.001.
+  */
+class KMeansSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Two obvious 2-D blobs, k=2 seeded on ids 0/1 (both inside blob A):
+    * one update round must pull centroid 1 to the far blob.
+    *
+    * scaled vectors: v0=(0,0) v1=(100000,0) v2=(10^6,10^6) v3=(9·10^5,10^6)
+    * round 1 assign: v0→c0(d=0); v1→c1(d=0);
+    *   v2: d(c0)=2·10^12  > d(c1)=0.81e12+1e12=1.81e12 → c1;
+    *   v3: d(c0)=1.81e12 > d(c1)=0.64e12+1e12=1.64e12 → c1.
+    * update: c0=(0,0); c1=mean(v1,v2,v3)=(2e6/3, 2e6/3)→(666666,666666).
+    * final assign: v0,v1→c0 (1e10 < 7.65e11); v2,v3→c1.
+    */
+  test("lloyd on two blobs: one round moves the centroid and splits the blobs") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(0.0f, 0.0f)),
+      (1L, Seq(0.1f, 0.0f)),
+      (2L, Seq(1.0f, 1.0f)),
+      (3L, Seq(0.9f, 1.0f)),
+    ).toDF("vec_id", "embedding")
+    val out = KMeansOp.lloyd(emb, "vec_id", col("embedding"), k = 2, iters = 1)
+      .orderBy("vec_id").collect()
+    assert(out.map(r => r.getLong(0) -> r.getLong(1)).toSeq ==
+      Seq(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 1L))
+    // v0 sits exactly on centroid 0
+    assert(out(0).getLong(2) == 0L)
+    // v2 vs final c1=(666666,666666): 2·333334² = 222,223,111,112
+    assert(out(2).getLong(2) == 2L * 333334L * 333334L)
+  }
+
+  test("intVec floors, never rounds (negative values go DOWN)") {
+    import spark.implicits._
+    val row = Seq((0L, Seq(-0.0000015f, 0.0000015f))).toDF("vec_id", "embedding")
+      .select(KMeansOp.intVec(col("embedding")).as("v")).head()
+    assert(row.getSeq[Long](0) == Seq(-2L, 1L))
+  }
+
+  test("q_kmeans at sf0.001 matches an independent in-spec Lloyd run") {
+    val d = TestSpark.sf0001
+    val got = queries.SemanticQ.queries("q_kmeans")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // independent implementation: plain Scala, same integer contract
+    val vecs = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6).toLong).toArray)
+      .sortBy(_._1)
+    def dist(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var cents: Seq[(Long, Array[Long])] = vecs.filter(_._1 < 8).map(v => v._1 -> v._2).toSeq
+    def assign() = vecs.map { case (id, v) =>
+      val (cid, dd) = cents.map { case (c, cv) => (c, dist(v, cv)) }
+        .minBy { case (c, dd) => (dd, c) }
+      (id, cid, dd)
+    }
+    for (_ <- 1 to 2) {
+      val a = assign()
+      cents = a.groupBy(_._2).toSeq.map { case (cid, members) =>
+        val vs = members.map(m => vecs(m._1.toInt)._2)
+        val dim = vs.head.length
+        cid -> Array.tabulate(dim)(j =>
+          math.floor(vs.map(_(j)).sum.toDouble / vs.length).toLong)
+      }.sortBy(_._1)
+    }
+    val expect = assign().sortBy(_._1)
+    assert(got.toSeq == expect.toSeq)
+  }
+
+  test("q_semdedup at sf0.001: drop decisions match brute force within clusters") {
+    val d = TestSpark.sf0001
+    val out = queries.SemanticQ.queries("q_semdedup")(spark, d)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.length == 500)
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na * nb == 0.0) 0.0 else dot / (na * nb)
+    }
+    val byCluster = rows.groupBy(_._2)
+    var dropped = 0
+    byCluster.values.foreach { members =>
+      val ids = members.map(_._1).sorted
+      members.foreach { case (id, _, kept) =>
+        val hasLowerDup = ids.filter(_ < id)
+          .exists(lo => cos(emb(lo), emb(id)) >= 0.4)
+        assert(kept == !hasLowerDup, s"vec $id kept=$kept but lower-dup=$hasLowerDup")
+        if (!kept) dropped += 1
+      }
+    }
+    assert(dropped > 0, "fixture should produce at least one semantic dup")
+  }
+
+  test("semdedup cosine and spec cosine agree on a probe pair") {
+    import spark.implicits._
+    // guards the brute-force oracle above against drifting from VectorOps
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(3.0f, 2.0f, 1.0f)))
+      .toDF("a", "b")
+      .select(VectorOps.cosine(col("a"), col("b")).as("c"))
+    val expect = 10.0 / 14.0
+    assert(math.abs(df.head().getDouble(0) - expect) < 1e-12)
+  }
+}

@@ -251,4 +251,44 @@ class PlanSpec extends AnyFunSuite {
     assert("explode.*filter\\(split".r.findFirstIn(plan).isDefined,
       "the vocabulary filter must sit inside the explode input (in-row), not above it")
   }
+
+  test("kmeans: centroids broadcast (bounded k); corpus never cartesians with itself") {
+    val plan = formatted(graft.queries.SemanticQ.queries("q_kmeans")(spark, TestSpark.sf0001))
+    // every assign round is crossJoin(broadcast(centroids)) — a
+    // BroadcastNestedLoopJoin over k rows, i.e. a map-side argmin. A
+    // CartesianProduct would mean a centroid table lost its hint and the
+    // corpus is shuffling against itself.
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "assign must be a broadcast nested loop over the bounded centroid set")
+    assert(!plan.contains("CartesianProduct"), "no unbroadcast cartesian anywhere")
+  }
+
+  test("semdedup: pairwise stage is an equi-join on cluster, not all-pairs") {
+    val plan = formatted(graft.queries.SemanticQ.queries("q_semdedup")(spark, TestSpark.sf0001))
+    assert(!plan.contains("CartesianProduct"),
+      "within-cluster pairs must come from an equi-join on the cluster key")
+    assert("hashpartitioning\\(cluster#\\d+".r.findFirstIn(plan).isDefined ||
+      "SortMergeJoin.*cluster|ShuffledHashJoin.*cluster".r.findFirstIn(plan).isDefined ||
+      "BroadcastHashJoin".r.findFirstIn(plan).isDefined,
+      "the candidate join must key on cluster")
+  }
+
+  test("phrase search: postings filter precedes the join; join keys on (doc, position)") {
+    val plan = formatted(graft.queries.Retrieval.queries("q_phrase_search")(spark, TestSpark.sf0001))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "adjacency must be the (doc, pos+1) equi-join, never all-pairs")
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findFirstIn(plan).isDefined,
+      "postings adjacency must be a hash/merge equi-join")
+  }
+
+  test("bloom prune: orders scan is pre-filtered before the exact semi-join") {
+    val plan = formatted(graft.queries.Relational.queries("q_bloom_prune")(spark, TestSpark.sf0001))
+    // the UDF pre-filter must sit BELOW the semi-join (scan side), and the
+    // exact join stays a semi-join so bloom false positives are removed
+    assert(plan.contains("LeftSemi"), "exactness comes from the left-semi join")
+    // the sketch probe renders as a UDF inside a Filter over o_custkey,
+    // below the join (scan side) — not above the aggregate
+    assert("UDF\\(knownnotnull\\(o_custkey".r.findFirstIn(plan).isDefined,
+      "bloom pre-filter must sit in a Filter on the orders scan side")
+  }
 }
