@@ -81,18 +81,33 @@ object KMeansOp {
   /** Full Lloyd loop: seed centroids = the vectors whose id < k (the same
     * deterministic convention as AnnSearch.ivfAssign), run `iters`
     * assign→update rounds, return the FINAL assignment
-    * (vec_id, cluster, dist_scaled). The plan is iters+1 assign joins
-    * deep — fine for the small fixed iteration counts a declared query
-    * uses; production loops would localCheckpoint between rounds exactly
-    * as Iterate does.
+    * (vec_id, cluster, dist_scaled).
+    *
+    * Centroids are materialized to the DRIVER between rounds (k·d BIGINTs
+    * — bounded by the algorithm, not the data; the same pattern as
+    * VectorOps.queryVector and MLlib's own KMeans). This is the scale
+    * decision, not a convenience: lazy chaining would nest every previous
+    * round inside the final plan, re-scanning the corpus
+    * (iters+1)·(iters+2)/2 times in one job; collected centroids truncate
+    * the lineage so each round is exactly ONE corpus pass, and the next
+    * assign broadcasts a LocalRelation. Values are unchanged (the integer
+    * contract makes the roundtrip exact).
     */
   def lloyd(emb: DataFrame, idCol: String, embCol: Column,
       k: Int, iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val vecs = emb.select(col(idCol).as("vec_id"), intVec(embCol).as("v"))
     var cents = vecs.where(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("c"))
-    for (_ <- 1 to iters)
-      cents = update(assign(vecs, cents))
+    for (_ <- 1 to iters) {
+      val rows = update(assign(vecs, cents))
+        .select(col("cid"), col("c"))
+        .as[(Long, Seq[Long])]
+        .collect()
+        .toSeq
+      cents = rows.toDF("cid", "c")
+    }
     assign(vecs, cents)
       .select(col("vec_id"), col("cid").as("cluster"),
         col("dist").as("dist_scaled"))

@@ -71,9 +71,37 @@ object Temporal {
       .orderBy(col("day_iso").asc)
   }
 
+  /** SCD-2 effective-dated history from a noisy change log: per user,
+    * consecutive events with the SAME event_type collapse (only state
+    * TRANSITIONS open a version), each surviving version carries
+    * [valid_from, valid_to) via lead over the filtered rows, and the open
+    * version is flagged current. The warehouse history-table build — the
+    * type-2 twin of q_merge_upsert's SCD-1 overwrite. One shuffle on the
+    * entity key: the lag change-filter and the lead close share the same
+    * (partition, order), and filters preserve both, so Catalyst plans ONE
+    * Exchange and reuses its sort for both Window stages. (ts, event_id)
+    * totally orders each user's log, so version boundaries are
+    * engine-independent.
+    */
+  def scd2History(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val versions = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .where(col("prev").isNull || col("prev") =!= col("event_type"))
+    versions
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("event_type").as("state"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id").asc, col("valid_from").asc, col("event_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_interval_join" -> intervalJoin,
     "q_in_transit" -> inTransit,
+    "q_scd2_history" -> scd2History,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -97,5 +125,18 @@ object Temporal {
         |  CAST(SUM(delta) OVER (ORDER BY day ASC ROWS UNBOUNDED PRECEDING) AS BIGINT)
         |    AS active
         |FROM daily ORDER BY day_iso ASC""".stripMargin,
+    "q_scd2_history" ->
+      """WITH ch AS (SELECT user_id, event_id, ts, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS prev
+        |  FROM events),
+        |v AS (SELECT user_id, event_id, ts, event_type FROM ch
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_id, event_type AS state, ts AS valid_from,
+        |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |    AS valid_to,
+        |  (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |    IS NULL) AS is_current
+        |FROM v ORDER BY user_id ASC, valid_from ASC, event_id ASC""".stripMargin,
   )
 }

@@ -281,6 +281,16 @@ class PlanSpec extends AnyFunSuite {
       "postings adjacency must be a hash/merge equi-join")
   }
 
+  test("scd2 history: one shuffle on the entity key serves both window stages") {
+    val plan = formatted(graft.queries.Temporal.queries("q_scd2_history")(spark, TestSpark.sf0001))
+    // the lag change-filter and the lead close share (partition, order),
+    // and the filter preserves both — a second hashpartitioning exchange
+    // on user_id would mean the sort-reuse contract broke
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
+      "expected exactly one user_id shuffle feeding both Window stages")
+    assert("Window".r.findAllIn(plan).size >= 2, "lag and lead stages expected")
+  }
+
   test("bloom prune: orders scan is pre-filtered before the exact semi-join") {
     val plan = formatted(graft.queries.Relational.queries("q_bloom_prune")(spark, TestSpark.sf0001))
     // the UDF pre-filter must sit BELOW the semi-join (scan side), and the
