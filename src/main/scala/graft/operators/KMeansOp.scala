@@ -98,18 +98,36 @@ object KMeansOp {
     val spark = emb.sparkSession
     import spark.implicits._
     val vecs = emb.select(col(idCol).as("vec_id"), intVec(embCol).as("v"))
-    var cents = vecs.where(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("v").as("c"))
-    for (_ <- 1 to iters) {
-      val rows = update(assign(vecs, cents))
-        .select(col("cid"), col("c"))
-        .as[(Long, Seq[Long])]
-        .collect()
-        .toSeq
-      cents = rows.toDF("cid", "c")
-    }
-    assign(vecs, cents)
+    val cents = lloydCentroidsLocal(emb, idCol, embCol, k, iters)
+    assign(vecs, cents.toDF("cid", "c"))
       .select(col("vec_id"), col("cid").as("cluster"),
         col("dist").as("dist_scaled"))
   }
+
+  /** The trained centroids themselves, as driver-local values — the
+    * coarse quantizer an IVF index keeps after training. k·d BIGINTs,
+    * bounded by the algorithm; exactly the per-round materialization
+    * `lloyd` performs anyway, surfaced so search-time code can pick probe
+    * cells without another corpus pass.
+    */
+  def lloydCentroidsLocal(emb: DataFrame, idCol: String, embCol: Column,
+      k: Int, iters: Int): Seq[(Long, Seq[Long])] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col(idCol).as("vec_id"), intVec(embCol).as("v"))
+    var cents = vecs.where(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+      .as[(Long, Seq[Long])].collect().toSeq
+    for (_ <- 1 to iters)
+      cents = update(assign(vecs, cents.toDF("cid", "c")))
+        .select(col("cid"), col("c"))
+        .as[(Long, Seq[Long])].collect().toSeq
+    cents
+  }
+
+  /** Integer squared L2 between two driver-local vectors (probe-cell
+    * selection against the bounded centroid set).
+    */
+  def intDistLocal(a: Seq[Long], b: Seq[Long]): Long =
+    a.iterator.zip(b.iterator).map { case (x, y) => (x - y) * (x - y) }.sum
 }

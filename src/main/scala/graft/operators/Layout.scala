@@ -62,4 +62,51 @@ object Layout {
   /** Persist `df` directory-partitioned by `partCol` at `path`. */
   def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+
+  /** Morton (Z-order) interleave of two non-negative integer columns:
+    * bit i of `a` lands at position 2i, bit i of `b` at 2i+1, for the
+    * low `bits` bits of each. The chain of shift/mask/OR terms is pure
+    * codegen'd arithmetic — no UDF.
+    */
+  def mortonCode(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val al = a.cast("long"); val bl = b.cast("long")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(al.bitwiseAND(lit(1L << i)), i))
+        .bitwiseOR(shiftleft(bl.bitwiseAND(lit(1L << i)), i + 1))
+    }
+  }
+
+  /** Driver-local mirror of [[mortonCode]] — used for property tests and
+    * for planning range boundaries without a Spark job.
+    */
+  def mortonLocal(a: Long, b: Long, bits: Int = 16): Long =
+    (0 until bits).foldLeft(0L) { (acc, i) =>
+      acc | ((a & (1L << i)) << i) | ((b & (1L << i)) << (i + 1))
+    }
+
+  /** Z-order clustering: range-partition on the Morton code of (a, b)
+    * and sort within partitions, so every output file covers a compact
+    * BOX in (a, b) space instead of a stripe in one dimension. Parquet
+    * min/max row-group stats on BOTH columns then become selective —
+    * a filter on either dimension (or a box on both) skips most files,
+    * which single-column sorting can only offer for its leading column.
+    * The range partitioner samples the code column once; no shuffle
+    * beyond the one the layout write pays anyway.
+    */
+  def zorderBy(df: DataFrame, a: Column, b: Column, nFiles: Int,
+      bits: Int = 16): DataFrame = {
+    val coded = df.withColumn("_z", mortonCode(a, b, bits))
+    coded.repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+  }
+
+  /** Persist `df` Z-ordered on (a, b) at `path`, one file per range
+    * partition.
+    */
+  def writeZOrdered(df: DataFrame, path: String, a: Column, b: Column,
+      nFiles: Int, bits: Int = 16): Unit =
+    zorderBy(df, a, b, nFiles, bits).write.mode("overwrite").parquet(path)
 }

@@ -65,9 +65,40 @@ object SemanticQ {
       .orderBy(col("vec_id").asc)
   }
 
+  /** IVF search over the TRAINED quantizer — the production form of
+    * q_ann_ivf, whose cells are raw seed vectors. Training is the 2-round
+    * integer Lloyd above; the driver-local centroids pick the 2 probe
+    * cells for the vec_id=0 query without touching the corpus, then ONE
+    * corpus pass assigns + filters to the probed cells and
+    * TakeOrderedAndProject returns the integer-exact top-10. Same recall
+    * mechanics as any IVF (cell-border misses are the nProbe trade);
+    * everything the oracle needs is the same unrolled Lloyd CTE chain
+    * plus a probe-cell rank.
+    */
+  def annIvfTrainedQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val cents = KMeansOp.lloydCentroidsLocal(emb, "vec_id", col("embedding"),
+      K, Iters)
+    val vecs = emb.select(col("vec_id"), KMeansOp.intVec(col("embedding")).as("v"))
+    val qv = vecs.where(col("vec_id") === 0L).select(col("v"))
+      .as[Seq[Long]].head()
+    val probeCells = cents
+      .map { case (cid, c) => (cid, KMeansOp.intDistLocal(c, qv)) }
+      .sortBy { case (cid, dd) => (dd, cid) }
+      .take(2).map(_._1)
+    KMeansOp.assign(vecs, cents.toDF("cid", "c"))
+      .where(col("cid").isin(probeCells: _*))
+      .select(col("vec_id"),
+        KMeansOp.intDist(col("v"), typedLit(qv)).as("dist_scaled"))
+      .orderBy(col("dist_scaled").asc, col("vec_id").asc)
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmeans" -> kmeansQ,
     "q_semdedup" -> semdedupQ,
+    "q_ann_ivf_trained" -> annIvfTrainedQ,
   )
 
   // ---- DuckDB oracle: the two Lloyd rounds unrolled as CTEs ----
@@ -115,6 +146,18 @@ object SemanticQ {
       s"""WITH $lloydSql
          |SELECT vec_id, cid AS cluster, dist AS dist_scaled
          |FROM a3 ORDER BY vec_id ASC""".stripMargin,
+    "q_ann_ivf_trained" ->
+      s"""WITH $lloydSql,
+         |qv AS (SELECT v FROM q WHERE vec_id = 0),
+         |pc AS (SELECT cid FROM (
+         |    SELECT c.cid, ${idistSql("c.c", "qv.v")} AS dist,
+         |      ROW_NUMBER() OVER (ORDER BY ${idistSql("c.c", "qv.v")} ASC,
+         |        c.cid ASC) AS rn
+         |    FROM c2 c CROSS JOIN qv) WHERE rn <= 2),
+         |cand AS (SELECT a3.vec_id FROM a3 JOIN pc ON a3.cid = pc.cid)
+         |SELECT q.vec_id, ${idistSql("q.v", "qv.v")} AS dist_scaled
+         |FROM q JOIN cand USING (vec_id) CROSS JOIN qv
+         |ORDER BY dist_scaled ASC, vec_id ASC LIMIT 10""".stripMargin,
     "q_semdedup" ->
       s"""WITH $lloydSql,
          |ve AS (SELECT a3.vec_id, a3.cid AS cluster, e.embedding

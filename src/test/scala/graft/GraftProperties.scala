@@ -203,3 +203,35 @@ object BinaryFuzzProperties extends Properties("BinaryParserFuzz") {
       s != null && BinaryText.extract(b) != null
     }
 }
+
+object MortonProperties extends Properties("Layout.morton") {
+  import graft.operators.Layout.mortonLocal
+
+  private val coord = Gen.chooseNum(0L, (1L << 16) - 1)
+
+  property("bijective: distinct pairs get distinct codes (decode roundtrip)") =
+    forAll(coord, coord) { (a, b) =>
+      val z = mortonLocal(a, b)
+      // decode by re-collecting even/odd bits
+      val da = (0 until 16).foldLeft(0L)((acc, i) => acc | (((z >> (2 * i)) & 1L) << i))
+      val db = (0 until 16).foldLeft(0L)((acc, i) => acc | (((z >> (2 * i + 1)) & 1L) << i))
+      da == a && db == b
+    }
+
+  property("locality: codes in an aligned 2^k box share the high prefix") =
+    forAll(Gen.chooseNum(0, 7), coord, coord) { (k, a0, b0) =>
+      // snap the box origin to 2^k alignment; all cells agree above bit 2k
+      val mask = ~((1L << k) - 1)
+      val (ba, bb) = (a0 & mask & 0xffffL, b0 & mask & 0xffffL)
+      val corners = Seq((0L, 0L), ((1L << k) - 1, 0L), (0L, (1L << k) - 1),
+        ((1L << k) - 1, (1L << k) - 1))
+      val codes = corners.map { case (dx, dy) => mortonLocal(ba + dx, bb + dy) }
+      codes.map(_ >> (2 * k)).distinct.size == 1
+    }
+
+  property("monotone along each axis at the origin row/column") =
+    forAll(coord) { a =>
+      mortonLocal(a, 0) <= mortonLocal(a | 1, 0) &&
+        mortonLocal(0, a) <= mortonLocal(0, a | 1)
+    }
+}

@@ -58,4 +58,53 @@ class LayoutSpec extends AnyFunSuite {
       Tables.events(spark, TestSpark.sf0001)
         .where(col("event_type") === "purchase").count())
   }
+
+  test("mortonCode interleaves bits (hand-computed values)") {
+    val rows = Seq((0, 0), (1, 0), (0, 1), (3, 1), (2, 2), (5, 3))
+      .toDF("a", "b")
+      .select(Layout.mortonCode(col("a"), col("b"), bits = 4).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // a-bit i -> 2i, b-bit i -> 2i+1:
+    // (0,0)=0 (1,0)=1 (0,1)=2 (3,1)=0b0111=7 (2,2)=0b1100=12 (5,3)=0b11011=27
+    assert(rows == Seq(0L, 1L, 2L, 7L, 12L, 27L))
+    // the Column expression and the driver-local mirror agree on a grid
+    val grid = (for { a <- 0 until 32; b <- 0 until 32 } yield (a, b)).toDF("a", "b")
+    val mismatches = grid
+      .select(col("a"), col("b"), Layout.mortonCode(col("a"), col("b"), 8).as("z"))
+      .collect()
+      .count(r => r.getLong(2) != Layout.mortonLocal(r.getInt(0), r.getInt(1), 8))
+    assert(mismatches == 0)
+  }
+
+  test("z-order layout covers compact boxes in BOTH dimensions (vs 1-D sort stripes)") {
+    val pts = (for { x <- 0 until 64; y <- 0 until 64 } yield (x, y))
+      .toDF("x", "y")
+    def extents(df: org.apache.spark.sql.DataFrame): Seq[(Int, Int)] =
+      df.withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg((max(col("x")) - min(col("x"))).as("dx"),
+          (max(col("y")) - min(col("y"))).as("dy"))
+        .collect().map(r => (r.getAs[Int]("dx"), r.getAs[Int]("dy"))).toSeq
+    val z = extents(Layout.zorderBy(pts, col("x"), col("y"), 16, bits = 6))
+    val stripes = extents(pts.repartitionByRange(16, col("x"))
+      .sortWithinPartitions(col("x")))
+    // stripe layout: x tight but y spans the whole domain in every file
+    assert(stripes.forall(_._2 >= 60), "sanity: 1-D sort leaves y unbounded")
+    // z-order: the SUM of both extents stays far below the stripe layout's
+    // (each range of z-codes is a compact box, modulo sampled boundaries)
+    val zCost = z.map { case (dx, dy) => dx + dy }.sum.toDouble / z.size
+    val sCost = stripes.map { case (dx, dy) => dx + dy }.sum.toDouble / stripes.size
+    assert(zCost < sCost / 1.5, s"z layout not tighter: z=$zCost stripes=$sCost")
+    assert(z.forall { case (dx, dy) => dx < 64 && dy < 64 })
+  }
+
+  test("writeZOrdered round-trips all rows") {
+    val path = Files.createTempDirectory("graft_z").toString + "/pts"
+    val pts = (for { x <- 0 until 32; y <- 0 until 32 } yield (x, y))
+      .toDF("x", "y")
+    Layout.writeZOrdered(pts, path, col("x"), col("y"), nFiles = 4, bits = 5)
+    val back = spark.read.parquet(path)
+    assert(back.count() == 1024)
+    assert(back.columns.toSeq == Seq("x", "y"), "the z helper column must not persist")
+  }
 }
