@@ -77,7 +77,7 @@ object AsOfJoin {
       else unioned.withColumn("_p", last(col("_p"), ignoreNulls = true)
         .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     carried.where(col("_side") === 1)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         payload.map(c => col("_p").getField(c).as(c)): _*)
   }
 }

@@ -43,14 +43,14 @@ object Merge {
     // change set, evaluated with the change row itself).
     val dupGuard = changes.groupBy(col(keyCol)).agg(count(lit(1)).as("__n_changes"))
     val chg = changes.join(dupGuard, Seq(keyCol)).select(
-      col(keyCol) +:
+      (col(keyCol) +:
         when(col("__n_changes") > 1,
           raise_error(concat(lit("multiple change rows for merge key "), col(keyCol))))
           .otherwise(col(opCol)).as("__op") +:
-        payload.map(c => col(c).as("__u_" + c)): _*)
+        payload.map(c => col(c).as("__u_" + c))).toIndexedSeq: _*)
     base.join(chg, Seq(keyCol), "left")
       .where(col("__op").isNull || col("__op") =!= "D")
-      .select(base.columns.map { c =>
+      .select(base.columns.toIndexedSeq.map { c =>
         if (payload.contains(c))
           when(col("__op") === "U", col("__u_" + c)).otherwise(col(c)).as(c)
         else col(c)

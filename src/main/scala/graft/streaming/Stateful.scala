@@ -20,10 +20,10 @@ object Stateful {
   case class UserState(n_events: Long, sum_value: Double)
   case class UserUpdate(user_id: Long, n_events: Long, sum_value: Double)
 
-  implicit val eventEnc = Encoders.product[UserEvent]
-  implicit val stateEnc = Encoders.product[UserState]
-  implicit val updateEnc = Encoders.product[UserUpdate]
-  implicit val longEnc = Encoders.scalaLong
+  implicit val eventEnc: org.apache.spark.sql.Encoder[UserEvent] = Encoders.product[UserEvent]
+  implicit val stateEnc: org.apache.spark.sql.Encoder[UserState] = Encoders.product[UserState]
+  implicit val updateEnc: org.apache.spark.sql.Encoder[UserUpdate] = Encoders.product[UserUpdate]
+  implicit val longEnc: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
 
   /** One UserUpdate per (user, micro-batch) with totals accumulated over
     * the stream's lifetime. Works identically on a batch Dataset (state
@@ -53,7 +53,7 @@ object Stateful {
 
   case class FpDoc(fp: Long, doc_id: Long)
 
-  implicit val fpDocEnc = Encoders.product[FpDoc]
+  implicit val fpDocEnc: org.apache.spark.sql.Encoder[FpDoc] = Encoders.product[FpDoc]
 
   /** Streaming first-seen filter on the `transformWithState` API (the
     * Spark 4 arbitrary-state processor): emit a document only the FIRST
