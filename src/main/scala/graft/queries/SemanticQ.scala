@@ -95,10 +95,38 @@ object SemanticQ {
       .limit(10)
   }
 
+  /** Index-quality monitoring: recall@10 of the trained-IVF search
+    * against the integer-exact top-10 for the same probe — the metric an
+    * ANN tier ships with (every production vector index is deployed next
+    * to exactly this evaluation job; recall decides nProbe). Both sides
+    * run in the shared integer domain, so the recall is a deterministic
+    * BIGINT ppm, not a float. One corpus pass for the exact baseline
+    * (TakeOrderedAndProject), the IVF side reuses the probed-cell scan;
+    * the intersection is a 10×10 broadcast join.
+    */
+  def recallIvfQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val vecs = emb.select(col("vec_id"), KMeansOp.intVec(col("embedding")).as("v"))
+    val qv = vecs.where(col("vec_id") === 0L).select(col("v"))
+      .as[Seq[Long]].head()
+    val exact = vecs
+      .select(col("vec_id"), KMeansOp.intDist(col("v"), typedLit(qv)).as("dist_scaled"))
+      .orderBy(col("dist_scaled").asc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"))
+    val ivf = annIvfTrainedQ(s, d).select(col("vec_id"))
+    exact.join(ivf, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("n_hits"),
+        (col("n_hits") * lit(1000000L) / lit(10L)).cast("long").as("recall_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmeans" -> kmeansQ,
     "q_semdedup" -> semdedupQ,
     "q_ann_ivf_trained" -> annIvfTrainedQ,
+    "q_recall_ivf" -> recallIvfQ,
   )
 
   // ---- DuckDB oracle: the two Lloyd rounds unrolled as CTEs ----
@@ -158,6 +186,21 @@ object SemanticQ {
          |SELECT q.vec_id, ${idistSql("q.v", "qv.v")} AS dist_scaled
          |FROM q JOIN cand USING (vec_id) CROSS JOIN qv
          |ORDER BY dist_scaled ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_recall_ivf" ->
+      s"""WITH $lloydSql,
+         |qv AS (SELECT v FROM q WHERE vec_id = 0),
+         |pc AS (SELECT cid FROM (
+         |    SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${idistSql("c.c", "qv.v")} ASC,
+         |        c.cid ASC) AS rn
+         |    FROM c2 c CROSS JOIN qv) WHERE rn <= 2),
+         |cand AS (SELECT a3.vec_id FROM a3 JOIN pc ON a3.cid = pc.cid),
+         |ivf AS (SELECT q.vec_id FROM q JOIN cand USING (vec_id) CROSS JOIN qv
+         |  ORDER BY ${idistSql("q.v", "qv.v")} ASC, q.vec_id ASC LIMIT 10),
+         |exact AS (SELECT q.vec_id FROM q CROSS JOIN qv
+         |  ORDER BY ${idistSql("q.v", "qv.v")} ASC, q.vec_id ASC LIMIT 10)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
+         |  CAST(COUNT(*) * 1000000 / 10 AS BIGINT) AS recall_ppm
+         |FROM exact WHERE vec_id IN (SELECT vec_id FROM ivf)""".stripMargin,
     "q_semdedup" ->
       s"""WITH $lloydSql,
          |ve AS (SELECT a3.vec_id, a3.cid AS cluster, e.embedding
