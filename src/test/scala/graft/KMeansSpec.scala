@@ -39,6 +39,17 @@ class KMeansSpec extends AnyFunSuite {
     assert(out(2).getLong(2) == 2L * 333334L * 333334L)
   }
 
+  test("empty clusters disappear: identical vectors all tie into centroid 0") {
+    import spark.implicits._
+    // every distance ties at 0 -> (dist, cid) argmin picks cid 0; centroid 1
+    // loses all members in the update and must vanish, not crash or emit
+    val emb = (0L to 5L).map(i => (i, Seq(0.25f, -0.5f))).toDF("vec_id", "embedding")
+    val out = KMeansOp.lloyd(emb, "vec_id", col("embedding"), k = 2, iters = 1)
+      .collect()
+    assert(out.length == 6)
+    assert(out.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L))
+  }
+
   test("intVec floors, never rounds (negative values go DOWN)") {
     import spark.implicits._
     val row = Seq((0L, Seq(-0.0000015f, 0.0000015f))).toDF("vec_id", "embedding")
