@@ -291,6 +291,13 @@ class PlanSpec extends AnyFunSuite {
     assert("Window".r.findAllIn(plan).size >= 2, "lag and lead stages expected")
   }
 
+  test("recall eval: both rankings are top-k, never global sorts") {
+    val plan = formatted(graft.queries.SemanticQ.queries("q_recall_ivf")(spark, TestSpark.sf0001))
+    assert("TakeOrderedAndProject".r.findAllIn(plan).size >= 2,
+      "exact baseline and IVF side must both be per-partition top-k")
+    assert(!plan.contains("CartesianProduct"), "no unbroadcast cartesian")
+  }
+
   test("bloom prune: orders scan is pre-filtered before the exact semi-join") {
     val plan = formatted(graft.queries.Relational.queries("q_bloom_prune")(spark, TestSpark.sf0001))
     // the UDF pre-filter must sit BELOW the semi-join (scan side), and the
