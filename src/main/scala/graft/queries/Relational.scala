@@ -77,6 +77,20 @@ object Relational {
       .orderBy(col("o_orderpriority").asc)
   }
 
+  /** The Z-order (Morton) clustering key over two part dimensions — the
+    * layout column `Layout.zorderBy` range-partitions on, declared as a
+    * query so the bit-interleave itself is cross-engine hash-checked (the
+    * partition-extent behavior it buys is pinned in LayoutSpec). Pure
+    * codegen'd shift/mask arithmetic; the oracle mirrors every term with
+    * DuckDB's bitwise operators.
+    */
+  def zorderCode(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        graft.operators.Layout.mortonCode(
+          col("p_size"), pmod(col("p_partkey"), lit(64)), bits = 8).as("zcode"))
+      .orderBy(col("p_partkey").asc)
+
   /** Customers with no high-value order (left anti = NOT EXISTS); the
     * 400k threshold keeps the result non-empty at every scale factor.
     */
@@ -249,6 +263,7 @@ object Relational {
     "q_semi_join" -> semiJoin,
     "q_anti_join" -> antiJoin,
     "q_bloom_prune" -> bloomPrune,
+    "q_zorder_code" -> zorderCode,
     "q_agg_pricing" -> aggPricing,
     "q_window_rank" -> windowRank,
     "q_rollup_status" -> rollupStatus,
@@ -309,6 +324,16 @@ object Relational {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
         |ORDER BY c_custkey ASC""".stripMargin,
+    "q_zorder_code" -> {
+      // mirror of Layout.mortonCode(p_size, p_partkey % 64, bits = 8):
+      // bit i of a -> 2i, bit i of b -> 2i+1
+      val terms = (0 until 8).flatMap { i =>
+        Seq(s"((p_size & ${1L << i}) << $i)",
+          s"(((p_partkey % 64) & ${1L << i}) << ${i + 1})")
+      }.mkString(" | ")
+      s"""SELECT p_partkey, CAST($terms AS BIGINT) AS zcode
+         |FROM part ORDER BY p_partkey ASC""".stripMargin
+    },
     "q_bloom_prune" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
