@@ -78,8 +78,9 @@ object KMeansOp {
       .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("arr"))
       .select(col("cid"), transform(col("arr"), s => s.getField("cv")).as("c"))
 
-  /** Full Lloyd loop: seed centroids = the vectors whose id < k (the same
-    * deterministic convention as AnnSearch.ivfAssign), run `iters`
+  /** Full Lloyd loop: seed centroids = the vectors with the k LOWEST ids
+    * (identical to the id<k convention of AnnSearch.ivfAssign when ids are
+    * dense from 0, but well-defined for any id space), run `iters`
     * assign→update rounds, return the FINAL assignment
     * (vec_id, cluster, dist_scaled).
     *
@@ -115,9 +116,11 @@ object KMeansOp {
     val spark = emb.sparkSession
     import spark.implicits._
     val vecs = emb.select(col(idCol).as("vec_id"), intVec(embCol).as("v"))
-    var cents = vecs.where(col("vec_id") < k)
+    var cents = vecs.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), col("v").as("c"))
       .as[(Long, Seq[Long])].collect().toSeq
+    require(cents.size == k,
+      s"k-means needs k=$k seed vectors but the input has only ${cents.size}")
     for (_ <- 1 to iters)
       cents = update(assign(vecs, cents.toDF("cid", "c")))
         .select(col("cid"), col("c"))

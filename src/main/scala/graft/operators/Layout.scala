@@ -71,7 +71,13 @@ object Layout {
   def mortonCode(a: Column, b: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
     val al = a.cast("long"); val bl = b.cast("long")
-    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+    // Negative inputs would interleave two's-complement bits and destroy
+    // locality silently — fail the task instead. The guard folds to a
+    // single codegen'd conditional seeding the accumulator with 0.
+    val seed = when(al < 0 || bl < 0,
+      raise_error(concat(lit("mortonCode requires non-negative inputs, got ("),
+        al, lit(", "), bl, lit(")")))).otherwise(lit(0L))
+    (0 until bits).foldLeft(seed) { (acc, i) =>
       acc
         .bitwiseOR(shiftleft(al.bitwiseAND(lit(1L << i)), i))
         .bitwiseOR(shiftleft(bl.bitwiseAND(lit(1L << i)), i + 1))
@@ -81,10 +87,13 @@ object Layout {
   /** Driver-local mirror of [[mortonCode]] — used for property tests and
     * for planning range boundaries without a Spark job.
     */
-  def mortonLocal(a: Long, b: Long, bits: Int = 16): Long =
+  def mortonLocal(a: Long, b: Long, bits: Int = 16): Long = {
+    require(a >= 0 && b >= 0,
+      s"mortonLocal requires non-negative inputs, got ($a, $b)")
     (0 until bits).foldLeft(0L) { (acc, i) =>
       acc | ((a & (1L << i)) << i) | ((b & (1L << i)) << (i + 1))
     }
+  }
 
   /** Z-order clustering: range-partition on the Morton code of (a, b)
     * and sort within partitions, so every output file covers a compact
@@ -97,10 +106,13 @@ object Layout {
     */
   def zorderBy(df: DataFrame, a: Column, b: Column, nFiles: Int,
       bits: Int = 16): DataFrame = {
-    val coded = df.withColumn("_z", mortonCode(a, b, bits))
-    coded.repartitionByRange(nFiles, col("_z"))
-      .sortWithinPartitions(col("_z"))
-      .drop("_z")
+    // Collision-free temp column: never silently clobber a user column.
+    val z = Iterator.from(0).map(i => s"_z$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(z, mortonCode(a, b, bits))
+      .repartitionByRange(nFiles, col(z))
+      .sortWithinPartitions(col(z))
+      .drop(z)
   }
 
   /** Persist `df` Z-ordered on (a, b) at `path`, one file per range

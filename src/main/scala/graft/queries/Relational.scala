@@ -67,7 +67,12 @@ object Relational {
   def bloomPrune(s: SparkSession, d: String): DataFrame = {
     val hi = Tables.customer(s, d).where(col("c_acctbal") > 9000.0)
       .select(col("c_custkey"))
-    val bf = hi.stat.bloomFilter("c_custkey", 20000L, 0.03)
+    // Size the sketch from the actual qualifying-key count (one cheap
+    // dimension-side pass) so the false-positive rate stays at the
+    // configured fpp at every scale factor instead of degrading once the
+    // key count outgrows a hardcoded capacity.
+    val nKeys = math.max(hi.count(), 1L)
+    val bf = hi.stat.bloomFilter("c_custkey", nKeys, 0.03)
     val might = udf((k: Long) => bf.mightContain(k))
     val o = Tables.orders(s, d).where(might(col("o_custkey")))
     o.join(hi, o("o_custkey") === hi("c_custkey"), "left_semi")

@@ -70,6 +70,7 @@ class KMeansSpec extends AnyFunSuite {
       .sortBy(_._1)
     def dist(a: Array[Long], b: Array[Long]): Long =
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val vecById = vecs.toMap  // lookup by id, not array position
     var cents: Seq[(Long, Array[Long])] = vecs.filter(_._1 < 8).map(v => v._1 -> v._2).toSeq
     def assign() = vecs.map { case (id, v) =>
       val (cid, dd) = cents.map { case (c, cv) => (c, dist(v, cv)) }
@@ -79,7 +80,7 @@ class KMeansSpec extends AnyFunSuite {
     for (_ <- 1 to 2) {
       val a = assign()
       cents = a.groupBy(_._2).toSeq.map { case (cid, members) =>
-        val vs = members.map(m => vecs(m._1.toInt)._2)
+        val vs = members.map(m => vecById(m._1))
         val dim = vs.head.length
         cid -> Array.tabulate(dim)(j =>
           math.floor(vs.map(_(j)).sum.toDouble / vs.length).toLong)
