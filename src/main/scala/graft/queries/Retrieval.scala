@@ -355,30 +355,57 @@ object Retrieval {
     * Scale: tokens are filtered to the query vocabulary INSIDE the row
     * before the explode, so the only token-grain shuffle carries query
     * postings; `dl` is a full-corpus side computed without exploding
-    * (one `size()` projection); df (≤ |terms| rows) and the two global
-    * scalars broadcast; the tf ⋈ dl equi-join shuffles on the doc key.
-    * Overflow headroom: idf_milli·22·tf·Σdl < 9.2e18 holds through
-    * ~100M-token corpora — beyond that, drop the ·1000 idf scale (the
-    * ranking is unaffected; it's a constant factor).
+    * (one `size()` projection); df (≤ |terms| rows) broadcasts and the
+    * corpus scalars (N, Σdl, max dl) are collected ONCE and baked in as
+    * literals; the tf ⋈ dl equi-join shuffles on the doc key.
+    *
+    * Overflow is HANDLED, not documented away: the exact worst-case
+    * numerator max_idf_milli·22·max_tf·Σdl is evaluated driver-side in
+    * BigInt, and when it no longer fits a BIGINT the scoring arithmetic
+    * widens to DECIMAL(38,0) (same integer values — `div` stays integral
+    * — just 128-bit headroom), so a corpus past the ~100M-token BIGINT
+    * envelope ranks correctly instead of wrapping.
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: Column,
       terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
     val toks = TA.tokens(textCol)
     val dl = docs.select(col(idCol), size(toks).cast("long").as("dl"))
-    val totals = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val row = dl.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(col("dl")), lit(0L)).as("sum_dl"),
+      coalesce(max(col("dl")), lit(0L)).as("max_dl")).head()
     val tf = docs.select(col(idCol),
         explode(filter(toks, t => t.isInCollection(terms))).as("w"))
       .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    tf.join(dl, Seq(idCol))
-      .join(broadcast(dfreq), Seq("w"))
-      .crossJoin(broadcast(totals))
+    bm25Rank(tf.join(dl, Seq(idCol)).join(broadcast(dfreq), Seq("w")),
+      idCol, row.getLong(0), row.getLong(1), row.getLong(2), k)
+  }
+
+  /** BM25 scoring core over a (w, idCol, tf, dl, df) relation with the
+    * corpus scalars explicit — `private[graft]` so the overflow spec can
+    * drive the widening decision directly. `forceWide` pins the
+    * DECIMAL(38,0) path for equivalence testing.
+    */
+  private[graft] def bm25Rank(joined: DataFrame, idCol: String, nDocs: Long,
+      sumDl: Long, maxDl: Long, k: Int, forceWide: Boolean = false): DataFrame = {
+    // idf itself multiplies (2N+1) by 1000 in BIGINT — loud ceiling, not a wrap
+    require((BigInt(2) * nDocs + 1) * 1000 < BigInt(Long.MaxValue),
+      s"bm25: n_docs=$nDocs overflows the integer idf scale")
+    // exact worst case of the per-term numerator: idf at df=1, tf at max dl
+    val worstIdf = (BigInt(2) * BigInt(math.max(nDocs - 1, 0)) + 1) * 1000 / 3
+    val worst = worstIdf * 22 * BigInt(maxDl) * BigInt(sumDl)
+    val wide = forceWide || worst >= BigInt(Long.MaxValue)
+    // in wide mode every product chain starts from a DECIMAL(38,0) factor,
+    // so neither the numerator nor the denominator ever multiplies in BIGINT
+    def w(c: String) = if (wide) s"cast($c as decimal(38,0))" else c
+    joined
       .withColumn("idf_milli",
-        expr("((2 * (n_docs - df) + 1) * 1000) div (2 * df + 1)"))
+        expr(s"((2 * (${nDocs}L - df) + 1) * 1000) div (2 * df + 1)"))
       .withColumn("score_milli", expr(
-        "(idf_milli * 22 * tf * sum_dl) div " +
-          "(10 * tf * sum_dl + 3 * sum_dl + 9 * dl * n_docs)"))
+        s"(${w("idf_milli")} * 22 * tf * ${sumDl}L) div " +
+          s"(10 * ${w("tf")} * ${sumDl}L + 3 * ${w(s"${sumDl}L")} + " +
+          s"9 * ${w("dl")} * ${nDocs}L)"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_terms"), sum(col("score_milli")).as("bm25_milli"))
       .orderBy(col("bm25_milli").desc, col(idCol).asc)

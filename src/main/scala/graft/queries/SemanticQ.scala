@@ -23,17 +23,38 @@ object SemanticQ {
   private val K = 8
   private val Iters = 2
 
-  /** Trained centroids memoized per dataset dir. Training is
-    * deterministic (integer Lloyd on an immutable table), so the cache is
-    * sound; it mirrors production, where a trained quantizer is a
-    * PERSISTED artifact the serving/dedup/eval jobs all load rather than
-    * re-train. Four declared queries share one training here.
+  /** Trained centroids memoized per dataset CONTENT, not per path:
+    * the cache key folds in the embeddings files' (name, length, mtime)
+    * listing, so overwriting a dataset dir in place invalidates the
+    * entry and retrains instead of serving a stale quantizer. Training
+    * is deterministic (integer Lloyd on an immutable snapshot), so a
+    * hit is sound; it mirrors production, where a trained quantizer is
+    * a PERSISTED artifact keyed to its corpus snapshot that the
+    * serving/dedup/eval jobs all load rather than re-train. Four
+    * declared queries share one training here.
     */
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Long])]]()
 
-  private def trainedCentroids(s: SparkSession, d: String): Seq[(Long, Seq[Long])] =
-    centroidCache.computeIfAbsent(d, _ =>
+  /** Content identity of `$d`'s embeddings table: one cheap driver-side
+    * file listing (no data read) — any rewrite changes a length or
+    * mtime, any file add/remove changes the set.
+    */
+  private def snapshotKey(s: SparkSession, d: String): String = {
+    val path = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val parts =
+      if (!fs.exists(path)) Seq("absent")
+      else fs.listStatus(path).toSeq.sortBy(_.getPath.getName)
+        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+    s"$d|${parts.mkString(",")}"
+  }
+
+  /** Drop every memoized quantizer (test hook / operational reset). */
+  private[graft] def clearCentroidCache(): Unit = centroidCache.clear()
+
+  private[graft] def trainedCentroids(s: SparkSession, d: String): Seq[(Long, Seq[Long])] =
+    centroidCache.computeIfAbsent(snapshotKey(s, d), _ =>
       KMeansOp.lloydCentroidsLocal(Tables.embeddings(s, d), "vec_id",
         col("embedding"), K, Iters))
 

@@ -88,6 +88,19 @@ object DedupStream {
     StreamState.commitMarker(s, stateDir, batchId)
   }
 
+  /** Compact the committed signature + band state: both tables fold
+    * under ONE marker (a reader never sees sets compacted but bands not).
+    * The merge is identity — rows are keyed by doc id and each id lives
+    * in exactly one committed partition (a replayed batch overwrites its
+    * own) — so the fold is pure concatenation into one directory; what
+    * shrinks is the per-read directory/file enumeration and open cost,
+    * which otherwise grows with every batch forever.
+    */
+  def compactState(s: SparkSession, stateDir: String): Option[Long] =
+    StreamState.compact(s, stateDir, Seq(
+      ("sets", setsSchema, (df: DataFrame) => df),
+      ("bands", bandsSchema, (df: DataFrame) => df)))
+
   /** Start the ingestion stream over a streaming (doc_id, text, ...)
     * frame. Readers see the growing corpus as one partitioned parquet
     * table at `outDir`.

@@ -66,6 +66,19 @@ object DriftStream {
     StreamState.commitMarker(s, stateDir, batchId)
   }
 
+  /** Compact the monitor's committed word-count state: fold all but the
+    * newest committed batch into one base partition, RE-AGGREGATED to
+    * vocab grain — exactly the sum `referenceCounts` computes at read, so
+    * every subsequent score is unchanged while the reference read drops
+    * from O(batches × vocab) rows to O(vocab) + the newest batch. Safe to
+    * run between (or concurrent with) batches: the commit-gate protocol
+    * makes a killed compaction invisible (see StreamState.compact).
+    */
+  def compactState(s: SparkSession, stateDir: String): Option[Long] =
+    StreamState.compact(s, stateDir, Seq(
+      ("counts", countsSchema,
+        (df: DataFrame) => df.groupBy(col("w")).agg(sum(col("c_w")).as("c_w")))))
+
   /** Start the monitor over a streaming (doc_id, text, source) frame.
     * Readers see per-batch drift scores as one partitioned parquet table
     * at `outDir`.

@@ -12,22 +12,47 @@ import org.apache.spark.sql.types.StructType
   * are invisible garbage until the replay overwrites them; a replayed
   * COMMITTED batch overwrites byte-identical state, so reads stay
   * consistent either way (effectively-once on top of at-least-once).
+  *
+  * Compaction (the scale valve): without it, reads enumerate one
+  * directory per committed batch forever. [[compact]] merges every
+  * committed partition STRICTLY BELOW the newest committed id into one
+  * `table/base_id=M` directory per table, behind the same
+  * marker-written-LAST discipline (`stateDir/_compacted/M`): a torn
+  * compaction leaves no `_compacted` marker and is invisible — the next
+  * compaction simply overwrites the orphan base. Readers treat the
+  * newest `_compacted` marker < their horizon as the floor: they scan
+  * its base directory plus only the committed batch directories above
+  * it, so state reads are O(base + batches-since-compaction) instead of
+  * O(all batches). The newest committed id is never folded into a base,
+  * which keeps replays exact: the only batch the streaming engine can
+  * ever re-run is one with no LATER commit marker, and its `upTo`
+  * exclusion needs precisely the partitions the base preserves.
   */
-private[streaming] object StreamState {
+private[graft] object StreamState {
 
   private def hadoopFs(s: SparkSession, dir: String) = {
     val path = new org.apache.hadoop.fs.Path(dir)
     (path.getFileSystem(s.sparkContext.hadoopConfiguration), path)
   }
 
-  /** Batch ids whose state writes fully committed, ascending. */
-  def committedIds(s: SparkSession, stateDir: String): Seq[Long] = {
-    val (fs, dir) = hadoopFs(s, s"$stateDir/_committed")
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq
+  private def markerIds(s: SparkSession, dir: String): Seq[Long] = {
+    val (fs, path) = hadoopFs(s, dir)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
       .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
       .sorted
   }
+
+  /** Batch ids whose state writes fully committed, ascending. */
+  def committedIds(s: SparkSession, stateDir: String): Seq[Long] =
+    markerIds(s, s"$stateDir/_committed")
+
+  /** Base ids whose compaction fully committed, ascending. Each id M
+    * asserts: `table/base_id=M` holds the merged content of every
+    * committed batch ≤ M, for EVERY table of this state dir.
+    */
+  def compactedIds(s: SparkSession, stateDir: String): Seq[Long] =
+    markerIds(s, s"$stateDir/_compacted")
 
   def commitMarker(s: SparkSession, stateDir: String, batchId: Long): Unit = {
     val (fs, dir) = hadoopFs(s, s"$stateDir/_committed")
@@ -35,22 +60,78 @@ private[streaming] object StreamState {
     fs.create(new org.apache.hadoop.fs.Path(dir, batchId.toString), true).close()
   }
 
-  /** Read a state table restricted to COMMITTED batch partitions — the
-    * only truth a restart may trust. `upTo` (exclusive) lets a replayed
-    * batch exclude its OWN earlier commit, keeping the replay's
-    * reference state identical to the original run's. No qualifying
-    * markers reads as the empty relation; the explicit schema means an
-    * empty-but-existing committed dir reads as zero rows instead of
-    * failing schema inference, while a corrupt footer in a COMMITTED
-    * partition still aborts at scan time.
+  /** Read a state table restricted to COMMITTED state — the only truth a
+    * restart may trust: the newest committed base below `upTo` (if any)
+    * plus the committed batch partitions above it and below `upTo`
+    * (exclusive). `upTo` lets a replayed batch exclude its OWN earlier
+    * commit, keeping the replay's reference state identical to the
+    * original run's. No qualifying markers reads as the empty relation;
+    * the explicit schema means an empty-but-existing committed dir reads
+    * as zero rows instead of failing schema inference, while a corrupt
+    * footer in a COMMITTED partition still aborts at scan time.
     */
   def readCommitted(s: SparkSession, stateDir: String, table: String,
       schema: StructType, upTo: Long = Long.MaxValue): DataFrame = {
+    val base = compactedIds(s, stateDir).filter(_ < upTo).lastOption
+    val floor = base.getOrElse(Long.MinValue)
     val dirs = committedIds(s, stateDir)
-      .filter(_ < upTo)
-      .map(id => s"$stateDir/$table/batch_id=$id")
+      .filter(id => id < upTo && id > floor)
+      .map(id => s"$stateDir/$table/batch_id=$id") ++
+      base.map(b => s"$stateDir/$table/base_id=$b")
     if (dirs.isEmpty) s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
     else s.read.schema(schema).parquet(dirs: _*)
       .select(schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Compact the committed state of `stateDir`: fold the previous base
+    * (if any) and every committed batch partition STRICTLY below the
+    * newest committed id into one `base_id=M` directory per table
+    * (M = the largest folded id), each first passed through that table's
+    * `merge` (e.g. re-aggregate counts to vocab grain; identity for
+    * append-only key tables). Write order is the crash contract:
+    * base directories first (invisible — no reader ever lists them
+    * without the marker), the `_compacted/M` marker LAST (the atomic
+    * reader switch), then best-effort cleanup of the superseded batch
+    * directories, their commit markers, and the previous base. A kill at
+    * ANY point before the marker leaves reads untouched; a kill during
+    * cleanup leaves stale directories that readers already ignore and
+    * the next compaction removes.
+    *
+    * All tables of a state dir compact under ONE marker, so multi-table
+    * consumers (DedupStream's sets+bands) never observe a half-compacted
+    * state. Returns the new base id, or None when fewer than one
+    * committed batch sits below the newest (nothing to fold).
+    */
+  def compact(s: SparkSession, stateDir: String,
+      tables: Seq[(String, StructType, DataFrame => DataFrame)]): Option[Long] = {
+    val committed = committedIds(s, stateDir)
+    if (committed.size < 2) return None
+    val prevBase = compactedIds(s, stateDir).lastOption
+    val eligible = committed
+      .filter(id => id < committed.max && prevBase.forall(id > _))
+    if (eligible.isEmpty) return None
+    val m = eligible.max
+    tables.foreach { case (table, schema, merge) =>
+      merge(readCommitted(s, stateDir, table, schema, upTo = m + 1))
+        .write.mode("overwrite").parquet(s"$stateDir/$table/base_id=$m")
+    }
+    // marker LAST: the single atomic point where readers switch bases
+    val (fs, cdir) = hadoopFs(s, s"$stateDir/_compacted")
+    fs.mkdirs(cdir)
+    fs.create(new org.apache.hadoop.fs.Path(cdir, m.toString), true).close()
+    // best-effort cleanup — everything below is already unreadable
+    committed.filter(_ <= m).foreach { id =>
+      tables.foreach { case (t, _, _) =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/$t/batch_id=$id"), true)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/_committed/$id"), false)
+    }
+    prevBase.foreach { b =>
+      tables.foreach { case (t, _, _) =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/$t/base_id=$b"), true)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/_compacted/$b"), false)
+    }
+    Some(m)
   }
 }

@@ -117,6 +117,32 @@ class KMeansSpec extends AnyFunSuite {
     assert(dropped > 0, "fixture should produce at least one semantic dup")
   }
 
+  test("centroid cache: overwriting the dataset dir in place retrains " +
+    "instead of serving the stale quantizer") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_centcache").toString
+    def writeEmb(n: Int, shift: Float): Unit =
+      (0 until n).map(i => (i.toLong,
+          Seq(i.toFloat + shift, (i % 3).toFloat, shift, 1.0f), i % 4))
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    writeEmb(12, 0.0f)
+    val cA = graft.queries.SemanticQ.trainedCentroids(spark, d)
+    // different row count AND values → fingerprint must change even on a
+    // same-second mtime
+    writeEmb(16, 50.0f)
+    val cB = graft.queries.SemanticQ.trainedCentroids(spark, d)
+    val fresh = KMeansOp.lloydCentroidsLocal(
+      Tables.embeddings(spark, d), "vec_id", col("embedding"), 8, 2)
+    assert(cB.sortBy(_._1) == fresh.sortBy(_._1),
+      "post-overwrite centroids are not a fresh training on the new data")
+    assert(cA.sortBy(_._1) != cB.sortBy(_._1),
+      "overwrite produced identical centroids — cache served stale state")
+    // unchanged content is a HIT: same object, no retraining pass
+    assert(graft.queries.SemanticQ.trainedCentroids(spark, d) eq cB,
+      "same snapshot should be memoized")
+  }
+
   test("semdedup cosine and spec cosine agree on a probe pair") {
     import spark.implicits._
     // guards the brute-force oracle above against drifting from VectorOps

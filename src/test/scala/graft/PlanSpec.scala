@@ -298,6 +298,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), "no unbroadcast cartesian")
   }
 
+  test("per-group top-k family compiles to WindowGroupLimit (map-side rank limit)") {
+    // rank-then-filter per group must stay the partial WindowGroupLimit
+    // shape — each map task keeps at most k rows per group BEFORE the
+    // window shuffle — not a full per-group sort of every scored row. A
+    // refactor that hides the rank filter from the optimizer (e.g. a
+    // filter on a derived column) silently re-sorts the corpus at scale.
+    for ((name, q) <- Seq(
+        "q_hard_negatives" -> graft.queries.VectorQ.queries("q_hard_negatives"),
+        "q_multi_query_topk" -> graft.queries.VectorQ.queries("q_multi_query_topk"),
+        "q_knn_graph" -> graft.queries.Analysis.queries("q_knn_graph"))) {
+      val plan = formatted(q(spark, TestSpark.sf0001))
+      assert(plan.contains("WindowGroupLimit"),
+        s"$name lost its WindowGroupLimit (per-group rank now fully sorts)")
+    }
+  }
+
+  test("typed TopK aggregator keeps its map-side partial heap (no window sort)") {
+    // q_topk_per_label is the same family through the typed Aggregator:
+    // the bound comes from a partial_ TopK before the group exchange, so
+    // the shuffle carries at most k rows per (task, label) — assert the
+    // partial stage exists and no Window/global-sort crept in
+    val plan = formatted(graft.queries.Typed.queries("q_topk_per_label")(spark, TestSpark.sf0001))
+    assert("partial_\\(graft\\.functions\\.TopK".r.findFirstIn(plan).isDefined,
+      "TopK must partial-aggregate map-side before the exchange")
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      "partial + final aggregate pair expected")
+    assert(!plan.contains("WindowGroupLimit") && !" Window ".r.findFirstIn(plan).isDefined,
+      "typed path must not fall back to a window rank")
+  }
+
   test("bloom prune: orders scan is pre-filtered before the exact semi-join") {
     val plan = formatted(graft.queries.Relational.queries("q_bloom_prune")(spark, TestSpark.sf0001))
     // the UDF pre-filter must sit BELOW the semi-join (scan side), and the

@@ -287,4 +287,57 @@ class RetrievalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(2)))
     assert(got.toSeq == Seq((1L, 251L), (2L, 166L)), s"got ${got.toSeq}")
   }
+
+  /** BigInt mirror of the per-term rational BM25 — the no-overflow truth
+    * the widened engine path must reproduce exactly.
+    */
+  private def bm25Ref(rows: Seq[(String, Long, Long, Long, Long)],
+      nDocs: Long, sumDl: Long): Map[Long, Long] =
+    rows.groupBy(_._2).map { case (id, terms) =>
+      id -> terms.map { case (_, _, tf, dl, df) =>
+        val idf = (BigInt(2) * (nDocs - df) + 1) * 1000 / (BigInt(2) * df + 1)
+        val num = idf * 22 * tf * sumDl
+        val den = BigInt(10) * tf * sumDl + BigInt(3) * sumDl +
+          BigInt(9) * dl * nDocs
+        (num / den).toLong
+      }.sum
+    }
+
+  test("BM25: a corpus past the BIGINT envelope auto-widens to DECIMAL " +
+    "and matches the BigInt reference (no wrap)") {
+    // forged corpus scalars: N=1e9 docs, Σdl=1e12 tokens, max dl=1e6 —
+    // worst-case numerator ~1.5e28 » 2^63, so bm25Rank must pick the
+    // DECIMAL(38,0) path on its own
+    val (nDocs, sumDl, maxDl) = (1_000_000_000L, 1_000_000_000_000L, 1_000_000L)
+    val rows = Seq( // (w, id, tf, dl, df)
+      ("rare", 1L, 3L, 1_000L, 5L),
+      ("rare", 2L, 1L, 500L, 5L),
+      ("common", 1L, 900_000L, 1_000_000L, 400_000_000L),
+      ("common", 3L, 2L, 200L, 400_000_000L))
+    // the BIGINT numerator genuinely wraps for every rare-term row —
+    // the fixture really sits past the bound
+    val idfRare = (BigInt(2) * (nDocs - 5) + 1) * 1000 / 11
+    assert(idfRare * 22 * 1L * sumDl > BigInt(Long.MaxValue),
+      "fixture not past the BIGINT envelope")
+    val joined = rows.toDF("w", "id", "tf", "dl", "df")
+    val got = Retrieval.bm25Rank(joined, "id", nDocs, sumDl, maxDl, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val expect = bm25Ref(rows, nDocs, sumDl)
+    assert(got == expect, s"widened scores $got != BigInt reference $expect")
+  }
+
+  test("BM25: forced-wide arithmetic is value-identical to the narrow path") {
+    // small in-range fixture: both paths must produce the same bytes, so
+    // widening can never perturb a ranking that didn't need it
+    val rows = Seq(
+      ("dup", 1L, 1L, 4L, 2L), ("dup", 4L, 4L, 4L, 2L), ("x", 2L, 1L, 4L, 1L))
+    val joined = rows.toDF("w", "id", "tf", "dl", "df")
+    def run(forceWide: Boolean) =
+      Retrieval.bm25Rank(joined, "id", nDocs = 4L, sumDl = 16L, maxDl = 4L,
+          k = 10, forceWide = forceWide)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(run(forceWide = true) == run(forceWide = false))
+    assert(run(forceWide = false) ==
+      Seq((2L, 1L, 2333L), (4L, 1L, 1692L), (1L, 1L, 1000L)))
+  }
 }

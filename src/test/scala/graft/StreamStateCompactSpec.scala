@@ -1,0 +1,136 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis => TA}
+import graft.streaming.{DedupStream, DriftStream}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Commit-gated state compaction (StreamState.compact): folding all but
+  * the newest committed batch into one base partition changes NOTHING a
+  * consumer can observe — drift scores and dedup keep-decisions stay
+  * row-identical to an uncompacted twin across further batches and
+  * replays — while the state read shrinks to base + newest. A compactor
+  * killed mid-write (base directories half-written, marker absent) is
+  * invisible, and the next compaction overwrites its orphan.
+  */
+class StreamStateCompactSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"graft_compact_$tag").toString
+
+  // ---- drift monitor ------------------------------------------------
+
+  private val driftWaves: Seq[Seq[(Long, String, String)]] = Seq(
+    Seq((1L, "a b c a", "web"), (2L, "c d a b", "web")),
+    Seq((3L, "a b c d", "web"), (4L, "zz qq zz", "alien")),
+    Seq((5L, "a b zz d", "web"), (6L, "zz qq pp", "alien")),
+    Seq((7L, "c c d a", "web"), (8L, "rr qq zz", "alien")),
+    Seq((9L, "a zz c d", "web"), (10L, "pp rr tt", "alien")),
+    Seq((11L, "b b a d", "web"), (12L, "tt uu zz", "alien")))
+
+  private def driftRows(outDir: String, batchId: Long): Set[(String, Long, Long)] =
+    spark.read.parquet(s"$outDir/batch_id=$batchId")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("drift: compacting mid-stream (twice, with a torn attempt between) " +
+    "keeps every batch's output row-identical to the uncompacted twin") {
+    val (plainState, plainOut) = (tmp("dp_state"), tmp("dp_out"))
+    val (compState, compOut) = (tmp("dc_state"), tmp("dc_out"))
+    def runBoth(batchId: Long): Unit = {
+      val df = driftWaves(batchId.toInt).toDF("doc_id", "text", "source")
+      DriftStream.processBatch(df, batchId, plainState, plainOut)
+      DriftStream.processBatch(df, batchId, compState, compOut)
+      assert(driftRows(compOut, batchId) == driftRows(plainOut, batchId),
+        s"batch $batchId diverged from the uncompacted twin")
+    }
+    runBoth(0L); runBoth(1L); runBoth(2L)
+    // first compaction folds batches {0,1} (newest, 2, is preserved)
+    assert(DriftStream.compactState(spark, compState) == Some(1L))
+    runBoth(3L)
+    // compactor killed mid-write: a wrong base lands at the NEXT target
+    // id with NO marker — readers must never see it
+    Seq(("poison", 999L)).toDF("w", "c_w")
+      .write.mode("overwrite").parquet(s"$compState/counts/base_id=3")
+    runBoth(4L)
+    // second compaction folds base 1 + batches {2,3}, OVERWRITING the orphan
+    assert(DriftStream.compactState(spark, compState) == Some(3L))
+    runBoth(5L)
+    // layout: exactly one base, only post-compaction batch partitions and
+    // markers survive
+    assert(streaming.StreamState.compactedIds(spark, compState) == Seq(3L))
+    assert(streaming.StreamState.committedIds(spark, compState) == Seq(4L, 5L))
+    val leaves = new java.io.File(s"$compState/counts").listFiles()
+      .map(_.getName).toSet
+    assert(leaves == Set("base_id=3", "batch_id=4", "batch_id=5"), s"leaves $leaves")
+    // the base is re-aggregated to vocab grain: one row per distinct word
+    // of batches 0..3
+    val base = spark.read.parquet(s"$compState/counts/base_id=3")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(base.map(_._1).distinct.length == base.length, "base not at vocab grain")
+    val twinWords = driftWaves.take(4).flatten
+      .flatMap(_._2.split(" ")).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(base.toMap == twinWords, "base counts != words of batches 0..3")
+  }
+
+  test("drift: nothing to fold is a no-op, not an error") {
+    val (stateDir, outDir) = (tmp("dn_state"), tmp("dn_out"))
+    assert(DriftStream.compactState(spark, stateDir).isEmpty) // empty state
+    DriftStream.processBatch(
+      driftWaves(0).toDF("doc_id", "text", "source"), 0L, stateDir, outDir)
+    // a single committed batch is the newest — nothing below it to fold
+    assert(DriftStream.compactState(spark, stateDir).isEmpty)
+  }
+
+  // ---- dedup ingest (two tables under one marker) --------------------
+
+  private def text(base: String): String =
+    (1 to 20).map(i => s"$base$i").mkString(" ")
+  private def variant(base: String): String =
+    ((1 to 19).map(i => s"$base$i") :+ s"${base}sub").mkString(" ")
+
+  private val dedupWaves: Seq[Seq[(Long, String)]] = Seq(
+    Seq((1L, text("alpha")), (2L, variant("alpha")), (3L, text("beta"))),
+    Seq((4L, text("alpha")), (5L, text("gamma")), (6L, variant("gamma"))),
+    Seq((7L, variant("alpha")), (8L, text("delta"))),
+    Seq((9L, text("beta")), (10L, text("eps"))))
+
+  test("dedup: keep-decisions across compaction + torn compactor + replay " +
+    "equal the batch twin over all rows seen") {
+    val (stateDir, outDir) = (tmp("dd_state"), tmp("dd_out"))
+    def run(batchId: Long): Unit =
+      DedupStream.processBatch(dedupWaves(batchId.toInt).toDF("doc_id", "text"),
+        batchId, stateDir, outDir, bands = 8, rowsPerBand = 2, threshold = 0.9)
+    run(0L); run(1L)
+    // compactor killed after writing ONE of the two tables (an empty sets
+    // base, no bands base, no marker): if a reader trusted it, alpha
+    // would vanish from the state and doc 7 below would be kept
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        spark.read.parquet(s"$stateDir/sets/batch_id=0").schema)
+      .write.mode("overwrite").parquet(s"$stateDir/sets/base_id=1")
+    run(2L)
+    val kept2 = spark.read.parquet(s"$outDir/batch_id=2").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(8L), s"torn compaction leaked into the state read: $kept2")
+    // real compaction folds batches {0,1} into base 1 for BOTH tables
+    assert(DedupStream.compactState(spark, stateDir) == Some(1L))
+    assert(new java.io.File(s"$stateDir/sets").listFiles().map(_.getName).toSet
+      == Set("base_id=1", "batch_id=2"))
+    assert(new java.io.File(s"$stateDir/bands").listFiles().map(_.getName).toSet
+      == Set("base_id=1", "batch_id=2"))
+    run(3L)
+    run(3L) // crash-after-commit replay against the compacted state
+    val kept = (0 to 3).flatMap(b =>
+      spark.read.parquet(s"$outDir/batch_id=$b").select("doc_id")
+        .collect().map(_.getLong(0))).toSeq
+    assert(kept.length == kept.distinct.length, "replay appended duplicates")
+    val all = dedupWaves.flatten.toDF("doc_id", "text")
+    val droppedTwin = Dedup.minhashNearDup(all, "doc_id",
+        array_distinct(TA.tokens(col("text"))), bands = 8, rowsPerBand = 2,
+        threshold = 0.9)
+      .select(col("id_b")).distinct().collect().map(_.getLong(0)).toSet
+    assert(kept.toSet == dedupWaves.flatten.map(_._1).toSet -- droppedTwin,
+      "compacted stream diverged from the batch twin")
+  }
+}
