@@ -211,9 +211,73 @@ object Clustering {
       .orderBy(col("doc_id").asc, col("chunk_idx").asc)
   }
 
+  /** q_corpus_build with the SemDeDup stage spliced in — the FULL
+    * SemDeDup-paper pipeline (Abbas et al. 2023) as one dataflow:
+    * exact dedup → near-dup cluster resolution → **trained-k-means +
+    * within-cluster cosine prune** → language/quality gate → chunk →
+    * split. The quantizer is the SHARED trained artifact
+    * (SemanticQ.trainedCentroids — same cache the IVF/search queries
+    * load; no re-training, no corpus re-read), assignment touches only
+    * the near-dup survivors (one map-side broadcast argmin), and the
+    * pairwise cosine stage stays the Σ|cluster|² equi-join of
+    * q_semdedup — never N². Proves the curation stages COMPOSE: each is
+    * individually oracled and the composition is oracled end-to-end.
+    */
+  def corpusBuildV2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val kept1Ids = docs
+      .groupBy(md5(col("text").cast("binary")))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val sets = Analysis.tokenSets(s, d)
+      .join(kept1Ids.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+    val pairs = Dedup.jaccardPairsHashedFromSets(sets, 0.9)
+      .select(col("id_a"), col("id_b"))
+    val canon = ConnectedComponents
+      .assignAdaptive(kept1Ids.select(col("doc_id").as("id")), pairs,
+        checkpointDir = graft.operators.Iterate.envDir)
+      .where(col("id") === col("cluster_id"))
+      .select(col("id").as("doc_id"))
+    // SemDeDup stage: assign survivors to the shared trained quantizer
+    // (doc_id ≡ vec_id in this corpus), prune within-cluster cosine dups
+    val cents = SemanticQ.trainedCentroids(s, d)
+    val vecs = Tables.embeddings(s, d)
+      .select(col("vec_id"), graft.operators.KMeansOp.intVec(col("embedding")).as("v"))
+      .join(canon.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    val ve = graft.operators.KMeansOp.assign(vecs, cents.toDF("cid", "c"))
+      .select(col("vec_id"), col("cid").as("cluster"))
+      .join(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        Seq("vec_id"))
+    val a = ve.select(col("cluster"), col("vec_id").as("id_a"),
+      col("embedding").as("ea"))
+    val b = ve.select(col("cluster"), col("vec_id").as("id_b"),
+      col("embedding").as("eb"))
+    val semDrops = a.join(b, Seq("cluster"))
+      .where(col("id_a") < col("id_b"))
+      .where(graft.functions.VectorOps.cosine(col("ea"), col("eb")) >= 0.4)
+      .select(col("id_b").as("doc_id"))
+      .distinct()
+    val kept3 = canon.join(semDrops, Seq("doc_id"), "left_anti")
+    val gated = docs
+      .join(kept3, Seq("doc_id"), "left_semi")
+      .where(TA.langId(col("text")) === "en" && TA.qualityScore(col("text")) >= 0.45)
+    val bucket = pmod(TA.md5Hash60(concat(col("doc_id").cast("string"), lit(":split"))), lit(100L))
+    gated
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .select(col("doc_id"), col("split"),
+        posexplode(TA.tokenChunks(col("text"), size = 64, overlap = 16))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(TA.tokens(col("chunk"))).cast("long").as("n_chunk_tokens"), col("split"))
+      .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dup_clusters" -> dupClusters,
     "q_corpus_build" -> corpusBuild,
+    "q_corpus_build_v2" -> corpusBuildV2,
     "q_edit_distance_dedup" -> editDistancePairs,
     "q_stratified_sample" -> stratifiedSample,
     "q_tfidf" -> tfidfTop3,
@@ -264,6 +328,53 @@ object Clustering {
          |  FROM (SELECT d.doc_id, d.text, ${Analysis.markerHits},
          |      len(${Analysis.toks})::DOUBLE AS n, len(${Analysis.dtoks})::DOUBLE AS nd
          |    FROM documents d JOIN canon c ON d.doc_id = c.doc_id)),
+         |kept2 AS (SELECT doc_id, text FROM feat
+         |  WHERE lang_pred = 'en' AND quality >= 0.45),
+         |t AS (SELECT doc_id, ${Analysis.toks} AS tk, CASE
+         |    WHEN ${Analysis.hash60("CAST(doc_id AS VARCHAR) || ':split'")} % 100 < 80 THEN 'train'
+         |    WHEN ${Analysis.hash60("CAST(doc_id AS VARCHAR) || ':split'")} % 100 < 90 THEN 'val'
+         |    ELSE 'test' END AS split
+         |  FROM kept2),
+         |ch AS (SELECT doc_id, split, i AS chunk_idx,
+         |    len(tk[CAST(i*48+1 AS BIGINT) : CAST(i*48+64 AS BIGINT)]) AS n_chunk_tokens
+         |  FROM t CROSS JOIN LATERAL (SELECT unnest(range(0,
+         |    greatest(CAST(ceil(greatest(len(tk) - 16, 0) / 48.0) AS BIGINT), 1))) AS i)
+         |  WHERE len(tk) > 0)
+         |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, n_chunk_tokens, split
+         |FROM ch ORDER BY doc_id ASC, chunk_idx ASC""".stripMargin,
+    "q_corpus_build_v2" ->
+      s"""WITH RECURSIVE kept1 AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |hashed AS (SELECT d.doc_id, d.source,
+         |    list_distinct(list_transform(${Analysis.toks}, w -> ${Analysis.hash60("w")})) AS items
+         |  FROM documents d JOIN kept1 k ON d.doc_id = k.doc_id),
+         |pairs AS (SELECT id_a, id_b FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |      ${Analysis.jaccardSql("a.items", "b.items")} AS jaccard
+         |    FROM hashed a JOIN hashed b
+         |      ON a.source = b.source AND a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.9),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach(id, label) AS (
+         |  SELECT doc_id, doc_id FROM kept1
+         |  UNION
+         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+         |canon AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING id = MIN(label)),
+         |${SemanticQ.lloydSql},
+         |sv AS (SELECT a3.vec_id, a3.cid AS cluster, e.embedding
+         |  FROM a3 JOIN embeddings e USING (vec_id)
+         |  JOIN canon c ON a3.vec_id = c.doc_id),
+         |semdrops AS (SELECT DISTINCT b.vec_id
+         |  FROM sv a JOIN sv b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE ${Analysis.cosineSql("a.embedding", "b.embedding")} >= 0.4),
+         |kept3 AS (SELECT doc_id FROM canon
+         |  WHERE doc_id NOT IN (SELECT vec_id FROM semdrops)),
+         |feat AS (SELECT doc_id, text, ${Analysis.langCase} AS lang_pred,
+         |    ${Analysis.qualityExpr} AS quality
+         |  FROM (SELECT d.doc_id, d.text, ${Analysis.markerHits},
+         |      len(${Analysis.toks})::DOUBLE AS n, len(${Analysis.dtoks})::DOUBLE AS nd
+         |    FROM documents d JOIN kept3 c ON d.doc_id = c.doc_id)),
          |kept2 AS (SELECT doc_id, text FROM feat
          |  WHERE lang_pred = 'en' AND quality >= 0.45),
          |t AS (SELECT doc_id, ${Analysis.toks} AS tk, CASE

@@ -197,8 +197,11 @@ object SemanticQ {
        |  GROUP BY a.cid, li.i),
        |c$r AS (SELECT cid, list(cv ORDER BY pos) AS c FROM u$r GROUP BY cid)""".stripMargin
 
-  /** Shared CTE chain ending in the final assignment a3. */
-  private val lloydSql: String =
+  /** Shared CTE chain ending in the final assignment a3 (also composed
+    * into Clustering's q_corpus_build_v2 oracle — the shared-quantizer
+    * contract in SQL form).
+    */
+  private[queries] val lloydSql: String =
     s"""q AS (SELECT vec_id, list_transform(embedding,
        |    e -> CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS v
        |  FROM embeddings),

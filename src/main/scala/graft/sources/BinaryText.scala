@@ -44,12 +44,19 @@ object BinaryText {
   /** Sniff-and-extract: real parser when the magic bytes identify the
     * format and the parse yields text; printable-ASCII salvage otherwise.
     */
-  def extract(bytes: Array[Byte]): String = {
+  def extract(bytes: Array[Byte]): String = extract(bytes, "")
+
+  /** Password-aware form: `password` (PDFDocEncoding/latin-1 bytes) is
+    * offered to the standard security handler when the file is
+    * encrypted; the empty string is the default empty-user-password
+    * unlock. A wrong password degrades to salvage, never to ciphertext.
+    */
+  def extract(bytes: Array[Byte], password: String): String = {
     if (bytes == null || bytes.length < 4) return Sources.extractTextStub(bytes)
     val isPdf = bytes(0) == '%' && bytes(1) == 'P' && bytes(2) == 'D' && bytes(3) == 'F'
     val isZip = bytes(0) == 'P' && bytes(1) == 'K'
     val primary =
-      if (isPdf) Try(pdfText(bytes)).getOrElse("")
+      if (isPdf) Try(pdfText(bytes, password)).getOrElse("")
       else if (isZip) Try(docxText(bytes)).getOrElse("")
       else ""
     if (primary.nonEmpty) primary else Sources.extractTextStub(bytes)
@@ -71,15 +78,19 @@ object BinaryText {
     * "begincmap" still extracts normally instead of being misclassified
     * and dropped.
     */
-  def pdfText(bytes: Array[Byte]): String = {
+  def pdfText(bytes: Array[Byte]): String = pdfText(bytes, "")
+
+  def pdfText(bytes: Array[Byte], password: String): String = {
     // Encrypted PDFs (trailer carries /Encrypt): PdfCrypto unlocks the
-    // standard security handler with the empty user password (RC4 and
-    // AES, the owner-password-restricted case real readers open
-    // transparently) and every stream decrypts before its filters
-    // apply. A file that cannot be unlocked — non-empty user password,
+    // standard security handler with the supplied user password (empty
+    // by default — the owner-password-restricted case real readers open
+    // transparently; RC4 and AES) and every stream decrypts before its
+    // filters apply. A file that cannot be unlocked — wrong password,
     // unsupported handler — yields an empty parse, which routes
     // `extract` to printable-ASCII salvage instead of ciphertext noise.
-    val crypto = if (isEncrypted(bytes)) PdfCrypto.context(bytes) else None
+    val crypto =
+      if (isEncrypted(bytes)) PdfCrypto.context(bytes, password.getBytes(Ascii))
+      else None
     if (isEncrypted(bytes) && crypto.isEmpty) return ""
     val streams = decodedStreams(bytes, crypto)
     // Burst /ObjStm containers (PDF 1.5+ compressed object streams —
@@ -276,6 +287,9 @@ object BinaryText {
             parts += ((s,
               if (dict.contains("/FlateDecode"))
                 Try(unpredict(dict, inflate(plain))).getOrElse(Array.empty[Byte])
+              else if (dict.contains("/LZWDecode"))
+                Try(unpredict(dict, lzwDecode(plain, earlyChangeOf(dict))))
+                  .getOrElse(Array.empty[Byte])
               else plain))
             pos = e + EndstreamKw.length
           }
@@ -283,6 +297,13 @@ object BinaryText {
       }
     }
     parts.toSeq
+  }
+
+  private val EarlyChangePat = java.util.regex.Pattern.compile("/EarlyChange\\s+(\\d+)")
+
+  private def earlyChangeOf(dict: String): Int = {
+    val m = EarlyChangePat.matcher(dict)
+    if (m.find()) m.group(1).toInt else 1
   }
 
   private val PredictorPat = java.util.regex.Pattern.compile("/Predictor\\s+(\\d+)")
@@ -421,6 +442,47 @@ object BinaryText {
       else idx -= 1
     }
     ""
+  }
+
+  /** /LZWDecode (ISO 32000-1 §7.4.4): the TIFF/PDF LZW variant —
+    * MSB-first variable-width codes starting at 9 bits, 256 = clear
+    * table, 257 = EOD, new entries from 258, width bumps at 512/1024/
+    * 2048 minus /EarlyChange (default 1, i.e. one code early). The
+    * KwKwK case (a code equal to the next unassigned entry) resolves to
+    * prev + prev.head per the algorithm. Trailing partial code ignored.
+    */
+  private[graft] def lzwDecode(data: Array[Byte], earlyChange: Int = 1): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val dict = new Array[Array[Byte]](4096)
+    var dictSize = 258
+    var width = 9
+    var prev: Array[Byte] = null
+    var bitBuf = 0L; var bitCnt = 0
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      bitBuf = (bitBuf << 8) | (data(i) & 0xffL); bitCnt += 8; i += 1
+      while (bitCnt >= width && !done) {
+        val code = ((bitBuf >> (bitCnt - width)) & ((1L << width) - 1)).toInt
+        bitCnt -= width
+        if (code == 256) { dictSize = 258; width = 9; prev = null }
+        else if (code == 257) done = true
+        else {
+          val entry: Array[Byte] =
+            if (code < 256) Array(code.toByte)
+            else if (code < dictSize && dict(code - 258) != null) dict(code - 258)
+            else if (code == dictSize && prev != null) prev :+ prev(0)
+            else throw new IllegalArgumentException(s"bad LZW code $code")
+          out.write(entry, 0, entry.length)
+          if (prev != null && dictSize < 4096) {
+            dict(dictSize - 258) = prev :+ entry(0); dictSize += 1
+          }
+          prev = entry
+          if (dictSize >= (1 << width) - earlyChange && width < 12) width += 1
+        }
+      }
+    }
+    out.toByteArray
   }
 
   private def inflate(data: Array[Byte]): Array[Byte] = {

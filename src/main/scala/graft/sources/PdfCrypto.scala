@@ -8,10 +8,11 @@ import scala.util.Try
 /** Standard security handler for encrypted PDFs (ISO 32000-1 §7.6.3 /
   * 32000-2 §7.6.4 — public spec), pure JVM. The reference reads
   * encrypted files transparently through PyMuPDF
-  * (`/root/reference/utils.py:12-13`); here the same capability is the
-  * empty-user-password unlock that covers the overwhelmingly common
-  * case in the wild — owner-password-restricted files whose user
-  * password is empty:
+  * (`/root/reference/utils.py:12-13`); here the same capability is a
+  * user-password unlock whose empty-password default covers the
+  * overwhelmingly common case in the wild — owner-password-restricted
+  * files whose user password is empty — and whose explicit form opens
+  * genuinely password-protected files:
   *
   *  - V=1/2, R=2/3: RC4 with a 40–128-bit key from Algorithm 2
   *    (padded password → MD5 → 50×MD5 for R≥3), verified against /U
@@ -22,7 +23,7 @@ import scala.util.Try
   *    key hashed from the password and /U's key salt (SHA-256 for
   *    R=5, the Algorithm-2.B iterated SHA-256/384/512 loop for R=6).
   *
-  * `context` returns None when the file cannot be unlocked (non-empty
+  * `context` returns None when the file cannot be unlocked (wrong
   * user password, unsupported /Filter, malformed entries) — the caller
   * degrades to printable-ASCII salvage exactly as before. RC4 is
   * implemented inline (15 lines, public algorithm); MD5/SHA/AES come
@@ -76,18 +77,20 @@ object PdfCrypto {
     }
   }
 
-  /** Parse the /Encrypt dictionary, derive the file key with the EMPTY
-    * user password, verify it against /U; None when locked or
-    * unsupported.
+  /** Parse the /Encrypt dictionary, derive the file key with the given
+    * user password (empty by default — the common owner-restricted
+    * case), verify it against /U; None when the password is wrong or
+    * the handler unsupported.
     */
-  def context(bytes: Array[Byte]): Option[Ctx] = Try(contextImpl(bytes)).toOption.flatten
+  def context(bytes: Array[Byte], password: Array[Byte] = Array.empty): Option[Ctx] =
+    Try(contextImpl(bytes, password)).toOption.flatten
 
   private val EncRefPat = java.util.regex.Pattern.compile("/Encrypt\\s+(\\d+)\\s+(\\d+)\\s+R\\b")
   private val IdPat = java.util.regex.Pattern.compile("/ID\\s*\\[\\s*<([0-9A-Fa-f]*)>")
   private val NumPat = java.util.regex.Pattern.compile("/(V|R|Length|P)\\s+(-?\\d+)\\b")
   private val CfmPat = java.util.regex.Pattern.compile("/CFM\\s*/(\\w+)")
 
-  private def contextImpl(bytes: Array[Byte]): Option[Ctx] = {
+  private def contextImpl(bytes: Array[Byte], password: Array[Byte]): Option[Ctx] = {
     val whole = new String(bytes, Ascii)
     // last /Encrypt reference wins (incremental updates append trailers)
     val em = EncRefPat.matcher(whole)
@@ -122,23 +125,27 @@ object PdfCrypto {
       val hash = u.take(32)
       val vsalt = u.slice(32, 40)
       val ksalt = u.slice(40, 48)
+      // R≥6 truncates the password to 127 bytes (§7.6.4.3.3); R=5 is the
+      // plain salted SHA-256 of the original Adobe extension
+      val pw = password.take(127)
       val computed =
-        if (r >= 6) hash2B(Array.empty, vsalt) else sha256(vsalt)
-      if (!java.util.Arrays.equals(computed, hash)) return None // non-empty user password
+        if (r >= 6) hash2B(pw, vsalt) else sha256(pw ++ vsalt)
+      if (!java.util.Arrays.equals(computed, hash)) return None // wrong user password
       val ue = stringValue(dict, "UE").getOrElse(return None)
       if (ue.length != 32) return None
-      val ik = if (r >= 6) hash2B(Array.empty, ksalt) else sha256(ksalt)
+      val ik = if (r >= 6) hash2B(pw, ksalt) else sha256(pw ++ ksalt)
       val c = Cipher.getInstance("AES/CBC/NoPadding")
       c.init(Cipher.DECRYPT_MODE, new SecretKeySpec(ik, "AES"),
         new IvParameterSpec(new Array[Byte](16)))
       return Some(Ctx(c.doFinal(ue), r, aes = true, encryptMetadata))
     }
 
-    // R 2/3/4 — Algorithm 2 with the empty (= fully padded) password
+    // R 2/3/4 — Algorithm 2: password truncated/padded to 32 bytes with
+    // the spec constant (the empty password is the fully-padded case)
     val id0 = { val m = IdPat.matcher(whole); if (m.find()) hexBytes(m.group(1)) else Array.empty[Byte] }
     val n = if (r == 2) 5 else math.max(5, math.min(16, lengthBits / 8))
     val md = MessageDigest.getInstance("MD5")
-    md.update(Pad)
+    md.update((password.take(32) ++ Pad).take(32))
     md.update(o.take(32))
     md.update(Array(p, p >> 8, p >> 16, p >> 24).map(b => (b & 0xff).toByte))
     md.update(id0)

@@ -69,13 +69,20 @@ object Sources {
     * text; pdf/docx bytes go through `extract` (default: the real
     * BinaryText parser with stub fallback); unknown extensions fail the
     * job with the dispatch error (reference `utils.py:18-19`) unless
-    * `strict = false` drops them.
+    * `strict = false` drops them. `password`, when set, is offered to
+    * the PDF standard security handler (threaded to PdfCrypto; wrong
+    * password degrades to salvage) and overrides `extract`'s default.
     * Returns (path, file_name, format, text).
     */
   def loadDocuments(spark: SparkSession, glob: String,
                     extract: Array[Byte] => String = BinaryText.extract,
-                    strict: Boolean = true): DataFrame = {
-    val extractUdf = udf(extract)
+                    strict: Boolean = true,
+                    password: Option[String] = None): DataFrame = {
+    val ex = password match {
+      case Some(pw) => (b: Array[Byte]) => BinaryText.extract(b, pw)
+      case None => extract
+    }
+    val extractUdf = udf(ex)
     val raw = spark.read.format("binaryFile").load(glob)
       .select(col("path"), col("content"))
       .withColumn("format", extension(col("path")))

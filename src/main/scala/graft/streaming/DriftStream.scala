@@ -66,6 +66,110 @@ object DriftStream {
     StreamState.commitMarker(s, stateDir, batchId)
   }
 
+  // ---- thresholded alert surface -----------------------------------
+
+  private val alertStateSchema = StructType(Seq(
+    StructField("source", StringType), StructField("alerting",
+      org.apache.spark.sql.types.BooleanType), StructField("b", LongType)))
+
+  private def alertRoot(stateDir: String) = s"$stateDir/alerts"
+
+  /** Hysteresis alert decision for ONE batch of drift scores
+    * (source, n_tokens, l1_ppm): a source ENTERS alert when its score
+    * reaches `base_ppm + enterPpm`, and LEAVES only when it falls below
+    * `base_ppm + exitPpm` (exit < enter — the band between holds the
+    * previous state, so a score oscillating around one threshold cannot
+    * flap the signal). `baseline` is the per-source expected drift
+    * (source, base_ppm) — a tiny dimension, broadcast; sources without a
+    * baseline use 0 (a NEW source is pure drift, which is exactly when
+    * the 2M-ppm new-crawl signal should fire). `prevAlerting` is the
+    * previous decision per source (source, alerting). Pure function —
+    * the batch and streaming forms share it, so they cannot diverge.
+    */
+  def alertDecide(scores: DataFrame, baseline: DataFrame,
+      prevAlerting: DataFrame, enterPpm: Long, exitPpm: Long): DataFrame = {
+    require(exitPpm <= enterPpm, s"hysteresis needs exit ($exitPpm) <= enter ($enterPpm)")
+    scores
+      .join(broadcast(baseline.select(col("source"), col("base_ppm"))),
+        Seq("source"), "left")
+      .join(broadcast(prevAlerting.select(col("source"), col("alerting").as("was"))),
+        Seq("source"), "left")
+      .withColumn("base", coalesce(col("base_ppm"), lit(0L)))
+      .select(col("source"), col("n_tokens"), col("l1_ppm"),
+        when(col("l1_ppm") >= col("base") + lit(enterPpm), lit(true))
+          .when(col("l1_ppm") < col("base") + lit(exitPpm), lit(false))
+          .otherwise(coalesce(col("was"), lit(false))).as("alerting"))
+  }
+
+  /** Latest committed alert state per source visible to `batchId`
+    * (a source keeps its state until it reappears). Tiny: one row per
+    * source per batch, reduced by max_by on the batch stamp.
+    */
+  private def prevAlertState(s: SparkSession, stateDir: String,
+      batchId: Long): DataFrame =
+    StreamState.readCommitted(s, alertRoot(stateDir), "state", alertStateSchema,
+        upTo = batchId)
+      .groupBy(col("source"))
+      .agg(max_by(col("alerting"), col("b")).as("alerting"))
+
+  /** One micro-batch of the ALERTING monitor: the drift step of
+    * [[processBatch]] plus the hysteresis decision, written to
+    * `alertDir/batch_id=N` as (source, n_tokens, l1_ppm, alerting) — the
+    * boolean a pipeline gates on. Alert state lives under its own
+    * commit-gated root (`stateDir/alerts`), marker LAST, replays
+    * excluded via `upTo` — the same effectively-once discipline as the
+    * count state, torn writes invisible.
+    */
+  def processAlertBatch(batch: Dataset[Row], batchId: Long, stateDir: String,
+      outDir: String, alertDir: String, baseline: DataFrame,
+      enterPpm: Long = 500_000L, exitPpm: Long = 300_000L): Unit = {
+    val s = batch.sparkSession
+    val sw = Retrieval.sourceWordCounts(
+        batch.select(col("source"), col("text")))
+      .localCheckpoint()
+    val scores = Retrieval.l1DriftPpm(sw, referenceCounts(s, stateDir, batchId))
+      .orderBy(col("source").asc)
+      .localCheckpoint() // feeds the score sink and the alert decision
+    scores.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    sw.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
+      .write.mode("overwrite").parquet(s"$stateDir/counts/batch_id=$batchId")
+    StreamState.commitMarker(s, stateDir, batchId)
+    val decided = alertDecide(scores,
+        baseline, prevAlertState(s, stateDir, batchId), enterPpm, exitPpm)
+      .orderBy(col("source").asc)
+      .localCheckpoint()
+    decided.write.mode("overwrite").parquet(s"$alertDir/batch_id=$batchId")
+    decided.select(col("source"), col("alerting"), lit(batchId).as("b"))
+      .write.mode("overwrite")
+      .parquet(s"${alertRoot(stateDir)}/state/batch_id=$batchId")
+    StreamState.commitMarker(s, alertRoot(stateDir), batchId)
+  }
+
+  /** Start the alerting monitor: [[driftMonitor]] plus the per-source
+    * hysteresis boolean at `alertDir`.
+    */
+  def alertMonitor(docs: DataFrame, stateDir: String, outDir: String,
+      alertDir: String, checkpointDir: String, baseline: DataFrame,
+      enterPpm: Long = 500_000L, exitPpm: Long = 300_000L): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        processAlertBatch(batch, batchId, stateDir, outDir, alertDir,
+          baseline, enterPpm, exitPpm)
+      }
+      .start()
+
+  /** Compact the alert-state root (latest decision per source survives;
+    * the count state compacts separately via [[compactState]]).
+    */
+  def compactAlertState(s: SparkSession, stateDir: String): Option[Long] =
+    StreamState.compact(s, alertRoot(stateDir), Seq(
+      ("state", alertStateSchema, (df: DataFrame) =>
+        df.groupBy(col("source"))
+          .agg(max_by(col("alerting"), col("b")).as("alerting"),
+            max(col("b")).as("b"))
+          .select(col("source"), col("alerting"), col("b")))))
+
   /** Compact the monitor's committed word-count state: fold all but the
     * newest committed batch into one base partition, RE-AGGREGATED to
     * vocab grain — exactly the sum `referenceCounts` computes at read, so

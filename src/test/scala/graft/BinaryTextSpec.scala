@@ -355,6 +355,73 @@ class BinaryTextSpec extends AnyFunSuite {
     assert(BinaryText.extract(null) == "")
   }
 
+  /** Test-local PDF/TIFF LZW ENCODER — written independently of the
+    * decoder (string-keyed table, bump-before-emit) so a mirrored bug
+    * cannot self-cancel; the hand-computed ISO vector below anchors both.
+    */
+  private def lzwEncode(data: Array[Byte], earlyChange: Int = 1): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0; var width = 9
+    val table = scala.collection.mutable.Map[Seq[Byte], Int]()
+    var nextCode = 258
+    def emit(code: Int): Unit = {
+      if (nextCode + earlyChange - 1 >= (1 << width) && width < 12) width += 1
+      bitBuf = (bitBuf << width) | code; bitCnt += width
+      while (bitCnt >= 8) {
+        bos.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt); bitCnt -= 8
+      }
+    }
+    def codeOf(s: Seq[Byte]): Int =
+      if (s.length == 1) s.head & 0xff else table(s)
+    emit(256)
+    var w = Seq.empty[Byte]
+    data.foreach { b =>
+      val wb = w :+ b
+      if (wb.length == 1 || table.contains(wb)) w = wb
+      else {
+        emit(codeOf(w))
+        if (nextCode < 4096) { table(wb) = nextCode; nextCode += 1 }
+        w = Seq(b)
+      }
+    }
+    if (w.nonEmpty) emit(codeOf(w))
+    emit(257)
+    if (bitCnt > 0) bos.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    bos.toByteArray
+  }
+
+  test("LZW: the ISO 32000-1 §7.4.4.2 worked example decodes exactly") {
+    // codes 256,45,258,258,65,259,66,257 at 9 bits, MSB-first → 9 bytes
+    val encoded = Array(0x80, 0x0B, 0x60, 0x50, 0x22, 0x0C, 0x0C, 0x85, 0x01)
+      .map(_.toByte)
+    val expect = "-----A---B".getBytes(ISO_8859_1)
+    assert(BinaryText.lzwDecode(encoded).sameElements(expect))
+    // the independent encoder reproduces the spec's byte stream too
+    assert(lzwEncode(expect).sameElements(encoded))
+  }
+
+  test("LZW: round-trip across the 9→10→11-bit width bumps, both EarlyChange values") {
+    val rnd = new scala.util.Random(42)
+    // enough two-byte novelty to push the table well past 1024 entries
+    val data = Array.fill(6000)((rnd.nextInt(26) + 'a').toByte)
+    for (early <- Seq(1, 0))
+      assert(BinaryText.lzwDecode(lzwEncode(data, early), early).sameElements(data),
+        s"round-trip failed at EarlyChange=$early")
+  }
+
+  test("PDF: LZWDecode content stream extracts exact text") {
+    val content = "BT (LZW stream text) Tj T* (line two) Tj ET".getBytes(ISO_8859_1)
+    val pdf = pdfAround(lzwEncode(content), dictExtra = " /Filter /LZWDecode")
+    assert(BinaryText.extract(pdf) == "LZW stream text\nline two")
+  }
+
+  test("PDF: LZWDecode honors /DecodeParms /EarlyChange 0") {
+    val content = "BT (late-change lzw) Tj ET".getBytes(ISO_8859_1)
+    val pdf = pdfAround(lzwEncode(content, earlyChange = 0),
+      dictExtra = " /Filter /LZWDecode /DecodeParms << /EarlyChange 0 >>")
+    assert(BinaryText.extract(pdf) == "late-change lzw")
+  }
+
   test("loadDocuments end-to-end: real PDF fixture extracts its known text") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("graft_pdf").toString

@@ -75,6 +75,72 @@ class DriftStreamSpec extends AnyFunSuite {
     assert(aCount == 4L, s"'a' counted $aCount times across state, expected 4")
   }
 
+  test("alertDecide: enter/exit thresholds with a hold band (hysteresis truth table)") {
+    val baseline = Seq(("web", 200_000L)).toDF("source", "base_ppm")
+    // enter = base+500k, exit = base+300k → web band is [500k, 700k);
+    // unbaselined sources band is [300k, 500k)
+    val prev = Seq(("web", true), ("hold_f", false)).toDF("source", "alerting")
+    val scores = Seq(
+      ("web", 10L, 600_000L),     // in band, was true  → stays true
+      ("hold_f", 10L, 400_000L),  // in band, was false → stays false
+      ("enter", 10L, 500_000L),   // >= enter, no prev  → true
+      ("exit", 10L, 299_999L),    // < exit             → false
+      ("fresh", 10L, 100_000L))   // below band, no prev→ false
+      .toDF("source", "n_tokens", "l1_ppm")
+    val got = streaming.DriftStream.alertDecide(scores, baseline, prev,
+        enterPpm = 500_000L, exitPpm = 300_000L)
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(got == Map("web" -> true, "hold_f" -> false, "enter" -> true,
+      "exit" -> false, "fresh" -> false))
+  }
+
+  test("alert monitor: streamed decisions equal an independent hysteresis fold; " +
+    "a new crawl fires on arrival; replay is idempotent") {
+    val (stateDir, outDir, _) = dirs()
+    val alertDir = java.nio.file.Files.createTempDirectory("graft_drift_alert").toString
+    val baseline = Seq(("web", 100_000L)).toDF("source", "base_ppm")
+    val waves = Seq(
+      Seq((1L, "a b c a", "web"), (2L, "c d a b", "web")),
+      Seq((3L, "a b c d", "web"), (4L, "zz qq zz", "alien")),
+      Seq((5L, "a c b d", "web"), (6L, "zz qq zz", "alien")),
+      Seq((7L, "b a d c", "web"), (8L, "zz qq zz qq", "alien")))
+    def run(i: Long): Unit = streaming.DriftStream.processAlertBatch(
+      waves(i.toInt).toDF("doc_id", "text", "source"), i, stateDir, outDir,
+      alertDir, baseline, enterPpm = 1_500_000L, exitPpm = 400_000L)
+    (0L to 3L).foreach(run)
+    def alertsOf(b: Long) = spark.read.parquet(s"$alertDir/batch_id=$b")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    // independent fold: plain-Scala hysteresis over the written SCORES
+    val base = Map("web" -> 100_000L)
+    var state = Map.empty[String, Boolean]
+    val expect = (0L to 3L).map { b =>
+      val scores = spark.read.parquet(s"$outDir/batch_id=$b")
+        .collect().map(r => (r.getString(0), r.getLong(2))).sortBy(_._1)
+      scores.map { case (src, l1) =>
+        val bb = base.getOrElse(src, 0L)
+        val next =
+          if (l1 >= bb + 1_500_000L) true
+          else if (l1 < bb + 400_000L) false
+          else state.getOrElse(src, false)
+        state += (src -> next); (src, next)
+      }.toMap
+    }
+    (0L to 3L).foreach { b =>
+      val got = alertsOf(b).map(t => t._1 -> t._3).toMap
+      assert(got == expect(b.toInt), s"batch $b: $got != fold ${expect(b.toInt)}")
+    }
+    // semantics worth pinning: the alien crawl fires the moment it appears
+    // (its vocabulary is pure drift), and the steady source never does
+    assert(alertsOf(1L).collect { case ("alien", _, al) => al }.toSeq == Seq(true))
+    assert((0L to 3L).forall(b =>
+      alertsOf(b).collect { case ("web", _, al) => al }.forall(!_)))
+    // crash-after-commit replay of the last batch: byte-idempotent
+    val before = alertsOf(3L)
+    run(3L)
+    assert(alertsOf(3L).toSeq == before.toSeq, "replay changed the alert output")
+  }
+
   test("a torn uncommitted state write is invisible to the next batch") {
     val (stateDir, outDir, _) = dirs()
     DriftStream.processBatch(wave1.toDF("doc_id", "text", "source"), 0L, stateDir, outDir)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.{BinaryText, PdfCrypto}
+import graft.sources.{BinaryText, PdfCrypto, Sources}
 import org.scalatest.funsuite.AnyFunSuite
 import java.io.ByteArrayOutputStream
 import java.nio.charset.StandardCharsets.ISO_8859_1
@@ -164,10 +164,10 @@ class PdfCryptoSpec extends AnyFunSuite {
       s"/O ${hex(o)} /U ${hex(u)} /P $P >>")
   }
 
-  private def aes128Pdf(): Array[Byte] = {
+  private def aes128Pdf(userPass: String = ""): Array[Byte] = {
     val n = 16
-    val o = computeO("owner-secret", "", 4, n)
-    val key = fileKey("", o, P, Id0, 4, n)
+    val o = computeO("owner-secret", userPass, 4, n)
+    val key = fileKey(userPass, o, P, Id0, 4, n)
     val u = computeU(key, Id0, 4)
     val iv = Array.tabulate[Byte](16)(i => (i * 5 + 1).toByte)
     val enc = iv ++ aes(Cipher.ENCRYPT_MODE, objKeyMd5(key, 4, aes = true), iv,
@@ -244,6 +244,43 @@ class PdfCryptoSpec extends AnyFunSuite {
       // salvage output only — printable runs, no ciphertext control bytes
       assert(!out.exists(c => c != '\n' && c != '\t' && (c < ' ' || c > '~')))
     }
+  }
+
+  test("user password unlocks RC4 R3 / AES-128 / AES-256 R5+R6; wrong or " +
+    "missing password degrades to salvage") {
+    val fixtures = Seq(
+      rc4Pdf(v = 2, r = 3, lengthBits = 128, userPass = "hunter2"),
+      aes128Pdf(userPass = "hunter2"),
+      aes256Pdf(userPass = "hunter2", r = 5),
+      aes256Pdf(userPass = "hunter2", r = 6))
+    for (locked <- fixtures) {
+      assert(BinaryText.extract(locked, "hunter2") == Text,
+        "right password must extract the exact text")
+      for (bad <- Seq(BinaryText.extract(locked), BinaryText.extract(locked, "wrong"))) {
+        assert(!bad.contains(Text), "locked file must not leak plaintext")
+        assert(!bad.exists(c => c != '\n' && c != '\t' && (c < ' ' || c > '~')),
+          "failed unlock must fall to printable salvage, not ciphertext")
+      }
+    }
+  }
+
+  test("R2 pads a short password with the spec constant (Algorithm 2 path)") {
+    assert(BinaryText.extract(
+      rc4Pdf(v = 1, r = 2, lengthBits = 40, userPass = "pw"), "pw") == Text)
+  }
+
+  test("loadDocuments threads the password through to the security handler") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_pdfpw").toString
+    Files.write(Paths.get(dir, "locked.pdf"),
+      rc4Pdf(v = 2, r = 3, lengthBits = 128, userPass = "hunter2"))
+    val unlocked = Sources.loadDocuments(TestSpark.spark, s"$dir/*.pdf",
+        password = Some("hunter2"))
+      .collect().map(r => r.getString(3)).toSeq
+    assert(unlocked == Seq(Text))
+    val locked = Sources.loadDocuments(TestSpark.spark, s"$dir/*.pdf")
+      .collect().map(r => r.getString(3)).toSeq
+    assert(!locked.head.contains(Text), "passwordless load must stay salvage")
   }
 
   test("stringValue: literal strings with escapes and hex strings parse to bytes") {

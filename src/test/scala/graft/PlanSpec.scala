@@ -298,6 +298,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), "no unbroadcast cartesian")
   }
 
+  test("corpus build v2: quantizer broadcasts, semdedup prune joins on cluster, no cartesian") {
+    val plan = formatted(graft.queries.Clustering.queries("q_corpus_build_v2")(spark, TestSpark.sf0001))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "trained-centroid assign must stay a broadcast nested loop over bounded k")
+    assert(!plan.contains("CartesianProduct"), "no unbroadcast cartesian anywhere")
+    assert("(?s)Join.*cluster".r.findFirstIn(plan).isDefined,
+      "pairwise cosine stage must equi-join on the cluster key")
+  }
+
   test("per-group top-k family compiles to WindowGroupLimit (map-side rank limit)") {
     // rank-then-filter per group must stay the partial WindowGroupLimit
     // shape — each map task keeps at most k rows per group BEFORE the
