@@ -106,6 +106,20 @@ private[graft] object StreamState {
       tables: Seq[(String, StructType, DataFrame => DataFrame)]): Option[Long] = {
     val committed = committedIds(s, stateDir)
     if (committed.size < 2) return None
+    // the commit markers are shared by every table of this state dir —
+    // compacting a subset would delete markers the unlisted tables still
+    // need to be readable. Refuse loudly instead of losing data silently.
+    val (rootFs, rootPath) = hadoopFs(s, stateDir)
+    val unlisted = rootFs.listStatus(rootPath).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(n => n == "_committed" || n == "_compacted")
+      .filterNot(n => tables.exists(_._1 == n))
+      // a child with its own _committed is a NESTED state root (e.g. the
+      // drift alert state) — gated by its own markers, compacted separately
+      .filterNot(n => rootFs.exists(
+        new org.apache.hadoop.fs.Path(s"$stateDir/$n/_committed")))
+    require(unlisted.isEmpty,
+      s"compact must cover every table of $stateDir; missing: ${unlisted.mkString(", ")}")
     val prevBase = compactedIds(s, stateDir).lastOption
     val eligible = committed
       .filter(id => id < committed.max && prevBase.forall(id > _))

@@ -83,6 +83,43 @@ class StreamStateCompactSpec extends AnyFunSuite {
     assert(DriftStream.compactState(spark, stateDir).isEmpty)
   }
 
+  test("compact refuses a table list that misses a sibling table " +
+    "(markers are shared — partial compaction would orphan it)") {
+    val (stateDir, outDir) = (tmp("dg_state"), tmp("dg_out"))
+    DriftStream.processBatch(
+      driftWaves(0).toDF("doc_id", "text", "source"), 0L, stateDir, outDir)
+    DriftStream.processBatch(
+      driftWaves(1).toDF("doc_id", "text", "source"), 1L, stateDir, outDir)
+    // a second table appears under the same root, gated by the same markers
+    Seq((1L, "x")).toDF("id", "v")
+      .write.parquet(s"$stateDir/extra/batch_id=0")
+    val e = intercept[IllegalArgumentException] {
+      DriftStream.compactState(spark, stateDir)
+    }
+    assert(e.getMessage.contains("extra"))
+  }
+
+  test("alert monitor's nested state root coexists with count compaction") {
+    val (stateDir, outDir) = (tmp("da_state"), tmp("da_out"))
+    val alertDir = tmp("da_alerts")
+    val baseline = Seq(("web", 100_000L)).toDF("source", "base_ppm")
+    (0L to 2L).foreach(i => DriftStream.processAlertBatch(
+      driftWaves(i.toInt).toDF("doc_id", "text", "source"), i, stateDir,
+      outDir, alertDir, baseline))
+    // counts compaction must NOT flag the nested alerts root (its own
+    // markers gate it), and each root compacts independently
+    assert(DriftStream.compactState(spark, stateDir) == Some(1L))
+    assert(DriftStream.compactAlertState(spark, stateDir) == Some(1L))
+    // the alerting stream keeps working against both compacted roots,
+    // and the latest-per-source state survived the alert-state fold
+    DriftStream.processAlertBatch(
+      driftWaves(3).toDF("doc_id", "text", "source"), 3L, stateDir,
+      outDir, alertDir, baseline)
+    val got = spark.read.parquet(s"$alertDir/batch_id=3")
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(got.keySet == Set("web", "alien"))
+  }
+
   // ---- dedup ingest (two tables under one marker) --------------------
 
   private def text(base: String): String =
