@@ -23,6 +23,12 @@ import scala.util.Try
   *    key hashed from the password and /U's key salt (SHA-256 for
   *    R=5, the Algorithm-2.B iterated SHA-256/384/512 loop for R=6).
   *
+  * A supplied password is tried BOTH ways, as real readers do: as the
+  * user password first, then as the owner password (Algorithm 7 for
+  * R≤4 — /O decrypts back to the padded user password; Algorithm 12
+  * for R≥5 — /O validates with the 48-byte /U appended to the hash
+  * input and the file key unwraps from /OE).
+  *
   * `context` returns None when the file cannot be unlocked (wrong
   * user password, unsupported /Filter, malformed entries) — the caller
   * degrades to printable-ASCII salvage exactly as before. RC4 is
@@ -120,63 +126,95 @@ object PdfCrypto {
     if (v == 4 && !dict.contains("/StmF")) return None // Identity streams: unsupported edge
 
     if (v >= 5) {
-      // AES-256: U = hash(32) ++ validationSalt(8) ++ keySalt(8)
+      // AES-256: U and O are each hash(32) ++ validationSalt(8) ++ keySalt(8)
       if (u.length < 48) return None
-      val hash = u.take(32)
-      val vsalt = u.slice(32, 40)
-      val ksalt = u.slice(40, 48)
       // R≥6 truncates the password to 127 bytes (§7.6.4.3.3); R=5 is the
       // plain salted SHA-256 of the original Adobe extension
       val pw = password.take(127)
-      val computed =
-        if (r >= 6) hash2B(pw, vsalt) else sha256(pw ++ vsalt)
-      if (!java.util.Arrays.equals(computed, hash)) return None // wrong user password
-      val ue = stringValue(dict, "UE").getOrElse(return None)
-      if (ue.length != 32) return None
-      val ik = if (r >= 6) hash2B(pw, ksalt) else sha256(pw ++ ksalt)
-      val c = Cipher.getInstance("AES/CBC/NoPadding")
-      c.init(Cipher.DECRYPT_MODE, new SecretKeySpec(ik, "AES"),
-        new IvParameterSpec(new Array[Byte](16)))
-      return Some(Ctx(c.doFinal(ue), r, aes = true, encryptMetadata))
+      def hashed(salt: Array[Byte], udata: Array[Byte]) =
+        if (r >= 6) hash2B(pw, salt, udata) else sha256(pw ++ salt ++ udata)
+      def unwrap(wrapped: Array[Byte], ik: Array[Byte]): Option[Ctx] = {
+        if (wrapped.length != 32) return None
+        val c = Cipher.getInstance("AES/CBC/NoPadding")
+        c.init(Cipher.DECRYPT_MODE, new SecretKeySpec(ik, "AES"),
+          new IvParameterSpec(new Array[Byte](16)))
+        Some(Ctx(c.doFinal(wrapped), r, aes = true, encryptMetadata))
+      }
+      // Algorithm 11: password as USER password against /U, key from /UE
+      if (java.util.Arrays.equals(hashed(u.slice(32, 40), Array.empty), u.take(32)))
+        return unwrap(stringValue(dict, "UE").getOrElse(return None),
+          hashed(u.slice(40, 48), Array.empty))
+      // Algorithm 12: password as OWNER password — the 2.B/SHA input takes
+      // the 48-byte /U string appended; key unwraps from /OE
+      if (o.length >= 48 &&
+          java.util.Arrays.equals(hashed(o.slice(32, 40), u.take(48)), o.take(32)))
+        return unwrap(stringValue(dict, "OE").getOrElse(return None),
+          hashed(o.slice(40, 48), u.take(48)))
+      return None // wrong password (neither user nor owner)
     }
 
     // R 2/3/4 — Algorithm 2: password truncated/padded to 32 bytes with
     // the spec constant (the empty password is the fully-padded case)
     val id0 = { val m = IdPat.matcher(whole); if (m.find()) hexBytes(m.group(1)) else Array.empty[Byte] }
     val n = if (r == 2) 5 else math.max(5, math.min(16, lengthBits / 8))
-    val md = MessageDigest.getInstance("MD5")
-    md.update((password.take(32) ++ Pad).take(32))
-    md.update(o.take(32))
-    md.update(Array(p, p >> 8, p >> 16, p >> 24).map(b => (b & 0xff).toByte))
-    md.update(id0)
-    if (r >= 4 && !encryptMetadata)
-      md.update(Array(0xff, 0xff, 0xff, 0xff).map(_.toByte))
-    var key = md.digest()
-    if (r >= 3) for (_ <- 0 until 50) key = md5(key.take(n))
-    key = key.take(n)
 
-    // verify vs /U: Algorithm 4 (R=2) / 5 (R≥3)
-    val ok =
-      if (r == 2) java.util.Arrays.equals(rc4(key, Pad), u.take(32))
-      else {
-        var x = rc4(key, md5(Pad ++ id0))
-        for (i <- 1 to 19) x = rc4(key.map(b => (b ^ i).toByte), x)
-        java.util.Arrays.equals(x, u.take(16))
-      }
-    if (ok) Some(Ctx(key, r, aes, encryptMetadata)) else None
+    /** Algorithm 2 from an already-padded 32-byte password, verified
+      * against /U via Algorithm 4 (R=2) / 5 (R≥3).
+      */
+    def algo2Ctx(padded32: Array[Byte]): Option[Ctx] = {
+      val md = MessageDigest.getInstance("MD5")
+      md.update(padded32)
+      md.update(o.take(32))
+      md.update(Array(p, p >> 8, p >> 16, p >> 24).map(b => (b & 0xff).toByte))
+      md.update(id0)
+      if (r >= 4 && !encryptMetadata)
+        md.update(Array(0xff, 0xff, 0xff, 0xff).map(_.toByte))
+      var key = md.digest()
+      if (r >= 3) for (_ <- 0 until 50) key = md5(key.take(n))
+      key = key.take(n)
+      val ok =
+        if (r == 2) java.util.Arrays.equals(rc4(key, Pad), u.take(32))
+        else {
+          var x = rc4(key, md5(Pad ++ id0))
+          for (i <- 1 to 19) x = rc4(key.map(b => (b ^ i).toByte), x)
+          java.util.Arrays.equals(x, u.take(16))
+        }
+      if (ok) Some(Ctx(key, r, aes, encryptMetadata)) else None
+    }
+
+    val padded = (password.take(32) ++ Pad).take(32)
+    algo2Ctx(padded).orElse {
+      // Algorithm 7: the password as the OWNER password — the Algorithm 3
+      // key decrypts /O back to the PADDED user password (RC4 is its own
+      // inverse; the R≥3 19-round XOR chain unwinds in reverse), and
+      // Algorithm 2 reruns with that recovered padding. Verification
+      // against /U makes a wrong owner password fail exactly like a
+      // wrong user password.
+      var h = md5(padded)
+      if (r >= 3) for (_ <- 0 until 50) h = md5(h)
+      val okey = h.take(n)
+      var rec = o.take(32)
+      if (r == 2) rec = rc4(okey, rec)
+      else for (i <- 19 to 0 by -1)
+        rec = rc4(okey.map(b => (b ^ i).toByte), rec)
+      algo2Ctx(rec)
+    }
   }
 
-  /** §7.6.4.3.4 Algorithm 2.B (R=6) for the EMPTY password: iterated
-    * SHA-256/384/512 over AES-128-CBC blocks until the convergence
-    * condition, yielding the 32-byte hash.
+  /** §7.6.4.3.4 Algorithm 2.B (R=6): iterated SHA-256/384/512 over
+    * AES-128-CBC blocks until the convergence condition, yielding the
+    * 32-byte hash. For OWNER-password hashes the 48-byte /U string is
+    * appended to both the seed and every K1 block (`udata`); user-side
+    * hashes pass it empty.
     */
-  private def hash2B(password: Array[Byte], salt: Array[Byte]): Array[Byte] = {
-    var k = sha256(password ++ salt)
+  private def hash2B(password: Array[Byte], salt: Array[Byte],
+      udata: Array[Byte] = Array.empty): Array[Byte] = {
+    var k = sha256(password ++ salt ++ udata)
     var i = 0
     var done = false
     var e = Array.empty[Byte]
     while (!done) {
-      val block = password ++ k
+      val block = password ++ k ++ udata
       val k1 = new Array[Byte](block.length * 64)
       for (j <- 0 until 64) System.arraycopy(block, 0, k1, j * block.length, block.length)
       val c = Cipher.getInstance("AES/CBC/NoPadding")

@@ -196,16 +196,18 @@ class BinaryTextSpec extends AnyFunSuite {
     * /ObjStm container; the ToUnicode CMap and the content stream are
     * regular stream objects (streams may not nest in an ObjStm).
     */
-  private def objStmPdf(cmap: String, content: String): Array[Byte] = {
+  private def objStmPdf(cmap: String, content: String,
+      compress: Array[Byte] => Array[Byte] = deflate,
+      filterName: String = "/FlateDecode"): Array[Byte] = {
     val obj10 = "<< /Type /Page /Resources << /Font << /F1 11 0 R >> >> /Contents 6 0 R >>"
     val obj11 = "<< /Type /Font /Subtype /Type0 /ToUnicode 4 0 R >>"
     val header = s"10 0 11 ${obj10.length + 1}\n"
     val payload = (header + obj10 + " " + obj11).getBytes(ISO_8859_1)
-    val compressed = deflate(payload)
+    val compressed = compress(payload)
     val bos = new ByteArrayOutputStream()
     bos.write("%PDF-1.5\n".getBytes(ISO_8859_1))
     bos.write((s"2 0 obj << /Type /ObjStm /N 2 /First ${header.length} " +
-      s"/Length ${compressed.length} /Filter /FlateDecode >>\nstream\n").getBytes(ISO_8859_1))
+      s"/Length ${compressed.length} /Filter $filterName >>\nstream\n").getBytes(ISO_8859_1))
     bos.write(compressed)
     bos.write("\nendstream\nendobj\n".getBytes(ISO_8859_1))
     for ((num, s) <- Seq((4, cmap), (6, content))) {
@@ -231,6 +233,22 @@ class BinaryTextSpec extends AnyFunSuite {
         |endcmap""".stripMargin
     val content = "BT /F1 12 Tf <00010002> Tj ET"
     assert(BinaryText.extract(objStmPdf(cmap, content)) == "é你")
+  }
+
+  test("PDF: an LZW-compressed /ObjStm bursts and resolves the font graph") {
+    // same object graph as the Flate case, but the container decodes
+    // through LZWDecode — filters must apply BEFORE ObjStm bursting
+    val cmap =
+      """begincmap
+        |2 beginbfchar
+        |<0001> <00E9>
+        |<0002> <4F60>
+        |endbfchar
+        |endcmap""".stripMargin
+    val content = "BT /F1 12 Tf <00010002> Tj ET"
+    val pdf = objStmPdf(cmap, content,
+      compress = b => lzwEncode(b), filterName = "/LZWDecode")
+    assert(BinaryText.extract(pdf) == "é你")
   }
 
   test("PDF: malformed ObjStm header degrades to no embedded objects, not an abort") {

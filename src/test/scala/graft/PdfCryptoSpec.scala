@@ -92,14 +92,16 @@ class PdfCryptoSpec extends AnyFunSuite {
   }
 
   /** 32000-2 Algorithm 2.B, written loop-shape-differently from the
-    * reader side.
+    * reader side. `udata` is the 48-byte /U string for owner-side
+    * hashes, empty for user-side.
     */
-  private def hash2B(pass: Array[Byte], salt: Array[Byte]): Array[Byte] = {
-    var k = sha(256, pass, salt)
+  private def hash2B(pass: Array[Byte], salt: Array[Byte],
+      udata: Array[Byte] = Array.empty): Array[Byte] = {
+    var k = sha(256, pass, salt, udata)
     var round = 0
     var last = 256
     while (round < 64 || last > round - 32) {
-      val block = pass ++ k
+      val block = pass ++ k ++ udata
       val k1 = Iterator.fill(64)(block).flatten.toArray
       val e = aes(Cipher.ENCRYPT_MODE, k.take(16), k.slice(16, 32), k1)
       k = sha(Seq(256, 384, 512)(e.take(16).foldLeft(0)((a, b) => a + (b & 0xff)) % 3), e)
@@ -190,7 +192,8 @@ class PdfCryptoSpec extends AnyFunSuite {
       s"/O ${hex(o)} /U ${hex(u)} /P $P >>")
   }
 
-  private def aes256Pdf(userPass: String = "", r: Int = 6): Array[Byte] = {
+  private def aes256Pdf(userPass: String = "", r: Int = 6,
+      ownerPass: String = "owner-secret"): Array[Byte] = {
     val key256 = Array.tabulate[Byte](32)(i => (i * 7 + 11).toByte)
     val vsalt = Array.tabulate[Byte](8)(i => (i + 1).toByte)
     val ksalt = Array.tabulate[Byte](8)(i => (i + 9).toByte)
@@ -200,8 +203,15 @@ class PdfCryptoSpec extends AnyFunSuite {
     def h(salt: Array[Byte]) = if (r >= 6) hash2B(pass, salt) else sha(256, pass, salt)
     val u = h(vsalt) ++ vsalt ++ ksalt
     val ue = aes(Cipher.ENCRYPT_MODE, h(ksalt), new Array[Byte](16), key256)
-    val o48 = Array.tabulate[Byte](48)(i => (i * 3 + 2).toByte) // unused by empty-user unlock
-    val oe = Array.tabulate[Byte](32)(i => (i * 11 + 5).toByte)
+    // real owner entries (Algorithm 12 writer side): the 48-byte /U
+    // string joins the hash input, /OE wraps the same file key
+    val opass = ownerPass.getBytes(ISO_8859_1)
+    val ovsalt = Array.tabulate[Byte](8)(i => (i + 21).toByte)
+    val oksalt = Array.tabulate[Byte](8)(i => (i + 31).toByte)
+    def ho(salt: Array[Byte]) =
+      if (r >= 6) hash2B(opass, salt, u) else sha(256, opass, salt, u)
+    val o48 = ho(ovsalt) ++ ovsalt ++ oksalt
+    val oe = aes(Cipher.ENCRYPT_MODE, ho(oksalt), new Array[Byte](16), key256)
     val iv = Array.tabulate[Byte](16)(i => (i * 9 + 4).toByte)
     val enc = iv ++ aes(Cipher.ENCRYPT_MODE, key256, iv,
       pkcs7(deflate(s"BT ($Text) Tj ET".getBytes(ISO_8859_1))))
@@ -267,6 +277,22 @@ class PdfCryptoSpec extends AnyFunSuite {
   test("R2 pads a short password with the spec constant (Algorithm 2 path)") {
     assert(BinaryText.extract(
       rc4Pdf(v = 1, r = 2, lengthBits = 40, userPass = "pw"), "pw") == Text)
+  }
+
+  test("OWNER password unlocks R2/R3/R4 via Algorithm 7 (recovered user padding) " +
+    "and AES-256 R5/R6 via Algorithm 12 (/O validate, /OE unwrap)") {
+    val fixtures = Seq(
+      rc4Pdf(v = 1, r = 2, lengthBits = 40, userPass = "hunter2"),
+      rc4Pdf(v = 2, r = 3, lengthBits = 128, userPass = "hunter2"),
+      aes128Pdf(userPass = "hunter2"),
+      aes256Pdf(userPass = "hunter2", r = 5),
+      aes256Pdf(userPass = "hunter2", r = 6))
+    for (locked <- fixtures) {
+      assert(BinaryText.extract(locked, "owner-secret") == Text,
+        "owner password must unlock without knowing the user password")
+      val bad = BinaryText.extract(locked, "owner-wrong")
+      assert(!bad.contains(Text), "wrong owner password must not leak plaintext")
+    }
   }
 
   test("loadDocuments threads the password through to the security handler") {
