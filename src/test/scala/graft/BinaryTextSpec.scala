@@ -427,6 +427,19 @@ class BinaryTextSpec extends AnyFunSuite {
         s"round-trip failed at EarlyChange=$early")
   }
 
+  test("LZW: full-byte-range stress round-trip crosses the 12-bit and " +
+    "table-full (4096) regimes") {
+    val rnd = new scala.util.Random(7)
+    // high-entropy bytes: ~one new table entry per emitted code, so 24KB
+    // fills the table past 4096 and both sides must stop adding in sync
+    val data = Array.fill(24 * 1024)(rnd.nextInt(256).toByte)
+    assert(BinaryText.lzwDecode(lzwEncode(data)).sameElements(data))
+    // and a low-entropy tail appended after the table is full still
+    // decodes through the frozen table
+    val data2 = data ++ Array.fill(4096)('x'.toByte)
+    assert(BinaryText.lzwDecode(lzwEncode(data2)).sameElements(data2))
+  }
+
   test("PDF: LZWDecode content stream extracts exact text") {
     val content = "BT (LZW stream text) Tj T* (line two) Tj ET".getBytes(ISO_8859_1)
     val pdf = pdfAround(lzwEncode(content), dictExtra = " /Filter /LZWDecode")
