@@ -57,6 +57,14 @@ class StreamStateCompactSpec extends AnyFunSuite {
     // second compaction folds base 1 + batches {2,3}, OVERWRITING the orphan
     assert(DriftStream.compactState(spark, compState) == Some(3L))
     runBoth(5L)
+    // replay of the NEWEST committed batch against the compacted state:
+    // the base preserves exactly the partitions its upTo exclusion needs,
+    // so the re-run is byte-idempotent
+    val before = driftRows(compOut, 5L)
+    DriftStream.processBatch(driftWaves(5).toDF("doc_id", "text", "source"),
+      5L, compState, compOut)
+    assert(driftRows(compOut, 5L) == before,
+      "replay after compaction changed a committed batch's output")
     // layout: exactly one base, only post-compaction batch partitions and
     // markers survive
     assert(streaming.StreamState.compactedIds(spark, compState) == Seq(3L))
