@@ -395,6 +395,11 @@ object Retrieval {
     // exact worst case of the per-term numerator: idf at df=1, tf at max dl
     val worstIdf = (BigInt(2) * BigInt(math.max(nDocs - 1, 0)) + 1) * 1000 / 3
     val worst = worstIdf * 22 * BigInt(maxDl) * BigInt(sumDl)
+    // the DECIMAL(38,0) envelope is a loud ceiling too: past it the
+    // product would overflow decimal and (ANSI off) null the scores out
+    require(worst < BigInt(10).pow(38),
+      s"bm25: worst-case numerator $worst exceeds the DECIMAL(38,0) envelope " +
+        s"(n_docs=$nDocs, sum_dl=$sumDl, max_dl=$maxDl)")
     val wide = forceWide || worst >= BigInt(Long.MaxValue)
     // in wide mode every product chain starts from a DECIMAL(38,0) factor,
     // so neither the numerator nor the denominator ever multiplies in BIGINT

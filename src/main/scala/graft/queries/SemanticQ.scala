@@ -32,9 +32,15 @@ object SemanticQ {
     * a PERSISTED artifact keyed to its corpus snapshot that the
     * serving/dedup/eval jobs all load rather than re-train. Four
     * declared queries share one training here.
+    *
+    * The map is keyed by dataset DIR with the content fingerprint stored
+    * alongside the value: inserting a new snapshot of the same dir
+    * replaces (evicts) the superseded entry, so a long-lived session
+    * that overwrites dataset dirs repeatedly holds one quantizer per
+    * dir, not one per historical snapshot.
     */
-  private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Long])]]()
+  private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Seq[(Long, Seq[Long])])]()
 
   /** Content identity of `$d`'s embeddings table: one cheap driver-side
     * file listing (no data read) — any rewrite changes a length or
@@ -53,16 +59,21 @@ object SemanticQ {
   /** Drop every memoized quantizer (test hook / operational reset). */
   private[graft] def clearCentroidCache(): Unit = centroidCache.clear()
 
-  private[graft] def trainedCentroids(s: SparkSession, d: String): Seq[(Long, Seq[Long])] =
-    centroidCache.computeIfAbsent(snapshotKey(s, d), _ =>
-      KMeansOp.lloydCentroidsLocal(Tables.embeddings(s, d), "vec_id",
-        col("embedding"), K, Iters))
+  private[graft] def trainedCentroids(s: SparkSession, d: String): Seq[(Long, Seq[Long])] = {
+    val fp = snapshotKey(s, d)
+    centroidCache.compute(d, (_, prev) =>
+      if (prev != null && prev._1 == fp) prev
+      else (fp, KMeansOp.lloydCentroidsLocal(Tables.embeddings(s, d), "vec_id",
+        col("embedding"), K, Iters)))._2
+  }
 
   private def intVecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), KMeansOp.intVec(col("embedding")).as("v"))
 
-  /** Integer-exact Lloyd assignment after 2 rounds, seeded on vec_id<8:
+  /** Integer-exact Lloyd assignment after 2 rounds, seeded on the 8
+    * lowest vec_ids (the engine AND oracle convention, well-defined for
+    * any id space):
     * (vec_id, cluster, dist_scaled). One row per vector — the full
     * clustering a curation pipeline joins against.
     */
@@ -205,7 +216,7 @@ object SemanticQ {
     s"""q AS (SELECT vec_id, list_transform(embedding,
        |    e -> CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS v
        |  FROM embeddings),
-       |c0 AS (SELECT vec_id AS cid, v AS c FROM q WHERE vec_id < $K),
+       |c0 AS (SELECT vec_id AS cid, v AS c FROM q ORDER BY vec_id ASC LIMIT $K),
        |${assignSql(1, "c0")},
        |${updateSql(1)},
        |${assignSql(2, "c1")},

@@ -69,12 +69,36 @@ private[graft] object StreamState {
     * the explicit schema means an empty-but-existing committed dir reads
     * as zero rows instead of failing schema inference, while a corrupt
     * footer in a COMMITTED partition still aborts at scan time.
+    *
+    * Listing ORDER is load-bearing for concurrency with [[compact]]:
+    * committed markers are listed FIRST, the compacted floor second. A
+    * compaction that commits between the two listings can then only
+    * RAISE the floor past batch ids the reader already holds — those ids
+    * are filtered out and the new base (which contains them, merged)
+    * is read instead: no gap. The reverse order (floor first) would let
+    * a concurrent compaction delete commit markers in (floor, M']
+    * before the second listing, silently dropping those batches from
+    * the read. The residual race — cleanup deleting a batch directory
+    * while the parquet scan is in flight — fails the scan loudly, never
+    * silently.
     */
   def readCommitted(s: SparkSession, stateDir: String, table: String,
-      schema: StructType, upTo: Long = Long.MaxValue): DataFrame = {
+      schema: StructType, upTo: Long = Long.MaxValue): DataFrame =
+    readCommittedWith(s, stateDir, table, schema, upTo, () => ())
+
+  /** [[readCommitted]] with a hook run between the committed-marker
+    * listing and the compacted-floor listing — a test seam for pinning
+    * the concurrent-compaction interleaving. Production callers use
+    * [[readCommitted]] (no-op hook).
+    */
+  private[graft] def readCommittedWith(s: SparkSession, stateDir: String,
+      table: String, schema: StructType, upTo: Long,
+      afterCommittedListing: () => Unit): DataFrame = {
+    val committed = committedIds(s, stateDir)
+    afterCommittedListing()
     val base = compactedIds(s, stateDir).filter(_ < upTo).lastOption
     val floor = base.getOrElse(Long.MinValue)
-    val dirs = committedIds(s, stateDir)
+    val dirs = committed
       .filter(id => id < upTo && id > floor)
       .map(id => s"$stateDir/$table/batch_id=$id") ++
       base.map(b => s"$stateDir/$table/base_id=$b")

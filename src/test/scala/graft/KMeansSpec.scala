@@ -71,7 +71,8 @@ class KMeansSpec extends AnyFunSuite {
     def dist(a: Array[Long], b: Array[Long]): Long =
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
     val vecById = vecs.toMap  // lookup by id, not array position
-    var cents: Seq[(Long, Array[Long])] = vecs.filter(_._1 < 8).map(v => v._1 -> v._2).toSeq
+    // k LOWEST ids — the engine's seed convention (vecs is sorted by id)
+    var cents: Seq[(Long, Array[Long])] = vecs.take(8).map(v => v._1 -> v._2).toSeq
     def assign() = vecs.map { case (id, v) =>
       val (cid, dd) = cents.map { case (c, cv) => (c, dist(v, cv)) }
         .minBy { case (c, dd) => (dd, c) }

@@ -82,6 +82,36 @@ class StreamStateCompactSpec extends AnyFunSuite {
     assert(base.toMap == twinWords, "base counts != words of batches 0..3")
   }
 
+  test("a compaction that commits BETWEEN the reader's two listings loses " +
+    "nothing: committed-first ordering folds the raced batches into the base") {
+    val stateDir = tmp("race_state")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("c_w",
+        org.apache.spark.sql.types.LongType)))
+    (0L to 3L).foreach { b =>
+      Seq((s"w$b", b + 1)).toDF("w", "c_w")
+        .write.parquet(s"$stateDir/counts/batch_id=$b")
+      streaming.StreamState.commitMarker(spark, stateDir, b)
+    }
+    val merge = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy("w").agg(sum("c_w").as("c_w"))
+    // The reader lists committed = {0,1,2,3}; the hook then runs a full
+    // compaction (base 2 appears, batch dirs 0..2 and their markers are
+    // DELETED) before the reader lists the compacted floor. The old
+    // (floor-first) ordering would have floor = none and batches {3}
+    // only — batches 0..2 silently gone. Committed-first must read
+    // base 2 + batch 3 = every row.
+    val got = streaming.StreamState.readCommittedWith(
+      spark, stateDir, "counts", schema, Long.MaxValue,
+      () => assert(streaming.StreamState.compact(spark, stateDir,
+        Seq(("counts", schema, merge))) == Some(2L)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("w0" -> 1L, "w1" -> 2L, "w2" -> 3L, "w3" -> 4L),
+      s"concurrent compaction dropped state: $got")
+  }
+
   test("drift: nothing to fold is a no-op, not an error") {
     val (stateDir, outDir) = (tmp("dn_state"), tmp("dn_out"))
     assert(DriftStream.compactState(spark, stateDir).isEmpty) // empty state
