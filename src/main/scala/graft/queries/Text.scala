@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.{SectionChunker, TextAnalysis => TA}
+import graft.sources.{SampleCorpus, Sources}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -84,7 +85,22 @@ object Text {
       .orderBy(col("doc_id").asc)
   }
 
+  /** S1/S2 driver-checked end-to-end: binaryFile-scan the generated
+    * [[SampleCorpus]] (PDFs across the filter surface incl. an
+    * ASCII85+Flate chain, a DOCX with header/footer parts, a TXT)
+    * through `Sources.loadDocuments`, project (file_name, n_chars,
+    * md5). The oracle recomputes both from the corpus's expected-text
+    * contract, so a parser regression on ANY format/filter fails the
+    * correctness gate, not just a unit spec.
+    */
+  def binaryIngest(s: SparkSession, d: String): DataFrame =
+    Sources.loadDocuments(s, SampleCorpus.ensure() + "/*")
+      .select(col("file_name"), length(col("text")).cast("long").as("n_chars"),
+        md5(col("text").cast("binary")).as("text_md5"))
+      .orderBy(col("file_name").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_binary_ingest" -> binaryIngest,
     "q_pii_redact" -> piiRedact,
     "q_doc_scan_filter" -> docScanFilter,
     "q_doc_clean_project" -> docCleanProject,
@@ -117,7 +133,21 @@ object Text {
       s"\nSELECT doc_id, t AS redacted, $countCols FROM $last ORDER BY doc_id ASC"
   }
 
+  /** VALUES-only oracle: DuckDB recomputes length + md5 from the
+    * corpus's expected texts (newlines as chr(10) so no escaping).
+    */
+  private val binaryIngestSql: String = {
+    val rows = SampleCorpus.expected.map { case (name, text) =>
+      val lit = text.split("\n", -1).map(l => s"'$l'").mkString(" || chr(10) || ")
+      s"('$name', $lit)"
+    }.mkString(",\n  ")
+    s"""SELECT file_name, CAST(length(t) AS BIGINT) AS n_chars, md5(t) AS text_md5
+       |FROM (VALUES $rows) v(file_name, t)
+       |ORDER BY file_name ASC""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_binary_ingest" -> binaryIngestSql,
     "q_pii_redact" -> piiRedactSql,
     "q_doc_scan_filter" ->
       """SELECT doc_id, source, n_chars FROM documents

@@ -232,7 +232,8 @@ object BinaryText {
     * decrypted when an unlock context is present (per-object key from
     * the nearest preceding `N G obj` header; cross-reference streams
     * and — under /EncryptMetadata false — metadata streams are exempt
-    * per spec), then inflated where /FlateDecode.
+    * per spec), then run through the full `/Filter` chain
+    * (Flate/LZW/ASCII85/ASCIIHex/RunLength, single name or array).
     */
   private def decodedStreams(bytes: Array[Byte],
       crypto: Option[PdfCrypto.Ctx] = None): Seq[(Int, Array[Byte])] = {
@@ -284,19 +285,142 @@ object BinaryText {
             val raw = java.util.Arrays.copyOfRange(bytes, ds, de)
             val dict = dictBefore(bytes, s)
             val plain = decrypted(s, dict, raw)
-            parts += ((s,
-              if (dict.contains("/FlateDecode"))
-                Try(unpredict(dict, inflate(plain))).getOrElse(Array.empty[Byte])
-              else if (dict.contains("/LZWDecode"))
-                Try(unpredict(dict, lzwDecode(plain, earlyChangeOf(dict))))
-                  .getOrElse(Array.empty[Byte])
-              else plain))
+            parts += ((s, Try(applyFilters(dict, plain)).getOrElse(Array.empty[Byte])))
             pos = e + EndstreamKw.length
           }
         }
       }
     }
     parts.toSeq
+  }
+
+  private val FilterPat =
+    java.util.regex.Pattern.compile("/Filter\\s*(\\[[^\\]]*\\]|/[A-Za-z0-9]+)")
+  private val FilterNamePat = java.util.regex.Pattern.compile("/([A-Za-z0-9]+)")
+
+  /** Walk the stream dictionary's `/Filter` entry — a single name OR an
+    * array of names applied in listed order, e.g.
+    * `[/ASCII85Decode /FlateDecode]` (ISO 32000-1 §7.4.1: the first
+    * filter decodes the stored bytes, each next one the previous
+    * output). Decompression filters (Flate, LZW) run the shared
+    * /DecodeParms predictor pass; the ASCII transport filters
+    * (ASCII85/ASCIIHex) and RunLength take no parms. Unrecognized
+    * filters (the image codecs — DCT, JPX, CCITT) pass bytes through:
+    * their payloads carry no text operators, so downstream
+    * interpretation yields nothing rather than garbage. A filter that
+    * throws on malformed data aborts THIS stream only (the caller maps
+    * it to empty), which is what routes a corrupt document to
+    * printable-ASCII salvage.
+    */
+  private[graft] def applyFilters(dict: String, data: Array[Byte]): Array[Byte] = {
+    val fm = FilterPat.matcher(dict)
+    if (!fm.find()) return data
+    val names = {
+      val nm = FilterNamePat.matcher(fm.group(1))
+      val buf = mutable.Buffer[String]()
+      while (nm.find()) buf += nm.group(1)
+      buf.toSeq
+    }
+    names.foldLeft(data) { (d, name) =>
+      name match {
+        case "FlateDecode" | "Fl" => unpredict(dict, inflate(d))
+        case "LZWDecode" | "LZW" => unpredict(dict, lzwDecode(d, earlyChangeOf(dict)))
+        case "ASCII85Decode" | "A85" => ascii85Decode(d)
+        case "ASCIIHexDecode" | "AHx" => asciiHexDecode(d)
+        case "RunLengthDecode" | "RL" => runLengthDecode(d)
+        case _ => d
+      }
+    }
+  }
+
+  /** /ASCIIHexDecode (ISO 32000-1 §7.4.2): hex digit pairs to bytes,
+    * whitespace ignored, `>` is EOD (data past it ignored), an odd
+    * trailing digit behaves as if followed by 0. Any other character
+    * before EOD is an error (throws — the caller salvages).
+    */
+  private[graft] def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i).toChar
+      if (c == '>') done = true
+      else if (!c.isWhitespace) {
+        val v = Character.digit(c, 16)
+        if (v < 0) throw new IllegalArgumentException(s"bad hex char '$c'")
+        if (hi < 0) hi = v else { out.write((hi << 4) | v); hi = -1 }
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4)
+    out.toByteArray
+  }
+
+  /** /ASCII85Decode (ISO 32000-1 §7.4.3): 5 chars in `!`..`u` encode a
+    * big-endian base-85 group of 4 bytes; `z` is shorthand for four
+    * zero bytes (only between groups); whitespace ignored; `~>` is EOD.
+    * A final partial group of n in 2..4 chars pads with `u` and keeps
+    * n-1 bytes. A 1-char leftover, `z` inside a group, an out-of-range
+    * char, or a group value past 2^32-1 throws (the caller salvages).
+    */
+  private[graft] def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val grp = new Array[Int](5)
+    var k = 0
+    def flush(n: Int): Unit = {
+      var j = n; while (j < 5) { grp(j) = 84; j += 1 } // pad with 'u'
+      val v = grp.foldLeft(0L)((acc, d) => acc * 85 + d)
+      if (v > 0xffffffffL) throw new IllegalArgumentException("85 group overflow")
+      var b = 0
+      while (b < n - 1) { out.write(((v >> (24 - 8 * b)) & 0xff).toInt); b += 1 }
+    }
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i).toChar
+      if (c == '~') done = true
+      else if (c == 'z') {
+        if (k != 0) throw new IllegalArgumentException("z inside 85 group")
+        out.write(0); out.write(0); out.write(0); out.write(0)
+      } else if (!c.isWhitespace) {
+        if (c < '!' || c > 'u') throw new IllegalArgumentException(s"bad 85 char '$c'")
+        grp(k) = c - '!'; k += 1
+        if (k == 5) { flush(5); k = 0 }
+      }
+      i += 1
+    }
+    if (k == 1) throw new IllegalArgumentException("dangling 85 digit")
+    if (k >= 2) flush(k)
+    out.toByteArray
+  }
+
+  /** /RunLengthDecode (ISO 32000-1 §7.4.5): length byte L — 0..127
+    * copies the next L+1 bytes literally, 129..255 repeats the next
+    * byte 257-L times, 128 is EOD. Truncated input throws (salvage).
+    */
+  private[graft] def runLengthDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val len = data(i) & 0xff
+      if (len == 128) done = true
+      else if (len < 128) {
+        if (i + 1 + len + 1 > data.length)
+          throw new IllegalArgumentException("truncated literal run")
+        out.write(data, i + 1, len + 1)
+        i += len + 1
+      } else {
+        if (i + 1 >= data.length)
+          throw new IllegalArgumentException("truncated repeat run")
+        var r = 0; val b = data(i + 1).toInt
+        while (r < 257 - len) { out.write(b); r += 1 }
+        i += 1
+      }
+      i += 1
+    }
+    out.toByteArray
   }
 
   private val EarlyChangePat = java.util.regex.Pattern.compile("/EarlyChange\\s+(\\d+)")

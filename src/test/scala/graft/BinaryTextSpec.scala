@@ -453,6 +453,155 @@ class BinaryTextSpec extends AnyFunSuite {
     assert(BinaryText.extract(pdf) == "late-change lzw")
   }
 
+  // ---- ASCII-family filters + filter chains (ISO 32000-1 §7.4.2/3/5) ----
+
+  /** Test-local ASCII85 ENCODER, independent of the decoder. */
+  private def ascii85Encode(data: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < data.length) {
+      val n = math.min(4, data.length - i)
+      var v = 0L
+      for (k <- 0 until 4)
+        v = (v << 8) | (if (i + k < data.length) data(i + k) & 0xffL else 0L)
+      val digits = new Array[Char](5)
+      for (k <- 4 to 0 by -1) { digits(k) = ('!' + (v % 85).toInt).toChar; v /= 85 }
+      sb.appendAll(digits, 0, n + 1)
+      i += n
+    }
+    (sb.toString + "~>").getBytes(ISO_8859_1)
+  }
+
+  private def asciiHexEncode(data: Array[Byte]): Array[Byte] =
+    (data.map(b => f"${b & 0xff}%02X").mkString(" ") + ">").getBytes(ISO_8859_1)
+
+  test("ASCIIHexDecode: pairs, interleaved whitespace, odd trailing digit, EOD") {
+    assert(BinaryText.asciiHexDecode("48 65\n6C6c 6F>ignored".getBytes(ISO_8859_1))
+      .sameElements("Hello".getBytes(ISO_8859_1)))
+    // odd final digit acts as if followed by 0: "7" → 0x70 = 'p'
+    assert(BinaryText.asciiHexDecode("7>".getBytes(ISO_8859_1))
+      .sameElements(Array('p'.toByte)))
+    intercept[IllegalArgumentException] {
+      BinaryText.asciiHexDecode("4G>".getBytes(ISO_8859_1))
+    }
+  }
+
+  test("ASCII85Decode: round-trip, z shorthand, partial groups, malformed input") {
+    val rnd = new scala.util.Random(11)
+    for (len <- Seq(0, 1, 2, 3, 4, 5, 63)) {
+      val data = Array.fill(len)(rnd.nextInt(256).toByte)
+      assert(BinaryText.ascii85Decode(ascii85Encode(data)).sameElements(data),
+        s"85 round-trip failed at len=$len")
+    }
+    // z = four zero bytes, only between groups
+    assert(BinaryText.ascii85Decode("z~>".getBytes(ISO_8859_1))
+      .sameElements(Array[Byte](0, 0, 0, 0)))
+    intercept[IllegalArgumentException] { // z inside a group
+      BinaryText.ascii85Decode("!z~>".getBytes(ISO_8859_1))
+    }
+    intercept[IllegalArgumentException] { // 1-char leftover group
+      BinaryText.ascii85Decode("!~>".getBytes(ISO_8859_1))
+    }
+    intercept[IllegalArgumentException] { // group value past 2^32-1
+      BinaryText.ascii85Decode("uuuuu~>".getBytes(ISO_8859_1))
+    }
+  }
+
+  test("RunLengthDecode: literal runs, repeat runs, EOD, truncation throws") {
+    // literal "AB", repeat 'C'×4 (257-253), EOD, trailing junk ignored
+    val enc = Array[Byte](1, 'A', 'B', 253.toByte, 'C', 128.toByte, 99)
+    assert(BinaryText.runLengthDecode(enc)
+      .sameElements("ABCCCC".getBytes(ISO_8859_1)))
+    intercept[IllegalArgumentException] { // literal run longer than the input
+      BinaryText.runLengthDecode(Array[Byte](5, 'A'))
+    }
+    intercept[IllegalArgumentException] { // repeat byte missing
+      BinaryText.runLengthDecode(Array[Byte](200.toByte))
+    }
+  }
+
+  test("PDF: each ASCII-family filter alone extracts exact text") {
+    val content = "BT (ascii filter text) Tj ET".getBytes(ISO_8859_1)
+    for ((name, enc) <- Seq[(String, Array[Byte] => Array[Byte])](
+        ("/ASCIIHexDecode", asciiHexEncode),
+        ("/ASCII85Decode", ascii85Encode))) {
+      val pdf = pdfAround(enc(content), dictExtra = s" /Filter $name")
+      assert(BinaryText.extract(pdf) == "ascii filter text", s"filter $name")
+    }
+    // RunLength: one literal chunk per ≤128 bytes, then EOD
+    val rle = {
+      val bos = new ByteArrayOutputStream()
+      content.grouped(128).foreach { chunk =>
+        bos.write(chunk.length - 1); bos.write(chunk)
+      }
+      bos.write(128); bos.toByteArray
+    }
+    val pdf = pdfAround(rle, dictExtra = " /Filter /RunLengthDecode")
+    assert(BinaryText.extract(pdf) == "ascii filter text")
+  }
+
+  test("PDF: /Filter ARRAY chain [/ASCII85Decode /FlateDecode] walks in order") {
+    val content = "BT (chained filter text) Tj T* (second line) Tj ET"
+      .getBytes(ISO_8859_1)
+    val pdf = pdfAround(ascii85Encode(deflate(content)),
+      dictExtra = " /Filter [/ASCII85Decode /FlateDecode]")
+    assert(BinaryText.extract(pdf) == "chained filter text\nsecond line")
+    // three-deep: RunLength(literal) of 85 of Flate
+    val rl = {
+      val inner = ascii85Encode(deflate(content))
+      val bos = new ByteArrayOutputStream()
+      inner.grouped(128).foreach { c => bos.write(c.length - 1); bos.write(c) }
+      bos.write(128); bos.toByteArray
+    }
+    val pdf3 = pdfAround(rl,
+      dictExtra = " /Filter [/RunLengthDecode /ASCII85Decode /FlateDecode]")
+    assert(BinaryText.extract(pdf3) == "chained filter text\nsecond line")
+  }
+
+  test("PDF: a malformed ASCII85 group degrades to salvage, not an abort") {
+    // 'v' is outside the 85 alphabet → the stream decode throws, extract
+    // falls back to printable-ASCII salvage of the raw file bytes
+    val pdf = pdfAround("vvvv~>".getBytes(ISO_8859_1),
+      dictExtra = " /Filter /ASCII85Decode")
+    val txt = BinaryText.extract(pdf)
+    assert(txt.nonEmpty && txt.contains("obj"), s"expected salvage, got: $txt")
+  }
+
+  test("PDF fuzz: 600 random mutations of valid fixtures never throw " +
+    "(truncation, byte flips, garbage filters)") {
+    val rnd = new scala.util.Random(20260814L)
+    val content = "BT (fuzz seed text) Tj T* (more) Tj ET".getBytes(ISO_8859_1)
+    val fixtures = Seq(
+      pdfAround(content),
+      pdfAround(deflate(content), dictExtra = " /Filter /FlateDecode"),
+      pdfAround(ascii85Encode(deflate(content)),
+        dictExtra = " /Filter [/ASCII85Decode /FlateDecode]"),
+      pdfAround(lzwEncode(content), dictExtra = " /Filter /LZWDecode"),
+      docxAround("<w:document><w:p><w:r><w:t>fuzz docx</w:t></w:r></w:p></w:document>"))
+    val garbageFilters = Seq(" /Filter /Bogus", " /Filter [/ASCII85Decode /Nope]",
+      " /Filter /ASCIIHexDecode", " /Filter /RunLengthDecode")
+    for (case_ <- 1 to 600) {
+      val base = fixtures(rnd.nextInt(fixtures.length))
+      val mutated: Array[Byte] = rnd.nextInt(4) match {
+        case 0 => // truncate at a random point
+          base.take(1 + rnd.nextInt(base.length))
+        case 1 => // flip 1..8 random bytes
+          val b = base.clone()
+          for (_ <- 0 until 1 + rnd.nextInt(8))
+            b(rnd.nextInt(b.length)) = (rnd.nextInt(256) - 128).toByte
+          b
+        case 2 => // a WRONG filter name over a valid payload
+          pdfAround(content, dictExtra = garbageFilters(rnd.nextInt(garbageFilters.length)))
+        case _ => // random garbage spliced into the middle
+          val cut = rnd.nextInt(base.length)
+          base.take(cut) ++ Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte) ++
+            base.drop(cut)
+      }
+      val txt = BinaryText.extract(mutated) // must not throw
+      assert(txt != null, s"case $case_ returned null")
+    }
+  }
+
   test("loadDocuments end-to-end: real PDF fixture extracts its known text") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("graft_pdf").toString

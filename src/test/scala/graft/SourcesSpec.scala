@@ -89,6 +89,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(bad.toList == List("""{"doc_id":2 BROKEN"""))
   }
 
+  test("SampleCorpus round-trips: loadDocuments over the generated corpus " +
+    "yields exactly the expected-text contract (the q_binary_ingest gate)") {
+    val dir = graft.sources.SampleCorpus.ensure()
+    val got = Sources.loadDocuments(spark, s"$dir/*")
+      .select(col("file_name"), col("text"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == graft.sources.SampleCorpus.expected.toMap)
+    // the declared query projects the oracle-compared shape
+    val q = graft.queries.Text.binaryIngest(spark, "unused")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(q.toSeq == graft.sources.SampleCorpus.expected
+      .map { case (n, t) => (n, t.length.toLong) }.sortBy(_._1))
+  }
+
   test("jsonl dropMalformed drops bad lines; failFast fails the read") {
     val dropped = Sources.readJsonl(spark, s"$jsonlDir/corpus.jsonl",
       jsonlSchema, mode = "DROPMALFORMED")
