@@ -230,16 +230,20 @@ object Analysis {
     */
   def knnGraph(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NO materialization: both self-join sides are the same ivfAssign
+    // plan shuffled on cell, so ReuseExchange computes the assignment
+    // once and reads the shuffle twice — zero persistent blocks for a
+    // long-lived session to accumulate (this replaced a localCheckpoint;
+    // PlanSpec pins the ReusedExchange so a projection drift that breaks
+    // canonical sameness fails loudly instead of silently recomputing)
     val assigned = AnnSearch.ivfAssign(Tables.embeddings(s, d), nCells = 16)
-      .localCheckpoint() // both sides of the self-join below
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("dist_raw").asc, col("nbr_id").asc)
-    assigned
-      .join(assigned.select(col("cell"), col("vec_id").as("nbr_id"),
-        col("embedding").as("nvec")), Seq("cell"))
-      .where(col("vec_id") =!= col("nbr_id"))
-      .select(col("vec_id"), col("nbr_id"),
-        VectorOps.squaredL2(col("embedding"), col("nvec")).as("dist_raw"))
+    assigned.as("a")
+      .join(assigned.as("b"), col("a.cell") === col("b.cell"))
+      .where(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+        VectorOps.squaredL2(col("a.embedding"), col("b.embedding")).as("dist_raw"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= 3)
       .select(col("vec_id"), col("rn").cast("long").as("rk"),
@@ -257,19 +261,21 @@ object Analysis {
     */
   def mmrTopk(s: SparkSession, d: String): DataFrame = {
     val q = VectorOps.queryVector(s, d, 0L)
-    val cand = Tables.embeddings(s, d).where(col("vec_id") =!= 0)
-      .select(col("vec_id").as("id"),
-        round(VectorOps.cosineToQuery(col("embedding"), q), 4).as("rel"),
-        col("embedding"))
-      .orderBy(col("rel").desc, col("id").asc).limit(20)
-      .localCheckpoint()
+    // candidate set is algorithm-bounded (top-20): LocalRelation, not a
+    // localCheckpoint — no executor blocks outlive the query
+    val cand = graft.operators.Iterate.boundedLocal(
+      Tables.embeddings(s, d).where(col("vec_id") =!= 0)
+        .select(col("vec_id").as("id"),
+          round(VectorOps.cosineToQuery(col("embedding"), q), 4).as("rel"),
+          col("embedding"))
+        .orderBy(col("rel").desc, col("id").asc).limit(20), maxRows = 20)
     val sims = cand.select(col("id").as("ia"), col("embedding").as("ea"))
       .crossJoin(cand.select(col("id").as("ib"), col("embedding").as("eb")))
       .where(col("ia") =!= col("ib"))
       .select(col("ia"), col("ib"),
         round(VectorOps.cosine(col("ea"), col("eb")), 4).as("sim"))
     graft.operators.Rerank.mmrSelect(cand.select(col("id"), col("rel")),
-        sims, k = 5, lambda = 0.5)
+        sims, k = 5, lambda = 0.5, boundedDeltas = Some(400))
       .select(col("pick"), col("id").as("vec_id"), col("rel"), col("mmr"))
       .orderBy(col("pick").asc)
   }
@@ -289,15 +295,17 @@ object Analysis {
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val wTop = Window.partitionBy(col("qid"))
       .orderBy(col("rel").desc, col("id").asc)
-    val cand = emb.crossJoin(broadcast(probes))
-      .where(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("id"),
-        round(VectorOps.cosine(col("embedding"), col("qvec")), 4).as("rel"),
-        col("embedding"))
-      .withColumn("rn", row_number().over(wTop))
-      .where(col("rn") <= 20)
-      .drop("rn")
-      .localCheckpoint()
+    // per-qid top-20 over the 2 probes = ≤40 rows, algorithm-bounded →
+    // LocalRelation (see Iterate.boundedLocal) instead of localCheckpoint
+    val cand = graft.operators.Iterate.boundedLocal(
+      emb.crossJoin(broadcast(probes))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("id"),
+          round(VectorOps.cosine(col("embedding"), col("qvec")), 4).as("rel"),
+          col("embedding"))
+        .withColumn("rn", row_number().over(wTop))
+        .where(col("rn") <= 20)
+        .drop("rn"), maxRows = 40)
     val sims = cand.select(col("qid"), col("id").as("ia"), col("embedding").as("ea"))
       .join(cand.select(col("qid"), col("id").as("ib"), col("embedding").as("eb")),
         Seq("qid"))
@@ -305,7 +313,8 @@ object Analysis {
       .select(col("qid"), col("ia"), col("ib"),
         round(VectorOps.cosine(col("ea"), col("eb")), 4).as("sim"))
     graft.operators.Rerank.mmrSelectBatch(
-        cand.select(col("qid"), col("id"), col("rel")), sims, k = 5, lambda = 0.5)
+        cand.select(col("qid"), col("id"), col("rel")), sims, k = 5,
+        lambda = 0.5, boundedDeltas = Some(800))
       .select(col("qid"), col("pick"), col("id").as("vec_id"), col("rel"),
         col("mmr"))
       .orderBy(col("qid").asc, col("pick").asc)
@@ -420,6 +429,27 @@ object Analysis {
         size(TA.tokens(col("chunk"))).cast("long").as("n_chunk_tokens"))
       .orderBy(col("doc_id").asc, col("chunk_idx").asc)
 
+  /** Byte-level BPE token accounting beside the whitespace family: per
+    * doc, the BPE token count under the deterministic
+    * [[graft.operators.BpeTokenizer.fixtureMerges]] table (the real
+    * cascading GPT-2 algorithm: pre-tokenize, byte-encode, iterative
+    * lowest-rank merges) and the 64-token chunk count it implies. The
+    * oracle replays the SAME merges in DuckDB as one list_reduce sweep
+    * per rank — equivalent because the table is training-consistent
+    * (see BpeTokenizer's scaladoc and the BpeSpec equivalence pin).
+    * Map-side only: the UDF closes over a prebuilt ranks map; no
+    * shuffle until the terminal contract sort.
+    */
+  def chunkTokensBpe(s: SparkSession, d: String): DataFrame = {
+    val count = graft.operators.BpeTokenizer.counter(
+      graft.operators.BpeTokenizer.fixtureMerges)
+    val bpeCount = udf((t: String) => count(t).toLong)
+    Tables.documents(s, d)
+      .select(col("doc_id"), bpeCount(col("text")).as("n_tokens_bpe"))
+      .withColumn("n_chunks", expr("(n_tokens_bpe + 63) div 64"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Greedy-by-order sequence packing: docs in doc_id order accumulate
     * into 2048-token bins via a two-phase distributed running sum — no
     * global single-partition window anywhere in the plan:
@@ -526,6 +556,7 @@ object Analysis {
     "q_stable_sample" -> stableSample,
     "q_curate" -> curate,
     "q_chunk_tokens" -> chunkTokens,
+    "q_chunk_tokens_bpe" -> chunkTokensBpe,
     "q_pack_sequences" -> packSequences,
     "q_token_stats" -> tokenStats,
     "q_lang_id" -> langId,
@@ -731,6 +762,39 @@ object Analysis {
        |FROM acc$k ORDER BY qid ASC, pick ASC""".stripMargin
   }
 
+  /** BPE oracle: replay BpeTokenizer.fixtureMerges in DuckDB, one
+    * list_reduce sweep per rank over chr(31)-joined symbol strings. Each
+    * sweep merges every (X,Y) adjacency leftmost-greedily — identical to
+    * the classic loop's merge-all pass — and training-consistency
+    * guarantees no earlier rank re-fires, so ONE ascending sweep per
+    * rank reproduces cascading BPE exactly. Words get the GPT-2 Ġ
+    * (chr(288)) space prefix except the first, matching what the real
+    * pre-tokenizer produces on the single-space lowercase corpus.
+    */
+  private val bpeOracleSql: String = {
+    val SEP = "chr(31)"
+    val passes = graft.operators.BpeTokenizer.fixtureMerges.zipWithIndex
+      .map { case ((x, y), i) =>
+        val xy = x + y
+        s"""b${i + 1} AS (SELECT doc_id, wi, list_reduce(string_split(s, $SEP), (acc, e) ->
+           |  CASE WHEN e = '$y' AND (acc = '$x' OR acc LIKE '%' || $SEP || '$x')
+           |    THEN CASE WHEN acc = '$x' THEN '$xy'
+           |      ELSE left(acc, len(acc) - ${x.length}) || '$xy' END
+           |    ELSE acc || $SEP || e END) AS s FROM b$i)""".stripMargin
+      }
+    val last = s"b${graft.operators.BpeTokenizer.fixtureMerges.size}"
+    s"""WITH w AS (SELECT doc_id, li.i AS wi,
+       |    (CASE WHEN li.i = 1 THEN '' ELSE chr(288) END) || string_split(text, ' ')[li.i] AS word
+       |  FROM documents
+       |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(string_split(text, ' ')) + 1)) AS i) li),
+       |b0 AS (SELECT doc_id, wi, array_to_string(string_split(word, ''), $SEP) AS s FROM w),
+       |${passes.mkString(",\n")}
+       |SELECT doc_id,
+       |  CAST(SUM(len(string_split(s, $SEP))) AS BIGINT) AS n_tokens_bpe,
+       |  (CAST(SUM(len(string_split(s, $SEP))) AS BIGINT) + 63) // 64 AS n_chunks
+       |FROM $last GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_mmr_topk" -> mmrOracle(5, 0.5),
     "q_mmr_batch" -> mmrBatchOracle(5, 0.5),
@@ -761,6 +825,7 @@ object Analysis {
          |  WHERE len(tk) > 0)
          |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, n_chunk_tokens
          |FROM ch ORDER BY doc_id ASC, chunk_idx ASC""".stripMargin,
+    "q_chunk_tokens_bpe" -> bpeOracleSql,
     "q_pack_grouped" ->
       s"""SELECT split, CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin,
          |  doc_id, n_tokens FROM (

@@ -1,0 +1,123 @@
+package graft
+
+import graft.operators.BpeTokenizer
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Byte-level BPE (public GPT-2 construction): byte→unicode table,
+  * pre-tokenizer regex, cascading merge loop, and the
+  * ascending-sweep ≡ classic-loop equivalence that the DuckDB oracle of
+  * q_chunk_tokens_bpe depends on.
+  */
+class BpeSpec extends AnyFunSuite {
+  import BpeTokenizer._
+
+  private val G = "Ġ"
+
+  test("byte→unicode table: bijective, printable ranges identity, space→Ġ") {
+    assert(byteEncoder.distinct.length == 256)
+    assert(byteEncoder('a') == 'a' && byteEncoder('!') == '!' && byteEncoder('~') == '~')
+    assert(byteEncoder(0x20) == 'Ġ') // Ġ
+    assert(byteEncoder(0x0A) == (256 + 10).toChar) // \n is the 11th remapped byte
+    assert(byteDecoder.size == 256)
+    for (b <- 0 until 256) assert(byteDecoder(byteEncoder(b)) == b.toByte)
+  }
+
+  test("pre-tokenizer matches the published GPT-2 regex behavior") {
+    assert(preTokens("the fast key") == Seq("the", " fast", " key"))
+    assert(preTokens("don't stop") == Seq("don", "'t", " stop"))
+    assert(preTokens("abc123 x!") == Seq("abc", "123", " x", "!"))
+    // trailing spaces stay one run; inner double space splits off leading space
+    assert(preTokens("a  b ") == Seq("a", " ", " b", " "))
+    assert(preTokens("") == Seq.empty)
+  }
+
+  test("cascading merges: hand-computed tokenizations under fixtureMerges") {
+    val ranks = ranksOf(fixtureMerges)
+    def bpe(w: String) = applyMerges(toSymbols(w), ranks)
+    // "Ġthe": Ġ+t (r0) … h+e (r1) → Ġt+he (r2) → one token
+    assert(bpe(" the") == Vector(G + "the"))
+    // word-initial "the": h+e only (Ġt never forms) → [t, he]
+    assert(bpe("the") == Vector("t", "he"))
+    // "Ġjoin": i+n (r3) → Ġ+j (r11) → o+in (r12) → Ġj+oin (r13): both
+    // operands of the final merge are themselves merge outputs
+    assert(bpe(" join") == Vector(G + "join"))
+    // "Ġscan": Ġ+s (r7), a+n (r5) → Ġs+c (r9) → [Ġsc, an]
+    assert(bpe(" scan") == Vector(G + "sc", "an"))
+    // "line": i+n (r3) → in+e (r10) → [l, ine]
+    assert(bpe("line") == Vector("l", "ine"))
+  }
+
+  /** Independent ascending-sweep model (what the DuckDB oracle runs):
+    * one leftmost-greedy merge-all pass PER RANK, in rank order, never
+    * revisiting earlier ranks.
+    */
+  private def sweep(symbols: Vector[String], merges: Seq[(String, String)]): Vector[String] =
+    merges.foldLeft(symbols) { case (word, (x, y)) =>
+      val buf = Vector.newBuilder[String]
+      var i = 0
+      while (i < word.length) {
+        if (i < word.length - 1 && word(i) == x && word(i + 1) == y) {
+          buf += x + y; i += 2
+        } else { buf += word(i); i += 1 }
+      }
+      buf.result()
+    }
+
+  test("ascending sweep ≡ classic loop for the training-consistent table " +
+    "(the oracle-equivalence theorem), incl. adjacent-repeat words") {
+    val ranks = ranksOf(fixtureMerges)
+    val words = Seq("the", " the", " there", " join", " joiner", " scan",
+      " scanner", "line", " inline", " thethe", " erer", " ananan",
+      " jjoin", " tthe", " sscan", " x", "", " ", " atatat", " inin")
+    for (w <- words; if w.nonEmpty) {
+      assert(applyMerges(toSymbols(w), ranks) == sweep(toSymbols(w), fixtureMerges),
+        s"sweep diverged from classic loop on '$w'")
+    }
+    // and on every distinct word of the real sf0.001 corpus
+    val spark = TestSpark.spark
+    val corpusWords = Tables.documents(spark, TestSpark.sf0001)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).as("w"))
+      .distinct().collect().map(_.getString(0)).filter(_.nonEmpty)
+    for (w <- corpusWords; form <- Seq(w, " " + w)) {
+      assert(applyMerges(toSymbols(form), ranks) == sweep(toSymbols(form), fixtureMerges),
+        s"sweep diverged on corpus word '$form'")
+    }
+  }
+
+  test("ids: deterministic base-256 + rank construction; counts stable") {
+    val ids = encodeIds(" the fast", fixtureMerges)
+    // " the" → Ġthe = merge rank 2 → id 258; " fast": Ġ+f?, no merge for
+    // Ġf — [Ġ, f, a, s, t] with a+t? not adjacent… f,a,s,t: (a,s)? no;
+    // (s,t)? no; (a,t) not adjacent. Ġ maps to byte 0x20 → id 32.
+    assert(ids.head == 258)
+    assert(countTokens(" the fast", fixtureMerges) == 1 + ids.tail.length)
+    assert(encode("", fixtureMerges).isEmpty)
+  }
+
+  test("requireTrainingConsistent rejects an out-of-order table") {
+    intercept[IllegalArgumentException] {
+      requireTrainingConsistent(Seq(("ab", "c"), ("a", "b")))
+    }
+  }
+
+  test("q_chunk_tokens_bpe at sf0.001 matches a driver-local recount") {
+    val spark = TestSpark.spark
+    val got = queries.Analysis.chunkTokensBpe(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    val count = counter(fixtureMerges)
+    val expect = docs.map { case (id, t) =>
+      val n = count(t).toLong; (id, n, (n + 63) / 64)
+    }
+    assert(got.toSeq == expect.toSeq)
+    // BPE compresses: strictly fewer tokens than bytes, more than words
+    val wsCount = docs.map(_._2.split(" ").length.toLong).sum
+    val bpeTotal = got.map(_._2).sum
+    assert(bpeTotal > wsCount, "BPE sub-word counts must exceed word counts")
+    assert(bpeTotal < docs.map(_._2.length.toLong).sum, "must beat byte count")
+  }
+}
