@@ -41,12 +41,17 @@ private[graft] object Iterate {
     * concurrent dirs on one context are not supported (last wins), which
     * matches SparkContext semantics.
     */
-  def cap(dir: Option[String])(df: DataFrame): DataFrame = dir match {
-    case Some(d) =>
-      val sc = df.sparkSession.sparkContext
-      if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
-      df.checkpoint()
-    case None => df.localCheckpoint()
+  def cap(dir: Option[String])(df: DataFrame): DataFrame = df.queryExecution.analyzed match {
+    // a LocalRelation IS materialized, lineage-free data — checkpointing
+    // it would only mint executor blocks for rows the driver already holds
+    case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => df
+    case _ => dir match {
+      case Some(d) =>
+        val sc = df.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
   }
 
   /** The ENFORCED form of the cleanup contract above: run an iterative
@@ -63,6 +68,26 @@ private[graft] object Iterate {
     * durable sink inside `body` and return the re-read frame; the
     * detach is then a no-op read plan with no checkpoint lineage.
     */
+  /** Algorithm-bounded candidate sets (a top-k, a probe set) consumed by
+    * several plan branches: materialize ONCE to the driver as a
+    * LocalRelation instead of `localCheckpoint`. Same single-computation
+    * guarantee, but zero executor-cached blocks for a long-lived session
+    * to accumulate — there is nothing to unpersist, release is immediate
+    * when the frame is dropped. The `maxRows` require is the loudness
+    * contract: this is ONLY for sets whose size the ALGORITHM bounds
+    * (k·|queries| rows), and a violated bound must fail, not silently
+    * pull data to the driver (the same discipline as
+    * KMeansOp.lloydCentroidsLocal / VectorOps.queryVector).
+    */
+  def boundedLocal(df: DataFrame, maxRows: Int): DataFrame = {
+    val rows = df.collect()
+    require(rows.length <= maxRows,
+      s"boundedLocal: ${rows.length} rows exceed the declared bound $maxRows — " +
+        "this path is for algorithm-bounded sets only")
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   def withRunScopedCheckpoints(baseDir: String)
       (body: Option[String] => DataFrame): DataFrame = {
     val runDir = s"$baseDir/run-${java.util.UUID.randomUUID()}"

@@ -28,11 +28,24 @@ object Rerank {
     * id; rel/sim are expected pre-rounded by the caller if cross-engine
     * determinism matters. A qid with fewer than k candidates simply stops
     * contributing rows once exhausted.
+    *
+    * `boundedDeltas = Some(n)`: every capped relation — the candidate
+    * list, the pairwise sims (≤ nQids·N², the dominant term for n), and
+    * each round's one-row-per-qid delta — materializes as a driver
+    * LocalRelation via [[Iterate.boundedLocal]] instead of a
+    * checkpoint, so SMALL-BATCH serving (where the algorithm bounds all
+    * of them) leaves zero executor-cached blocks behind, loudly guarded
+    * by n. Large fan-out batches keep the default checkpoint caps,
+    * where these relations stay distributed.
     */
   def mmrSelectBatch(cand: DataFrame, sims: DataFrame, k: Int,
-      lambda: Double, checkpointDir: Option[String] = None): DataFrame = {
+      lambda: Double, checkpointDir: Option[String] = None,
+      boundedDeltas: Option[Int] = None): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val ck = Iterate.cap(checkpointDir) _
+    val ck: DataFrame => DataFrame = boundedDeltas match {
+      case Some(n) => Iterate.boundedLocal(_, n)
+      case None => Iterate.cap(checkpointDir)
+    }
     val c = ck(cand.select(col("qid"), col("id"), col("rel")))
     val p = ck(sims)
     val w1 = Window.partitionBy(col("qid"))
@@ -75,10 +88,10 @@ object Rerank {
     * constant query id.
     */
   def mmrSelect(cand: DataFrame, sims: DataFrame, k: Int,
-      lambda: Double): DataFrame =
+      lambda: Double, boundedDeltas: Option[Int] = None): DataFrame =
     mmrSelectBatch(
       cand.select(lit(0L).as("qid"), col("id"), col("rel")),
       sims.select(lit(0L).as("qid"), col("ia"), col("ib"), col("sim")),
-      k, lambda)
+      k, lambda, boundedDeltas = boundedDeltas)
       .select(col("pick"), col("id"), col("rel"), col("mmr"))
 }

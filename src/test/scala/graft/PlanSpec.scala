@@ -205,10 +205,16 @@ class PlanSpec extends AnyFunSuite {
       "EXISTS/NOT EXISTS must compile to semi and anti joins")
   }
 
-  test("knn graph: cell blocking is an equi-join — no cartesian, no nested loop") {
+  test("knn graph: cell blocking is an equi-join — no cartesian; the only " +
+    "nested loop is the bounded-centroid broadcast of ivfAssign") {
     val plan = formatted(graft.queries.Analysis.queries("q_knn_graph")(spark, TestSpark.sf0001))
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+    assert(!plan.contains("CartesianProduct"),
       "candidate pairs must come from the equi-join on cell, never all-pairs")
+    // the assign step's crossJoin(broadcast(centroids)) is the SAME
+    // allowed shape as q_kmeans (map-side argmin over bounded k); the
+    // corpus-vs-corpus pair join itself must be the cell equi-join
+    assert("SortMergeJoin Inner|ShuffledHashJoin Inner".r.findFirstIn(plan).isDefined,
+      "the self-join must be a hash/merge equi-join on cell")
     assert(plan.contains("Window"), "per-vector top-k must be one ranking window")
   }
 
