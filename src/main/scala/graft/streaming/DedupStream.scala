@@ -63,7 +63,8 @@ object DedupStream {
     * Exposed for direct testing, like `Sinks.writeBatchIdempotent`.
     */
   def processBatch(batch: Dataset[Row], batchId: Long, stateDir: String,
-      outDir: String, bands: Int, rowsPerBand: Int, threshold: Double): Unit = {
+      outDir: String, bands: Int, rowsPerBand: Int, threshold: Double,
+      autoCompactEvery: Int = 0): Unit = {
     val s = batch.sparkSession
     val newSets = Dedup.hashedSets(
         batch.select(col("doc_id"), col("text")), "doc_id",
@@ -86,6 +87,10 @@ object DedupStream {
     // marker LAST: a crash anywhere above leaves batchId uncommitted and
     // its partial directories unread on restart
     StreamState.commitMarker(s, stateDir, batchId)
+    // auto-compaction: both tables fold under one marker once more than
+    // `autoCompactEvery` committed batches accumulate (see
+    // StreamState.maybeCompact for the crash contract)
+    StreamState.maybeCompact(s, stateDir, autoCompactEvery)(compactState(s, stateDir))
   }
 
   /** Compact the committed signature + band state: both tables fold
@@ -107,11 +112,12 @@ object DedupStream {
     */
   def nearDupIngest(docs: DataFrame, stateDir: String, outDir: String,
       checkpointDir: String, bands: Int = 8, rowsPerBand: Int = 2,
-      threshold: Double = 0.9): StreamingQuery =
+      threshold: Double = 0.9, autoCompactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        processBatch(batch, batchId, stateDir, outDir, bands, rowsPerBand, threshold)
+        processBatch(batch, batchId, stateDir, outDir, bands, rowsPerBand,
+          threshold, autoCompactEvery)
       }
       .start()
 }

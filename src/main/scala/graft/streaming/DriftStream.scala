@@ -49,10 +49,14 @@ object DriftStream {
   /** One micro-batch: score `batch` per source against the pre-batch
     * reference, write (source, n_tokens, l1_ppm) to `outDir/batch_id=N`
     * and the batch's word counts to the state (both overwrite-by-batch-
-    * id), then commit. Exposed for direct testing.
+    * id), then commit. `autoCompactEvery > 0` triggers
+    * [[compactState]] once more than that many committed batches have
+    * accumulated since the last base — reads stay O(base + ≤N batches)
+    * with no manual compaction call, same crash contract
+    * (StreamState.maybeCompact). Exposed for direct testing.
     */
   def processBatch(batch: Dataset[Row], batchId: Long, stateDir: String,
-      outDir: String): Unit = {
+      outDir: String, autoCompactEvery: Int = 0): Unit = {
     val s = batch.sparkSession
     val sw = Retrieval.sourceWordCounts(
         batch.select(col("source"), col("text")))
@@ -64,6 +68,7 @@ object DriftStream {
       .write.mode("overwrite").parquet(s"$stateDir/counts/batch_id=$batchId")
     // marker LAST: a crash anywhere above leaves batchId uncommitted
     StreamState.commitMarker(s, stateDir, batchId)
+    StreamState.maybeCompact(s, stateDir, autoCompactEvery)(compactState(s, stateDir))
   }
 
   // ---- thresholded alert surface -----------------------------------
@@ -122,7 +127,8 @@ object DriftStream {
     */
   def processAlertBatch(batch: Dataset[Row], batchId: Long, stateDir: String,
       outDir: String, alertDir: String, baseline: DataFrame,
-      enterPpm: Long = 500_000L, exitPpm: Long = 300_000L): Unit = {
+      enterPpm: Long = 500_000L, exitPpm: Long = 300_000L,
+      autoCompactEvery: Int = 0): Unit = {
     val s = batch.sparkSession
     val sw = Retrieval.sourceWordCounts(
         batch.select(col("source"), col("text")))
@@ -143,6 +149,10 @@ object DriftStream {
       .write.mode("overwrite")
       .parquet(s"${alertRoot(stateDir)}/state/batch_id=$batchId")
     StreamState.commitMarker(s, alertRoot(stateDir), batchId)
+    // each root compacts on its own committed-batch count
+    StreamState.maybeCompact(s, stateDir, autoCompactEvery)(compactState(s, stateDir))
+    StreamState.maybeCompact(s, alertRoot(stateDir), autoCompactEvery)(
+      compactAlertState(s, stateDir))
   }
 
   /** Start the alerting monitor: [[driftMonitor]] plus the per-source
@@ -150,12 +160,13 @@ object DriftStream {
     */
   def alertMonitor(docs: DataFrame, stateDir: String, outDir: String,
       alertDir: String, checkpointDir: String, baseline: DataFrame,
-      enterPpm: Long = 500_000L, exitPpm: Long = 300_000L): StreamingQuery =
+      enterPpm: Long = 500_000L, exitPpm: Long = 300_000L,
+      autoCompactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processAlertBatch(batch, batchId, stateDir, outDir, alertDir,
-          baseline, enterPpm, exitPpm)
+          baseline, enterPpm, exitPpm, autoCompactEvery)
       }
       .start()
 
@@ -188,11 +199,11 @@ object DriftStream {
     * at `outDir`.
     */
   def driftMonitor(docs: DataFrame, stateDir: String, outDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String, autoCompactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        processBatch(batch, batchId, stateDir, outDir)
+        processBatch(batch, batchId, stateDir, outDir, autoCompactEvery)
       }
       .start()
 }

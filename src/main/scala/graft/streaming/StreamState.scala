@@ -107,6 +107,20 @@ private[graft] object StreamState {
       .select(schema.fieldNames.map(col).toSeq: _*)
   }
 
+  /** Auto-compaction policy shared by the streaming monitors: run
+    * `compactFn` when MORE than `every` committed batch markers have
+    * accumulated since the last base (compaction deletes folded markers,
+    * so the committed list size IS batches-since-compaction). Invoked
+    * right after a batch's commit marker, inside the same commit-gate
+    * discipline — a crash mid-compaction leaves no `_compacted` marker
+    * and the state reads exactly as if compaction never started. `every
+    * <= 0` disables. Keeps every read O(base + ≤every batches) with no
+    * operator intervention.
+    */
+  def maybeCompact(s: SparkSession, stateDir: String, every: Int)
+      (compactFn: => Option[Long]): Option[Long] =
+    if (every > 0 && committedIds(s, stateDir).size > every) compactFn else None
+
   /** Compact the committed state of `stateDir`: fold the previous base
     * (if any) and every committed batch partition STRICTLY below the
     * newest committed id into one `base_id=M` directory per table

@@ -112,6 +112,55 @@ class StreamStateCompactSpec extends AnyFunSuite {
       s"concurrent compaction dropped state: $got")
   }
 
+  test("auto-compaction (N=2) over 6 batches: output row-identical to the " +
+    "uncompacted twin, reads stay O(base + ≤N batches), no manual compact") {
+    val (plainState, plainOut) = (tmp("ap_state"), tmp("ap_out"))
+    val (autoState, autoOut) = (tmp("aa_state"), tmp("aa_out"))
+    for (b <- 0L to 5L) {
+      val df = driftWaves(b.toInt).toDF("doc_id", "text", "source")
+      DriftStream.processBatch(df, b, plainState, plainOut)
+      DriftStream.processBatch(df, b, autoState, autoOut, autoCompactEvery = 2)
+      assert(driftRows(autoOut, b) == driftRows(plainOut, b),
+        s"auto-compacted batch $b diverged from the uncompacted twin")
+      // the policy bound holds CONTINUOUSLY, not just at the end
+      assert(streaming.StreamState.committedIds(spark, autoState).size <= 2,
+        s"batch $b: committed markers exceeded the N=2 policy bound")
+    }
+    // 6 batches under N=2 must have compacted at least twice (one base,
+    // prior bases superseded), with only the recent batches left loose
+    assert(streaming.StreamState.compactedIds(spark, autoState).size == 1)
+    val leaves = new java.io.File(s"$autoState/counts").listFiles()
+      .map(_.getName).filter(n => n.startsWith("base_id") || n.startsWith("batch_id"))
+    assert(leaves.count(_.startsWith("base_id")) == 1, s"leaves: ${leaves.toSeq}")
+    assert(leaves.count(_.startsWith("batch_id")) <= 2, s"leaves: ${leaves.toSeq}")
+    // the twin kept every batch directory — the thing the policy prevents
+    assert(streaming.StreamState.committedIds(spark, plainState).size == 6)
+  }
+
+  test("dedup auto-compaction (N=1): keep-decisions equal the batch twin; " +
+    "both state tables stay folded") {
+    val (stateDir, outDir) = (tmp("ad_state"), tmp("ad_out"))
+    for (b <- 0L to 3L)
+      DedupStream.processBatch(dedupWaves(b.toInt).toDF("doc_id", "text"),
+        b, stateDir, outDir, bands = 8, rowsPerBand = 2, threshold = 0.9,
+        autoCompactEvery = 1)
+    val kept = (0 to 3).flatMap(b =>
+      spark.read.parquet(s"$outDir/batch_id=$b").select("doc_id")
+        .collect().map(_.getLong(0)))
+    val all = dedupWaves.flatten.toDF("doc_id", "text")
+    val droppedTwin = Dedup.minhashNearDup(all, "doc_id",
+        array_distinct(TA.tokens(col("text"))), bands = 8, rowsPerBand = 2,
+        threshold = 0.9)
+      .select(col("id_b")).distinct().collect().map(_.getLong(0)).toSet
+    assert(kept.toSet == dedupWaves.flatten.map(_._1).toSet -- droppedTwin,
+      "auto-compacted dedup stream diverged from the batch twin")
+    assert(streaming.StreamState.committedIds(spark, stateDir).size <= 1)
+    for (t <- Seq("sets", "bands")) {
+      val leaves = new java.io.File(s"$stateDir/$t").listFiles().map(_.getName)
+      assert(leaves.count(_.startsWith("base_id")) == 1, s"$t leaves: ${leaves.toSeq}")
+    }
+  }
+
   test("drift: nothing to fold is a no-op, not an error") {
     val (stateDir, outDir) = (tmp("dn_state"), tmp("dn_out"))
     assert(DriftStream.compactState(spark, stateDir).isEmpty) // empty state
