@@ -120,6 +120,39 @@ object Dedup {
       "jaccard", threshold)
   }
 
+  /** Edges sufficient for the SAME connected components as
+    * `jaccardPairsHashedFromSets(sets, threshold)` — with identical
+    * item SETS contracted first. Docs whose distinct-item arrays are
+    * equal have Jaccard 1 ≥ any threshold, so they always share a
+    * component: each set keeps one representative (min id), the
+    * pairwise stage runs over DISTINCT (block, items) rows only, and
+    * every non-representative contributes one star edge to its
+    * representative. Components (and thus min-id cluster labels) are
+    * EXACTLY those of the full pair relation: star edges are a
+    * spanning subgraph of each same-set clique, and any cross-set edge
+    * (a,b) is witnessed by (rep_a, rep_b) since Jaccard is set-level.
+    *
+    * This is the quadratic-clique valve the sf1 scale probe demanded:
+    * on a corpus where a constant FRACTION of docs share saturated
+    * token sets (bounded vocabulary — true of this synthetic corpus
+    * and of boilerplate-heavy web crawls), the full pair relation
+    * grows ∝ N² while distinct sets stay ~constant, so contraction
+    * turns the CC edge input from O(N²) to O(D² + N) with D = distinct
+    * sets. On a high-entropy corpus D ≈ N and the contraction is one
+    * extra compact-key shuffle — a bounded constant cost.
+    */
+  def componentEdgesBySet(sets: DataFrame, threshold: Double): DataFrame = {
+    val reps = sets.groupBy(col("block"), col("items"))
+      .agg(min(col("id")).as("rep"))
+    val repPairs = jaccardPairsHashedFromSets(
+        reps.select(col("block"), col("rep").as("id"), col("items")), threshold)
+      .select(col("id_a"), col("id_b"))
+    val starEdges = sets.join(reps, Seq("block", "items"))
+      .where(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+    repPairs.unionAll(starEdges)
+  }
+
   /** Prefix-filter candidate pairs over a (block, id, items sorted-asc, n)
     * relation: explode each row's length-(n - ceil(t·n) + 1) prefix and
     * equi-join on (block, element), with the size-compatibility predicate

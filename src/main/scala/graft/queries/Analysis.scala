@@ -115,7 +115,7 @@ object Analysis {
     * query. Lifecycle is owned by the catalog (dropped with the session);
     * no process-global mutable state.
     */
-  private def shingleSets(s: SparkSession, d: String): DataFrame = {
+  private[queries] def shingleSets(s: SparkSession, d: String): DataFrame = {
     val name = "graft_shingle_sets_" + java.security.MessageDigest
       .getInstance("MD5").digest(d.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
@@ -601,8 +601,12 @@ object Analysis {
     * filter, which by the DedupSpec equivalence (disjoint ids) is exactly
     * what the incremental operator computes.
     */
-  private def minhashLshSql(extraPred: String): String =
-    s"""WITH sets AS (SELECT doc_id, ${shinglesSql(toks)} AS items FROM documents),
+  /** The shared shingle→minhash→band CTE chain (sets, hs, sigs, banded)
+    * — composed bare by minhashLshSql and by Clustering's bucket-union
+    * components oracle.
+    */
+  private[queries] val minhashBandedCte: String =
+    s"""sets AS (SELECT doc_id, ${shinglesSql(toks)} AS items FROM documents),
        |hs AS (SELECT doc_id, list_transform(items, t -> ${hash60("t")}) AS hashes FROM sets),
        |sigs AS (SELECT doc_id, list_transform(range(0, 12),
        |    i -> list_min(list_transform(hashes, h ->
@@ -613,7 +617,10 @@ object Analysis {
        |banded AS (SELECT doc_id, md5(CAST(b AS VARCHAR) || ':' ||
        |    list_aggregate(list_transform(sig[b*3+1:b*3+3],
        |      x -> CAST(x AS VARCHAR)), 'string_agg', ',')) AS bkey
-       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b))""".stripMargin
+
+  private def minhashLshSql(extraPred: String): String =
+    s"""WITH $minhashBandedCte,
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)
        |SELECT id_a, id_b, jaccard FROM (

@@ -25,9 +25,42 @@ object Clustering {
     */
   def dupClusters(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val pairs = Dedup.jaccardPairsHashedFromSets(Analysis.tokenSets(s, d), 0.9)
-      .select(col("id_a"), col("id_b"))
+    // set-contracted edges: same components as the full pair relation
+    // (Dedup.componentEdgesBySet), but saturated-set cliques contribute
+    // O(N) star edges instead of O(N²) pairs — the sf1-probe fix
+    val pairs = Dedup.componentEdgesBySet(Analysis.tokenSets(s, d), 0.9)
     ConnectedComponents.assignAdaptive(docs.select(col("doc_id").as("id")), pairs,
+        checkpointDir = graft.operators.Iterate.envDir)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Bucket-union near-dup components — the 100 TB-scale sibling of
+    * q_dup_clusters that the sf1 probe demanded: docs sharing ANY
+    * MinHash band bucket (the q_minhash_lsh banding: 3-gram shingles,
+    * 12 hashes, 4 bands × 3, all md5-deterministic) union directly into
+    * one component, with NO pairwise verify stage anywhere. Per bucket
+    * the edges are a star to the min-id anchor, so the CC input is
+    * O(N·bands) edges REGARDLESS of how clique-heavy the similarity
+    * graph is — where any exact-pair semantics must enumerate Ω(pairs),
+    * which the probe measured quadratic on this corpus (29% of docs are
+    * mutually-near-dup). The trade is the standard LSH one (RefinedWeb/
+    * SlimPajama-style production dedup): components may over-merge on a
+    * band collision and may miss a true pair that shares no band; every
+    * pair q_minhash_lsh VERIFIES is in one component by construction.
+    * Deterministic hashing makes the whole thing oracle-checkable — the
+    * DuckDB twin replays the same bands and closes the same stars.
+    */
+  def dupClustersLsh(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val banded = Dedup.bandTable(Analysis.shingleSets(s, d),
+      bands = 4, rowsPerBand = 3)
+    val anchors = banded.groupBy(col("bkey")).agg(min(col("id")).as("anchor"))
+    val edges = banded.join(anchors, Seq("bkey"))
+      .where(col("id") =!= col("anchor"))
+      .select(col("anchor").as("id_a"), col("id").as("id_b"))
+      .distinct()
+    ConnectedComponents.assignAdaptive(docs.select(col("doc_id").as("id")), edges,
         checkpointDir = graft.operators.Iterate.envDir)
       .select(col("id").as("doc_id"), col("cluster_id"))
       .orderBy(col("doc_id").asc)
@@ -189,8 +222,7 @@ object Clustering {
       .select(col("doc_id"))
     val sets = Analysis.tokenSets(s, d)
       .join(kept1Ids.select(col("doc_id").as("id")), Seq("id"), "left_semi")
-    val pairs = Dedup.jaccardPairsHashedFromSets(sets, 0.9)
-      .select(col("id_a"), col("id_b"))
+    val pairs = Dedup.componentEdgesBySet(sets, 0.9) // set-contracted, same components
     val canon = ConnectedComponents
       .assignAdaptive(kept1Ids.select(col("doc_id").as("id")), pairs,
         checkpointDir = graft.operators.Iterate.envDir)
@@ -232,8 +264,7 @@ object Clustering {
       .select(col("doc_id"))
     val sets = Analysis.tokenSets(s, d)
       .join(kept1Ids.select(col("doc_id").as("id")), Seq("id"), "left_semi")
-    val pairs = Dedup.jaccardPairsHashedFromSets(sets, 0.9)
-      .select(col("id_a"), col("id_b"))
+    val pairs = Dedup.componentEdgesBySet(sets, 0.9) // set-contracted, same components
     val canon = ConnectedComponents
       .assignAdaptive(kept1Ids.select(col("doc_id").as("id")), pairs,
         checkpointDir = graft.operators.Iterate.envDir)
@@ -276,6 +307,7 @@ object Clustering {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dup_clusters" -> dupClusters,
+    "q_dup_clusters_lsh" -> dupClustersLsh,
     "q_corpus_build" -> corpusBuild,
     "q_corpus_build_v2" -> corpusBuildV2,
     "q_edit_distance_dedup" -> editDistancePairs,
@@ -286,6 +318,19 @@ object Clustering {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_dup_clusters_lsh" ->
+      s"""WITH RECURSIVE ${Analysis.minhashBandedCte},
+         |anchors AS (SELECT bkey, MIN(doc_id) AS anchor FROM banded GROUP BY bkey),
+         |stars AS (SELECT DISTINCT a.anchor AS id_a, b.doc_id AS id_b
+         |  FROM banded b JOIN anchors a USING (bkey) WHERE b.doc_id <> a.anchor),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM stars
+         |  UNION SELECT id_b AS src, id_a AS dst FROM stars),
+         |reach(id, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
+         |SELECT id AS doc_id, MIN(label) AS cluster_id
+         |FROM reach GROUP BY id ORDER BY doc_id ASC""".stripMargin,
     "q_dup_clusters" ->
       s"""WITH RECURSIVE hashed AS (SELECT doc_id, source,
          |    list_distinct(list_transform(${Analysis.toks}, w -> ${Analysis.hash60("w")})) AS items

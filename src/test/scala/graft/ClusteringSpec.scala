@@ -7,6 +7,85 @@ import org.scalatest.funsuite.AnyFunSuite
 class ClusteringSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("componentEdgesBySet: contracted edges give EXACTLY the components " +
+    "of the full pair relation (adversarial fixture + real corpus)") {
+    import spark.implicits._
+    import graft.operators.{ConnectedComponents, Dedup}
+    // fixture: two same-set cliques (one bridged to a near-dup set),
+    // a cross-block same-set NON-pair, and singletons
+    def set(xs: Long*) = xs.sorted
+    val sets = Seq(
+      ("b1", 1L, set(1, 2, 3, 4, 5, 6, 7, 8, 9, 10)),
+      ("b1", 2L, set(1, 2, 3, 4, 5, 6, 7, 8, 9, 10)), // same set as 1
+      ("b1", 3L, set(1, 2, 3, 4, 5, 6, 7, 8, 9, 10)), // same set as 1
+      ("b1", 4L, set(1, 2, 3, 4, 5, 6, 7, 8, 20, 21)), // J≤0.73 vs all — separate
+      ("b1", 5L, set(1, 2, 3, 4, 5, 6, 7, 8, 9)),     // J=9/10=0.9 vs 1 — bridges
+      ("b1", 6L, set(1, 2, 3, 4, 5, 6, 7, 8, 9)),     // same set as 5
+      ("b2", 7L, set(1, 2, 3, 4, 5, 6, 7, 8, 9, 10)), // same set, OTHER block
+      ("b2", 8L, set(100))                            // singleton
+    ).toDF("block", "id", "items")
+    val nodes = sets.select(col("id"))
+    def clusters(edges: org.apache.spark.sql.DataFrame) =
+      ConnectedComponents.assignAdaptive(nodes, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = clusters(
+      Dedup.jaccardPairsHashedFromSets(sets, 0.9).select(col("id_a"), col("id_b")))
+    val contracted = clusters(Dedup.componentEdgesBySet(sets, 0.9))
+    assert(contracted == full, "contracted components diverged")
+    assert(full(2L) == 1L && full(5L) == 1L && full(6L) == 1L,
+      "clique + bridge must share cluster 1")
+    assert(full(4L) == 4L && full(7L) == 7L && full(8L) == 8L,
+      "sub-threshold, cross-block, and singleton stay separate")
+    // edge count: the full relation pairs the 3-clique (3 edges) + the
+    // 2-clique (1) + bridges; contraction must emit FEWER edges here
+    val nFull = Dedup.jaccardPairsHashedFromSets(sets, 0.9).count()
+    val nContracted = Dedup.componentEdgesBySet(sets, 0.9).count()
+    assert(nContracted < nFull, s"expected contraction to shrink edges " +
+      s"($nContracted vs $nFull)")
+    // and on the real corpus: q_dup_clusters (now contracted) must equal
+    // the full-pair CC assignment
+    val d = TestSpark.sf0001
+    val docs = Tables.documents(spark, d)
+    // same construction as Analysis.tokenSets (private[queries])
+    val corpusSets = docs.select(col("source").as("block"),
+      col("doc_id").as("id"),
+      array_sort(array_distinct(transform(
+        graft.operators.TextAnalysis.tokens(col("text")),
+        t => graft.operators.TextAnalysis.md5Hash60(t)))).as("items"))
+    val fullCorpus = ConnectedComponents.assignAdaptive(
+        docs.select(col("doc_id").as("id")),
+        Dedup.jaccardPairsHashedFromSets(corpusSets, 0.9)
+          .select(col("id_a"), col("id_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Clustering.dupClusters(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == fullCorpus, "q_dup_clusters diverged from full-pair components")
+  }
+
+  test("dupClustersLsh: every VERIFIED minhash pair shares a component; " +
+    "edge input stays O(N·bands)") {
+    val d = TestSpark.sf0001
+    val comp = Clustering.dupClustersLsh(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = Tables.documents(spark, d)
+    assert(comp.size == docs.count())
+    // by construction: a verified pair shared a band bucket → one star
+    val verified = graft.queries.Analysis.queries("q_minhash_lsh")(spark, d)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(verified.nonEmpty, "fixture should contain verified near-dups")
+    for ((a, b) <- verified)
+      assert(comp(a) == comp(b), s"verified pair ($a,$b) split across components")
+    // scale shape: star edges are bounded by rows of the band table
+    val banded = graft.operators.Dedup.bandTable(
+      graft.operators.Dedup.hashedSets(docs, "doc_id",
+        graft.operators.TextAnalysis.shingles(col("text"), 3)),
+      bands = 4, rowsPerBand = 3)
+    val anchors = banded.groupBy(col("bkey")).agg(min(col("id")).as("anchor"))
+    val nEdges = banded.join(anchors, Seq("bkey"))
+      .where(col("id") =!= col("anchor")).count()
+    assert(nEdges <= docs.count() * 4, s"edges $nEdges exceed N·bands")
+  }
+
   test("int8 quantization: codes bounded, reconstruction error <= scale/2") {
     val q = Clustering.quantizeEmbeddings(spark, TestSpark.sf0001)
     val orig = Tables.embeddings(spark, TestSpark.sf0001)
