@@ -1,0 +1,200 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-probe harness: materialize a 10×-rows sf1 dataset from the
+  * sf0.1 driver tables, run the heaviest queries once at each scale,
+  * and report per-query wall-clock scaling ratios. The point is the
+  * cheapest possible tripwire for accidentally-superlinear stages
+  * before a real 100× scale-up would hit them: with 10× rows, a
+  * linear-with-data query should land near 10× (modulo fixed overheads
+  * pulling it DOWN and log factors pushing it UP); anything well past
+  * ~12× is flagged for a plan audit.
+  *
+  * sf1 construction (deterministic, seeded by (id, copy, position)):
+  * ten key-shifted copies of every fact table, with the two content
+  * tables perturbed so duplicate-structure does not explode
+  * artificially:
+  *  - `documents` copies 1-9 RESAMPLE each token from the sf0.1
+  *    corpus's empirical word distribution (same Zipf mass, same
+  *    per-doc token counts, new texts — near-dup rates stay
+  *    representative instead of every doc gaining 9 exact twins);
+  *  - `embeddings` copies 1-9 add small deterministic noise
+  *    (±5e-3 per dim) so vectors are distinct but the cluster
+  *    geometry is preserved;
+  *  - TPC-H facts shift every join key by copy·(max+1) consistently
+  *    (orders ↔ lineitem ↔ customer/part/supplier), so join fan-outs
+  *    are exactly the sf0.1 ones, 10× over; `nation`/`region` stay
+  *    unscaled (dimensions, as in TPC-H's own scaling rules).
+  */
+object ScaleProbe {
+
+  /** The 15 heaviest queries by the round-9 medians artifact. */
+  val heavy: Seq[String] = Seq(
+    "q_bigram_lm", "q_corpus_build_v2", "q_collocations", "q_corpus_build",
+    "q_dup_gram_ppm", "q_decontaminate", "q_edit_distance_dedup",
+    "q_dup_clusters", "q_dup_clusters_lsh", "q_vocab_growth", "q_tpch_q21", "q_tpch_q20",
+    "q_repeated_spans", "q_tpch_q2", "q_interval_join", "q_mmr_batch")
+
+  private def mix(a: Long, b: Long, c: Long): Long = {
+    var h = a * 0x9E3779B97F4A7C15L + b * 0xC2B2AE3D27D4EB4FL + c * 0x165667B19E3779F9L
+    h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 33)
+    h
+  }
+
+  /** Build the sf1 tables under `dst` (idempotent via an _OK marker). */
+  def buildSf1(spark: SparkSession, src: String, dst: String, copies: Int = 10): Unit = {
+    val okPath = java.nio.file.Paths.get(dst, "_GENERATED_OK")
+    if (java.nio.file.Files.exists(okPath)) return
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
+
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head().getLong(0) + 1
+    def copied(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until copies).map(i => f(df, i)).reduce(_ unionAll _)
+
+    // documents: resample tokens from the empirical word distribution
+    val docs = Tables.documents(spark, src)
+    val wordCum: Array[(String, Long)] = {
+      val counts = docs.select(explode(split(col("text"), " ")).as("w"))
+        .where(col("w") =!= "").groupBy("w").count()
+        .orderBy(col("w")).collect().map(r => (r.getString(0), r.getLong(1)))
+      var acc = 0L
+      counts.map { case (w, c) => acc += c; (w, acc) }
+    }
+    val totalW = wordCum.last._2
+    val resample = udf((text: String, docId: Long, copy: Int) =>
+      if (copy == 0) text
+      else {
+        val n = text.split(" ").length
+        val sb = new StringBuilder
+        var p = 0
+        while (p < n) {
+          val u = java.lang.Long.remainderUnsigned(mix(docId, copy.toLong, p.toLong), totalW)
+          var lo = 0; var hi = wordCum.length - 1
+          while (lo < hi) {
+            val m = (lo + hi) / 2
+            if (wordCum(m)._2 > u) hi = m else lo = m + 1
+          }
+          if (p > 0) sb.append(' ')
+          sb.append(wordCum(lo)._1)
+          p += 1
+        }
+        sb.toString
+      })
+    val nd = maxOf(docs, "doc_id")
+    copied(docs) { (df, i) =>
+      df.select((col("doc_id") + lit(i * nd)).as("doc_id"),
+        resample(col("text"), col("doc_id"), lit(i)).as("text"),
+        col("lang"), col("source"))
+    }.withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+
+    // embeddings: deterministic per-dim noise for copies > 0
+    val emb = Tables.embeddings(spark, src)
+    val nv = maxOf(emb, "vec_id")
+    val perturb = udf((e: Seq[Float], vecId: Long, copy: Int) =>
+      if (copy == 0) e
+      else e.zipWithIndex.map { case (x, dim) =>
+        x + ((java.lang.Long.remainderUnsigned(
+          mix(vecId, copy.toLong, dim.toLong), 1001L) - 500L) * 1e-5f)
+      })
+    copied(emb) { (df, i) =>
+      df.select((col("vec_id") + lit(i * nv)).as("vec_id"),
+        perturb(col("embedding"), col("vec_id"), lit(i)).as("embedding"),
+        col("label"))
+    }.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+
+    // TPC-H facts: consistent key shifts
+    val cust = Tables.table(spark, src, "customer")
+    val supp = Tables.table(spark, src, "supplier")
+    val part = Tables.table(spark, src, "part")
+    val ord = Tables.table(spark, src, "orders")
+    val li = Tables.table(spark, src, "lineitem")
+    val (ncst, nsup, nprt, nord) =
+      (maxOf(cust, "c_custkey"), maxOf(supp, "s_suppkey"),
+        maxOf(part, "p_partkey"), maxOf(ord, "o_orderkey"))
+    copied(cust) { (df, i) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(i * ncst))
+    }.write.mode("overwrite").parquet(s"$dst/customer.parquet")
+    copied(supp) { (df, i) =>
+      df.withColumn("s_suppkey", col("s_suppkey") + lit(i * nsup))
+    }.write.mode("overwrite").parquet(s"$dst/supplier.parquet")
+    copied(part) { (df, i) =>
+      df.withColumn("p_partkey", col("p_partkey") + lit(i * nprt))
+    }.write.mode("overwrite").parquet(s"$dst/part.parquet")
+    copied(ord) { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * nord))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * ncst))
+    }.write.mode("overwrite").parquet(s"$dst/orders.parquet")
+    copied(li) { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * nord))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * nprt))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * nsup))
+    }.write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+
+    // events: shift ids/users, keep the time axis (10× density)
+    val ev = Tables.events(spark, src)
+    val (nev, nus) = (maxOf(ev, "event_id"), maxOf(ev, "user_id"))
+    copied(ev) { (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * nev))
+        .withColumn("user_id", col("user_id") + lit(i * nus))
+    }.write.mode("overwrite").parquet(s"$dst/events.parquet")
+
+    // dimensions: unscaled copies
+    for (t <- Seq("nation", "region"))
+      Tables.table(spark, src, t)
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+
+    java.nio.file.Files.createFile(okPath)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val outFile = if (args.length > 2) args(2) else "BENCH_SF1_PROBE.json"
+    // args 4+ restrict the probe to the named queries (re-probe after a fix)
+    val selected = if (args.length > 3) heavy.filter(args.drop(3).contains) else heavy
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    buildSf1(spark, src, dst)
+    // warm both table sets (footers, codegen)
+    for (d <- Seq(src, dst); t <- Tables.names) {
+      try {
+        val df = if (t == "events") Tables.events(spark, d) else Tables.table(spark, d, t)
+        df.limit(1).count()
+      } catch { case _: Throwable => () }
+    }
+    def time(name: String, d: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, d).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val rows = selected.map { name =>
+      // base twice (take the min: cheap insurance against a stall
+      // window), probe once (the 10× run is the expensive part)
+      val base = math.min(time(name, src), time(name, src))
+      val probe = time(name, dst)
+      val ratio = if (base > 0) probe / base else -1.0
+      println(f"[probe] $name%-24s base=$base%7.2fs probe=$probe%8.2fs ratio=$ratio%6.2fx")
+      (name, base, probe, ratio)
+    }
+    val json = rows.map { case (n, b, p, r) =>
+      s"${Jsons.escape(n)}:{" + s""""base_sec":$b,"probe_sec":$p,"ratio":$r}"""
+    }.mkString(
+      s"""{"probe":"sf1","rows_ratio":10,"base":${Jsons.escape(src)},""" +
+        s""""probe_dir":${Jsons.escape(dst)},"cpus":$cpus,"queries":{""",
+      ",", "}}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    spark.sparkContext.setLogLevel("OFF")
+    spark.stop()
+    println(json)
+  }
+}
