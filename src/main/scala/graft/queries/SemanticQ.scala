@@ -173,9 +173,45 @@ object SemanticQ {
         (col("n_hits") * lit(1000000L) / lit(10L)).cast("long").as("recall_ppm"))
   }
 
+  /** SemDeDup with the PRODUCTION quantizer size — k = ceil(√N) — the
+    * fix the sf1 scale probe prescribed for the fixed-k family: cluster
+    * populations stay ~√N as the corpus grows, so the within-cluster
+    * pairwise term is Σ|cluster|² ≈ N·√N·(dup-density), not (N/k)².
+    * Both engines derive k from the SAME count, so the oracle is exact
+    * (DuckDB computes the seed LIMIT from a scalar subquery); the
+    * k=8 q_semdedup stays as the pinned small-k contract. Training is
+    * ad-hoc (2-round integer Lloyd) — the scaled quantizer is re-fit
+    * per dataset rather than cached, since k itself is data-dependent.
+    */
+  def semdedupScaledQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val k = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+    val cents = KMeansOp.lloydCentroidsLocal(emb, "vec_id", col("embedding"), k, Iters)
+    val asg = KMeansOp.assign(intVecs(s, d), cents.toDF("cid", "c"))
+      .select(col("vec_id"), col("cid").as("cluster"))
+    val ve = asg.join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val a = ve.select(col("cluster"), col("vec_id").as("id_a"),
+      col("embedding").as("ea"))
+    val b = ve.select(col("cluster"), col("vec_id").as("id_b"),
+      col("embedding").as("eb"))
+    val drops = a.join(b, Seq("cluster"))
+      .where(col("id_a") < col("id_b"))
+      .where(VectorOps.cosine(col("ea"), col("eb")) >= 0.4)
+      .select(col("id_b").as("vec_id"))
+      .distinct()
+    ve.select(col("vec_id"), col("cluster"))
+      .join(drops.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("dropped"), lit(false)) === false)
+      .toDF("vec_id", "cluster", "kept")
+      .orderBy(col("vec_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmeans" -> kmeansQ,
     "q_semdedup" -> semdedupQ,
+    "q_semdedup_scaled" -> semdedupScaledQ,
     "q_ann_ivf_trained" -> annIvfTrainedQ,
     "q_recall_ivf" -> recallIvfQ,
   )
@@ -210,20 +246,40 @@ object SemanticQ {
 
   /** Shared CTE chain ending in the final assignment a3 (also composed
     * into Clustering's q_corpus_build_v2 oracle — the shared-quantizer
-    * contract in SQL form).
+    * contract in SQL form). `seedLimit` is the k expression — a literal
+    * for the pinned k=8 chain, a scalar subquery for the √N-scaled one
+    * (everything after c0 is k-agnostic).
     */
-  private[queries] val lloydSql: String =
+  private def lloydSqlWithSeed(seedLimit: String): String =
     s"""q AS (SELECT vec_id, list_transform(embedding,
        |    e -> CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS v
        |  FROM embeddings),
-       |c0 AS (SELECT vec_id AS cid, v AS c FROM q ORDER BY vec_id ASC LIMIT $K),
+       |c0 AS (SELECT vec_id AS cid, v AS c FROM q ORDER BY vec_id ASC LIMIT $seedLimit),
        |${assignSql(1, "c0")},
        |${updateSql(1)},
        |${assignSql(2, "c1")},
        |${updateSql(2)},
        |${assignSql(3, "c2")}""".stripMargin
 
+  private[queries] val lloydSql: String = lloydSqlWithSeed(K.toString)
+
+  /** The √N-scaled chain: k derives from the same COUNT both engines
+    * see, as a scalar-subquery LIMIT on the seed CTE.
+    */
+  private val lloydSqlScaled: String =
+    lloydSqlWithSeed("(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM q)")
+
   val oracleSql: Map[String, String] = Map(
+    "q_semdedup_scaled" ->
+      s"""WITH $lloydSqlScaled,
+         |ve AS (SELECT a3.vec_id, a3.cid AS cluster, e.embedding
+         |  FROM a3 JOIN embeddings e USING (vec_id)),
+         |drops AS (SELECT DISTINCT b.vec_id
+         |  FROM ve a JOIN ve b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE ${Analysis.cosineSql("a.embedding", "b.embedding")} >= 0.4)
+         |SELECT v.vec_id, v.cluster, (d.vec_id IS NULL) AS kept
+         |FROM ve v LEFT JOIN drops d ON v.vec_id = d.vec_id
+         |ORDER BY v.vec_id ASC""".stripMargin,
     "q_kmeans" ->
       s"""WITH $lloydSql
          |SELECT vec_id, cid AS cluster, dist AS dist_scaled

@@ -91,6 +91,33 @@ class KMeansSpec extends AnyFunSuite {
     assert(got.toSeq == expect.toSeq)
   }
 
+  test("q_semdedup_scaled at sf0.001: k=⌈√N⌉ clusters; drops are exactly " +
+    "the lower-id-mate cosine hits within each cluster") {
+    val d = TestSpark.sf0001
+    val rows = queries.SemanticQ.queries("q_semdedup_scaled")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.length == 500)
+    val k = math.ceil(math.sqrt(500.0)).toInt
+    assert(rows.map(_._2).distinct.length <= k, "more clusters than seeds")
+    // brute-force verify of the kept flags within the produced clusters
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na * nb == 0.0) 0.0 else dot / (na * nb)
+    }
+    val byCluster = rows.groupBy(_._2)
+    for ((_, members) <- byCluster; (id, _, kept) <- members) {
+      val hasLowerMate = members.exists { case (other, _, _) =>
+        other < id && cos(emb(other), emb(id)) >= 0.4
+      }
+      assert(kept == !hasLowerMate, s"vec $id kept=$kept but lowerMate=$hasLowerMate")
+    }
+  }
+
   test("q_semdedup at sf0.001: drop decisions match brute force within clusters") {
     val d = TestSpark.sf0001
     val out = queries.SemanticQ.queries("q_semdedup")(spark, d)
