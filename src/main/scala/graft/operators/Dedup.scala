@@ -134,14 +134,27 @@ object Dedup {
     *
     * This is the quadratic-clique valve the sf1 scale probe demanded:
     * on a corpus where a constant FRACTION of docs share saturated
-    * token sets (bounded vocabulary — true of this synthetic corpus
-    * and of boilerplate-heavy web crawls), the full pair relation
-    * grows ∝ N² while distinct sets stay ~constant, so contraction
-    * turns the CC edge input from O(N²) to O(D² + N) with D = distinct
-    * sets. On a high-entropy corpus D ≈ N and the contraction is one
-    * extra compact-key shuffle — a bounded constant cost.
+    * token sets (bounded vocabulary — boilerplate-heavy web crawls),
+    * the full pair relation grows ∝ N² while distinct sets stay
+    * ~constant, so contraction turns the CC edge input from O(N²) to
+    * O(D² + N) with D = distinct sets.
+    *
+    * ADAPTIVE: contraction itself costs a wide-key groupBy + join, and
+    * on a high-entropy corpus (D ≈ N, e.g. the driver corpora at
+    * D/N ≈ 0.92–0.97) that is pure overhead. One single-pass probe —
+    * count + approx_count_distinct over a 64-bit set hash, partial-
+    * aggregated to one row, no shuffle of the data — decides the plan:
+    * contract only when D̂ < `contractBelow`·N. The RESULT is exact on
+    * either path (the approximation picks a plan, never an answer).
     */
-  def componentEdgesBySet(sets: DataFrame, threshold: Double): DataFrame = {
+  def componentEdgesBySet(sets: DataFrame, threshold: Double,
+      contractBelow: Double = 0.7): DataFrame = {
+    val row = sets.agg(count(lit(1)).as("n"),
+      approx_count_distinct(xxhash64(col("block"), col("items"))).as("d")).head()
+    val (n, dApprox) = (row.getLong(0), row.getLong(1))
+    if (dApprox >= contractBelow * n)
+      return jaccardPairsHashedFromSets(sets, threshold)
+        .select(col("id_a"), col("id_b"))
     val reps = sets.groupBy(col("block"), col("items"))
       .agg(min(col("id")).as("rep"))
     val repPairs = jaccardPairsHashedFromSets(
