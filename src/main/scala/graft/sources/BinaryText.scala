@@ -297,6 +297,59 @@ object BinaryText {
   private val FilterPat =
     java.util.regex.Pattern.compile("/Filter\\s*(\\[[^\\]]*\\]|/[A-Za-z0-9]+)")
   private val FilterNamePat = java.util.regex.Pattern.compile("/([A-Za-z0-9]+)")
+  private val DecodeParmsPat =
+    java.util.regex.Pattern.compile("/(?:DecodeParms|DP)\\s*(\\[|<<|/)")
+
+  /** Per-filter decode-parameter dictionaries, aligned with the filter
+    * chain (ISO 32000-1 §7.3.8 Table 5): `/DecodeParms` is a single
+    * dict when `/Filter` is a single name, or an ARRAY of
+    * (dict | null) entries matched to the filter array by position.
+    * Returns one string per chain position ("" where null/absent) —
+    * the predictor/EarlyChange regexes then scan ONLY the owning
+    * filter's dict, so a chain like
+    * `[/ASCII85Decode /FlateDecode] … [null <</Predictor 12 …>>]`
+    * attributes the predictor to the Flate stage alone.
+    */
+  private[graft] def decodeParmsOf(dict: String, nFilters: Int): Seq[String] = {
+    val m = DecodeParmsPat.matcher(dict)
+    if (!m.find()) return Seq.fill(nFilters)("")
+    val start = m.start(1)
+    m.group(1) match {
+      case "<<" => // single dict applies to the (single) filter
+        val d = balancedDict(dict, start)
+        if (nFilters == 1) Seq(d) else d +: Seq.fill(nFilters - 1)("")
+      case "/" => // a name like /null — treat as absent
+        Seq.fill(nFilters)("")
+      case _ => // array of null | dict, in filter order
+        val out = mutable.Buffer[String]()
+        var i = start + 1
+        while (i < dict.length && dict(i) != ']' && out.length < nFilters) {
+          if (dict.startsWith("<<", i)) {
+            val d = balancedDict(dict, i)
+            out += d; i += math.max(d.length, 2)
+          } else if (dict.startsWith("null", i)) { out += ""; i += 4 }
+          else i += 1
+        }
+        out.toSeq.padTo(nFilters, "")
+    }
+  }
+
+  /** The balanced `<< … >>` substring starting at `start` ("" if
+    * malformed).
+    */
+  private def balancedDict(s: String, start: Int): String = {
+    var depth = 0
+    var i = start
+    while (i < s.length - 1) {
+      if (s.startsWith("<<", i)) { depth += 1; i += 2 }
+      else if (s.startsWith(">>", i)) {
+        depth -= 1; i += 2
+        if (depth == 0) return s.substring(start, i)
+      }
+      else i += 1
+    }
+    ""
+  }
 
   /** Walk the stream dictionary's `/Filter` entry — a single name OR an
     * array of names applied in listed order, e.g.
@@ -321,10 +374,15 @@ object BinaryText {
       while (nm.find()) buf += nm.group(1)
       buf.toSeq
     }
-    names.foldLeft(data) { (d, name) =>
+    // per-filter parms; a chain with no parms array falls back to the
+    // whole dict so single-filter streams keep their historical behavior
+    val parms = decodeParmsOf(dict, names.length)
+    def parmsOr(i: Int): String = if (parms(i).nonEmpty) parms(i) else dict
+    names.zipWithIndex.foldLeft(data) { case (d, (name, i)) =>
       name match {
-        case "FlateDecode" | "Fl" => unpredict(dict, inflate(d))
-        case "LZWDecode" | "LZW" => unpredict(dict, lzwDecode(d, earlyChangeOf(dict)))
+        case "FlateDecode" | "Fl" => unpredict(parmsOr(i), inflate(d))
+        case "LZWDecode" | "LZW" =>
+          unpredict(parmsOr(i), lzwDecode(d, earlyChangeOf(parmsOr(i))))
         case "ASCII85Decode" | "A85" => ascii85Decode(d)
         case "ASCIIHexDecode" | "AHx" => asciiHexDecode(d)
         case "RunLengthDecode" | "RL" => runLengthDecode(d)

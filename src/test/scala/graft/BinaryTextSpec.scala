@@ -558,6 +558,32 @@ class BinaryTextSpec extends AnyFunSuite {
     assert(BinaryText.extract(pdf3) == "chained filter text\nsecond line")
   }
 
+  test("PDF: /DecodeParms ARRAY aligns per filter — predictor attributed " +
+    "to the Flate stage of an [/ASCII85Decode /FlateDecode] chain") {
+    val content = "BT (parms array text) Tj ET".getBytes(ISO_8859_1)
+    val enc = ascii85Encode(deflate(pngUpEncode(content, columns = 7)))
+    val pdf = pdfAround(enc, dictExtra =
+      " /Filter [/ASCII85Decode /FlateDecode]" +
+        " /DecodeParms [null << /Predictor 12 /Columns 7 >>]")
+    assert(BinaryText.extract(pdf) == "parms array text")
+  }
+
+  test("decodeParmsOf: single dict, array with nulls/nested dicts, absent") {
+    assert(BinaryText.decodeParmsOf("<< /Filter /FlateDecode >>", 1) == Seq(""))
+    assert(BinaryText.decodeParmsOf(
+      "<< /DecodeParms << /Predictor 2 >> >>", 1) == Seq("<< /Predictor 2 >>"))
+    assert(BinaryText.decodeParmsOf(
+      "<< /DP [null << /Predictor 12 /Columns 7 >>] >>", 2)
+      == Seq("", "<< /Predictor 12 /Columns 7 >>"))
+    // nested dict inside a parms dict stays balanced
+    assert(BinaryText.decodeParmsOf(
+      "<< /DecodeParms [<< /A << /B 1 >> >> null] >>", 2)
+      == Seq("<< /A << /B 1 >> >>", ""))
+    // array shorter than the chain pads with absent
+    assert(BinaryText.decodeParmsOf("<< /DecodeParms [null] >>", 3)
+      == Seq("", "", ""))
+  }
+
   test("PDF: a malformed ASCII85 group degrades to salvage, not an abort") {
     // 'v' is outside the 85 alphabet → the stream decode throws, extract
     // falls back to printable-ASCII salvage of the raw file bytes
