@@ -35,7 +35,8 @@ object ScaleProbe {
     "q_bigram_lm", "q_corpus_build_v2", "q_collocations", "q_corpus_build",
     "q_dup_gram_ppm", "q_decontaminate", "q_edit_distance_dedup",
     "q_dup_clusters", "q_dup_clusters_lsh", "q_vocab_growth", "q_tpch_q21", "q_tpch_q20",
-    "q_repeated_spans", "q_tpch_q2", "q_interval_join", "q_mmr_batch")
+    "q_repeated_spans", "q_tpch_q2", "q_interval_join", "q_mmr_batch",
+    "q_semdedup_scaled")
 
   private def mix(a: Long, b: Long, c: Long): Long = {
     var h = a * 0x9E3779B97F4A7C15L + b * 0xC2B2AE3D27D4EB4FL + c * 0x165667B19E3779F9L

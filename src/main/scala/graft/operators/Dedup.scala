@@ -139,22 +139,17 @@ object Dedup {
     * ~constant, so contraction turns the CC edge input from O(N²) to
     * O(D² + N) with D = distinct sets.
     *
-    * ADAPTIVE: contraction itself costs a wide-key groupBy + join, and
-    * on a high-entropy corpus (D ≈ N, e.g. the driver corpora at
-    * D/N ≈ 0.92–0.97) that is pure overhead. One single-pass probe —
-    * count + approx_count_distinct over a 64-bit set hash, partial-
-    * aggregated to one row, no shuffle of the data — decides the plan:
-    * contract only when D̂ < `contractBelow`·N. The RESULT is exact on
-    * either path (the approximation picks a plan, never an answer).
+    * Contraction runs UNCONDITIONALLY. A global distinct-ratio gate was
+    * tried and measured WRONG at sf1: D/N = 0.824 looks high-entropy,
+    * but the duplicate sets concentrate exactly in the saturated
+    * quasi-clique core, so skipping contraction cost 209 s where
+    * contracting took 56 s (pair candidates scale with the SQUARE of
+    * clique membership, which global D/N does not see). The small-SF
+    * premium is one wide-key groupBy + join (~1 s at sf0.1, recorded
+    * in BENCH_MEDIANS_r10) — the insurance price for never hitting the
+    * quadratic cliff.
     */
-  def componentEdgesBySet(sets: DataFrame, threshold: Double,
-      contractBelow: Double = 0.7): DataFrame = {
-    val row = sets.agg(count(lit(1)).as("n"),
-      approx_count_distinct(xxhash64(col("block"), col("items"))).as("d")).head()
-    val (n, dApprox) = (row.getLong(0), row.getLong(1))
-    if (dApprox >= contractBelow * n)
-      return jaccardPairsHashedFromSets(sets, threshold)
-        .select(col("id_a"), col("id_b"))
+  def componentEdgesBySet(sets: DataFrame, threshold: Double): DataFrame = {
     val reps = sets.groupBy(col("block"), col("items"))
       .agg(min(col("id")).as("rep"))
     val repPairs = jaccardPairsHashedFromSets(

@@ -30,13 +30,8 @@ class ClusteringSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val full = clusters(
       Dedup.jaccardPairsHashedFromSets(sets, 0.9).select(col("id_a"), col("id_b")))
-    // contractBelow = 1.0 forces the contraction path (the adaptive
-    // default would take the plain path on this D/N = 0.75 fixture)
-    val contracted = clusters(Dedup.componentEdgesBySet(sets, 0.9, contractBelow = 1.0))
+    val contracted = clusters(Dedup.componentEdgesBySet(sets, 0.9))
     assert(contracted == full, "contracted components diverged")
-    // the adaptive default must ALSO give the same components (plain path)
-    assert(clusters(Dedup.componentEdgesBySet(sets, 0.9)) == full,
-      "adaptive path diverged")
     assert(full(2L) == 1L && full(5L) == 1L && full(6L) == 1L,
       "clique + bridge must share cluster 1")
     assert(full(4L) == 4L && full(7L) == 7L && full(8L) == 8L,
@@ -44,7 +39,7 @@ class ClusteringSpec extends AnyFunSuite {
     // edge count: the full relation pairs the 3-clique (3 edges) + the
     // 2-clique (1) + bridges; contraction must emit FEWER edges here
     val nFull = Dedup.jaccardPairsHashedFromSets(sets, 0.9).count()
-    val nContracted = Dedup.componentEdgesBySet(sets, 0.9, contractBelow = 1.0).count()
+    val nContracted = Dedup.componentEdgesBySet(sets, 0.9).count()
     assert(nContracted < nFull, s"expected contraction to shrink edges " +
       s"($nContracted vs $nFull)")
     // and on the real corpus: q_dup_clusters (now contracted) must equal
