@@ -60,6 +60,13 @@ object GraftExtensions {
         }
         MinhashSignature(exprs.head, n,
           graft.operators.Dedup.minhashA, graft.operators.Dedup.minhashB)
+      }),
+    ("bpe_count",
+      new ExpressionInfo(classOf[graft.functions.BpeCount].getName, "bpe_count"),
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 1, s"bpe_count expects exactly 1 argument, got ${exprs.size}")
+        graft.functions.BpeCount(exprs.head,
+          graft.operators.BpeTokenizer.fixtureMerges)
       }))
 
   /** Register on a live session (idempotent). */

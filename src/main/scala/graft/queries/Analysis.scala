@@ -437,15 +437,14 @@ object Analysis {
     * oracle replays the SAME merges in DuckDB as one list_reduce sweep
     * per rank — equivalent because the table is training-consistent
     * (see BpeTokenizer's scaladoc and the BpeSpec equivalence pin).
-    * Map-side only: the UDF closes over a prebuilt ranks map; no
-    * shuffle until the terminal contract sort.
+    * Map-side only via the BpeCount Catalyst expression (ranks built
+    * once at plan construction); no shuffle until the contract sort.
     */
   def chunkTokensBpe(s: SparkSession, d: String): DataFrame = {
-    val count = graft.operators.BpeTokenizer.counter(
-      graft.operators.BpeTokenizer.fixtureMerges)
-    val bpeCount = udf((t: String) => count(t).toLong)
     Tables.documents(s, d)
-      .select(col("doc_id"), bpeCount(col("text")).as("n_tokens_bpe"))
+      .select(col("doc_id"),
+        graft.functions.BpeCount(col("text"),
+          graft.operators.BpeTokenizer.fixtureMerges).as("n_tokens_bpe"))
       .withColumn("n_chunks", expr("(n_tokens_bpe + 63) div 64"))
       .orderBy(col("doc_id").asc)
   }

@@ -96,6 +96,16 @@ class BpeSpec extends AnyFunSuite {
     assert(encode("", fixtureMerges).isEmpty)
   }
 
+  test("loadMerges round-trips the published merges.txt format") {
+    val f = java.nio.file.Files.createTempFile("graft_merges", ".txt")
+    java.nio.file.Files.writeString(f,
+      "#version: 0.2\n" + fixtureMerges.map { case (a, b) => s"$a $b" }.mkString("\n") + "\n")
+    val loaded = loadMerges(f.toString)
+    assert(loaded == fixtureMerges)
+    // tokenization under the loaded table is identical
+    assert(encode(" the scan line", loaded) == encode(" the scan line", fixtureMerges))
+  }
+
   test("requireTrainingConsistent rejects an out-of-order table") {
     intercept[IllegalArgumentException] {
       requireTrainingConsistent(Seq(("ab", "c"), ("a", "b")))

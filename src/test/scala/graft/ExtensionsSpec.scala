@@ -33,6 +33,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getSeq[Long](2) == ref.getSeq[Long](1))
   }
 
+  test("bpe_count SQL function matches the tokenizer; nulls pass through") {
+    GraftExtensions.registerFunctions(spark)
+    val row = spark.sql(
+      "SELECT bpe_count(' the scan line') AS n, bpe_count(CAST(NULL AS STRING)) AS nn")
+      .collect().head
+    val expect = graft.operators.BpeTokenizer.countTokens(" the scan line",
+      graft.operators.BpeTokenizer.fixtureMerges).toLong
+    assert(row.getLong(0) == expect)
+    assert(row.isNullAt(1))
+  }
+
   test("registration is idempotent and float arrays are accepted") {
     GraftExtensions.registerFunctions(spark)
     GraftExtensions.registerFunctions(spark)
