@@ -30,13 +30,16 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
-  /** The 15 heaviest queries by the round-9 medians artifact. */
+  /** The heaviest queries by the medians artifact, plus the scale-path
+    * corpus builds (v3 = √N SemDeDup, lsh = bucket-union components)
+    * whose ratios gate the round-11 composition work.
+    */
   val heavy: Seq[String] = Seq(
     "q_bigram_lm", "q_corpus_build_v2", "q_collocations", "q_corpus_build",
     "q_dup_gram_ppm", "q_decontaminate", "q_edit_distance_dedup",
     "q_dup_clusters", "q_dup_clusters_lsh", "q_vocab_growth", "q_tpch_q21", "q_tpch_q20",
     "q_repeated_spans", "q_tpch_q2", "q_interval_join", "q_mmr_batch",
-    "q_semdedup_scaled")
+    "q_semdedup_scaled", "q_corpus_build_v3", "q_corpus_build_lsh")
 
   private def mix(a: Long, b: Long, c: Long): Long = {
     var h = a * 0x9E3779B97F4A7C15L + b * 0xC2B2AE3D27D4EB4FL + c * 0x165667B19E3779F9L
@@ -173,16 +176,33 @@ object ScaleProbe {
         df.limit(1).count()
       } catch { case _: Throwable => () }
     }
+    // Timing executes a noop-format WRITE, not .count(): a count lets
+    // Catalyst prune unreferenced projections and drop sorts, so a
+    // projection-only stage (BPE counts, cosine projections) would be
+    // optimized out of the probed plan and its superlinearity would go
+    // unmeasured. The noop sink materializes every output column through
+    // the full plan — the same work Verify's parquet write executes,
+    // minus the IO.
     def time(name: String, d: String): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, d).count()
+      SparkEntry.queries(name)(spark, d)
+        .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // reps medians (SPARK_GRAFT_PROBE_REPS, default 1): single-shot sf1
+    // ratios varied up to 2x across runs — the flagged tail re-probes at
+    // reps=3 so round-over-round ratio deltas are trustworthy.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "1").toInt.max(1)
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
     val rows = selected.map { name =>
-      // base twice (take the min: cheap insurance against a stall
-      // window), probe once (the 10× run is the expensive part)
-      val base = math.min(time(name, src), time(name, src))
-      val probe = time(name, dst)
+      // base twice per rep (take the min: cheap insurance against a
+      // stall window), probe `reps` times with the median reported —
+      // the 10× runs are the expensive part
+      val base = medianOf((1 to reps).map(_ => math.min(time(name, src), time(name, src))))
+      val probe = medianOf((1 to reps).map(_ => time(name, dst)))
       val ratio = if (base > 0) probe / base else -1.0
       println(f"[probe] $name%-24s base=$base%7.2fs probe=$probe%8.2fs ratio=$ratio%6.2fx")
       (name, base, probe, ratio)
@@ -191,7 +211,8 @@ object ScaleProbe {
       s"${Jsons.escape(n)}:{" + s""""base_sec":$b,"probe_sec":$p,"ratio":$r}"""
     }.mkString(
       s"""{"probe":"sf1","rows_ratio":10,"base":${Jsons.escape(src)},""" +
-        s""""probe_dir":${Jsons.escape(dst)},"cpus":$cpus,"queries":{""",
+        s""""probe_dir":${Jsons.escape(dst)},"cpus":$cpus,"reps":$reps,""" +
+        s""""timing":"noop_write","queries":{""",
       ",", "}}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     spark.sparkContext.setLogLevel("OFF")

@@ -142,13 +142,22 @@ object BpeTokenizer {
   }
 
   /** Published merges.txt format: one `left right` pair per line, `#`
-    * comment/version line first.
+    * comment/version line first. The source is always closed (Using);
+    * a line that is not exactly two space-separated symbols fails with
+    * a line-numbered message instead of an index error.
     */
   def loadMerges(path: String): Seq[(String, String)] =
-    scala.io.Source.fromFile(path, "UTF-8").getLines()
-      .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
-      .map { l => val p = l.split(" ", 2); (p(0), p(1)) }
-      .toSeq
+    scala.util.Using.resource(scala.io.Source.fromFile(path, "UTF-8")) { src =>
+      src.getLines().zipWithIndex
+        .filterNot { case (l, _) => l.startsWith("#") || l.trim.isEmpty }
+        .map { case (l, i) =>
+          val p = l.split(" ", -1)
+          require(p.length == 2 && p(0).nonEmpty && p(1).nonEmpty,
+            s"$path:${i + 1}: expected 'left right', got: '$l'")
+          (p(0), p(1))
+        }
+        .toSeq
+    }
 
   /** Every merge's operands are base (single-char) symbols or outputs of
     * strictly earlier merges — the invariant that makes ascending-rank

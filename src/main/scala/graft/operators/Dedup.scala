@@ -150,12 +150,19 @@ object Dedup {
     * quadratic cliff.
     */
   def componentEdgesBySet(sets: DataFrame, threshold: Double): DataFrame = {
-    val reps = sets.groupBy(col("block"), col("items"))
+    // EMPTY item sets are excluded from contraction: two empty sets have
+    // Jaccard 0 (union = 0 — see jaccardFromSizes) so the full pair
+    // relation keeps them as singletons, and grouping them under
+    // (block, []) would wrongly star-connect them. They generate no
+    // prefix candidates either (empty prefix), so dropping them here
+    // changes nothing downstream: they simply stay edge-less singletons.
+    val nonEmpty = sets.where(size(col("items")) > 0)
+    val reps = nonEmpty.groupBy(col("block"), col("items"))
       .agg(min(col("id")).as("rep"))
     val repPairs = jaccardPairsHashedFromSets(
         reps.select(col("block"), col("rep").as("id"), col("items")), threshold)
       .select(col("id_a"), col("id_b"))
-    val starEdges = sets.join(reps, Seq("block", "items"))
+    val starEdges = nonEmpty.join(reps, Seq("block", "items"))
       .where(col("id") =!= col("rep"))
       .select(col("rep").as("id_a"), col("id").as("id_b"))
     repPairs.unionAll(starEdges)

@@ -604,8 +604,13 @@ object Analysis {
     * — composed bare by minhashLshSql and by Clustering's bucket-union
     * components oracle.
     */
-  private[queries] val minhashBandedCte: String =
-    s"""sets AS (SELECT doc_id, ${shinglesSql(toks)} AS items FROM documents),
+  private[queries] val minhashBandedCte: String = minhashBandedCteFrom("documents")
+
+  /** The banded CTE chain over an arbitrary (doc_id, text) relation —
+    * q_corpus_build_lsh bands only the exact-dedup survivors.
+    */
+  private[queries] def minhashBandedCteFrom(docRel: String): String =
+    s"""sets AS (SELECT doc_id, ${shinglesSql(toks)} AS items FROM $docRel),
        |hs AS (SELECT doc_id, list_transform(items, t -> ${hash60("t")}) AS hashes FROM sets),
        |sigs AS (SELECT doc_id, list_transform(range(0, 12),
        |    i -> list_min(list_transform(hashes, h ->

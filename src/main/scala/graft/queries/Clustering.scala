@@ -203,76 +203,42 @@ object Clustering {
       .orderBy(col("doc_id").asc)
   }
 
-  /** End-to-end corpus build — the whole training-data prep pipeline as
-    * ONE declared query: exact dedup (min id per content hash) →
-    * near-dup CLUSTER resolution (token-Jaccard pairs → connected
-    * components; keep only canonical cluster representatives — strictly
-    * stronger than pair-based dropping, which keeps a doc transitively
-    * connected to a smaller near-dup when no direct pair links them) →
-    * language + quality gate → context-window chunking → split
-    * assignment. Output: one row per kept chunk with its split label.
-    * Every stage is the already-oracled operator; the oracle composes
-    * the same CTEs plus the recursive-CTE component closure.
-    */
-  def corpusBuild(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val kept1Ids = docs
+  // ---- shared corpus-build stages ------------------------------------
+  // The four corpus pipelines (exact CC, +SemDeDup fixed-k, +SemDeDup
+  // √N, LSH-resolved) are compositions of the SAME stages; factoring
+  // them keeps the pipelines provably consistent with the standalone
+  // oracled operators they compose.
+
+  /** Exact-dedup survivors: min doc_id per content hash. */
+  private def exactKeptIds(docs: DataFrame): DataFrame =
+    docs
       .groupBy(md5(col("text").cast("binary")))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
+
+  /** Canonical representatives of the token-Jaccard ≥ 0.9 near-dup
+    * components over the exact-dedup survivors (set-contracted edges,
+    * same components as the full pair relation).
+    */
+  private def nearDupCanon(s: SparkSession, d: String, kept1Ids: DataFrame): DataFrame = {
     val sets = Analysis.tokenSets(s, d)
       .join(kept1Ids.select(col("doc_id").as("id")), Seq("id"), "left_semi")
     val pairs = Dedup.componentEdgesBySet(sets, 0.9) // set-contracted, same components
-    val canon = ConnectedComponents
+    ConnectedComponents
       .assignAdaptive(kept1Ids.select(col("doc_id").as("id")), pairs,
         checkpointDir = graft.operators.Iterate.envDir)
       .where(col("id") === col("cluster_id"))
       .select(col("id").as("doc_id"))
-    val gated = docs
-      .join(canon, Seq("doc_id"), "left_semi")
-      .where(TA.langId(col("text")) === "en" && TA.qualityScore(col("text")) >= 0.45)
-    val bucket = pmod(TA.md5Hash60(concat(col("doc_id").cast("string"), lit(":split"))), lit(100L))
-    gated
-      .withColumn("split",
-        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
-      .select(col("doc_id"), col("split"),
-        posexplode(TA.tokenChunks(col("text"), size = 64, overlap = 16))
-          .as(Seq("chunk_idx", "chunk")))
-      .select(col("doc_id"), col("chunk_idx"),
-        size(TA.tokens(col("chunk"))).cast("long").as("n_chunk_tokens"), col("split"))
-      .orderBy(col("doc_id").asc, col("chunk_idx").asc)
   }
 
-  /** q_corpus_build with the SemDeDup stage spliced in — the FULL
-    * SemDeDup-paper pipeline (Abbas et al. 2023) as one dataflow:
-    * exact dedup → near-dup cluster resolution → **trained-k-means +
-    * within-cluster cosine prune** → language/quality gate → chunk →
-    * split. The quantizer is the SHARED trained artifact
-    * (SemanticQ.trainedCentroids — same cache the IVF/search queries
-    * load; no re-training, no corpus re-read), assignment touches only
-    * the near-dup survivors (one map-side broadcast argmin), and the
-    * pairwise cosine stage stays the Σ|cluster|² equi-join of
-    * q_semdedup — never N². Proves the curation stages COMPOSE: each is
-    * individually oracled and the composition is oracled end-to-end.
+  /** SemDeDup drop set over `canon` under quantizer `cents`: assign
+    * survivors (doc_id ≡ vec_id in this corpus; one map-side broadcast
+    * argmin), then within-cluster cosine ≥ 0.4 against a lower id —
+    * the Σ|cluster|² equi-join of q_semdedup, never N².
     */
-  def corpusBuildV2(s: SparkSession, d: String): DataFrame = {
+  private def semDropIds(s: SparkSession, d: String, canon: DataFrame,
+      cents: Seq[(Long, Seq[Long])]): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, d)
-    val kept1Ids = docs
-      .groupBy(md5(col("text").cast("binary")))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    val sets = Analysis.tokenSets(s, d)
-      .join(kept1Ids.select(col("doc_id").as("id")), Seq("id"), "left_semi")
-    val pairs = Dedup.componentEdgesBySet(sets, 0.9) // set-contracted, same components
-    val canon = ConnectedComponents
-      .assignAdaptive(kept1Ids.select(col("doc_id").as("id")), pairs,
-        checkpointDir = graft.operators.Iterate.envDir)
-      .where(col("id") === col("cluster_id"))
-      .select(col("id").as("doc_id"))
-    // SemDeDup stage: assign survivors to the shared trained quantizer
-    // (doc_id ≡ vec_id in this corpus), prune within-cluster cosine dups
-    val cents = SemanticQ.trainedCentroids(s, d)
     val vecs = Tables.embeddings(s, d)
       .select(col("vec_id"), graft.operators.KMeansOp.intVec(col("embedding")).as("v"))
       .join(canon.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
@@ -284,14 +250,20 @@ object Clustering {
       col("embedding").as("ea"))
     val b = ve.select(col("cluster"), col("vec_id").as("id_b"),
       col("embedding").as("eb"))
-    val semDrops = a.join(b, Seq("cluster"))
+    a.join(b, Seq("cluster"))
       .where(col("id_a") < col("id_b"))
       .where(graft.functions.VectorOps.cosine(col("ea"), col("eb")) >= 0.4)
       .select(col("id_b").as("doc_id"))
       .distinct()
-    val kept3 = canon.join(semDrops, Seq("doc_id"), "left_anti")
+  }
+
+  /** Shared pipeline tail: language + quality gate → context-window
+    * chunking → split assignment over the kept ids. Output: one row per
+    * kept chunk with its split label.
+    */
+  private def gateChunkSplit(docs: DataFrame, keptIds: DataFrame): DataFrame = {
     val gated = docs
-      .join(kept3, Seq("doc_id"), "left_semi")
+      .join(keptIds, Seq("doc_id"), "left_semi")
       .where(TA.langId(col("text")) === "en" && TA.qualityScore(col("text")) >= 0.45)
     val bucket = pmod(TA.md5Hash60(concat(col("doc_id").cast("string"), lit(":split"))), lit(100L))
     gated
@@ -305,17 +277,175 @@ object Clustering {
       .orderBy(col("doc_id").asc, col("chunk_idx").asc)
   }
 
+  /** End-to-end corpus build — the whole training-data prep pipeline as
+    * ONE declared query: exact dedup (min id per content hash) →
+    * near-dup CLUSTER resolution (token-Jaccard pairs → connected
+    * components; keep only canonical cluster representatives — strictly
+    * stronger than pair-based dropping, which keeps a doc transitively
+    * connected to a smaller near-dup when no direct pair links them) →
+    * language + quality gate → context-window chunking → split
+    * assignment. Every stage is the already-oracled operator; the
+    * oracle composes the same CTEs plus the recursive-CTE component
+    * closure. This is the pinned EXACT contract — its pair stage is
+    * intrinsically Ω(pairs); the scale-safe siblings are v3 (√N
+    * SemDeDup) and lsh (no pairwise stage at all).
+    */
+  def corpusBuild(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    gateChunkSplit(docs, nearDupCanon(s, d, exactKeptIds(docs)))
+  }
+
+  /** q_corpus_build with the SemDeDup stage spliced in — the FULL
+    * SemDeDup-paper pipeline (Abbas et al. 2023) as one dataflow:
+    * exact dedup → near-dup cluster resolution → **trained-k-means +
+    * within-cluster cosine prune** → language/quality gate → chunk →
+    * split. The quantizer is the SHARED trained artifact
+    * (SemanticQ.trainedCentroids — same cache the IVF/search queries
+    * load; no re-training, no corpus re-read). Pinned small-k contract:
+    * the fixed k=8 keeps the (N/k)² within-cluster term, so the
+    * pipeline a 100 TB deployment runs is [[corpusBuildV3]].
+    */
+  def corpusBuildV2(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val canon = nearDupCanon(s, d, exactKeptIds(docs))
+    val kept3 = canon.join(
+      semDropIds(s, d, canon, SemanticQ.trainedCentroids(s, d)),
+      Seq("doc_id"), "left_anti")
+    gateChunkSplit(docs, kept3)
+  }
+
+  /** The PRODUCTION corpus build — v2 with the SemDeDup quantizer at
+    * k = ⌈√N⌉ (ad-hoc 2-round integer Lloyd, as q_semdedup_scaled):
+    * cluster populations stay ~√N as the corpus grows, so the
+    * within-cluster pairwise term is ~N^1.5·density instead of (N/8)².
+    * This closes the last quadratic stage of the flagship pipeline —
+    * the sf1 probe measured the fixed-k v2 at 10.7× under 10× rows vs
+    * 2.7× for the √N stage standalone. k derives from the embeddings
+    * COUNT, which the oracle reproduces as a scalar-subquery seed
+    * LIMIT (SemanticQ.lloydSqlScaled), so the composition stays exact.
+    */
+  def corpusBuildV3(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val canon = nearDupCanon(s, d, exactKeptIds(docs))
+    val kept3 = canon.join(
+      semDropIds(s, d, canon, SemanticQ.scaledCentroids(s, d)),
+      Seq("doc_id"), "left_anti")
+    gateChunkSplit(docs, kept3)
+  }
+
+  /** The fully LINEAR corpus build — near-dup resolution by LSH
+    * bucket-union components (q_dup_clusters_lsh's stage) instead of
+    * exact pairwise Jaccard: exact dedup → band the survivors' shingle
+    * signatures → per-bucket min-id star edges (O(N·bands), NO pairwise
+    * stage anywhere) → connected components → canonical reps → gate →
+    * chunk → split. End-to-end there is no stage whose cost grows with
+    * the PAIR count — the pipeline a 100 TB crawl actually runs
+    * (RefinedWeb/SlimPajama-style), with the standard LSH trade:
+    * components may over-merge on a band collision and may miss a pair
+    * sharing no band. Deterministic md5 banding keeps the whole
+    * composition oracle-checkable.
+    */
+  def corpusBuildLsh(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val kept1Ids = exactKeptIds(docs)
+    val sets = Analysis.shingleSets(s, d)
+      .join(kept1Ids.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+    val banded = Dedup.bandTable(sets, bands = 4, rowsPerBand = 3)
+    val anchors = banded.groupBy(col("bkey")).agg(min(col("id")).as("anchor"))
+    val edges = banded.join(anchors, Seq("bkey"))
+      .where(col("id") =!= col("anchor"))
+      .select(col("anchor").as("id_a"), col("id").as("id_b"))
+      .distinct()
+    val canon = ConnectedComponents
+      .assignAdaptive(kept1Ids.select(col("doc_id").as("id")), edges,
+        checkpointDir = graft.operators.Iterate.envDir)
+      .where(col("id") === col("cluster_id"))
+      .select(col("id").as("doc_id"))
+    gateChunkSplit(docs, canon)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dup_clusters" -> dupClusters,
     "q_dup_clusters_lsh" -> dupClustersLsh,
     "q_corpus_build" -> corpusBuild,
     "q_corpus_build_v2" -> corpusBuildV2,
+    "q_corpus_build_v3" -> corpusBuildV3,
+    "q_corpus_build_lsh" -> corpusBuildLsh,
     "q_edit_distance_dedup" -> editDistancePairs,
     "q_stratified_sample" -> stratifiedSample,
     "q_tfidf" -> tfidfTop3,
     "q_quantize_embeddings" -> quantizeEmbeddings,
     "q_train_split" -> trainSplit,
   )
+
+  // ---- shared oracle CTE builders for the corpus pipelines ----------
+  // One SQL fragment per Spark-side stage helper, composed exactly as
+  // the Spark pipelines compose — the stages cannot drift apart.
+
+  /** exactKeptIds in SQL. */
+  private val kept1Sql: String =
+    """kept1 AS (
+      |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))""".stripMargin
+
+  /** nearDupCanon in SQL: full-pair Jaccard relation over the survivors
+    * + recursive min-label closure (the oracle side never contracts —
+    * componentEdgesBySet is PROVEN equal to this in ClusteringSpec).
+    */
+  private val exactCcSql: String =
+    s"""hashed AS (SELECT d.doc_id, d.source,
+       |    list_distinct(list_transform(${Analysis.toks}, w -> ${Analysis.hash60("w")})) AS items
+       |  FROM documents d JOIN kept1 k ON d.doc_id = k.doc_id),
+       |pairs AS (SELECT id_a, id_b FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |      ${Analysis.jaccardSql("a.items", "b.items")} AS jaccard
+       |    FROM hashed a JOIN hashed b
+       |      ON a.source = b.source AND a.doc_id < b.doc_id)
+       |  WHERE jaccard >= 0.9),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach(id, label) AS (
+       |  SELECT doc_id, doc_id FROM kept1
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+       |canon AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING id = MIN(label))""".stripMargin
+
+  /** semDropIds + kept3 in SQL, parameterized on the Lloyd CTE chain
+    * (fixed-k lloydSql for v2, √N lloydSqlScaled for v3).
+    */
+  private def semStageSql(lloyd: String): String =
+    s"""$lloyd,
+       |sv AS (SELECT a3.vec_id, a3.cid AS cluster, e.embedding
+       |  FROM a3 JOIN embeddings e USING (vec_id)
+       |  JOIN canon c ON a3.vec_id = c.doc_id),
+       |semdrops AS (SELECT DISTINCT b.vec_id
+       |  FROM sv a JOIN sv b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE ${Analysis.cosineSql("a.embedding", "b.embedding")} >= 0.4),
+       |kept3 AS (SELECT doc_id FROM canon
+       |  WHERE doc_id NOT IN (SELECT vec_id FROM semdrops))""".stripMargin
+
+  /** gateChunkSplit in SQL over kept relation `keptRel` (must expose
+    * doc_id), ending in the final SELECT.
+    */
+  private def corpusTailSql(keptRel: String): String =
+    s"""feat AS (SELECT doc_id, text, ${Analysis.langCase} AS lang_pred,
+       |    ${Analysis.qualityExpr} AS quality
+       |  FROM (SELECT d.doc_id, d.text, ${Analysis.markerHits},
+       |      len(${Analysis.toks})::DOUBLE AS n, len(${Analysis.dtoks})::DOUBLE AS nd
+       |    FROM documents d JOIN $keptRel c ON d.doc_id = c.doc_id)),
+       |kept2 AS (SELECT doc_id, text FROM feat
+       |  WHERE lang_pred = 'en' AND quality >= 0.45),
+       |t AS (SELECT doc_id, ${Analysis.toks} AS tk, CASE
+       |    WHEN ${Analysis.hash60("CAST(doc_id AS VARCHAR) || ':split'")} % 100 < 80 THEN 'train'
+       |    WHEN ${Analysis.hash60("CAST(doc_id AS VARCHAR) || ':split'")} % 100 < 90 THEN 'val'
+       |    ELSE 'test' END AS split
+       |  FROM kept2),
+       |ch AS (SELECT doc_id, split, i AS chunk_idx,
+       |    len(tk[CAST(i*48+1 AS BIGINT) : CAST(i*48+64 AS BIGINT)]) AS n_chunk_tokens
+       |  FROM t CROSS JOIN LATERAL (SELECT unnest(range(0,
+       |    greatest(CAST(ceil(greatest(len(tk) - 16, 0) / 48.0) AS BIGINT), 1))) AS i)
+       |  WHERE len(tk) > 0)
+       |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, n_chunk_tokens, split
+       |FROM ch ORDER BY doc_id ASC, chunk_idx ASC""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_dup_clusters_lsh" ->
@@ -350,90 +480,34 @@ object Clustering {
          |SELECT id AS doc_id, MIN(label) AS cluster_id
          |FROM reach GROUP BY id ORDER BY doc_id ASC""".stripMargin,
     "q_corpus_build" ->
-      s"""WITH RECURSIVE kept1 AS (
-         |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-         |hashed AS (SELECT d.doc_id, d.source,
-         |    list_distinct(list_transform(${Analysis.toks}, w -> ${Analysis.hash60("w")})) AS items
-         |  FROM documents d JOIN kept1 k ON d.doc_id = k.doc_id),
-         |pairs AS (SELECT id_a, id_b FROM (
-         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |      ${Analysis.jaccardSql("a.items", "b.items")} AS jaccard
-         |    FROM hashed a JOIN hashed b
-         |      ON a.source = b.source AND a.doc_id < b.doc_id)
-         |  WHERE jaccard >= 0.9),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION SELECT id_b AS src, id_a AS dst FROM pairs),
-         |reach(id, label) AS (
-         |  SELECT doc_id, doc_id FROM kept1
-         |  UNION
-         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
-         |canon AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING id = MIN(label)),
-         |feat AS (SELECT doc_id, text, ${Analysis.langCase} AS lang_pred,
-         |    ${Analysis.qualityExpr} AS quality
-         |  FROM (SELECT d.doc_id, d.text, ${Analysis.markerHits},
-         |      len(${Analysis.toks})::DOUBLE AS n, len(${Analysis.dtoks})::DOUBLE AS nd
-         |    FROM documents d JOIN canon c ON d.doc_id = c.doc_id)),
-         |kept2 AS (SELECT doc_id, text FROM feat
-         |  WHERE lang_pred = 'en' AND quality >= 0.45),
-         |t AS (SELECT doc_id, ${Analysis.toks} AS tk, CASE
-         |    WHEN ${Analysis.hash60("CAST(doc_id AS VARCHAR) || ':split'")} % 100 < 80 THEN 'train'
-         |    WHEN ${Analysis.hash60("CAST(doc_id AS VARCHAR) || ':split'")} % 100 < 90 THEN 'val'
-         |    ELSE 'test' END AS split
-         |  FROM kept2),
-         |ch AS (SELECT doc_id, split, i AS chunk_idx,
-         |    len(tk[CAST(i*48+1 AS BIGINT) : CAST(i*48+64 AS BIGINT)]) AS n_chunk_tokens
-         |  FROM t CROSS JOIN LATERAL (SELECT unnest(range(0,
-         |    greatest(CAST(ceil(greatest(len(tk) - 16, 0) / 48.0) AS BIGINT), 1))) AS i)
-         |  WHERE len(tk) > 0)
-         |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, n_chunk_tokens, split
-         |FROM ch ORDER BY doc_id ASC, chunk_idx ASC""".stripMargin,
+      s"""WITH RECURSIVE $kept1Sql,
+         |$exactCcSql,
+         |${corpusTailSql("canon")}""".stripMargin,
     "q_corpus_build_v2" ->
-      s"""WITH RECURSIVE kept1 AS (
-         |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-         |hashed AS (SELECT d.doc_id, d.source,
-         |    list_distinct(list_transform(${Analysis.toks}, w -> ${Analysis.hash60("w")})) AS items
-         |  FROM documents d JOIN kept1 k ON d.doc_id = k.doc_id),
-         |pairs AS (SELECT id_a, id_b FROM (
-         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |      ${Analysis.jaccardSql("a.items", "b.items")} AS jaccard
-         |    FROM hashed a JOIN hashed b
-         |      ON a.source = b.source AND a.doc_id < b.doc_id)
-         |  WHERE jaccard >= 0.9),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+      s"""WITH RECURSIVE $kept1Sql,
+         |$exactCcSql,
+         |${semStageSql(SemanticQ.lloydSql)},
+         |${corpusTailSql("kept3")}""".stripMargin,
+    "q_corpus_build_v3" ->
+      s"""WITH RECURSIVE $kept1Sql,
+         |$exactCcSql,
+         |${semStageSql(SemanticQ.lloydSqlScaled)},
+         |${corpusTailSql("kept3")}""".stripMargin,
+    "q_corpus_build_lsh" ->
+      s"""WITH RECURSIVE $kept1Sql,
+         |${Analysis.minhashBandedCteFrom(
+             "(SELECT d.doc_id, d.text FROM documents d JOIN kept1 k ON d.doc_id = k.doc_id) dk")},
+         |anchors AS (SELECT bkey, MIN(doc_id) AS anchor FROM banded GROUP BY bkey),
+         |stars AS (SELECT DISTINCT a.anchor AS id_a, b.doc_id AS id_b
+         |  FROM banded b JOIN anchors a USING (bkey) WHERE b.doc_id <> a.anchor),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM stars
+         |  UNION SELECT id_b AS src, id_a AS dst FROM stars),
          |reach(id, label) AS (
          |  SELECT doc_id, doc_id FROM kept1
          |  UNION
          |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
          |canon AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING id = MIN(label)),
-         |${SemanticQ.lloydSql},
-         |sv AS (SELECT a3.vec_id, a3.cid AS cluster, e.embedding
-         |  FROM a3 JOIN embeddings e USING (vec_id)
-         |  JOIN canon c ON a3.vec_id = c.doc_id),
-         |semdrops AS (SELECT DISTINCT b.vec_id
-         |  FROM sv a JOIN sv b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-         |  WHERE ${Analysis.cosineSql("a.embedding", "b.embedding")} >= 0.4),
-         |kept3 AS (SELECT doc_id FROM canon
-         |  WHERE doc_id NOT IN (SELECT vec_id FROM semdrops)),
-         |feat AS (SELECT doc_id, text, ${Analysis.langCase} AS lang_pred,
-         |    ${Analysis.qualityExpr} AS quality
-         |  FROM (SELECT d.doc_id, d.text, ${Analysis.markerHits},
-         |      len(${Analysis.toks})::DOUBLE AS n, len(${Analysis.dtoks})::DOUBLE AS nd
-         |    FROM documents d JOIN kept3 c ON d.doc_id = c.doc_id)),
-         |kept2 AS (SELECT doc_id, text FROM feat
-         |  WHERE lang_pred = 'en' AND quality >= 0.45),
-         |t AS (SELECT doc_id, ${Analysis.toks} AS tk, CASE
-         |    WHEN ${Analysis.hash60("CAST(doc_id AS VARCHAR) || ':split'")} % 100 < 80 THEN 'train'
-         |    WHEN ${Analysis.hash60("CAST(doc_id AS VARCHAR) || ':split'")} % 100 < 90 THEN 'val'
-         |    ELSE 'test' END AS split
-         |  FROM kept2),
-         |ch AS (SELECT doc_id, split, i AS chunk_idx,
-         |    len(tk[CAST(i*48+1 AS BIGINT) : CAST(i*48+64 AS BIGINT)]) AS n_chunk_tokens
-         |  FROM t CROSS JOIN LATERAL (SELECT unnest(range(0,
-         |    greatest(CAST(ceil(greatest(len(tk) - 16, 0) / 48.0) AS BIGINT), 1))) AS i)
-         |  WHERE len(tk) > 0)
-         |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, n_chunk_tokens, split
-         |FROM ch ORDER BY doc_id ASC, chunk_idx ASC""".stripMargin,
+         |${corpusTailSql("canon")}""".stripMargin,
     "q_edit_distance_dedup" ->
       """SELECT id_a, id_b, dist FROM (
         |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,

@@ -183,11 +183,21 @@ object SemanticQ {
     * ad-hoc (2-round integer Lloyd) — the scaled quantizer is re-fit
     * per dataset rather than cached, since k itself is data-dependent.
     */
+  /** Ad-hoc √N quantizer fit: k = ⌈√N⌉ over the dataset's embeddings,
+    * 2-round integer Lloyd. Re-fit per call by design (k is
+    * data-dependent, so the shared fixed-k cache does not apply); shared
+    * by q_semdedup_scaled and Clustering's q_corpus_build_v3.
+    */
+  private[queries] def scaledCentroids(s: SparkSession, d: String): Seq[(Long, Seq[Long])] = {
+    val emb = Tables.embeddings(s, d)
+    val k = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+    KMeansOp.lloydCentroidsLocal(emb, "vec_id", col("embedding"), k, Iters)
+  }
+
   def semdedupScaledQ(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
-    val k = math.ceil(math.sqrt(emb.count().toDouble)).toInt
-    val cents = KMeansOp.lloydCentroidsLocal(emb, "vec_id", col("embedding"), k, Iters)
+    val cents = scaledCentroids(s, d)
     val asg = KMeansOp.assign(intVecs(s, d), cents.toDF("cid", "c"))
       .select(col("vec_id"), col("cid").as("cluster"))
     val ve = asg.join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
@@ -264,9 +274,11 @@ object SemanticQ {
   private[queries] val lloydSql: String = lloydSqlWithSeed(K.toString)
 
   /** The √N-scaled chain: k derives from the same COUNT both engines
-    * see, as a scalar-subquery LIMIT on the seed CTE.
+    * see, as a scalar-subquery LIMIT on the seed CTE. Also composed
+    * into Clustering's q_corpus_build_v3 oracle (the scaled-quantizer
+    * contract in SQL form, mirroring lloydSql's role for v2).
     */
-  private val lloydSqlScaled: String =
+  private[queries] val lloydSqlScaled: String =
     lloydSqlWithSeed("(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM q)")
 
   val oracleSql: Map[String, String] = Map(

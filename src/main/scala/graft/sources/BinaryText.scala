@@ -304,22 +304,27 @@ object BinaryText {
     * chain (ISO 32000-1 §7.3.8 Table 5): `/DecodeParms` is a single
     * dict when `/Filter` is a single name, or an ARRAY of
     * (dict | null) entries matched to the filter array by position.
-    * Returns one string per chain position ("" where null/absent) —
-    * the predictor/EarlyChange regexes then scan ONLY the owning
-    * filter's dict, so a chain like
-    * `[/ASCII85Decode /FlateDecode] … [null <</Predictor 12 …>>]`
-    * attributes the predictor to the Flate stage alone.
+    * Returns `None` when the stream dict carries NO `/DecodeParms` (or
+    * `/DP`) key at all — callers may then fall back to a legacy
+    * whole-dict scan — and `Some(one string per chain position)` when
+    * the key is present, with "" where the entry is an explicit `null`
+    * (or the array is shorter than the chain). The distinction is
+    * load-bearing: an explicit `null` for a Flate/LZW stage means "this
+    * stage has NO parms", so the predictor regexes must not pick up a
+    * /Predictor that belongs to ANOTHER stage of the same chain via the
+    * whole-dict fallback.
     */
-  private[graft] def decodeParmsOf(dict: String, nFilters: Int): Seq[String] = {
+  private[graft] def decodeParmsOf(dict: String, nFilters: Int): Option[Seq[String]] = {
     val m = DecodeParmsPat.matcher(dict)
-    if (!m.find()) return Seq.fill(nFilters)("")
+    if (!m.find()) return None
     val start = m.start(1)
     m.group(1) match {
       case "<<" => // single dict applies to the (single) filter
         val d = balancedDict(dict, start)
-        if (nFilters == 1) Seq(d) else d +: Seq.fill(nFilters - 1)("")
-      case "/" => // a name like /null — treat as absent
-        Seq.fill(nFilters)("")
+        Some(if (nFilters == 1) Seq(d) else d +: Seq.fill(nFilters - 1)(""))
+      case "/" => // a name where a dict/array belongs — malformed; treat
+        // the key as absent (legacy whole-dict behavior)
+        None
       case _ => // array of null | dict, in filter order
         val out = mutable.Buffer[String]()
         var i = start + 1
@@ -330,7 +335,7 @@ object BinaryText {
           } else if (dict.startsWith("null", i)) { out += ""; i += 4 }
           else i += 1
         }
-        out.toSeq.padTo(nFilters, "")
+        Some(out.toSeq.padTo(nFilters, ""))
     }
   }
 
@@ -374,10 +379,15 @@ object BinaryText {
       while (nm.find()) buf += nm.group(1)
       buf.toSeq
     }
-    // per-filter parms; a chain with no parms array falls back to the
-    // whole dict so single-filter streams keep their historical behavior
+    // per-filter parms: when /DecodeParms is PRESENT its per-position
+    // entry is authoritative (an explicit null = empty parms — never
+    // another stage's dict); only a stream with no /DecodeParms key at
+    // all falls back to the legacy whole-dict scan
     val parms = decodeParmsOf(dict, names.length)
-    def parmsOr(i: Int): String = if (parms(i).nonEmpty) parms(i) else dict
+    def parmsOr(i: Int): String = parms match {
+      case None     => dict
+      case Some(ps) => ps(i)
+    }
     names.zipWithIndex.foldLeft(data) { case (d, (name, i)) =>
       name match {
         case "FlateDecode" | "Fl" => unpredict(parmsOr(i), inflate(d))

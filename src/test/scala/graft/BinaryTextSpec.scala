@@ -569,19 +569,36 @@ class BinaryTextSpec extends AnyFunSuite {
   }
 
   test("decodeParmsOf: single dict, array with nulls/nested dicts, absent") {
-    assert(BinaryText.decodeParmsOf("<< /Filter /FlateDecode >>", 1) == Seq(""))
+    // no /DecodeParms key at all → None (legacy whole-dict fallback allowed)
+    assert(BinaryText.decodeParmsOf("<< /Filter /FlateDecode >>", 1).isEmpty)
     assert(BinaryText.decodeParmsOf(
-      "<< /DecodeParms << /Predictor 2 >> >>", 1) == Seq("<< /Predictor 2 >>"))
+      "<< /DecodeParms << /Predictor 2 >> >>", 1)
+      == Some(Seq("<< /Predictor 2 >>")))
     assert(BinaryText.decodeParmsOf(
       "<< /DP [null << /Predictor 12 /Columns 7 >>] >>", 2)
-      == Seq("", "<< /Predictor 12 /Columns 7 >>"))
+      == Some(Seq("", "<< /Predictor 12 /Columns 7 >>")))
     // nested dict inside a parms dict stays balanced
     assert(BinaryText.decodeParmsOf(
       "<< /DecodeParms [<< /A << /B 1 >> >> null] >>", 2)
-      == Seq("<< /A << /B 1 >> >>", ""))
-    // array shorter than the chain pads with absent
+      == Some(Seq("<< /A << /B 1 >> >>", "")))
+    // array shorter than the chain pads with explicit-empty (no fallback)
     assert(BinaryText.decodeParmsOf("<< /DecodeParms [null] >>", 3)
-      == Seq("", "", ""))
+      == Some(Seq("", "", "")))
+  }
+
+  test("PDF: explicit null /DecodeParms entry for a Flate stage must NOT " +
+    "inherit another stage's predictor via the whole-dict fallback") {
+    // chain [/FlateDecode /FlateDecode]: the FIRST stage's parms are an
+    // explicit null, the SECOND carries the predictor. The payload is
+    // deflate(pngUp(deflate(content))) — decoding must unpredict ONLY
+    // after the second inflate; running unpredict after the first (the
+    // old whole-dict fallback on a null entry) garbles the bytes.
+    val content = "BT (null parms isolated) Tj ET".getBytes(ISO_8859_1)
+    val enc = deflate(pngUpEncode(deflate(content), columns = 5))
+    val pdf = pdfAround(enc, dictExtra =
+      " /Filter [/FlateDecode /FlateDecode]" +
+        " /DecodeParms [<< /Predictor 12 /Columns 5 >> null]")
+    assert(BinaryText.extract(pdf) == "null parms isolated")
   }
 
   test("PDF: a malformed ASCII85 group degrades to salvage, not an abort") {

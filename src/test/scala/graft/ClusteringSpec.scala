@@ -22,7 +22,9 @@ class ClusteringSpec extends AnyFunSuite {
       ("b1", 5L, set(1, 2, 3, 4, 5, 6, 7, 8, 9)),     // J=9/10=0.9 vs 1 — bridges
       ("b1", 6L, set(1, 2, 3, 4, 5, 6, 7, 8, 9)),     // same set as 5
       ("b2", 7L, set(1, 2, 3, 4, 5, 6, 7, 8, 9, 10)), // same set, OTHER block
-      ("b2", 8L, set(100))                            // singleton
+      ("b2", 8L, set(100)),                           // singleton
+      ("b1", 9L, set()),                              // EMPTY set — Jaccard 0
+      ("b1", 10L, set())                              // with everything, incl. 9
     ).toDF("block", "id", "items")
     val nodes = sets.select(col("id"))
     def clusters(edges: org.apache.spark.sql.DataFrame) =
@@ -36,6 +38,8 @@ class ClusteringSpec extends AnyFunSuite {
       "clique + bridge must share cluster 1")
     assert(full(4L) == 4L && full(7L) == 7L && full(8L) == 8L,
       "sub-threshold, cross-block, and singleton stay separate")
+    assert(full(9L) == 9L && full(10L) == 10L,
+      "empty sets have Jaccard 0 with everything — must stay singletons")
     // edge count: the full relation pairs the 3-clique (3 edges) + the
     // 2-clique (1) + bridges; contraction must emit FEWER edges here
     val nFull = Dedup.jaccardPairsHashedFromSets(sets, 0.9).count()
@@ -84,6 +88,33 @@ class ClusteringSpec extends AnyFunSuite {
     val nEdges = banded.join(anchors, Seq("bkey"))
       .where(col("id") =!= col("anchor")).count()
     assert(nEdges <= docs.count() * 4, s"edges $nEdges exceed N·bands")
+  }
+
+  test("corpus builds compose: v3's kept docs ⊆ exact build's; lsh build " +
+    "never keeps both sides of a verified near-dup pair") {
+    val d = TestSpark.sf0001
+    def keptDocs(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
+    val base = keptDocs(Clustering.corpusBuild(spark, d))
+    val v3 = keptDocs(Clustering.corpusBuildV3(spark, d))
+    assert(v3.subsetOf(base),
+      "the √N SemDeDup stage may only REMOVE docs from the exact build")
+    assert(v3.nonEmpty, "v3 must keep a non-trivial corpus")
+    val lsh = keptDocs(Clustering.corpusBuildLsh(spark, d))
+    assert(lsh.nonEmpty)
+    // a verified minhash pair shares a band bucket → one LSH component →
+    // at most one of the two can be its component's canonical rep
+    val exactSurvivors = Tables.documents(spark, d)
+      .groupBy(md5(col("text").cast("binary")))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val verified = graft.queries.Analysis.queries("q_minhash_lsh")(spark, d)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => exactSurvivors(a) && exactSurvivors(b) }
+    assert(verified.nonEmpty, "fixture should contain verified near-dups")
+    for ((a, b) <- verified)
+      assert(!(lsh(a) && lsh(b)),
+        s"verified near-dup pair ($a,$b) both survived the LSH build")
   }
 
   test("int8 quantization: codes bounded, reconstruction error <= scale/2") {
