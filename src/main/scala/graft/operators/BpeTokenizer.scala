@@ -112,11 +112,10 @@ object BpeTokenizer {
   }
 
   /** Deterministic id space: single-char base symbols get their byte
-    * value 0..255; the symbol produced by merge rank r gets 256+r. (The
-    * PUBLISHED GPT-2 id space additionally requires the released
-    * vocab.json — load it into a map and compose if exact published ids
-    * are needed; the construction here is the standard one for a
-    * from-scratch training run.)
+    * value 0..255; the symbol produced by merge rank r gets 256+r —
+    * the standard construction for a from-scratch training run. For
+    * the PUBLISHED GPT-2 id space, load the released vocab.json with
+    * [[loadVocab]] and compose via [[encodeIdsWithVocab]].
     */
   def vocab(merges: Seq[(String, String)]): Map[String, Int] = {
     val base = (0 until 256).map(b => byteEncoder(b).toString -> b)
@@ -128,6 +127,92 @@ object BpeTokenizer {
     val v = vocab(merges)
     encode(text, merges).map(v)
   }
+
+  /** Parse the published `vocab.json` format — ONE flat JSON object
+    * mapping token string → integer id (the GPT-2 release writes the
+    * byte-encoded symbols with standard JSON escapes, e.g. `"Ġt"`
+    * for `Ġt`). Hand-rolled parser for exactly this shape: no library
+    * dependency, and malformed input fails with an offset-stamped
+    * message instead of a silent partial map.
+    */
+  private[graft] def parseVocabJson(s: String): Map[String, Int] = {
+    var i = 0
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"vocab.json offset $i: $msg")
+    def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
+    def expect(c: Char): Unit = {
+      if (i >= s.length || s(i) != c) fail(s"expected '$c'")
+      i += 1
+    }
+    def str(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (i < s.length && s(i) != '"') {
+        if (s(i) == '\\') {
+          if (i + 1 >= s.length) fail("dangling escape")
+          s(i + 1) match {
+            case '"' => sb += '"'; i += 2
+            case '\\' => sb += '\\'; i += 2
+            case '/' => sb += '/'; i += 2
+            case 'b' => sb += '\b'; i += 2
+            case 'f' => sb += '\f'; i += 2
+            case 'n' => sb += '\n'; i += 2
+            case 'r' => sb += '\r'; i += 2
+            case 't' => sb += '\t'; i += 2
+            case 'u' =>
+              if (i + 6 > s.length) fail("truncated \\u escape")
+              val hex = s.substring(i + 2, i + 6)
+              val v = try Integer.parseInt(hex, 16)
+                catch { case _: NumberFormatException => fail(s"bad \\u$hex") }
+              sb += v.toChar; i += 6
+            case c => fail(s"unknown escape \\$c")
+          }
+        } else { sb += s(i); i += 1 }
+      }
+      expect('"')
+      sb.toString
+    }
+    def int(): Int = {
+      val start = i
+      if (i < s.length && s(i) == '-') i += 1
+      while (i < s.length && s(i).isDigit) i += 1
+      if (i == start) fail("expected integer id")
+      s.substring(start, i).toInt
+    }
+    val out = Map.newBuilder[String, Int]
+    ws(); expect('{'); ws()
+    if (i < s.length && s(i) == '}') { i += 1 }
+    else {
+      var more = true
+      while (more) {
+        ws(); val k = str(); ws(); expect(':'); ws(); val v = int(); ws()
+        out += k -> v
+        if (i < s.length && s(i) == ',') { i += 1 }
+        else { expect('}'); more = false }
+      }
+    }
+    ws()
+    if (i != s.length) fail("trailing content after object")
+    out.result()
+  }
+
+  /** Published vocab.json loader (see [[parseVocabJson]]). */
+  def loadVocab(path: String): Map[String, Int] =
+    parseVocabJson(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), UTF_8))
+
+  /** Encode to the PUBLISHED id space: token symbols from `merges`, ids
+    * from the released vocab.json map. With the real GPT-2 pair this
+    * reproduces the exact public ids (e.g. "Hello world" → 15496, 995 —
+    * pinned by the gated spec in BpeSpec, which runs whenever the
+    * released files are supplied). A symbol absent from the vocab is a
+    * mismatched merges/vocab pair — fails loudly.
+    */
+  def encodeIdsWithVocab(text: String, merges: Seq[(String, String)],
+      vocab: Map[String, Int]): Seq[Int] =
+    encode(text, merges).map(sym => vocab.getOrElse(sym,
+      throw new IllegalArgumentException(
+        s"symbol '$sym' not in vocab — mismatched merges/vocab pair")))
 
   def countTokens(text: String, merges: Seq[(String, String)]): Int =
     encode(text, merges).size

@@ -42,17 +42,43 @@ object SemanticQ {
   private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
     String, (String, Seq[(Long, Seq[Long])])]()
 
-  /** Content identity of `$d`'s embeddings table: one cheap driver-side
-    * file listing (no data read) — any rewrite changes a length or
-    * mtime, any file add/remove changes the set.
+  /** Content identity of `$d`'s embeddings table: per part file, the
+    * name, length, and an md5 over the parquet FOOTER bytes (footer
+    * length from the 8-byte trailer; capped at 1 MiB). The footer holds
+    * the schema, row-group offsets, and column statistics, so any data
+    * rewrite perturbs it — including an in-place same-length rewrite
+    * within the same mtime second, the residual the previous
+    * (name, len, mtime) fingerprint could not see. Cost is one
+    * driver-side footer read per part file — no data pages are read.
+    * Files too short or non-parquet fall back to (len, mtime).
     */
-  private def snapshotKey(s: SparkSession, d: String): String = {
+  private[graft] def snapshotKey(s: SparkSession, d: String): String = {
     val path = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def footerHash(st: org.apache.hadoop.fs.FileStatus): Option[String] =
+      if (!st.getPath.getName.endsWith(".parquet") || st.getLen < 12) None
+      else scala.util.Try {
+        val in = fs.open(st.getPath)
+        try {
+          val trailer = new Array[Byte](8)
+          in.readFully(st.getLen - 8, trailer)
+          val footerLen = java.nio.ByteBuffer.wrap(trailer, 0, 4)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt.toLong
+          val n = math.min(math.max(footerLen + 8, 8L),
+            math.min(st.getLen, 1L << 20)).toInt
+          val buf = new Array[Byte](n)
+          in.readFully(st.getLen - n, buf)
+          java.security.MessageDigest.getInstance("MD5").digest(buf)
+            .map("%02x".format(_)).mkString
+        } finally in.close()
+      }.toOption
     val parts =
       if (!fs.exists(path)) Seq("absent")
       else fs.listStatus(path).toSeq.sortBy(_.getPath.getName)
-        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .map(st => footerHash(st) match {
+          case Some(h) => s"${st.getPath.getName}:${st.getLen}:$h"
+          case None => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+        })
     s"$d|${parts.mkString(",")}"
   }
 

@@ -109,10 +109,16 @@ object DedupStream {
   /** Start the ingestion stream over a streaming (doc_id, text, ...)
     * frame. Readers see the growing corpus as one partitioned parquet
     * table at `outDir`.
+    *
+    * `autoCompactEvery` defaults to 16 on this long-running entry point:
+    * state reads stay O(base + ≤16 batch dirs) forever with zero
+    * operator intervention (StreamState.maybeCompact — a killed
+    * compaction is invisible). 0 disables; the per-batch primitive
+    * [[processBatch]] keeps 0 as its default for test isolation.
     */
   def nearDupIngest(docs: DataFrame, stateDir: String, outDir: String,
       checkpointDir: String, bands: Int = 8, rowsPerBand: Int = 2,
-      threshold: Double = 0.9, autoCompactEvery: Int = 0): StreamingQuery =
+      threshold: Double = 0.9, autoCompactEvery: Int = 16): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>

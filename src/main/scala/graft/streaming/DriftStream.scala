@@ -161,7 +161,7 @@ object DriftStream {
   def alertMonitor(docs: DataFrame, stateDir: String, outDir: String,
       alertDir: String, checkpointDir: String, baseline: DataFrame,
       enterPpm: Long = 500_000L, exitPpm: Long = 300_000L,
-      autoCompactEvery: Int = 0): StreamingQuery =
+      autoCompactEvery: Int = 16): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -197,9 +197,16 @@ object DriftStream {
   /** Start the monitor over a streaming (doc_id, text, source) frame.
     * Readers see per-batch drift scores as one partitioned parquet table
     * at `outDir`.
+    *
+    * `autoCompactEvery` defaults to 16 on the long-running entry points
+    * ([[driftMonitor]], [[alertMonitor]]): reference reads stay
+    * O(base + ≤16 batch dirs) for the life of the stream with zero
+    * operator intervention, under the same crash contract
+    * (StreamState.maybeCompact). 0 disables; the per-batch primitives
+    * ([[processBatch]], [[processAlertBatch]]) keep 0 for test isolation.
     */
   def driftMonitor(docs: DataFrame, stateDir: String, outDir: String,
-      checkpointDir: String, autoCompactEvery: Int = 0): StreamingQuery =
+      checkpointDir: String, autoCompactEvery: Int = 16): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>

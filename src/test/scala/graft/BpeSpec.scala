@@ -106,6 +106,70 @@ class BpeSpec extends AnyFunSuite {
     assert(encode(" the scan line", loaded) == encode(" the scan line", fixtureMerges))
   }
 
+  test("loadMerges: malformed line fails with a line-numbered message") {
+    val f = java.nio.file.Files.createTempFile("graft_merges_bad", ".txt")
+    java.nio.file.Files.writeString(f, "#version: 0.2\na b\nnospace\n")
+    val e = intercept[IllegalArgumentException] { loadMerges(f.toString) }
+    assert(e.getMessage.contains(":3:") && e.getMessage.contains("nospace"),
+      s"got: ${e.getMessage}")
+  }
+
+  test("parseVocabJson: published format incl. \\u escapes; malformed fails") {
+    // the GPT-2 release writes byte-encoded symbols as unicode escapes
+    assert(BpeTokenizer.parseVocabJson("""{"!": 0, "Ġt": 256}""")
+      == Map("!" -> 0, "Ġt" -> 256))
+    assert(BpeTokenizer.parseVocabJson("{ }") == Map.empty[String, Int])
+    assert(BpeTokenizer.parseVocabJson("""{"a\"b": 1, "\\": 2}""")
+      == Map("a\"b" -> 1, "\\" -> 2))
+    intercept[IllegalArgumentException] {
+      BpeTokenizer.parseVocabJson("""{"a": }""")
+    }
+    intercept[IllegalArgumentException] {
+      BpeTokenizer.parseVocabJson("""{"a": 1} trailing""")
+    }
+  }
+
+  test("vocab.json round-trip: published-format file (non-ASCII as \\u " +
+    "escapes) composes with merges to the same ids as the construction") {
+    val v = vocab(fixtureMerges)
+    def esc(t: String): String = t.flatMap {
+      case c if c >= ' ' && c <= '~' && c != '"' && c != '\\' => c.toString
+      case c => f"\\u${c.toInt}%04x"
+    }
+    val json = v.toSeq.sortBy(_._2)
+      .map { case (t, id) => s""""${esc(t)}": $id""" }
+      .mkString("{", ", ", "}")
+    val f = java.nio.file.Files.createTempFile("graft_vocab", ".json")
+    java.nio.file.Files.writeString(f, json)
+    val loaded = BpeTokenizer.loadVocab(f.toString)
+    assert(loaded == v)
+    val text = " the scan line joins the scheme"
+    assert(BpeTokenizer.encodeIdsWithVocab(text, fixtureMerges, loaded)
+      == encodeIds(text, fixtureMerges))
+    // a mismatched merges/vocab pair fails loudly, not with wrong ids
+    intercept[IllegalArgumentException] {
+      BpeTokenizer.encodeIdsWithVocab(text, fixtureMerges, loaded - "Ġthe")
+    }
+  }
+
+  test("published GPT-2 release files (gated): 'Hello world' -> [15496, 995]") {
+    // Zero-egress environment: the released merges.txt/vocab.json cannot
+    // be fetched here, and fabricating their contents would pin nothing.
+    // Supply GRAFT_GPT2_DIR pointing at the public release (e.g. from
+    // huggingface.co/openai-community/gpt2) and this pins the exact
+    // published ids end-to-end through loadMerges + loadVocab + encode.
+    val dir = sys.env.get("GRAFT_GPT2_DIR")
+    assume(dir.exists(d => new java.io.File(s"$d/merges.txt").exists &&
+      new java.io.File(s"$d/vocab.json").exists),
+      "set GRAFT_GPT2_DIR to a dir holding the released merges.txt + vocab.json")
+    val merges = loadMerges(s"${dir.get}/merges.txt")
+    val v = BpeTokenizer.loadVocab(s"${dir.get}/vocab.json")
+    assert(BpeTokenizer.encodeIdsWithVocab("Hello world", merges, v)
+      == Seq(15496, 995))
+    assert(BpeTokenizer.encodeIdsWithVocab("hello world", merges, v)
+      == Seq(31373, 995))
+  }
+
   test("requireTrainingConsistent rejects an out-of-order table") {
     intercept[IllegalArgumentException] {
       requireTrainingConsistent(Seq(("ab", "c"), ("a", "b")))

@@ -180,4 +180,31 @@ class KMeansSpec extends AnyFunSuite {
     val expect = 10.0 / 14.0
     assert(math.abs(df.head().getDouble(0) - expect) < 1e-12)
   }
+
+  test("quantizer cache snapshotKey: an in-place footer rewrite with " +
+    "preserved file length AND mtime still invalidates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    Seq((0L, Seq(1.0f, 2.0f)), (1L, Seq(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val k1 = graft.queries.SemanticQ.snapshotKey(spark, dir)
+    // flip one byte INSIDE the footer of the part file, then restore the
+    // mtime — the old (name, len, mtime) fingerprint cannot see this
+    val part = new java.io.File(s"$dir/embeddings.parquet").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val mtime = part.lastModified()
+    val raf = new java.io.RandomAccessFile(part, "rw")
+    try {
+      raf.seek(raf.length - 16)
+      val b = raf.read()
+      raf.seek(raf.length - 16)
+      raf.write(b ^ 0x55)
+    } finally raf.close()
+    assert(part.setLastModified(mtime), "mtime restore must succeed")
+    val k2 = graft.queries.SemanticQ.snapshotKey(spark, dir)
+    assert(k1 != k2, "footer content change must change the snapshot key")
+    // and key stability: no change → same key
+    assert(graft.queries.SemanticQ.snapshotKey(spark, dir) == k2)
+  }
 }

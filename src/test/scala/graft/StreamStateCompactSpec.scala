@@ -137,6 +137,43 @@ class StreamStateCompactSpec extends AnyFunSuite {
     assert(streaming.StreamState.committedIds(spark, plainState).size == 6)
   }
 
+  test("auto-compaction at the DEFAULT policy (N=16) over 50 batches (>3N): " +
+    "reads stay O(base + ≤16 batches), state exact, zero manual compacts") {
+    val (stateDir, outDir) = (tmp("d16_state"), tmp("d16_out"))
+    val expected = scala.collection.mutable.Map.empty[String, Long]
+    for (b <- 0L until 50L) {
+      // two docs per batch; word w<b> is unique to its batch, 'a' recurs
+      val rows = Seq((b * 2, s"w$b a common", "web"), (b * 2 + 1, "a b", "s2"))
+      rows.foreach { case (_, text, _) =>
+        text.split(" ").filter(_.nonEmpty)
+          .foreach(w => expected(w) = expected.getOrElse(w, 0L) + 1L)
+      }
+      DriftStream.processBatch(rows.toDF("doc_id", "text", "source"),
+        b, stateDir, outDir, autoCompactEvery = 16)
+      // the policy bound holds CONTINUOUSLY: committed markers never
+      // exceed N after any batch returns
+      val nCommitted = streaming.StreamState.committedIds(spark, stateDir).size
+      assert(nCommitted <= 16, s"batch $b: $nCommitted committed markers > 16")
+    }
+    // 50 batches under N=16 compacted repeatedly; exactly one live base
+    // survives (superseded bases are cleaned), loose batch dirs ≤ N+1
+    assert(streaming.StreamState.compactedIds(spark, stateDir).size == 1)
+    val leaves = new java.io.File(s"$stateDir/counts").listFiles().map(_.getName)
+      .filter(n => n.startsWith("base_id") || n.startsWith("batch_id"))
+    assert(leaves.count(_.startsWith("base_id")) == 1, s"leaves: ${leaves.toSeq}")
+    assert(leaves.count(_.startsWith("batch_id")) <= 17, s"leaves: ${leaves.toSeq}")
+    // and the committed state still sums to EXACTLY the 50 batches' counts
+    val got = streaming.StreamState.readCommitted(spark, stateDir, "counts",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("w",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("c_w",
+            org.apache.spark.sql.types.LongType))))
+      .groupBy(col("w")).agg(sum(col("c_w")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected.toMap, "compacted state diverged from true counts")
+  }
+
   test("dedup auto-compaction (N=1): keep-decisions equal the batch twin; " +
     "both state tables stay folded") {
     val (stateDir, outDir) = (tmp("ad_state"), tmp("ad_out"))
