@@ -92,7 +92,16 @@ object BinaryText {
       if (isEncrypted(bytes)) PdfCrypto.context(bytes, password.getBytes(Ascii))
       else None
     if (isEncrypted(bytes) && crypto.isEmpty) return ""
-    val streams = decodedStreams(bytes, crypto)
+    // Cross-reference-guided generation filter: when the xref chain
+    // parses and validates, streams belonging to SUPERSEDED object
+    // generations (incremental updates, freed objects) are dropped
+    // before any interpretation — matching what an xref-following
+    // reader renders. Any inconsistency keeps the full scan.
+    val allStreams = decodedStreams(bytes, crypto)
+    val streams = liveStreamPred(bytes) match {
+      case Some(pred) => allStreams.filter { case (pos, _) => pred(pos) }
+      case None => allStreams
+    }
     // Burst /ObjStm containers (PDF 1.5+ compressed object streams —
     // where modern writers put ALL non-stream objects: page dicts, font
     // dicts, resource dicts) into (objNum, body) views, so the font
@@ -599,6 +608,221 @@ object BinaryText {
         .filter(_.nonEmpty).mkString("\n").trim
     } finally zis.close()
   }
+
+  // ---- cross-reference-guided object resolution (PDF 32000-1 §7.5) ----
+
+  private val StartxrefPat = java.util.regex.Pattern.compile("startxref\\s+(\\d+)")
+  private val WArrPat = java.util.regex.Pattern.compile("/W\\s*\\[([^\\]]*)\\]")
+  private val IndexArrPat = java.util.regex.Pattern.compile("/Index\\s*\\[([^\\]]*)\\]")
+  private val PrevPat = java.util.regex.Pattern.compile("/Prev\\s+(\\d+)")
+  private val XRefStmPat = java.util.regex.Pattern.compile("/XRefStm\\s+(\\d+)")
+  private val SizePat = java.util.regex.Pattern.compile("/Size\\s+(\\d+)")
+
+  /** Liveness verdict per object number from the xref chain:
+    * `Some(offset)` = live as a DIRECT object whose `N G obj` header
+    * starts at that byte offset; `None` = no direct generation is live
+    * (freed, or moved into an /ObjStm).
+    */
+  private type XrefMap = Map[Int, Option[Long]]
+
+  /** Follow `startxref` → the cross-reference chain (classic `xref`
+    * tables, /XRef streams, /Prev links, hybrid /XRefStm companions,
+    * newest table winning per object) and return each object's live
+    * entry. Returns None — keeping the whole-file-scan fallback — on
+    * ANY inconsistency: no/garbled chain, a cycle, an out-of-range
+    * offset, or a live entry whose target bytes do not hold a matching
+    * `N G obj` header. Reference behavior: PyMuPDF resolves objects
+    * through the xref (/root/reference/utils.py:12-13), so a superseded
+    * generation left behind by an incremental update never surfaces;
+    * the object scan stays as the salvage path for corrupt files.
+    */
+  private[graft] def xrefLive(bytes: Array[Byte]): Option[XrefMap] =
+    Try(xrefLiveImpl(bytes)).toOption.flatten
+
+  private def xrefLiveImpl(bytes: Array[Byte]): Option[XrefMap] = {
+    val whole = new String(bytes, Ascii)
+    val sx = whole.lastIndexOf("startxref")
+    if (sx < 0) return None
+    val sm = StartxrefPat.matcher(whole)
+    if (!sm.find(sx)) return None
+    val live = mutable.Map[Int, Option[Long]]()
+    val seen = mutable.Set[Long]()
+    // newest-first traversal with first-writer-wins per object; a
+    // section's hybrid /XRefStm is consulted before its /Prev
+    val queue = mutable.Queue[Long](sm.group(1).toLong)
+    while (queue.nonEmpty) {
+      val off = queue.dequeue()
+      if (!seen(off)) {
+        seen += off
+        require(off >= 0 && off < bytes.length, "xref offset out of range")
+        val (entries, nexts) = parseXrefSection(bytes, whole, off.toInt)
+        entries.foreach { case (n, v) => if (!live.contains(n)) live(n) = v }
+        nexts.foreach(queue.enqueue(_))
+      }
+    }
+    // every live direct entry must point at a matching object header —
+    // one mismatch poisons the whole chain (full fallback), never a
+    // silent partial resolution
+    live.foreach {
+      case (n, Some(o)) =>
+        require(o >= 0 && o < bytes.length, s"object $n offset out of range")
+        val hm = ObjHeaderGenPat.matcher(whole)
+        hm.region(o.toInt, math.min(whole.length, o.toInt + 48))
+        require(hm.lookingAt() && hm.group(1).toInt == n,
+          s"object $n: no matching header at xref offset $o")
+      case _ => ()
+    }
+    if (live.isEmpty) None else Some(live.toMap)
+  }
+
+  /** Parse ONE xref section (classic table or /XRef stream) at `off`:
+    * (entries, next-section offsets in consult order). Throws on
+    * malformed input — the caller maps that to full fallback.
+    */
+  private def parseXrefSection(bytes: Array[Byte], whole: String,
+      off: Int): (Seq[(Int, Option[Long])], Seq[Long]) = {
+    var i = off
+    def ws(): Unit = while (i < whole.length && whole(i).isWhitespace) i += 1
+    def readInt(): Long = {
+      val start = i
+      while (i < whole.length && whole(i).isDigit) i += 1
+      require(i > start, s"expected integer at $start")
+      whole.substring(start, i).toLong
+    }
+    ws()
+    if (whole.startsWith("xref", i)) {
+      // classic table: subsections of 20-byte entries, then trailer dict
+      i += 4
+      val entries = mutable.Buffer[(Int, Option[Long])]()
+      var done = false
+      while (!done) {
+        ws()
+        if (whole.startsWith("trailer", i)) done = true
+        else {
+          val start = readInt(); ws(); val count = readInt()
+          var k = 0L
+          while (k < count) {
+            ws(); val f1 = readInt()
+            ws(); readInt() // generation — liveness is keyed by offset match
+            ws()
+            require(i < whole.length, "truncated xref entry")
+            val ty = whole(i); i += 1
+            val objNum = (start + k).toInt
+            ty match {
+              case 'n' => entries += ((objNum, Some(f1)))
+              case 'f' => entries += ((objNum, None))
+              case c => throw new IllegalStateException(s"bad xref entry type '$c'")
+            }
+            k += 1
+          }
+        }
+      }
+      i += "trailer".length; ws()
+      val dict = balancedDict(whole, i)
+      require(dict.nonEmpty, "missing trailer dictionary")
+      def intKey(p: java.util.regex.Pattern): Option[Long] = {
+        val m = p.matcher(dict); if (m.find()) Some(m.group(1).toLong) else None
+      }
+      (entries.toSeq, Seq(intKey(XRefStmPat), intKey(PrevPat)).flatten)
+    } else {
+      // /XRef STREAM: `N G obj << dict >> stream … endstream`
+      val hm = ObjHeaderGenPat.matcher(whole)
+      hm.region(i, math.min(whole.length, i + 48))
+      require(hm.lookingAt(), s"no obj header at xref stream offset $i")
+      var s = indexOfBytes(bytes, StreamKw, hm.end())
+      while (s > 0 && Character.isLetter(bytes(s - 1) & 0xff))
+        s = indexOfBytes(bytes, StreamKw, s + StreamKw.length)
+      require(s > 0, "no stream keyword after xref stream header")
+      val dict = dictBefore(bytes, s)
+      require(dict.contains("/XRef") || dict.contains("/W"),
+        "dictionary at startxref target is not an xref stream")
+      var ds = s + StreamKw.length
+      if (ds < bytes.length && bytes(ds) == '\r') ds += 1
+      if (ds < bytes.length && bytes(ds) == '\n') ds += 1
+      val e = indexOfBytes(bytes, EndstreamKw, ds)
+      require(e > 0, "unterminated xref stream")
+      var de = e
+      if (de > ds && bytes(de - 1) == '\n') de -= 1
+      if (de > ds && bytes(de - 1) == '\r') de -= 1
+      val data = applyFilters(dict, java.util.Arrays.copyOfRange(bytes, ds, de))
+      def ints(p: java.util.regex.Pattern): Seq[Long] = {
+        val m = p.matcher(dict)
+        if (!m.find()) Nil
+        else "\\d+".r.findAllIn(m.group(1)).map(_.toLong).toSeq
+      }
+      val w = ints(WArrPat)
+      require(w.length == 3 && w.forall(x => x >= 0 && x <= 8), s"bad /W $w")
+      val rowLen = w.sum.toInt
+      require(rowLen > 0, "zero-width xref rows")
+      val size = { val m = SizePat.matcher(dict); require(m.find(), "no /Size"); m.group(1).toLong }
+      val idx = ints(IndexArrPat) match {
+        case Nil => Seq((0L, size))
+        case xs =>
+          require(xs.length % 2 == 0, "odd /Index")
+          xs.grouped(2).map { case Seq(a, b) => (a, b) }.toSeq
+      }
+      def be(p: Int, width: Int): Long = {
+        var v = 0L
+        var j = 0
+        while (j < width) { v = (v << 8) | (data(p + j) & 0xffL); j += 1 }
+        v
+      }
+      val entries = mutable.Buffer[(Int, Option[Long])]()
+      var p = 0
+      idx.foreach { case (start, count) =>
+        var k = 0L
+        while (k < count) {
+          require(p + rowLen <= data.length, "truncated xref stream data")
+          val ty = if (w(0) == 0) 1L else be(p, w(0).toInt)
+          val f2 = be(p + w(0).toInt, w(1).toInt)
+          val objNum = (start + k).toInt
+          ty match {
+            case 1 => entries += ((objNum, Some(f2)))
+            // type 0 = free; type 2 = lives inside an /ObjStm — either
+            // way no DIRECT generation of this object is live
+            case 0 | 2 => entries += ((objNum, None))
+            case _ => () // spec: unknown types read as null — ignored
+          }
+          p += rowLen
+          k += 1
+        }
+      }
+      val prev = { val m = PrevPat.matcher(dict); if (m.find()) Seq(m.group(1).toLong) else Nil }
+      (entries.toSeq, prev)
+    }
+  }
+
+  /** Predicate over stream-keyword offsets: is the owning object's
+    * generation the LIVE one per the xref chain? None when the chain is
+    * absent or inconsistent — callers keep every stream (the historical
+    * whole-file-scan behavior). Objects the chain never mentions are
+    * kept (conservative: the scan is the salvage net).
+    */
+  private[graft] def liveStreamPred(bytes: Array[Byte]): Option[Int => Boolean] =
+    xrefLive(bytes).map { live =>
+      val hm = ObjHeaderGenPat.matcher(new String(bytes, Ascii))
+      val hs = mutable.ArrayBuffer[(Int, Int)]() // (offset, objNum)
+      while (hm.find()) hs += ((hm.start(), hm.group(1).toInt))
+      (streamPos: Int) => {
+        // nearest object header at or before the stream keyword
+        var lo = 0
+        var hi = hs.length - 1
+        var res = -1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (hs(mid)._1 < streamPos) { res = mid; lo = mid + 1 } else hi = mid - 1
+        }
+        if (res < 0) true
+        else {
+          val (hoff, objNum) = hs(res)
+          live.get(objNum) match {
+            case Some(Some(o)) => o == hoff.toLong // live generation only
+            case Some(None) => false               // freed / moved to ObjStm
+            case None => true                      // unlisted: keep (salvage)
+          }
+        }
+      }
+    }
 
   // ---- PDF internals ----
 

@@ -601,6 +601,88 @@ class BinaryTextSpec extends AnyFunSuite {
     assert(BinaryText.extract(pdf) == "null parms isolated")
   }
 
+  // ---- cross-reference-guided generation resolution ----
+
+  /** `N 0 obj` around a raw content stream, as a string. */
+  private def objStr(n: Int, content: String): String =
+    s"$n 0 obj << /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n"
+
+  /** Two generations of object 1 (the incremental-update shape): the
+    * superseded one shows "stale superseded text", the live one "fresh
+    * live text". `trailerFor(liveOff, xrefOff)` appends the xref; empty
+    * for the no-xref fallback fixture.
+    */
+  private def pdfTwoGen(trailerFor: (Int, Int) => String): Array[Byte] = {
+    val header = "%PDF-1.4\n"
+    val o1a = objStr(1, "BT (stale superseded text) Tj ET")
+    val o1b = objStr(1, "BT (fresh live text) Tj ET")
+    val liveOff = header.length + o1a.length
+    val xrefOff = liveOff + o1b.length
+    (header + o1a + o1b + trailerFor(liveOff, xrefOff)).getBytes(ISO_8859_1)
+  }
+
+  private def classicXref(liveOff: Int, xrefOff: Int): String =
+    f"xref\n0 2\n0000000000 65535 f \n$liveOff%010d 00000 n \n" +
+      s"trailer\n<< /Size 2 >>\nstartxref\n$xrefOff\n%%EOF\n"
+
+  test("PDF xref: a superseded object generation (incremental update) is " +
+    "dropped; only the live generation's text extracts") {
+    val txt = BinaryText.extract(pdfTwoGen(classicXref))
+    assert(txt == "fresh live text", s"got: $txt")
+  }
+
+  test("PDF xref: without a cross-reference chain the whole-file scan " +
+    "keeps both generations (the pinned fallback)") {
+    val txt = BinaryText.extract(pdfTwoGen((_, _) => "%%EOF\n"))
+    assert(txt.contains("stale superseded text") && txt.contains("fresh live text"),
+      s"got: $txt")
+  }
+
+  test("PDF xref: a startxref pointing at a non-xref target falls back to " +
+    "the full scan instead of dropping text") {
+    // aim startxref at the FIRST object header — parseable as neither a
+    // classic table nor an /XRef stream dict
+    val txt = BinaryText.extract(pdfTwoGen((_, _) =>
+      s"startxref\n${"%PDF-1.4\n".length}\n%%EOF\n"))
+    assert(txt.contains("stale superseded text") && txt.contains("fresh live text"),
+      s"got: $txt")
+  }
+
+  test("PDF xref: an /XRef STREAM (binary rows, W [1 4 1]) resolves the " +
+    "live generation and validates header offsets") {
+    val header = "%PDF-1.4\n"
+    val o1a = objStr(1, "BT (stale superseded text) Tj ET")
+    val o1b = objStr(1, "BT (fresh live text) Tj ET")
+    val liveOff = header.length + o1a.length
+    val xrefOff = liveOff + o1b.length
+    def be(v: Long, w: Int): Array[Byte] =
+      (0 until w).map(j => ((v >> (8 * (w - 1 - j))) & 0xff).toByte).toArray
+    val rows =
+      be(0, 1) ++ be(0, 4) ++ be(0, 1) ++          // obj 0: free
+      be(1, 1) ++ be(liveOff, 4) ++ be(0, 1) ++    // obj 1: live at o1b
+      be(1, 1) ++ be(xrefOff, 4) ++ be(0, 1)       // obj 2: the xref stream
+    val bos = new ByteArrayOutputStream()
+    bos.write((header + o1a + o1b).getBytes(ISO_8859_1))
+    bos.write((s"2 0 obj << /Type /XRef /W [1 4 1] /Size 3 " +
+      s"/Length ${rows.length} >>\nstream\n").getBytes(ISO_8859_1))
+    bos.write(rows)
+    bos.write(s"\nendstream\nendobj\nstartxref\n$xrefOff\n%%EOF\n".getBytes(ISO_8859_1))
+    val txt = BinaryText.extract(bos.toByteArray)
+    assert(txt == "fresh live text", s"got: $txt")
+  }
+
+  test("PDF xref: an object FREED by the newest table contributes no text") {
+    val header = "%PDF-1.4\n"
+    val o1 = objStr(1, "BT (freed text) Tj ET")
+    val o2 = objStr(2, "BT (kept text) Tj ET")
+    val off2 = header.length + o1.length
+    val xrefOff = off2 + o2.length
+    val xref = f"xref\n0 3\n0000000000 65535 f \n0000000000 00001 f \n" +
+      f"$off2%010d 00000 n \ntrailer\n<< /Size 3 >>\nstartxref\n$xrefOff\n%%EOF\n"
+    val txt = BinaryText.extract((header + o1 + o2 + xref).getBytes(ISO_8859_1))
+    assert(txt == "kept text", s"got: $txt")
+  }
+
   test("PDF: a malformed ASCII85 group degrades to salvage, not an abort") {
     // 'v' is outside the 85 alphabet → the stream decode throws, extract
     // falls back to printable-ASCII salvage of the raw file bytes
@@ -620,6 +702,7 @@ class BinaryTextSpec extends AnyFunSuite {
       pdfAround(ascii85Encode(deflate(content)),
         dictExtra = " /Filter [/ASCII85Decode /FlateDecode]"),
       pdfAround(lzwEncode(content), dictExtra = " /Filter /LZWDecode"),
+      pdfTwoGen(classicXref), // xref chain under mutation must never throw
       docxAround("<w:document><w:p><w:r><w:t>fuzz docx</w:t></w:r></w:p></w:document>"))
     val garbageFilters = Seq(" /Filter /Bogus", " /Filter [/ASCII85Decode /Nope]",
       " /Filter /ASCIIHexDecode", " /Filter /RunLengthDecode")
