@@ -29,6 +29,10 @@ object SampleCorpus {
     "plain.pdf" -> "Plain alpha\nPlain beta",
     "report.docx" -> "Memo header\nQuarterly report\nAll metrics nominal\nPage footer",
     "rle.pdf" -> "Runlength eta text",
+    // incrementally-updated PDF: the file ALSO contains a superseded
+    // generation of the same object (text "Original figures\nrevision
+    // one") that an xref-following extract must not surface
+    "updated.pdf" -> "Amended figures\nrevision two",
   )
 
   /** Write the corpus (idempotent, process-temp) and return its dir. */
@@ -58,6 +62,8 @@ object SampleCorpus {
         pdfAround(rle(pdfLines("rle.pdf")), " /Filter /RunLengthDecode"))
       write(dir, "report.docx", docx())
       write(dir, "notes.txt", texts("notes.txt").getBytes(ISO_8859_1))
+      write(dir, "updated.pdf",
+        pdfIncremental("Original figures\nrevision one", texts("updated.pdf")))
     }
     dir.toString
   }
@@ -72,6 +78,27 @@ object SampleCorpus {
     bos.write(stream)
     bos.write("\nendstream\nendobj\n%%EOF\n".getBytes(ISO_8859_1))
     bos.toByteArray
+  }
+
+  /** Incremental-update shape (PDF 32000-1 §7.5.6): object 1 appears
+    * twice — the superseded generation shows `staleText`, the appended
+    * one `liveText` — and the classic xref table at `startxref` lists
+    * only the second, so extraction must follow the chain
+    * (BinaryText.xrefLive) to yield only the live revision.
+    */
+  private def pdfIncremental(staleText: String, liveText: String): Array[Byte] = {
+    def obj(content: String): String = {
+      val ops = content.split("\n").map(l => s"($l) Tj").mkString("BT ", " T* ", " ET")
+      s"1 0 obj << /Length ${ops.length} >>\nstream\n$ops\nendstream\nendobj\n"
+    }
+    val header = "%PDF-1.4\n"
+    val a = obj(staleText)
+    val b = obj(liveText)
+    val liveOff = header.length + a.length
+    val xrefOff = liveOff + b.length
+    val xref = f"xref\n0 2\n0000000000 65535 f \n$liveOff%010d 00000 n \n" +
+      s"trailer\n<< /Size 2 >>\nstartxref\n$xrefOff\n%%EOF\n"
+    (header + a + b + xref).getBytes(ISO_8859_1)
   }
 
   private def deflate(data: Array[Byte]): Array[Byte] = {
