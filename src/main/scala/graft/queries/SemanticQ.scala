@@ -40,7 +40,7 @@ object SemanticQ {
     * dir, not one per historical snapshot.
     */
   private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, Seq[(Long, Seq[Long])])]()
+    (String, String), (String, Seq[(Long, Seq[Long])])]()
 
   /** Content identity of `$d`'s embeddings table: per part file, the
     * name, length, and an md5 over the parquet FOOTER bytes (footer
@@ -85,13 +85,23 @@ object SemanticQ {
   /** Drop every memoized quantizer (test hook / operational reset). */
   private[graft] def clearCentroidCache(): Unit = centroidCache.clear()
 
-  private[graft] def trainedCentroids(s: SparkSession, d: String): Seq[(Long, Seq[Long])] = {
+  /** Memoize a deterministic quantizer fit under (dir, policy), keyed to
+    * the dataset's content fingerprint: a hit is sound because training
+    * is a pure function of the snapshot, and a changed snapshot replaces
+    * (evicts) the superseded entry — one live quantizer per (dir,
+    * policy), never one per historical snapshot.
+    */
+  private def cachedCentroids(s: SparkSession, d: String, policy: String)
+      (train: => Seq[(Long, Seq[Long])]): Seq[(Long, Seq[Long])] = {
     val fp = snapshotKey(s, d)
-    centroidCache.compute(d, (_, prev) =>
-      if (prev != null && prev._1 == fp) prev
-      else (fp, KMeansOp.lloydCentroidsLocal(Tables.embeddings(s, d), "vec_id",
-        col("embedding"), K, Iters)))._2
+    centroidCache.compute((d, policy), (_, prev) =>
+      if (prev != null && prev._1 == fp) prev else (fp, train))._2
   }
+
+  private[graft] def trainedCentroids(s: SparkSession, d: String): Seq[(Long, Seq[Long])] =
+    cachedCentroids(s, d, s"fixed$K")(
+      KMeansOp.lloydCentroidsLocal(Tables.embeddings(s, d), "vec_id",
+        col("embedding"), K, Iters))
 
   private def intVecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -205,20 +215,24 @@ object SemanticQ {
     * pairwise term is Σ|cluster|² ≈ N·√N·(dup-density), not (N/k)².
     * Both engines derive k from the SAME count, so the oracle is exact
     * (DuckDB computes the seed LIMIT from a scalar subquery); the
-    * k=8 q_semdedup stays as the pinned small-k contract. Training is
-    * ad-hoc (2-round integer Lloyd) — the scaled quantizer is re-fit
-    * per dataset rather than cached, since k itself is data-dependent.
+    * k=8 q_semdedup stays as the pinned small-k contract. Training
+    * (2-round integer Lloyd at the derived k) memoizes under the
+    * dataset content fingerprint like every quantizer here — see
+    * [[scaledCentroids]].
     */
-  /** Ad-hoc √N quantizer fit: k = ⌈√N⌉ over the dataset's embeddings,
-    * 2-round integer Lloyd. Re-fit per call by design (k is
-    * data-dependent, so the shared fixed-k cache does not apply); shared
-    * by q_semdedup_scaled and Clustering's q_corpus_build_v3.
+  /** √N quantizer fit: k = ⌈√N⌉ over the dataset's embeddings, 2-round
+    * integer Lloyd. k is data-dependent, but it is a pure function of
+    * the snapshot (the COUNT), so the fit memoizes under the same
+    * content fingerprint as the fixed-k quantizer — q_semdedup_scaled
+    * and q_corpus_build_v3 share one training per session, mirroring
+    * the production persisted-artifact discipline.
     */
-  private[queries] def scaledCentroids(s: SparkSession, d: String): Seq[(Long, Seq[Long])] = {
-    val emb = Tables.embeddings(s, d)
-    val k = math.ceil(math.sqrt(emb.count().toDouble)).toInt
-    KMeansOp.lloydCentroidsLocal(emb, "vec_id", col("embedding"), k, Iters)
-  }
+  private[queries] def scaledCentroids(s: SparkSession, d: String): Seq[(Long, Seq[Long])] =
+    cachedCentroids(s, d, "sqrtN") {
+      val emb = Tables.embeddings(s, d)
+      val k = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+      KMeansOp.lloydCentroidsLocal(emb, "vec_id", col("embedding"), k, Iters)
+    }
 
   def semdedupScaledQ(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
