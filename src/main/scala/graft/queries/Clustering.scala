@@ -231,6 +231,30 @@ object Clustering {
       .select(col("id").as("doc_id"))
   }
 
+  /** Canonical near-dup representatives of the exact-dedup survivors —
+    * the shared fact derivation of corpus_build/v2/v3 — cached once per
+    * (session, sf dir) in the SESSION CATALOG (the same
+    * persisted-derivation pattern as Analysis.tokenSets; see SCALE.md
+    * "Fact-derivation reuse"). The derivation is deterministic (exact
+    * dedup → set-contracted Jaccard edges → CC → min-id reps), so reuse
+    * across the three pipelines is sound; at production scale this IS
+    * the materialized dedup-assignment table every curation job joins
+    * against rather than re-deriving.
+    */
+  private def canonIds(s: SparkSession, d: String): DataFrame = {
+    val name = "graft_canon_ids_" + java.security.MessageDigest
+      .getInstance("MD5").digest(d.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    this.synchronized {
+      if (!s.catalog.tableExists(name)) {
+        nearDupCanon(s, d, exactKeptIds(Tables.documents(s, d)))
+          .createOrReplaceTempView(name)
+        s.catalog.cacheTable(name)
+      }
+    }
+    s.table(name)
+  }
+
   /** SemDeDup drop set over `canon` under quantizer `cents`: assign
     * survivors (doc_id ≡ vec_id in this corpus; one map-side broadcast
     * argmin), then within-cluster cosine ≥ 0.4 against a lower id —
@@ -290,10 +314,8 @@ object Clustering {
     * intrinsically Ω(pairs); the scale-safe siblings are v3 (√N
     * SemDeDup) and lsh (no pairwise stage at all).
     */
-  def corpusBuild(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    gateChunkSplit(docs, nearDupCanon(s, d, exactKeptIds(docs)))
-  }
+  def corpusBuild(s: SparkSession, d: String): DataFrame =
+    gateChunkSplit(Tables.documents(s, d), canonIds(s, d))
 
   /** q_corpus_build with the SemDeDup stage spliced in — the FULL
     * SemDeDup-paper pipeline (Abbas et al. 2023) as one dataflow:
@@ -307,7 +329,7 @@ object Clustering {
     */
   def corpusBuildV2(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val canon = nearDupCanon(s, d, exactKeptIds(docs))
+    val canon = canonIds(s, d)
     val kept3 = canon.join(
       semDropIds(s, d, canon, SemanticQ.trainedCentroids(s, d)),
       Seq("doc_id"), "left_anti")
@@ -326,7 +348,7 @@ object Clustering {
     */
   def corpusBuildV3(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val canon = nearDupCanon(s, d, exactKeptIds(docs))
+    val canon = canonIds(s, d)
     val kept3 = canon.join(
       semDropIds(s, d, canon, SemanticQ.scaledCentroids(s, d)),
       Seq("doc_id"), "left_anti")

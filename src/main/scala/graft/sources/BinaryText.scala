@@ -647,19 +647,23 @@ object BinaryText {
     if (!sm.find(sx)) return None
     val live = mutable.Map[Int, Option[Long]]()
     val seen = mutable.Set[Long]()
-    // newest-first traversal with first-writer-wins per object; a
-    // section's hybrid /XRefStm is consulted before its /Prev
-    val queue = mutable.Queue[Long](sm.group(1).toLong)
-    while (queue.nonEmpty) {
-      val off = queue.dequeue()
+    // Newest-first with first-writer-wins per object. Priority within a
+    // section (PDF 32000-1 §7.5.8.4): a hybrid section's /XRefStm
+    // entries take precedence over the classic section's OWN entries
+    // (the classic table deliberately marks stream-resident objects
+    // free for pre-1.5 readers), while /Prev chains are strictly older
+    // and come last — so the walk applies XRefStm → own entries → Prev.
+    def walk(off: Long): Unit = {
       if (!seen(off)) {
         seen += off
         require(off >= 0 && off < bytes.length, "xref offset out of range")
-        val (entries, nexts) = parseXrefSection(bytes, whole, off.toInt)
+        val (entries, xrefStm, prev) = parseXrefSection(bytes, whole, off.toInt)
+        xrefStm.foreach(walk)
         entries.foreach { case (n, v) => if (!live.contains(n)) live(n) = v }
-        nexts.foreach(queue.enqueue(_))
+        prev.foreach(walk)
       }
     }
+    walk(sm.group(1).toLong)
     // every live direct entry must point at a matching object header —
     // one mismatch poisons the whole chain (full fallback), never a
     // silent partial resolution
@@ -676,11 +680,12 @@ object BinaryText {
   }
 
   /** Parse ONE xref section (classic table or /XRef stream) at `off`:
-    * (entries, next-section offsets in consult order). Throws on
-    * malformed input — the caller maps that to full fallback.
+    * (own entries, hybrid /XRefStm offset — consulted BEFORE the own
+    * entries, /Prev offset — consulted after). Throws on malformed
+    * input — the caller maps that to full fallback.
     */
   private def parseXrefSection(bytes: Array[Byte], whole: String,
-      off: Int): (Seq[(Int, Option[Long])], Seq[Long]) = {
+      off: Int): (Seq[(Int, Option[Long])], Option[Long], Option[Long]) = {
     var i = off
     def ws(): Unit = while (i < whole.length && whole(i).isWhitespace) i += 1
     def readInt(): Long = {
@@ -723,7 +728,7 @@ object BinaryText {
       def intKey(p: java.util.regex.Pattern): Option[Long] = {
         val m = p.matcher(dict); if (m.find()) Some(m.group(1).toLong) else None
       }
-      (entries.toSeq, Seq(intKey(XRefStmPat), intKey(PrevPat)).flatten)
+      (entries.toSeq, intKey(XRefStmPat), intKey(PrevPat))
     } else {
       // /XRef STREAM: `N G obj << dict >> stream … endstream`
       val hm = ObjHeaderGenPat.matcher(whole)
@@ -787,8 +792,8 @@ object BinaryText {
           k += 1
         }
       }
-      val prev = { val m = PrevPat.matcher(dict); if (m.find()) Seq(m.group(1).toLong) else Nil }
-      (entries.toSeq, prev)
+      val prev = { val m = PrevPat.matcher(dict); if (m.find()) Some(m.group(1).toLong) else None }
+      (entries.toSeq, None, prev)
     }
   }
 

@@ -671,6 +671,35 @@ class BinaryTextSpec extends AnyFunSuite {
     assert(txt == "fresh live text", s"got: $txt")
   }
 
+  test("PDF xref: hybrid /XRefStm entries take precedence over the classic " +
+    "section's (which marks the object free for pre-1.5 readers)") {
+    val header = "%PDF-1.4\n"
+    val o1a = objStr(1, "BT (stale superseded text) Tj ET")
+    val o1b = objStr(1, "BT (fresh live text) Tj ET")
+    val liveOff = header.length + o1a.length
+    val stmOff = liveOff + o1b.length
+    def be(v: Long, w: Int): Array[Byte] =
+      (0 until w).map(j => ((v >> (8 * (w - 1 - j))) & 0xff).toByte).toArray
+    val rows =
+      be(0, 1) ++ be(0, 4) ++ be(0, 1) ++       // obj 0: free
+      be(1, 1) ++ be(liveOff, 4) ++ be(0, 1) ++ // obj 1: LIVE per the stream
+      be(1, 1) ++ be(stmOff, 4) ++ be(0, 1)     // obj 2: the xref stream
+    val bos = new ByteArrayOutputStream()
+    bos.write((header + o1a + o1b).getBytes(ISO_8859_1))
+    bos.write((s"2 0 obj << /Type /XRef /W [1 4 1] /Size 3 " +
+      s"/Length ${rows.length} >>\nstream\n").getBytes(ISO_8859_1))
+    bos.write(rows)
+    bos.write("\nendstream\nendobj\n".getBytes(ISO_8859_1))
+    val xrefOff = bos.size
+    // classic companion section: obj 1 FREE (the hybrid convention),
+    // /XRefStm pointing at the stream that actually resolves it
+    bos.write((f"xref\n0 2\n0000000000 65535 f \n0000000000 00001 f \n" +
+      s"trailer\n<< /Size 3 /XRefStm $stmOff >>\nstartxref\n$xrefOff\n%%EOF\n")
+      .getBytes(ISO_8859_1))
+    val txt = BinaryText.extract(bos.toByteArray)
+    assert(txt == "fresh live text", s"got: $txt")
+  }
+
   test("PDF xref: an object FREED by the newest table contributes no text") {
     val header = "%PDF-1.4\n"
     val o1 = objStr(1, "BT (freed text) Tj ET")
