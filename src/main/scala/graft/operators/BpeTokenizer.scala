@@ -175,8 +175,9 @@ object BpeTokenizer {
     def int(): Int = {
       val start = i
       if (i < s.length && s(i) == '-') i += 1
+      val digits = i // a lone '-' must fail too, not NumberFormatException
       while (i < s.length && s(i).isDigit) i += 1
-      if (i == start) fail("expected integer id")
+      if (i == digits) fail("expected integer id")
       s.substring(start, i).toInt
     }
     val out = Map.newBuilder[String, Int]

@@ -241,16 +241,30 @@ object Clustering {
     * the materialized dedup-assignment table every curation job joins
     * against rather than re-deriving.
     */
-  private def canonIds(s: SparkSession, d: String): DataFrame = {
+  private val canonViews =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private[graft] def canonIds(s: SparkSession, d: String): DataFrame = {
+    // Keyed on the documents table's CONTENT fingerprint (the same
+    // parquet-footer hash SemanticQ's quantizer cache uses), not the
+    // dir alone: a mid-session rewrite of documents.parquet evicts the
+    // stale view and rebuilds — dir-only keys proved unsound there.
+    val fp = SemanticQ.snapshotKey(s, d, "documents")
     val name = "graft_canon_ids_" + java.security.MessageDigest
-      .getInstance("MD5").digest(d.getBytes("UTF-8"))
+      .getInstance("MD5").digest(fp.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
     this.synchronized {
+      val prev = canonViews.get(d)
+      if (prev != null && prev._1 != fp && s.catalog.tableExists(prev._2)) {
+        s.catalog.uncacheTable(prev._2)
+        s.catalog.dropTempView(prev._2)
+      }
       if (!s.catalog.tableExists(name)) {
         nearDupCanon(s, d, exactKeptIds(Tables.documents(s, d)))
           .createOrReplaceTempView(name)
         s.catalog.cacheTable(name)
       }
+      canonViews.put(d, (fp, name))
     }
     s.table(name)
   }

@@ -42,8 +42,8 @@ object SemanticQ {
   private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String), (String, Seq[(Long, Seq[Long])])]()
 
-  /** Content identity of `$d`'s embeddings table: per part file, the
-    * name, length, and an md5 over the parquet FOOTER bytes (footer
+  /** Content identity of `$d`'s `$table` parquet table: per part file,
+    * the name, length, and an md5 over the parquet FOOTER bytes (footer
     * length from the 8-byte trailer; capped at 1 MiB). The footer holds
     * the schema, row-group offsets, and column statistics, so any data
     * rewrite perturbs it — including an in-place same-length rewrite
@@ -52,8 +52,9 @@ object SemanticQ {
     * driver-side footer read per part file — no data pages are read.
     * Files too short or non-parquet fall back to (len, mtime).
     */
-  private[graft] def snapshotKey(s: SparkSession, d: String): String = {
-    val path = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+  private[graft] def snapshotKey(s: SparkSession, d: String,
+      table: String = "embeddings"): String = {
+    val path = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
     def footerHash(st: org.apache.hadoop.fs.FileStatus): Option[String] =
       if (!st.getPath.getName.endsWith(".parquet") || st.getLen < 12) None
@@ -79,7 +80,7 @@ object SemanticQ {
           case Some(h) => s"${st.getPath.getName}:${st.getLen}:$h"
           case None => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
         })
-    s"$d|${parts.mkString(",")}"
+    s"$d/$table|${parts.mkString(",")}"
   }
 
   /** Drop every memoized quantizer (test hook / operational reset). */

@@ -323,14 +323,23 @@ object BinaryText {
     * /Predictor that belongs to ANOTHER stage of the same chain via the
     * whole-dict fallback.
     */
-  private[graft] def decodeParmsOf(dict: String, nFilters: Int): Option[Seq[String]] = {
+  private[graft] def decodeParmsOf(dict: String, filters: Seq[String]): Option[Seq[String]] = {
+    val nFilters = math.max(filters.length, 1)
     val m = DecodeParmsPat.matcher(dict)
     if (!m.find()) return None
     val start = m.start(1)
     m.group(1) match {
-      case "<<" => // single dict applies to the (single) filter
+      case "<<" =>
+        // A single dict with a filter ARRAY is spec-disallowed (the
+        // entry should be an array), so writer intent is ambiguous:
+        // attribute the lone dict to the first predictor-capable stage
+        // (Flate/LZW — the only consumers of /Predictor//EarlyChange),
+        // not blindly to position 0, where an ASCII transport filter
+        // would swallow it and leave the Flate stage un-unpredicted.
         val d = balancedDict(dict, start)
-        Some(if (nFilters == 1) Seq(d) else d +: Seq.fill(nFilters - 1)(""))
+        val capable = Set("FlateDecode", "Fl", "LZWDecode", "LZW")
+        val at = math.max(filters.indexWhere(capable), 0)
+        Some(Seq.tabulate(nFilters)(j => if (j == at) d else ""))
       case "/" => // a name where a dict/array belongs — malformed; treat
         // the key as absent (legacy whole-dict behavior)
         None
@@ -392,7 +401,7 @@ object BinaryText {
     // entry is authoritative (an explicit null = empty parms — never
     // another stage's dict); only a stream with no /DecodeParms key at
     // all falls back to the legacy whole-dict scan
-    val parms = decodeParmsOf(dict, names.length)
+    val parms = decodeParmsOf(dict, names)
     def parmsOr(i: Int): String = parms match {
       case None     => dict
       case Some(ps) => ps(i)
@@ -803,11 +812,53 @@ object BinaryText {
     * whole-file-scan behavior). Objects the chain never mentions are
     * kept (conservative: the scan is the salvage net).
     */
+  /** `N G obj` headers by regex, EXTENT-FILTERED: a hit that starts
+    * inside a previously accepted object's body — a string literal in
+    * its dictionary (`(1 0 obj)`), or raw stream bytes — is a false
+    * header, not a boundary; accepting it would misattribute the
+    * following stream keyword to the wrong object number. Headers are
+    * accepted sequentially, each advancing a covered-until watermark to
+    * its object's end (`endobj`, hopping over one `stream…endstream`
+    * payload first so stream bytes can't fake an early end). A
+    * too-short extent from malformed markup only re-admits hits the
+    * unfiltered scan accepted anyway — never drops a real header.
+    */
+  private def trustedObjHeaders(whole: String): IndexedSeq[(Int, Int)] = {
+    def streamKwAt(from: Int, before: Int): Int = {
+      var s = whole.indexOf("stream", from)
+      while (s > 0 && s < before && Character.isLetter(whole(s - 1)))
+        s = whole.indexOf("stream", s + "stream".length)
+      if (s >= 0 && s < before) s else -1
+    }
+    def objectEndAfter(from: Int): Int = {
+      val e = whole.indexOf("endobj", from)
+      val cap = if (e < 0) whole.length else e
+      streamKwAt(from, cap) match {
+        case -1 => if (e < 0) from else e + "endobj".length
+        case s =>
+          val es = whole.indexOf("endstream", s)
+          if (es < 0) from
+          else {
+            val e2 = whole.indexOf("endobj", es + "endstream".length)
+            if (e2 < 0) es + "endstream".length else e2 + "endobj".length
+          }
+      }
+    }
+    val hm = ObjHeaderGenPat.matcher(whole)
+    val hs = mutable.ArrayBuffer[(Int, Int)]() // (offset, objNum)
+    var covered = 0
+    while (hm.find()) {
+      if (hm.start() >= covered) {
+        hs += ((hm.start(), hm.group(1).toInt))
+        covered = objectEndAfter(hm.end())
+      }
+    }
+    hs.toIndexedSeq
+  }
+
   private[graft] def liveStreamPred(bytes: Array[Byte]): Option[Int => Boolean] =
     xrefLive(bytes).map { live =>
-      val hm = ObjHeaderGenPat.matcher(new String(bytes, Ascii))
-      val hs = mutable.ArrayBuffer[(Int, Int)]() // (offset, objNum)
-      while (hm.find()) hs += ((hm.start(), hm.group(1).toInt))
+      val hs = trustedObjHeaders(new String(bytes, Ascii))
       (streamPos: Int) => {
         // nearest object header at or before the stream keyword
         var lo = 0

@@ -570,20 +570,49 @@ class BinaryTextSpec extends AnyFunSuite {
 
   test("decodeParmsOf: single dict, array with nulls/nested dicts, absent") {
     // no /DecodeParms key at all → None (legacy whole-dict fallback allowed)
-    assert(BinaryText.decodeParmsOf("<< /Filter /FlateDecode >>", 1).isEmpty)
+    assert(BinaryText.decodeParmsOf("<< /Filter /FlateDecode >>",
+      Seq("FlateDecode")).isEmpty)
     assert(BinaryText.decodeParmsOf(
-      "<< /DecodeParms << /Predictor 2 >> >>", 1)
+      "<< /DecodeParms << /Predictor 2 >> >>", Seq("FlateDecode"))
       == Some(Seq("<< /Predictor 2 >>")))
     assert(BinaryText.decodeParmsOf(
-      "<< /DP [null << /Predictor 12 /Columns 7 >>] >>", 2)
+      "<< /DP [null << /Predictor 12 /Columns 7 >>] >>",
+      Seq("ASCII85Decode", "FlateDecode"))
       == Some(Seq("", "<< /Predictor 12 /Columns 7 >>")))
     // nested dict inside a parms dict stays balanced
     assert(BinaryText.decodeParmsOf(
-      "<< /DecodeParms [<< /A << /B 1 >> >> null] >>", 2)
+      "<< /DecodeParms [<< /A << /B 1 >> >> null] >>",
+      Seq("FlateDecode", "FlateDecode"))
       == Some(Seq("<< /A << /B 1 >> >>", "")))
     // array shorter than the chain pads with explicit-empty (no fallback)
-    assert(BinaryText.decodeParmsOf("<< /DecodeParms [null] >>", 3)
+    assert(BinaryText.decodeParmsOf("<< /DecodeParms [null] >>",
+      Seq("ASCII85Decode", "FlateDecode", "RunLengthDecode"))
       == Some(Seq("", "", "")))
+    // spec-disallowed single dict with a filter ARRAY: attributed to the
+    // first predictor-capable stage (Flate/LZW), not position 0
+    assert(BinaryText.decodeParmsOf(
+      "<< /DecodeParms << /Predictor 12 >> >>",
+      Seq("ASCII85Decode", "FlateDecode"))
+      == Some(Seq("", "<< /Predictor 12 >>")))
+    assert(BinaryText.decodeParmsOf(
+      "<< /DecodeParms << /EarlyChange 0 >> >>",
+      Seq("AHx", "LZW", "Fl"))
+      == Some(Seq("", "<< /EarlyChange 0 >>", "")))
+    // no predictor-capable stage at all: falls back to position 0
+    assert(BinaryText.decodeParmsOf(
+      "<< /DecodeParms << /K 1 >> >>",
+      Seq("ASCIIHexDecode", "RunLengthDecode"))
+      == Some(Seq("<< /K 1 >>", "")))
+  }
+
+  test("PDF: lone /DecodeParms dict with an [/ASCII85Decode /FlateDecode] " +
+    "chain reaches the Flate stage's unpredict, not the transport filter") {
+    val content = "BT (lone dict to flate) Tj ET".getBytes(ISO_8859_1)
+    val enc = ascii85Encode(deflate(pngUpEncode(content, columns = 6)))
+    val pdf = pdfAround(enc, dictExtra =
+      " /Filter [/ASCII85Decode /FlateDecode]" +
+        " /DecodeParms << /Predictor 12 /Columns 6 >>")
+    assert(BinaryText.extract(pdf) == "lone dict to flate")
   }
 
   test("PDF: explicit null /DecodeParms entry for a Flate stage must NOT " +
@@ -710,6 +739,44 @@ class BinaryTextSpec extends AnyFunSuite {
       f"$off2%010d 00000 n \ntrailer\n<< /Size 3 >>\nstartxref\n$xrefOff\n%%EOF\n"
     val txt = BinaryText.extract((header + o1 + o2 + xref).getBytes(ISO_8859_1))
     assert(txt == "kept text", s"got: $txt")
+  }
+
+  test("PDF xref: a string literal '(1 0 obj)' inside a live object's " +
+    "dictionary is not mistaken for a header — its stream stays live") {
+    // The false header sits between obj 2's real header and its stream
+    // keyword; nearest-preceding attribution onto it would resolve obj
+    // 1 (live at a DIFFERENT offset) and wrongly drop obj 2's text.
+    val header = "%PDF-1.4\n"
+    val o1 = objStr(1, "BT (first object text) Tj ET")
+    val c2 = "BT (second object text) Tj ET"
+    val o2 = s"2 0 obj << /Length ${c2.length} /Note (1 0 obj) >>\n" +
+      s"stream\n$c2\nendstream\nendobj\n"
+    val off1 = header.length
+    val off2 = off1 + o1.length
+    val xrefOff = off2 + o2.length
+    val xref = f"xref\n0 3\n0000000000 65535 f \n$off1%010d 00000 n \n" +
+      f"$off2%010d 00000 n \ntrailer\n<< /Size 3 >>\nstartxref\n$xrefOff\n%%EOF\n"
+    val txt = BinaryText.extract((header + o1 + o2 + xref).getBytes(ISO_8859_1))
+    assert(txt.contains("first object text") && txt.contains("second object text"),
+      s"got: $txt")
+  }
+
+  test("PDF xref: a superseded stream whose dict embeds '(2 0 obj)' is " +
+    "still dropped — extent filtering keeps real boundaries") {
+    // Object 1's STALE generation carries the decoy literal; the extent
+    // scan must still accept the stale header itself (it starts outside
+    // any prior extent) so the xref check can reject its stream.
+    val header = "%PDF-1.4\n"
+    val c1a = "BT (stale decoy text) Tj ET"
+    val o1a = s"1 0 obj << /Length ${c1a.length} /Note (2 0 obj) >>\n" +
+      s"stream\n$c1a\nendstream\nendobj\n"
+    val o1b = objStr(1, "BT (fresh live text) Tj ET")
+    val liveOff = header.length + o1a.length
+    val xrefOff = liveOff + o1b.length
+    val pdf = (header + o1a + o1b + classicXref(liveOff, xrefOff))
+      .getBytes(ISO_8859_1)
+    val txt = BinaryText.extract(pdf)
+    assert(txt == "fresh live text", s"got: $txt")
   }
 
   test("PDF: a malformed ASCII85 group degrades to salvage, not an abort") {

@@ -127,6 +127,14 @@ class BpeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       BpeTokenizer.parseVocabJson("""{"a": 1} trailing""")
     }
+    // a lone '-' with no digits must raise the parser's offset-stamped
+    // error, not a raw NumberFormatException from toInt (which is also
+    // an IllegalArgumentException — so assert on the message)
+    val lone = intercept[IllegalArgumentException] {
+      BpeTokenizer.parseVocabJson("""{"a": -}""")
+    }
+    assert(lone.getMessage.contains("expected integer id"), lone.getMessage)
+    assert(BpeTokenizer.parseVocabJson("""{"a": -7}""") == Map("a" -> -7))
   }
 
   test("vocab.json round-trip: published-format file (non-ASCII as \\u " +

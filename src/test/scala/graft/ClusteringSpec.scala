@@ -7,6 +7,31 @@ import org.scalatest.funsuite.AnyFunSuite
 class ClusteringSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("canonIds: a mid-session documents-table content rewrite evicts " +
+    "the cached derivation (content fingerprint, not dir, is the key)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_canon").toString
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+    write(Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "entirely different words occupy this one")))
+    val first = Clustering.canonIds(spark, dir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(first == Seq(1L, 3L), s"exact dup must collapse: $first")
+    // rewrite IN PLACE: doc 2 becomes unique — a dir-keyed cache would
+    // still return the stale {1, 3}
+    write(Seq((1L, "alpha beta gamma delta"), (2L, "now a unique survivor text"),
+      (3L, "entirely different words occupy this one")))
+    val second = Clustering.canonIds(spark, dir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(second == Seq(1L, 2L, 3L),
+      s"content rewrite must invalidate the canon cache: $second")
+  }
+
   test("componentEdgesBySet: contracted edges give EXACTLY the components " +
     "of the full pair relation (adversarial fixture + real corpus)") {
     import spark.implicits._
