@@ -72,6 +72,27 @@ object Bench {
         df.limit(1).count()
       } catch { case _: Throwable => () }
     }
+    // Shared fact derivations (the canon dedup-assignment table, the
+    // token/shingle signature tables, the trade-edge fact, the two
+    // quantizer fits) are session-cached, so the per-query times below
+    // measure MARGINAL cost after they materialize — the production
+    // shape, but one a cache-semantics change could hide behind. Build
+    // each one explicitly here and stamp its wall time into the
+    // artifact ("derivations_sec"), so a regression in a shared
+    // derivation is always visible in the bench output itself.
+    val derivationBuilds: Seq[(String, () => Unit)] = Seq(
+      "canon_ids" -> (() => { queries.Clustering.canonIds(spark, sfDir).count(); () }),
+      "token_sets" -> (() => { queries.Analysis.tokenSets(spark, sfDir).count(); () }),
+      "shingle_sets" -> (() => { queries.Analysis.shingleSets(spark, sfDir).count(); () }),
+      "trade_edges" -> (() => { queries.GraphQ.tradeEdges(spark, sfDir).count(); () }),
+      "quantizer_fixed_k" -> (() => { queries.SemanticQ.trainedCentroids(spark, sfDir); () }),
+      "quantizer_sqrt_n" -> (() => { queries.SemanticQ.scaledCentroids(spark, sfDir); () }),
+    )
+    val derivSecs: Seq[(String, Double)] = derivationBuilds.map { case (n, f) =>
+      val t0 = System.nanoTime()
+      try f() catch { case _: Throwable => () } // failure surfaces in the query pass
+      n -> (System.nanoTime() - t0) / 1e9
+    }
     // Best-of-N timing (round 5's single-shot numbers were unusable: a
     // host stall window recorded 20-160x "regressions" on unchanged
     // code). N full passes over the query list — interleaved, so one
@@ -120,7 +141,7 @@ object Bench {
       s"""{"bench_schema":2,"metric":"total","value":$minTotal,"unit":"sec","queries":${jmap(mins)},""" +
         s""""queries_median":${jmap(meds)},"queries_first":${jmap(firsts)},""" +
         s""""median_total":$medTotal,"first_total":${firsts.map(_._2).sum},""" +
-        s""""query_versions":$qvers,""" +
+        s""""query_versions":$qvers,"derivations_sec":${jmap(derivSecs)},""" +
         s""""load_avg":$load,"load_max":$loadMax,"loaded":$loaded,""" +
         s""""load_deferred_sec":$loadDeferredSec,""" +
         s""""reps":$reps,"errors":$errs,"failed":${errors.size},"sf":${jstr(sfDir)}}"""

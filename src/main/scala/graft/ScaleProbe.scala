@@ -39,7 +39,13 @@ object ScaleProbe {
     "q_dup_gram_ppm", "q_decontaminate", "q_edit_distance_dedup",
     "q_dup_clusters", "q_dup_clusters_lsh", "q_vocab_growth", "q_tpch_q21", "q_tpch_q20",
     "q_repeated_spans", "q_tpch_q2", "q_interval_join", "q_mmr_batch",
-    "q_semdedup_scaled", "q_corpus_build_v3", "q_corpus_build_lsh")
+    "q_semdedup_scaled", "q_corpus_build_v3", "q_corpus_build_lsh",
+    // round 12: every remaining >1 s-median query — the pairwise dedup
+    // relations especially, whose boundedness was previously argued
+    // from the CC family's measurements rather than measured
+    "q_jaccard_neardup", "q_simhash_neardup", "q_curate", "q_tfidf",
+    "q_pagerank", "q_profile", "q_match_single", "q_mmr_topk",
+    "q_tpch_q7", "q_tpch_q16", "q_tpch_q18", "q_interval_agg")
 
   private def mix(a: Long, b: Long, c: Long): Long = {
     var h = a * 0x9E3779B97F4A7C15L + b * 0xC2B2AE3D27D4EB4FL + c * 0x165667B19E3779F9L

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Advanced, Analysis, Clustering, PipelineQ, GraphQ, Relational, Retrieval, SemanticQ, Stats, Temporal, Text, Tpch, Typed, VectorQ}
+import graft.queries.{Advanced, Analysis, Clustering, Media, PipelineQ, GraphQ, Relational, Retrieval, SemanticQ, Stats, Temporal, Text, Tpch, Typed, VectorQ}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -24,7 +24,7 @@ object SparkEntry {
     Relational.queries ++ Text.queries ++ VectorQ.queries ++
       Analysis.queries ++ PipelineQ.queries ++ Advanced.queries ++ Tpch.queries ++
       Typed.queries ++ Clustering.queries ++ Stats.queries ++ Retrieval.queries ++
-      Temporal.queries ++ GraphQ.queries ++ SemanticQ.queries
+      Temporal.queries ++ GraphQ.queries ++ SemanticQ.queries ++ Media.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -33,5 +33,5 @@ object SparkEntry {
     Relational.oracleSql ++ Text.oracleSql ++ VectorQ.oracleSql ++
       Analysis.oracleSql ++ PipelineQ.oracleSql ++ Advanced.oracleSql ++ Tpch.oracleSql ++
       Typed.oracleSql ++ Clustering.oracleSql ++ Stats.oracleSql ++ Retrieval.oracleSql ++
-      Temporal.oracleSql ++ GraphQ.oracleSql ++ SemanticQ.oracleSql
+      Temporal.oracleSql ++ GraphQ.oracleSql ++ SemanticQ.oracleSql ++ Media.oracleSql
 }

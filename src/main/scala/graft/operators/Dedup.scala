@@ -331,6 +331,16 @@ object Dedup {
     */
   def bandTable(sets: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
     sets
+      // An EMPTY item set has no minhash (all-null signature) and
+      // Jaccard 0 with everything — including other empty sets — so it
+      // must produce no band rows at all. Without this filter every
+      // empty-set doc shares the same degenerate band keys and the
+      // bucket-union components (q_dup_clusters_lsh, corpus_build_lsh)
+      // would systematically merge all sub-shingle-length docs into one
+      // cluster; the exact path already pins empty sets as singletons
+      // (componentEdgesBySet), and the DuckDB twin's NULL band keys
+      // drop out of its equi-join — this keeps all three aligned.
+      .where(size(col("hsorted")) > 0)
       .select(col("id"),
         minhashSignatureFromHashes(col("hsorted"), bands * rowsPerBand).as("sig"))
       .select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))

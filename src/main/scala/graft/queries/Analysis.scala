@@ -91,43 +91,27 @@ object Analysis {
     * items sorted-asc)` shared by q_jaccard_neardup and q_dup_clusters —
     * same session-catalog cached-view lifecycle as `shingleSets`.
     */
-  private[queries] def tokenSets(s: SparkSession, d: String): DataFrame = {
-    val name = "graft_token_sets_" + java.security.MessageDigest
-      .getInstance("MD5").digest(d.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(12)
-    this.synchronized {
-      if (!s.catalog.tableExists(name)) {
-        Tables.documents(s, d).select(col("source").as("block"), col("doc_id").as("id"),
-            array_sort(array_distinct(transform(TA.tokens(col("text")),
-              t => TA.md5Hash60(t)))).as("items"))
-          .createOrReplaceTempView(name)
-        s.catalog.cacheTable(name)
-      }
+  private[graft] def tokenSets(s: SparkSession, d: String): DataFrame =
+    CachedViews.cached(s, "graft_token_sets", d,
+      SemanticQ.snapshotKey(s, d, "documents")) {
+      Tables.documents(s, d).select(col("source").as("block"), col("doc_id").as("id"),
+        array_sort(array_distinct(transform(TA.tokens(col("text")),
+          t => TA.md5Hash60(t)))).as("items"))
     }
-    s.table(name)
-  }
 
-  /** The hashed 3-gram shingle-set relation over `documents`, cached once
-    * per (session, sf dir) in the SESSION CATALOG as a temp view — the
-    * "persisted signature table" pattern. Both q_minhash_lsh and q_curate
-    * read it, so the shingle→md5→sort pass (the dominant LSH cost) runs
-    * once per Verify/Bench session instead of once per plan branch per
-    * query. Lifecycle is owned by the catalog (dropped with the session);
-    * no process-global mutable state.
+  /** The hashed 3-gram shingle-set relation over `documents`, cached in
+    * the SESSION CATALOG keyed on the table's content fingerprint
+    * ([[CachedViews]]) — the "persisted signature table" pattern. Both
+    * q_minhash_lsh and q_curate read it, so the shingle→md5→sort pass
+    * (the dominant LSH cost) runs once per Verify/Bench session instead
+    * of once per plan branch per query; a mid-session rewrite of the
+    * documents parquet evicts and rebuilds.
     */
-  private[queries] def shingleSets(s: SparkSession, d: String): DataFrame = {
-    val name = "graft_shingle_sets_" + java.security.MessageDigest
-      .getInstance("MD5").digest(d.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(12)
-    this.synchronized {
-      if (!s.catalog.tableExists(name)) {
-        Dedup.hashedSets(Tables.documents(s, d), "doc_id", TA.shingles(col("text"), 3))
-          .createOrReplaceTempView(name)
-        s.catalog.cacheTable(name)
-      }
+  private[graft] def shingleSets(s: SparkSession, d: String): DataFrame =
+    CachedViews.cached(s, "graft_shingle_sets", d,
+      SemanticQ.snapshotKey(s, d, "documents")) {
+      Dedup.hashedSets(Tables.documents(s, d), "doc_id", TA.shingles(col("text"), 3))
     }
-    s.table(name)
-  }
 
   /** Full LSH pipeline: 3-gram shingles → 12 minhashes → 4 bands × 3 →
     * bucket-join candidates → exact Jaccard >= 0.5 verify, over the

@@ -241,33 +241,15 @@ object Clustering {
     * the materialized dedup-assignment table every curation job joins
     * against rather than re-deriving.
     */
-  private val canonViews =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
-
-  private[graft] def canonIds(s: SparkSession, d: String): DataFrame = {
+  private[graft] def canonIds(s: SparkSession, d: String): DataFrame =
     // Keyed on the documents table's CONTENT fingerprint (the same
     // parquet-footer hash SemanticQ's quantizer cache uses), not the
     // dir alone: a mid-session rewrite of documents.parquet evicts the
     // stale view and rebuilds — dir-only keys proved unsound there.
-    val fp = SemanticQ.snapshotKey(s, d, "documents")
-    val name = "graft_canon_ids_" + java.security.MessageDigest
-      .getInstance("MD5").digest(fp.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(12)
-    this.synchronized {
-      val prev = canonViews.get(d)
-      if (prev != null && prev._1 != fp && s.catalog.tableExists(prev._2)) {
-        s.catalog.uncacheTable(prev._2)
-        s.catalog.dropTempView(prev._2)
-      }
-      if (!s.catalog.tableExists(name)) {
-        nearDupCanon(s, d, exactKeptIds(Tables.documents(s, d)))
-          .createOrReplaceTempView(name)
-        s.catalog.cacheTable(name)
-      }
-      canonViews.put(d, (fp, name))
+    CachedViews.cached(s, "graft_canon_ids", d,
+      SemanticQ.snapshotKey(s, d, "documents")) {
+      nearDupCanon(s, d, exactKeptIds(Tables.documents(s, d)))
     }
-    s.table(name)
-  }
 
   /** SemDeDup drop set over `canon` under quantizer `cents`: assign
     * survivors (doc_id ≡ vec_id in this corpus; one map-side broadcast

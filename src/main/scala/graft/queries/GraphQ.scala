@@ -21,18 +21,12 @@ object GraphQ {
     * themselves are 25 nodes — so recomputing it per query would double
     * the only at-scale cost.
     */
-  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
-    val name = "graft_trade_edges_" + java.security.MessageDigest
-      .getInstance("MD5").digest(d.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(12)
-    this.synchronized {
-      if (!s.catalog.tableExists(name)) {
-        tradeEdgesPlan(s, d).createOrReplaceTempView(name)
-        s.catalog.cacheTable(name)
-      }
+  private[graft] def tradeEdges(s: SparkSession, d: String): DataFrame =
+    CachedViews.cached(s, "graft_trade_edges", d,
+      Seq("lineitem", "orders", "customer", "supplier", "nation")
+        .map(SemanticQ.snapshotKey(s, d, _)).mkString(";")) {
+      tradeEdgesPlan(s, d)
     }
-    s.table(name)
-  }
 
   private def tradeEdgesPlan(s: SparkSession, d: String): DataFrame = {
     val nat = (alias: String) => Tables.nation(s, d)

@@ -1,0 +1,72 @@
+package graft.queries
+
+import graft.sources.{MediaCorpus, Multimodal}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-checked multimodal ingest (SURVEY §2 "multimodal columns"
+  * north star): binaryFile-scan the generated [[MediaCorpus]] (real
+  * PNG/JPEG/GIF/BMP/WEBP images, WAV/FLAC/Opus audio, an MP4), dispatch
+  * modality on extension, parse each container's REAL header metadata
+  * — image dimensions, audio rate/channels/duration, video duration —
+  * and project one typed row per file. The DuckDB oracle recomputes the
+  * same rows from the corpus's expected-metadata contract, so any
+  * parser or dispatch regression fails the correctness gate, not just
+  * a unit spec.
+  *
+  * Reference analogue: the binary upload loaders at
+  * `/root/reference/utils.py:11-19`, extended to media containers.
+  */
+object Media {
+
+  /** q_media_ingest: (file_name, kind, format, width, height,
+    * sample_rate, channels, duration_ms), NULL where the modality has
+    * no such field. Header-only parsing — no pixel/sample decode — so
+    * at scale this is one narrow pass over the first bytes of each
+    * blob, embarrassingly parallel across files.
+    */
+  def mediaIngest(s: SparkSession, d: String): DataFrame = {
+    val base = Multimodal.fromBinaryFiles(s, MediaCorpus.ensure() + "/*")
+    // withAudioMeta and withVideoMeta both emit `duration_ms` (audio
+    // clip length / movie length) — stash the audio one before the
+    // video pass would overwrite it, then coalesce per row
+    val ann = Multimodal.withVideoMeta(
+      Multimodal.withAudioMeta(Multimodal.withImageMeta(base))
+        .withColumnRenamed("duration_ms", "audio_duration_ms"))
+    ann.select(
+        regexp_extract(element_at(col("meta"), "path"), "[^/]+$", 0).as("file_name"),
+        col("modality").as("kind"),
+        coalesce(col("img_format"), col("audio_format"), col("video_format"))
+          .as("format"),
+        col("width"), col("height"),
+        col("sample_rate"), col("channels"),
+        coalesce(col("audio_duration_ms"), col("duration_ms")).as("duration_ms"))
+      .orderBy(col("file_name").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_ingest" -> mediaIngest,
+  )
+
+  /** VALUES-only oracle: DuckDB re-emits the corpus contract rows. */
+  private val mediaIngestSql: String = {
+    def i(o: Option[Int]) = o.map(_.toString).getOrElse("NULL")
+    def l(o: Option[Long]) = o.map(_.toString).getOrElse("NULL")
+    val rows = MediaCorpus.expected.map { e =>
+      s"('${e.fileName}', '${e.kind}', '${e.format}', ${i(e.width)}, " +
+        s"${i(e.height)}, ${i(e.sampleRate)}, ${i(e.channels)}, ${l(e.durationMs)})"
+    }.mkString(",\n  ")
+    s"""SELECT file_name, kind, format,
+       |  CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+       |  CAST(sample_rate AS INTEGER) AS sample_rate,
+       |  CAST(channels AS INTEGER) AS channels,
+       |  CAST(duration_ms AS BIGINT) AS duration_ms
+       |FROM (VALUES $rows)
+       |  v(file_name, kind, format, width, height, sample_rate, channels, duration_ms)
+       |ORDER BY file_name ASC""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q_media_ingest" -> mediaIngestSql,
+  )
+}

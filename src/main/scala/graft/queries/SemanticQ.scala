@@ -228,7 +228,7 @@ object SemanticQ {
     * and q_corpus_build_v3 share one training per session, mirroring
     * the production persisted-artifact discipline.
     */
-  private[queries] def scaledCentroids(s: SparkSession, d: String): Seq[(Long, Seq[Long])] =
+  private[graft] def scaledCentroids(s: SparkSession, d: String): Seq[(Long, Seq[Long])] =
     cachedCentroids(s, d, "sqrtN") {
       val emb = Tables.embeddings(s, d)
       val k = math.ceil(math.sqrt(emb.count().toDouble)).toInt

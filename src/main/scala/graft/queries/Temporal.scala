@@ -45,6 +45,39 @@ object Temporal {
       .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
   }
 
+  /** The PRODUCTION form of interval analytics — per (line status, day)
+    * overlap counts and price sums, never materializing the pair
+    * relation q_interval_join enumerates (whose answer itself grows
+    * ×100 under the probe's 10× densification; BASELINE.md). Linear
+    * dataflow: points pre-aggregate to per-(day, status) counts (one
+    * map-side-combined shuffle, cardinality bounded by days×statuses);
+    * each 7-day interval EXPLODES to its ≤7 covered days and aggregates
+    * to per-day (interval count, decimal price sum) — bounded by the
+    * date domain; one broadcast-sized equi-join on day then multiplies
+    * out: pairs(day,status) = points(day,status) · intervals(day), and
+    * Σprice over pairs = points · Σprice(intervals covering day). The
+    * DuckDB oracle pays the full pair join + GROUP BY — same answer,
+    * O(pairs) vs our O(N + days).
+    */
+  def intervalAgg(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables.lineitem(s, d)
+      .groupBy(epochDay(col("l_shipdate")).as("day"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_pts"))
+    val cov = Tables.orders(s, d)
+      .where(col("o_totalprice") >= 490000.0)
+      .select(epochDay(col("o_orderdate")).as("d0"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      .select(explode(sequence(col("d0"), col("d0") + 6)).as("day"), col("price"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_iv"), sum(col("price")).as("sum_iv"))
+    pts.join(broadcast(cov), Seq("day"))
+      .select(col("l_linestatus"), col("day"),
+        (col("n_pts") * col("n_iv")).as("n_pairs"),
+        (col("n_pts").cast("decimal(18,0)") * col("sum_iv"))
+          .cast("double").as("sum_price"))
+      .orderBy(col("l_linestatus").asc, col("day").asc)
+  }
+
   /** Daily count of orders inside their 4-day fulfillment window
     * [o_orderdate, +3d] — interval overlap counting WITHOUT a range join:
     * each interval contributes +1 at its start day and -1 one past its
@@ -100,6 +133,7 @@ object Temporal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_interval_join" -> intervalJoin,
+    "q_interval_agg" -> intervalAgg,
     "q_in_transit" -> inTransit,
     "q_scd2_history" -> scd2History,
   )
@@ -115,6 +149,18 @@ object Temporal {
         |  ON (CAST(l_shipdate AS DATE) - DATE '1970-01-01') BETWEEN b.d0 AND b.d0 + 6
         |GROUP BY l_orderkey, l_linenumber
         |ORDER BY l_orderkey ASC, l_linenumber ASC""".stripMargin,
+    "q_interval_agg" ->
+      """WITH big AS (SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS d0,
+        |    o_totalprice
+        |  FROM orders WHERE o_totalprice >= 490000.0)
+        |SELECT l.l_linestatus,
+        |  (CAST(l.l_shipdate AS DATE) - DATE '1970-01-01') AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CAST(b.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem l JOIN big b
+        |  ON (CAST(l.l_shipdate AS DATE) - DATE '1970-01-01') BETWEEN b.d0 AND b.d0 + 6
+        |GROUP BY 1, 2
+        |ORDER BY l_linestatus ASC, day ASC""".stripMargin,
     "q_in_transit" ->
       """WITH iv AS (SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS d0
         |  FROM orders),

@@ -32,6 +32,59 @@ class ClusteringSpec extends AnyFunSuite {
       s"content rewrite must invalidate the canon cache: $second")
   }
 
+  test("bandTable/bucket-union property (ScalaCheck): empty sets never " +
+    "band and stay singletons; identical sets share a cluster; star " +
+    "edges give exactly the full same-bucket components") {
+    import spark.implicits._
+    import graft.operators.{ConnectedComponents, Dedup}
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    // families mix the degenerate shapes: empty sets (sub-shingle-length
+    // docs), single-item sets, a recurring identical set (exact-dup
+    // block), and small random sets over a tight universe so bucket
+    // collisions actually occur
+    val genFamily: Gen[List[(Long, List[Long])]] = for {
+      n <- Gen.choose(2, 9)
+      sets <- Gen.listOfN(n, Gen.frequency(
+        2 -> Gen.const(List.empty[Long]),
+        2 -> Gen.choose(1L, 5L).map(List(_)),
+        2 -> Gen.const(List(11L, 12L, 13L)),
+        3 -> Gen.listOf(Gen.choose(1L, 8L)).map(_.distinct.sorted)))
+    } yield sets.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val prop = Prop.forAllNoShrink(genFamily) { fam =>
+      val sets = fam.toDF("id", "hsorted")
+      val banded = Dedup.bandTable(sets, bands = 4, rowsPerBand = 3)
+        .localCheckpoint()
+      val bandedIds = banded.select("id").distinct().as[Long].collect().toSet
+      val emptyIds = fam.filter(_._2.isEmpty).map(_._1).toSet
+      val nodes = sets.select(col("id"))
+      val anchors = banded.groupBy(col("bkey")).agg(min(col("id")).as("anchor"))
+      val star = banded.join(anchors, Seq("bkey"))
+        .where(col("id") =!= col("anchor"))
+        .select(col("anchor").as("id_a"), col("id").as("id_b")).distinct()
+      val full = banded.select(col("bkey"), col("id").as("id_a"))
+        .join(banded.select(col("bkey"), col("id").as("id_b")), Seq("bkey"))
+        .where(col("id_a") < col("id_b")).distinct()
+      def comp(edges: org.apache.spark.sql.DataFrame) =
+        ConnectedComponents.assignAdaptive(nodes, edges)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val cs = comp(star)
+      val okEmptyNoBand = emptyIds.intersect(bandedIds).isEmpty
+      val okEmptySingleton = emptyIds.forall(i => cs(i) == i)
+      val okIdentShareCluster = fam.filter(_._2.nonEmpty).groupBy(_._2)
+        .values.forall(g => g.map(x => cs(x._1)).toSet.size == 1)
+      val okStarEqualsFull = cs == comp(full)
+      Prop.all(
+        okEmptyNoBand :| "empty set produced band rows",
+        okEmptySingleton :| "empty set merged into a cluster",
+        okIdentShareCluster :| "identical sets split across clusters",
+        okStarEqualsFull :| "star edges diverged from full bucket cliques")
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("componentEdgesBySet: contracted edges give EXACTLY the components " +
     "of the full pair relation (adversarial fixture + real corpus)") {
     import spark.implicits._

@@ -12,6 +12,24 @@ class MultimodalSpec extends AnyFunSuite {
     (3L, "video", Array[Byte](6), Map("n_frames" -> "10")),
     (4L, "image", null, Map.empty[String, String])))
 
+  test("MediaCorpus: every generated fixture parses to its declared contract") {
+    import graft.sources.MediaCorpus
+    val dir = MediaCorpus.ensure()
+    MediaCorpus.expected.foreach { e =>
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, e.fileName))
+      e.kind match {
+        case "image" => assert(Multimodal.imageDims(bytes)
+          .contains((e.format, e.width.get, e.height.get)), e.fileName)
+        case "audio" => assert(Multimodal.audioMeta(bytes)
+          .contains((e.format, e.sampleRate.get, e.channels.get, e.durationMs.get)),
+          e.fileName)
+        case "video" => assert(Multimodal.videoMeta(bytes)
+          .contains((e.format, e.durationMs.get)), e.fileName)
+      }
+    }
+  }
+
   test("media table has the canonical schema") {
     assert(media.schema.fieldNames.toSeq == Seq("media_id", "modality", "bytes", "meta"))
     assert(media.count() == 4)
