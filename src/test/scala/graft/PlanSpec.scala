@@ -30,6 +30,17 @@ class PlanSpec extends AnyFunSuite {
       "nation/region should both broadcast")
   }
 
+  test("interval_agg: both sides partial-aggregate before one broadcast " +
+    "day join — no pair relation, no range/nested-loop join anywhere") {
+    val plan = formatted(graft.queries.Temporal.queries("q_interval_agg")(spark, TestSpark.sf0001))
+    assert(plan.contains("BroadcastHashJoin"),
+      "bounded per-day interval aggregate must broadcast into the point side")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      "the aggregate form must never fall back to a pair-enumerating join")
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      "both inputs need partial+final aggregates (map-side combine)")
+  }
+
   test("global top-n compiles to TakeOrderedAndProject (no global sort)") {
     val plan = formatted(graft.queries.Relational.queries("q_topn_global")(spark, TestSpark.sf0001))
     assert(plan.contains("TakeOrderedAndProject"))
