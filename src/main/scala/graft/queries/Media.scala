@@ -44,8 +44,32 @@ object Media {
       .orderBy(col("file_name").asc)
   }
 
+  /** q_media_features: the batched DECODE plumbing (mapPartitions over
+    * opaque bytes — `Multimodal.extractFeatures`) driver-checked, not
+    * just the header parsers. The stub decoder is a pure function of
+    * md5(bytes), so the oracle recomputes the identical features from
+    * the corpus's writer-pinned digests ([[MediaCorpus.expectedMd5]])
+    * while Spark runs the real bytes → digest → feature pipeline; a
+    * regression anywhere in the batching/schema/decode path diverges
+    * the rows. Exploded to one (file, dim) row per feature so the
+    * compare is scalar-cell exact.
+    */
+  def mediaFeatures(s: SparkSession, d: String): DataFrame = {
+    val base = Multimodal.fromBinaryFiles(s, MediaCorpus.ensure() + "/*")
+    val names = base.select(col("media_id"),
+      regexp_extract(element_at(col("meta"), "path"), "[^/]+$", 0).as("file_name"))
+    Multimodal.extractFeatures(base, dim = 8)
+      .join(names, Seq("media_id"))
+      .select(col("file_name"), col("modality"),
+        posexplode(col("features")).as(Seq("dim_idx", "f")))
+      .select(col("file_name"), col("modality"), col("dim_idx"),
+        col("f").cast("double").as("feature"))
+      .orderBy(col("file_name").asc, col("dim_idx").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_ingest" -> mediaIngest,
+    "q_media_features" -> mediaFeatures,
   )
 
   /** VALUES-only oracle: DuckDB re-emits the corpus contract rows. */
@@ -66,7 +90,28 @@ object Media {
        |ORDER BY file_name ASC""".stripMargin
   }
 
+  /** The stub decoder replayed in SQL off the pinned digests: feature i
+    * reads digest byte (i·7 mod 16) — two hex chars decoded by alphabet
+    * position — then maps through ((b − 128) / 128.0), exactly the
+    * float-representable affine `Multimodal.decodeStub` applies.
+    */
+  private val mediaFeaturesSql: String = {
+    val rows = MediaCorpus.expected.map { e =>
+      s"('${e.fileName}', '${e.kind}', '${MediaCorpus.expectedMd5(e.fileName)}')"
+    }.mkString(",\n  ")
+    val hex = "0123456789abcdef"
+    val byteExpr =
+      s"((strpos('$hex', substr(h, 2*((i*7)%16)+1, 1)) - 1) * 16" +
+        s" + strpos('$hex', substr(h, 2*((i*7)%16)+2, 1)) - 1)"
+    s"""WITH m(file_name, kind, h) AS (VALUES $rows)
+       |SELECT file_name, kind AS modality, CAST(i AS INTEGER) AS dim_idx,
+       |  CAST(($byteExpr - 128) / 128.0 AS DOUBLE) AS feature
+       |FROM m CROSS JOIN (SELECT unnest(range(0, 8)) AS i)
+       |ORDER BY file_name ASC, dim_idx ASC""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_media_ingest" -> mediaIngestSql,
+    "q_media_features" -> mediaFeaturesSql,
   )
 }

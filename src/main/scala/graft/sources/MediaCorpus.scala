@@ -53,6 +53,29 @@ object MediaCorpus {
     Expect("voice.wav", "audio", "wav", None, None, Some(16000), Some(1), Some(1500L)),
   )
 
+  /** Writer-side pinned md5 of each fixture's exact bytes — the
+    * cross-check point for the decode-plumbing gate (q_media_features):
+    * MultimodalSpec asserts the generated files hash to these, and the
+    * DuckDB oracle derives the stub features FROM these hex strings
+    * while Spark derives them from the actual bytes, so the whole
+    * bytes → digest → feature path is verified across engines. A
+    * writer change must update this table (the spec fails loudly).
+    */
+  val expectedMd5: Map[String, String] = Map(
+    "anim.gif" -> "72776c548ba4464051afd5180d637093",
+    "banner.webp" -> "d1551c3ed5549ef9a956a3043b05b83e",
+    "chart.bmp" -> "ae3ff67b6be7967e0139e19de453f601",
+    "clip.mp4" -> "fd34b5d22914e035d19df33f747cdccf",
+    "clip64.mp4" -> "b1e0d52b263b2991e55cee8d4f5845ed",
+    "flip.bmp" -> "265ef1d2fc23d1fdaae7e9a7eaa621f3",
+    "icon.webp" -> "059e6417264a1381c4d7c05fc34e6ba1",
+    "music.flac" -> "456679810e5cf5fa7b3e3391d5cdca2a",
+    "photo.png" -> "b3e98571a759d80bd784772fd38cd036",
+    "scan.jpg" -> "1ec31ca9486fd6ce85ab87c5fcfcb26e",
+    "speech.opus" -> "22a135508dde3d88512d512b6178c394",
+    "voice.wav" -> "04e8b2f29db9458b773148f4f8665a7c",
+  )
+
   /** Write the corpus (idempotent, process-temp) and return its dir. */
   def ensure(): String = synchronized {
     val dir = java.nio.file.Paths.get(
