@@ -67,9 +67,34 @@ object Media {
       .orderBy(col("file_name").asc, col("dim_idx").asc)
   }
 
+  /** q_media_frames: the frame-sampling plumbing (explode every-Nth
+    * frame indices for video rows, per-frame decode of bytes+frameByte)
+    * driver-checked. Video fixtures get n_frames=9 metadata and sample
+    * every 3rd frame (0/3/6); non-video rows pass through as frame 0 —
+    * the operator contract the oracle re-emits, with features replayed
+    * from the independently pinned per-(file, frame) digests.
+    */
+  def mediaFrames(s: SparkSession, d: String): DataFrame = {
+    val base = Multimodal.fromBinaryFiles(s, MediaCorpus.ensure() + "/*")
+      .withColumn("meta",
+        when(col("modality") === "video",
+          map_concat(col("meta"), map(lit("n_frames"), lit("9"))))
+          .otherwise(col("meta")))
+    val names = base.select(col("media_id"),
+      regexp_extract(element_at(col("meta"), "path"), "[^/]+$", 0).as("file_name"))
+    Multimodal.sampleFrames(base, everyNth = 3, dim = 4)
+      .join(names, Seq("media_id"))
+      .select(col("file_name"), col("frame_no"),
+        posexplode(col("features")).as(Seq("dim_idx", "f")))
+      .select(col("file_name"), col("frame_no"), col("dim_idx"),
+        col("f").cast("double").as("feature"))
+      .orderBy(col("file_name").asc, col("frame_no").asc, col("dim_idx").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_ingest" -> mediaIngest,
     "q_media_features" -> mediaFeatures,
+    "q_media_frames" -> mediaFrames,
   )
 
   /** VALUES-only oracle: DuckDB re-emits the corpus contract rows. */
@@ -95,23 +120,41 @@ object Media {
     * position — then maps through ((b − 128) / 128.0), exactly the
     * float-representable affine `Multimodal.decodeStub` applies.
     */
+  /** Digest byte (i·7 mod 16) of hex string `h`, decoded by alphabet
+    * position — the SQL replay of `decodeStub`'s byte pick.
+    */
+  private val stubByteExpr: String = {
+    val hex = "0123456789abcdef"
+    s"((strpos('$hex', substr(h, 2*((i*7)%16)+1, 1)) - 1) * 16" +
+      s" + strpos('$hex', substr(h, 2*((i*7)%16)+2, 1)) - 1)"
+  }
+
   private val mediaFeaturesSql: String = {
     val rows = MediaCorpus.expected.map { e =>
       s"('${e.fileName}', '${e.kind}', '${MediaCorpus.expectedMd5(e.fileName)}')"
     }.mkString(",\n  ")
-    val hex = "0123456789abcdef"
-    val byteExpr =
-      s"((strpos('$hex', substr(h, 2*((i*7)%16)+1, 1)) - 1) * 16" +
-        s" + strpos('$hex', substr(h, 2*((i*7)%16)+2, 1)) - 1)"
     s"""WITH m(file_name, kind, h) AS (VALUES $rows)
        |SELECT file_name, kind AS modality, CAST(i AS INTEGER) AS dim_idx,
-       |  CAST(($byteExpr - 128) / 128.0 AS DOUBLE) AS feature
+       |  CAST(($stubByteExpr - 128) / 128.0 AS DOUBLE) AS feature
        |FROM m CROSS JOIN (SELECT unnest(range(0, 8)) AS i)
        |ORDER BY file_name ASC, dim_idx ASC""".stripMargin
+  }
+
+  private val mediaFramesSql: String = {
+    val rows = MediaCorpus.expectedFrameMd5.map { case (n, f, h) =>
+      s"('$n', $f, '$h')"
+    }.mkString(",\n  ")
+    s"""WITH m(file_name, frame_no, h) AS (VALUES $rows)
+       |SELECT file_name, CAST(frame_no AS INTEGER) AS frame_no,
+       |  CAST(i AS INTEGER) AS dim_idx,
+       |  CAST(($stubByteExpr - 128) / 128.0 AS DOUBLE) AS feature
+       |FROM m CROSS JOIN (SELECT unnest(range(0, 4)) AS i)
+       |ORDER BY file_name ASC, frame_no ASC, dim_idx ASC""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(
     "q_media_ingest" -> mediaIngestSql,
     "q_media_features" -> mediaFeaturesSql,
+    "q_media_frames" -> mediaFramesSql,
   )
 }

@@ -76,6 +76,33 @@ object MediaCorpus {
     "voice.wav" -> "04e8b2f29db9458b773148f4f8665a7c",
   )
 
+  /** Per-(file, frame) pinned digests for the frame-sampling gate
+    * (q_media_frames): md5 of the file bytes with the sampled frame
+    * index appended as one byte — `Multimodal.sampleFrames`' decode
+    * input. Video fixtures sample frames 0/3/6 (n_frames=9, every 3rd);
+    * everything else contributes its single frame 0. Derived by an
+    * independent writer-side hash (MultimodalSpec re-derives via
+    * MessageDigest), never by running the pipeline under test.
+    */
+  val expectedFrameMd5: Seq[(String, Int, String)] = Seq(
+    ("anim.gif", 0, "7ddbf18a8d31baa076e537cd67c8f64b"),
+    ("banner.webp", 0, "39c9508b635b155e01b8995091781e2b"),
+    ("chart.bmp", 0, "2c12bbdb926a8d7b72ff61ce35253d69"),
+    ("clip.mp4", 0, "67bbe0338709389c139f6d09e6b1e933"),
+    ("clip.mp4", 3, "fe7bc93c89222ea87ce6f023ff008e23"),
+    ("clip.mp4", 6, "1c60846eab3bc28416bf3278e71edc4c"),
+    ("clip64.mp4", 0, "53bdf28cafb065d9aa929cca30a1ec1d"),
+    ("clip64.mp4", 3, "e2e2a2feb782862959a0d593deab732f"),
+    ("clip64.mp4", 6, "20295f8e4f404cb0ac238c5c4d65a86c"),
+    ("flip.bmp", 0, "478ec66fc728db94208e2d94819e7139"),
+    ("icon.webp", 0, "fc93a7e444ced527df8b0d7266f88303"),
+    ("music.flac", 0, "0e89b6c48223b1ceed60d1215186f5c5"),
+    ("photo.png", 0, "89ac7c23b6544021aedb48eabb090e16"),
+    ("scan.jpg", 0, "593494870ecdb0049b27e77ba5486a4f"),
+    ("speech.opus", 0, "9e29172d706834a8a4598c4e9e84b4f2"),
+    ("voice.wav", 0, "431b6126a4d8c81fc9e0d800625b85d2"),
+  )
+
   /** Write the corpus (idempotent, process-temp) and return its dir. */
   def ensure(): String = synchronized {
     val dir = java.nio.file.Paths.get(
