@@ -25,8 +25,23 @@ object Media {
     * at scale this is one narrow pass over the first bytes of each
     * blob, embarrassingly parallel across files.
     */
-  def mediaIngest(s: SparkSession, d: String): DataFrame = {
-    val base = Multimodal.fromBinaryFiles(s, MediaCorpus.ensure() + "/*")
+  def mediaIngest(s: SparkSession, d: String): DataFrame =
+    ingestRows(Multimodal.fromBinaryFiles(s, MediaCorpus.ensure() + "/*"))
+
+  /** q_media_ingest_head: the SAME typed-metadata contract as
+    * q_media_ingest, but scanned through the `binary-head` DSv2 source
+    * ([[Multimodal.fromBinaryFilesHead]]) — each file contributes only
+    * its first 64 KiB, not the full blob. Oracled against the identical
+    * contract rows: head-truncated bytes must parse to the same
+    * metadata, which is the whole point of the head scan (container
+    * headers live in the first bytes). This is the production ingest
+    * path at 100 TB; q_media_ingest keeps the full-read source honest.
+    */
+  def mediaIngestHead(s: SparkSession, d: String): DataFrame =
+    ingestRows(Multimodal.fromBinaryFilesHead(s, MediaCorpus.ensure() + "/*"))
+
+  /** Shared metadata-projection pipeline over any canonical media scan. */
+  private[graft] def ingestRows(base: DataFrame): DataFrame = {
     // withAudioMeta and withVideoMeta both emit `duration_ms` (audio
     // clip length / movie length) — stash the audio one before the
     // video pass would overwrite it, then coalesce per row
@@ -93,6 +108,7 @@ object Media {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_ingest" -> mediaIngest,
+    "q_media_ingest_head" -> mediaIngestHead,
     "q_media_features" -> mediaFeatures,
     "q_media_frames" -> mediaFrames,
   )
@@ -154,6 +170,7 @@ object Media {
 
   val oracleSql: Map[String, String] = Map(
     "q_media_ingest" -> mediaIngestSql,
+    "q_media_ingest_head" -> mediaIngestSql,
     "q_media_features" -> mediaFeaturesSql,
     "q_media_frames" -> mediaFramesSql,
   )

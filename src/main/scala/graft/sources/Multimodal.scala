@@ -52,6 +52,33 @@ object Multimodal {
         col("content").as("bytes"),
         map(lit("path"), col("path"), lit("length"), col("length").cast("string")).as("meta"))
 
+  /** Head-bytes variant of [[fromBinaryFiles]] for METADATA-ONLY
+    * ingest: rides the [[BinaryHeadSource]] DSv2 scan, so each file
+    * contributes only its first `headBytes` bytes (default 64 KiB)
+    * instead of the full blob `binaryFile` materializes. Same canonical
+    * media schema — `bytes` holds the head slice, which is all the
+    * container-header parsers ([[imageDims]]/[[audioMeta]]/
+    * [[videoMeta]]) ever look at for front-loaded metadata. At the
+    * 100 TB design point this is the difference between reading the
+    * corpus and reading a few GB of headers.
+    *
+    * NOT for decode paths: [[extractFeatures]]' stub (and any real
+    * codec) hashes/decodes the WHOLE file — feed those from
+    * [[fromBinaryFiles]], ideally after this scan has gated the file
+    * set down to survivors.
+    */
+  def fromBinaryFilesHead(spark: SparkSession, glob: String,
+      headBytes: Int = 65536): DataFrame =
+    spark.read.format("binary-head").option("head", headBytes).load(glob)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        when(col("path").rlike("(?i)\\.(png|jpe?g|gif|bmp|webp)$"), "image")
+          .when(col("path").rlike("(?i)\\.(wav|mp3|flac|ogg|opus)$"), "audio")
+          .when(col("path").rlike("(?i)\\.(mp4|avi|mkv|webm)$"), "video")
+          .otherwise("unknown").as("modality"),
+        col("head").as("bytes"),
+        map(lit("path"), col("path"), lit("length"), col("length").cast("string")).as("meta"))
+
   /** REAL image header parsing (no codec needed): container format and
     * pixel dimensions from the first bytes of PNG (IHDR), GIF (logical
     * screen), BMP (BITMAPINFOHEADER), WEBP (RIFF first chunk — VP8/VP8L/

@@ -1,0 +1,136 @@
+package graft
+
+import graft.sources.{BinaryHeadSource, MediaCorpus, Multimodal}
+import org.apache.hadoop.fs.FileSystem
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The head-bytes DSv2 scan: bounded per-file reads (the 100 TB
+  * metadata-ingest fix over `binaryFile`'s full-blob materialization),
+  * column pruning that skips file opens entirely, and metadata parity
+  * with the full-read media path on the fixture corpus.
+  */
+class BinaryHeadSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Sum of bytesRead across all Hadoop FileSystem statistics in this
+    * JVM (local mode: driver + executors share it). Coarse — other
+    * concurrently-running suites add reads — so assertions compare
+    * against margins far wider than any sibling suite's I/O.
+    */
+  private def fsBytesRead(): Long = {
+    import scala.jdk.CollectionConverters._
+    FileSystem.getGlobalStorageStatistics.iterator().asScala
+      .flatMap(s => Option(s.getLong("bytesRead")).map(_.longValue()))
+      .sum
+  }
+
+  private def bigFileDir(): (String, String, Long) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_head_big")
+    // a 64 MiB "PNG": valid signature + IHDR prefix (enough for
+    // imageDims), then zero padding — the header parser never needs
+    // the tail, and the head scan must never read it
+    val out = new java.io.FileOutputStream(dir.resolve("huge.png").toFile)
+    val ihdr = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x04, 0x00, // width 1024
+      0, 0, 0x02, 0x00, // height 512
+      8, 2, 0, 0, 0)
+    out.write(ihdr)
+    val zeros = new Array[Byte](1 << 20)
+    (0 until 64).foreach(_ => out.write(zeros))
+    out.close()
+    val f = dir.resolve("huge.png").toFile
+    (dir.toString, f.getPath, f.length())
+  }
+
+  test("head column holds exactly min(head, length) leading bytes") {
+    val (dir, _, len) = bigFileDir()
+    val rows = spark.read.format("binary-head").option("head", 65536)
+      .load(dir + "/*").collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getAs[Long]("length") == len)
+    val head = r.getAs[Array[Byte]]("head")
+    assert(head.length == 65536, "head must be truncated to the cap")
+    assert(head(1) == 'P' && head(2) == 'N' && head(3) == 'G')
+    // and a file smaller than the cap arrives whole
+    val mediaDir = MediaCorpus.ensure()
+    val small = spark.read.format("binary-head").option("head", 1 << 20)
+      .load(mediaDir + "/photo.png")
+      .select(col("head"), col("length")).head()
+    assert(small.getAs[Array[Byte]]("head").length == small.getAs[Long]("length"))
+  }
+
+  test("bytes read from disk stay near the head cap, far below file size") {
+    val (dir, _, len) = bigFileDir()
+    val before = fsBytesRead()
+    val metas = spark.read.format("binary-head").option("head", 65536)
+      .load(dir + "/*")
+      .select(col("path"), col("length"), col("head")).collect()
+    val delta = fsBytesRead() - before
+    assert(metas.length == 1)
+    // 64 MiB file; a full-blob scan would push delta past len. Allow a
+    // generous 8 MiB for buffer readahead + sibling-suite noise.
+    assert(delta < len / 8,
+      s"head scan read $delta bytes of a $len-byte file — not bounded")
+  }
+
+  test("pruned scan (path/length only) opens no files at all") {
+    val (dir, _, _) = bigFileDir()
+    val df = spark.read.format("binary-head").option("head", 65536)
+      .load(dir + "/*").select(col("path"), col("length"))
+    val before = fsBytesRead()
+    val n = df.collect().length
+    val delta = fsBytesRead() - before
+    assert(n == 1)
+    // listing metadata only: no open() should occur, so any delta here
+    // is sibling-suite noise — bound it well under the head cap itself
+    assert(delta < 65536, s"pruned scan still read $delta bytes")
+  }
+
+  test("greedy planning balances skewed file sizes across splits") {
+    // 1 big + many small files in one dir; cap ABOVE all sizes so cost
+    // = length. Greedy LPT must land max/min split cost within 2x even
+    // though one file is 10x every other.
+    val dir = java.nio.file.Files.createTempDirectory("graft_head_skew")
+    java.nio.file.Files.write(dir.resolve("big.bin"), new Array[Byte](10000))
+    (0 until 9).foreach(i =>
+      java.nio.file.Files.write(dir.resolve(f"s$i.bin"), new Array[Byte](1000)))
+    val df = spark.read.format("binary-head")
+      .option("head", 1 << 20).option("partitions", 3).load(dir.toString + "/*")
+    val perPart = df.select(spark_partition_id().as("pid"), col("length"))
+      .groupBy("pid").agg(sum("length").as("bytes")).collect()
+      .map(_.getAs[Long]("bytes"))
+    assert(perPart.length == 3)
+    // LPT isolates the dominant file (its split gets nothing else — the
+    // makespan lower bound) and deals the small tail evenly elsewhere
+    val sorted = perPart.sorted.toSeq
+    assert(sorted.last == 10000L, s"big file not isolated: ${perPart.toSeq}")
+    assert(sorted(1) - sorted(0) <= 1000L, s"small tail unbalanced: ${perPart.toSeq}")
+    assert(perPart.sum == 19000L)
+  }
+
+  test("listFiles skips hidden/marker files and expands one dir level") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_head_list")
+    java.nio.file.Files.write(dir.resolve("a.bin"), Array[Byte](1, 2))
+    java.nio.file.Files.write(dir.resolve("_MARKER"), Array[Byte](1))
+    java.nio.file.Files.write(dir.resolve(".hidden"), Array[Byte](1))
+    val listed = BinaryHeadSource.listFiles(dir.toString + "/*")
+      .map(_._1.split('/').last)
+    assert(listed == Seq("a.bin"))
+    val viaDir = BinaryHeadSource.listFiles(dir.toString)
+      .map(_._1.split('/').last)
+    assert(viaDir == Seq("a.bin"))
+  }
+
+  test("head scan yields identical media metadata to the full-read scan") {
+    val dir = MediaCorpus.ensure()
+    val full = queries.Media.ingestRows(
+      Multimodal.fromBinaryFiles(spark, dir + "/*")).collect().toSeq
+    val head = queries.Media.ingestRows(
+      Multimodal.fromBinaryFilesHead(spark, dir + "/*")).collect().toSeq
+    assert(head == full)
+    assert(head.nonEmpty)
+  }
+}
