@@ -117,8 +117,9 @@ object Media {
   private val mediaIngestSql: String = {
     def i(o: Option[Int]) = o.map(_.toString).getOrElse("NULL")
     def l(o: Option[Long]) = o.map(_.toString).getOrElse("NULL")
+    def st(o: Option[String]) = o.map(s => s"'$s'").getOrElse("NULL")
     val rows = MediaCorpus.expected.map { e =>
-      s"('${e.fileName}', '${e.kind}', '${e.format}', ${i(e.width)}, " +
+      s"('${e.fileName}', '${e.kind}', ${st(e.format)}, ${i(e.width)}, " +
         s"${i(e.height)}, ${i(e.sampleRate)}, ${i(e.channels)}, ${l(e.durationMs)})"
     }.mkString(",\n  ")
     s"""SELECT file_name, kind, format,

@@ -30,27 +30,44 @@ object MediaCorpus {
     * None → NULL on both engines.
     */
   final case class Expect(
-      fileName: String, kind: String, format: String,
+      fileName: String, kind: String, format: Option[String],
       width: Option[Int], height: Option[Int],
       sampleRate: Option[Int], channels: Option[Int],
       durationMs: Option[Long])
 
   val expected: Seq[Expect] = Seq(
-    Expect("anim.gif", "image", "gif", Some(48), Some(32), None, None, None),
+    Expect("anim.gif", "image", Some("gif"), Some(48), Some(32), None, None, None),
     // VP8X extended layout (canvas minus-one 24-bit fields)
-    Expect("banner.webp", "image", "webp", Some(200), Some(100), None, None, None),
-    Expect("chart.bmp", "image", "bmp", Some(100), Some(60), None, None, None),
-    Expect("clip.mp4", "video", "mp4", None, None, None, None, Some(5000L)),
+    Expect("banner.webp", "image", Some("webp"), Some(200), Some(100), None, None, None),
+    // MALFORMED: PNG signature cut mid-IHDR — dispatches to image on
+    // extension, every metadata field NULL (parser declines); the
+    // q_binary_ingest corrupt-salvage pattern applied to media, so
+    // dispatch-vs-parse-failure is driver-checked, not just spec'd
+    Expect("broken.png", "image", None, None, None, None, None, None),
+    Expect("chart.bmp", "image", Some("bmp"), Some(100), Some(60), None, None, None),
+    Expect("clip.mp4", "video", Some("mp4"), None, None, None, None, Some(5000L)),
     // mvhd VERSION 1 (64-bit duration fields)
-    Expect("clip64.mp4", "video", "mp4", None, None, None, None, Some(2500L)),
+    Expect("clip64.mp4", "video", Some("mp4"), None, None, None, None, Some(2500L)),
+    // MALFORMED: junk bytes under an unmapped extension — unknown
+    // modality, all-NULL metadata (a zero-byte file would be the purer
+    // fixture, but Spark's binaryFile source silently drops empty files
+    // at split planning; the binary-head source covers that edge in its
+    // spec instead)
+    Expect("junk.xyz", "unknown", None, None, None, None, None, None),
     // top-down BMP: biHeight stored NEGATIVE; magnitude must surface
-    Expect("flip.bmp", "image", "bmp", Some(64), Some(48), None, None, None),
-    Expect("icon.webp", "image", "webp", Some(256), Some(144), None, None, None),
-    Expect("music.flac", "audio", "flac", None, None, Some(22050), Some(2), Some(2000L)),
-    Expect("photo.png", "image", "png", Some(320), Some(200), None, None, None),
-    Expect("scan.jpg", "image", "jpeg", Some(640), Some(480), None, None, None),
-    Expect("speech.opus", "audio", "opus", None, None, Some(48000), Some(1), Some(2000L)),
-    Expect("voice.wav", "audio", "wav", None, None, Some(16000), Some(1), Some(1500L)),
+    Expect("flip.bmp", "image", Some("bmp"), Some(64), Some(48), None, None, None),
+    Expect("icon.webp", "image", Some("webp"), Some(256), Some(144), None, None, None),
+    Expect("music.flac", "audio", Some("flac"), None, None, Some(22050), Some(2), Some(2000L)),
+    // MALFORMED: RIFF magic but a bogus form type (not WAVE) + garbage
+    // payload — audio dispatch, NULL metadata
+    Expect("noise.wav", "audio", None, None, None, None, None, None),
+    Expect("photo.png", "image", Some("png"), Some(320), Some(200), None, None, None),
+    // EXACT byte-for-byte duplicate of photo.png — the content-dedup
+    // row for q_media_curate (same digest, later file name → dropped)
+    Expect("photo_copy.png", "image", Some("png"), Some(320), Some(200), None, None, None),
+    Expect("scan.jpg", "image", Some("jpeg"), Some(640), Some(480), None, None, None),
+    Expect("speech.opus", "audio", Some("opus"), None, None, Some(48000), Some(1), Some(2000L)),
+    Expect("voice.wav", "audio", Some("wav"), None, None, Some(16000), Some(1), Some(1500L)),
   )
 
   /** Writer-side pinned md5 of each fixture's exact bytes — the
@@ -64,13 +81,18 @@ object MediaCorpus {
   val expectedMd5: Map[String, String] = Map(
     "anim.gif" -> "72776c548ba4464051afd5180d637093",
     "banner.webp" -> "d1551c3ed5549ef9a956a3043b05b83e",
+    "broken.png" -> "a0ed89380011aae0622d03beeac538de",
     "chart.bmp" -> "ae3ff67b6be7967e0139e19de453f601",
     "clip.mp4" -> "fd34b5d22914e035d19df33f747cdccf",
     "clip64.mp4" -> "b1e0d52b263b2991e55cee8d4f5845ed",
+    "junk.xyz" -> "7da726e347aafcd92cd1322f24ab3ba9",
     "flip.bmp" -> "265ef1d2fc23d1fdaae7e9a7eaa621f3",
     "icon.webp" -> "059e6417264a1381c4d7c05fc34e6ba1",
     "music.flac" -> "456679810e5cf5fa7b3e3391d5cdca2a",
+    "noise.wav" -> "e327ed1fc1acd6b84e95bbc15ab10cea",
     "photo.png" -> "b3e98571a759d80bd784772fd38cd036",
+    // byte-identical to photo.png — the same digest IS the dedup oracle
+    "photo_copy.png" -> "b3e98571a759d80bd784772fd38cd036",
     "scan.jpg" -> "1ec31ca9486fd6ce85ab87c5fcfcb26e",
     "speech.opus" -> "22a135508dde3d88512d512b6178c394",
     "voice.wav" -> "04e8b2f29db9458b773148f4f8665a7c",
@@ -87,6 +109,7 @@ object MediaCorpus {
   val expectedFrameMd5: Seq[(String, Int, String)] = Seq(
     ("anim.gif", 0, "7ddbf18a8d31baa076e537cd67c8f64b"),
     ("banner.webp", 0, "39c9508b635b155e01b8995091781e2b"),
+    ("broken.png", 0, "bc39764ffd965d9e8aa269c57dfa28d6"),
     ("chart.bmp", 0, "2c12bbdb926a8d7b72ff61ce35253d69"),
     ("clip.mp4", 0, "67bbe0338709389c139f6d09e6b1e933"),
     ("clip.mp4", 3, "fe7bc93c89222ea87ce6f023ff008e23"),
@@ -94,10 +117,13 @@ object MediaCorpus {
     ("clip64.mp4", 0, "53bdf28cafb065d9aa929cca30a1ec1d"),
     ("clip64.mp4", 3, "e2e2a2feb782862959a0d593deab732f"),
     ("clip64.mp4", 6, "20295f8e4f404cb0ac238c5c4d65a86c"),
+    ("junk.xyz", 0, "2e6d2da1be847ebca75b51335e359542"),
     ("flip.bmp", 0, "478ec66fc728db94208e2d94819e7139"),
     ("icon.webp", 0, "fc93a7e444ced527df8b0d7266f88303"),
     ("music.flac", 0, "0e89b6c48223b1ceed60d1215186f5c5"),
+    ("noise.wav", 0, "193c00731113cb257e0402e29f4e52bf"),
     ("photo.png", 0, "89ac7c23b6544021aedb48eabb090e16"),
+    ("photo_copy.png", 0, "89ac7c23b6544021aedb48eabb090e16"),
     ("scan.jpg", 0, "593494870ecdb0049b27e77ba5486a4f"),
     ("speech.opus", 0, "9e29172d706834a8a4598c4e9e84b4f2"),
     ("voice.wav", 0, "431b6126a4d8c81fc9e0d800625b85d2"),
@@ -105,8 +131,12 @@ object MediaCorpus {
 
   /** Write the corpus (idempotent, process-temp) and return its dir. */
   def ensure(): String = synchronized {
+    // v2: malformed fixtures (broken.png / noise.wav / junk.xyz) + the
+    // photo_copy.png dedup twin. Versioned dir name: the completeness
+    // check only ADDS missing names, so retiring a fixture (empty.bin)
+    // must move to a fresh dir or stale extras pollute the glob.
     val dir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_media_corpus_v1")
+      sys.props("java.io.tmpdir"), "graft_media_corpus_v2")
     val names = expected.map(_.fileName).toSet
     val complete = java.nio.file.Files.isDirectory(dir) &&
       names.forall(n => java.nio.file.Files.exists(dir.resolve(n)))
@@ -129,6 +159,14 @@ object MediaCorpus {
       write(dir, "clip.mp4", mp4(timescale = 600, duration = 3000L))
       // v1 layout: duration 2500 at timescale 1000 = 2500 ms
       write(dir, "clip64.mp4", mp4(timescale = 1000, duration = 2500L, v1 = true))
+      // malformed rows: signature truncated mid-header / bogus RIFF
+      // form type / zero bytes — parsers must decline, never throw
+      write(dir, "broken.png", png(320, 200).take(20))
+      write(dir, "noise.wav", "RIFF".getBytes("US-ASCII") ++ le32(36) ++
+        "JUNK".getBytes("US-ASCII") ++ Array.tabulate[Byte](32)(i => (i * 7 + 3).toByte))
+      write(dir, "junk.xyz", Array.tabulate[Byte](7)(i => (i * 31 + 5).toByte))
+      // exact duplicate content under a different name (dedup fixture)
+      write(dir, "photo_copy.png", png(320, 200))
     }
     dir.toString
   }

@@ -111,6 +111,21 @@ class BinaryHeadSourceSpec extends AnyFunSuite {
     assert(perPart.sum == 19000L)
   }
 
+  test("zero-byte files survive the head scan (binaryFile drops them)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_head_zero")
+    java.nio.file.Files.write(dir.resolve("empty.bin"), Array.emptyByteArray)
+    java.nio.file.Files.write(dir.resolve("one.bin"), Array[Byte](42))
+    val rows = spark.read.format("binary-head").option("head", 1024)
+      .load(dir.toString + "/*").collect()
+      .map(r => (r.getAs[String]("path").split('/').last,
+        r.getAs[Long]("length"), r.getAs[Array[Byte]]("head").length))
+      .sortBy(_._1).toSeq
+    assert(rows == Seq(("empty.bin", 0L, 0), ("one.bin", 1L, 1)))
+    // contrast: the built-in full-read source plans the empty file away
+    val full = spark.read.format("binaryFile").load(dir.toString + "/*").count()
+    assert(full == 1L, "binaryFile keeps empty files now — revisit junk.xyz fixture note")
+  }
+
   test("listFiles skips hidden/marker files and expands one dir level") {
     val dir = java.nio.file.Files.createTempDirectory("graft_head_list")
     java.nio.file.Files.write(dir.resolve("a.bin"), Array[Byte](1, 2))
