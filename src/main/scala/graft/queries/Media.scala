@@ -106,11 +106,69 @@ object Media {
       .orderBy(col("file_name").asc, col("frame_no").asc, col("dim_idx").asc)
   }
 
+  /** q_media_curate: the multimodal twin of q_corpus_build — the whole
+    * curation dataflow as ONE oracled pipeline over the fixture corpus:
+    *
+    *   ingest (full-read scan: the feature stage hashes whole blobs)
+    *   → metadata gate  (drop malformed/unknown rows, images under
+    *     4096 px², audio/video under 1 s — the typed-metadata columns
+    *     doing the filtering they exist for)
+    *   → exact content dedup (md5 digest; keep the lexicographically
+    *     first file name per digest — photo_copy.png drops here)
+    *   → batched feature extraction (dim 4), exploded to scalar rows.
+    *
+    * Scale shape: the gates are narrow per-row predicates evaluated
+    * before the only shuffle, which keys SURVIVING rows by digest for
+    * the dedup (`min_by` over the full row — the canonical exact-dedup
+    * cost: content moves once). At 100 TB the metadata gate would run
+    * on the binary-head scan first and only survivors would be re-read
+    * for hashing/decode; on the fixture corpus both shapes read the
+    * same bytes, and the single-scan form keeps the oracle exact.
+    *
+    * The DuckDB oracle replays every stage from the corpus contract:
+    * gates over the expected-metadata VALUES, dedup over the pinned
+    * digests, features from the digest hex — so a regression in any
+    * stage (dispatch, parser, gate predicate, dedup tie-break, decode
+    * batching) diverges the rows.
+    */
+  def mediaCurate(s: SparkSession, d: String): DataFrame = {
+    val base = Multimodal.fromBinaryFiles(s, MediaCorpus.ensure() + "/*")
+    val ann = Multimodal.withVideoMeta(
+      Multimodal.withAudioMeta(Multimodal.withImageMeta(base))
+        .withColumnRenamed("duration_ms", "audio_duration_ms"))
+      .withColumn("file_name",
+        regexp_extract(element_at(col("meta"), "path"), "[^/]+$", 0))
+      .withColumn("format",
+        coalesce(col("img_format"), col("audio_format"), col("video_format")))
+      .withColumn("dur", coalesce(col("audio_duration_ms"), col("duration_ms")))
+    val gated = ann.filter(
+      col("format").isNotNull && col("modality") =!= "unknown" &&
+        (col("modality") =!= "image" ||
+          col("width").cast("long") * col("height") >= 4096L) &&
+        (!col("modality").isin("audio", "video") || col("dur") >= 1000L))
+    val deduped = gated
+      .groupBy(md5(col("bytes")).as("digest"))
+      .agg(min_by(
+        struct(col("media_id"), col("file_name"), col("modality"),
+          col("format"), col("bytes")),
+        col("file_name")).as("keep"))
+      .select(col("keep.*"))
+    val names = deduped.select(col("media_id"), col("file_name"), col("format"))
+    Multimodal.extractFeatures(deduped, dim = 4)
+      .join(names, Seq("media_id"))
+      .select(col("file_name"), col("modality").as("kind"), col("format"),
+        posexplode(col("features")).as(Seq("dim_idx", "f")))
+      .select(col("file_name"), col("kind"), col("format"), col("dim_idx"),
+        col("f").cast("double").as("feature"))
+      .orderBy(col("file_name").asc, col("dim_idx").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_ingest" -> mediaIngest,
     "q_media_ingest_head" -> mediaIngestHead,
     "q_media_features" -> mediaFeatures,
     "q_media_frames" -> mediaFrames,
+    "q_media_curate" -> mediaCurate,
   )
 
   /** VALUES-only oracle: DuckDB re-emits the corpus contract rows. */
@@ -169,10 +227,39 @@ object Media {
        |ORDER BY file_name ASC, frame_no ASC, dim_idx ASC""".stripMargin
   }
 
+  /** Every curate stage replayed from the contract: gates over the
+    * expected-metadata VALUES, dedup over the pinned digests (QUALIFY
+    * keeps the first file name per digest), dim-4 features from the
+    * digest hex via the same stub replay as q_media_features.
+    */
+  private val mediaCurateSql: String = {
+    def i(o: Option[Int]) = o.map(_.toString).getOrElse("NULL")
+    def l(o: Option[Long]) = o.map(_.toString).getOrElse("NULL")
+    def st(o: Option[String]) = o.map(s => s"'$s'").getOrElse("NULL")
+    val rows = MediaCorpus.expected.map { e =>
+      s"('${e.fileName}', '${e.kind}', ${st(e.format)}, ${i(e.width)}, " +
+        s"${i(e.height)}, ${l(e.durationMs)}, '${MediaCorpus.expectedMd5(e.fileName)}')"
+    }.mkString(",\n  ")
+    s"""WITH m(file_name, kind, format, width, height, duration_ms, h) AS (VALUES $rows),
+       |g AS (
+       |  SELECT * FROM m
+       |  WHERE format IS NOT NULL AND kind <> 'unknown'
+       |    AND (kind <> 'image' OR width * height >= 4096)
+       |    AND (kind NOT IN ('audio', 'video') OR duration_ms >= 1000)),
+       |d AS (
+       |  SELECT * FROM g
+       |  QUALIFY row_number() OVER (PARTITION BY h ORDER BY file_name) = 1)
+       |SELECT file_name, kind, format, CAST(i AS INTEGER) AS dim_idx,
+       |  CAST(($stubByteExpr - 128) / 128.0 AS DOUBLE) AS feature
+       |FROM d CROSS JOIN (SELECT unnest(range(0, 4)) AS i)
+       |ORDER BY file_name ASC, dim_idx ASC""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_media_ingest" -> mediaIngestSql,
     "q_media_ingest_head" -> mediaIngestSql,
     "q_media_features" -> mediaFeaturesSql,
     "q_media_frames" -> mediaFramesSql,
+    "q_media_curate" -> mediaCurateSql,
   )
 }
