@@ -823,7 +823,7 @@ object BinaryText {
     * too-short extent from malformed markup only re-admits hits the
     * unfiltered scan accepted anyway — never drops a real header.
     */
-  private def trustedObjHeaders(whole: String): IndexedSeq[(Int, Int)] = {
+  private[graft] def trustedObjHeaders(whole: String): IndexedSeq[(Int, Int)] = {
     def streamKwAt(from: Int, before: Int): Int = {
       var s = whole.indexOf("stream", from)
       while (s > 0 && s < before && Character.isLetter(whole(s - 1)))

@@ -235,3 +235,81 @@ object MortonProperties extends Properties("Layout.morton") {
         mortonLocal(0, a) <= mortonLocal(0, a | 1)
     }
 }
+
+/** Extent-filter property for the PDF object-header scan
+  * (`BinaryText.trustedObjHeaders`, the input to xref-guided stream
+  * attribution): decoy `N G obj` strings planted INSIDE accepted object
+  * bodies — string literals in dictionaries, raw stream payloads — must
+  * never be accepted as headers, and every real sequential header must
+  * be, or a stream keyword could be attributed to a freed object's
+  * number and a live stream dropped by the xref filter.
+  */
+object PdfHeaderProperties extends Properties("BinaryText.trustedObjHeaders") {
+  import graft.sources.BinaryText
+
+  // filler alphabet deliberately excludes every letter of the
+  // obj/stream/endstream/endobj keywords, so the ONLY occurrences of
+  // those tokens are the ones the generator plants on purpose
+  private val filler: Gen[String] =
+    Gen.listOf(Gen.oneOf(Seq('x', 'q', ' ', '/', '.', '<', '>') ++ ('0' to '9')))
+      .map(_.mkString.take(40))
+  private val decoyRef: Gen[String] = for {
+    n <- Gen.chooseNum(0, 99); g <- Gen.chooseNum(0, 99)
+  } yield s"$n $g obj"
+
+  private case class ObjGen(isStream: Boolean, dictDecoy: Option[String],
+      payloadDecoy: Option[String], f1: String, f2: String)
+  private val objGen: Gen[ObjGen] = for {
+    isStream <- Gen.oneOf(true, false)
+    dd <- Gen.option(decoyRef)
+    pd <- Gen.option(decoyRef)
+    f1 <- filler; f2 <- filler
+  } yield ObjGen(isStream, dd, pd, f1, f2)
+
+  private val docGen: Gen[(String, IndexedSeq[(Int, Int)])] =
+    Gen.nonEmptyListOf(objGen).map { objs =>
+      val sb = new StringBuilder("%PDF-1.7\n")
+      val truth = Vector.newBuilder[(Int, Int)]
+      objs.zipWithIndex.foreach { case (o, i) =>
+        val num = i + 1
+        truth += ((sb.length, num))
+        sb.append(s"$num 0 obj\n")
+        sb.append("<< /K ").append(o.f1)
+        o.dictDecoy.foreach(d => sb.append(" (").append(d).append(") "))
+        sb.append(" >>")
+        if (o.isStream) {
+          sb.append("\nstream\n").append(o.f2)
+          o.payloadDecoy.foreach(d => sb.append(' ').append(d).append(' '))
+          sb.append("\nendstream")
+        }
+        sb.append("\nendobj\n")
+      }
+      (sb.toString, truth.result())
+    }
+
+  property("accepts exactly the real headers; decoys in literals and " +
+    "stream payloads are extent-filtered") =
+    forAll(docGen) { case (doc, truth) =>
+      BinaryText.trustedObjHeaders(doc) == truth
+    }
+
+  // soundness on arbitrary token soup (malformed markup): whatever is
+  // returned must be real regex header hits at strictly increasing
+  // offsets — truncated extents may re-admit decoys, never invent hits
+  private val soup: Gen[String] =
+    Gen.listOf(Gen.oneOf(Gen.oneOf("obj", "stream", "endstream", "endobj",
+      "0 0 obj", " ", "\n"), filler)).map(_.mkString)
+  private val HeaderPat =
+    java.util.regex.Pattern.compile("(\\d+)\\s+(\\d+)\\s+obj\\b")
+  property("malformed input: every accepted hit is a real regex match, " +
+    "offsets strictly increase") =
+    forAll(soup) { doc =>
+      val hs = BinaryText.trustedObjHeaders(doc)
+      val strictlyInc = hs.map(_._1).sliding(2).forall {
+        case Seq(a, b) => a < b; case _ => true }
+      strictlyInc && hs.forall { case (off, num) =>
+        val m = HeaderPat.matcher(doc)
+        m.find(off) && m.start() == off && m.group(1).toInt == num
+      }
+    }
+}
