@@ -1,0 +1,92 @@
+package graft
+
+import graft.sources.{MediaScaleCorpus, Multimodal}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** File-count scale probe for the MEDIA family — the measured answer to
+  * "does per-file overhead stay linear, and what does the head-bytes
+  * source actually save" (VERDICT r13 items 1+3). Three pipelines over
+  * [[MediaScaleCorpus]] at 1×/10×/100× the base file count:
+  *
+  *  - `ingest_full`: the q_media_ingest shape over `binaryFile` — reads
+  *    every blob completely to parse ~40-byte headers;
+  *  - `ingest_head`: the same metadata contract over the `binary-head`
+  *    DSv2 source (64 KiB cap) — the production path;
+  *  - `features_full`: `extractFeatures` (whole-blob digest decode) over
+  *    `binaryFile` — a genuine full-read workload as the floor the head
+  *    scan is NOT expected to beat on small files.
+  *
+  * Corpus mix: every 10th file is a 1 MiB-payload WAV, rest are ~1-60 KB
+  * images/MP4s, so ~90% of corpus BYTES are WAV payload the header
+  * parsers never need — at 1000 files ~109 MB, at 10000 ~1.1 GB.
+  * Timing = noop-format write (same discipline as ScaleProbe), medians
+  * over SPARK_GRAFT_PROBE_REPS.
+  */
+object MediaProbe {
+
+  def pipelines(spark: SparkSession): Seq[(String, String => DataFrame)] = Seq(
+    "ingest_full" -> ((dir: String) =>
+      queries.Media.ingestRows(Multimodal.fromBinaryFiles(spark, dir + "/*"))),
+    "ingest_head" -> ((dir: String) =>
+      queries.Media.ingestRows(Multimodal.fromBinaryFilesHead(spark, dir + "/*"))),
+    "features_full" -> ((dir: String) =>
+      Multimodal.extractFeatures(
+        Multimodal.fromBinaryFiles(spark, dir + "/*"), dim = 8)))
+
+  def main(args: Array[String]): Unit = {
+    val baseN = args.headOption.map(_.toInt).getOrElse(100)
+    val outFile = if (args.length > 1) args(1) else "BENCH_MEDIA_PROBE.json"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val scales = Seq("base" -> baseN, "mid" -> baseN * 10, "probe" -> baseN * 100)
+    val dirs = scales.map { case (tag, n) => (tag, n, MediaScaleCorpus.ensure(n)) }
+    val totalBytes = dirs.map { case (tag, _, d) =>
+      tag -> java.nio.file.Files.list(java.nio.file.Paths.get(d))
+        .mapToLong(p => p.toFile.length).sum
+    }
+    // warm: one tiny listing per dir (JVM/codegen warmers)
+    dirs.foreach { case (_, _, d) =>
+      spark.read.format("binary-head").option("head", 64).load(d + "/*")
+        .select("path").limit(1).count()
+    }
+    def time(f: String => DataFrame, d: String): Double = {
+      val t0 = System.nanoTime()
+      f(d).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "1").toInt.max(1)
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val rows = pipelines(spark).map { case (name, f) =>
+      val secs = dirs.map { case (tag, _, d) =>
+        tag -> medianOf((1 to reps).map(_ => time(f, d)))
+      }.toMap
+      val (b, m, p) = (secs("base"), secs("mid"), secs("probe"))
+      println(f"[media-probe] $name%-14s base=$b%7.2fs mid=$m%7.2fs " +
+        f"(${m / b}%5.2fx) probe=$p%8.2fs (${p / b}%6.2fx)")
+      (name, b, m, p)
+    }
+    val qjson = rows.map { case (n, b, m, p) =>
+      s"${Jsons.escape(n)}:{" +
+        s""""base_sec":$b,"mid_sec":$m,"probe_sec":$p,""" +
+        s""""ratio_mid":${m / b},"ratio_probe":${p / b}}"""
+    }.mkString(",")
+    val bjson = totalBytes.map { case (t, v) => s"${Jsons.escape(t)}:$v" }.mkString(",")
+    val json =
+      s"""{"probe":"media","files_base":$baseN,"files_ratio_mid":10,""" +
+        s""""files_ratio_probe":100,"cpus":$cpus,"reps":$reps,""" +
+        s""""timing":"noop_write","corpus_bytes":{$bjson},"queries":{$qjson}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    spark.sparkContext.setLogLevel("OFF")
+    spark.stop()
+    println(json)
+  }
+}

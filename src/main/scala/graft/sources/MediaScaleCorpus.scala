@@ -1,0 +1,43 @@
+package graft.sources
+
+/** Parametric media corpus for the SCALE probes (never oracled): `n`
+  * deterministic container files re-using [[MediaCorpus]]'s writers,
+  * with a size mix that makes the full-read-vs-head-read difference
+  * measurable — every 10th file is a WAV with a 1 MiB PCM payload
+  * (metadata in the first 44 bytes), the rest rotate small PNG (size
+  * varies with index), JPEG and MP4 files. ~109 MB per 1000 files.
+  *
+  * Idempotent per (dir, n) via the `_GENERATED_OK` marker, mirroring
+  * the /tmp/graft_sf1 discipline; the marker's leading underscore also
+  * keeps it out of both binaryFile and binary-head listings.
+  */
+object MediaScaleCorpus {
+
+  def dirFor(n: Int): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_media_scale_$n").toString
+
+  /** Generate (if absent) and return the corpus dir for `n` files. */
+  def ensure(n: Int): String = synchronized {
+    val dir = java.nio.file.Paths.get(dirFor(n))
+    val ok = dir.resolve("_GENERATED_OK")
+    if (java.nio.file.Files.exists(ok)) return dir.toString
+    java.nio.file.Files.createDirectories(dir)
+    // small files are generated ONCE and reused byte-identically per
+    // shape — the probe measures scan/parse cost, not writer cost
+    val bigWav = MediaCorpus.wav(16000, channels = 1, bits = 16, dataBytes = 1 << 20)
+    val smallJpg = MediaCorpus.jpeg(640, 480)
+    val smallMp4 = MediaCorpus.mp4(timescale = 600, duration = 3000L)
+    val pngs = (0 until 8).map(k => MediaCorpus.png(64 + 32 * k, 64)).toArray
+    (0 until n).foreach { i =>
+      val (name, bytes) =
+        if (i % 10 == 0) (f"w$i%07d.wav", bigWav)
+        else if (i % 3 == 0) (f"p$i%07d.png", pngs(i % 8))
+        else if (i % 3 == 1) (f"j$i%07d.jpg", smallJpg)
+        else (f"v$i%07d.mp4", smallMp4)
+      java.nio.file.Files.write(dir.resolve(name), bytes)
+    }
+    java.nio.file.Files.createFile(ok)
+    dir.toString
+  }
+}

@@ -49,6 +49,17 @@ def main() -> None:
     quiet = runs[quiet_name]
     medians = {q: round(quiet["queries_median"][q], 3) for q in names}
 
+    # shared-derivation costs (session-cached canon/token/shingle/
+    # quantizer builds): min across runs = the noise-free envelope,
+    # quiet-run value rides along — same discipline as the queries
+    dnames = sorted(quiet.get("derivations_sec", {}))
+    for name, d in runs.items():
+        if sorted(d.get("derivations_sec", {})) != dnames:
+            raise SystemExit(f"{name}: derivation inventory differs")
+    deriv_min = {k: round(min(d["derivations_sec"][k] for d in runs.values()), 3)
+                 for k in dnames}
+    deriv_quiet = {k: round(quiet["derivations_sec"][k], 3) for k in dnames}
+
     art = {
         "bench_schema": 2,
         "sf": quiet["sf"],
@@ -66,9 +77,20 @@ def main() -> None:
         "query_versions": quiet.get("query_versions", {}),
         "min_envelope_sec": envelope,
         "medians_sec": medians,
+        "derivations_min_sec": deriv_min,
+        "derivations_quiet_sec": deriv_quiet,
     }
 
     if prev:
+        # derivation envelope deltas vs prev (older artifacts lack the
+        # section — then every derivation just reports as new)
+        prev_deriv = prev.get("derivations_min_sec", {})
+        art["derivations_vs_prev"] = {
+            k: {"prev_min": prev_deriv.get(k), "cur_min": v}
+            for k, v in deriv_min.items()
+            if prev_deriv.get(k) is None or
+               (prev_deriv[k] > 0.05 and
+                (v > 1.5 * prev_deriv[k] or v < prev_deriv[k] / 1.5))}
         prev_env = prev.get("min_envelope_sec", {})
         prev_ver = prev.get("query_versions", {})
         cur_ver = art["query_versions"]
