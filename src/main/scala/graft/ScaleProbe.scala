@@ -276,7 +276,12 @@ object ScaleProbe {
 object ScaleProbe100 {
 
   val linear: Seq[String] = Seq(
-    "q_corpus_build_lsh", "q_dup_clusters_lsh", "q_semdedup_scaled", "q_bm25_topk")
+    "q_corpus_build_lsh", "q_dup_clusters_lsh", "q_semdedup_scaled", "q_bm25_topk",
+    // round 14: the most expensive bench query (~5.8 s median) had sf1
+    // evidence only — reads documents exclusively, so the docs-only
+    // probe dirs cover it; expected ~linear (distinct-bigram growth is
+    // sub-linear in occurrences by Zipf, joins run on compressed grain)
+    "q_bigram_lm")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
