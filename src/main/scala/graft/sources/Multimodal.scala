@@ -66,6 +66,17 @@ object Multimodal {
     * codec) hashes/decodes the WHOLE file — feed those from
     * [[fromBinaryFiles]], ideally after this scan has gated the file
     * set down to survivors.
+    *
+    * Caveat — tail-anchored metadata: Ogg/Opus duration lives in the
+    * LAST page's granule position and a non-faststart MP4 can place
+    * `moov` after `mdat`; on a file larger than `headBytes` those
+    * parsers see only the leading pages/boxes, so an Opus duration is
+    * UNDER-reported (granule of the last head-complete page) and a
+    * trailing-moov MP4 parses to NULL. Front-loaded formats (PNG/JPEG/
+    * GIF/BMP/WEBP dims, WAV/FLAC headers, faststart MP4) are exact. A
+    * production curation gate on clip duration should therefore either
+    * use `length`-based bounds at the head stage or re-read the gated
+    * tail-anchored rows through [[fromBinaryFiles]].
     */
   def fromBinaryFilesHead(spark: SparkSession, glob: String,
       headBytes: Int = 65536): DataFrame =
