@@ -31,7 +31,9 @@ object MediaProbe {
       queries.Media.ingestRows(Multimodal.fromBinaryFilesHead(spark, dir + "/*"))),
     "features_full" -> ((dir: String) =>
       Multimodal.extractFeatures(
-        Multimodal.fromBinaryFiles(spark, dir + "/*"), dim = 8)))
+        Multimodal.fromBinaryFiles(spark, dir + "/*"), dim = 8)),
+    "curate_full" -> ((dir: String) =>
+      queries.Media.curateRows(Multimodal.fromBinaryFiles(spark, dir + "/*"))))
 
   def main(args: Array[String]): Unit = {
     val baseN = args.headOption.map(_.toInt).getOrElse(100)

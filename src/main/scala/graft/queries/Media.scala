@@ -131,8 +131,13 @@ object Media {
     * stage (dispatch, parser, gate predicate, dedup tie-break, decode
     * batching) diverges the rows.
     */
-  def mediaCurate(s: SparkSession, d: String): DataFrame = {
-    val base = Multimodal.fromBinaryFiles(s, MediaCorpus.ensure() + "/*")
+  def mediaCurate(s: SparkSession, d: String): DataFrame =
+    curateRows(Multimodal.fromBinaryFiles(s, MediaCorpus.ensure() + "/*"))
+
+  /** The curate dataflow over any canonical media scan (the probe runs
+    * it at 10k files; the declared query binds the fixture corpus).
+    */
+  private[graft] def curateRows(base: DataFrame): DataFrame = {
     val ann = Multimodal.withVideoMeta(
       Multimodal.withAudioMeta(Multimodal.withImageMeta(base))
         .withColumnRenamed("duration_ms", "audio_duration_ms"))

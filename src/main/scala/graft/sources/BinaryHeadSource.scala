@@ -107,16 +107,36 @@ private[sources] case class BinaryHeadSplit(files: Seq[(String, Long)])
   extends InputPartition
 
 private[sources] class BinaryHeadScan(path: String, headBytes: Int,
-    partitions: Int, required: StructType) extends Scan with Batch {
+    partitions: Int, required: StructType) extends Scan with Batch
+    with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  // real statistics from the driver listing, so Catalyst/AQE can make
+  // broadcast decisions against this scan: row count = file count, and
+  // sizeInBytes reflects the PRUNED read (min(head, length) per file
+  // only when `head` is projected; ~48 B/row of path+length metadata
+  // otherwise) — a metadata-only scan of a petabyte directory reports
+  // as broadcastable, which is exactly how it behaves
+  // one driver-side listing per scan, shared by stats + split planning
+  private lazy val listed: Seq[(String, Long)] = BinaryHeadSource.listFiles(path)
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val metaBytes = listed.map(f => 48L + f._1.length).sum
+    private val headTotal =
+      if (required.fieldNames.contains("head"))
+        listed.map(f => math.min(headBytes.toLong, f._2)).sum
+      else 0L
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(metaBytes + headTotal)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(listed.size.toLong)
+  }
   override def planInputPartitions(): Array[InputPartition] = {
     // greedy longest-processing-time packing on the ACTUAL per-file
     // read cost min(head, length): files sorted by cost descending,
     // each dealt to the currently lightest split — balanced work even
     // when file sizes are wildly skewed (a round-robin deal can leave
     // one split ~2x the lightest on descending size runs)
-    val files = BinaryHeadSource.listFiles(path)
+    val files = listed
       .sortBy { case (p, len) => (-math.min(headBytes.toLong, len), p) }
     if (files.isEmpty) return Array.empty
     val n = math.min(partitions, files.size)

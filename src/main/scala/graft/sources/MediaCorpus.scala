@@ -193,7 +193,7 @@ object MediaCorpus {
   /** Complete PNG: signature, CRC'd IHDR (8-bit RGB), IDAT holding the
     * deflate of filter-0 scanlines over a deterministic gradient, IEND.
     */
-  private[sources] def png(w: Int, h: Int): Array[Byte] = {
+  private[graft] def png(w: Int, h: Int): Array[Byte] = {
     def chunk(name: String, body: Array[Byte]): Array[Byte] = {
       val nb = name.getBytes("US-ASCII")
       val crc = new CRC32()
@@ -221,7 +221,7 @@ object MediaCorpus {
   /** JPEG marker stream: SOI, JFIF APP0, a DQT, the SOF0 frame header
     * carrying the dimensions, a minimal SOS, EOI.
     */
-  private[sources] def jpeg(w: Int, h: Int): Array[Byte] = {
+  private[graft] def jpeg(w: Int, h: Int): Array[Byte] = {
     def seg(marker: Int, body: Array[Byte]): Array[Byte] =
       Array(0xFF.toByte, marker.toByte) ++ be16(body.length + 2) ++ body
     val app0 = "JFIF\u0000".getBytes("ISO-8859-1") ++
@@ -299,7 +299,7 @@ object MediaCorpus {
   /** WAV: RIFF/WAVE with a PCM `fmt ` chunk and a zero-filled (silence)
     * `data` payload; duration = dataBytes / byteRate.
     */
-  private[sources] def wav(rate: Int, channels: Int, bits: Int, dataBytes: Int): Array[Byte] = {
+  private[graft] def wav(rate: Int, channels: Int, bits: Int, dataBytes: Int): Array[Byte] = {
     val byteRate = rate * channels * bits / 8
     "RIFF".getBytes("US-ASCII") ++ le32(36 + dataBytes) ++
       "WAVE".getBytes("US-ASCII") ++
@@ -348,7 +348,7 @@ object MediaCorpus {
     * the v0 (32-bit) or v1 (64-bit creation/duration fields) layout,
     * with a sibling `udta` box so the reader exercises the box walk.
     */
-  private[sources] def mp4(timescale: Int, duration: Long, v1: Boolean = false): Array[Byte] = {
+  private[graft] def mp4(timescale: Int, duration: Long, v1: Boolean = false): Array[Byte] = {
     def be64(v: Long) = be32((v >> 32).toInt) ++ be32(v.toInt)
     val ftyp = be32(16) ++ "ftyp".getBytes("US-ASCII") ++
       "isom".getBytes("US-ASCII") ++ be32(512)

@@ -139,6 +139,30 @@ class BinaryHeadSourceSpec extends AnyFunSuite {
     assert(viaDir == Seq("a.bin"))
   }
 
+  test("reported statistics reflect the pruned read, not blob sizes") {
+    val (dir, _, len) = bigFileDir()
+    def stats(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val relation = df.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.get
+      val s = relation.scan.asInstanceOf[
+        org.apache.spark.sql.connector.read.SupportsReportStatistics]
+        .estimateStatistics()
+      (s.numRows().getAsLong, s.sizeInBytes().getAsLong)
+    }
+    val full = spark.read.format("binary-head").option("head", 65536)
+      .load(dir + "/*")
+    val (rows, size) = stats(full.select(col("path"), col("length"), col("head")))
+    assert(rows == 1L)
+    assert(size >= 65536L && size < 2L * 65536,
+      s"head-projected size should be ~the cap, got $size (file is $len)")
+    val (rows2, size2) = stats(full.select(col("path"), col("length")))
+    assert(rows2 == 1L)
+    // pruned scan: metadata-only estimate, far under the cap — this is
+    // what lets Catalyst broadcast a listing join over huge blob dirs
+    assert(size2 < 4096L, s"pruned size should be metadata-only, got $size2")
+  }
+
   test("head scan yields identical media metadata to the full-read scan") {
     val dir = MediaCorpus.ensure()
     val full = queries.Media.ingestRows(

@@ -313,3 +313,65 @@ object PdfHeaderProperties extends Properties("BinaryText.trustedObjHeaders") {
       }
     }
 }
+
+/** Writer↔parser round-trip and total-function properties for the
+  * media container family: [[graft.sources.MediaCorpus]]'s writers
+  * construct real container bytes for ARBITRARY valid field values,
+  * and [[graft.sources.Multimodal]]'s header parsers must recover
+  * exactly the written metadata — plus parsers must be TOTAL on
+  * arbitrary byte soup (None, never a throw), since the ingest path
+  * feeds them whatever the scan finds.
+  */
+object MediaRoundTripProperties extends Properties("Multimodal.parsers") {
+  import graft.sources.{MediaCorpus, Multimodal}
+
+  private val dim = Gen.chooseNum(1, 2000)
+  // the PNG writer materializes the full pixel array — keep dims small
+  private val pngDim = Gen.chooseNum(1, 160)
+
+  property("png round-trip") = forAll(pngDim, pngDim) { (w, h) =>
+    Multimodal.imageDims(MediaCorpus.png(w, h)).contains(("png", w, h))
+  }
+
+  property("jpeg round-trip") = forAll(dim, dim) { (w, h) =>
+    Multimodal.imageDims(MediaCorpus.jpeg(w, h)).contains(("jpeg", w, h))
+  }
+
+  property("wav round-trip: duration = dataBytes * 1000 / byteRate") =
+    forAll(Gen.oneOf(8000, 16000, 22050, 44100, 48000),
+      Gen.chooseNum(1, 8), Gen.oneOf(8, 16, 24, 32),
+      Gen.chooseNum(1, 1 << 16)) { (rate, ch, bits, dataBytes) =>
+      val byteRate = rate.toLong * ch * bits / 8
+      Multimodal.audioMeta(MediaCorpus.wav(rate, ch, bits, dataBytes))
+        .contains(("wav", rate, ch, dataBytes * 1000L / byteRate))
+    }
+
+  property("mp4 round-trip (v0 and v1 mvhd): duration_ms") =
+    forAll(Gen.chooseNum(1, 1000000), Gen.chooseNum(0L, 1L << 40),
+      Gen.oneOf(true, false)) { (timescale, duration, v1) =>
+      // v0 stores duration in 32 bits — constrain to the layout's range
+      val d = if (v1) duration else duration & 0xFFFFFFFFL
+      Multimodal.videoMeta(MediaCorpus.mp4(timescale, d, v1))
+        .contains(("mp4", d * 1000L / timescale))
+    }
+
+  // totality: arbitrary bytes (including truncations of VALID headers,
+  // the nastiest inputs) must never throw — None or a parsed value
+  private val soup: Gen[Array[Byte]] = Gen.oneOf(
+    Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
+    for {
+      w <- dim; h <- dim
+      full <- Gen.oneOf[Array[Byte]](
+        MediaCorpus.png(math.min(w, 160), math.min(h, 160)), MediaCorpus.jpeg(w, h),
+        MediaCorpus.wav(16000, 1, 16, 1000), MediaCorpus.mp4(600, 3000L))
+      cut <- Gen.chooseNum(0, full.length)
+    } yield full.take(cut))
+
+  property("parsers are total on byte soup and truncated headers") =
+    forAll(soup) { b =>
+      Multimodal.imageDims(b)
+      Multimodal.audioMeta(b)
+      Multimodal.videoMeta(b)
+      true
+    }
+}
