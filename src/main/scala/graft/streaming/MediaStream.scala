@@ -1,0 +1,122 @@
+package graft.streaming
+
+import graft.sources.Multimodal
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Continuous multimodal ingestion — the streaming form of the
+  * q_media_curate front half, completing the media family's streaming
+  * story (every other north-star family already has one: DedupStream
+  * for near-dup text, DriftStream for mixture monitoring). Each
+  * micro-batch of canonical media rows (media_id, modality, bytes,
+  * meta) is:
+  *
+  *  1. header-parsed to typed metadata (the [[Multimodal]] parsers —
+  *     REAL container parsing, same stages as the batch query);
+  *  2. hygiene-gated: rows whose bytes fail their container parse, or
+  *     whose extension dispatched to no modality, go to a quarantine
+  *     output `rejectDir/batch_id=N` (with a `reason` column) instead
+  *     of silently vanishing — a curation stream must account for
+  *     every input;
+  *  3. exact-dedup'd on content digest, first within the batch (keep
+  *     the lowest media_id per digest — ids are a monotone ingestion
+  *     sequence, same contract as DedupStream) and then against the
+  *     PERSISTED digest table (anti-join: new↔new and new↔existing
+  *     only — the existing corpus is never re-scanned);
+  *  4. appended to the corpus at `outDir/batch_id=N`; kept digests
+  *     append to the state table.
+  *
+  * Replay-idempotent on the DedupStream discipline: every write is
+  * keyed by batch id and overwrites its own directory, the per-batch
+  * COMMIT MARKER (written last, via [[StreamState]]) gates what
+  * restarts may read, and a replayed committed batch reproduces the
+  * same kept set (its own state rows are superseded by overwrite, its
+  * dedup decisions by the anti-join against STRICTLY EARLIER committed
+  * batches being deterministic).
+  *
+  * Scale shape: per-batch cost tracks the BATCH — one narrow parse
+  * pass, one digest per row, one digest-keyed anti-join probing the
+  * committed state (equi-join, never pairwise). State is (digest,
+  * media_id) pairs in plain parquet — 48 B/row regardless of blob
+  * size — folded by [[StreamState.maybeCompact]] so reads stay
+  * O(base + few batch dirs) forever.
+  */
+object MediaStream {
+
+  private val digestsSchema = StructType(Seq(
+    StructField("digest", StringType), StructField("media_id", LongType)))
+
+  /** One micro-batch of canonical media rows (the [[Multimodal]]
+    * schema). Exposed for direct testing like DedupStream.processBatch.
+    */
+  def processBatch(batch: Dataset[Row], batchId: Long, stateDir: String,
+      outDir: String, rejectDir: String, autoCompactEvery: Int = 0): Unit = {
+    val s = batch.sparkSession
+    val ann = Multimodal.withVideoMeta(
+      Multimodal.withAudioMeta(Multimodal.withImageMeta(batch.toDF()))
+        .withColumnRenamed("duration_ms", "audio_duration_ms"))
+      .withColumn("format",
+        coalesce(col("img_format"), col("audio_format"), col("video_format")))
+      .withColumn("duration_ms",
+        coalesce(col("audio_duration_ms"), col("duration_ms")))
+      .localCheckpoint() // parsed once; feeds both the gate and the quarantine
+    // quarantine, with the reason a pipeline operator triages by
+    ann.filter(col("modality") === "unknown" || col("format").isNull)
+      .select(col("media_id"), col("modality"),
+        when(col("modality") === "unknown", "unmapped_extension")
+          .otherwise("container_parse_failed").as("reason"))
+      .write.mode("overwrite").parquet(s"$rejectDir/batch_id=$batchId")
+    val wellFormed = ann.filter(
+      col("modality") =!= "unknown" && col("format").isNotNull)
+    // within-batch exact dedup: monotone ids, keep the earliest
+    val firstInBatch = wellFormed
+      .withColumn("digest", md5(col("bytes")))
+      .groupBy(col("digest"))
+      .agg(min_by(
+        struct(wellFormed.columns.map(col): _*), col("media_id")).as("keep"))
+      .select(col("digest"), col("keep.*"))
+    // cross-batch: drop digests an EARLIER committed batch already kept.
+    // A replayed committed batch finds its OWN digests in the state —
+    // supersede those by media_id (this batch's rows re-claim their
+    // digests) so replay reproduces the original kept set instead of
+    // dropping everything; the DedupStream anti-join discipline.
+    val existing = StreamState.readCommitted(s, stateDir, "digests", digestsSchema)
+      .join(batch.select(col("media_id")), Seq("media_id"), "left_anti")
+    val novel = firstInBatch
+      .join(existing.select(col("digest")), Seq("digest"), "left_anti")
+      .localCheckpoint() // one computation feeds corpus + state writes
+    novel.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    novel.select(col("digest"), col("media_id"))
+      .write.mode("overwrite").parquet(s"$stateDir/digests/batch_id=$batchId")
+    // marker LAST: a crash above leaves batchId uncommitted, its partial
+    // directories unread on restart
+    StreamState.commitMarker(s, stateDir, batchId)
+    StreamState.maybeCompact(s, stateDir, autoCompactEvery)(compactState(s, stateDir))
+  }
+
+  /** Fold the committed digest state under one marker (identity merge:
+    * each digest's first keeper lives in exactly one committed
+    * partition — a replayed batch overwrites its own).
+    */
+  def compactState(s: SparkSession, stateDir: String): Option[Long] =
+    StreamState.compact(s, stateDir, Seq(
+      ("digests", digestsSchema, (df: DataFrame) => df)))
+
+  /** Start the ingestion stream over a streaming canonical media frame
+    * (e.g. a file-source stream wrapped by [[Multimodal]]'s schema, or
+    * a MemoryStream in tests). Readers see the growing deduplicated
+    * corpus as one partitioned parquet table at `outDir` and the
+    * quarantine at `rejectDir`.
+    */
+  def dedupIngest(media: DataFrame, stateDir: String, outDir: String,
+      rejectDir: String, checkpointDir: String,
+      autoCompactEvery: Int = 16): StreamingQuery =
+    media.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        processBatch(batch, batchId, stateDir, outDir, rejectDir, autoCompactEvery)
+      }
+      .start()
+}

@@ -1,0 +1,132 @@
+package graft
+
+import graft.sources.MediaCorpus
+import graft.streaming.{MediaStream, StreamState}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming multimodal ingestion: cumulative corpus across
+  * micro-batches and a kill/restart equals the batch twin (exact dedup
+  * keep-first over all well-formed rows seen), malformed rows land in
+  * the quarantine with a reason, a replayed batch overwrites instead
+  * of appending, and torn state writes are never read as truth.
+  */
+class MediaStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fixture(name: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(MediaCorpus.ensure(), name))
+
+  // monotone media_ids across waves; photo.png bytes recur in waves 1
+  // and 2 (cross-batch dup), scan.jpg twice within wave 2 (in-batch
+  // dup), broken.png + junk.xyz exercise the quarantine
+  private type MediaRow = (Long, String, Array[Byte], Map[String, String])
+  private def waves: Seq[Seq[MediaRow]] = Seq(
+    Seq(
+      (1L, "image", fixture("photo.png"), Map("src" -> "a")),
+      (2L, "image", fixture("broken.png"), Map("src" -> "a")),
+      (3L, "audio", fixture("voice.wav"), Map("src" -> "a"))),
+    Seq(
+      (4L, "image", fixture("photo.png"), Map("src" -> "b")), // dup of 1
+      (5L, "image", fixture("scan.jpg"), Map("src" -> "b")),
+      (6L, "image", fixture("scan.jpg"), Map("src" -> "b")), // in-batch dup of 5
+      (7L, "unknown", fixture("junk.xyz"), Map("src" -> "b")),
+      (8L, "video", fixture("clip.mp4"), Map("src" -> "b"))))
+
+  test("dedup ingest across batches and a restart equals the batch twin; " +
+    "quarantine accounts for malformed rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_ms_state").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ms_out").toString
+    val rejDir = java.nio.file.Files.createTempDirectory("graft_ms_rej").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ms_ck").toString
+    val mem = MemoryStream[MediaRow]
+    def runWave(rows: Seq[MediaRow]): Unit = {
+      val q = MediaStream.dedupIngest(
+        mem.toDF().toDF("media_id", "modality", "bytes", "meta"),
+        stateDir, outDir, rejDir, ckDir)
+      try { mem.addData(rows: _*); q.processAllAvailable() } finally q.stop()
+    }
+    waves.foreach(runWave)
+    val kept = spark.read.parquet(outDir).select("media_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept.length == kept.distinct.length, "duplicate corpus rows")
+    // batch twin: well-formed rows, first media_id per content digest
+    assert(kept.toSet == Set(1L, 3L, 5L, 8L))
+    val rejected = spark.read.parquet(rejDir)
+      .select("media_id", "reason").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rejected == Set(
+      (2L, "container_parse_failed"), (7L, "unmapped_extension")))
+    // every input row is accounted for exactly once: corpus + rejects +
+    // dropped dups partition the input id set
+    assert(kept.size + rejected.size + 2 == waves.flatten.size)
+    // kept rows carry parsed typed metadata (the parse stage ran)
+    val photo = spark.read.parquet(outDir)
+      .where(col("media_id") === 1L).select("format", "width").head()
+    assert(photo.getString(0) == "png" && photo.getInt(1) == 320)
+  }
+
+  test("replayed committed batch reproduces the same kept set (overwrite, " +
+    "not append)") {
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_ms2_state").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ms2_out").toString
+    val rejDir = java.nio.file.Files.createTempDirectory("graft_ms2_rej").toString
+    val b0 = waves.head.toDF("media_id", "modality", "bytes", "meta")
+    MediaStream.processBatch(b0, 0L, stateDir, outDir, rejDir)
+    val once = spark.read.parquet(outDir).select("media_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    MediaStream.processBatch(b0, 0L, stateDir, outDir, rejDir) // at-least-once replay
+    val twice = spark.read.parquet(outDir).select("media_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(once == twice, "replay must overwrite, not append")
+    val state = spark.read.parquet(s"$stateDir/digests").count()
+    assert(state == once.size.toLong)
+  }
+
+  test("a torn state write (no commit marker) is never read: the digest " +
+    "re-admits until committed") {
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_ms3_state").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ms3_out").toString
+    val rejDir = java.nio.file.Files.createTempDirectory("graft_ms3_rej").toString
+    val b0 = Seq((1L, "image", fixture("photo.png"), Map("s" -> "a")))
+      .toDF("media_id", "modality", "bytes", "meta")
+    // simulate the crash: state partition lands but the marker does not
+    b0.withColumn("digest", md5(col("bytes")))
+      .select(col("digest"), col("media_id"))
+      .write.mode("overwrite").parquet(s"$stateDir/digests/batch_id=7")
+    // a later batch with the same content must STILL be admitted —
+    // batch 7 never committed, so its claim on the digest is void
+    val b1 = Seq((2L, "image", fixture("photo.png"), Map("s" -> "b")))
+      .toDF("media_id", "modality", "bytes", "meta")
+    MediaStream.processBatch(b1, 8L, stateDir, outDir, rejDir)
+    val kept = spark.read.parquet(outDir).select("media_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L), "uncommitted state must not suppress ingestion")
+    assert(StreamState.committedIds(spark, stateDir) == Seq(8L))
+  }
+
+  test("state compaction folds digests under one marker and preserves " +
+    "dedup decisions") {
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_ms4_state").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ms4_out").toString
+    val rejDir = java.nio.file.Files.createTempDirectory("graft_ms4_rej").toString
+    def rowOf(id: Long, name: String) =
+      (id, if (name.endsWith("wav")) "audio" else "image", fixture(name),
+        Map("s" -> "x"))
+    MediaStream.processBatch(Seq(rowOf(1L, "photo.png"))
+      .toDF("media_id", "modality", "bytes", "meta"), 0L, stateDir, outDir, rejDir)
+    MediaStream.processBatch(Seq(rowOf(2L, "voice.wav"))
+      .toDF("media_id", "modality", "bytes", "meta"), 1L, stateDir, outDir, rejDir)
+    assert(MediaStream.compactState(spark, stateDir).nonEmpty)
+    // post-compaction: both digests still suppress re-ingestion
+    MediaStream.processBatch(Seq(rowOf(3L, "photo.png"), rowOf(4L, "voice.wav"))
+      .toDF("media_id", "modality", "bytes", "meta"), 2L, stateDir, outDir, rejDir)
+    val kept = spark.read.parquet(outDir).select("media_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L), "compacted state must keep suppressing dups")
+  }
+}
