@@ -119,4 +119,43 @@ object MediaStream {
         processBatch(batch, batchId, stateDir, outDir, rejectDir, autoCompactEvery)
       }
       .start()
+
+  /** Watch a directory for newly arriving blob files (Spark's
+    * `binaryFile` FILE STREAM source — exactly-once file discovery via
+    * the checkpoint's file log) and run the full ingestion over each
+    * discovery batch. media_id = xxhash64(path): content-stable, and
+    * the monotone-arrival dedup contract holds per digest because a
+    * given digest's FIRST arrival commits before later ones are probed
+    * against state (same-batch ties break by id, deterministically).
+    *
+    * Note the full-read source is the right choice HERE even with
+    * binary-head available: arriving files must be hashed for dedup
+    * (whole-blob digest) and their bytes stored to the corpus anyway —
+    * a discovery batch never re-reads the existing corpus, so there is
+    * no 100 TB-scan to avoid; binary-head remains the BACKFILL scan.
+    */
+  def watchDirectory(spark: SparkSession, dir: String, stateDir: String,
+      outDir: String, rejectDir: String, checkpointDir: String,
+      autoCompactEvery: Int = 16): StreamingQuery = {
+    // the file STREAM source requires an explicit schema; binaryFile's
+    // is fixed by the format
+    val binaryFileSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+      StructField("length", LongType),
+      StructField("content", org.apache.spark.sql.types.BinaryType)))
+    val files = spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema).load(dir)
+    val canonical = files.select(
+      xxhash64(col("path")).as("media_id"),
+      when(col("path").rlike("(?i)\\.(png|jpe?g|gif|bmp|webp)$"), "image")
+        .when(col("path").rlike("(?i)\\.(wav|mp3|flac|ogg|opus)$"), "audio")
+        .when(col("path").rlike("(?i)\\.(mp4|avi|mkv|webm)$"), "video")
+        .otherwise("unknown").as("modality"),
+      col("content").as("bytes"),
+      map(lit("path"), col("path"),
+        lit("length"), col("length").cast("string")).as("meta"))
+    dedupIngest(canonical, stateDir, outDir, rejectDir, checkpointDir,
+      autoCompactEvery)
+  }
 }

@@ -70,6 +70,32 @@ class MediaStreamSpec extends AnyFunSuite {
     assert(photo.getString(0) == "png" && photo.getInt(1) == 320)
   }
 
+  test("watchDirectory ingests files as they arrive, dedups across waves") {
+    val watch = java.nio.file.Files.createTempDirectory("graft_ms5_in")
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_ms5_state").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ms5_out").toString
+    val rejDir = java.nio.file.Files.createTempDirectory("graft_ms5_rej").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ms5_ck").toString
+    def drop(name: String, as: String): Unit =
+      java.nio.file.Files.write(watch.resolve(as), fixture(name))
+    def runWave(files: Seq[(String, String)]): Unit = {
+      files.foreach { case (n, as) => drop(n, as) }
+      val q = MediaStream.watchDirectory(spark, watch.toString, stateDir,
+        outDir, rejDir, ckDir)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runWave(Seq(("photo.png", "a.png"), ("broken.png", "b.png")))
+    runWave(Seq(("photo.png", "c.png"), ("voice.wav", "d.wav")))
+    val kept = spark.read.parquet(outDir)
+      .select(element_at(col("meta"), "path"), col("format"))
+      .collect().map(r => (r.getString(0).split('/').last, r.getString(1))).toSet
+    // c.png is a byte-dup of a.png across waves; b.png quarantines
+    assert(kept == Set(("a.png", "png"), ("d.wav", "wav")))
+    val rejected = spark.read.parquet(rejDir).select("reason")
+      .collect().map(_.getString(0)).toSeq
+    assert(rejected == Seq("container_parse_failed"))
+  }
+
   test("replayed committed batch reproduces the same kept set (overwrite, " +
     "not append)") {
     val stateDir = java.nio.file.Files.createTempDirectory("graft_ms2_state").toString
