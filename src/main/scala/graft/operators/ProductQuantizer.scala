@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou/Douze/Schmid, "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011 — the FAISS IVFADC design): split
+  * each d-dim vector into `m` contiguous subvectors, train an independent
+  * small codebook per subspace, and store each vector as `m` small codes.
+  * Queries scan the CODES with a per-subspace lookup table of
+  * query→centroid distances (asymmetric distance computation, ADC) —
+  * never touching the raw floats.
+  *
+  * Reference analogue: the reference's FAISS flat index
+  * (/root/reference/vectorDB.py:12,38) holds raw float vectors; PQ is
+  * what FAISS itself switches to when the corpus outgrows memory. At
+  * 100 TB of raw embeddings (64 floats = 256 B/vector), the m=4 code
+  * table is ~4 B/vector — a 64× smaller scan, and the ADC distance is
+  * `m` BIGINT adds per row against a broadcast LUT of k·m entries.
+  *
+  * Everything runs in the scaled-integer domain of [[KMeansOp]] (floor
+  * ×10^6 BIGINTs), so codebooks, codes, and ADC distances are exact and
+  * cross-engine reproducible:
+  *   - training: per subspace, the 2-round integer Lloyd of
+  *     `KMeansOp.lloydCentroidsLocal` on the SLICED float arrays
+  *     (slice-then-floor ≡ floor-then-slice, elementwise);
+  *   - encode: nearest sub-centroid per subspace, ties to the lower
+  *     centroid id — ONE projection over the corpus (the candidate set is
+  *     a k-element literal array; `array_min` over (dist, cid) structs is
+  *     a codegen'd map-side argmin, no join, no shuffle);
+  *   - ADC: per-subspace LUT built on the DRIVER from the bounded
+  *     codebook (k·m BIGINTs), shipped as a map literal; the scan is
+  *     `m` `element_at` lookups + adds per row, then
+  *     TakeOrderedAndProject for the top-k.
+  */
+object ProductQuantizer {
+
+  /** Per-subspace codebooks: `m` independent integer-Lloyd fits over the
+    * sliced embedding column. Returns one (cid, centroid) list per
+    * subspace; cids are the seed vec_ids (the k lowest), exactly the
+    * [[KMeansOp.lloydCentroidsLocal]] convention. Driver-held and
+    * bounded: m·k·subDim BIGINTs.
+    */
+  def train(emb: DataFrame, idCol: String, embCol: Column,
+      m: Int, subDim: Int, k: Int, iters: Int): Seq[Seq[(Long, Seq[Long])]] =
+    (0 until m).map(s => trainSubspace(emb, idCol, embCol, s, subDim, k, iters))
+
+  /** One subspace's codebook alone — callers that memoize per subspace
+    * (a changed corpus retrains all of them, but a cache layer should not
+    * pay m fits to fill one slot).
+    */
+  def trainSubspace(emb: DataFrame, idCol: String, embCol: Column,
+      s: Int, subDim: Int, k: Int, iters: Int): Seq[(Long, Seq[Long])] =
+    KMeansOp.lloydCentroidsLocal(
+      emb.select(col(idCol), slice(embCol, s * subDim + 1, subDim).as("e")),
+      idCol, col("e"), k, iters)
+
+  /** Nearest-codebook-entry argmin for one subvector: min over the
+    * k-element literal candidate array of (dist, cid) structs — struct
+    * ordering compares dist first, then cid, so ties break to the lower
+    * centroid id (the shared engine/oracle convention).
+    */
+  private def argminCode(sub: Column, book: Seq[(Long, Seq[Long])]): Column =
+    array_min(array(book.map { case (cid, c) =>
+      struct(KMeansOp.intDist(sub, typedLit(c)).as("dist"),
+        lit(cid).as("cid"))
+    }: _*)).getField("cid")
+
+  /** Encode scaled-integer vectors (vec_id, v) into their PQ codes:
+    * (vec_id, code_0 … code_{m-1}). One narrow projection — this IS the
+    * compressed index a PQ deployment persists.
+    */
+  def encode(vecs: DataFrame, books: Seq[Seq[(Long, Seq[Long])]],
+      subDim: Int): DataFrame =
+    vecs.select(col("vec_id") +:
+      books.zipWithIndex.map { case (book, s) =>
+        argminCode(slice(col("v"), s * subDim + 1, subDim), book)
+          .as(s"code_$s")
+      }: _*)
+
+  /** ADC lookup tables for one query vector: per subspace, the integer
+    * distance from the query's subvector to every codebook entry.
+    * Bounded (k entries per subspace) and driver-computed — the tables
+    * ship to executors as map literals.
+    */
+  def adcTables(query: Seq[Long], books: Seq[Seq[(Long, Seq[Long])]],
+      subDim: Int): Seq[Map[Long, Long]] =
+    books.zipWithIndex.map { case (book, s) =>
+      val qSub = query.slice(s * subDim, (s + 1) * subDim)
+      book.map { case (cid, c) => cid -> KMeansOp.intDistLocal(c, qSub) }.toMap
+    }
+
+  /** Approximate top-k by asymmetric distance: scan the code table,
+    * sum the per-subspace LUT entries, take the k lowest (ties to the
+    * lower vec_id). Output (vec_id, adc_scaled).
+    */
+  def adcTopK(codes: DataFrame, luts: Seq[Map[Long, Long]], k: Int): DataFrame =
+    codes.select(col("vec_id"),
+        luts.zipWithIndex.map { case (lut, s) =>
+          element_at(typedLit(lut), col(s"code_$s"))
+        }.reduce(_ + _).as("adc_scaled"))
+      .orderBy(col("adc_scaled").asc, col("vec_id").asc)
+      .limit(k)
+}

@@ -23,6 +23,12 @@ object SemanticQ {
   private val K = 8
   private val Iters = 2
 
+  // Product-quantization geometry: dim-64 embeddings → 4 subspaces of 16
+  // dims, 8 codes each (the k=8 / 2-iter training budget shared with the
+  // coarse quantizer). 4 codes/vector vs 64 floats — the 64× scan shrink.
+  private val PqM = 4
+  private val PqSubDim = 16
+
   /** Trained centroids memoized per dataset CONTENT, not per path:
     * the cache key folds in the embeddings files' (name, length, mtime)
     * listing, so overwriting a dataset dir in place invalidates the
@@ -210,6 +216,70 @@ object SemanticQ {
         (col("n_hits") * lit(1000000L) / lit(10L)).cast("long").as("recall_ppm"))
   }
 
+  /** PQ codebooks memoized like every quantizer here — one cache entry
+    * per subspace under policy `pq<s>`, keyed to the dataset content
+    * fingerprint. Training is [[ProductQuantizer.train]]: PqM independent
+    * 2-round integer Lloyd fits on the sliced embeddings.
+    */
+  private[graft] def pqCodebooks(s: SparkSession, d: String): Seq[Seq[(Long, Seq[Long])]] =
+    (0 until PqM).map { m =>
+      cachedCentroids(s, d, s"pq$m")(
+        graft.operators.ProductQuantizer.trainSubspace(
+          Tables.embeddings(s, d), "vec_id", col("embedding"),
+          m, PqSubDim, K, Iters))
+    }
+
+  /** The PQ code table itself — (vec_id, code_0..code_3), the compressed
+    * index a PQ deployment persists (4 small ints per vector instead of
+    * 64 floats). One projection over the corpus; the argmin per subspace
+    * is a codegen'd min over an 8-element literal array, no shuffle at
+    * all until the output sort.
+    */
+  def pqCodesQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.ProductQuantizer
+      .encode(intVecs(s, d), pqCodebooks(s, d), PqSubDim)
+      .orderBy(col("vec_id").asc)
+
+  /** ANN by PQ asymmetric distance (ADC): the vec_id=0 query builds a
+    * per-subspace LUT of distances to each codebook entry on the driver
+    * (bounded: 4×8 BIGINTs), and the scan sums 4 map-literal lookups per
+    * row over the CODE table — raw vectors are never read at query time.
+    * Integer-exact end to end, so the oracle replays it bit-for-bit.
+    */
+  def annPqQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val books = pqCodebooks(s, d)
+    val vecs = intVecs(s, d)
+    val qv = vecs.where(col("vec_id") === 0L).select(col("v"))
+      .as[Seq[Long]].head()
+    val luts = graft.operators.ProductQuantizer.adcTables(qv, books, PqSubDim)
+    graft.operators.ProductQuantizer.adcTopK(
+      graft.operators.ProductQuantizer.encode(vecs, books, PqSubDim),
+      luts, 10)
+  }
+
+  /** Index-quality monitoring for the PQ tier: recall@10 of the ADC
+    * top-10 against the integer-exact top-10 for the same probe — the
+    * compression-loss metric that sizes m and k in production (the PQ
+    * twin of q_recall_ivf). Deterministic BIGINT ppm.
+    */
+  def recallPqQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vecs = intVecs(s, d)
+    val qv = vecs.where(col("vec_id") === 0L).select(col("v"))
+      .as[Seq[Long]].head()
+    val exact = vecs
+      .select(col("vec_id"), KMeansOp.intDist(col("v"), typedLit(qv)).as("dist_scaled"))
+      .orderBy(col("dist_scaled").asc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"))
+    val pq = annPqQ(s, d).select(col("vec_id"))
+    exact.join(pq, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("n_hits"),
+        (col("n_hits") * lit(1000000L) / lit(10L)).cast("long").as("recall_ppm"))
+  }
+
   /** SemDeDup with the PRODUCTION quantizer size — k = ceil(√N) — the
     * fix the sf1 scale probe prescribed for the fixed-k family: cluster
     * populations stay ~√N as the corpus grows, so the within-cluster
@@ -265,6 +335,9 @@ object SemanticQ {
     "q_semdedup_scaled" -> semdedupScaledQ,
     "q_ann_ivf_trained" -> annIvfTrainedQ,
     "q_recall_ivf" -> recallIvfQ,
+    "q_pq_codes" -> pqCodesQ,
+    "q_ann_pq" -> annPqQ,
+    "q_recall_pq" -> recallPqQ,
   )
 
   // ---- DuckDB oracle: the two Lloyd rounds unrolled as CTEs ----
@@ -274,26 +347,46 @@ object SemanticQ {
     s"list_reduce(list_transform(range(1, len($a) + 1), " +
       s"i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i])), (x, y) -> x + y)"
 
-  /** Assignment CTE pair dR/aR against centroid table cPrev. */
-  private def assignSql(r: Int, cPrev: String): String =
-    s"""d$r AS (SELECT q.vec_id, c.cid, ${idistSql("q.v", "c.c")} AS dist
-       |  FROM q CROSS JOIN $cPrev c),
-       |a$r AS (SELECT vec_id, cid, dist FROM (
+  /** Assignment CTE pair dR/aR against centroid table cPrev. `sfx`
+    * namespaces the chain (the PQ oracle runs one chain per subspace).
+    */
+  private def assignSql(r: Int, cPrev: String, sfx: String = ""): String =
+    s"""d$r$sfx AS (SELECT q.vec_id, c.cid, ${idistSql("q.v", "c.c")} AS dist
+       |  FROM q$sfx q CROSS JOIN $cPrev c),
+       |a$r$sfx AS (SELECT vec_id, cid, dist FROM (
        |    SELECT vec_id, cid, dist,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id
        |        ORDER BY dist ASC, cid ASC) AS rn
-       |    FROM d$r) WHERE rn = 1)""".stripMargin
+       |    FROM d$r$sfx) WHERE rn = 1)""".stripMargin
 
   /** Update CTE pair uR/cR from assignment aR (exact integer mean per
     * (cluster, dim) through an exact double, as in KMeansOp.update).
     */
-  private def updateSql(r: Int): String =
-    s"""u$r AS (SELECT a.cid, li.i AS pos,
+  private def updateSql(r: Int, sfx: String = ""): String =
+    s"""u$r$sfx AS (SELECT a.cid, li.i AS pos,
        |    CAST(floor(CAST(SUM(q.v[li.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
-       |  FROM a$r a JOIN q USING (vec_id)
+       |  FROM a$r$sfx a JOIN q$sfx q USING (vec_id)
        |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(q.v) + 1)) AS i) li
        |  GROUP BY a.cid, li.i),
-       |c$r AS (SELECT cid, list(cv ORDER BY pos) AS c FROM u$r GROUP BY cid)""".stripMargin
+       |c$r$sfx AS (SELECT cid, list(cv ORDER BY pos) AS c FROM u$r$sfx GROUP BY cid)""".stripMargin
+
+  /** A full 2-round Lloyd chain over input CTE body `qExpr`, every CTE
+    * name suffixed by `sfx`, ending in the final assignment a3$sfx.
+    */
+  private def lloydChain(seedLimit: String, sfx: String, qExpr: String): String =
+    s"""q$sfx AS ($qExpr),
+       |c0$sfx AS (SELECT vec_id AS cid, v AS c FROM q$sfx ORDER BY vec_id ASC LIMIT $seedLimit),
+       |${assignSql(1, s"c0$sfx", sfx)},
+       |${updateSql(1, sfx)},
+       |${assignSql(2, s"c1$sfx", sfx)},
+       |${updateSql(2, sfx)},
+       |${assignSql(3, s"c2$sfx", sfx)}""".stripMargin
+
+  /** The scaled-integer full-vector input CTE body. */
+  private val qFullExpr: String =
+    """SELECT vec_id, list_transform(embedding,
+      |    e -> CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS v
+      |  FROM embeddings""".stripMargin
 
   /** Shared CTE chain ending in the final assignment a3 (also composed
     * into Clustering's q_corpus_build_v2 oracle — the shared-quantizer
@@ -302,15 +395,7 @@ object SemanticQ {
     * (everything after c0 is k-agnostic).
     */
   private def lloydSqlWithSeed(seedLimit: String): String =
-    s"""q AS (SELECT vec_id, list_transform(embedding,
-       |    e -> CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS v
-       |  FROM embeddings),
-       |c0 AS (SELECT vec_id AS cid, v AS c FROM q ORDER BY vec_id ASC LIMIT $seedLimit),
-       |${assignSql(1, "c0")},
-       |${updateSql(1)},
-       |${assignSql(2, "c1")},
-       |${updateSql(2)},
-       |${assignSql(3, "c2")}""".stripMargin
+    lloydChain(seedLimit, "", qFullExpr)
 
   private[queries] val lloydSql: String = lloydSqlWithSeed(K.toString)
 
@@ -322,7 +407,80 @@ object SemanticQ {
   private[queries] val lloydSqlScaled: String =
     lloydSqlWithSeed("(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM q)")
 
+  // ---- PQ oracle: one suffixed Lloyd chain per subspace over the
+  // SLICED scaled-integer vectors (DuckDB list slicing is 1-based
+  // inclusive), then codes / ADC / recall compose from the a3_s* and
+  // c2_s* CTEs exactly as the engine does from its codebooks. ----
+
+  /** Subspace s's input CTE body: slice the float list, then the shared
+    * floor-×10^6 transform (slice-then-floor ≡ floor-then-slice).
+    */
+  private def pqSubExpr(s: Int): String = {
+    val lo = s * PqSubDim + 1
+    val hi = (s + 1) * PqSubDim
+    s"""SELECT vec_id, list_transform(embedding[$lo:$hi],
+       |    e -> CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS v
+       |  FROM embeddings""".stripMargin
+  }
+
+  /** All PqM subspace chains, comma-joined for a WITH clause. */
+  private val pqChainsSql: String =
+    (0 until PqM).map(s => lloydChain(K.toString, s"_s$s", pqSubExpr(s)))
+      .mkString(",\n")
+
+  /** Per-subspace query LUT CTEs (qv_s* / lut_s*) for the vec_id=0
+    * probe, off the trained c2_s* codebooks.
+    */
+  private val pqLutSql: String =
+    (0 until PqM).map { s =>
+      s"""qv_s$s AS (SELECT v FROM q_s$s WHERE vec_id = 0),
+         |lut_s$s AS (SELECT c.cid, ${idistSql("c.c", "qv.v")} AS d
+         |  FROM c2_s$s c CROSS JOIN qv_s$s qv)""".stripMargin
+    }.mkString(",\n")
+
+  /** The ADC scan: join each vector's per-subspace code to its LUT row
+    * and sum — ends in CTE `adc(vec_id, adc_scaled)`.
+    */
+  private val pqAdcSql: String = {
+    val joins = (0 until PqM).map(s =>
+      s"JOIN a3_s$s p$s USING (vec_id) JOIN lut_s$s l$s ON p$s.cid = l$s.cid")
+      .mkString("\n  ")
+    val total = (0 until PqM).map(s => s"l$s.d").mkString(" + ")
+    s"""adc AS (SELECT base.vec_id, $total AS adc_scaled
+       |  FROM (SELECT vec_id FROM q_s0) base
+       |  $joins)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_pq_codes" -> {
+      val codeCols = (0 until PqM)
+        .map(s => s"p$s.cid AS code_$s").mkString(", ")
+      val joins = (1 until PqM)
+        .map(s => s"JOIN a3_s$s p$s USING (vec_id)").mkString(" ")
+      s"""WITH $pqChainsSql
+         |SELECT p0.vec_id, $codeCols
+         |FROM a3_s0 p0 $joins
+         |ORDER BY p0.vec_id ASC""".stripMargin
+    },
+    "q_ann_pq" ->
+      s"""WITH $pqChainsSql,
+         |$pqLutSql,
+         |$pqAdcSql
+         |SELECT vec_id, adc_scaled FROM adc
+         |ORDER BY adc_scaled ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_recall_pq" ->
+      s"""WITH $pqChainsSql,
+         |$pqLutSql,
+         |$pqAdcSql,
+         |pq AS (SELECT vec_id FROM adc
+         |  ORDER BY adc_scaled ASC, vec_id ASC LIMIT 10),
+         |qfull AS ($qFullExpr),
+         |qvfull AS (SELECT v FROM qfull WHERE vec_id = 0),
+         |exact AS (SELECT q.vec_id FROM qfull q CROSS JOIN qvfull qv
+         |  ORDER BY ${idistSql("q.v", "qv.v")} ASC, q.vec_id ASC LIMIT 10)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
+         |  CAST(COUNT(*) * 1000000 / 10 AS BIGINT) AS recall_ppm
+         |FROM exact WHERE vec_id IN (SELECT vec_id FROM pq)""".stripMargin,
     "q_semdedup_scaled" ->
       s"""WITH $lloydSqlScaled,
          |ve AS (SELECT a3.vec_id, a3.cid AS cluster, e.embedding

@@ -1,0 +1,147 @@
+package graft
+
+import graft.operators.{KMeansOp, ProductQuantizer}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed fixtures for the product quantizer, plus independent
+  * plain-Scala replays of q_pq_codes / q_ann_pq / q_recall_pq at sf0.001.
+  */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** 2 subspaces × 1 dim, codebooks given directly: encode must pick the
+    * nearest entry per subspace independently, ties to the lower cid.
+    *
+    * scaled: v10=(0,0) v11=(1e6,1e6) v12=(4e5,1e6).
+    * books: sub0 {0:(0), 1:(1e6)}, sub1 {0:(0), 1:(1e6)}.
+    * v12 sub0: d(0)=16e10 < d(1e6)=36e10 → 0; sub1 → 1.
+    */
+  test("encode: per-subspace argmin with lower-cid ties") {
+    import spark.implicits._
+    val vecs = Seq(
+      (10L, Seq(0L, 0L)),
+      (11L, Seq(1000000L, 1000000L)),
+      (12L, Seq(400000L, 1000000L)),
+    ).toDF("vec_id", "v")
+    val books = Seq(
+      Seq(0L -> Seq(0L), 1L -> Seq(1000000L)),
+      Seq(0L -> Seq(0L), 1L -> Seq(1000000L)))
+    val got = ProductQuantizer.encode(vecs, books, subDim = 1)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((10L, 0L, 0L), (11L, 1L, 1L), (12L, 0L, 1L)))
+
+    // exact tie at 5e5: both entries distance 25e10 → cid 0 wins
+    val tie = Seq((0L, Seq(500000L, 500000L))).toDF("vec_id", "v")
+    val t = ProductQuantizer.encode(tie, books, subDim = 1).head()
+    assert(t.getLong(1) == 0L && t.getLong(2) == 0L)
+  }
+
+  test("adcTopK sums the per-subspace LUT entries and orders (adc, id)") {
+    import spark.implicits._
+    val codes = Seq((0L, 0L, 1L), (1L, 1L, 0L), (2L, 0L, 0L))
+      .toDF("vec_id", "code_0", "code_1")
+    val luts = Seq(Map(0L -> 10L, 1L -> 7L), Map(0L -> 5L, 1L -> 2L))
+    // adc: v0=10+2=12, v1=7+5=12, v2=10+5=15 → tie v0<v1, then v2
+    val got = ProductQuantizer.adcTopK(codes, luts, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 12L), (1L, 12L), (2L, 15L)))
+  }
+
+  /** Independent plain-Scala PQ replay shared by the sf0.001 tests:
+    * same integer contract, same seed convention, no Spark. */
+  private def referencePq(d: String): (
+      Map[Long, Array[Long]],              // vec_id -> full int vector
+      Seq[Seq[(Long, Array[Long])]],       // per-subspace codebooks
+      Map[Long, Array[Long]]) = {          // vec_id -> codes
+    val m = 4; val subDim = 16; val k = 8; val iters = 2
+    val vecs = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6).toLong).toArray)
+      .sortBy(_._1)
+    def dist(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val books = (0 until m).map { s =>
+      val sub = vecs.map { case (id, v) => id -> v.slice(s * subDim, (s + 1) * subDim) }
+      val subById = sub.toMap
+      var cents: Seq[(Long, Array[Long])] = sub.take(k).toSeq
+      def assign() = sub.map { case (id, v) =>
+        id -> cents.map { case (c, cv) => (c, dist(v, cv)) }
+          .minBy { case (c, dd) => (dd, c) }._1
+      }
+      for (_ <- 1 to iters) {
+        cents = assign().groupBy(_._2).toSeq.map { case (cid, members) =>
+          val vs = members.map(mm => subById(mm._1))
+          cid -> Array.tabulate(subDim)(j =>
+            math.floor(vs.map(_(j)).sum.toDouble / vs.length).toLong)
+        }.sortBy(_._1)
+      }
+      cents
+    }
+    val codes = vecs.map { case (id, v) =>
+      id -> Array.tabulate(m) { s =>
+        val sv = v.slice(s * subDim, (s + 1) * subDim)
+        books(s).map { case (c, cv) => (c, dist(sv, cv)) }
+          .minBy { case (c, dd) => (dd, c) }._1
+      }
+    }.toMap
+    (vecs.toMap, books, codes)
+  }
+
+  test("q_pq_codes at sf0.001 matches an independent in-spec PQ run") {
+    val d = TestSpark.sf0001
+    val (_, _, codes) = referencePq(d)
+    val got = queries.SemanticQ.queries("q_pq_codes")(spark, d).collect()
+      .map(r => r.getLong(0) -> Array(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.length == 500)
+    got.foreach { case (id, cs) =>
+      assert(cs.toSeq == codes(id).toSeq, s"codes mismatch for vec $id")
+    }
+  }
+
+  test("q_ann_pq at sf0.001: ADC top-10 matches brute force over the codes") {
+    val d = TestSpark.sf0001
+    val (vecs, books, codes) = referencePq(d)
+    val subDim = 16
+    def dist(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val qv = vecs(0L)
+    val luts = books.zipWithIndex.map { case (book, s) =>
+      val qs = qv.slice(s * subDim, (s + 1) * subDim)
+      book.map { case (cid, c) => cid -> dist(c, qs) }.toMap
+    }
+    val expect = codes.toSeq.map { case (id, cs) =>
+      id -> cs.zipWithIndex.map { case (c, s) => luts(s)(c) }.sum
+    }.sortBy { case (id, adc) => (adc, id) }.take(10)
+    val got = queries.SemanticQ.queries("q_ann_pq")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect)
+  }
+
+  test("q_recall_pq at sf0.001: hits recomputed from both exact and ADC sides") {
+    val d = TestSpark.sf0001
+    val (vecs, books, codes) = referencePq(d)
+    val subDim = 16
+    def dist(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val qv = vecs(0L)
+    val exact = vecs.toSeq.map { case (id, v) => (id, dist(v, qv)) }
+      .sortBy { case (id, dd) => (dd, id) }.take(10).map(_._1).toSet
+    val luts = books.zipWithIndex.map { case (book, s) =>
+      val qs = qv.slice(s * subDim, (s + 1) * subDim)
+      book.map { case (cid, c) => cid -> dist(c, qs) }.toMap
+    }
+    val pq = codes.toSeq.map { case (id, cs) =>
+      id -> cs.zipWithIndex.map { case (c, s) => luts(s)(c) }.sum
+    }.sortBy { case (id, adc) => (adc, id) }.take(10).map(_._1).toSet
+    val hits = (exact & pq).size
+    val row = queries.SemanticQ.queries("q_recall_pq")(spark, d).head()
+    assert(row.getLong(0) == hits.toLong)
+    assert(row.getLong(1) == hits.toLong * 100000L)
+    // the probe itself (vec_id 0, ADC distance to its own codes' cells)
+    // should always survive compression into the top-10
+    assert(pq.contains(0L), "query vector fell out of its own PQ top-10")
+  }
+}
