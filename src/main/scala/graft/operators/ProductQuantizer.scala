@@ -55,14 +55,18 @@ object ProductQuantizer {
       emb.select(col(idCol), slice(embCol, s * subDim + 1, subDim).as("e")),
       idCol, col("e"), k, iters)
 
-  /** Nearest-codebook-entry argmin for one subvector: min over the
-    * k-element literal candidate array of (dist, cid) structs — struct
-    * ordering compares dist first, then cid, so ties break to the lower
-    * centroid id (the shared engine/oracle convention).
+  /** Nearest-codebook-entry argmin against a DRIVER-LOCAL codebook: min
+    * over the k-element literal candidate array of (dist, cid) structs —
+    * struct ordering compares dist first, then cid, so ties break to the
+    * lower centroid id (the shared engine/oracle convention, identical
+    * to KMeansOp.assign's (dist, cid) min but with no join and no
+    * shuffle: the whole argmin is one codegen'd map-side expression).
+    * Works for any bounded codebook — PQ sub-codebooks and the coarse
+    * IVF quantizer alike.
     */
-  private def argminCode(sub: Column, book: Seq[(Long, Seq[Long])]): Column =
+  def nearestCid(vec: Column, book: Seq[(Long, Seq[Long])]): Column =
     array_min(array(book.map { case (cid, c) =>
-      struct(KMeansOp.intDist(sub, typedLit(c)).as("dist"),
+      struct(KMeansOp.intDist(vec, typedLit(c)).as("dist"),
         lit(cid).as("cid"))
     }: _*)).getField("cid")
 
@@ -74,7 +78,7 @@ object ProductQuantizer {
       subDim: Int): DataFrame =
     vecs.select(col("vec_id") +:
       books.zipWithIndex.map { case (book, s) =>
-        argminCode(slice(col("v"), s * subDim + 1, subDim), book)
+        nearestCid(slice(col("v"), s * subDim + 1, subDim), book)
           .as(s"code_$s")
       }: _*)
 

@@ -258,6 +258,41 @@ object SemanticQ {
       luts, 10)
   }
 
+  /** The composed IVFADC search (Jégou et al. §IV: coarse quantizer
+    * restricts the scan, PQ codes carry the distances): the vec_id=0
+    * probe picks its 2 nearest coarse cells driver-side, then ONE corpus
+    * projection computes each vector's coarse cell AND its 4 PQ codes as
+    * literal-codebook argmins (no join, no shuffle — both quantizers are
+    * bounded driver-local literals), filters to the probed cells, and
+    * sums the broadcast ADC LUTs for the top-10. At 100 TB the cell and
+    * code columns are the PERSISTED index (built once by this same
+    * projection); a query touches |probed cells|/k of the code table
+    * and never the raw vectors.
+    */
+  def annIvfPqQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cents = trainedCentroids(s, d)
+    val books = pqCodebooks(s, d)
+    val vecs = intVecs(s, d)
+    val qv = vecs.where(col("vec_id") === 0L).select(col("v"))
+      .as[Seq[Long]].head()
+    val probeCells = cents
+      .map { case (cid, c) => (cid, KMeansOp.intDistLocal(c, qv)) }
+      .sortBy { case (cid, dd) => (dd, cid) }
+      .take(2).map(_._1)
+    val luts = graft.operators.ProductQuantizer.adcTables(qv, books, PqSubDim)
+    val indexed = vecs.select(
+      col("vec_id") +:
+      graft.operators.ProductQuantizer.nearestCid(col("v"), cents).as("cell") +:
+      books.zipWithIndex.map { case (book, m) =>
+        graft.operators.ProductQuantizer
+          .nearestCid(slice(col("v"), m * PqSubDim + 1, PqSubDim), book)
+          .as(s"code_$m")
+      }: _*)
+    graft.operators.ProductQuantizer.adcTopK(
+      indexed.where(col("cell").isin(probeCells: _*)), luts, 10)
+  }
+
   /** Index-quality monitoring for the PQ tier: recall@10 of the ADC
     * top-10 against the integer-exact top-10 for the same probe — the
     * compression-loss metric that sizes m and k in production (the PQ
@@ -337,6 +372,7 @@ object SemanticQ {
     "q_recall_ivf" -> recallIvfQ,
     "q_pq_codes" -> pqCodesQ,
     "q_ann_pq" -> annPqQ,
+    "q_ann_ivfpq" -> annIvfPqQ,
     "q_recall_pq" -> recallPqQ,
   )
 
@@ -467,6 +503,19 @@ object SemanticQ {
          |$pqLutSql,
          |$pqAdcSql
          |SELECT vec_id, adc_scaled FROM adc
+         |ORDER BY adc_scaled ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_ann_ivfpq" ->
+      s"""WITH $lloydSql,
+         |$pqChainsSql,
+         |$pqLutSql,
+         |qvc AS (SELECT v FROM q WHERE vec_id = 0),
+         |pc AS (SELECT cid FROM (
+         |    SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${idistSql("c.c", "qv.v")} ASC,
+         |      c.cid ASC) AS rn
+         |    FROM c2 c CROSS JOIN qvc qv) WHERE rn <= 2),
+         |cand AS (SELECT a3.vec_id FROM a3 JOIN pc ON a3.cid = pc.cid),
+         |$pqAdcSql
+         |SELECT adc.vec_id, adc.adc_scaled FROM adc JOIN cand USING (vec_id)
          |ORDER BY adc_scaled ASC, vec_id ASC LIMIT 10""".stripMargin,
     "q_recall_pq" ->
       s"""WITH $pqChainsSql,

@@ -120,6 +120,56 @@ class PqSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("q_ann_ivfpq at sf0.001: coarse-cell filter + ADC matches brute force") {
+    val d = TestSpark.sf0001
+    val (vecs, books, codes) = referencePq(d)
+    val subDim = 16
+    def dist(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val qv = vecs(0L)
+    // independent coarse quantizer: same 2-round integer Lloyd on the
+    // FULL vectors (the KMeansSpec replay, reduced to centroids)
+    val sorted = vecs.toSeq.sortBy(_._1)
+    var cents: Seq[(Long, Array[Long])] = sorted.take(8).map(v => v._1 -> v._2)
+    def assign() = sorted.map { case (id, v) =>
+      id -> cents.map { case (c, cv) => (c, dist(v, cv)) }
+        .minBy { case (c, dd) => (dd, c) }._1
+    }
+    for (_ <- 1 to 2) {
+      cents = assign().groupBy(_._2).toSeq.map { case (cid, members) =>
+        val vs = members.map(m => vecs(m._1))
+        cid -> Array.tabulate(vs.head.length)(j =>
+          math.floor(vs.map(_(j)).sum.toDouble / vs.length).toLong)
+      }.sortBy(_._1)
+    }
+    val cellOf = assign().toMap
+    val probed = cents.map { case (cid, c) => (cid, dist(c, qv)) }
+      .sortBy { case (cid, dd) => (dd, cid) }.take(2).map(_._1).toSet
+    val luts = books.zipWithIndex.map { case (book, s) =>
+      val qs = qv.slice(s * subDim, (s + 1) * subDim)
+      book.map { case (cid, c) => cid -> dist(c, qs) }.toMap
+    }
+    val expect = codes.toSeq
+      .filter { case (id, _) => probed.contains(cellOf(id)) }
+      .map { case (id, cs) =>
+        id -> cs.zipWithIndex.map { case (c, s) => luts(s)(c) }.sum }
+      .sortBy { case (id, adc) => (adc, id) }.take(10)
+    val got = queries.SemanticQ.queries("q_ann_ivfpq")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect)
+  }
+
+  test("ivfpq plan: one shuffle-free scan — no Exchange outside the top-k") {
+    val plan = queries.SemanticQ.queries("q_ann_ivfpq")(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    // both quantizers are literal argmins: no join, no hash exchange; the
+    // only ordering operator is the global top-k itself
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"ivfpq scan should not shuffle:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k should be TakeOrderedAndProject:\n$plan")
+  }
+
   test("q_recall_pq at sf0.001: hits recomputed from both exact and ADC sides") {
     val d = TestSpark.sf0001
     val (vecs, books, codes) = referencePq(d)
