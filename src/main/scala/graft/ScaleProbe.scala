@@ -45,7 +45,11 @@ object ScaleProbe {
     // from the CC family's measurements rather than measured
     "q_jaccard_neardup", "q_simhash_neardup", "q_curate", "q_tfidf",
     "q_pagerank", "q_profile", "q_match_single", "q_mmr_topk",
-    "q_tpch_q7", "q_tpch_q16", "q_tpch_q18", "q_interval_agg")
+    "q_tpch_q7", "q_tpch_q16", "q_tpch_q18", "q_interval_agg",
+    // round 14: the PQ tier — training is ~iters·m bounded-aggregate
+    // corpus passes, encode is one shuffle-free projection, ADC reads
+    // codes only; all three should land near-linear in rows
+    "q_pq_codes", "q_ann_pq", "q_ann_ivfpq")
 
   private def mix(a: Long, b: Long, c: Long): Long = {
     var h = a * 0x9E3779B97F4A7C15L + b * 0xC2B2AE3D27D4EB4FL + c * 0x165667B19E3779F9L
