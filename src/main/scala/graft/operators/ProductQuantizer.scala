@@ -82,6 +82,21 @@ object ProductQuantizer {
           .as(s"code_$s")
       }: _*)
 
+  /** The full index projection: each scaled-integer vector's coarse IVF
+    * cell AND its PQ codes in ONE shuffle-free pass —
+    * (vec_id, cell, code_0 … code_{m-1}). This is what an IVFADC build
+    * persists, and what continuous index maintenance appends per batch.
+    */
+  def indexProjection(vecs: DataFrame, coarse: Seq[(Long, Seq[Long])],
+      books: Seq[Seq[(Long, Seq[Long])]], subDim: Int): DataFrame =
+    vecs.select(
+      col("vec_id") +:
+      nearestCid(col("v"), coarse).as("cell") +:
+      books.zipWithIndex.map { case (book, s) =>
+        nearestCid(slice(col("v"), s * subDim + 1, subDim), book)
+          .as(s"code_$s")
+      }: _*)
+
   /** ADC lookup tables for one query vector: per subspace, the integer
     * distance from the query's subvector to every codebook entry.
     * Bounded (k entries per subspace) and driver-computed — the tables

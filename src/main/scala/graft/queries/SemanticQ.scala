@@ -281,14 +281,8 @@ object SemanticQ {
       .sortBy { case (cid, dd) => (dd, cid) }
       .take(2).map(_._1)
     val luts = graft.operators.ProductQuantizer.adcTables(qv, books, PqSubDim)
-    val indexed = vecs.select(
-      col("vec_id") +:
-      graft.operators.ProductQuantizer.nearestCid(col("v"), cents).as("cell") +:
-      books.zipWithIndex.map { case (book, m) =>
-        graft.operators.ProductQuantizer
-          .nearestCid(slice(col("v"), m * PqSubDim + 1, PqSubDim), book)
-          .as(s"code_$m")
-      }: _*)
+    val indexed = graft.operators.ProductQuantizer
+      .indexProjection(vecs, cents, books, PqSubDim)
     graft.operators.ProductQuantizer.adcTopK(
       indexed.where(col("cell").isin(probeCells: _*)), luts, 10)
   }

@@ -1,0 +1,133 @@
+package graft.streaming
+
+import graft.operators.{KMeansOp, ProductQuantizer}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Continuous vector-index maintenance — the streaming story for the
+  * similarity-search family (DedupStream covers near-dup text,
+  * DriftStream mixture monitoring, MediaStream multimodal ingestion).
+  *
+  * Production vector indexes are built once and MAINTAINED: the
+  * quantizers (coarse IVF centroids + PQ codebooks) are trained on a
+  * corpus snapshot, FROZEN as a persisted artifact, and newly arriving
+  * vectors are assigned against them and appended to the code table;
+  * training reruns only on an explicit rebuild (that staleness is what
+  * [[cellHistogram]] monitors — exactly how a FAISS/IVFADC deployment
+  * ingests, reference tie: the reference rebuilds its flat FAISS index
+  * per request, /root/reference/vectorDB.py:27-39, which cannot survive
+  * a corpus that outlives one request).
+  *
+  * Per micro-batch of (vec_id, embedding):
+  *  1. one shuffle-free [[ProductQuantizer.indexProjection]] computes
+  *     each vector's coarse cell and PQ codes against the frozen
+  *     quantizers (literal argmins, broadcast by value);
+  *  2. vectors whose vec_id an EARLIER committed batch already indexed
+  *     are dropped by one anti-join against the committed code table
+  *     (new↔existing only; the index is never re-scanned pairwise);
+  *  3. survivors append to the code table at `codes/batch_id=N`.
+  *
+  * Replay-idempotent on the DedupStream discipline: batch-id-keyed
+  * overwrite writes, the commit marker written LAST via [[StreamState]]
+  * (torn writes are never read as truth), and a replayed committed
+  * batch reproduces its rows bit-for-bit (assignment against frozen
+  * quantizers is deterministic; its own state rows are superseded by
+  * the overwrite, and the vec_id anti-join excludes this batch's ids).
+  *
+  * Scale shape: per-batch cost tracks the batch — the projection is
+  * map-side, the anti-join is one equi-join probing committed state,
+  * and state is (vec_id, cell, m codes) BIGINTs per vector regardless
+  * of dimension: the 64-float embedding never enters the state. Search
+  * over the committed index ([[searchCommitted]]) reads only the code
+  * table, filtered to the probed cells.
+  */
+object IndexStream {
+
+  /** The frozen index artifact: coarse centroids + per-subspace PQ
+    * codebooks (all driver-local and bounded — k·d + m·k·subDim
+    * BIGINTs), as trained by KMeansOp/ProductQuantizer on the build
+    * snapshot.
+    */
+  final case class Quantizers(coarse: Seq[(Long, Seq[Long])],
+      books: Seq[Seq[(Long, Seq[Long])]], subDim: Int)
+
+  private def codesSchema(m: Int): StructType =
+    StructType(
+      StructField("vec_id", LongType) +: StructField("cell", LongType) +:
+        (0 until m).map(s => StructField(s"code_$s", LongType)))
+
+  /** One micro-batch of (vec_id, embedding) rows. Exposed for direct
+    * testing like DedupStream.processBatch.
+    */
+  def processBatch(batch: Dataset[Row], batchId: Long, q: Quantizers,
+      stateDir: String, autoCompactEvery: Int = 0): Unit = {
+    val s = batch.sparkSession
+    val vecs = batch.select(col("vec_id"),
+      KMeansOp.intVec(col("embedding")).as("v"))
+    val indexed = ProductQuantizer
+      .indexProjection(vecs, q.coarse, q.books, q.subDim)
+    // drop ids a STRICTLY EARLIER committed batch indexed (upTo =
+    // batchId, the DriftStream discipline): a replayed committed batch
+    // never reads its own superseded partition, so it reproduces its
+    // rows; a NEW batch re-shipping an already-indexed vec_id sees it
+    // in earlier state and drops it. (Key-based supersede would
+    // conflate those two cases here, because the dedup key IS vec_id.)
+    val existing = StreamState.readCommitted(s, stateDir, "codes",
+      codesSchema(q.books.size), upTo = batchId)
+    indexed.join(existing.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$stateDir/codes/batch_id=$batchId")
+    StreamState.commitMarker(s, stateDir, batchId)
+    StreamState.maybeCompact(s, stateDir, autoCompactEvery)(compactState(s, stateDir))
+  }
+
+  /** Fold the committed code table under one marker (identity merge:
+    * each vec_id lives in exactly one committed partition).
+    */
+  def compactState(s: SparkSession, stateDir: String, m: Int = 4): Option[Long] =
+    StreamState.compact(s, stateDir, Seq(
+      ("codes", codesSchema(m), (df: DataFrame) => df)))
+
+  /** Start continuous maintenance over a streaming (vec_id, embedding)
+    * frame against the frozen quantizers.
+    */
+  def maintain(emb: DataFrame, q: Quantizers, stateDir: String,
+      checkpointDir: String, autoCompactEvery: Int = 16): StreamingQuery =
+    emb.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        processBatch(batch, batchId, q, stateDir, autoCompactEvery)
+      }
+      .start()
+
+  /** IVFADC search over the committed index: probe the `nProbe` coarse
+    * cells nearest the scaled-integer query driver-side, then ADC
+    * top-k over the committed CODE table filtered to those cells —
+    * identical mechanics to the batch q_ann_ivfpq, but serving from
+    * the incrementally-maintained state (raw vectors are never read).
+    */
+  def searchCommitted(s: SparkSession, stateDir: String, q: Quantizers,
+      query: Seq[Long], nProbe: Int, k: Int): DataFrame = {
+    val probeCells = q.coarse
+      .map { case (cid, c) => (cid, KMeansOp.intDistLocal(c, query)) }
+      .sortBy { case (cid, dd) => (dd, cid) }
+      .take(nProbe).map(_._1)
+    val luts = ProductQuantizer.adcTables(query, q.books, q.subDim)
+    ProductQuantizer.adcTopK(
+      StreamState.readCommitted(s, stateDir, "codes", codesSchema(q.books.size))
+        .where(col("cell").isin(probeCells: _*)),
+      luts, k)
+  }
+
+  /** Quantizer-staleness monitor: committed cell occupancy. A healthy
+    * index keeps cells balanced near the training distribution; a
+    * drifting ingest concentrates mass in few cells (probe recall
+    * degrades, per-cell scans grow) — the operational signal to
+    * retrain and rebuild. One bounded aggregate over the code table.
+    */
+  def cellHistogram(s: SparkSession, stateDir: String, m: Int = 4): DataFrame =
+    StreamState.readCommitted(s, stateDir, "codes", codesSchema(m))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .orderBy(col("cell").asc)
+}

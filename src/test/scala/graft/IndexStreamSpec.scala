@@ -1,0 +1,120 @@
+package graft
+
+import graft.operators.{KMeansOp, ProductQuantizer}
+import graft.streaming.{IndexStream, StreamState}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Continuous index maintenance: cumulative committed codes across
+  * micro-batches (with a cross-batch duplicate id and a restart) equal
+  * the one-shot index build; search over the committed state equals the
+  * batch q_ann_ivfpq; replay overwrites instead of appending; torn
+  * state writes are never read; compaction preserves the index.
+  */
+class IndexStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val d = TestSpark.sf0001
+
+  private def quantizers: IndexStream.Quantizers =
+    IndexStream.Quantizers(
+      queries.SemanticQ.trainedCentroids(spark, d),
+      queries.SemanticQ.pqCodebooks(spark, d),
+      subDim = 16)
+
+  private def fullRows: Seq[(Long, Seq[Float])] =
+    Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+
+  private val codesSchema = org.apache.spark.sql.types.StructType(
+    Seq("vec_id", "cell", "code_0", "code_1", "code_2", "code_3")
+      .map(n => org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.LongType)))
+
+  private def committedCodes(stateDir: String): Seq[(Long, Long, Seq[Long])] =
+    StreamState.readCommitted(spark, stateDir, "codes", codesSchema)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
+        Seq(r.getAs[Long]("code_0"), r.getAs[Long]("code_1"),
+          r.getAs[Long]("code_2"), r.getAs[Long]("code_3"))))
+      .toSeq.sortBy(_._1)
+
+  test("maintenance across batches + restart equals the one-shot build; " +
+    "search over committed state equals batch IVFADC") {
+    implicit val sqlCtx = spark.sqlContext
+    val q = quantizers
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_ix_state").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ix_ck").toString
+    val rows = fullRows
+    // three waves; wave 3 re-ships vec 0 and 1 (already indexed in wave
+    // 1 — the anti-join must drop them, not re-append)
+    val waves = Seq(
+      rows.filter(_._1 < 150L),
+      rows.filter(r => r._1 >= 150L && r._1 < 320L),
+      rows.filter(_._1 >= 320L) ++ rows.take(2))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    def runWave(w: Seq[(Long, Seq[Float])]): Unit = {
+      // fresh query per wave = kill/restart between waves
+      val sq = IndexStream.maintain(
+        mem.toDF().toDF("vec_id", "embedding"), q, stateDir, ckDir)
+      try { mem.addData(w: _*); sq.processAllAvailable() } finally sq.stop()
+    }
+    waves.foreach(runWave)
+
+    val got = committedCodes(stateDir)
+    assert(got.map(_._1) == rows.map(_._1), "one row per vec_id, no dups")
+    // one-shot build twin
+    val expect = ProductQuantizer.indexProjection(
+        Tables.embeddings(spark, d).select(col("vec_id"),
+          KMeansOp.intVec(col("embedding")).as("v")),
+        q.coarse, q.books, q.subDim)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Seq(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toSeq.sortBy(_._1)
+    assert(got == expect)
+
+    // serving parity: committed-state search == the batch q_ann_ivfpq
+    val qv = rows.head._2.map(x => math.floor(x.toDouble * 1e6).toLong)
+    val served = IndexStream.searchCommitted(spark, stateDir, q, qv,
+        nProbe = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch = queries.SemanticQ.queries("q_ann_ivfpq")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served == batch)
+
+    // occupancy monitor covers every indexed vector exactly once
+    val hist = IndexStream.cellHistogram(spark, stateDir).collect()
+    assert(hist.map(_.getAs[Long]("n")).sum == rows.length)
+
+    // replay of a committed batch: deterministic overwrite, not append
+    IndexStream.processBatch(
+      waves(1).toDF("vec_id", "embedding"), 1L, q, stateDir)
+    assert(committedCodes(stateDir) == expect, "replay changed the index")
+
+    // torn write: an uncommitted partial partition is invisible
+    Seq((99999L, 7L, 0L, 0L, 0L, 0L))
+      .toDF("vec_id", "cell", "code_0", "code_1", "code_2", "code_3")
+      .write.mode("overwrite").parquet(s"$stateDir/codes/batch_id=77")
+    assert(committedCodes(stateDir) == expect, "torn write was read as truth")
+
+    // compaction folds committed batches and preserves the index
+    val folded = IndexStream.compactState(spark, stateDir)
+    assert(folded.nonEmpty)
+    assert(committedCodes(stateDir) == expect, "compaction changed the index")
+    val served2 = IndexStream.searchCommitted(spark, stateDir, q, qv, 2, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served2 == batch, "post-compaction search diverged")
+  }
+
+  test("indexBatch plan: the per-batch projection does not shuffle") {
+    val q = quantizers
+    val vecs = Tables.embeddings(spark, d).select(col("vec_id"),
+      KMeansOp.intVec(col("embedding")).as("v"))
+    val plan = ProductQuantizer.indexProjection(vecs, q.coarse, q.books, q.subDim)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"index projection shuffled:\n$plan")
+  }
+}
