@@ -287,6 +287,30 @@ object SemanticQ {
       indexed.where(col("cell").isin(probeCells: _*)), luts, 10)
   }
 
+  /** Recall@10 of the COMPOSED IVFADC search vs the integer-exact
+    * top-10 — the end-to-end index monitor a deployment actually
+    * watches: it folds BOTH loss sources (coarse cell misses, which
+    * nProbe buys back, and PQ compression error, which m/k buy back)
+    * into one deterministic BIGINT ppm, where q_recall_ivf and
+    * q_recall_pq isolate each source.
+    */
+  def recallIvfPqQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vecs = intVecs(s, d)
+    val qv = vecs.where(col("vec_id") === 0L).select(col("v"))
+      .as[Seq[Long]].head()
+    val exact = vecs
+      .select(col("vec_id"), KMeansOp.intDist(col("v"), typedLit(qv)).as("dist_scaled"))
+      .orderBy(col("dist_scaled").asc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"))
+    val approx = annIvfPqQ(s, d).select(col("vec_id"))
+    exact.join(approx, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("n_hits"),
+        (col("n_hits") * lit(1000000L) / lit(10L)).cast("long").as("recall_ppm"))
+  }
+
   /** Index-quality monitoring for the PQ tier: recall@10 of the ADC
     * top-10 against the integer-exact top-10 for the same probe — the
     * compression-loss metric that sizes m and k in production (the PQ
@@ -368,6 +392,7 @@ object SemanticQ {
     "q_ann_pq" -> annPqQ,
     "q_ann_ivfpq" -> annIvfPqQ,
     "q_recall_pq" -> recallPqQ,
+    "q_recall_ivfpq" -> recallIvfPqQ,
   )
 
   // ---- DuckDB oracle: the two Lloyd rounds unrolled as CTEs ----
@@ -511,6 +536,24 @@ object SemanticQ {
          |$pqAdcSql
          |SELECT adc.vec_id, adc.adc_scaled FROM adc JOIN cand USING (vec_id)
          |ORDER BY adc_scaled ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_recall_ivfpq" ->
+      s"""WITH $lloydSql,
+         |$pqChainsSql,
+         |$pqLutSql,
+         |qvc AS (SELECT v FROM q WHERE vec_id = 0),
+         |pc AS (SELECT cid FROM (
+         |    SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${idistSql("c.c", "qv.v")} ASC,
+         |      c.cid ASC) AS rn
+         |    FROM c2 c CROSS JOIN qvc qv) WHERE rn <= 2),
+         |cand AS (SELECT a3.vec_id FROM a3 JOIN pc ON a3.cid = pc.cid),
+         |$pqAdcSql,
+         |approx AS (SELECT adc.vec_id FROM adc JOIN cand USING (vec_id)
+         |  ORDER BY adc.adc_scaled ASC, adc.vec_id ASC LIMIT 10),
+         |exact AS (SELECT q.vec_id FROM q CROSS JOIN qvc qv
+         |  ORDER BY ${idistSql("q.v", "qv.v")} ASC, q.vec_id ASC LIMIT 10)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
+         |  CAST(COUNT(*) * 1000000 / 10 AS BIGINT) AS recall_ppm
+         |FROM exact WHERE vec_id IN (SELECT vec_id FROM approx)""".stripMargin,
     "q_recall_pq" ->
       s"""WITH $pqChainsSql,
          |$pqLutSql,

@@ -157,6 +157,14 @@ class PqSpec extends AnyFunSuite {
     val got = queries.SemanticQ.queries("q_ann_ivfpq")(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == expect)
+
+    // the composed recall monitor, against the same brute-force replay
+    val exact10 = vecs.toSeq.map { case (id, v) => (id, dist(v, qv)) }
+      .sortBy { case (id, dd) => (dd, id) }.take(10).map(_._1).toSet
+    val hits = (exact10 & expect.map(_._1).toSet).size
+    val row = queries.SemanticQ.queries("q_recall_ivfpq")(spark, d).head()
+    assert(row.getLong(0) == hits.toLong)
+    assert(row.getLong(1) == hits.toLong * 100000L)
   }
 
   test("ivfpq plan: one shuffle-free scan — no Exchange outside the top-k") {
