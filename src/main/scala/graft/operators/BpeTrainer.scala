@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer TRAINING as a distributed dataflow (Sennrich et al.
+  * 2016; the GPT-2 construction whose APPLY side is
+  * [[BpeTokenizer]]/q_chunk_tokens_bpe): learn the top-R merges from
+  * the corpus itself.
+  *
+  * The scale formulation is the classic weighted-vocabulary trick: BPE
+  * statistics depend only on the DISTINCT pre-token multiset, so the
+  * corpus is read ONCE into (word, freq) — Heaps' law keeps that table
+  * orders of magnitude smaller than the corpus — and every training
+  * round runs over the vocab table, never the text:
+  *
+  *   1. adjacent-pair counts: explode each word's current symbol
+  *      sequence into (sym_i, sym_i+1) weighted by freq — map-side
+  *      combined groupBy, cost Σ|word| over DISTINCT words;
+  *   2. argmax pair by (count DESC, pair ASC — the pinned
+  *      deterministic tie-break): TakeOrdered(1), ONE row to the
+  *      driver per round (bounded by the algorithm, the same pattern
+  *      as Lloyd centroid materialization);
+  *   3. merge that pair into every word leftmost-greedily (a codegen'd
+  *      `aggregate` fold per word — no shuffle), localCheckpoint to
+  *      truncate lineage so each round is one vocab pass.
+  *
+  * Rounds are bounded (R merges requested); a real 50k-vocab training
+  * is the same loop with R=50k — each round stays one bounded-aggregate
+  * pass over a vocab table that SHRINKS as merges fuse symbols.
+  *
+  * Reference tie: the reference consumes a pretrained tokenizer
+  * implicitly through its embedding model (SURVEY §0); training one is
+  * the capability a 100 TB corpus pipeline adds on top (tokenizers are
+  * fit on the corpus being curated).
+  *
+  * Determinism contract (shared with the DuckDB oracle): symbols are
+  * exact strings, counts exact BIGINTs, the tie-break total, and the
+  * greedy sweep is the same left-to-right fold both engines run —
+  * so the learned merge table is hash-identical cross-engine.
+  */
+object BpeTrainer {
+
+  /** One merge sweep: collapse every leftmost-greedy (x, y) adjacency
+    * in a symbol array — `aggregate` fold appending to an array acc,
+    * replacing its last element when (last == x && e == y). `get`
+    * (null out-of-bounds, never an error) keeps the empty-acc first
+    * step in the append branch.
+    */
+  def mergeOnce(s: Column, x: String, y: String): Column =
+    aggregate(s, array().cast("array<string>"),
+      (acc, e) =>
+        when(e === lit(y) && get(acc, size(acc) - 1) === lit(x),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(x + y))))
+          .otherwise(concat(acc, array(e))))
+
+  /** The weighted pre-token vocabulary of a single-space corpus:
+    * (s = per-char symbol array with the GPT-2 Ġ prefix on non-initial
+    * words, freq). One corpus pass.
+    */
+  def weightedVocab(docs: DataFrame, textCol: Column): DataFrame =
+    docs.select(posexplode(split(textCol, " ")).as(Seq("pos", "w")))
+      .select(concat(when(col("pos") === 0, lit(""))
+        .otherwise(lit("Ġ")), col("w")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(split(col("word"), "").as("s"), col("freq"))
+      // the vocab is Heaps-law smaller than the corpus it came from;
+      // the training rounds re-scan it 2×R times, so pack it into few
+      // partitions instead of inheriting the corpus's shuffle width
+      // (at a real 50k-merge training, size this by vocab bytes)
+      .coalesce(4)
+
+  /** Train `rounds` merges over a weighted vocab; returns
+    * (rank, lhs, rhs, pair_freq) ordered by rank. Stops early if no
+    * adjacent pair remains.
+    */
+  def train(vocab0: DataFrame, rounds: Int): DataFrame = {
+    val spark = vocab0.sparkSession
+    import spark.implicits._
+    var vocab = vocab0.localCheckpoint()
+    val merges = scala.collection.mutable.Buffer[(Long, String, String, Long)]()
+    var r = 1
+    var continue = true
+    while (r <= rounds && continue) {
+      val top = vocab.where(size(col("s")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(s) - 2), i -> struct(s[i] AS x, s[i + 1] AS y))"))
+          .as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("x").asc, col("y").asc)
+        .limit(1).collect()
+      if (top.isEmpty) continue = false
+      else {
+        val (x, y, cnt) =
+          (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += ((r.toLong, x, y, cnt))
+        vocab = vocab.select(mergeOnce(col("s"), x, y).as("s"), col("freq"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "lhs", "rhs", "pair_freq")
+      .orderBy(col("rank").asc)
+  }
+}

@@ -534,7 +534,21 @@ object Analysis {
       .orderBy(col("doc_id").asc)
   }
 
+  /** BPE tokenizer training over the corpus: learn the top-8 merges
+    * (rank, lhs, rhs, pair_freq) — [[graft.operators.BpeTrainer]], the
+    * weighted-vocab formulation (one corpus pass, then bounded rounds
+    * over the distinct-word table with one argmax row collected per
+    * round). Same word model as q_chunk_tokens_bpe's oracle: split on
+    * the single-space corpus, Ġ prefix on non-initial words.
+    */
+  def bpeTrain(s: SparkSession, d: String): DataFrame =
+    graft.operators.BpeTrainer.train(
+      graft.operators.BpeTrainer.weightedVocab(
+        Tables.documents(s, d), col("text")),
+      rounds = 8)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_train" -> bpeTrain,
     "q_mixture_rebalance" -> mixtureRebalance,
     "q_stable_sample" -> stableSample,
     "q_curate" -> curate,
@@ -790,7 +804,47 @@ object Analysis {
        |FROM $last GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin
   }
 
+  /** Trainer oracle: the 8 rounds unrolled — per round, weighted
+    * adjacent-pair counts from the SEP-joined symbol strings, the
+    * (cnt DESC, pair ASC) argmax, and one captured-column list_reduce
+    * sweep applying the learned pair leftmost-greedily (the suffix
+    * check uses right(), not LIKE, so symbol text can't inject
+    * wildcards). Same word model as the apply-side BPE oracle.
+    */
+  private val bpeTrainOracleSql: String = {
+    val SEP = "chr(31)"
+    val R = 8
+    val rounds = (1 to R).map { r =>
+      s"""p$r AS (SELECT w.ss[li.i] AS x, w.ss[li.i + 1] AS y, w.freq
+         |  FROM (SELECT string_split(s, $SEP) AS ss, freq FROM w$r) w
+         |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(w.ss))) AS i) li),
+         |m$r AS (SELECT x, y, CAST(SUM(freq) AS BIGINT) AS cnt FROM p$r
+         |  GROUP BY x, y ORDER BY cnt DESC, x ASC, y ASC LIMIT 1),
+         |w${r + 1} AS (SELECT list_reduce(string_split(w.s, $SEP), (acc, e) ->
+         |    CASE WHEN e = m.y AND (acc = m.x OR right(acc, len(m.x) + 1) = $SEP || m.x)
+         |      THEN CASE WHEN acc = m.x THEN m.x || m.y
+         |        ELSE left(acc, len(acc) - len(m.x)) || m.x || m.y END
+         |      ELSE acc || $SEP || e END) AS s, w.freq
+         |  FROM w$r w CROSS JOIN m$r m)""".stripMargin
+    }
+    val unions = (1 to R)
+      .map(r => s"SELECT $r AS r, x, y, cnt FROM m$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH words AS (SELECT (CASE WHEN li.i = 1 THEN '' ELSE chr(288) END) ||
+       |    string_split(text, ' ')[li.i] AS word
+       |  FROM documents
+       |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(string_split(text, ' ')) + 1)) AS i) li),
+       |w1 AS (SELECT array_to_string(string_split(word, ''), $SEP) AS s,
+       |    CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM words GROUP BY 1),
+       |${rounds.mkString(",\n")}
+       |SELECT CAST(r AS BIGINT) AS rank, x AS lhs, y AS rhs, cnt AS pair_freq
+       |FROM ($unions)
+       |ORDER BY rank ASC""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_bpe_train" -> bpeTrainOracleSql,
     "q_mmr_topk" -> mmrOracle(5, 0.5),
     "q_mmr_batch" -> mmrBatchOracle(5, 0.5),
     "q_heavy_hitters" ->

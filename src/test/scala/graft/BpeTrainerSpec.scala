@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.BpeTrainer
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed trainer fixtures plus an independent plain-Scala
+  * replay of q_bpe_train at sf0.001.
+  */
+class BpeTrainerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Independent greedy sweep + trainer loop over a weighted vocab. */
+  private def referenceTrain(vocab0: Map[Vector[String], Long],
+      rounds: Int): Seq[(Long, String, String, Long)] = {
+    var vocab = vocab0
+    val out = Seq.newBuilder[(Long, String, String, Long)]
+    var r = 1L
+    var go = true
+    while (r <= rounds && go) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((w, f) <- vocab; i <- 0 until w.length - 1)
+        counts((w(i), w(i + 1))) = counts.getOrElse((w(i), w(i + 1)), 0L) + f
+      if (counts.isEmpty) go = false
+      else {
+        val ((x, y), cnt) = counts.toSeq
+          .minBy { case ((x, y), c) => (-c, x, y) }
+        out += ((r, x, y, cnt))
+        vocab = vocab.toSeq.map { case (w, f) =>
+          val b = Vector.newBuilder[String]
+          var j = 0
+          while (j < w.length) {
+            if (j < w.length - 1 && w(j) == x && w(j + 1) == y) {
+              b += x + y; j += 2
+            } else { b += w(j); j += 1 }
+          }
+          (b.result(), f)
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+        r += 1
+      }
+    }
+    out.result()
+  }
+
+  test("mergeOnce: leftmost-greedy, non-overlapping, boundary-safe") {
+    val df = Seq(
+      Seq("a", "a", "a"),          // odd run: merge (1,2) only
+      Seq("a", "a", "a", "a"),     // even run: two merges
+      Seq("b", "a", "c"),          // no adjacency
+      Seq("xa", "a")               // last symbol ENDS with x but is not x
+    ).toDF("s").select(BpeTrainer.mergeOnce(col("s"), "a", "a").as("s"))
+    assert(df.collect().map(_.getSeq[String](0).toSeq).toSeq == Seq(
+      Seq("aa", "a"), Seq("aa", "aa"), Seq("b", "a", "c"), Seq("xa", "a")))
+  }
+
+  test("train on a tiny corpus: ranks, ties, and cascading merges") {
+    // words: "low low low" + "er": freqs low=2·? build via two docs
+    val docs = Seq((0L, "low low lower"), (1L, "low lowest")).toDF("doc_id", "text")
+    val vocab = BpeTrainer.weightedVocab(docs, col("text"))
+    // independent replay from the same word model
+    val words = Seq("low", "Ġlow", "Ġlower", "low", "Ġlowest")
+    val ref = referenceTrain(
+      words.groupBy(identity).map { case (w, ws) =>
+        w.map(_.toString).toVector -> ws.length.toLong },
+      rounds = 4)
+    val got = BpeTrainer.train(vocab, rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == ref)
+    // sanity on the fixture itself: (l,o) and (o,w) both appear 5x;
+    // lexicographic tie-break must pick (l,o) first
+    assert(got.head._2 == "l" && got.head._3 == "o")
+  }
+
+  test("q_bpe_train at sf0.001 matches an independent in-spec trainer run") {
+    val d = TestSpark.sf0001
+    val words = Tables.documents(spark, d).select(col("text"))
+      .collect().flatMap { r =>
+        val ws = r.getString(0).split(" ", -1)
+        ws.zipWithIndex.map { case (w, i) => if (i == 0) w else "Ġ" + w }
+      }
+    val vocab0 = words.groupBy(identity).map { case (w, ws) =>
+      w.map(_.toString).toVector -> ws.length.toLong }
+    val ref = referenceTrain(vocab0, rounds = 8)
+    val got = queries.Analysis.queries("q_bpe_train")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == ref)
+    assert(got.length == 8)
+  }
+}
