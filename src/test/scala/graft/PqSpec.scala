@@ -178,6 +178,38 @@ class PqSpec extends AnyFunSuite {
       s"top-k should be TakeOrderedAndProject:\n$plan")
   }
 
+  test("code table partitioned by cell: ADC probe prunes to the probed " +
+    "directories and serves the same top-10") {
+    import graft.operators.{KMeansOp, ProductQuantizer}
+    val d = TestSpark.sf0001
+    val cents = queries.SemanticQ.trainedCentroids(spark, d)
+    val books = queries.SemanticQ.pqCodebooks(spark, d)
+    val vecs = Tables.embeddings(spark, d).select(col("vec_id"),
+      KMeansOp.intVec(col("embedding")).as("v"))
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_part")
+      .toString + "/codes"
+    // the persisted index: one directory per coarse cell
+    ProductQuantizer.indexProjection(vecs, cents, books, 16)
+      .write.partitionBy("cell").parquet(path)
+    // serve the vec_id=0 probe from the layout
+    val qv = vecs.where(col("vec_id") === 0L).select(col("v"))
+      .collect().head.getSeq[Long](0)
+    val probeCells = cents
+      .map { case (cid, c) => (cid, KMeansOp.intDistLocal(c, qv)) }
+      .sortBy { case (cid, dd) => (dd, cid) }.take(2).map(_._1)
+    val luts = ProductQuantizer.adcTables(qv, books, 16)
+    val scan = spark.read.parquet(path)
+      .where(col("cell").isin(probeCells: _*))
+    val physical = scan.queryExecution.executedPlan.toString
+    assert(physical.contains("PartitionFilters") && physical.contains("cell"),
+      s"cell filter did not reach partition pruning:\n$physical")
+    val served = ProductQuantizer.adcTopK(scan, luts, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch = queries.SemanticQ.queries("q_ann_ivfpq")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served == batch, "partition-pruned serving diverged from batch IVFADC")
+  }
+
   test("q_recall_pq at sf0.001: hits recomputed from both exact and ADC sides") {
     val d = TestSpark.sf0001
     val (vecs, books, codes) = referencePq(d)
