@@ -547,8 +547,30 @@ object Analysis {
         Tables.documents(s, d), col("text")),
       rounds = 8)
 
+  /** Train-then-apply composition: learn the 8 merges from the corpus
+    * (q_bpe_train), then tokenize the SAME corpus with them — per-doc
+    * token counts under the corpus's own tokenizer, the end-to-end
+    * shape a tokenizer-fitting pipeline ships. The apply side is the
+    * codegen'd [[graft.functions.BpeCount]] cascading-lowest-rank
+    * expression; sequentially-learned merges are training-consistent
+    * by construction (each operand is a base symbol or an earlier
+    * output — `requireTrainingConsistent` guards it), which is exactly
+    * the property that makes the oracle's one-ascending-sweep-per-rank
+    * replay equivalent to the cascade.
+    */
+  def bpeTrainApply(s: SparkSession, d: String): DataFrame = {
+    val learned = graft.operators.BpeTokenizer.requireTrainingConsistent(
+      bpeTrain(s, d).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.BpeCount(col("text"), learned).as("n_tokens_bpe"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_train" -> bpeTrain,
+    "q_bpe_train_apply" -> bpeTrainApply,
     "q_mixture_rebalance" -> mixtureRebalance,
     "q_stable_sample" -> stableSample,
     "q_curate" -> curate,
@@ -811,10 +833,14 @@ object Analysis {
     * check uses right(), not LIKE, so symbol text can't inject
     * wildcards). Same word model as the apply-side BPE oracle.
     */
-  private val bpeTrainOracleSql: String = {
+  private val BpeTrainRounds = 8
+
+  /** The shared trainer CTE body: weighted vocab w1 and, per round r,
+    * pair counts p_r, argmax m_r, and the merged vocab w_{r+1}.
+    */
+  private val bpeTrainChainsSql: String = {
     val SEP = "chr(31)"
-    val R = 8
-    val rounds = (1 to R).map { r =>
+    val rounds = (1 to BpeTrainRounds).map { r =>
       s"""p$r AS (SELECT w.ss[li.i] AS x, w.ss[li.i + 1] AS y, w.freq
          |  FROM (SELECT string_split(s, $SEP) AS ss, freq FROM w$r) w
          |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(w.ss))) AS i) li),
@@ -827,24 +853,58 @@ object Analysis {
          |      ELSE acc || $SEP || e END) AS s, w.freq
          |  FROM w$r w CROSS JOIN m$r m)""".stripMargin
     }
-    val unions = (1 to R)
-      .map(r => s"SELECT $r AS r, x, y, cnt FROM m$r")
-      .mkString("\n  UNION ALL ")
-    s"""WITH words AS (SELECT (CASE WHEN li.i = 1 THEN '' ELSE chr(288) END) ||
+    s"""words AS (SELECT (CASE WHEN li.i = 1 THEN '' ELSE chr(288) END) ||
        |    string_split(text, ' ')[li.i] AS word
        |  FROM documents
        |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(string_split(text, ' ')) + 1)) AS i) li),
        |w1 AS (SELECT array_to_string(string_split(word, ''), $SEP) AS s,
        |    CAST(COUNT(*) AS BIGINT) AS freq
        |  FROM words GROUP BY 1),
-       |${rounds.mkString(",\n")}
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  private val bpeTrainOracleSql: String = {
+    val unions = (1 to BpeTrainRounds)
+      .map(r => s"SELECT $r AS r, x, y, cnt FROM m$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $bpeTrainChainsSql
        |SELECT CAST(r AS BIGINT) AS rank, x AS lhs, y AS rhs, cnt AS pair_freq
        |FROM ($unions)
        |ORDER BY rank ASC""".stripMargin
   }
 
+  /** Train-then-apply oracle: the trainer chains, then the corpus
+    * re-tokenized per doc with one captured-column sweep per learned
+    * rank (same word model; same sweep lambda as the trainer's own
+    * vocab update), counting final symbols per doc.
+    */
+  private val bpeTrainApplyOracleSql: String = {
+    val SEP = "chr(31)"
+    val sweeps = (1 to BpeTrainRounds).map { r =>
+      s"""t$r AS (SELECT t.doc_id, t.wi, list_reduce(string_split(t.s, $SEP), (acc, e) ->
+         |    CASE WHEN e = m.y AND (acc = m.x OR right(acc, len(m.x) + 1) = $SEP || m.x)
+         |      THEN CASE WHEN acc = m.x THEN m.x || m.y
+         |        ELSE left(acc, len(acc) - len(m.x)) || m.x || m.y END
+         |      ELSE acc || $SEP || e END) AS s
+         |  FROM t${r - 1} t CROSS JOIN m$r m)""".stripMargin
+    }
+    s"""WITH $bpeTrainChainsSql,
+       |dw AS (SELECT doc_id, li.i AS wi,
+       |    (CASE WHEN li.i = 1 THEN '' ELSE chr(288) END) ||
+       |      string_split(text, ' ')[li.i] AS word
+       |  FROM documents
+       |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(string_split(text, ' ')) + 1)) AS i) li),
+       |t0 AS (SELECT doc_id, wi,
+       |    array_to_string(string_split(word, ''), $SEP) AS s FROM dw),
+       |${sweeps.mkString(",\n")}
+       |SELECT doc_id,
+       |  CAST(SUM(len(string_split(s, $SEP))) AS BIGINT) AS n_tokens_bpe
+       |FROM t$BpeTrainRounds GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_bpe_train" -> bpeTrainOracleSql,
+    "q_bpe_train_apply" -> bpeTrainApplyOracleSql,
     "q_mmr_topk" -> mmrOracle(5, 0.5),
     "q_mmr_batch" -> mmrBatchOracle(5, 0.5),
     "q_heavy_hitters" ->

@@ -73,6 +73,38 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(got.head._2 == "l" && got.head._3 == "o")
   }
 
+  test("q_bpe_train_apply at sf0.001: per-doc counts match ascending-sweep " +
+    "replay of the independently learned merges") {
+    val d = TestSpark.sf0001
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val vocab0 = docs.flatMap { case (_, t) =>
+        t.split(" ", -1).zipWithIndex.map { case (w, i) => if (i == 0) w else "Ġ" + w }
+      }.groupBy(identity).map { case (w, ws) =>
+        w.map(_.toString).toVector -> ws.length.toLong }
+    val merges = referenceTrain(vocab0, rounds = 8).map(m => (m._2, m._3))
+    def sweep(w: Vector[String], x: String, y: String): Vector[String] = {
+      val b = Vector.newBuilder[String]
+      var j = 0
+      while (j < w.length) {
+        if (j < w.length - 1 && w(j) == x && w(j + 1) == y) { b += x + y; j += 2 }
+        else { b += w(j); j += 1 }
+      }
+      b.result()
+    }
+    val expect = docs.map { case (id, t) =>
+      val words = t.split(" ", -1).zipWithIndex
+        .map { case (w, i) => if (i == 0) w else "Ġ" + w }
+      id -> words.map { w =>
+        merges.foldLeft(w.map(_.toString).toVector) {
+          case (s, (x, y)) => sweep(s, x, y) }.length.toLong
+      }.sum
+    }.toSeq
+    val got = queries.Analysis.queries("q_bpe_train_apply")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect)
+  }
+
   test("q_bpe_train at sf0.001 matches an independent in-spec trainer run") {
     val d = TestSpark.sf0001
     val words = Tables.documents(spark, d).select(col("text"))
