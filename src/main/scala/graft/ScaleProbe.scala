@@ -49,7 +49,12 @@ object ScaleProbe {
     // round 14: the PQ tier — training is ~iters·m bounded-aggregate
     // corpus passes, encode is one shuffle-free projection, ADC reads
     // codes only; all three should land near-linear in rows
-    "q_pq_codes", "q_ann_pq", "q_ann_ivfpq")
+    "q_pq_codes", "q_ann_pq", "q_ann_ivfpq",
+    // round 14: BPE trainer — rounds run over the DISTINCT-word vocab,
+    // which grows Heaps-sublinearly in corpus size (the probe corpus
+    // resamples from the same word distribution, so vocab growth is
+    // the realistic new-tail rate); apply is corpus-linear
+    "q_bpe_train", "q_bpe_train_apply")
 
   private def mix(a: Long, b: Long, c: Long): Long = {
     var h = a * 0x9E3779B97F4A7C15L + b * 0xC2B2AE3D27D4EB4FL + c * 0x165667B19E3779F9L
