@@ -112,10 +112,19 @@ object KMeansOp {
     * cells without another corpus pass.
     */
   def lloydCentroidsLocal(emb: DataFrame, idCol: String, embCol: Column,
+      k: Int, iters: Int): Seq[(Long, Seq[Long])] =
+    lloydCentroidsLocalInt(
+      emb.select(col(idCol).as("vec_id"), intVec(embCol).as("v")), k, iters)
+
+  /** [[lloydCentroidsLocal]] over ALREADY-SCALED integer vectors
+    * (vec_id, v BIGINT array) — the entry point for quantizing derived
+    * integer spaces (e.g. IVFADC residuals), where re-applying the
+    * float→int scale would be wrong.
+    */
+  def lloydCentroidsLocalInt(vecs: DataFrame,
       k: Int, iters: Int): Seq[(Long, Seq[Long])] = {
-    val spark = emb.sparkSession
+    val spark = vecs.sparkSession
     import spark.implicits._
-    val vecs = emb.select(col(idCol).as("vec_id"), intVec(embCol).as("v"))
     var cents = vecs.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), col("v").as("c"))
       .as[(Long, Seq[Long])].collect().toSeq

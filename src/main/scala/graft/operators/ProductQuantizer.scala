@@ -82,6 +82,20 @@ object ProductQuantizer {
           .as(s"code_$s")
       }: _*)
 
+  /** Coarse-residual projection: each vector's cell and the INTEGER
+    * residual v − centroid[cell] — the space the true IVFADC (Jégou et
+    * al. §IV.B) product-quantizes, so codes spend their bits on the
+    * within-cell offset instead of re-encoding the cell position.
+    * Exact BIGINT subtraction; the centroid lookup is a broadcast map
+    * literal (bounded k entries), the whole projection shuffle-free.
+    */
+  def residuals(vecs: DataFrame, coarse: Seq[(Long, Seq[Long])]): DataFrame = {
+    val centsMap = typedLit(coarse.toMap)
+    val cell = nearestCid(col("v"), coarse)
+    vecs.select(col("vec_id"), cell.as("cell"),
+      zip_with(col("v"), element_at(centsMap, cell), (x, c) => x - c).as("r"))
+  }
+
   /** The full index projection: each scaled-integer vector's coarse IVF
     * cell AND its PQ codes in ONE shuffle-free pass —
     * (vec_id, cell, code_0 … code_{m-1}). This is what an IVFADC build

@@ -287,6 +287,71 @@ object SemanticQ {
       indexed.where(col("cell").isin(probeCells: _*)), luts, 10)
   }
 
+  /** Residual PQ codebooks: the subspace quantizers trained on
+    * v − centroid[cell] (already-integer vectors, so the fit enters
+    * Lloyd through the pre-scaled door). Memoized per subspace under
+    * `pqres<s>` like every quantizer here.
+    */
+  private[graft] def resCodebooks(s: SparkSession, d: String): Seq[Seq[(Long, Seq[Long])]] = {
+    lazy val res = graft.operators.ProductQuantizer
+      .residuals(intVecs(s, d), trainedCentroids(s, d))
+    (0 until PqM).map { m =>
+      cachedCentroids(s, d, s"pqres$m")(
+        KMeansOp.lloydCentroidsLocalInt(
+          res.select(col("vec_id"),
+            slice(col("r"), m * PqSubDim + 1, PqSubDim).as("v")),
+          K, Iters))
+    }
+  }
+
+  /** The RESIDUAL-encoded IVFADC (Jégou et al. §IV.B — FAISS's default):
+    * PQ quantizes v − centroid[cell], so the codes spend their bits on
+    * the within-cell offset instead of re-encoding cell position —
+    * better recall at identical scan cost. Everything stays exact
+    * BIGINT (residual = integer subtraction), so the oracle replays
+    * the full composition. Query-side LUTs are PER PROBED CELL (the
+    * query's residual differs per cell): nProbe·m·k driver-built
+    * entries, folded into the scan as a chained `when` over the two
+    * probed cells — still one shuffle-free pass over the code table.
+    */
+  def annIvfPqResQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val coarse = trainedCentroids(s, d)
+    val books = resCodebooks(s, d)
+    val vecs = intVecs(s, d)
+    val qv = vecs.where(col("vec_id") === 0L).select(col("v"))
+      .as[Seq[Long]].head()
+    val probeCells = coarse
+      .map { case (cid, c) => (cid, KMeansOp.intDistLocal(c, qv)) }
+      .sortBy { case (cid, dd) => (dd, cid) }
+      .take(2).map(_._1)
+    val centById = coarse.toMap
+    val lutsByCell: Map[Long, Seq[Map[Long, Long]]] = probeCells.map { c =>
+      val qr = qv.zip(centById(c)).map { case (x, cc) => x - cc }
+      c -> graft.operators.ProductQuantizer.adcTables(qr, books, PqSubDim)
+    }.toMap
+    val res = graft.operators.ProductQuantizer.residuals(vecs, coarse)
+    val codes = res.select(
+      col("vec_id") +: col("cell") +:
+      books.zipWithIndex.map { case (book, m) =>
+        graft.operators.ProductQuantizer
+          .nearestCid(slice(col("r"), m * PqSubDim + 1, PqSubDim), book)
+          .as(s"code_$m")
+      }: _*)
+    val adc = (0 until PqM).map { m =>
+      probeCells.tail.foldLeft(
+        when(col("cell") === probeCells.head,
+          element_at(typedLit(lutsByCell(probeCells.head)(m)), col(s"code_$m")))) {
+        (acc, c) => acc.when(col("cell") === c,
+          element_at(typedLit(lutsByCell(c)(m)), col(s"code_$m")))
+      }
+    }.reduce(_ + _)
+    codes.where(col("cell").isin(probeCells: _*))
+      .select(col("vec_id"), adc.as("adc_scaled"))
+      .orderBy(col("adc_scaled").asc, col("vec_id").asc)
+      .limit(10)
+  }
+
   /** Recall@10 of the COMPOSED IVFADC search vs the integer-exact
     * top-10 — the end-to-end index monitor a deployment actually
     * watches: it folds BOTH loss sources (coarse cell misses, which
@@ -391,6 +456,7 @@ object SemanticQ {
     "q_pq_codes" -> pqCodesQ,
     "q_ann_pq" -> annPqQ,
     "q_ann_ivfpq" -> annIvfPqQ,
+    "q_ann_ivfpq_res" -> annIvfPqResQ,
     "q_recall_pq" -> recallPqQ,
     "q_recall_ivfpq" -> recallIvfPqQ,
   )
@@ -493,6 +559,57 @@ object SemanticQ {
          |  FROM c2_s$s c CROSS JOIN qv_s$s qv)""".stripMargin
     }.mkString(",\n")
 
+  // ---- Residual-IVFADC oracle pieces (compose with lloydSql's coarse
+  // chain: q, a3, c2). ----
+
+  /** Integer residuals per vector: res(vec_id, cell, r). */
+  private val pqResSql: String =
+    """res AS (SELECT q.vec_id, a3.cid AS cell,
+      |    list_transform(range(1, len(q.v) + 1), i -> q.v[i] - c.c[i]) AS r
+      |  FROM q JOIN a3 USING (vec_id) JOIN c2 c ON a3.cid = c.cid)""".stripMargin
+
+  /** Per-subspace Lloyd chains over the residual slices (sfx _r<s>). */
+  private val pqResChainsSql: String =
+    (0 until PqM).map { s =>
+      val lo = s * PqSubDim + 1
+      val hi = (s + 1) * PqSubDim
+      lloydChain(K.toString, s"_r$s",
+        s"SELECT vec_id, r[$lo:$hi] AS v FROM res")
+    }.mkString(",\n")
+
+  /** Per-probed-cell query residuals and per-subspace LUTs keyed by
+    * (cell, code) — requires `pc` (probe cells) and `qvc` (the query
+    * vector) upstream.
+    */
+  private val pqResLutSql: String = {
+    val luts = (0 until PqM).map { s =>
+      val lo = s * PqSubDim + 1
+      val hi = (s + 1) * PqSubDim
+      s"""lutr$s AS (SELECT qres.cell, b.cid AS code,
+         |  ${idistSql(s"qres.r[$lo:$hi]", "b.c")} AS d
+         |  FROM qres CROSS JOIN c2_r$s b)""".stripMargin
+    }
+    s"""qres AS (SELECT pc.cid AS cell,
+       |    list_transform(range(1, len(qv.v) + 1), i -> qv.v[i] - cc.c[i]) AS r
+       |  FROM pc JOIN c2 cc ON pc.cid = cc.cid CROSS JOIN qvc qv),
+       |${luts.mkString(",\n")}""".stripMargin
+  }
+
+  /** The residual ADC scan: join each vector's per-subspace code to the
+    * (cell, code)-keyed LUT — the inner join on cell doubles as the
+    * probed-cell filter. Ends in `adcres(vec_id, adc_scaled)`.
+    */
+  private val pqResAdcSql: String = {
+    val joins = (0 until PqM).map(s =>
+      s"JOIN a3_r$s p$s USING (vec_id) " +
+        s"JOIN lutr$s l$s ON r.cell = l$s.cell AND p$s.cid = l$s.code")
+      .mkString("\n  ")
+    val total = (0 until PqM).map(s => s"l$s.d").mkString(" + ")
+    s"""adcres AS (SELECT r.vec_id, $total AS adc_scaled
+       |  FROM res r
+       |  $joins)""".stripMargin
+  }
+
   /** The ADC scan: join each vector's per-subspace code to its LUT row
     * and sum — ends in CTE `adc(vec_id, adc_scaled)`.
     */
@@ -535,6 +652,19 @@ object SemanticQ {
          |cand AS (SELECT a3.vec_id FROM a3 JOIN pc ON a3.cid = pc.cid),
          |$pqAdcSql
          |SELECT adc.vec_id, adc.adc_scaled FROM adc JOIN cand USING (vec_id)
+         |ORDER BY adc_scaled ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_ann_ivfpq_res" ->
+      s"""WITH $lloydSql,
+         |$pqResSql,
+         |$pqResChainsSql,
+         |qvc AS (SELECT v FROM q WHERE vec_id = 0),
+         |pc AS (SELECT cid FROM (
+         |    SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${idistSql("c.c", "qv.v")} ASC,
+         |      c.cid ASC) AS rn
+         |    FROM c2 c CROSS JOIN qvc qv) WHERE rn <= 2),
+         |$pqResLutSql,
+         |$pqResAdcSql
+         |SELECT vec_id, adc_scaled FROM adcres
          |ORDER BY adc_scaled ASC, vec_id ASC LIMIT 10""".stripMargin,
     "q_recall_ivfpq" ->
       s"""WITH $lloydSql,

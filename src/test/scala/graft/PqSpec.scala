@@ -178,6 +178,78 @@ class PqSpec extends AnyFunSuite {
       s"top-k should be TakeOrderedAndProject:\n$plan")
   }
 
+  test("q_ann_ivfpq_res at sf0.001: residual encoding matches brute force") {
+    val d = TestSpark.sf0001
+    val (vecs, _, _) = referencePq(d)
+    val subDim = 16
+    def dist(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // coarse quantizer (same replay as the ivfpq test)
+    val sorted = vecs.toSeq.sortBy(_._1)
+    var cents: Seq[(Long, Array[Long])] = sorted.take(8).map(v => v._1 -> v._2)
+    def assign() = sorted.map { case (id, v) =>
+      id -> cents.map { case (c, cv) => (c, dist(v, cv)) }
+        .minBy { case (c, dd) => (dd, c) }._1
+    }
+    for (_ <- 1 to 2) {
+      cents = assign().groupBy(_._2).toSeq.map { case (cid, members) =>
+        val vs = members.map(m => vecs(m._1))
+        cid -> Array.tabulate(vs.head.length)(j =>
+          math.floor(vs.map(_(j)).sum.toDouble / vs.length).toLong)
+      }.sortBy(_._1)
+    }
+    val centById = cents.toMap
+    val cellOf = assign().toMap
+    // integer residuals, residual sub-codebooks, residual codes
+    val residual: Map[Long, Array[Long]] = vecs.map { case (id, v) =>
+      id -> v.zip(centById(cellOf(id))).map { case (x, c) => x - c }
+    }
+    val resSorted = residual.toSeq.sortBy(_._1)
+    val books = (0 until 4).map { s =>
+      val sub = resSorted.map { case (id, r) => id -> r.slice(s * subDim, (s + 1) * subDim) }
+      val subById = sub.toMap
+      var bc: Seq[(Long, Array[Long])] = sub.take(8).map(v => v._1 -> v._2)
+      def asg() = sub.map { case (id, r) =>
+        id -> bc.map { case (c, cv) => (c, dist(r, cv)) }
+          .minBy { case (c, dd) => (dd, c) }._1
+      }
+      for (_ <- 1 to 2) {
+        bc = asg().groupBy(_._2).toSeq.map { case (cid, members) =>
+          val rs = members.map(m => subById(m._1))
+          cid -> Array.tabulate(subDim)(j =>
+            math.floor(rs.map(_(j)).sum.toDouble / rs.length).toLong)
+        }.sortBy(_._1)
+      }
+      bc
+    }
+    val codes = residual.map { case (id, r) =>
+      id -> Array.tabulate(4) { s =>
+        val rv = r.slice(s * subDim, (s + 1) * subDim)
+        books(s).map { case (c, cv) => (c, dist(rv, cv)) }
+          .minBy { case (c, dd) => (dd, c) }._1
+      }
+    }
+    // probe: 2 nearest coarse cells; per-cell query-residual LUTs
+    val qv = vecs(0L)
+    val probed = cents.map { case (cid, c) => (cid, dist(c, qv)) }
+      .sortBy { case (cid, dd) => (dd, cid) }.take(2).map(_._1)
+    val lutByCell = probed.map { c =>
+      val qr = qv.zip(centById(c)).map { case (x, cc) => x - cc }
+      c -> books.zipWithIndex.map { case (book, s) =>
+        val qs = qr.slice(s * subDim, (s + 1) * subDim)
+        book.map { case (cid, cv) => cid -> dist(cv, qs) }.toMap
+      }
+    }.toMap
+    val expect = codes.toSeq
+      .filter { case (id, _) => probed.contains(cellOf(id)) }
+      .map { case (id, cs) =>
+        id -> cs.zipWithIndex.map { case (c, s) => lutByCell(cellOf(id))(s)(c) }.sum }
+      .sortBy { case (id, adc) => (adc, id) }.take(10)
+    val got = queries.SemanticQ.queries("q_ann_ivfpq_res")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect)
+  }
+
   test("code table partitioned by cell: ADC probe prunes to the probed " +
     "directories and serves the same top-10") {
     import graft.operators.{KMeansOp, ProductQuantizer}
