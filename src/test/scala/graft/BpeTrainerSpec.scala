@@ -54,6 +54,32 @@ class BpeTrainerSpec extends AnyFunSuite {
       Seq("aa", "a"), Seq("aa", "aa"), Seq("b", "a", "c"), Seq("xa", "a")))
   }
 
+  test("mergeOnce equals the reference sweep on 300 seeded random words " +
+    "over an overlap-prone alphabet") {
+    val rnd = new scala.util.Random(41)
+    val alphabet = Vector("a", "b", "aa", "ab", "ba", "Ġ")
+    val pairs = Vector(("a", "a"), ("a", "b"), ("aa", "a"), ("b", "aa"),
+      ("Ġ", "a"), ("ab", "ab"))
+    def sweep(w: Vector[String], x: String, y: String): Vector[String] = {
+      val b = Vector.newBuilder[String]; var j = 0
+      while (j < w.length) {
+        if (j < w.length - 1 && w(j) == x && w(j + 1) == y) { b += x + y; j += 2 }
+        else { b += w(j); j += 1 }
+      }
+      b.result()
+    }
+    for ((x, y) <- pairs) {
+      val words = (0 until 50).map { _ =>
+        Vector.fill(rnd.nextInt(9))(alphabet(rnd.nextInt(alphabet.length)))
+      }
+      val got = words.toDF("s")
+        .select(BpeTrainer.mergeOnce(col("s"), x, y).as("s"))
+        .collect().map(_.getSeq[String](0).toVector).toSeq
+      assert(got == words.map(sweep(_, x, y)),
+        s"divergence for pair ($x, $y)")
+    }
+  }
+
   test("train on a tiny corpus: ranks, ties, and cascading merges") {
     // words: "low low low" + "er": freqs low=2·? build via two docs
     val docs = Seq((0L, "low low lower"), (1L, "low lowest")).toDF("doc_id", "text")
