@@ -109,6 +109,23 @@ class IndexStreamSpec extends AnyFunSuite {
     assert(served2 == batch, "post-compaction search diverged")
   }
 
+  test("an empty micro-batch commits cleanly and changes nothing") {
+    import spark.implicits._
+    val q = quantizers
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_ix_empty").toString
+    IndexStream.processBatch(
+      fullRows.take(5).toDF("vec_id", "embedding"), 0L, q, stateDir)
+    val before = committedCodes(stateDir)
+    IndexStream.processBatch(
+      Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"), 1L, q, stateDir)
+    assert(StreamState.committedIds(spark, stateDir) == Seq(0L, 1L),
+      "empty batch must still commit its marker")
+    assert(committedCodes(stateDir) == before)
+    val served = IndexStream.searchCommitted(spark, stateDir, q,
+      fullRows.head._2.map(x => math.floor(x.toDouble * 1e6).toLong), 2, 10)
+    assert(served.count() <= 10) // scan over state incl. the empty partition works
+  }
+
   test("indexBatch plan: the per-batch projection does not shuffle") {
     val q = quantizers
     val vecs = Tables.embeddings(spark, d).select(col("vec_id"),
