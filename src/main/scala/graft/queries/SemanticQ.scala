@@ -352,6 +352,50 @@ object SemanticQ {
       .limit(10)
   }
 
+  /** Batch ADC serving: top-3 per probe for a probe SET (vec_ids
+    * 0/1/2) over the PQ code table. The production distinction from
+    * q_ann_pq: a LUT per query can't be a plan literal when thousands
+    * of queries batch together, so the (qid, subspace, code) → distance
+    * table becomes a BROADCAST RELATION (Q·m·k rows, driver-built from
+    * the bounded codebooks) joined against the melted code table; the
+    * per-(qid, vec) ADC sum is one map-side-combined aggregation and
+    * the per-qid cutoff a qid-partitioned rank — ONE corpus-scan
+    * lineage regardless of probe count, the same discipline as
+    * q_multi_query_topk over raw vectors.
+    */
+  def annPqBatchQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val books = pqCodebooks(s, d)
+    val vecs = intVecs(s, d)
+    val qids = Seq(0L, 1L, 2L)
+    val probes = vecs.where(col("vec_id").isin(qids: _*))
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Long])].collect().toMap
+    val lutRows = for {
+      qid <- qids
+      (book, m) <- books.zipWithIndex
+      qSub = probes(qid).slice(m * PqSubDim, (m + 1) * PqSubDim)
+      (cid, c) <- book
+    } yield (qid, m, cid, KMeansOp.intDistLocal(c, qSub))
+    val luts = lutRows.toDF("qid", "sub", "code", "d")
+    val codes = graft.operators.ProductQuantizer
+      .encode(vecs, books, PqSubDim)
+    val codesLong = codes.select(col("vec_id"), posexplode(
+      array((0 until PqM).map(m => col(s"code_$m")): _*)).as(Seq("sub", "code")))
+    val adc = codesLong
+      .join(broadcast(luts), Seq("sub", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("d")).as("adc_scaled"), count(lit(1)).as("nsub"))
+      .where(col("nsub") === PqM)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("adc_scaled").asc, col("vec_id").asc)
+    adc.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"),
+        col("vec_id"), col("adc_scaled"))
+      .orderBy(col("qid").asc, col("rnk").asc)
+  }
+
   /** Recall@10 of the COMPOSED IVFADC search vs the integer-exact
     * top-10 — the end-to-end index monitor a deployment actually
     * watches: it folds BOTH loss sources (coarse cell misses, which
@@ -457,6 +501,7 @@ object SemanticQ {
     "q_ann_pq" -> annPqQ,
     "q_ann_ivfpq" -> annIvfPqQ,
     "q_ann_ivfpq_res" -> annIvfPqResQ,
+    "q_ann_pq_batch" -> annPqBatchQ,
     "q_recall_pq" -> recallPqQ,
     "q_recall_ivfpq" -> recallIvfPqQ,
   )
@@ -653,6 +698,33 @@ object SemanticQ {
          |$pqAdcSql
          |SELECT adc.vec_id, adc.adc_scaled FROM adc JOIN cand USING (vec_id)
          |ORDER BY adc_scaled ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_ann_pq_batch" -> {
+      val lutbs = (0 until PqM).map { m =>
+        s"""lutb$m AS (SELECT qb.vec_id AS qid, $m AS sub, c.cid AS code,
+           |  ${idistSql("c.c", "qb.v")} AS d
+           |  FROM c2_s$m c CROSS JOIN
+           |    (SELECT vec_id, v FROM q_s$m WHERE vec_id IN (0, 1, 2)) qb)""".stripMargin
+      }
+      val lutUnion = (0 until PqM).map(m => s"SELECT * FROM lutb$m")
+        .mkString(" UNION ALL ")
+      val codesUnion = (0 until PqM)
+        .map(m => s"SELECT vec_id, $m AS sub, cid AS code FROM a3_s$m")
+        .mkString(" UNION ALL ")
+      s"""WITH $pqChainsSql,
+         |${lutbs.mkString(",\n")},
+         |luts AS ($lutUnion),
+         |codes_long AS ($codesUnion),
+         |adc AS (SELECT l.qid, c.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc_scaled
+         |  FROM codes_long c JOIN luts l ON c.sub = l.sub AND c.code = l.code
+         |  GROUP BY l.qid, c.vec_id HAVING COUNT(*) = $PqM),
+         |ranked AS (SELECT qid, vec_id, adc_scaled,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY adc_scaled ASC, vec_id ASC) AS rnk
+         |  FROM adc)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, adc_scaled
+         |FROM ranked WHERE rnk <= 3
+         |ORDER BY qid ASC, rnk ASC""".stripMargin
+    },
     "q_ann_ivfpq_res" ->
       s"""WITH $lloydSql,
          |$pqResSql,

@@ -178,6 +178,32 @@ class PqSpec extends AnyFunSuite {
       s"top-k should be TakeOrderedAndProject:\n$plan")
   }
 
+  test("q_ann_pq_batch at sf0.001: per-probe top-3 matches brute force and " +
+    "the single-probe query") {
+    val d = TestSpark.sf0001
+    val (vecs, books, codes) = referencePq(d)
+    val subDim = 16
+    def dist(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expect = Seq(0L, 1L, 2L).flatMap { qid =>
+      val luts = books.zipWithIndex.map { case (book, s) =>
+        val qs = vecs(qid).slice(s * subDim, (s + 1) * subDim)
+        book.map { case (cid, c) => cid -> dist(c, qs) }.toMap
+      }
+      codes.toSeq.map { case (id, cs) =>
+        id -> cs.zipWithIndex.map { case (c, s) => luts(s)(c) }.sum
+      }.sortBy { case (id, adc) => (adc, id) }.take(3).zipWithIndex
+        .map { case ((id, adc), i) => (qid, (i + 1).toLong, id, adc) }
+    }
+    val got = queries.SemanticQ.queries("q_ann_pq_batch")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+    // cross-check: qid 0's batch rows are the head of the single-probe top-10
+    val single = queries.SemanticQ.queries("q_ann_pq")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.take(3)
+    assert(got.filter(_._1 == 0L).map(r => (r._3, r._4)) == single)
+  }
+
   test("q_ann_ivfpq_res at sf0.001: residual encoding matches brute force") {
     val d = TestSpark.sf0001
     val (vecs, _, _) = referencePq(d)
