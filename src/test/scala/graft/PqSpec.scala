@@ -204,6 +204,17 @@ class PqSpec extends AnyFunSuite {
     assert(got.filter(_._1 == 0L).map(r => (r._3, r._4)) == single)
   }
 
+  test("pq batch plan: LUT relation broadcasts; one aggregation exchange") {
+    val plan = queries.SemanticQ.queries("q_ann_pq_batch")(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"LUT relation did not broadcast:\n$plan")
+    // the (qid, vec) ADC aggregation is the only hash exchange; the rank
+    // window reuses its partitioning or adds at most one more
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"unexpected extra shuffles:\n$plan")
+  }
+
   test("q_ann_ivfpq_res at sf0.001: residual encoding matches brute force") {
     val d = TestSpark.sf0001
     val (vecs, _, _) = referencePq(d)
