@@ -50,6 +50,7 @@ object ScaleProbe {
     // corpus passes, encode is one shuffle-free projection, ADC reads
     // codes only; all three should land near-linear in rows
     "q_pq_codes", "q_ann_pq", "q_ann_ivfpq", "q_ann_ivfpq_res",
+    "q_ann_pq_batch",
     // round 14: BPE trainer — rounds run over the DISTINCT-word vocab,
     // which grows Heaps-sublinearly in corpus size (the probe corpus
     // resamples from the same word distribution, so vocab growth is
