@@ -849,7 +849,13 @@ object BinaryText {
     var covered = 0
     while (hm.find()) {
       if (hm.start() >= covered) {
-        hs += ((hm.start(), hm.group(1).toInt))
+        // a header-shaped hit whose object number exceeds Int range
+        // cannot be a real object (no xref entry can reference it) —
+        // corrupt input must skip it, not throw; its extent still
+        // counts as covered (suppression is sound, invention is not)
+        val numStr = hm.group(1)
+        if (numStr.length <= 10 && numStr.toLong <= Int.MaxValue)
+          hs += ((hm.start(), numStr.toLong.toInt))
         covered = objectEndAfter(hm.end())
       }
     }

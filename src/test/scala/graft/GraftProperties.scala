@@ -309,9 +309,23 @@ object PdfHeaderProperties extends Properties("BinaryText.trustedObjHeaders") {
         case Seq(a, b) => a < b; case _ => true }
       strictlyInc && hs.forall { case (off, num) =>
         val m = HeaderPat.matcher(doc)
-        m.find(off) && m.start() == off && m.group(1).toInt == num
+        // accepted numerals fit in Int by contract (over-range hits are
+        // skipped as unreferencable) — toLong keeps the CHECK total too
+        m.find(off) && m.start() == off &&
+          m.group(1).length <= 10 && m.group(1).toLong == num
       }
     }
+
+  // the malformed-soup regression that first surfaced as a flaky suite
+  // error: digit filler fusing into an over-Int object number must be
+  // skipped, never thrown on (and must not suppress later real headers
+  // beyond its own extent)
+  property("over-Int object numbers in corrupt headers are skipped, not thrown") = {
+    val doc = "5953497340 0 obj x endobj 7 0 obj y endobj"
+    Prop(BinaryText.trustedObjHeaders("5953497340 0 obj") == Vector()) &&
+      Prop(BinaryText.trustedObjHeaders(doc) ==
+        Vector((doc.indexOf("7 0 obj"), 7)))
+  }
 }
 
 /** Writer↔parser round-trip and total-function properties for the
