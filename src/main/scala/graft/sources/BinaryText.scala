@@ -62,6 +62,13 @@ object BinaryText {
     if (primary.nonEmpty) primary else Sources.extractTextStub(bytes)
   }
 
+  /** Parse a digit run as Int; None when it exceeds Int range — corrupt
+    * input skips the reference instead of throwing into whole-document
+    * salvage.
+    */
+  private def intOpt(s: String): Option[Int] =
+    if (s.length <= 10 && s.toLong <= Int.MaxValue) Some(s.toLong.toInt) else None
+
   private val Ascii = java.nio.charset.StandardCharsets.ISO_8859_1
   private val StreamKw = "stream".getBytes(Ascii)
   private val EndstreamKw = "endstream".getBytes(Ascii)
@@ -149,16 +156,21 @@ object BinaryText {
   private def objStmObjects(dict: String, data: Array[Byte]): Seq[(Int, String)] = {
     var n = -1
     var first = -1
+    // over-Int numerals mark the object stream corrupt — yield no
+    // objects (per the contract above), never throw into the
+    // whole-document salvage fallback
+    def intOr(s: String, bad: Int): Int =
+      if (s.length <= 10 && s.toLong <= Int.MaxValue) s.toLong.toInt else bad
     val m = IntKeyPat.matcher(dict)
     while (m.find()) {
-      if (m.group(1) == "N") n = m.group(2).toInt
-      else first = m.group(2).toInt
+      if (m.group(1) == "N") n = intOr(m.group(2), -1)
+      else first = intOr(m.group(2), -1)
     }
     val s = new String(data, Ascii)
     if (n <= 0 || first < 0 || first > s.length) return Nil
     val nums = mutable.Buffer[Int]()
     val nm = java.util.regex.Pattern.compile("\\d+").matcher(s.substring(0, first))
-    while (nm.find() && nums.length < 2 * n) nums += nm.group().toInt
+    while (nm.find() && nums.length < 2 * n) nums += intOr(nm.group(), 0)
     val pairs = nums.grouped(2).collect { case mutable.Buffer(o, off) => (o, off) }.toSeq
     pairs.zipWithIndex.map { case ((objNum, off), i) =>
       val start = math.min(first + off, s.length)
@@ -196,7 +208,13 @@ object BinaryText {
     // object headers in file order: (offset, objNum)
     val headers = mutable.Buffer[(Int, Int)]()
     val hm = ObjHeaderPat.matcher(whole)
-    while (hm.find()) headers += ((hm.start(), hm.group(1).toInt))
+    // same skip-not-throw contract as trustedObjHeaders: an over-Int
+    // header numeral in corrupt input must not salvage the whole doc
+    while (hm.find()) {
+      val numStr = hm.group(1)
+      if (numStr.length <= 10 && numStr.toLong <= Int.MaxValue)
+        headers += ((hm.start(), numStr.toLong.toInt))
+    }
     def objAt(pos: Int): Option[Int] =
       headers.takeWhile(_._1 < pos).lastOption.map(_._2)
     val cmapByObj = cmaps.flatMap { case (pos, maps) =>
@@ -209,11 +227,11 @@ object BinaryText {
       val (start, objNum) = headers(k)
       val end = if (k + 1 < headers.length) headers(k + 1)._1 else whole.length
       val tm = ToUniPat.matcher(whole).region(start, end)
-      if (tm.find()) fontToUni(objNum) = tm.group(1).toInt
+      if (tm.find()) intOpt(tm.group(1)).foreach(fontToUni(objNum) = _)
     }
     for ((objNum, body) <- embedded) {
       val tm = ToUniPat.matcher(body)
-      if (tm.find()) fontToUni(objNum) = tm.group(1).toInt
+      if (tm.find()) intOpt(tm.group(1)).foreach(fontToUni(objNum) = _)
     }
     // resource name → font object (file-wide, last binding wins; ObjStm
     // bodies scan after the raw text, so a compressed re-binding of the
@@ -224,7 +242,7 @@ object BinaryText {
       while (fm.find()) {
         val em = FontEntryPat.matcher(fm.group(1))
         while (em.find()) {
-          val maps = fontToUni.get(em.group(2).toInt).flatMap(cmapByObj.get)
+          val maps = intOpt(em.group(2)).flatMap(fontToUni.get).flatMap(cmapByObj.get)
           maps.foreach(out(em.group(1)) = _)
         }
       }
