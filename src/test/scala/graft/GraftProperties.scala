@@ -298,7 +298,10 @@ object PdfHeaderProperties extends Properties("BinaryText.trustedObjHeaders") {
   // offsets — truncated extents may re-admit decoys, never invent hits
   private val soup: Gen[String] =
     Gen.listOf(Gen.oneOf(Gen.oneOf("obj", "stream", "endstream", "endobj",
-      "0 0 obj", " ", "\n"), filler)).map(_.mkString)
+      "0 0 obj", " ", "\n",
+      // deliberately over-Int numerals fused against header shapes —
+      // the class that once threw NumberFormatException mid-scan
+      "99999999999 0 obj", "5953497340 0 obj"), filler)).map(_.mkString)
   private val HeaderPat =
     java.util.regex.Pattern.compile("(\\d+)\\s+(\\d+)\\s+obj\\b")
   property("malformed input: every accepted hit is a real regex match, " +
