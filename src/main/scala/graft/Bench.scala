@@ -150,11 +150,20 @@ object Bench {
     // machine-readable per-query timings) — the full JSON always lands in
     // BENCH_LAST.json (or SPARK_GRAFT_BENCH_OUT) next to the repo, so
     // medians/derivation tooling reads structure, not a tail string.
-    // Best-effort: an unwritable cwd must not fail the bench itself.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    // Best-effort: an unwritable target must not fail the bench itself.
+    // Default path is anchored to the enclosing sbt project root (walk
+    // up from user.dir to the nearest build.sbt), not the bare cwd — a
+    // bench launched from a scratch directory must not silently drop
+    // the artifact or litter an unrelated directory.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", {
+      val cwd = java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath
+      Iterator.iterate(cwd)(_.getParent).takeWhile(_ != null).take(8)
+        .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+        .getOrElse(cwd).resolve("BENCH_LAST.json").toString
+    })
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath), json + "\n")
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
     // Stdout for the driver — printed LAST, after the session is fully
     // stopped with logging silenced, so no shutdown WARN line can trail
     // the JSON (r1's driver parse failed on exactly that).

@@ -33,7 +33,9 @@ object MediaProbe {
       Multimodal.extractFeatures(
         Multimodal.fromBinaryFiles(spark, dir + "/*"), dim = 8)),
     "curate_full" -> ((dir: String) =>
-      queries.Media.curateRows(Multimodal.fromBinaryFiles(spark, dir + "/*"))))
+      queries.Media.curateRows(Multimodal.fromBinaryFiles(spark, dir + "/*"))),
+    "curate_head" -> ((dir: String) =>
+      queries.Media.curateRowsHead(spark, dir + "/*")))
 
   def main(args: Array[String]): Unit = {
     val baseN = args.headOption.map(_.toInt).getOrElse(100)
@@ -71,15 +73,25 @@ object MediaProbe {
       val secs = dirs.map { case (tag, _, d) =>
         tag -> medianOf((1 to reps).map(_ => time(f, d)))
       }.toMap
+      // tracked I/O of one probe-scale pass (local-mode truthful): head
+      // bytes from the binary-head reader, full bytes from per-path
+      // survivor re-reads — for curate_head this is its WHOLE blob I/O,
+      // the survivor-bytes-not-corpus-bytes claim in numbers
+      sources.MediaIo.reset()
+      time(f, dirs.last._3)
+      val (fullB, headB) =
+        (sources.MediaIo.fullBytes.get, sources.MediaIo.headBytes.get)
       val (b, m, p) = (secs("base"), secs("mid"), secs("probe"))
       println(f"[media-probe] $name%-14s base=$b%7.2fs mid=$m%7.2fs " +
-        f"(${m / b}%5.2fx) probe=$p%8.2fs (${p / b}%6.2fx)")
-      (name, b, m, p)
+        f"(${m / b}%5.2fx) probe=$p%8.2fs (${p / b}%6.2fx) " +
+        f"tracked_full=${fullB / 1e6}%.1fMB tracked_head=${headB / 1e6}%.1fMB")
+      (name, b, m, p, fullB, headB)
     }
-    val qjson = rows.map { case (n, b, m, p) =>
+    val qjson = rows.map { case (n, b, m, p, fullB, headB) =>
       s"${Jsons.escape(n)}:{" +
         s""""base_sec":$b,"mid_sec":$m,"probe_sec":$p,""" +
-        s""""ratio_mid":${m / b},"ratio_probe":${p / b}}"""
+        s""""ratio_mid":${m / b},"ratio_probe":${p / b},""" +
+        s""""probe_tracked_full_bytes":$fullB,"probe_tracked_head_bytes":$headB}"""
     }.mkString(",")
     val bjson = totalBytes.map { case (t, v) => s"${Jsons.escape(t)}:$v" }.mkString(",")
     val json =

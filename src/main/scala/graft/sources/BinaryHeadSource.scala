@@ -183,6 +183,7 @@ private[sources] class BinaryHeadReaderFactory(headBytes: Int, required: StructT
                 val n = in.read(buf, off, want - off)
                 if (n < 0) eof = true else off += n
               }
+              MediaIo.recordHead(off)
               if (off == want) buf else java.util.Arrays.copyOf(buf, off)
             } finally in.close()
           case other =>

@@ -170,7 +170,15 @@ object BinaryText {
     if (n <= 0 || first < 0 || first > s.length) return Nil
     val nums = mutable.Buffer[Int]()
     val nm = java.util.regex.Pattern.compile("\\d+").matcher(s.substring(0, first))
-    while (nm.find() && nums.length < 2 * n) nums += intOr(nm.group(), 0)
+    while (nm.find() && nums.length < 2 * n) {
+      // an over-Int numeral in the pair table marks the whole stream
+      // corrupt (suppression is sound, invention is not: substituting 0
+      // would fabricate an (objNum=0, offset=0) pair and extract a
+      // bogus object body at offset `first`)
+      val v = intOr(nm.group(), -1)
+      if (v < 0) return Nil
+      nums += v
+    }
     val pairs = nums.grouped(2).collect { case mutable.Buffer(o, off) => (o, off) }.toSeq
     pairs.zipWithIndex.map { case ((objNum, off), i) =>
       val start = math.min(first + off, s.length)

@@ -90,6 +90,48 @@ object Multimodal {
         col("head").as("bytes"),
         map(lit("path"), col("path"), lit("length"), col("length").cast("string")).as("meta"))
 
+  /** Replace (or add) the `bytes` column by re-reading each row's FULL
+    * blob from `pathCol` executor-side — the second phase of a
+    * two-phase (head-gated) curation: phase 1 gates on the bounded
+    * [[fromBinaryFilesHead]] scan, phase 2 re-reads ONLY the gate
+    * survivors for whole-blob work (content digest, decode). The read
+    * is distributed (one Hadoop-FS open per row inside mapPartitions,
+    * no driver collect, no join back to a full scan — a join could not
+    * push the survivor set into a `binaryFile` scan, which would still
+    * read every dropped blob). Executor-side FS access re-derives a
+    * fresh Hadoop `Configuration` per partition, the same documented
+    * seam as [[BinaryHeadSource]] (broadcast `SerializableConfiguration`
+    * on a real cluster).
+    */
+  def withFullBytes(df: DataFrame, pathCol: String = "path"): DataFrame = {
+    val pIdx = df.schema.fieldIndex(pathCol)
+    val hasBytes = df.schema.fieldNames.contains("bytes")
+    val outSchema =
+      if (hasBytes) StructType(df.schema.map(f =>
+        if (f.name == "bytes") f.copy(dataType = BinaryType) else f))
+      else df.schema.add(StructField("bytes", BinaryType, nullable = true))
+    val bIdx = outSchema.fieldIndex("bytes")
+    implicit val enc = Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      it.map { r =>
+        val p = new org.apache.hadoop.fs.Path(r.getString(pIdx))
+        val fs = p.getFileSystem(conf)
+        val len = fs.getFileStatus(p).getLen
+        require(len <= Int.MaxValue, s"blob too large for one row: $p")
+        val buf = new Array[Byte](len.toInt)
+        val in = fs.open(p)
+        try in.readFully(0, buf) finally in.close()
+        MediaIo.recordFull(p.toString, len)
+        val vals = new Array[Any](outSchema.length)
+        var i = 0
+        while (i < r.length) { vals(i) = r.get(i); i += 1 }
+        vals(bIdx) = buf
+        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+      }
+    }
+  }
+
   /** REAL image header parsing (no codec needed): container format and
     * pixel dimensions from the first bytes of PNG (IHDR), GIF (logical
     * screen), BMP (BITMAPINFOHEADER), WEBP (RIFF first chunk — VP8/VP8L/
@@ -417,5 +459,28 @@ object Multimodal {
           else decodeStub(bytes :+ frame.toByte, dim).toSeq)
       }
     }
+  }
+}
+
+/** Blob-I/O accounting for the media scans — the measurable side of the
+  * two-phase curation contract ("full reads touch only gate
+  * survivors"). Local-mode truthful (executors share this JVM, which is
+  * what the specs and probes run); on a cluster these would be Spark
+  * metrics on the same code paths. Cost is one atomic add per FILE
+  * opened — noise against the open itself.
+  */
+private[graft] object MediaIo {
+  val fullBytes = new java.util.concurrent.atomic.AtomicLong()
+  val headBytes = new java.util.concurrent.atomic.AtomicLong()
+  val fullReadPaths: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def recordFull(path: String, n: Long): Unit = {
+    fullBytes.addAndGet(n)
+    fullReadPaths.add(path)
+  }
+  def recordHead(n: Long): Unit = { headBytes.addAndGet(n); () }
+  def reset(): Unit = {
+    fullBytes.set(0L); headBytes.set(0L); fullReadPaths.clear()
   }
 }

@@ -66,8 +66,18 @@ object IndexStream {
     val s = batch.sparkSession
     val vecs = batch.select(col("vec_id"),
       KMeansOp.intVec(col("embedding")).as("v"))
-    val indexed = ProductQuantizer
+    val indexed0 = ProductQuantizer
       .indexProjection(vecs, q.coarse, q.books, q.subDim)
+    // collapse duplicate vec_ids WITHIN the micro-batch to one
+    // deterministic row (min over the (cell, codes) struct): the
+    // anti-join below only dedups against EARLIER committed batches,
+    // so without this a batch re-shipping an id twice would write two
+    // rows and break the one-row-per-vec_id invariant (duplicate
+    // search results, double-counted histogram)
+    val codeCols = indexed0.columns.filter(_ != "vec_id").toSeq
+    val indexed = indexed0.groupBy(col("vec_id"))
+      .agg(min(struct(codeCols.map(col): _*)).as("k"))
+      .select(col("vec_id") +: codeCols.map(c => col("k." + c)): _*)
     // drop ids a STRICTLY EARLIER committed batch indexed (upTo =
     // batchId, the DriftStream discipline): a replayed committed batch
     // never reads its own superseded partition, so it reproduces its
@@ -79,15 +89,47 @@ object IndexStream {
     indexed.join(existing.select(col("vec_id")), Seq("vec_id"), "left_anti")
       .write.mode("overwrite").parquet(s"$stateDir/codes/batch_id=$batchId")
     StreamState.commitMarker(s, stateDir, batchId)
-    StreamState.maybeCompact(s, stateDir, autoCompactEvery)(compactState(s, stateDir))
+    StreamState.maybeCompact(s, stateDir, autoCompactEvery)(
+      compactState(s, stateDir, q.books.size))
+  }
+
+  /** The code-column count (m) of the PERSISTED state, from the newest
+    * committed partition's own parquet schema — so read-only consumers
+    * (histogram, no-quantizer compaction) can never apply a wrong
+    * default m and silently drop code columns. None when nothing is
+    * committed yet. One quantizer per state dir (mixed m is not a
+    * supported state).
+    */
+  private def persistedM(s: SparkSession, stateDir: String): Option[Int] = {
+    val batch = StreamState.committedIds(s, stateDir).lastOption
+      .map(id => s"$stateDir/codes/batch_id=$id")
+    val base = StreamState.compactedIds(s, stateDir).lastOption
+      .map(b => s"$stateDir/codes/base_id=$b")
+    (batch.toSeq ++ base.toSeq).view.flatMap { dir =>
+      scala.util.Try(
+        s.read.parquet(dir).schema.fieldNames.count(_.startsWith("code_"))
+      ).toOption.filter(_ > 0)
+    }.headOption
   }
 
   /** Fold the committed code table under one marker (identity merge:
-    * each vec_id lives in exactly one committed partition).
+    * each vec_id lives in exactly one committed partition). `m` must
+    * match the persisted quantizer's subspace count — compacting with a
+    * smaller m would silently drop code columns from the base, which is
+    * permanent index corruption; [[processBatch]] passes its quantizer's
+    * `books.size`, and the no-`m` overload derives it from the
+    * persisted schema.
     */
-  def compactState(s: SparkSession, stateDir: String, m: Int = 4): Option[Long] =
+  def compactState(s: SparkSession, stateDir: String, m: Int): Option[Long] =
     StreamState.compact(s, stateDir, Seq(
       ("codes", codesSchema(m), (df: DataFrame) => df)))
+
+  /** [[compactState]] with m derived from the persisted state itself —
+    * for operational callers that hold no quantizer handle. No-op on an
+    * empty state (nothing committed, nothing to fold).
+    */
+  def compactState(s: SparkSession, stateDir: String): Option[Long] =
+    persistedM(s, stateDir).flatMap(m => compactState(s, stateDir, m))
 
   /** Start continuous maintenance over a streaming (vec_id, embedding)
     * frame against the frozen quantizers.
@@ -126,8 +168,13 @@ object IndexStream {
     * degrades, per-cell scans grow) — the operational signal to
     * retrain and rebuild. One bounded aggregate over the code table.
     */
-  def cellHistogram(s: SparkSession, stateDir: String, m: Int = 4): DataFrame =
+  def cellHistogram(s: SparkSession, stateDir: String): DataFrame = {
+    // m from the persisted schema (0 = empty state → empty histogram):
+    // a read-only monitor must not require the quantizer handle, and a
+    // hardcoded default would mis-read a state with a different m
+    val m = persistedM(s, stateDir).getOrElse(0)
     StreamState.readCommitted(s, stateDir, "codes", codesSchema(m))
       .groupBy(col("cell")).agg(count(lit(1)).as("n"))
       .orderBy(col("cell").asc)
+  }
 }

@@ -126,6 +126,69 @@ class IndexStreamSpec extends AnyFunSuite {
     assert(served.count() <= 10) // scan over state incl. the empty partition works
   }
 
+  test("duplicate vec_ids WITHIN one micro-batch collapse to one row") {
+    import spark.implicits._
+    val q = quantizers
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_ix_dup").toString
+    val five = fullRows.take(5)
+    // vec 2 shipped twice in the same batch (identical embedding) and
+    // vec 3 twice with DIFFERENT embeddings — both must yield exactly
+    // one committed row, the different-embedding case deterministically
+    val mutated = five(3).copy(_2 = five(3)._2.map(_ + 1.0f))
+    IndexStream.processBatch(
+      (five :+ five(2) :+ mutated).toDF("vec_id", "embedding"), 0L, q, stateDir)
+    val got = committedCodes(stateDir)
+    assert(got.map(_._1) == five.map(_._1), "one row per vec_id")
+    // deterministic pick: min over the (cell, codes) tuple of the two
+    // candidate encodings for vec 3
+    val cands = ProductQuantizer.indexProjection(
+        Seq(five(3), mutated).toDF("vec_id", "embedding")
+          .select(col("vec_id"), KMeansOp.intVec(col("embedding")).as("v")),
+        q.coarse, q.books, q.subDim)
+      .collect()
+      .map(r => Seq(r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .min(Ordering.Implicits.seqOrdering[Seq, Long])
+    val row3 = got.find(_._1 == five(3)._1).get
+    assert((row3._2 +: row3._3) == cands)
+  }
+
+  test("compaction and histogram derive m from the persisted state " +
+    "(m != 4 state keeps all its code columns)") {
+    import spark.implicits._
+    // a 2-subspace quantizer over dim-4 embeddings: subDim 2, m = 2
+    val coarse = Seq(0L -> Seq(0L, 0L, 0L, 0L), 1L -> Seq(1000000L, 1000000L, 1000000L, 1000000L))
+    val books = Seq(
+      Seq(0L -> Seq(0L, 0L), 1L -> Seq(1000000L, 1000000L)),
+      Seq(0L -> Seq(0L, 0L), 1L -> Seq(1000000L, 1000000L)))
+    val q = IndexStream.Quantizers(coarse, books, subDim = 2)
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_ix_m2").toString
+    val rows = (0L until 8L).map(i =>
+      (i, Seq.fill(4)(if (i % 2 == 0) 0.0f else 1.0f)))
+    IndexStream.processBatch(rows.take(4).toDF("vec_id", "embedding"), 0L, q, stateDir)
+    IndexStream.processBatch(rows.drop(4).toDF("vec_id", "embedding"), 1L, q, stateDir)
+    val schema2 = org.apache.spark.sql.types.StructType(
+      Seq("vec_id", "cell", "code_0", "code_1")
+        .map(n => org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.LongType)))
+    def state() = StreamState.readCommitted(spark, stateDir, "codes", schema2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val before = state()
+    // the no-m overload must fold with the PERSISTED m=2 schema — the
+    // old hardcoded m=4 default would rewrite the base with phantom
+    // null code_2/code_3 columns
+    assert(IndexStream.compactState(spark, stateDir).nonEmpty)
+    assert(state() == before, "compaction changed the m=2 index")
+    val baseDir = s"$stateDir/codes/base_id=" +
+      StreamState.compactedIds(spark, stateDir).last
+    assert(spark.read.parquet(baseDir).schema.fieldNames.toSeq ==
+      Seq("vec_id", "cell", "code_0", "code_1"),
+      "compacted base schema must match the persisted m")
+    val hist = IndexStream.cellHistogram(spark, stateDir).collect()
+    assert(hist.map(_.getAs[Long]("n")).sum == rows.length)
+  }
+
   test("indexBatch plan: the per-batch projection does not shuffle") {
     val q = quantizers
     val vecs = Tables.embeddings(spark, d).select(col("vec_id"),
