@@ -103,7 +103,21 @@ object Multimodal {
     * seam as [[BinaryHeadSource]] (broadcast `SerializableConfiguration`
     * on a real cluster).
     */
-  def withFullBytes(df: DataFrame, pathCol: String = "path"): DataFrame = {
+  def withFullBytes(df: DataFrame, pathCol: String = "path"): DataFrame =
+    readBlobColumn(df, pathCol, cap = None)
+
+  /** Head-capped sibling of [[withFullBytes]] for a PATH LIST (the
+    * streaming-discovery shape, where files arrive as a batch of paths
+    * rather than a directory glob the batch `binary-head` source could
+    * scan): `bytes` = the first min(headBytes, length) bytes of each
+    * row's blob. Bounded per-file I/O, same distributed per-row read.
+    */
+  def withHeadBytes(df: DataFrame, pathCol: String = "path",
+      headBytes: Int = 65536): DataFrame =
+    readBlobColumn(df, pathCol, cap = Some(headBytes))
+
+  private def readBlobColumn(df: DataFrame, pathCol: String,
+      cap: Option[Int]): DataFrame = {
     val pIdx = df.schema.fieldIndex(pathCol)
     val hasBytes = df.schema.fieldNames.contains("bytes")
     val outSchema =
@@ -118,11 +132,13 @@ object Multimodal {
         val p = new org.apache.hadoop.fs.Path(r.getString(pIdx))
         val fs = p.getFileSystem(conf)
         val len = fs.getFileStatus(p).getLen
-        require(len <= Int.MaxValue, s"blob too large for one row: $p")
-        val buf = new Array[Byte](len.toInt)
+        val want = cap.map(c => math.min(c.toLong, len)).getOrElse(len)
+        require(want <= Int.MaxValue, s"blob too large for one row: $p")
+        val buf = new Array[Byte](want.toInt)
         val in = fs.open(p)
         try in.readFully(0, buf) finally in.close()
-        MediaIo.recordFull(p.toString, len)
+        if (cap.isEmpty) MediaIo.recordFull(p.toString, want)
+        else MediaIo.recordHead(want)
         val vals = new Array[Any](outSchema.length)
         var i = 0
         while (i < r.length) { vals(i) = r.get(i); i += 1 }

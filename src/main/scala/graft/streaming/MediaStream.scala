@@ -53,9 +53,22 @@ object MediaStream {
     */
   def processBatch(batch: Dataset[Row], batchId: Long, stateDir: String,
       outDir: String, rejectDir: String, autoCompactEvery: Int = 0): Unit = {
-    val s = batch.sparkSession
+    val (wellFormed, _) =
+      annotateAndQuarantine(batch.toDF(), batchId, rejectDir)
+    dedupAndAppend(wellFormed, batch.select(col("media_id")), batchId,
+      stateDir, outDir, autoCompactEvery)
+  }
+
+  /** The parse-and-gate front half: typed-metadata annotation over
+    * whatever `bytes` the rows carry (full blobs or bounded heads —
+    * the parsers only read header bytes either way), rejected rows
+    * written to the batch's quarantine with a triage `reason`. Returns
+    * (wellFormed, rejected).
+    */
+  private def annotateAndQuarantine(batch: DataFrame, batchId: Long,
+      rejectDir: String): (DataFrame, DataFrame) = {
     val ann = Multimodal.withVideoMeta(
-      Multimodal.withAudioMeta(Multimodal.withImageMeta(batch.toDF()))
+      Multimodal.withAudioMeta(Multimodal.withImageMeta(batch))
         .withColumnRenamed("duration_ms", "audio_duration_ms"))
       .withColumn("format",
         coalesce(col("img_format"), col("audio_format"), col("video_format")))
@@ -63,13 +76,25 @@ object MediaStream {
         coalesce(col("audio_duration_ms"), col("duration_ms")))
       .localCheckpoint() // parsed once; feeds both the gate and the quarantine
     // quarantine, with the reason a pipeline operator triages by
-    ann.filter(col("modality") === "unknown" || col("format").isNull)
+    val rejected = ann
+      .filter(col("modality") === "unknown" || col("format").isNull)
       .select(col("media_id"), col("modality"),
         when(col("modality") === "unknown", "unmapped_extension")
           .otherwise("container_parse_failed").as("reason"))
-      .write.mode("overwrite").parquet(s"$rejectDir/batch_id=$batchId")
-    val wellFormed = ann.filter(
-      col("modality") =!= "unknown" && col("format").isNotNull)
+    rejected.write.mode("overwrite").parquet(s"$rejectDir/batch_id=$batchId")
+    (ann.filter(col("modality") =!= "unknown" && col("format").isNotNull),
+      rejected)
+  }
+
+  /** The dedup-and-append back half over gate survivors whose `bytes`
+    * column carries FULL blobs (the digest and the corpus row are
+    * whole-blob by definition). `batchIds` = this batch's media_ids,
+    * for the replay-supersede anti-join.
+    */
+  private def dedupAndAppend(wellFormed: DataFrame, batchIds: DataFrame,
+      batchId: Long, stateDir: String, outDir: String,
+      autoCompactEvery: Int): Unit = {
+    val s = wellFormed.sparkSession
     // within-batch exact dedup: monotone ids, keep the earliest
     val firstInBatch = wellFormed
       .withColumn("digest", md5(col("bytes")))
@@ -83,7 +108,7 @@ object MediaStream {
     // digests) so replay reproduces the original kept set instead of
     // dropping everything; the DedupStream anti-join discipline.
     val existing = StreamState.readCommitted(s, stateDir, "digests", digestsSchema)
-      .join(batch.select(col("media_id")), Seq("media_id"), "left_anti")
+      .join(batchIds, Seq("media_id"), "left_anti")
     val novel = firstInBatch
       .join(existing.select(col("digest")), Seq("digest"), "left_anti")
       .localCheckpoint() // one computation feeds corpus + state writes
@@ -94,6 +119,47 @@ object MediaStream {
     // directories unread on restart
     StreamState.commitMarker(s, stateDir, batchId)
     StreamState.maybeCompact(s, stateDir, autoCompactEvery)(compactState(s, stateDir))
+  }
+
+  /** HEAD-GATED ingestion batch — the two-phase shape of
+    * [[processBatch]] for a discovery batch of (path, length) rows
+    * (no blob bytes shipped by the source at all):
+    *
+    *  1. phase 1 reads only the first `headBytes` of each discovered
+    *     file ([[Multimodal.withHeadBytes]]) and runs the parse +
+    *     quarantine gates on those heads — a 4 GiB junk blob costs 64
+    *     KiB to reject;
+    *  2. phase 2 re-reads ONLY gate survivors in full
+    *     ([[Multimodal.withFullBytes]]) for the whole-blob stages:
+    *     content-digest dedup and the corpus append.
+    *
+    * Same commit discipline, same state/corpus/quarantine layout, same
+    * replay idempotence as [[processBatch]] (both phases are
+    * deterministic functions of the discovered file set). Per-batch
+    * blob I/O is head-capped discovery + survivor bytes, instead of
+    * the full-read source's every-blob materialization — the streaming
+    * mirror of q_media_curate_head. The quarantine row for a rejected
+    * file is decided on its head: front-loaded container metadata is
+    * exact under the cap ([[Multimodal.fromBinaryFilesHead]] documents
+    * the tail-anchored caveat).
+    */
+  def processBatchHead(paths: Dataset[Row], batchId: Long, stateDir: String,
+      outDir: String, rejectDir: String, headBytes: Int = 65536,
+      autoCompactEvery: Int = 0): Unit = {
+    val canonicalHeads = toCanonical(
+      Multimodal.withHeadBytes(
+        paths.select(col("path"), col("length")), "path", headBytes)
+        .withColumnRenamed("bytes", "content"))
+    val (wellFormed, _) =
+      annotateAndQuarantine(canonicalHeads, batchId, rejectDir)
+    // phase 2: survivors only — swap the head slice for the full blob
+    val survivors = Multimodal.withFullBytes(
+      wellFormed.drop("bytes")
+        .withColumn("path", element_at(col("meta"), "path")),
+      "path").drop("path")
+    dedupAndAppend(survivors,
+      paths.select(xxhash64(col("path")).as("media_id")), batchId,
+      stateDir, outDir, autoCompactEvery)
   }
 
   /** Fold the committed digest state under one marker (identity merge:
@@ -128,11 +194,11 @@ object MediaStream {
     * given digest's FIRST arrival commits before later ones are probed
     * against state (same-batch ties break by id, deterministically).
     *
-    * Note the full-read source is the right choice HERE even with
-    * binary-head available: arriving files must be hashed for dedup
-    * (whole-blob digest) and their bytes stored to the corpus anyway —
-    * a discovery batch never re-reads the existing corpus, so there is
-    * no 100 TB-scan to avoid; binary-head remains the BACKFILL scan.
+    * This is the single-phase form: every arriving blob is fully
+    * materialized by the source before the gates run. Prefer
+    * [[watchDirectoryHead]] in production — survivors must be fully
+    * read for the digest and the corpus append either way, but
+    * REJECTED blobs should only ever cost a head read.
     */
   def watchDirectory(spark: SparkSession, dir: String, stateDir: String,
       outDir: String, rejectDir: String, checkpointDir: String,
@@ -146,16 +212,52 @@ object MediaStream {
       StructField("content", org.apache.spark.sql.types.BinaryType)))
     val files = spark.readStream.format("binaryFile")
       .schema(binaryFileSchema).load(dir)
-    val canonical = files.select(
-      xxhash64(col("path")).as("media_id"),
-      when(col("path").rlike("(?i)\\.(png|jpe?g|gif|bmp|webp)$"), "image")
-        .when(col("path").rlike("(?i)\\.(wav|mp3|flac|ogg|opus)$"), "audio")
-        .when(col("path").rlike("(?i)\\.(mp4|avi|mkv|webm)$"), "video")
-        .otherwise("unknown").as("modality"),
-      col("content").as("bytes"),
-      map(lit("path"), col("path"),
-        lit("length"), col("length").cast("string")).as("meta"))
-    dedupIngest(canonical, stateDir, outDir, rejectDir, checkpointDir,
-      autoCompactEvery)
+    dedupIngest(toCanonical(files), stateDir, outDir, rejectDir,
+      checkpointDir, autoCompactEvery)
+  }
+
+  /** (path, length, content) file rows → the canonical media schema;
+    * modality is dispatched on file extension (reference
+    * format-dispatch analog, `utils.py:12-19`).
+    */
+  private def toCanonical(files: DataFrame): DataFrame = files.select(
+    xxhash64(col("path")).as("media_id"),
+    when(col("path").rlike("(?i)\\.(png|jpe?g|gif|bmp|webp)$"), "image")
+      .when(col("path").rlike("(?i)\\.(wav|mp3|flac|ogg|opus)$"), "audio")
+      .when(col("path").rlike("(?i)\\.(mp4|avi|mkv|webm)$"), "video")
+      .otherwise("unknown").as("modality"),
+    col("content").as("bytes"),
+    map(lit("path"), col("path"),
+      lit("length"), col("length").cast("string")).as("meta"))
+
+  /** HEAD-GATED [[watchDirectory]]: the file stream source ships only
+    * (path, length) — `binaryFile`'s reader materializes a column only
+    * when it is required, so dropping `content` from the projection
+    * keeps blob bytes out of the source entirely — and each discovery
+    * batch runs [[processBatchHead]]: gates on bounded head reads, full
+    * reads deferred to gate survivors. This replaces the full-read
+    * source the r14 brief flagged: the old note that "files must be
+    * hashed anyway" only holds for SURVIVORS — quarantined blobs (junk
+    * extensions, corrupt containers) were paying a full read to be
+    * dropped.
+    */
+  def watchDirectoryHead(spark: SparkSession, dir: String, stateDir: String,
+      outDir: String, rejectDir: String, checkpointDir: String,
+      headBytes: Int = 65536, autoCompactEvery: Int = 16): StreamingQuery = {
+    val binaryFileSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+      StructField("length", LongType),
+      StructField("content", org.apache.spark.sql.types.BinaryType)))
+    val paths = spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema).load(dir)
+      .select(col("path"), col("length"))
+    paths.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        processBatchHead(batch, batchId, stateDir, outDir, rejectDir,
+          headBytes, autoCompactEvery)
+      }
+      .start()
   }
 }

@@ -96,6 +96,77 @@ class MediaStreamSpec extends AnyFunSuite {
     assert(rejected == Seq("container_parse_failed"))
   }
 
+  test("watchDirectoryHead: two-phase ingest matches the full-read stream's " +
+    "decisions across waves + restart; rejected blobs cost only a head read") {
+    import graft.sources.MediaIo
+    val watch = java.nio.file.Files.createTempDirectory("graft_msh_in")
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_msh_state").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_msh_out").toString
+    val rejDir = java.nio.file.Files.createTempDirectory("graft_msh_rej").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_msh_ck").toString
+    // a LARGE junk blob the gate rejects on extension — the two-phase
+    // point: its bytes must never be read past the head cap
+    val junk = Array.tabulate(512 * 1024)(i => (i * 31 + 7).toByte)
+    java.nio.file.Files.write(watch.resolve("j.bin"), junk)
+    def drop(name: String, as: String): Unit =
+      java.nio.file.Files.write(watch.resolve(as), fixture(name))
+    def runWave(files: Seq[(String, String)]): Unit = {
+      files.foreach { case (n, as) => drop(n, as) }
+      // fresh query per wave = kill/restart between discovery batches
+      val q = MediaStream.watchDirectoryHead(spark, watch.toString, stateDir,
+        outDir, rejDir, ckDir, headBytes = 65536)
+      try q.processAllAvailable() finally q.stop()
+    }
+    MediaIo.reset()
+    runWave(Seq(("photo.png", "a.png"), ("broken.png", "b.png")))
+    runWave(Seq(("photo.png", "c.png"), ("voice.wav", "d.wav")))
+    val kept = spark.read.parquet(outDir)
+      .select(element_at(col("meta"), "path"), col("format"), col("width"))
+      .collect().map(r => (r.getString(0).split('/').last, r.getString(1))).toSet
+    // same decisions as the full-read watchDirectory contract: c.png is
+    // a cross-wave byte-dup, b.png malformed, j.bin unmapped
+    assert(kept == Set(("a.png", "png"), ("d.wav", "wav")))
+    val rejected = spark.read.parquet(rejDir).select("reason")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(rejected == Seq("container_parse_failed", "unmapped_extension"))
+    // phase-2 accounting: full reads are exactly the gate SURVIVORS
+    // (c.png is a survivor — the digest that discovers the dup needs
+    // its full bytes); the junk and the broken container never cost
+    // more than their heads
+    val fullReads = {
+      val it = MediaIo.fullReadPaths.iterator()
+      val b = Set.newBuilder[String]
+      while (it.hasNext) b += it.next().split('/').last
+      b.result()
+    }
+    assert(fullReads == Set("a.png", "c.png", "d.wav"),
+      s"full reads must be exactly the gate survivors: $fullReads")
+    assert(MediaIo.fullBytes.get < junk.length,
+      "the rejected junk blob's bytes leaked into a full read")
+  }
+
+  test("processBatchHead replay reproduces the same kept set (overwrite, " +
+    "not append)") {
+    val watch = java.nio.file.Files.createTempDirectory("graft_msh2_in")
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_msh2_state").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_msh2_out").toString
+    val rejDir = java.nio.file.Files.createTempDirectory("graft_msh2_rej").toString
+    Seq("photo.png", "broken.png", "voice.wav").foreach { n =>
+      java.nio.file.Files.write(watch.resolve(n), fixture(n))
+    }
+    val paths = new java.io.File(watch.toString).listFiles().toSeq
+      .map(f => (f.getPath, f.length))
+      .toDF("path", "length")
+    MediaStream.processBatchHead(paths, 0L, stateDir, outDir, rejDir)
+    val once = spark.read.parquet(outDir).select("media_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(once.size == 2)
+    MediaStream.processBatchHead(paths, 0L, stateDir, outDir, rejDir)
+    val twice = spark.read.parquet(outDir).select("media_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(once == twice, "replay must overwrite, not append")
+  }
+
   test("replayed committed batch reproduces the same kept set (overwrite, " +
     "not append)") {
     val stateDir = java.nio.file.Files.createTempDirectory("graft_ms2_state").toString
