@@ -70,18 +70,47 @@ object BpeTrainer {
       // (at a real 50k-merge training, size this by vocab bytes)
       .coalesce(4)
 
-  /** Train `rounds` merges over a weighted vocab; returns
-    * (rank, lhs, rhs, pair_freq) ordered by rank. Stops early if no
-    * adjacent pair remains.
+  /** The base-alphabet size of a weighted vocab: distinct single-char
+    * symbols across every word (one bounded distinct aggregate — the
+    * alphabet is at most the charset). This is the vocab-size floor a
+    * target-vocab training counts merges from.
     */
-  def train(vocab0: DataFrame, rounds: Int): DataFrame = {
+  def alphabetSize(vocab: DataFrame): Long =
+    vocab.select(explode(col("s")).as("c"))
+      .agg(count_distinct(col("c")).as("n")).head().getLong(0)
+
+  /** Train up to `rounds` merges over a weighted vocab; returns
+    * (rank, lhs, rhs, pair_freq) ordered by rank. Stops early when:
+    *  - no adjacent pair remains;
+    *  - the best pair's corpus frequency falls below `minPairFreq`
+    *    (the min_frequency stop of production BPE trainers — also the
+    *    guard against learning noise merges from a low-entropy tail).
+    *    SOUND STOP: the max pair count is non-increasing across rounds
+    *    (a merge xy occurs exactly count(x,y) times, so every pair it
+    *    creates has count ≤ the count just merged — the argmax; all
+    *    other counts only shrink), so "first round below the floor"
+    *    ends training for good, which is also what lets the SQL oracle
+    *    replay this as a simple `cnt >= floor` filter on the unrolled
+    *    rounds;
+    *  - the vocabulary reaches `targetVocab` tokens (the vocab_size
+    *    stop real tokenizer training targets): vocab size is counted
+    *    as base alphabet + merges learned, each merge minting one new
+    *    token — the standard convention, which both engines can count
+    *    without materializing the symbol set per round.
+    */
+  def train(vocab0: DataFrame, rounds: Int, minPairFreq: Long = 1L,
+      targetVocab: Int = Int.MaxValue): DataFrame = {
     val spark = vocab0.sparkSession
     import spark.implicits._
     var vocab = vocab0.localCheckpoint()
+    val maxMerges =
+      if (targetVocab == Int.MaxValue) rounds.toLong
+      else math.min(rounds.toLong,
+        math.max(targetVocab.toLong - alphabetSize(vocab), 0L))
     val merges = scala.collection.mutable.Buffer[(Long, String, String, Long)]()
     var r = 1
     var continue = true
-    while (r <= rounds && continue) {
+    while (r <= maxMerges && continue) {
       val top = vocab.where(size(col("s")) >= 2)
         .select(col("freq"), explode(expr(
           "transform(sequence(0, size(s) - 2), i -> struct(s[i] AS x, s[i + 1] AS y))"))
@@ -90,7 +119,8 @@ object BpeTrainer {
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("x").asc, col("y").asc)
         .limit(1).collect()
-      if (top.isEmpty) continue = false
+      if (top.isEmpty ||
+          top.head.getLong(2) < minPairFreq) continue = false
       else {
         val (x, y, cnt) =
           (top.head.getString(0), top.head.getString(1), top.head.getLong(2))

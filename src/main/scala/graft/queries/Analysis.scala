@@ -547,6 +547,39 @@ object Analysis {
         Tables.documents(s, d), col("text")),
       rounds = 8)
 
+  /** BPE training to a TARGET VOCAB SIZE — how real tokenizer training
+    * is parameterized (a 50k-token tokenizer is "vocab_size=50000", not
+    * "49,743 merge rounds"): vocab size counts base alphabet + one new
+    * token per merge, so the trainer realizes
+    * min(rounds, targetVocab − |alphabet|) merges. Both engines derive
+    * the alphabet from the SAME distinct-char count, so the oracle's
+    * round filter is exact at any scale factor.
+    */
+  def bpeTrainVocab(s: SparkSession, d: String): DataFrame =
+    graft.operators.BpeTrainer.train(
+      graft.operators.BpeTrainer.weightedVocab(
+        Tables.documents(s, d), col("text")),
+      rounds = 8, targetVocab = BpeTargetVocab)
+
+  /** BPE training with a MIN-FREQUENCY floor (the `min_frequency` stop
+    * of production trainers): training ends at the first round whose
+    * best pair occurs fewer than `BpeMinPairFreq` times. The stop is
+    * replayable as a plain `cnt >= floor` filter on the unrolled
+    * oracle rounds because the max pair count is non-increasing across
+    * merges (see [[graft.operators.BpeTrainer.train]]); at sf0.01 the
+    * floor lands mid-schedule (5 of 8 rounds realized), so the early
+    * stop is exercised by the driver's own gate, and it also caps the
+    * degenerate one-repeated-pair corpus at one merge.
+    */
+  def bpeTrainFloor(s: SparkSession, d: String): DataFrame =
+    graft.operators.BpeTrainer.train(
+      graft.operators.BpeTrainer.weightedVocab(
+        Tables.documents(s, d), col("text")),
+      rounds = 8, minPairFreq = BpeMinPairFreq)
+
+  private val BpeTargetVocab = 31
+  private val BpeMinPairFreq = 2000L
+
   /** Train-then-apply composition: learn the 8 merges from the corpus
     * (q_bpe_train), then tokenize the SAME corpus with them — per-doc
     * token counts under the corpus's own tokenizer, the end-to-end
@@ -570,6 +603,8 @@ object Analysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_train" -> bpeTrain,
+    "q_bpe_train_vocab" -> bpeTrainVocab,
+    "q_bpe_train_floor" -> bpeTrainFloor,
     "q_bpe_train_apply" -> bpeTrainApply,
     "q_mixture_rebalance" -> mixtureRebalance,
     "q_stable_sample" -> stableSample,
@@ -838,9 +873,11 @@ object Analysis {
   /** The shared trainer CTE body: weighted vocab w1 and, per round r,
     * pair counts p_r, argmax m_r, and the merged vocab w_{r+1}.
     */
-  private val bpeTrainChainsSql: String = {
+  private val bpeTrainChainsSql: String = bpeTrainChainsSqlN(BpeTrainRounds)
+
+  private def bpeTrainChainsSqlN(nRounds: Int): String = {
     val SEP = "chr(31)"
-    val rounds = (1 to BpeTrainRounds).map { r =>
+    val rounds = (1 to nRounds).map { r =>
       s"""p$r AS (SELECT w.ss[li.i] AS x, w.ss[li.i + 1] AS y, w.freq
          |  FROM (SELECT string_split(s, $SEP) AS ss, freq FROM w$r) w
          |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(w.ss))) AS i) li),
@@ -870,6 +907,42 @@ object Analysis {
     s"""WITH $bpeTrainChainsSql
        |SELECT CAST(r AS BIGINT) AS rank, x AS lhs, y AS rhs, cnt AS pair_freq
        |FROM ($unions)
+       |ORDER BY rank ASC""".stripMargin
+  }
+
+  /** Vocab-target oracle: the same unrolled chains, with the realized
+    * rounds cut to targetVocab − |alphabet| (alphabet = distinct chars
+    * of the same `words` CTE the chains tokenize — both engines count
+    * the identical set).
+    */
+  private val bpeTrainVocabOracleSql: String = {
+    val unions = (1 to BpeTrainRounds)
+      .map(r => s"SELECT $r AS r, x, y, cnt FROM m$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $bpeTrainChainsSql,
+       |alpha AS (SELECT CAST(COUNT(DISTINCT c) AS BIGINT) AS n
+       |  FROM (SELECT unnest(string_split(word, '')) AS c FROM words)),
+       |mm AS ($unions)
+       |SELECT CAST(r AS BIGINT) AS rank, x AS lhs, y AS rhs, cnt AS pair_freq
+       |FROM mm CROSS JOIN alpha
+       |WHERE r <= greatest(31 - alpha.n, 0)
+       |ORDER BY rank ASC""".stripMargin
+  }
+
+  /** Min-frequency oracle: `cnt >= floor` on the unrolled rounds is the
+    * whole stop — sound because the max pair count never increases
+    * across merges, so the qualifying rounds are exactly the realized
+    * prefix (the chains keep merging past the stop, but every later
+    * argmax is below the floor and filters out).
+    */
+  private val bpeTrainFloorOracleSql: String = {
+    val unions = (1 to BpeTrainRounds)
+      .map(r => s"SELECT $r AS r, x, y, cnt FROM m$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $bpeTrainChainsSql
+       |SELECT CAST(r AS BIGINT) AS rank, x AS lhs, y AS rhs, cnt AS pair_freq
+       |FROM ($unions)
+       |WHERE cnt >= 2000
        |ORDER BY rank ASC""".stripMargin
   }
 
@@ -904,6 +977,8 @@ object Analysis {
 
   val oracleSql: Map[String, String] = Map(
     "q_bpe_train" -> bpeTrainOracleSql,
+    "q_bpe_train_vocab" -> bpeTrainVocabOracleSql,
+    "q_bpe_train_floor" -> bpeTrainFloorOracleSql,
     "q_bpe_train_apply" -> bpeTrainApplyOracleSql,
     "q_mmr_topk" -> mmrOracle(5, 0.5),
     "q_mmr_batch" -> mmrBatchOracle(5, 0.5),

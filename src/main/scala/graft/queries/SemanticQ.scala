@@ -396,6 +396,62 @@ object SemanticQ {
       .orderBy(col("qid").asc, col("rnk").asc)
   }
 
+  /** Batch IVFADC serving — [[annPqBatchQ]] composed with the coarse
+    * probe-cell filter, so batch serving gets the same |probed|/k scan
+    * cut the single-probe q_ann_ivfpq has: the per-qid 2-nearest-cell
+    * lists are picked driver-side (Q·k bounded distances) and shipped
+    * as a BROADCAST relation joined against the indexed code table's
+    * `cell` column BEFORE the ADC melt — only probed-cell rows ever
+    * reach the LUT join and the (qid, vec) aggregation. The LUTs stay
+    * a broadcast relation as in q_ann_pq_batch (thousands of probes
+    * can't be plan literals); exchanges stay at the aggregation + the
+    * qid rank window. This is the FAISS batch-query path over the
+    * persisted IVFADC index.
+    */
+  def annIvfPqBatchQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val coarse = trainedCentroids(s, d)
+    val books = pqCodebooks(s, d)
+    val vecs = intVecs(s, d)
+    val qids = Seq(0L, 1L, 2L)
+    val probes = vecs.where(col("vec_id").isin(qids: _*))
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Long])].collect().toMap
+    val cellRows = for {
+      qid <- qids
+      cid <- coarse
+        .map { case (c, cv) => (c, KMeansOp.intDistLocal(cv, probes(qid))) }
+        .sortBy { case (c, dd) => (dd, c) }.take(2).map(_._1)
+    } yield (qid, cid)
+    val probeCells = cellRows.toDF("qid", "cell")
+    val lutRows = for {
+      qid <- qids
+      (book, m) <- books.zipWithIndex
+      qSub = probes(qid).slice(m * PqSubDim, (m + 1) * PqSubDim)
+      (cid, c) <- book
+    } yield (qid, m, cid, KMeansOp.intDistLocal(c, qSub))
+    val luts = lutRows.toDF("qid", "sub", "code", "d")
+    val indexed = graft.operators.ProductQuantizer
+      .indexProjection(vecs, coarse, books, PqSubDim)
+    // coarse filter FIRST: the broadcast (qid, cell) join prunes the
+    // code table to probed cells before any per-subspace work
+    val cand = indexed.join(broadcast(probeCells), Seq("cell"))
+    val codesLong = cand.select(col("qid"), col("vec_id"), posexplode(
+      array((0 until PqM).map(m => col(s"code_$m")): _*)).as(Seq("sub", "code")))
+    val adc = codesLong
+      .join(broadcast(luts), Seq("qid", "sub", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("d")).as("adc_scaled"), count(lit(1)).as("nsub"))
+      .where(col("nsub") === PqM)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("adc_scaled").asc, col("vec_id").asc)
+    adc.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"),
+        col("vec_id"), col("adc_scaled"))
+      .orderBy(col("qid").asc, col("rnk").asc)
+  }
+
   /** Recall@10 of the COMPOSED IVFADC search vs the integer-exact
     * top-10 — the end-to-end index monitor a deployment actually
     * watches: it folds BOTH loss sources (coarse cell misses, which
@@ -502,6 +558,7 @@ object SemanticQ {
     "q_ann_ivfpq" -> annIvfPqQ,
     "q_ann_ivfpq_res" -> annIvfPqResQ,
     "q_ann_pq_batch" -> annPqBatchQ,
+    "q_ann_ivfpq_batch" -> annIvfPqBatchQ,
     "q_recall_pq" -> recallPqQ,
     "q_recall_ivfpq" -> recallIvfPqQ,
   )
@@ -721,6 +778,41 @@ object SemanticQ {
          |    ROW_NUMBER() OVER (PARTITION BY qid
          |      ORDER BY adc_scaled ASC, vec_id ASC) AS rnk
          |  FROM adc)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, adc_scaled
+         |FROM ranked WHERE rnk <= 3
+         |ORDER BY qid ASC, rnk ASC""".stripMargin
+    },
+    "q_ann_ivfpq_batch" -> {
+      val lutbs = (0 until PqM).map { m =>
+        s"""lutb$m AS (SELECT qb.vec_id AS qid, $m AS sub, c.cid AS code,
+           |  ${idistSql("c.c", "qb.v")} AS d
+           |  FROM c2_s$m c CROSS JOIN
+           |    (SELECT vec_id, v FROM q_s$m WHERE vec_id IN (0, 1, 2)) qb)""".stripMargin
+      }
+      val lutUnion = (0 until PqM).map(m => s"SELECT * FROM lutb$m")
+        .mkString(" UNION ALL ")
+      val codesUnion = (0 until PqM)
+        .map(m => s"SELECT vec_id, $m AS sub, cid AS code FROM a3_s$m")
+        .mkString(" UNION ALL ")
+      s"""WITH $lloydSql,
+         |$pqChainsSql,
+         |${lutbs.mkString(",\n")},
+         |luts AS ($lutUnion),
+         |codes_long AS ($codesUnion),
+         |qb AS (SELECT vec_id AS qid, v FROM q WHERE vec_id IN (0, 1, 2)),
+         |pcb AS (SELECT qid, cid FROM (
+         |    SELECT qb.qid, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY qb.qid
+         |        ORDER BY ${idistSql("c.c", "qb.v")} ASC, c.cid ASC) AS rn
+         |    FROM c2 c CROSS JOIN qb) WHERE rn <= 2),
+         |cand AS (SELECT pcb.qid, a3.vec_id FROM a3 JOIN pcb ON a3.cid = pcb.cid),
+         |adc AS (SELECT l.qid, c.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc_scaled
+         |  FROM codes_long c JOIN luts l ON c.sub = l.sub AND c.code = l.code
+         |  GROUP BY l.qid, c.vec_id HAVING COUNT(*) = $PqM),
+         |ranked AS (SELECT adc.qid, adc.vec_id, adc.adc_scaled,
+         |    ROW_NUMBER() OVER (PARTITION BY adc.qid
+         |      ORDER BY adc.adc_scaled ASC, adc.vec_id ASC) AS rnk
+         |  FROM adc JOIN cand ON adc.qid = cand.qid AND adc.vec_id = cand.vec_id)
          |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, adc_scaled
          |FROM ranked WHERE rnk <= 3
          |ORDER BY qid ASC, rnk ASC""".stripMargin

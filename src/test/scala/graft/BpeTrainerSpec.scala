@@ -147,4 +147,62 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(got == ref)
     assert(got.length == 8)
   }
+  test("min-frequency floor stops training at the first sub-floor round " +
+    "and the floor is prefix-sound (max pair count never increases)") {
+    // low-entropy corpus: one dominant pair, then a long noise tail
+    val vocab = Seq(
+      (Seq("a", "b"), 100L),
+      (Seq("c", "d"), 3L),
+      (Seq("e", "f"), 2L))
+      .toDF("s", "freq")
+    val got = BpeTrainer.train(vocab, rounds = 8, minPairFreq = 50L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, "a", "b", 100L)),
+      "training must stop once the best pair is below the floor")
+    // prefix soundness on a corpus where merges CREATE new pairs: the
+    // realized ranks are exactly the >=floor prefix of the unbounded run
+    val rich = Seq(
+      (Seq("a", "b", "c"), 40L),
+      (Seq("a", "b", "d"), 30L),
+      (Seq("x", "y"), 25L))
+      .toDF("s", "freq")
+    val full = BpeTrainer.train(rich, rounds = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val floors = full.map(_._4)
+    assert(floors == floors.sorted.reverse, "max pair count increased across rounds")
+    val floored = BpeTrainer.train(rich, rounds = 8, minPairFreq = 30L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(floored == full.takeWhile(_._4 >= 30L))
+  }
+
+  test("target vocab size stops after targetVocab - |alphabet| merges") {
+    val vocab = Seq(
+      (Seq("a", "b", "c"), 10L),
+      (Seq("b", "c", "d"), 6L))
+      .toDF("s", "freq")
+    assert(BpeTrainer.alphabetSize(vocab) == 4L) // a b c d
+    val got = BpeTrainer.train(vocab, rounds = 8, targetVocab = 6)
+      .collect()
+    assert(got.length == 2, "vocab 6 = 4 base symbols + 2 merges")
+    assert(BpeTrainer.train(vocab, rounds = 8, targetVocab = 4).collect().isEmpty,
+      "target at the alphabet floor learns nothing")
+    assert(BpeTrainer.train(vocab, rounds = 8, targetVocab = 100).collect().length
+      == BpeTrainer.train(vocab, rounds = 8).collect().length,
+      "an unreachable target defers to the round budget")
+  }
+
+  test("q_bpe_train_vocab and q_bpe_train_floor at sf0.001 are prefixes of " +
+    "q_bpe_train's schedule under their own stopping rules") {
+    val d = TestSpark.sf0001
+    val full = queries.Analysis.queries("q_bpe_train")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val vocabQ = queries.Analysis.queries("q_bpe_train_vocab")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val alpha = BpeTrainer.alphabetSize(BpeTrainer.weightedVocab(
+      Tables.documents(spark, d), col("text")))
+    assert(vocabQ == full.take(math.max(31 - alpha.toInt, 0)))
+    val floorQ = queries.Analysis.queries("q_bpe_train_floor")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(floorQ == full.takeWhile(_._4 >= 2000L))
+  }
 }

@@ -215,6 +215,68 @@ class PqSpec extends AnyFunSuite {
       s"unexpected extra shuffles:\n$plan")
   }
 
+  test("q_ann_ivfpq_batch at sf0.001: per-probe coarse filter + ADC " +
+    "matches brute force") {
+    val d = TestSpark.sf0001
+    val (vecs, books, codes) = referencePq(d)
+    val subDim = 16
+    def dist(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // independent coarse quantizer (the ivfpq replay)
+    val sorted = vecs.toSeq.sortBy(_._1)
+    var cents: Seq[(Long, Array[Long])] = sorted.take(8).map(v => v._1 -> v._2)
+    def assign() = sorted.map { case (id, v) =>
+      id -> cents.map { case (c, cv) => (c, dist(v, cv)) }
+        .minBy { case (c, dd) => (dd, c) }._1
+    }
+    for (_ <- 1 to 2) {
+      cents = assign().groupBy(_._2).toSeq.map { case (cid, members) =>
+        val vs = members.map(m => vecs(m._1))
+        cid -> Array.tabulate(vs.head.length)(j =>
+          math.floor(vs.map(_(j)).sum.toDouble / vs.length).toLong)
+      }.sortBy(_._1)
+    }
+    val cellOf = assign().toMap
+    val expect = Seq(0L, 1L, 2L).flatMap { qid =>
+      val qv = vecs(qid)
+      val probed = cents.map { case (cid, c) => (cid, dist(c, qv)) }
+        .sortBy { case (cid, dd) => (dd, cid) }.take(2).map(_._1).toSet
+      val luts = books.zipWithIndex.map { case (book, s) =>
+        val qs = qv.slice(s * subDim, (s + 1) * subDim)
+        book.map { case (cid, c) => cid -> dist(c, qs) }.toMap
+      }
+      codes.toSeq
+        .filter { case (id, _) => probed.contains(cellOf(id)) }
+        .map { case (id, cs) =>
+          id -> cs.zipWithIndex.map { case (c, s) => luts(s)(c) }.sum }
+        .sortBy { case (id, adc) => (adc, id) }.take(3).zipWithIndex
+        .map { case ((id, adc), i) => (qid, (i + 1).toLong, id, adc) }
+    }
+    val got = queries.SemanticQ.queries("q_ann_ivfpq_batch")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+    // the filtered batch serves qid 0 identically to single-probe ivfpq's head
+    val single = queries.SemanticQ.queries("q_ann_ivfpq")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.take(3)
+    assert(got.filter(_._1 == 0L).map(r => (r._3, r._4)) == single)
+  }
+
+  test("ivfpq batch plan: cell filter joins BEFORE the ADC melt, both " +
+    "small relations broadcast, exchanges stay at aggregation + rank") {
+    val df = queries.SemanticQ.queries("q_ann_ivfpq_batch")(spark, TestSpark.sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"probe-cell list and LUT relation must both broadcast:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"unexpected extra shuffles:\n$plan")
+    // the coarse filter must prune the scan before the per-subspace
+    // melt: the cell join sits BELOW the generate (posexplode) node
+    val gen = plan.indexOf("Generate")
+    val cellJoin = plan.lastIndexOf("BroadcastHashJoin")
+    assert(gen >= 0 && cellJoin > gen,
+      s"cell filter should apply below the ADC melt:\n$plan")
+  }
+
   test("q_ann_ivfpq_res at sf0.001: residual encoding matches brute force") {
     val d = TestSpark.sf0001
     val (vecs, _, _) = referencePq(d)
