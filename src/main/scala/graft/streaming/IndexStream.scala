@@ -162,6 +162,110 @@ object IndexStream {
       luts, k)
   }
 
+  // ---- Rebuild flow: generations + atomic swap ----------------------
+  //
+  // cellHistogram is the staleness SIGNAL; rebuild is its CONSUMER.
+  // Layout: an index ROOT holds independent StreamState generations
+  // `gen=N/` (each with its own codes table, commit markers, and the
+  // persisted quantizers that froze it), and `_current/N` marker files
+  // name the active generation — written LAST, so a crash anywhere in a
+  // rebuild leaves the old generation serving and the half-built one
+  // invisible (the exact marker-written-last discipline StreamState
+  // uses per batch, lifted to whole index versions). Readers resolve
+  // max(_current) and never look inside an unswapped generation.
+
+  private def genDir(root: String, n: Long) = s"$root/gen=$n"
+
+  /** The active generation's state dir, if any rebuild ever swapped. */
+  def currentRoot(s: SparkSession, indexRoot: String): Option[String] =
+    StreamState.markerIdsIn(s, s"$indexRoot/_current").lastOption
+      .map(genDir(indexRoot, _))
+
+  private val quantizersSchema = StructType(Seq(
+    StructField("kind", org.apache.spark.sql.types.StringType),
+    StructField("sub", org.apache.spark.sql.types.IntegerType),
+    StructField("cid", LongType),
+    StructField("c", org.apache.spark.sql.types.ArrayType(LongType)),
+    StructField("sub_dim", org.apache.spark.sql.types.IntegerType)))
+
+  /** Persist the frozen quantizers next to their generation's codes —
+    * the artifact a restarted maintainer/server loads instead of
+    * retraining (bounded: k + m·k rows of BIGINT centroids).
+    */
+  private[graft] def saveQuantizers(s: SparkSession, dir: String,
+      q: Quantizers): Unit = {
+    val rows =
+      q.coarse.map { case (cid, c) => Row("coarse", -1, cid, c, q.subDim) } ++
+      q.books.zipWithIndex.flatMap { case (book, m) =>
+        book.map { case (cid, c) => Row("book", m, cid, c, q.subDim) }
+      }
+    s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), quantizersSchema)
+      .write.mode("overwrite").parquet(s"$dir/quantizers")
+  }
+
+  /** Load a generation's frozen quantizers. */
+  def loadQuantizers(s: SparkSession, dir: String): Quantizers = {
+    val rows = s.read.schema(quantizersSchema).parquet(s"$dir/quantizers")
+      .collect()
+    val subDim = rows.head.getInt(4)
+    val coarse = rows.filter(_.getString(0) == "coarse")
+      .map(r => (r.getLong(2), r.getSeq[Long](3))).sortBy(_._1).toSeq
+    val m = rows.filter(_.getString(0) == "book").map(_.getInt(1)).max + 1
+    val books = (0 until m).map { sub =>
+      rows.filter(r => r.getString(0) == "book" && r.getInt(1) == sub)
+        .map(r => (r.getLong(2), r.getSeq[Long](3))).sortBy(_._1).toSeq
+    }
+    Quantizers(coarse, books, subDim)
+  }
+
+  /** REBUILD: retrain both quantizers on a corpus snapshot (the raw
+    * vectors live in the corpus table — code-only state is by design
+    * too small to retrain from), re-encode the snapshot into a FRESH
+    * generation, persist the quantizers beside it, and atomically swap
+    * `_current` to the new generation. The old generation keeps serving
+    * until the swap marker lands; a crash at any earlier point changes
+    * nothing a reader can see. Returns the new quantizers.
+    *
+    * Training is the deterministic integer Lloyd of [[KMeansOp]] /
+    * [[ProductQuantizer]], so rebuilding on an unchanged corpus is a
+    * no-op in search results — the equivalence the spec pins.
+    */
+  def rebuild(s: SparkSession, indexRoot: String, corpus: DataFrame,
+      k: Int, iters: Int, m: Int, subDim: Int): Quantizers = {
+    val next = StreamState.markerIdsIn(s, s"$indexRoot/_current")
+      .lastOption.getOrElse(-1L) + 1L
+    val dir = genDir(indexRoot, next)
+    val coarse = KMeansOp.lloydCentroidsLocal(
+      corpus, "vec_id", col("embedding"), k, iters)
+    val books = ProductQuantizer.train(
+      corpus, "vec_id", col("embedding"), m, subDim, k, iters)
+    val q = Quantizers(coarse, books, subDim)
+    val vecs = corpus.select(col("vec_id"),
+      KMeansOp.intVec(col("embedding")).as("v"))
+    ProductQuantizer.indexProjection(vecs, coarse, books, subDim)
+      .write.mode("overwrite").parquet(s"$dir/codes/batch_id=0")
+    saveQuantizers(s, dir, q)
+    StreamState.commitMarker(s, dir, 0L)
+    // the atomic reader switch: _current marker LAST
+    val fsPath = new org.apache.hadoop.fs.Path(s"$indexRoot/_current")
+    val fs = fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(fsPath)
+    fs.create(new org.apache.hadoop.fs.Path(fsPath, next.toString), true).close()
+    q
+  }
+
+  /** [[searchCommitted]] against the ACTIVE generation of an index
+    * root: resolve `_current`, load its frozen quantizers, serve. The
+    * restarted-server entry point — no driver state survives, only the
+    * persisted artifact.
+    */
+  def searchCurrent(s: SparkSession, indexRoot: String, query: Seq[Long],
+      nProbe: Int, k: Int): DataFrame = {
+    val dir = currentRoot(s, indexRoot).getOrElse(
+      throw new IllegalStateException(s"no committed generation under $indexRoot"))
+    searchCommitted(s, dir, loadQuantizers(s, dir), query, nProbe, k)
+  }
+
   /** Quantizer-staleness monitor: committed cell occupancy. A healthy
     * index keeps cells balanced near the training distribution; a
     * drifting ingest concentrates mass in few cells (probe recall

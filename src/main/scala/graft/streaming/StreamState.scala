@@ -47,6 +47,13 @@ private[graft] object StreamState {
   def committedIds(s: SparkSession, stateDir: String): Seq[Long] =
     markerIds(s, s"$stateDir/_committed")
 
+  /** Marker ids under an arbitrary marker directory, ascending — for
+    * consumers that lift the marker-written-last discipline to other
+    * granularities (IndexStream's `_current` generation markers).
+    */
+  private[graft] def markerIdsIn(s: SparkSession, dir: String): Seq[Long] =
+    markerIds(s, dir)
+
   /** Base ids whose compaction fully committed, ascending. Each id M
     * asserts: `table/base_id=M` holds the merged content of every
     * committed batch ≤ M, for EVERY table of this state dir.

@@ -189,6 +189,73 @@ class IndexStreamSpec extends AnyFunSuite {
     assert(hist.map(_.getAs[Long]("n")).sum == rows.length)
   }
 
+  test("rebuild: retrain on the corpus snapshot, persist quantizers, " +
+    "atomic swap; search before/after equals the batch IVFADC") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ix_root").toString
+    val corpus = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))
+    val q1 = IndexStream.rebuild(spark, root, corpus,
+      k = 8, iters = 2, m = 4, subDim = 16)
+    val qv = fullRows.head._2.map(x => math.floor(x.toDouble * 1e6).toLong)
+    val batch = queries.SemanticQ.queries("q_ann_ivfpq")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def served() = IndexStream.searchCurrent(spark, root, qv, 2, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // same training budget as the declared query → identical quantizers
+    // (deterministic integer Lloyd) → identical search
+    assert(served() == batch)
+    // the persisted artifact round-trips (a restarted server loads it)
+    val gen0 = IndexStream.currentRoot(spark, root).get
+    assert(gen0.endsWith("gen=0"))
+    // entry ORDER inside a codebook is meaningless (argmin ties break
+    // on cid VALUE), and loadQuantizers normalizes to cid order —
+    // compare the normalized forms
+    def norm(q: IndexStream.Quantizers) = IndexStream.Quantizers(
+      q.coarse.sortBy(_._1), q.books.map(_.sortBy(_._1)), q.subDim)
+    assert(norm(IndexStream.loadQuantizers(spark, gen0)) == norm(q1))
+    // rebuild on the unchanged corpus: a NEW generation, same answers
+    IndexStream.rebuild(spark, root, corpus, 8, 2, 4, 16)
+    assert(IndexStream.currentRoot(spark, root).get.endsWith("gen=1"))
+    assert(served() == batch, "rebuild on an unchanged corpus changed results")
+    // torn rebuild: a generation directory WITHOUT the _current marker
+    // is invisible, even with its own internal commit marker
+    import spark.implicits._
+    Seq((424242L, 0L, 0L, 0L, 0L, 0L))
+      .toDF("vec_id", "cell", "code_0", "code_1", "code_2", "code_3")
+      .write.mode("overwrite").parquet(s"$root/gen=99/codes/batch_id=0")
+    StreamState.commitMarker(spark, s"$root/gen=99", 0L)
+    assert(IndexStream.currentRoot(spark, root).get.endsWith("gen=1"),
+      "an unswapped generation must not become current")
+    assert(served() == batch, "torn rebuild leaked into serving")
+  }
+
+  test("drift → histogram signal → rebuild rebalances the cells") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ix_drift").toString
+    // corpus A: a line near the origin; gen 0 trains on A alone
+    val aRows = (0L until 8L).map(i => (i, Seq(i * 0.1f, 0f, 0f, 0f)))
+    val bRows = (100L until 108L).map(i => (i, Seq(100f, 100f, 100f, 100f)))
+    IndexStream.rebuild(spark, root,
+      aRows.toDF("vec_id", "embedding"), k = 2, iters = 2, m = 2, subDim = 2)
+    val gen0 = IndexStream.currentRoot(spark, root).get
+    // drifted ingest: every new vector lands in ONE stale cell
+    IndexStream.processBatch(bRows.toDF("vec_id", "embedding"), 1L,
+      IndexStream.loadQuantizers(spark, gen0), gen0)
+    val hist1 = IndexStream.cellHistogram(spark, gen0).collect()
+      .map(_.getAs[Long]("n"))
+    assert(hist1.sum == 16L)
+    assert(hist1.max >= 9L, s"drifted ingest should concentrate: ${hist1.toSeq}")
+    // the consumer: retrain on the full corpus, swap, occupancy rebalances
+    IndexStream.rebuild(spark, root,
+      (aRows ++ bRows).toDF("vec_id", "embedding"), 2, 2, 2, 2)
+    val gen1 = IndexStream.currentRoot(spark, root).get
+    assert(gen1.endsWith("gen=1"))
+    val hist2 = IndexStream.cellHistogram(spark, gen1).collect()
+      .map(_.getAs[Long]("n")).sorted.toSeq
+    assert(hist2 == Seq(8L, 8L),
+      s"rebuild should separate the drifted mass into its own cell: $hist2")
+  }
+
   test("indexBatch plan: the per-batch projection does not shuffle") {
     val q = quantizers
     val vecs = Tables.embeddings(spark, d).select(col("vec_id"),
