@@ -36,11 +36,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - rows depend only on the listing, so the scan is deterministic for
   *    a fixed directory state.
   *
-  * Executor-side filesystem access re-derives a fresh Hadoop
-  * `Configuration` (defaults cover `file:`-scheme paths, which is what
-  * this single-JVM harness exercises); a cluster deployment would ship
-  * the driver conf via a broadcast `SerializableConfiguration` in the
-  * reader factory — the only seam that changes.
+  * Executor-side filesystem access uses the DRIVER's session Hadoop
+  * configuration, shipped once per scan as a broadcast
+  * `SerializableConfiguration` in the reader factory — so credentials /
+  * fs.* settings configured on the session reach the executors, the
+  * cluster-correct seam (a fresh executor-side `Configuration` would
+  * only cover default `file:`-scheme paths).
+  *
+  * Listing scales past the driver: the glob itself is one driver-side
+  * metadata call, but when it matches many DIRECTORIES (the
+  * 100M-file layout is prefix-sharded dirs), the one-level expansion
+  * of those directories fans out to executors — per-prefix `listStatus`
+  * calls in parallel, results collected as (path, length) pairs (tens
+  * of bytes per file, the listing a driver must hold to plan splits
+  * regardless). `distributedListingDirs` (default 4) sets the
+  * fan-out threshold; small scans keep the zero-overhead driver loop.
   *
   * Reference analogue: the upload loaders at
   * `/root/reference/utils.py:11-19` read whole files because they run
@@ -58,7 +68,9 @@ class BinaryHeadSource extends TableProvider
       path = Option(properties.get("path")).getOrElse(
         throw new IllegalArgumentException("binary-head: missing path")),
       headBytes = Option(properties.get("head")).map(_.toInt).getOrElse(65536),
-      partitions = Option(properties.get("partitions")).map(_.toInt).getOrElse(32))
+      partitions = Option(properties.get("partitions")).map(_.toInt).getOrElse(32),
+      distListDirs = Option(properties.get("distributedListingDirs"))
+        .map(_.toInt).getOrElse(4))
 }
 
 object BinaryHeadSource {
@@ -67,58 +79,90 @@ object BinaryHeadSource {
     StructField("length", LongType, nullable = false),
     StructField("head", BinaryType, nullable = true)))
 
-  /** Driver-side listing: glob expansion, directories expanded one
-    * level (non-recursive, like `binaryFile` given a dir-slash-star
-    * glob), hidden files skipped.
+  /** Listing: glob expansion (one driver metadata call), directories
+    * expanded one level (non-recursive, like `binaryFile` given a
+    * dir-slash-star glob), hidden files skipped. When the glob matches
+    * at least `distListDirs` directories, their expansion fans out to
+    * executors (per-prefix `listStatus` in parallel) — the
+    * prefix-sharded-bucket layout where a driver-only loop serializes
+    * millions of RPC round-trips. Output is sorted, so both paths
+    * yield the identical listing.
     */
-  private[graft] def listFiles(path: String): Seq[(String, Long)] = {
-    val conf = new Configuration()
+  private[graft] def listFiles(path: String, conf: Configuration,
+      distListDirs: Int = 4): Seq[(String, Long)] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val matched: Array[FileStatus] =
       Option(fs.globStatus(p)).getOrElse(Array.empty)
-    matched.flatMap { st =>
-      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
-      else Array(st)
-    }.filter(st => !st.getPath.getName.startsWith(".") &&
-        !st.getPath.getName.startsWith("_"))
-      .map(st => (st.getPath.toString, st.getLen)).toSeq
+    val (dirs, files) = matched.partition(_.isDirectory)
+    val session = org.apache.spark.sql.SparkSession.getActiveSession
+    val expanded: Seq[(String, Long)] =
+      if (dirs.length >= distListDirs && session.isDefined) {
+        val sc = session.get.sparkContext
+        val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
+        val bc = sc.broadcast(sconf)
+        sc.parallelize(dirs.map(_.getPath.toString).toSeq,
+            math.min(dirs.length, 64))
+          .flatMap { d =>
+            val dp = new Path(d)
+            dp.getFileSystem(bc.value.value).listStatus(dp)
+              .filter(_.isFile).map(st => (st.getPath.toString, st.getLen))
+          }
+          .collect().toSeq
+      } else dirs.toSeq.flatMap(d =>
+        fs.listStatus(d.getPath).filter(_.isFile)
+          .map(st => (st.getPath.toString, st.getLen)))
+    (expanded ++ files.map(st => (st.getPath.toString, st.getLen)))
+      .filter { case (pth, _) =>
+        val name = pth.substring(pth.lastIndexOf('/') + 1)
+        !name.startsWith(".") && !name.startsWith("_")
+      }
+      .sortBy(_._1)
   }
 }
 
-private[sources] class BinaryHeadTable(path: String, headBytes: Int, partitions: Int)
+private[sources] class BinaryHeadTable(path: String, headBytes: Int,
+    partitions: Int, distListDirs: Int)
     extends Table with SupportsRead {
   override def name(): String = s"binary_head($path)"
   override def schema(): StructType = BinaryHeadSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new BinaryHeadScanBuilder(path, headBytes, partitions)
+    new BinaryHeadScanBuilder(path, headBytes, partitions, distListDirs)
 }
 
 private[sources] class BinaryHeadScanBuilder(path: String, headBytes: Int,
-    partitions: Int) extends ScanBuilder with SupportsPushDownRequiredColumns {
+    partitions: Int, distListDirs: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = BinaryHeadSource.schema
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new BinaryHeadScan(path, headBytes, partitions, required)
+  override def build(): Scan =
+    new BinaryHeadScan(path, headBytes, partitions, distListDirs, required)
 }
 
 private[sources] case class BinaryHeadSplit(files: Seq[(String, Long)])
   extends InputPartition
 
 private[sources] class BinaryHeadScan(path: String, headBytes: Int,
-    partitions: Int, required: StructType) extends Scan with Batch
+    partitions: Int, distListDirs: Int, required: StructType)
+    extends Scan with Batch
     with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  // real statistics from the driver listing, so Catalyst/AQE can make
+  // the driver's SESSION Hadoop conf: fs.*/credential settings reach
+  // the listing AND (via broadcast) the executor-side readers
+  private lazy val hadoopConf =
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+  // real statistics from the listing, so Catalyst/AQE can make
   // broadcast decisions against this scan: row count = file count, and
   // sizeInBytes reflects the PRUNED read (min(head, length) per file
   // only when `head` is projected; ~48 B/row of path+length metadata
   // otherwise) — a metadata-only scan of a petabyte directory reports
   // as broadcastable, which is exactly how it behaves
-  // one driver-side listing per scan, shared by stats + split planning
-  private lazy val listed: Seq[(String, Long)] = BinaryHeadSource.listFiles(path)
+  // one listing per scan, shared by stats + split planning
+  private lazy val listed: Seq[(String, Long)] =
+    BinaryHeadSource.listFiles(path, hadoopConf, distListDirs)
   override def estimateStatistics(): Statistics = new Statistics {
     private val metaBytes = listed.map(f => 48L + f._1.length).sum
     private val headTotal =
@@ -151,16 +195,23 @@ private[sources] class BinaryHeadScan(path: String, headBytes: Int,
     }
     buckets.map(b => BinaryHeadSplit(b.result()): InputPartition)
   }
-  override def createReaderFactory(): PartitionReaderFactory =
-    new BinaryHeadReaderFactory(headBytes, required)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // ship the driver conf ONCE per scan; each reader rehydrates it
+    val bc = org.apache.spark.sql.SparkSession.active.sparkContext
+      .broadcast(new org.apache.spark.util.SerializableConfiguration(hadoopConf))
+    new BinaryHeadReaderFactory(headBytes, required, bc)
+  }
 }
 
-private[sources] class BinaryHeadReaderFactory(headBytes: Int, required: StructType)
+private[sources] class BinaryHeadReaderFactory(headBytes: Int,
+    required: StructType,
+    confBc: org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.SerializableConfiguration])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val files = p.asInstanceOf[BinaryHeadSplit].files
     new PartitionReader[InternalRow] {
-      private val conf = new Configuration()
+      private val conf = confBc.value.value
       private var i = -1
       override def next(): Boolean = { i += 1; i < files.size }
       override def get(): InternalRow = {

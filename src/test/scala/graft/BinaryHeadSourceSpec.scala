@@ -131,12 +131,45 @@ class BinaryHeadSourceSpec extends AnyFunSuite {
     java.nio.file.Files.write(dir.resolve("a.bin"), Array[Byte](1, 2))
     java.nio.file.Files.write(dir.resolve("_MARKER"), Array[Byte](1))
     java.nio.file.Files.write(dir.resolve(".hidden"), Array[Byte](1))
-    val listed = BinaryHeadSource.listFiles(dir.toString + "/*")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val listed = BinaryHeadSource.listFiles(dir.toString + "/*", conf)
       .map(_._1.split('/').last)
     assert(listed == Seq("a.bin"))
-    val viaDir = BinaryHeadSource.listFiles(dir.toString)
+    val viaDir = BinaryHeadSource.listFiles(dir.toString, conf)
       .map(_._1.split('/').last)
     assert(viaDir == Seq("a.bin"))
+  }
+
+  test("distributed listing over a many-subdir corpus equals the driver " +
+    "loop and the scan reads every file once") {
+    val base = java.nio.file.Files.createTempDirectory("graft_head_shard")
+    (0 until 12).foreach { d =>
+      val sub = base.resolve(f"shard=$d%02d")
+      java.nio.file.Files.createDirectories(sub)
+      (0 until 5).foreach { i =>
+        java.nio.file.Files.write(sub.resolve(f"f$i%02d.bin"),
+          Array.tabulate(16 + d + i)(j => (j + d).toByte))
+      }
+      // hidden/marker junk must be skipped on executors too
+      java.nio.file.Files.write(sub.resolve("_MARKER"), Array[Byte](1))
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    // 12 matched dirs >= threshold 4 → executor fan-out; threshold 100
+    // → the driver loop; identical sorted listings
+    val dist = BinaryHeadSource.listFiles(base.toString + "/*", conf, 4)
+    val local = BinaryHeadSource.listFiles(base.toString + "/*", conf, 100)
+    assert(dist == local)
+    assert(dist.size == 60)
+    // the scan itself over the sharded layout: one row per file, head
+    // bytes faithful (drives the broadcast-conf reader path end to end)
+    val rows = spark.read.format("binary-head").option("head", 8)
+      .load(base.toString + "/*").collect()
+      .map(r => (r.getAs[String]("path").split('/').takeRight(2).mkString("/"),
+        r.getAs[Long]("length"), r.getAs[Array[Byte]]("head").toSeq))
+    assert(rows.length == 60)
+    val d3f2 = rows.find(_._1 == "shard=03/f02.bin").get
+    assert(d3f2._2 == 21L)
+    assert(d3f2._3 == (0 until 8).map(j => (j + 3).toByte).toSeq)
   }
 
   test("reported statistics reflect the pruned read, not blob sizes") {
