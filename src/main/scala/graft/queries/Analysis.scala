@@ -541,11 +541,43 @@ object Analysis {
     * round). Same word model as q_chunk_tokens_bpe's oracle: split on
     * the single-space corpus, Ġ prefix on non-initial words.
     */
-  def bpeTrain(s: SparkSession, d: String): DataFrame =
-    graft.operators.BpeTrainer.train(
-      graft.operators.BpeTrainer.weightedVocab(
-        Tables.documents(s, d), col("text")),
-      rounds = 8)
+  def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    cachedMergeSchedule(s, d)._2.toDF("rank", "lhs", "rhs", "pair_freq")
+      .orderBy(col("rank").asc)
+  }
+
+  /** The full 8-round merge schedule (and the base alphabet size),
+    * trained ONCE per documents snapshot and memoized driver-side under
+    * the parquet-footer content fingerprint — the persisted-artifact
+    * discipline every quantizer here follows. All four BPE queries are
+    * views of this one training: the stopping rules only ever TRUNCATE
+    * the schedule (earlier merges are unaffected by when training
+    * stops), so q_bpe_train is the whole schedule, q_bpe_train_vocab a
+    * count prefix, q_bpe_train_floor a takeWhile prefix, and
+    * q_bpe_train_apply its application. Bounded state: 8 merge rows +
+    * one Long per snapshot.
+    */
+  private val mergeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, (Long, Seq[(Long, String, String, Long)]))]()
+
+  private[graft] def cachedMergeSchedule(s: SparkSession, d: String)
+      : (Long, Seq[(Long, String, String, Long)]) = {
+    val fp = SemanticQ.snapshotKey(s, d, "documents")
+    mergeCache.compute(d, (_, prev) =>
+      if (prev != null && prev._1 == fp) prev
+      else {
+        val vocab = graft.operators.BpeTrainer.weightedVocab(
+          Tables.documents(s, d), col("text"))
+        val alphabet = graft.operators.BpeTrainer.alphabetSize(vocab)
+        val schedule = graft.operators.BpeTrainer.train(vocab, rounds = 8)
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+          .toSeq
+        (fp, (alphabet, schedule))
+      })._2
+  }
 
   /** BPE training to a TARGET VOCAB SIZE — how real tokenizer training
     * is parameterized (a 50k-token tokenizer is "vocab_size=50000", not
@@ -555,11 +587,14 @@ object Analysis {
     * the alphabet from the SAME distinct-char count, so the oracle's
     * round filter is exact at any scale factor.
     */
-  def bpeTrainVocab(s: SparkSession, d: String): DataFrame =
-    graft.operators.BpeTrainer.train(
-      graft.operators.BpeTrainer.weightedVocab(
-        Tables.documents(s, d), col("text")),
-      rounds = 8, targetVocab = BpeTargetVocab)
+  def bpeTrainVocab(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val (alphabet, schedule) = cachedMergeSchedule(s, d)
+    schedule.take(math.max(BpeTargetVocab - alphabet.toInt, 0))
+      .toDF("rank", "lhs", "rhs", "pair_freq")
+      .orderBy(col("rank").asc)
+  }
 
   /** BPE training with a MIN-FREQUENCY floor (the `min_frequency` stop
     * of production trainers): training ends at the first round whose
@@ -571,11 +606,13 @@ object Analysis {
     * stop is exercised by the driver's own gate, and it also caps the
     * degenerate one-repeated-pair corpus at one merge.
     */
-  def bpeTrainFloor(s: SparkSession, d: String): DataFrame =
-    graft.operators.BpeTrainer.train(
-      graft.operators.BpeTrainer.weightedVocab(
-        Tables.documents(s, d), col("text")),
-      rounds = 8, minPairFreq = BpeMinPairFreq)
+  def bpeTrainFloor(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    cachedMergeSchedule(s, d)._2.takeWhile(_._4 >= BpeMinPairFreq)
+      .toDF("rank", "lhs", "rhs", "pair_freq")
+      .orderBy(col("rank").asc)
+  }
 
   private val BpeTargetVocab = 31
   private val BpeMinPairFreq = 2000L

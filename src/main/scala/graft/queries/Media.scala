@@ -71,10 +71,11 @@ object Media {
     */
   def mediaFeatures(s: SparkSession, d: String): DataFrame = {
     val base = Multimodal.fromBinaryFiles(s, MediaCorpus.ensure() + "/*")
-    val names = base.select(col("media_id"),
-      regexp_extract(element_at(col("meta"), "path"), "[^/]+$", 0).as("file_name"))
-    Multimodal.extractFeatures(base, dim = 8)
-      .join(names, Seq("media_id"))
+      .withColumn("file_name",
+        regexp_extract(element_at(col("meta"), "path"), "[^/]+$", 0))
+    // file_name rides through the decode — joining it back would
+    // re-execute the blob scan (see dedupAndFeatures)
+    Multimodal.extractFeaturesCarrying(base, dim = 8, carry = Seq("file_name"))
       .select(col("file_name"), col("modality"),
         posexplode(col("features")).as(Seq("dim_idx", "f")))
       .select(col("file_name"), col("modality"), col("dim_idx"),
@@ -95,10 +96,10 @@ object Media {
         when(col("modality") === "video",
           map_concat(col("meta"), map(lit("n_frames"), lit("9"))))
           .otherwise(col("meta")))
-    val names = base.select(col("media_id"),
-      regexp_extract(element_at(col("meta"), "path"), "[^/]+$", 0).as("file_name"))
-    Multimodal.sampleFrames(base, everyNth = 3, dim = 4)
-      .join(names, Seq("media_id"))
+    Multimodal.sampleFrames(
+        base.withColumn("file_name",
+          regexp_extract(element_at(col("meta"), "path"), "[^/]+$", 0)),
+        everyNth = 3, dim = 4, carry = Seq("file_name"))
       .select(col("file_name"), col("frame_no"),
         posexplode(col("features")).as(Seq("dim_idx", "f")))
       .select(col("file_name"), col("frame_no"), col("dim_idx"),
@@ -203,9 +204,11 @@ object Media {
           col("format"), col("bytes")),
         col("file_name")).as("keep"))
       .select(col("keep.*"))
-    val names = deduped.select(col("media_id"), col("file_name"), col("format"))
-    Multimodal.extractFeatures(deduped, dim = 4)
-      .join(names, Seq("media_id"))
+    // file_name/format ride THROUGH the decode — a join back to
+    // `deduped` would re-execute the whole blob scan (measured: it
+    // doubled curate's bytes read at the 10k-file probe)
+    Multimodal.extractFeaturesCarrying(deduped, dim = 4,
+        carry = Seq("file_name", "format"))
       .select(col("file_name"), col("modality").as("kind"), col("format"),
         posexplode(col("features")).as(Seq("dim_idx", "f")))
       .select(col("file_name"), col("kind"), col("format"), col("dim_idx"),

@@ -428,21 +428,36 @@ object Multimodal {
     * how a real vectorized decode (GPU/SIMD codec) is driven; the stub
     * decodes per item inside the batch.
     */
-  def extractFeatures(df: DataFrame, dim: Int, batchSize: Int = 32): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("modality", StringType, nullable = false),
-      StructField("features", ArrayType(FloatType), nullable = true)))
+  def extractFeatures(df: DataFrame, dim: Int, batchSize: Int = 32): DataFrame =
+    extractFeaturesCarrying(df, dim, Seq.empty, batchSize)
+
+  /** [[extractFeatures]] that CARRIES extra columns through the decode
+    * (media_id, modality, carry…, features) — so a pipeline that needs
+    * per-row attributes next to the features (file name, format) gets
+    * them in the same pass instead of joining back to the source,
+    * which would re-execute the blob scan: at corpus scale that join
+    * literally doubles the bytes read.
+    */
+  def extractFeaturesCarrying(df: DataFrame, dim: Int, carry: Seq[String],
+      batchSize: Int = 32): DataFrame = {
+    val schema = StructType(
+      Seq(StructField("media_id", LongType, nullable = false),
+        StructField("modality", StringType, nullable = false)) ++
+      carry.map(c => df.schema(df.schema.fieldIndex(c))) :+
+      StructField("features", ArrayType(FloatType), nullable = true))
     val idIdx = df.schema.fieldIndex("media_id")
     val moIdx = df.schema.fieldIndex("modality")
     val byIdx = df.schema.fieldIndex("bytes")
+    val carryIdx = carry.map(df.schema.fieldIndex).toArray
     implicit val enc = Encoders.row(schema)
     df.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val bytes = if (r.isNullAt(byIdx)) null else r.getAs[Array[Byte]](byIdx)
-          Row(r.getLong(idIdx), r.getString(moIdx),
-            if (bytes == null) null else decodeStub(bytes, dim).toSeq)
+          Row.fromSeq(
+            r.getLong(idIdx) +: r.getString(moIdx) +:
+            (carryIdx.map(r.get).toSeq :+
+              (if (bytes == null) null else decodeStub(bytes, dim).toSeq)))
         }
       }
     }
@@ -452,27 +467,34 @@ object Multimodal {
     * (every `everyNth` of `n_frames` from metadata), with a per-frame
     * pseudo feature. Non-video rows pass through with frame_no = 0.
     */
-  def sampleFrames(df: DataFrame, everyNth: Int, dim: Int): DataFrame = {
+  def sampleFrames(df: DataFrame, everyNth: Int, dim: Int,
+      carry: Seq[String] = Seq.empty): DataFrame = {
     val frames = when(col("modality") === "video",
       sequence(lit(0),
         greatest(coalesce(element_at(col("meta"), "n_frames").cast("int"), lit(1)) - 1, lit(0)),
         lit(everyNth)))
       .otherwise(array(lit(0)))
-    val withFrame = df.select(col("media_id"), col("modality"), col("bytes"),
-      explode(frames).as("frame_no"))
-    val schema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("frame_no", IntegerType, nullable = false),
-      StructField("features", ArrayType(FloatType), nullable = true)))
-    val idIdx = 0; val byIdx = 2; val frIdx = 3
+    val withFrame = df.select(
+      Seq(col("media_id"), col("modality"), col("bytes")) ++
+      carry.map(col) :+ explode(frames).as("frame_no"): _*)
+    val schema = StructType(
+      Seq(StructField("media_id", LongType, nullable = false),
+        StructField("frame_no", IntegerType, nullable = false)) ++
+      carry.map(c => df.schema(df.schema.fieldIndex(c))) :+
+      StructField("features", ArrayType(FloatType), nullable = true))
+    val idIdx = 0; val byIdx = 2
+    val carryIdx = carry.indices.map(_ + 3).toArray
+    val frIdx = 3 + carry.size
     implicit val enc = Encoders.row(schema)
     withFrame.mapPartitions { it =>
       it.map { r =>
         val bytes = if (r.isNullAt(byIdx)) null else r.getAs[Array[Byte]](byIdx)
         val frame = r.getInt(frIdx)
-        Row(r.getLong(idIdx), frame,
-          if (bytes == null) null
-          else decodeStub(bytes :+ frame.toByte, dim).toSeq)
+        Row.fromSeq(
+          r.getLong(idIdx) +: frame.asInstanceOf[Any] +:
+          (carryIdx.map(r.get).toSeq :+
+            (if (bytes == null) null
+             else decodeStub(bytes :+ frame.toByte, dim).toSeq)))
       }
     }
   }

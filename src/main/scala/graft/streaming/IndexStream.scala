@@ -266,6 +266,53 @@ object IndexStream {
     searchCommitted(s, dir, loadQuantizers(s, dir), query, nProbe, k)
   }
 
+  /** Batch IVFADC serving from the COMMITTED code table — the
+    * q_ann_ivfpq_batch shape (per-qid coarse cell lists + per-qid LUTs
+    * as broadcast relations, probed-cells-only scan, one aggregation +
+    * one rank window) pointed at the incrementally-maintained state
+    * instead of a freshly-encoded corpus: how a serving tier answers a
+    * probe batch against the live index. `queries` = (qid, scaled
+    * query vector); returns (qid, rnk, vec_id, adc_scaled), top-k per
+    * qid.
+    */
+  def searchCommittedBatch(s: SparkSession, stateDir: String, q: Quantizers,
+      queries: Seq[(Long, Seq[Long])], nProbe: Int, k: Int): DataFrame = {
+    import s.implicits._
+    val subDim = q.subDim
+    val cellRows = for {
+      (qid, qv) <- queries
+      cid <- q.coarse
+        .map { case (c, cv) => (c, KMeansOp.intDistLocal(cv, qv)) }
+        .sortBy { case (c, dd) => (dd, c) }.take(nProbe).map(_._1)
+    } yield (qid, cid)
+    val probeCells = cellRows.toDF("qid", "cell")
+    val lutRows = for {
+      (qid, qv) <- queries
+      (book, m) <- q.books.zipWithIndex
+      qSub = qv.slice(m * subDim, (m + 1) * subDim)
+      (cid, c) <- book
+    } yield (qid, m, cid, KMeansOp.intDistLocal(c, qSub))
+    val luts = lutRows.toDF("qid", "sub", "code", "d")
+    val m = q.books.size
+    val codes = StreamState.readCommitted(s, stateDir, "codes", codesSchema(m))
+    val cand = codes.join(broadcast(probeCells), Seq("cell"))
+    val codesLong = cand.select(col("qid"), col("vec_id"), posexplode(
+      array((0 until m).map(i => col(s"code_$i")): _*)).as(Seq("sub", "code")))
+    val adc = codesLong
+      .join(broadcast(luts), Seq("qid", "sub", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("d")).as("adc_scaled"), count(lit(1)).as("nsub"))
+      .where(col("nsub") === m)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("adc_scaled").asc, col("vec_id").asc)
+    adc.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"),
+        col("vec_id"), col("adc_scaled"))
+      .orderBy(col("qid").asc, col("rnk").asc)
+  }
+
   /** Quantizer-staleness monitor: committed cell occupancy. A healthy
     * index keeps cells balanced near the training distribution; a
     * drifting ingest concentrates mass in few cells (probe recall

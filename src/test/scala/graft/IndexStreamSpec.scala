@@ -89,6 +89,18 @@ class IndexStreamSpec extends AnyFunSuite {
     val hist = IndexStream.cellHistogram(spark, stateDir).collect()
     assert(hist.map(_.getAs[Long]("n")).sum == rows.length)
 
+    // BATCH serving from the same committed state equals the declared
+    // coarse-filtered batch query (q_ann_ivfpq_batch) probe for probe
+    val probes = rows.filter(_._1 < 3L).map { case (id, e) =>
+      (id, e.map(x => math.floor(x.toDouble * 1e6).toLong)) }
+    val servedBatch = IndexStream.searchCommittedBatch(
+        spark, stateDir, q, probes, nProbe = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val declaredBatch = queries.SemanticQ.queries("q_ann_ivfpq_batch")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(servedBatch == declaredBatch,
+      "batch serving from maintained state diverged from the batch query")
+
     // replay of a committed batch: deterministic overwrite, not append
     IndexStream.processBatch(
       waves(1).toDF("vec_id", "embedding"), 1L, q, stateDir)
