@@ -153,30 +153,60 @@ object Media {
     * file is smaller than the head cap, so both phases see identical
     * bytes and the oracle contract is the same VALUES replay.
     *
-    * Tail-anchored caveat (inherited from the head scan): an Opus/
-    * trailing-moov file larger than the head cap under-reports duration
-    * at the gate — [[Multimodal.fromBinaryFilesHead]] documents the
-    * re-read-then-gate fallback for corpora where that matters.
+    * Gate decisions are exact even for tail-anchored metadata: rows
+    * that are head-UNDECIDABLE (bigger than the cap and unparsed-from-
+    * head, or Opus whose duration lives in the last page) take a full
+    * re-read BEFORE gating — see [[curateRowsHead]]. That set is
+    * exactly the files whose bytes must be read to decide them.
     */
   def mediaCurateHead(s: SparkSession, d: String): DataFrame =
     curateRowsHead(s, MediaCorpus.ensure() + "/*")
 
-  /** The two-phase curate dataflow over any directory glob. */
-  private[graft] def curateRowsHead(s: SparkSession, glob: String): DataFrame = {
-    val gatedHeads = annotateAndGate(Multimodal.fromBinaryFilesHead(s, glob))
-    val survivors = gatedHeads.select(
-      col("media_id"), element_at(col("meta"), "path").as("path"),
-      col("file_name"), col("modality"), col("format"))
-    dedupAndFeatures(Multimodal.withFullBytes(survivors))
+  /** The two-phase curate dataflow over any directory glob. Gate
+    * decisions are EXACT for any corpus, not just under-cap files:
+    * rows whose metadata is head-UNDECIDABLE — the file is larger than
+    * the cap AND its extension maps to a real modality AND either no
+    * container parsed from the head (trailing-moov MP4, SOF-past-EXIF
+    * JPEG, fmt-chunk-past-cap WAV, corrupt) or the format is Opus
+    * (duration lives in the LAST page's granule, so a head parse
+    * UNDER-reports it) — are re-read in full and re-gated on exact
+    * metadata. That set is precisely the files whose bytes MUST be
+    * read to decide them; everything front-loaded (and all junk
+    * extensions, however large) stays head-only.
+    */
+  private[graft] def curateRowsHead(s: SparkSession, glob: String,
+      headBytes: Int = 65536): DataFrame = {
+    val annHead = annotateMeta(Multimodal.fromBinaryFilesHead(s, glob, headBytes))
+    val fileLen = element_at(col("meta"), "length").cast("long")
+    val undecidable = fileLen > headBytes && col("modality") =!= "unknown" &&
+      (col("format").isNull || col("format") === "opus")
+    // head-decided rows: gate on head metadata, survivors re-read in
+    // full for the whole-blob stages
+    val decidedSurvivors = Multimodal.withFullBytes(
+        gateAnnotated(annHead.filter(!undecidable)).select(
+          col("media_id"), element_at(col("meta"), "path").as("path"),
+          col("file_name"), col("modality"), col("format")))
+      .drop("path")
+    // undecidable rows: full re-read FIRST, re-annotate from exact
+    // bytes, then gate — survivors already carry their full bytes
+    val reAnnotated = annotateMeta(
+      Multimodal.withFullBytes(
+          annHead.filter(undecidable)
+            .select(col("media_id"), col("modality"), col("meta"))
+            .withColumn("path", element_at(col("meta"), "path")),
+          "path")
+        .drop("path"))
+    val rereadSurvivors = gateAnnotated(reAnnotated)
+      .select(col("media_id"), col("file_name"), col("modality"),
+        col("format"), col("bytes"))
+    dedupAndFeatures(decidedSurvivors.unionByName(rereadSurvivors))
   }
 
-  /** Stage 1 of the curate dataflow: typed-metadata annotation and the
-    * hygiene/size gates over any canonical media scan. The predicates
-    * only read parsed HEADER metadata, so they are equally valid on a
-    * full-read scan and on the bounded `binary-head` scan.
+  /** Typed-metadata annotation over any canonical media scan
+    * (file_name, format, dur columns added; no filtering).
     */
-  private[graft] def annotateAndGate(base: DataFrame): DataFrame = {
-    val ann = Multimodal.withVideoMeta(
+  private[graft] def annotateMeta(base: DataFrame): DataFrame =
+    Multimodal.withVideoMeta(
       Multimodal.withAudioMeta(Multimodal.withImageMeta(base))
         .withColumnRenamed("duration_ms", "audio_duration_ms"))
       .withColumn("file_name",
@@ -184,12 +214,22 @@ object Media {
       .withColumn("format",
         coalesce(col("img_format"), col("audio_format"), col("video_format")))
       .withColumn("dur", coalesce(col("audio_duration_ms"), col("duration_ms")))
+
+  /** The hygiene/size gates over annotated rows. */
+  private[graft] def gateAnnotated(ann: DataFrame): DataFrame =
     ann.filter(
       col("format").isNotNull && col("modality") =!= "unknown" &&
         (col("modality") =!= "image" ||
           col("width").cast("long") * col("height") >= 4096L) &&
         (!col("modality").isin("audio", "video") || col("dur") >= 1000L))
-  }
+
+  /** Stage 1 of the curate dataflow: annotation + gates in one pass —
+    * valid whenever the scanned bytes decide the metadata exactly (a
+    * full-read scan always; a head scan for files under the cap or
+    * with front-loaded metadata).
+    */
+  private[graft] def annotateAndGate(base: DataFrame): DataFrame =
+    gateAnnotated(annotateMeta(base))
 
   /** Stage 2: exact content dedup over FULL blob bytes (md5 digest,
     * keep the lexicographically first file name) then batched feature

@@ -325,7 +325,7 @@ object MediaCorpus {
       Array.fill[Byte](16)(0)               // md5 of the (absent) audio
   }
 
-  private def oggPage(granule: Long, serial: Int, body: Array[Byte]): Array[Byte] = {
+  private[graft] def oggPage(granule: Long, serial: Int, body: Array[Byte]): Array[Byte] = {
     def le64(v: Long) = Array.tabulate[Byte](8)(k => (v >> (8 * k)).toByte)
     "OggS".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ le64(granule) ++
       le32(serial) ++ Array.fill[Byte](8)(0) ++ Array(1.toByte) ++
@@ -335,7 +335,7 @@ object MediaCorpus {
   /** OGG/Opus: an OpusHead page 0 plus one audio page whose granule
     * position (48 kHz ticks) encodes the duration.
     */
-  private def opus(rate: Int, channels: Int, preSkip: Int, granule: Long): Array[Byte] = {
+  private[graft] def opus(rate: Int, channels: Int, preSkip: Int, granule: Long): Array[Byte] = {
     val head = "OpusHead".getBytes("US-ASCII") ++ Array[Byte](1, channels.toByte,
       preSkip.toByte, (preSkip >> 8).toByte,
       rate.toByte, (rate >> 8).toByte, (rate >> 16).toByte, (rate >> 24).toByte,

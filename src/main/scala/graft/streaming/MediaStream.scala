@@ -53,38 +53,38 @@ object MediaStream {
     */
   def processBatch(batch: Dataset[Row], batchId: Long, stateDir: String,
       outDir: String, rejectDir: String, autoCompactEvery: Int = 0): Unit = {
-    val (wellFormed, _) =
-      annotateAndQuarantine(batch.toDF(), batchId, rejectDir)
-    dedupAndAppend(wellFormed, batch.select(col("media_id")), batchId,
-      stateDir, outDir, autoCompactEvery)
+    val ann = annotateMedia(batch.toDF())
+    quarantineRows(ann)
+      .write.mode("overwrite").parquet(s"$rejectDir/batch_id=$batchId")
+    dedupAndAppend(ann.filter(isWellFormed), batch.select(col("media_id")),
+      batchId, stateDir, outDir, autoCompactEvery)
   }
 
-  /** The parse-and-gate front half: typed-metadata annotation over
-    * whatever `bytes` the rows carry (full blobs or bounded heads —
-    * the parsers only read header bytes either way), rejected rows
-    * written to the batch's quarantine with a triage `reason`. Returns
-    * (wellFormed, rejected).
+  /** Typed-metadata annotation over whatever `bytes` the rows carry
+    * (full blobs or bounded heads — the parsers only read header bytes
+    * either way). Checkpointed: parsed once, feeds gate + quarantine.
     */
-  private def annotateAndQuarantine(batch: DataFrame, batchId: Long,
-      rejectDir: String): (DataFrame, DataFrame) = {
-    val ann = Multimodal.withVideoMeta(
+  private def annotateMedia(batch: DataFrame): DataFrame =
+    Multimodal.withVideoMeta(
       Multimodal.withAudioMeta(Multimodal.withImageMeta(batch))
         .withColumnRenamed("duration_ms", "audio_duration_ms"))
       .withColumn("format",
         coalesce(col("img_format"), col("audio_format"), col("video_format")))
       .withColumn("duration_ms",
         coalesce(col("audio_duration_ms"), col("duration_ms")))
-      .localCheckpoint() // parsed once; feeds both the gate and the quarantine
-    // quarantine, with the reason a pipeline operator triages by
-    val rejected = ann
-      .filter(col("modality") === "unknown" || col("format").isNull)
-      .select(col("media_id"), col("modality"),
-        when(col("modality") === "unknown", "unmapped_extension")
-          .otherwise("container_parse_failed").as("reason"))
-    rejected.write.mode("overwrite").parquet(s"$rejectDir/batch_id=$batchId")
-    (ann.filter(col("modality") =!= "unknown" && col("format").isNotNull),
-      rejected)
-  }
+      .localCheckpoint()
+
+  private def isWellFormed =
+    col("modality") =!= "unknown" && col("format").isNotNull
+
+  /** The quarantine rows, with the reason a pipeline operator triages
+    * by.
+    */
+  private def quarantineRows(ann: DataFrame): DataFrame = ann
+    .filter(col("modality") === "unknown" || col("format").isNull)
+    .select(col("media_id"), col("modality"),
+      when(col("modality") === "unknown", "unmapped_extension")
+        .otherwise("container_parse_failed").as("reason"))
 
   /** The dedup-and-append back half over gate survivors whose `bytes`
     * column carries FULL blobs (the digest and the corpus row are
@@ -146,17 +146,36 @@ object MediaStream {
   def processBatchHead(paths: Dataset[Row], batchId: Long, stateDir: String,
       outDir: String, rejectDir: String, headBytes: Int = 65536,
       autoCompactEvery: Int = 0): Unit = {
-    val canonicalHeads = toCanonical(
+    val heads = annotateMedia(toCanonical(
       Multimodal.withHeadBytes(
         paths.select(col("path"), col("length")), "path", headBytes)
-        .withColumnRenamed("bytes", "content"))
-    val (wellFormed, _) =
-      annotateAndQuarantine(canonicalHeads, batchId, rejectDir)
-    // phase 2: survivors only — swap the head slice for the full blob
-    val survivors = Multimodal.withFullBytes(
-      wellFormed.drop("bytes")
+        .withColumnRenamed("bytes", "content")))
+    // a file LARGER than the cap whose container did not parse from
+    // its head is UNDECIDABLE there (trailing-moov MP4, SOF-past-EXIF
+    // JPEG) — quarantining it on the head parse would be wrong. Those
+    // rows take a full re-read + re-annotation BEFORE the quarantine
+    // decision; junk extensions stay head-only however large.
+    val undecidable = element_at(col("meta"), "length").cast("long") > headBytes &&
+      col("modality") =!= "unknown" && col("format").isNull
+    val decided = heads.filter(!undecidable)
+    val redone = annotateMedia(
+      Multimodal.withFullBytes(
+          heads.filter(undecidable)
+            .select(col("media_id"), col("modality"), col("meta"))
+            .withColumn("path", element_at(col("meta"), "path")),
+          "path")
+        .drop("path"))
+    quarantineRows(decided).unionByName(quarantineRows(redone))
+      .write.mode("overwrite").parquet(s"$rejectDir/batch_id=$batchId")
+    // phase 2: head-decided survivors swap the head slice for the full
+    // blob; re-read survivors already carry theirs
+    val decidedSurvivors = Multimodal.withFullBytes(
+      decided.filter(isWellFormed).drop("bytes")
         .withColumn("path", element_at(col("meta"), "path")),
       "path").drop("path")
+    val survivors = decidedSurvivors
+      .unionByName(redone.filter(isWellFormed)
+        .select(decidedSurvivors.columns.map(col).toSeq: _*))
     dedupAndAppend(survivors,
       paths.select(xxhash64(col("path")).as("media_id")), batchId,
       stateDir, outDir, autoCompactEvery)

@@ -145,6 +145,47 @@ class MediaStreamSpec extends AnyFunSuite {
       "the rejected junk blob's bytes leaked into a full read")
   }
 
+  test("processBatchHead: a head-undecidable trailing-moov MP4 is re-read " +
+    "in full and ingested, never quarantined off its head parse") {
+    import graft.sources.{MediaCorpus, MediaIo}
+    val cap = 2048
+    val watch = java.nio.file.Files.createTempDirectory("graft_msh3_in")
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_msh3_state").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_msh3_out").toString
+    val rejDir = java.nio.file.Files.createTempDirectory("graft_msh3_rej").toString
+    def be32(v: Int) = Array[Byte](
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val faststart = MediaCorpus.mp4(timescale = 1000, duration = 4000L)
+    val junkPayload = Array.tabulate(5000)(i => (i * 17 + 3).toByte)
+    val mdat = be32(8 + junkPayload.length) ++ "mdat".getBytes("US-ASCII") ++ junkPayload
+    java.nio.file.Files.write(watch.resolve("tm.mp4"),
+      faststart.take(16) ++ mdat ++ faststart.drop(16))
+    java.nio.file.Files.write(watch.resolve("big.bin"),
+      Array.tabulate(10000)(i => (i * 31).toByte))
+    val paths = new java.io.File(watch.toString).listFiles().toSeq
+      .map(f => (f.getPath, f.length)).toDF("path", "length")
+    MediaIo.reset()
+    MediaStream.processBatchHead(paths, 0L, stateDir, outDir, rejDir,
+      headBytes = cap)
+    val kept = spark.read.parquet(outDir)
+      .select(element_at(col("meta"), "path"), col("format"), col("duration_ms"))
+      .collect().map(r => (r.getString(0).split('/').last, r.getString(1),
+        r.getLong(2))).toSet
+    assert(kept == Set(("tm.mp4", "mp4", 4000L)),
+      "the trailing-moov file must ingest with exact full-parse metadata")
+    val rejected = spark.read.parquet(rejDir).select("reason")
+      .collect().map(_.getString(0)).toSeq
+    assert(rejected == Seq("unmapped_extension"), s"got $rejected")
+    val fullReads = {
+      val it = MediaIo.fullReadPaths.iterator()
+      val b = Set.newBuilder[String]
+      while (it.hasNext) b += it.next().split('/').last
+      b.result()
+    }
+    assert(fullReads == Set("tm.mp4"),
+      s"only the undecidable/surviving file may be fully read: $fullReads")
+  }
+
   test("processBatchHead replay reproduces the same kept set (overwrite, " +
     "not append)") {
     val watch = java.nio.file.Files.createTempDirectory("graft_msh2_in")
