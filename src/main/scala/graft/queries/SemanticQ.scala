@@ -476,6 +476,36 @@ object SemanticQ {
         (col("n_hits") * lit(1000000L) / lit(10L)).cast("long").as("recall_ppm"))
   }
 
+  /** Recall of the BATCH IVFADC path, aggregated over the probe SET —
+    * the monitor a serving tier actually publishes (per-probe recall is
+    * noise; the fleet metric is the mean): hits of the coarse-filtered
+    * batch top-3 against each probe's integer-exact top-3, as one
+    * BIGINT ppm over all probe·k pairs. The exact side is the standard
+    * batch-exact shape (3 broadcast probe vectors against one corpus
+    * scan, qid-partitioned rank).
+    */
+  def recallIvfPqBatchQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vecs = intVecs(s, d)
+    val qids = Seq(0L, 1L, 2L)
+    val probeDf = vecs.where(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("d").asc, col("vec_id").asc)
+    val exact = vecs.crossJoin(broadcast(probeDf))
+      .select(col("qid"), col("vec_id"),
+        KMeansOp.intDist(col("v"), col("qv")).as("d"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("qid"), col("vec_id"))
+    val approx = annIvfPqBatchQ(s, d).select(col("qid"), col("vec_id"))
+    exact.join(approx, Seq("qid", "vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("n_hits"),
+        (col("n_hits") * lit(1000000L) / lit(9L)).cast("long").as("recall_ppm"))
+  }
+
   /** Index-quality monitoring for the PQ tier: recall@10 of the ADC
     * top-10 against the integer-exact top-10 for the same probe — the
     * compression-loss metric that sizes m and k in production (the PQ
@@ -559,6 +589,7 @@ object SemanticQ {
     "q_ann_ivfpq_res" -> annIvfPqResQ,
     "q_ann_pq_batch" -> annPqBatchQ,
     "q_ann_ivfpq_batch" -> annIvfPqBatchQ,
+    "q_recall_ivfpq_batch" -> recallIvfPqBatchQ,
     "q_recall_pq" -> recallPqQ,
     "q_recall_ivfpq" -> recallIvfPqQ,
   )
@@ -725,7 +756,54 @@ object SemanticQ {
        |  $joins)""".stripMargin
   }
 
+  /** The q_ann_ivfpq_batch CTE chain, through `ranked(qid, vec_id,
+    * adc_scaled, rnk)` — shared with the batch recall monitor.
+    */
+  private lazy val ivfPqBatchChainSql: String = {
+    val lutbs = (0 until PqM).map { m =>
+      s"""lutb$m AS (SELECT qb.vec_id AS qid, $m AS sub, c.cid AS code,
+         |  ${idistSql("c.c", "qb.v")} AS d
+         |  FROM c2_s$m c CROSS JOIN
+         |    (SELECT vec_id, v FROM q_s$m WHERE vec_id IN (0, 1, 2)) qb)""".stripMargin
+    }
+    val lutUnion = (0 until PqM).map(m => s"SELECT * FROM lutb$m")
+      .mkString(" UNION ALL ")
+    val codesUnion = (0 until PqM)
+      .map(m => s"SELECT vec_id, $m AS sub, cid AS code FROM a3_s$m")
+      .mkString(" UNION ALL ")
+    s"""$lloydSql,
+       |$pqChainsSql,
+       |${lutbs.mkString(",\n")},
+       |luts AS ($lutUnion),
+       |codes_long AS ($codesUnion),
+       |qb AS (SELECT vec_id AS qid, v FROM q WHERE vec_id IN (0, 1, 2)),
+       |pcb AS (SELECT qid, cid FROM (
+       |    SELECT qb.qid, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY qb.qid
+       |        ORDER BY ${idistSql("c.c", "qb.v")} ASC, c.cid ASC) AS rn
+       |    FROM c2 c CROSS JOIN qb) WHERE rn <= 2),
+       |cand AS (SELECT pcb.qid, a3.vec_id FROM a3 JOIN pcb ON a3.cid = pcb.cid),
+       |adc AS (SELECT l.qid, c.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc_scaled
+       |  FROM codes_long c JOIN luts l ON c.sub = l.sub AND c.code = l.code
+       |  GROUP BY l.qid, c.vec_id HAVING COUNT(*) = $PqM),
+       |ranked AS (SELECT adc.qid, adc.vec_id, adc.adc_scaled,
+       |    ROW_NUMBER() OVER (PARTITION BY adc.qid
+       |      ORDER BY adc.adc_scaled ASC, adc.vec_id ASC) AS rnk
+       |  FROM adc JOIN cand ON adc.qid = cand.qid AND adc.vec_id = cand.vec_id)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_recall_ivfpq_batch" ->
+      s"""WITH $ivfPqBatchChainSql,
+         |approx AS (SELECT qid, vec_id FROM ranked WHERE rnk <= 3),
+         |exact AS (SELECT qid, vec_id FROM (
+         |    SELECT qb.qid, q.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY qb.qid
+         |        ORDER BY ${idistSql("q.v", "qb.v")} ASC, q.vec_id ASC) AS rn
+         |    FROM q CROSS JOIN qb) WHERE rn <= 3)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
+         |  CAST(COUNT(*) * 1000000 / 9 AS BIGINT) AS recall_ppm
+         |FROM exact JOIN approx USING (qid, vec_id)""".stripMargin,
     "q_pq_codes" -> {
       val codeCols = (0 until PqM)
         .map(s => s"p$s.cid AS code_$s").mkString(", ")
@@ -782,41 +860,11 @@ object SemanticQ {
          |FROM ranked WHERE rnk <= 3
          |ORDER BY qid ASC, rnk ASC""".stripMargin
     },
-    "q_ann_ivfpq_batch" -> {
-      val lutbs = (0 until PqM).map { m =>
-        s"""lutb$m AS (SELECT qb.vec_id AS qid, $m AS sub, c.cid AS code,
-           |  ${idistSql("c.c", "qb.v")} AS d
-           |  FROM c2_s$m c CROSS JOIN
-           |    (SELECT vec_id, v FROM q_s$m WHERE vec_id IN (0, 1, 2)) qb)""".stripMargin
-      }
-      val lutUnion = (0 until PqM).map(m => s"SELECT * FROM lutb$m")
-        .mkString(" UNION ALL ")
-      val codesUnion = (0 until PqM)
-        .map(m => s"SELECT vec_id, $m AS sub, cid AS code FROM a3_s$m")
-        .mkString(" UNION ALL ")
-      s"""WITH $lloydSql,
-         |$pqChainsSql,
-         |${lutbs.mkString(",\n")},
-         |luts AS ($lutUnion),
-         |codes_long AS ($codesUnion),
-         |qb AS (SELECT vec_id AS qid, v FROM q WHERE vec_id IN (0, 1, 2)),
-         |pcb AS (SELECT qid, cid FROM (
-         |    SELECT qb.qid, c.cid,
-         |      ROW_NUMBER() OVER (PARTITION BY qb.qid
-         |        ORDER BY ${idistSql("c.c", "qb.v")} ASC, c.cid ASC) AS rn
-         |    FROM c2 c CROSS JOIN qb) WHERE rn <= 2),
-         |cand AS (SELECT pcb.qid, a3.vec_id FROM a3 JOIN pcb ON a3.cid = pcb.cid),
-         |adc AS (SELECT l.qid, c.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc_scaled
-         |  FROM codes_long c JOIN luts l ON c.sub = l.sub AND c.code = l.code
-         |  GROUP BY l.qid, c.vec_id HAVING COUNT(*) = $PqM),
-         |ranked AS (SELECT adc.qid, adc.vec_id, adc.adc_scaled,
-         |    ROW_NUMBER() OVER (PARTITION BY adc.qid
-         |      ORDER BY adc.adc_scaled ASC, adc.vec_id ASC) AS rnk
-         |  FROM adc JOIN cand ON adc.qid = cand.qid AND adc.vec_id = cand.vec_id)
+    "q_ann_ivfpq_batch" ->
+      s"""WITH $ivfPqBatchChainSql
          |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, adc_scaled
          |FROM ranked WHERE rnk <= 3
-         |ORDER BY qid ASC, rnk ASC""".stripMargin
-    },
+         |ORDER BY qid ASC, rnk ASC""".stripMargin,
     "q_ann_ivfpq_res" ->
       s"""WITH $lloydSql,
          |$pqResSql,

@@ -261,6 +261,49 @@ class PqSpec extends AnyFunSuite {
     assert(got.filter(_._1 == 0L).map(r => (r._3, r._4)) == single)
   }
 
+  test("q_recall_ivfpq_batch at sf0.001: hits recomputed from both the " +
+    "exact and coarse-filtered-batch sides") {
+    val d = TestSpark.sf0001
+    val (vecs, books, codes) = referencePq(d)
+    val subDim = 16
+    def dist(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val sorted = vecs.toSeq.sortBy(_._1)
+    var cents: Seq[(Long, Array[Long])] = sorted.take(8).map(v => v._1 -> v._2)
+    def assign() = sorted.map { case (id, v) =>
+      id -> cents.map { case (c, cv) => (c, dist(v, cv)) }
+        .minBy { case (c, dd) => (dd, c) }._1
+    }
+    for (_ <- 1 to 2) {
+      cents = assign().groupBy(_._2).toSeq.map { case (cid, members) =>
+        val vs = members.map(m => vecs(m._1))
+        cid -> Array.tabulate(vs.head.length)(j =>
+          math.floor(vs.map(_(j)).sum.toDouble / vs.length).toLong)
+      }.sortBy(_._1)
+    }
+    val cellOf = assign().toMap
+    val hits = Seq(0L, 1L, 2L).map { qid =>
+      val qv = vecs(qid)
+      val probed = cents.map { case (cid, c) => (cid, dist(c, qv)) }
+        .sortBy { case (cid, dd) => (dd, cid) }.take(2).map(_._1).toSet
+      val luts = books.zipWithIndex.map { case (book, s) =>
+        val qs = qv.slice(s * subDim, (s + 1) * subDim)
+        book.map { case (cid, c) => cid -> dist(c, qs) }.toMap
+      }
+      val approx3 = codes.toSeq
+        .filter { case (id, _) => probed.contains(cellOf(id)) }
+        .map { case (id, cs) =>
+          id -> cs.zipWithIndex.map { case (c, s) => luts(s)(c) }.sum }
+        .sortBy { case (id, adc) => (adc, id) }.take(3).map(_._1).toSet
+      val exact3 = vecs.toSeq.map { case (id, v) => (id, dist(v, qv)) }
+        .sortBy { case (id, dd) => (dd, id) }.take(3).map(_._1).toSet
+      (exact3 & approx3).size
+    }.sum
+    val row = queries.SemanticQ.queries("q_recall_ivfpq_batch")(spark, d).head()
+    assert(row.getLong(0) == hits.toLong)
+    assert(row.getLong(1) == hits.toLong * 1000000L / 9L)
+  }
+
   test("ivfpq batch plan: cell filter joins BEFORE the ADC melt, both " +
     "small relations broadcast, exchanges stay at aggregation + rank") {
     val df = queries.SemanticQ.queries("q_ann_ivfpq_batch")(spark, TestSpark.sf0001)
