@@ -55,7 +55,13 @@ object ScaleProbe {
     // which grows Heaps-sublinearly in corpus size (the probe corpus
     // resamples from the same word distribution, so vocab growth is
     // the realistic new-tail rate); apply is corpus-linear
-    "q_bpe_train", "q_bpe_train_apply")
+    // (the r15 _vocab/_floor variants are prefix views of the same
+    // cached schedule — q_bpe_train's row IS their scaling story)
+    "q_bpe_train", "q_bpe_train_apply",
+    // round 15: coarse-filtered batch ADC serving + its recall monitor
+    // — one indexProjection scan, broadcast cell/LUT joins, one
+    // aggregation; the recall adds one exact broadcast-probe scan
+    "q_ann_ivfpq_batch", "q_recall_ivfpq_batch")
 
   private def mix(a: Long, b: Long, c: Long): Long = {
     var h = a * 0x9E3779B97F4A7C15L + b * 0xC2B2AE3D27D4EB4FL + c * 0x165667B19E3779F9L
