@@ -147,6 +147,23 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(got == ref)
     assert(got.length == 8)
   }
+  test("the argmax pair count never increases across merge rounds — the " +
+    "invariant the floor oracle's cnt>=floor filter is sound by — on " +
+    "300 seeded random vocabs") {
+    val rnd = new scala.util.Random(20260815)
+    val syms = Vector("a", "b", "c")
+    for (_ <- 1 to 300) {
+      val vocab: Map[Vector[String], Long] =
+        Vector.fill(1 + rnd.nextInt(8)) {
+          Vector.fill(1 + rnd.nextInt(6))(syms(rnd.nextInt(syms.size))) ->
+            (1L + rnd.nextInt(50))
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+      val counts = referenceTrain(vocab, rounds = 12).map(_._4)
+      assert(counts == counts.sorted.reverse,
+        s"argmax count increased across rounds: $counts for $vocab")
+    }
+  }
+
   test("min-frequency floor stops training at the first sub-floor round " +
     "and the floor is prefix-sound (max pair count never increases)") {
     // low-entropy corpus: one dominant pair, then a long noise tail
