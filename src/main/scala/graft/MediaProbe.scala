@@ -87,6 +87,30 @@ object MediaProbe {
         f"tracked_full=${fullB / 1e6}%.1fMB tracked_head=${headB / 1e6}%.1fMB")
       (name, b, m, p, fullB, headB)
     }
+    // tail-anchored variant: two corpora identical in file COUNT and
+    // decisions, differing only in the SIZE of gate-rejected
+    // trailing-moov MP4s (1 MiB vs 8 MiB payloads). With head+tail
+    // decisions, curate_head's wall and full-read bytes must stay flat
+    // as those files grow — the byte-level proof that undecidables no
+    // longer inflate blob I/O past gate survivors.
+    val tailVariant = Seq(("small", 1 << 20), ("large", 8 << 20)).map {
+      case (tag, payload) =>
+        val d = sources.MediaScaleCorpus.ensureTailAnchored(100, payload)
+        val secs = medianOf((1 to reps).map(_ =>
+          time(dir => queries.Media.curateRowsHead(spark, dir + "/*"), d)))
+        sources.MediaIo.reset()
+        time(dir => queries.Media.curateRowsHead(spark, dir + "/*"), d)
+        val (fullB, tailB) =
+          (sources.MediaIo.fullBytes.get, sources.MediaIo.tailBytes.get)
+        println(f"[media-probe] tailvar_$tag%-7s payload=${payload / (1 << 20)}MiB " +
+          f"sec=$secs%7.2f tracked_full=${fullB / 1e6}%.1fMB " +
+          f"tracked_tail=${tailB / 1e6}%.1fMB")
+        (tag, secs, fullB, tailB)
+    }
+    val tvjson = tailVariant.map { case (t, s, fullB, tailB) =>
+      s"${Jsons.escape(t)}:{" +
+        s""""sec":$s,"tracked_full_bytes":$fullB,"tracked_tail_bytes":$tailB}"""
+    }.mkString(",")
     val qjson = rows.map { case (n, b, m, p, fullB, headB) =>
       s"${Jsons.escape(n)}:{" +
         s""""base_sec":$b,"mid_sec":$m,"probe_sec":$p,""" +
@@ -97,7 +121,8 @@ object MediaProbe {
     val json =
       s"""{"probe":"media","files_base":$baseN,"files_ratio_mid":10,""" +
         s""""files_ratio_probe":100,"cpus":$cpus,"reps":$reps,""" +
-        s""""timing":"noop_write","corpus_bytes":{$bjson},"queries":{$qjson}}"""
+        s""""timing":"noop_write","corpus_bytes":{$bjson},""" +
+        s""""tail_variant":{$tvjson},"queries":{$qjson}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()

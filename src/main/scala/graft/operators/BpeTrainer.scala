@@ -28,6 +28,12 @@ import org.apache.spark.sql.functions._
   * Rounds are bounded (R merges requested); a real 50k-vocab training
   * is the same loop with R=50k — each round stays one bounded-aggregate
   * pass over a vocab table that SHRINKS as merges fuse symbols.
+  * Measured round cost (BpeTrainerSpec's 300-merge fixture, local[32]):
+  * ~194 ms/round FLAT across all 300 rounds — the per-round cost is
+  * job-scheduling dominated at small vocab sizes and tracks vocab
+  * bytes, not rounds elapsed; the schedule past the oracle's 8-round
+  * unroll ceiling is pinned merge-for-merge against an independent
+  * scalar trainer by that spec.
   *
   * Reference tie: the reference consumes a pretrained tokenizer
   * implicitly through its embedding model (SURVEY §0); training one is

@@ -962,7 +962,7 @@ object Analysis {
        |mm AS ($unions)
        |SELECT CAST(r AS BIGINT) AS rank, x AS lhs, y AS rhs, cnt AS pair_freq
        |FROM mm CROSS JOIN alpha
-       |WHERE r <= greatest(31 - alpha.n, 0)
+       |WHERE r <= greatest($BpeTargetVocab - alpha.n, 0)
        |ORDER BY rank ASC""".stripMargin
   }
 
@@ -979,7 +979,7 @@ object Analysis {
     s"""WITH $bpeTrainChainsSql
        |SELECT CAST(r AS BIGINT) AS rank, x AS lhs, y AS rhs, cnt AS pair_freq
        |FROM ($unions)
-       |WHERE cnt >= 2000
+       |WHERE cnt >= $BpeMinPairFreq
        |ORDER BY rank ASC""".stripMargin
   }
 

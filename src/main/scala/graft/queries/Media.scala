@@ -169,13 +169,23 @@ object Media {
     * container parsed from the head (trailing-moov MP4, SOF-past-EXIF
     * JPEG, fmt-chunk-past-cap WAV, corrupt) or the format is Opus
     * (duration lives in the LAST page's granule, so a head parse
-    * UNDER-reports it) — are re-read in full and re-gated on exact
-    * metadata. That set is precisely the files whose bytes MUST be
-    * read to decide them; everything front-loaded (and all junk
-    * extensions, however large) stays head-only.
+    * UNDER-reports it) — take a bounded TAIL read next, and the
+    * two-window parsers ([[Multimodal.videoMetaHeadTail]],
+    * [[Multimodal.opusMetaHeadTail]]) decide tail-anchored A/V
+    * metadata exactly at ≤(head+tail) bytes per file: a trailing-moov
+    * MP4's box walk skips the unread gap by size fields, an Opus
+    * duration re-syncs on the validated last page. Three-way outcome:
+    * decided-parsed rows gate on exact metadata; decided-unparseable
+    * rows gate out with NO further I/O (a full parse fails
+    * identically); only genuinely window-undecidable rows (mid-file
+    * moov, non-Ogg audio, JPEG SOF past the cap) pay the full re-read.
+    * Full-blob reads are therefore exactly: gate survivors (digest +
+    * features need whole bytes regardless) plus the window-undecidable
+    * residue — never a multi-GB blob whose gate decision lived in its
+    * first or last 64 KiB.
     */
   private[graft] def curateRowsHead(s: SparkSession, glob: String,
-      headBytes: Int = 65536): DataFrame = {
+      headBytes: Int = 65536, tailBytes: Int = 65536): DataFrame = {
     val annHead = annotateMeta(Multimodal.fromBinaryFilesHead(s, glob, headBytes))
     val fileLen = element_at(col("meta"), "length").cast("long")
     val undecidable = fileLen > headBytes && col("modality") =!= "unknown" &&
@@ -187,19 +197,39 @@ object Media {
           col("media_id"), element_at(col("meta"), "path").as("path"),
           col("file_name"), col("modality"), col("format")))
       .drop("path")
-    // undecidable rows: full re-read FIRST, re-annotate from exact
-    // bytes, then gate — survivors already carry their full bytes
+    // undecidable rows: bounded tail read + two-window decision.
+    // Checkpointed so the (small) undecidable set pays its tail reads
+    // once across the decided/residual consumers.
+    val htUdf = udf(Multimodal.headTailAvMeta _)
+    val withTail = Multimodal.withTailBytes(
+        annHead.filter(undecidable)
+          .withColumn("path", element_at(col("meta"), "path")),
+        "path", tailBytes)
+      .withColumn("ht",
+        htUdf(col("modality"), col("bytes"), col("tail_bytes"), fileLen))
+      .localCheckpoint()
+    val tailDecided = withTail.filter(col("ht").isNotNull)
+      .withColumn("format", col("ht._2"))
+      .withColumn("dur", when(col("ht._1"), col("ht._5")))
+    val tailSurvivors = Multimodal.withFullBytes(
+        gateAnnotated(tailDecided).select(
+          col("media_id"), col("path"), col("file_name"), col("modality"),
+          col("format")))
+      .drop("path")
+    // window-undecidable residue: full re-read FIRST, re-annotate from
+    // exact bytes, then gate — survivors already carry their full bytes
     val reAnnotated = annotateMeta(
       Multimodal.withFullBytes(
-          annHead.filter(undecidable)
-            .select(col("media_id"), col("modality"), col("meta"))
-            .withColumn("path", element_at(col("meta"), "path")),
+          withTail.filter(col("ht").isNull)
+            .select(col("media_id"), col("modality"), col("meta"), col("path")),
           "path")
         .drop("path"))
     val rereadSurvivors = gateAnnotated(reAnnotated)
       .select(col("media_id"), col("file_name"), col("modality"),
         col("format"), col("bytes"))
-    dedupAndFeatures(decidedSurvivors.unionByName(rereadSurvivors))
+    dedupAndFeatures(decidedSurvivors
+      .unionByName(tailSurvivors)
+      .unionByName(rereadSurvivors))
   }
 
   /** Typed-metadata annotation over any canonical media scan

@@ -398,38 +398,60 @@ object SemanticQ {
 
   /** Batch IVFADC serving — [[annPqBatchQ]] composed with the coarse
     * probe-cell filter, so batch serving gets the same |probed|/k scan
-    * cut the single-probe q_ann_ivfpq has: the per-qid 2-nearest-cell
-    * lists are picked driver-side (Q·k bounded distances) and shipped
-    * as a BROADCAST relation joined against the indexed code table's
-    * `cell` column BEFORE the ADC melt — only probed-cell rows ever
-    * reach the LUT join and the (qid, vec) aggregation. The LUTs stay
-    * a broadcast relation as in q_ann_pq_batch (thousands of probes
-    * can't be plan literals); exchanges stay at the aggregation + the
-    * qid rank window. This is the FAISS batch-query path over the
-    * persisted IVFADC index.
+    * cut the single-probe q_ann_ivfpq has. The declared contract is the
+    * 3-probe set (vec_ids 0/1/2) at nProbe=2; the dataflow itself
+    * ([[annIvfPqBatch]]) never collects a probe vector.
     */
   def annIvfPqBatchQ(s: SparkSession, d: String): DataFrame = {
+    val probes = intVecs(s, d).where(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("qid"), col("v"))
+    annIvfPqBatch(intVecs(s, d), probes, trainedCentroids(s, d),
+      pqCodebooks(s, d), nProbe = 2, topK = 3)
+  }
+
+  /** The batch IVFADC serving DATAFLOW over an arbitrary probe frame
+    * (qid, v) — the FAISS batch-query path over the persisted index,
+    * with BOTH sides distributed (the reference's bulk fan-in,
+    * `/root/reference/rag_model_mass.py:37`, `app.py:138`, at fleet
+    * scale — thousands of concurrent probes are a DataFrame, not a
+    * driver loop):
+    *
+    *  - per-qid nProbe-nearest coarse cells: the same literal-argmin
+    *    projection the corpus side's indexProjection uses, generalized
+    *    to argmin-n via `array_sort` over (dist, cid) structs (ties to
+    *    the lower cid — the shared engine/oracle convention), then a
+    *    bounded explode. Shuffle-free; the centroids are k·d literals.
+    *  - per-qid ADC LUTs: the probes joined against the BOUNDED
+    *    codebook-entry relation (m·k rows, broadcast) with a
+    *    per-subspace slice — Q·m·k LUT rows built by executors,
+    *    never on the driver.
+    *  - the probe-cell list and the LUT relation ship as BROADCAST
+    *    relations; the cell join prunes the code table BEFORE the ADC
+    *    melt, so only probed-cell rows reach the LUT join and the
+    *    (qid, vec) aggregation. Exchanges stay at the aggregation +
+    *    the qid rank window regardless of probe count.
+    */
+  private[graft] def annIvfPqBatch(vecs: DataFrame, probes: DataFrame,
+      coarse: Seq[(Long, Seq[Long])], books: Seq[Seq[(Long, Seq[Long])]],
+      nProbe: Int, topK: Int): DataFrame = {
+    val s = vecs.sparkSession
     import s.implicits._
-    val coarse = trainedCentroids(s, d)
-    val books = pqCodebooks(s, d)
-    val vecs = intVecs(s, d)
-    val qids = Seq(0L, 1L, 2L)
-    val probes = vecs.where(col("vec_id").isin(qids: _*))
-      .select(col("vec_id"), col("v")).as[(Long, Seq[Long])].collect().toMap
-    val cellRows = for {
-      qid <- qids
-      cid <- coarse
-        .map { case (c, cv) => (c, KMeansOp.intDistLocal(cv, probes(qid))) }
-        .sortBy { case (c, dd) => (dd, c) }.take(2).map(_._1)
-    } yield (qid, cid)
-    val probeCells = cellRows.toDF("qid", "cell")
-    val lutRows = for {
-      qid <- qids
+    val cellArr = array_sort(array(coarse.map { case (cid, cv) =>
+      struct(KMeansOp.intDist(col("v"), typedLit(cv)).as("dist"),
+        lit(cid).as("cid"))
+    }: _*))
+    val probeCells = probes
+      .select(col("qid"), explode(slice(cellArr, 1, nProbe)).as("pc"))
+      .select(col("qid"), col("pc.cid").as("cell"))
+    val bookRows = (for {
       (book, m) <- books.zipWithIndex
-      qSub = probes(qid).slice(m * PqSubDim, (m + 1) * PqSubDim)
       (cid, c) <- book
-    } yield (qid, m, cid, KMeansOp.intDistLocal(c, qSub))
-    val luts = lutRows.toDF("qid", "sub", "code", "d")
+    } yield (m, cid, c)).toDF("sub", "code", "c")
+    val luts = probes.crossJoin(broadcast(bookRows))
+      .select(col("qid"), col("sub"), col("code"),
+        KMeansOp.intDist(
+          slice(col("v"), col("sub") * lit(PqSubDim) + lit(1), lit(PqSubDim)),
+          col("c")).as("d"))
     val indexed = graft.operators.ProductQuantizer
       .indexProjection(vecs, coarse, books, PqSubDim)
     // coarse filter FIRST: the broadcast (qid, cell) join prunes the
@@ -446,10 +468,50 @@ object SemanticQ {
       .partitionBy(col("qid"))
       .orderBy(col("adc_scaled").asc, col("vec_id").asc)
     adc.withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= 3)
+      .where(col("rnk") <= topK)
       .select(col("qid"), col("rnk").cast("long").as("rnk"),
         col("vec_id"), col("adc_scaled"))
       .orderBy(col("qid").asc, col("rnk").asc)
+  }
+
+  /** The reference's bulk shortlist served from the COMPRESSED index —
+    * q_shortlist's contract (`/root/reference/rag_model_mass.py:17-47`:
+    * top-N files for the vec_id=0 probe with `round(10/(1+d), 2)`
+    * scores) ranked by IVFADC asymmetric distance instead of the exact
+    * flat scan. This is the 100 TB form of the reference's headline
+    * feature: the scan touches |probed cells|/k of the 4-byte code
+    * table, never the raw floats, and the reported score descales the
+    * integer ADC distance back to the raw squared-L2 domain
+    * (adc/10^12 — intVec scales each coordinate by 10^6). The whole
+    * composition is integer-exact until the one terminal ROUND, so the
+    * oracle replays it bit-for-bit through the same CTE chains as
+    * q_ann_ivfpq plus the score projection.
+    */
+  def shortlistAnnQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val coarse = trainedCentroids(s, d)
+    val books = pqCodebooks(s, d)
+    val vecs = intVecs(s, d)
+    val qv = vecs.where(col("vec_id") === 0L).select(col("v"))
+      .as[Seq[Long]].head()
+    val probeCells = coarse
+      .map { case (cid, c) => (cid, KMeansOp.intDistLocal(c, qv)) }
+      .sortBy { case (cid, dd) => (dd, cid) }
+      .take(2).map(_._1)
+    val luts = graft.operators.ProductQuantizer.adcTables(qv, books, PqSubDim)
+    val indexed = graft.operators.ProductQuantizer
+      .indexProjection(vecs, coarse, books, PqSubDim)
+    graft.operators.ProductQuantizer
+      .adcTopK(indexed.where(col("cell").isin(probeCells: _*)), luts, 5)
+      .select(
+        concat(lit("vec_"), lpad(col("vec_id").cast("string"), 6, "0"))
+          .as("file_name"),
+        round(lit(10.0) / (lit(1.0) +
+          col("adc_scaled").cast("double") / lit(1e12)), 2).as("score"),
+        concat(lit("doc "), col("vec_id").cast("string")).as("content"),
+        col("adc_scaled"), col("vec_id"))
+      .orderBy(col("adc_scaled").asc, col("vec_id").asc)
+      .select(col("file_name"), col("score"), col("content"))
   }
 
   /** Recall@10 of the COMPOSED IVFADC search vs the integer-exact
@@ -590,6 +652,7 @@ object SemanticQ {
     "q_ann_pq_batch" -> annPqBatchQ,
     "q_ann_ivfpq_batch" -> annIvfPqBatchQ,
     "q_recall_ivfpq_batch" -> recallIvfPqBatchQ,
+    "q_shortlist_ann" -> shortlistAnnQ,
     "q_recall_pq" -> recallPqQ,
     "q_recall_ivfpq" -> recallIvfPqQ,
   )
@@ -865,6 +928,23 @@ object SemanticQ {
          |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, adc_scaled
          |FROM ranked WHERE rnk <= 3
          |ORDER BY qid ASC, rnk ASC""".stripMargin,
+    "q_shortlist_ann" ->
+      s"""WITH $lloydSql,
+         |$pqChainsSql,
+         |$pqLutSql,
+         |qvc AS (SELECT v FROM q WHERE vec_id = 0),
+         |pc AS (SELECT cid FROM (
+         |    SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${idistSql("c.c", "qv.v")} ASC,
+         |      c.cid ASC) AS rn
+         |    FROM c2 c CROSS JOIN qvc qv) WHERE rn <= 2),
+         |cand AS (SELECT a3.vec_id FROM a3 JOIN pc ON a3.cid = pc.cid),
+         |$pqAdcSql,
+         |top AS (SELECT adc.vec_id, adc.adc_scaled FROM adc JOIN cand USING (vec_id)
+         |  ORDER BY adc_scaled ASC, vec_id ASC LIMIT 5)
+         |SELECT 'vec_' || lpad(CAST(vec_id AS VARCHAR), 6, '0') AS file_name,
+         |  ROUND(10.0 / (1.0 + CAST(adc_scaled AS DOUBLE) / 1000000000000.0), 2) AS score,
+         |  'doc ' || CAST(vec_id AS VARCHAR) AS content
+         |FROM top ORDER BY adc_scaled ASC, vec_id ASC""".stripMargin,
     "q_ann_ivfpq_res" ->
       s"""WITH $lloydSql,
          |$pqResSql,

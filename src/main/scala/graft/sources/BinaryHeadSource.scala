@@ -15,14 +15,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * `spark.read.format("binary-head").option("head", n).load(glob)`
   * yields `(path STRING, length LONG, head BINARY)` where `head` is the
   * FIRST min(n, length) bytes of each file, read with a bounded
-  * `read(...)` loop and closed immediately.
+  * `read(...)` loop and closed immediately. With `.option("tail", m)`
+  * the schema gains a `tail BINARY` column holding the LAST
+  * min(m, length) bytes — the other half of the bounded decision
+  * window for tail-anchored container metadata (trailing-moov MP4,
+  * Ogg/Opus last-page granule), so those formats decide at
+  * head+tail cost instead of a full read.
   *
   * This is the metadata-ingest answer to the scale defect in riding
   * `binaryFile` for header-only parsing: that source materializes every
   * blob's ENTIRE `content` column, so a container-header scan over
   * 100 TB of video reads ~100 TB to use a few MB. Here the per-file I/O
-  * is capped at `head` bytes (default 64 KiB) regardless of blob size —
-  * the dominant cost becomes the file-open round-trip, which is the
+  * is capped at `head` (+ `tail`) bytes regardless of blob size — the
+  * dominant cost becomes the file-open round-trip, which is the
   * floor any per-file metadata pass pays.
   *
   * Scale design, mirroring the [[SynthSource]] DSv2 patterns:
@@ -30,9 +35,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    (`SupportsPushDownRequiredColumns`): a scan that only references
   *    `path`/`length` — a count, an extension histogram, a partition
   *    listing — never OPENS a single file; the listing alone answers it;
-  *  - the driver plans size-striped splits: files are sorted by length
-  *    descending and dealt round-robin across `partitions` splits, so a
-  *    few huge blobs cannot skew one task while the long tail idles;
+  *  - the driver plans size-striped splits: files are packed greedily by
+  *    bounded read cost (longest-processing-time), so a few huge blobs
+  *    cannot skew one task while the long tail idles;
   *  - rows depend only on the listing, so the scan is deterministic for
   *    a fixed directory state.
   *
@@ -45,12 +50,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Listing scales past the driver: the glob itself is one driver-side
   * metadata call, but when it matches many DIRECTORIES (the
-  * 100M-file layout is prefix-sharded dirs), the one-level expansion
-  * of those directories fans out to executors — per-prefix `listStatus`
-  * calls in parallel, results collected as (path, length) pairs (tens
-  * of bytes per file, the listing a driver must hold to plan splits
-  * regardless). `distributedListingDirs` (default 4) sets the
-  * fan-out threshold; small scans keep the zero-overhead driver loop.
+  * 100M-file layout is prefix-sharded dirs), the scan never
+  * materializes the per-file listing on the driver at all. Executors
+  * compute per-directory SUMMARIES (file count, bounded-read cost,
+  * metadata bytes — O(dirs) on the driver, not O(files)), the driver
+  * packs directory STRIPES into splits, and each reader re-lists its
+  * directory and takes every k-th file of the sorted listing. The
+  * driver-memory term is bounded by splits + directories — the
+  * irreducible minimum DSv2 planning needs — never by file count.
+  * `distributedListingDirs` (default 4) sets the threshold; small
+  * scans keep the zero-overhead exact per-file packing.
   *
   * Reference analogue: the upload loaders at
   * `/root/reference/utils.py:11-19` read whole files because they run
@@ -61,91 +70,134 @@ class BinaryHeadSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "binary-head"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    BinaryHeadSource.schema
+    BinaryHeadSource.schemaFor(
+      Option(options.get("tail")).exists(_.toInt > 0))
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new BinaryHeadTable(
       path = Option(properties.get("path")).getOrElse(
         throw new IllegalArgumentException("binary-head: missing path")),
       headBytes = Option(properties.get("head")).map(_.toInt).getOrElse(65536),
+      tailBytes = Option(properties.get("tail")).map(_.toInt).getOrElse(0),
       partitions = Option(properties.get("partitions")).map(_.toInt).getOrElse(32),
       distListDirs = Option(properties.get("distributedListingDirs"))
         .map(_.toInt).getOrElse(4))
 }
 
 object BinaryHeadSource {
-  val schema: StructType = StructType(Seq(
-    StructField("path", StringType, nullable = false),
-    StructField("length", LongType, nullable = false),
-    StructField("head", BinaryType, nullable = true)))
+  val schema: StructType = schemaFor(withTail = false)
 
-  /** Listing: glob expansion (one driver metadata call), directories
-    * expanded one level (non-recursive, like `binaryFile` given a
-    * dir-slash-star glob), hidden files skipped. When the glob matches
-    * at least `distListDirs` directories, their expansion fans out to
-    * executors (per-prefix `listStatus` in parallel) — the
-    * prefix-sharded-bucket layout where a driver-only loop serializes
-    * millions of RPC round-trips. Output is sorted, so both paths
-    * yield the identical listing.
+  def schemaFor(withTail: Boolean): StructType = {
+    val base = StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("length", LongType, nullable = false),
+      StructField("head", BinaryType, nullable = true)))
+    if (withTail) base.add(StructField("tail", BinaryType, nullable = true))
+    else base
+  }
+
+  private def visible(pth: String): Boolean = {
+    val name = pth.substring(pth.lastIndexOf('/') + 1)
+    !name.startsWith(".") && !name.startsWith("_")
+  }
+
+  /** One directory's sorted, hidden-filtered file listing — the unit
+    * both the small-scan driver loop and the executor-side stripe
+    * readers share, so every mode yields identical rows.
     */
-  private[graft] def listFiles(path: String, conf: Configuration,
-      distListDirs: Int = 4): Seq[(String, Long)] = {
+  private[graft] def listDir(dir: Path, conf: Configuration): Seq[(String, Long)] =
+    dir.getFileSystem(conf).listStatus(dir).toSeq
+      .filter(_.isFile)
+      .map(st => (st.getPath.toString, st.getLen))
+      .filter { case (p, _) => visible(p) }
+      .sortBy(_._1)
+
+  /** Glob expansion: (matched directories, loose matched files). One
+    * driver metadata call; directories expand one level (non-recursive,
+    * like `binaryFile` given a dir-slash-star glob).
+    */
+  private[graft] def listTop(path: String, conf: Configuration)
+      : (Seq[Path], Seq[(String, Long)]) = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val matched: Array[FileStatus] =
       Option(fs.globStatus(p)).getOrElse(Array.empty)
     val (dirs, files) = matched.partition(_.isDirectory)
+    (dirs.toSeq.map(_.getPath),
+      files.toSeq.map(st => (st.getPath.toString, st.getLen))
+        .filter { case (pth, _) => visible(pth) }
+        .sortBy(_._1))
+  }
+
+  /** Full listing: glob expansion + one-level directory expansion,
+    * hidden files skipped, sorted. When the glob matches at least
+    * `distListDirs` directories, their expansion fans out to executors
+    * (per-prefix `listStatus` in parallel); both paths yield the
+    * identical listing. NOTE: this materializes O(files) pairs on the
+    * caller — the SCAN's planning avoids it for sharded layouts via
+    * [[BinaryHeadScan]]'s directory-stripe splits; this utility remains
+    * for small scans and direct callers.
+    */
+  private[graft] def listFiles(path: String, conf: Configuration,
+      distListDirs: Int = 4): Seq[(String, Long)] = {
+    val (dirs, files) = listTop(path, conf)
     val session = org.apache.spark.sql.SparkSession.getActiveSession
     val expanded: Seq[(String, Long)] =
       if (dirs.length >= distListDirs && session.isDefined) {
         val sc = session.get.sparkContext
         val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
         val bc = sc.broadcast(sconf)
-        sc.parallelize(dirs.map(_.getPath.toString).toSeq,
-            math.min(dirs.length, 64))
-          .flatMap { d =>
-            val dp = new Path(d)
-            dp.getFileSystem(bc.value.value).listStatus(dp)
-              .filter(_.isFile).map(st => (st.getPath.toString, st.getLen))
-          }
+        sc.parallelize(dirs.map(_.toString), math.min(dirs.length, 64))
+          .flatMap(d => listDir(new Path(d), bc.value.value))
           .collect().toSeq
-      } else dirs.toSeq.flatMap(d =>
-        fs.listStatus(d.getPath).filter(_.isFile)
-          .map(st => (st.getPath.toString, st.getLen)))
-    (expanded ++ files.map(st => (st.getPath.toString, st.getLen)))
-      .filter { case (pth, _) =>
-        val name = pth.substring(pth.lastIndexOf('/') + 1)
-        !name.startsWith(".") && !name.startsWith("_")
-      }
-      .sortBy(_._1)
+      } else dirs.flatMap(d => listDir(d, conf))
+    (expanded ++ files).sortBy(_._1)
   }
 }
 
 private[sources] class BinaryHeadTable(path: String, headBytes: Int,
-    partitions: Int, distListDirs: Int)
+    tailBytes: Int, partitions: Int, distListDirs: Int)
     extends Table with SupportsRead {
   override def name(): String = s"binary_head($path)"
-  override def schema(): StructType = BinaryHeadSource.schema
+  override def schema(): StructType = BinaryHeadSource.schemaFor(tailBytes > 0)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new BinaryHeadScanBuilder(path, headBytes, partitions, distListDirs)
+    new BinaryHeadScanBuilder(path, headBytes, tailBytes, partitions, distListDirs)
 }
 
 private[sources] class BinaryHeadScanBuilder(path: String, headBytes: Int,
-    partitions: Int, distListDirs: Int)
+    tailBytes: Int, partitions: Int, distListDirs: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private var required: StructType = BinaryHeadSource.schema
+  private var required: StructType = BinaryHeadSource.schemaFor(tailBytes > 0)
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   override def build(): Scan =
-    new BinaryHeadScan(path, headBytes, partitions, distListDirs, required)
+    new BinaryHeadScan(path, headBytes, tailBytes, partitions, distListDirs, required)
 }
 
-private[sources] case class BinaryHeadSplit(files: Seq[(String, Long)])
+/** A split's work items: explicit files (small scans, loose glob
+  * matches) or a directory STRIPE — every k-th file of the dir's
+  * sorted listing, re-listed by the reader so the per-file list never
+  * touches the driver.
+  */
+private[sources] sealed trait HeadTask
+private[sources] case class FileListTask(files: Seq[(String, Long)]) extends HeadTask
+private[sources] case class DirStripeTask(dir: String, stripe: Int,
+    stride: Int) extends HeadTask
+
+private[sources] case class BinaryHeadSplit(tasks: Seq[HeadTask])
   extends InputPartition
 
+/** Per-directory listing summary — all the driver holds per dir in the
+  * sharded mode: file count, Σ min(head, length) (the bounded read
+  * cost that drives split packing and the `head` stats term), and the
+  * Σ path+fixed metadata bytes for the pruned-scan stats term.
+  */
+private[sources] case class DirSummary(dir: String, nFiles: Long,
+    cost: Long, metaBytes: Long)
+
 private[sources] class BinaryHeadScan(path: String, headBytes: Int,
-    partitions: Int, distListDirs: Int, required: StructType)
+    tailBytes: Int, partitions: Int, distListDirs: Int, required: StructType)
     extends Scan with Batch
     with SupportsReportStatistics {
   override def readSchema(): StructType = required
@@ -154,89 +206,166 @@ private[sources] class BinaryHeadScan(path: String, headBytes: Int,
   // the listing AND (via broadcast) the executor-side readers
   private lazy val hadoopConf =
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
-  // real statistics from the listing, so Catalyst/AQE can make
-  // broadcast decisions against this scan: row count = file count, and
-  // sizeInBytes reflects the PRUNED read (min(head, length) per file
-  // only when `head` is projected; ~48 B/row of path+length metadata
-  // otherwise) — a metadata-only scan of a petabyte directory reports
-  // as broadcastable, which is exactly how it behaves
-  // one listing per scan, shared by stats + split planning
-  private lazy val listed: Seq[(String, Long)] =
-    BinaryHeadSource.listFiles(path, hadoopConf, distListDirs)
-  override def estimateStatistics(): Statistics = new Statistics {
-    private val metaBytes = listed.map(f => 48L + f._1.length).sum
-    private val headTotal =
-      if (required.fieldNames.contains("head"))
-        listed.map(f => math.min(headBytes.toLong, f._2)).sum
-      else 0L
-    override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(metaBytes + headTotal)
-    override def numRows(): java.util.OptionalLong =
-      java.util.OptionalLong.of(listed.size.toLong)
+
+  /** Listing plan, computed once per scan and shared by stats + split
+    * planning. Left = the exact per-file listing (small scans: the
+    * driver loop is zero-overhead and packs perfectly). Right = loose
+    * files + per-directory summaries (sharded layouts: executors list,
+    * the driver holds O(dirs), readers re-list their stripes).
+    */
+  private lazy val planned: Either[Seq[(String, Long)],
+      (Seq[(String, Long)], Seq[DirSummary])] = {
+    val (dirs, loose) = BinaryHeadSource.listTop(path, hadoopConf)
+    val session = org.apache.spark.sql.SparkSession.getActiveSession
+    if (dirs.length >= distListDirs && session.isDefined) {
+      val sc = session.get.sparkContext
+      val bc = sc.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(hadoopConf))
+      val hb = headBytes
+      val summaries = sc.parallelize(dirs.map(_.toString),
+          math.min(dirs.length, 64))
+        .map { d =>
+          val fs = BinaryHeadSource.listDir(new Path(d), bc.value.value)
+          DirSummary(d, fs.size.toLong,
+            fs.map(f => math.min(hb.toLong, f._2) + 1L).sum,
+            fs.map(f => 48L + f._1.length).sum)
+        }
+        .collect().toSeq.sortBy(_.dir)
+      Right((loose, summaries))
+    } else Left(
+      (dirs.flatMap(d => BinaryHeadSource.listDir(d, hadoopConf)) ++ loose)
+        .sortBy(_._1))
   }
-  override def planInputPartitions(): Array[InputPartition] = {
-    // greedy longest-processing-time packing on the ACTUAL per-file
-    // read cost min(head, length): files sorted by cost descending,
-    // each dealt to the currently lightest split — balanced work even
-    // when file sizes are wildly skewed (a round-robin deal can leave
-    // one split ~2x the lightest on descending size runs)
-    val files = listed
-      .sortBy { case (p, len) => (-math.min(headBytes.toLong, len), p) }
-    if (files.isEmpty) return Array.empty
-    val n = math.min(partitions, files.size)
-    val buckets = Array.fill(n)(Vector.newBuilder[(String, Long)])
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val (nRows, metaBytes, headTotal) = planned match {
+      case Left(files) => (files.size.toLong,
+        files.map(f => 48L + f._1.length).sum,
+        files.map(f => math.min(headBytes.toLong, f._2)).sum)
+      case Right((loose, sums)) => (
+        loose.size.toLong + sums.map(_.nFiles).sum,
+        loose.map(f => 48L + f._1.length).sum + sums.map(_.metaBytes).sum,
+        loose.map(f => math.min(headBytes.toLong, f._2)).sum +
+          sums.map(s => s.cost - s.nFiles).sum) // cost carries +1/file
+    }
+    private val boundedTotal =
+      if (required.fieldNames.contains("head")) headTotal else 0L
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(metaBytes + boundedTotal)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(nRows)
+  }
+
+  /** Greedy longest-processing-time packing of work items (cost =
+    * bounded per-file read + 1, so zero-length files still count
+    * toward file-count balance) into at most `partitions` splits.
+    */
+  private def packLpt(items: Seq[(HeadTask, Long)]): Array[InputPartition] = {
+    if (items.isEmpty) return Array.empty
+    val n = math.min(partitions, items.size)
+    val buckets = Array.fill(n)(Vector.newBuilder[HeadTask])
     val loads = new Array[Long](n)
-    files.foreach { case f @ (_, len) =>
+    items.sortBy { case (t, c) => (-c, t.toString) }.foreach { case (t, c) =>
       var best = 0
       var i = 1
       while (i < n) { if (loads(i) < loads(best)) best = i; i += 1 }
-      buckets(best) += f
-      loads(best) += math.min(headBytes.toLong, len) + 1 // +1: count ties toward file-count balance
+      buckets(best) += t
+      loads(best) += c
     }
     buckets.map(b => BinaryHeadSplit(b.result()): InputPartition)
   }
+
+  override def planInputPartitions(): Array[InputPartition] = planned match {
+    case Left(files) =>
+      // exact per-file LPT: one task per file
+      packLpt(files.map(f =>
+        (FileListTask(Seq(f)): HeadTask,
+          math.min(headBytes.toLong, f._2) + 1L)))
+    case Right((loose, sums)) =>
+      // directory stripes: a dir whose bounded cost exceeds its fair
+      // share splits into k stripes (every k-th file of the sorted
+      // listing), so one huge shard cannot skew a split while the
+      // driver still holds only O(dirs + splits) state
+      val totalCost = sums.map(_.cost).sum +
+        loose.map(f => math.min(headBytes.toLong, f._2) + 1L).sum
+      val target = math.max(1L, totalCost / math.max(1, partitions))
+      val dirTasks = sums.filter(_.nFiles > 0).flatMap { s =>
+        val k = math.max(1L, math.min(
+          math.min(s.nFiles, partitions.toLong),
+          (s.cost + target - 1) / target)).toInt
+        (0 until k).map(r =>
+          (DirStripeTask(s.dir, r, k): HeadTask, s.cost / k))
+      }
+      val looseTasks = loose.map(f =>
+        (FileListTask(Seq(f)): HeadTask,
+          math.min(headBytes.toLong, f._2) + 1L))
+      packLpt(dirTasks ++ looseTasks)
+  }
+
   override def createReaderFactory(): PartitionReaderFactory = {
     // ship the driver conf ONCE per scan; each reader rehydrates it
     val bc = org.apache.spark.sql.SparkSession.active.sparkContext
       .broadcast(new org.apache.spark.util.SerializableConfiguration(hadoopConf))
-    new BinaryHeadReaderFactory(headBytes, required, bc)
+    new BinaryHeadReaderFactory(headBytes, tailBytes, required, bc)
   }
 }
 
-private[sources] class BinaryHeadReaderFactory(headBytes: Int,
+private[sources] class BinaryHeadReaderFactory(headBytes: Int, tailBytes: Int,
     required: StructType,
     confBc: org.apache.spark.broadcast.Broadcast[
       org.apache.spark.util.SerializableConfiguration])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val files = p.asInstanceOf[BinaryHeadSplit].files
+    val tasks = p.asInstanceOf[BinaryHeadSplit].tasks
     new PartitionReader[InternalRow] {
       private val conf = confBc.value.value
-      private var i = -1
-      override def next(): Boolean = { i += 1; i < files.size }
+      // expand tasks lazily: a directory stripe re-lists its dir on the
+      // executor and takes every stride-th file of the sorted listing
+      private val files: Iterator[(String, Long)] = tasks.iterator.flatMap {
+        case FileListTask(fs) => fs.iterator
+        case DirStripeTask(d, r, k) =>
+          BinaryHeadSource.listDir(new Path(d), conf).iterator
+            .zipWithIndex
+            .collect { case (f, i) if i % k == r => f }
+      }
+      private var cur: (String, Long) = null
+
+      private def boundedRead(pathStr: String, len: Long, cap: Int,
+          fromEnd: Boolean): Array[Byte] = {
+        // bounded read: min(cap, length) bytes then close — the ONLY
+        // place file contents are touched; a scan pruned down to
+        // path/length never reaches here
+        val want = math.min(cap.toLong, len).toInt
+        val buf = new Array[Byte](want)
+        val hp = new Path(pathStr)
+        val in = hp.getFileSystem(conf).open(hp)
+        try {
+          if (fromEnd) {
+            in.readFully(len - want, buf)
+            MediaIo.recordTail(want.toLong)
+            buf
+          } else {
+            var off = 0
+            var eof = false
+            while (off < want && !eof) {
+              val n = in.read(buf, off, want - off)
+              if (n < 0) eof = true else off += n
+            }
+            MediaIo.recordHead(off.toLong)
+            if (off == want) buf else java.util.Arrays.copyOf(buf, off)
+          }
+        } finally in.close()
+      }
+
+      override def next(): Boolean =
+        if (files.hasNext) { cur = files.next(); true } else false
       override def get(): InternalRow = {
-        val (pathStr, len) = files(i)
+        val (pathStr, len) = cur
         val cols: Array[Any] = required.fields.map(_.name match {
           case "path" => UTF8String.fromString(pathStr)
           case "length" => len
-          case "head" =>
-            // bounded read: min(head, length) bytes then close — the
-            // ONLY place file contents are touched; a scan pruned down
-            // to path/length never reaches here
-            val want = math.min(headBytes.toLong, len).toInt
-            val buf = new Array[Byte](want)
-            val hp = new Path(pathStr)
-            val in = hp.getFileSystem(conf).open(hp)
-            try {
-              var off = 0
-              var eof = false
-              while (off < want && !eof) {
-                val n = in.read(buf, off, want - off)
-                if (n < 0) eof = true else off += n
-              }
-              MediaIo.recordHead(off)
-              if (off == want) buf else java.util.Arrays.copyOf(buf, off)
-            } finally in.close()
+          case "head" => boundedRead(pathStr, len, headBytes, fromEnd = false)
+          case "tail" => boundedRead(pathStr, len, tailBytes, fromEnd = true)
           case other =>
             throw new IllegalArgumentException(s"unknown column $other")
         })

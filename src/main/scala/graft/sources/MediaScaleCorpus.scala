@@ -57,4 +57,49 @@ object MediaScaleCorpus {
     java.nio.file.Files.createFile(ok)
     dir.toString
   }
+
+  /** Tail-anchored variant corpus: every 2nd file is a LARGE
+    * trailing-moov MP4 (`ftyp ++ mdat(payload) ++ moov`, duration
+    * 500 ms → a curation-gate REJECT under the ≥1 s rule), the rest
+    * small PNG survivors. The decision metadata for the big files
+    * lives in the final bytes, so a head-only curation had to re-read
+    * them in full to decide; the head+tail decision drops them at
+    * two bounded reads. `payload` scales the big files without
+    * changing any decision — the probe's variable.
+    */
+  def ensureTailAnchored(n: Int, payload: Int): String = synchronized {
+    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_media_tailvar_${n}_$payload")
+    val ok = dir.resolve("_GENERATED_OK")
+    if (java.nio.file.Files.exists(ok)) return dir.toString
+    java.nio.file.Files.createDirectories(dir)
+    def be32(v: Int) = Array[Byte](
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val trailingMoov = {
+      val faststart = MediaCorpus.mp4(timescale = 1000, duration = 500L)
+      val junk = {
+        val b = new Array[Byte](payload)
+        var x = 0x2545F4914F6CDD1DL
+        var i = 0
+        while (i < b.length) {
+          x = x * 6364136223846793005L + 1442695040888963407L
+          b(i) = (x >>> 33).toByte
+          i += 1
+        }
+        b
+      }
+      faststart.take(16) ++
+        (be32(8 + junk.length) ++ "mdat".getBytes("US-ASCII") ++ junk) ++
+        faststart.drop(16)
+    }
+    val pngs = (0 until 8).map(k => MediaCorpus.png(64 + 32 * k, 64)).toArray
+    (0 until n).foreach { i =>
+      val (name, bytes) =
+        if (i % 2 == 0) (f"tm$i%07d.mp4", trailingMoov)
+        else (f"p$i%07d.png", pngs(i % 8))
+      java.nio.file.Files.write(dir.resolve(name), bytes)
+    }
+    java.nio.file.Files.createFile(ok)
+    dir.toString
+  }
 }

@@ -98,10 +98,11 @@ object Multimodal {
     * is distributed (one Hadoop-FS open per row inside mapPartitions,
     * no driver collect, no join back to a full scan — a join could not
     * push the survivor set into a `binaryFile` scan, which would still
-    * read every dropped blob). Executor-side FS access re-derives a
-    * fresh Hadoop `Configuration` per partition, the same documented
-    * seam as [[BinaryHeadSource]] (broadcast `SerializableConfiguration`
-    * on a real cluster).
+    * read every dropped blob). Executor-side FS access rehydrates the
+    * DRIVER session's Hadoop configuration from a broadcast
+    * `SerializableConfiguration` — the same seam as
+    * [[BinaryHeadSource]] — so `fs.*`/credential settings set on the
+    * session reach the survivor re-reads on a real cluster.
     */
   def withFullBytes(df: DataFrame, pathCol: String = "path"): DataFrame =
     readBlobColumn(df, pathCol, cap = None)
@@ -116,18 +117,36 @@ object Multimodal {
       headBytes: Int = 65536): DataFrame =
     readBlobColumn(df, pathCol, cap = Some(headBytes))
 
+  /** Bounded TAIL sibling: `tail_bytes` = the LAST min(tailBytes,
+    * length) bytes of each row's blob. This is the other half of the
+    * head+tail decision window for tail-anchored container metadata
+    * (trailing-moov MP4, Ogg/Opus last-page granule) — a multi-GB
+    * video is decided at two bounded reads instead of a full one.
+    */
+  def withTailBytes(df: DataFrame, pathCol: String = "path",
+      tailBytes: Int = 65536): DataFrame =
+    readBlobColumn(df, pathCol, cap = Some(tailBytes),
+      outCol = "tail_bytes", fromEnd = true)
+
   private def readBlobColumn(df: DataFrame, pathCol: String,
-      cap: Option[Int]): DataFrame = {
+      cap: Option[Int], outCol: String = "bytes",
+      fromEnd: Boolean = false): DataFrame = {
     val pIdx = df.schema.fieldIndex(pathCol)
-    val hasBytes = df.schema.fieldNames.contains("bytes")
+    val hasBytes = df.schema.fieldNames.contains(outCol)
     val outSchema =
       if (hasBytes) StructType(df.schema.map(f =>
-        if (f.name == "bytes") f.copy(dataType = BinaryType) else f))
-      else df.schema.add(StructField("bytes", BinaryType, nullable = true))
-    val bIdx = outSchema.fieldIndex("bytes")
+        if (f.name == outCol) f.copy(dataType = BinaryType) else f))
+      else df.schema.add(StructField(outCol, BinaryType, nullable = true))
+    val bIdx = outSchema.fieldIndex(outCol)
     implicit val enc = Encoders.row(outSchema)
+    // the driver session's Hadoop conf (fs.* settings, credentials),
+    // shipped once and rehydrated per partition — a fresh executor-side
+    // Configuration would silently drop session settings on a cluster
+    val bcConf = df.sparkSession.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        df.sparkSession.sessionState.newHadoopConf()))
     df.mapPartitions { it =>
-      val conf = new org.apache.hadoop.conf.Configuration()
+      val conf = bcConf.value.value
       it.map { r =>
         val p = new org.apache.hadoop.fs.Path(r.getString(pIdx))
         val fs = p.getFileSystem(conf)
@@ -136,8 +155,9 @@ object Multimodal {
         require(want <= Int.MaxValue, s"blob too large for one row: $p")
         val buf = new Array[Byte](want.toInt)
         val in = fs.open(p)
-        try in.readFully(0, buf) finally in.close()
+        try in.readFully(if (fromEnd) len - want else 0L, buf) finally in.close()
         if (cap.isEmpty) MediaIo.recordFull(p.toString, want)
+        else if (fromEnd) MediaIo.recordTail(want)
         else MediaIo.recordHead(want)
         val vals = new Array[Any](outSchema.length)
         var i = 0
@@ -370,6 +390,206 @@ object Multimodal {
     }
   }
 
+  /** [[videoMeta]] over a bounded (head, tail) WINDOW PAIR instead of
+    * the whole file — the decision path for over-cap blobs whose
+    * metadata may be tail-anchored (non-faststart MP4 places `moov`
+    * after a multi-GB `mdat`). The ISO-BMFF box walk needs only box
+    * HEADERS: each sibling's size field gives the next sibling's
+    * offset, so the walk skips the unread gap between the windows
+    * byte-for-byte the way the full-file walk skips box payloads.
+    *
+    * Three-way outcome:
+    *  - `Some(Some((format, duration_ms)))` — decided: parsed; the
+    *    values are IDENTICAL to a full-read [[videoMeta]] (same header
+    *    bytes, same arithmetic);
+    *  - `Some(None)` — decided: a full read would ALSO fail to parse
+    *    (no leading `ftyp`, a malformed size field visible in-window,
+    *    a completed walk with no moov/mvhd) — the caller may gate or
+    *    quarantine without reading the blob;
+    *  - `None` — undecidable: a needed box header falls in the unread
+    *    gap (e.g. mid-file moov); the caller must fall back to a full
+    *    read.
+    */
+  def videoMetaHeadTail(head: Array[Byte], tail: Array[Byte],
+      fileLen: Long): Option[Option[(String, Long)]] = {
+    if (head == null || fileLen < 16) return Some(None)
+    val t = if (tail == null) Array.emptyByteArray else tail
+    val tailStart = fileLen - t.length
+    def u8(i: Long): Int =
+      if (i < 0 || i >= fileLen) -1
+      else if (i < head.length) head(i.toInt) & 0xFF
+      else if (i >= tailStart) t((i - tailStart).toInt) & 0xFF
+      else -1 // the unread gap
+    def be32(i: Long): Long = {
+      var v = 0L; var k = 0
+      while (k < 4) {
+        val b = u8(i + k); if (b < 0) return Long.MinValue
+        v = (v << 8) | b; k += 1
+      }
+      v
+    }
+    def be64(i: Long): Long = {
+      val hi = be32(i); val lo = be32(i + 4)
+      if (hi == Long.MinValue || lo == Long.MinValue) Long.MinValue
+      else (hi << 32) | lo
+    }
+    def boxType(i: Long): String = {
+      val cs = (0 until 4).map(k => u8(i + 4 + k))
+      if (cs.exists(_ < 0)) null else cs.map(_.toChar).mkString
+    }
+    val t0 = boxType(0)
+    if (t0 == null) return None
+    if (t0 != "ftyp") return Some(None) // ftyp is mandatory-first; decided
+    // walk siblings in [from, end): Right(found/absent) vs Left(gap)
+    def findBox(from: Long, end: Long, name: String)
+        : Either[Unit, Option[(Long, Long)]] = {
+      var i = from
+      while (i + 8 <= end) {
+        val sz32 = be32(i)
+        if (sz32 == Long.MinValue) return Left(())
+        var size = sz32
+        var hdr = 8L
+        if (size == 1 && i + 16 <= end) {
+          val s64 = be64(i + 8)
+          if (s64 == Long.MinValue) return Left(())
+          size = s64; hdr = 16
+        } else if (size == 0) size = end - i
+        if (size < hdr || size > end - i) return Right(None) // malformed: decided
+        val bt = boxType(i)
+        if (bt == null) return Left(())
+        if (bt == name) return Right(Some((i + hdr, i + size)))
+        i += size
+      }
+      Right(None)
+    }
+    findBox(0, fileLen, "moov") match {
+      case Left(()) => None
+      case Right(None) => Some(None)
+      case Right(Some((ms, me))) => findBox(ms, me, "mvhd") match {
+        case Left(()) => None
+        case Right(None) => Some(None)
+        case Right(Some((s, e))) =>
+          val v = u8(s)
+          if (v < 0) return None
+          if (e - s < (if (v == 1) 32 else 20)) return Some(None)
+          val timescale = if (v == 1) be32(s + 20) else be32(s + 12)
+          if (timescale == Long.MinValue) return None
+          if (timescale <= 0) return Some(None)
+          val duration = if (v == 1) be64(s + 24) else be32(s + 16)
+          if (duration == Long.MinValue) return None
+          Some(Some(("mp4", duration * 1000L / timescale)))
+      }
+    }
+  }
+
+  /** Ogg/Opus over a bounded (head, tail) window pair: the OpusHead
+    * fields (rate, channels, pre-skip, bitstream serial) are
+    * front-loaded in the head; the duration granule lives in the LAST
+    * page, inside the tail. The tail cannot be walked forward from the
+    * stream start (the window usually opens mid-page), so the last
+    * page is recovered by VALIDATED re-synchronization: the earliest
+    * offset in the tail from which a forward segment-table walk —
+    * every page bearing the "OggS" capture pattern and stream-
+    * structure version 0 — lands EXACTLY on end-of-file. Within that
+    * chain, the last non-negative granule of the serial-matching
+    * pages is the same value the full-file walk keeps. If no offset
+    * validates (truncated final page, no serial-matching granule in
+    * the window, a multiplexed stream whose matching pages end before
+    * the tail), the outcome is `None` and the caller falls back to a
+    * full read — bounded reads never trade correctness.
+    *
+    * Same three-way contract as [[videoMetaHeadTail]]; only heads that
+    * START with an Ogg capture pattern are decided here (a RIFF/WAVE
+    * head whose fmt/data chunks lie past the cap is parseable from
+    * full bytes, so non-Ogg audio stays undecidable → full read).
+    */
+  def opusMetaHeadTail(head: Array[Byte], tail: Array[Byte],
+      fileLen: Long): Option[Option[(String, Int, Int, Long)]] = {
+    if (head == null || head.length < 4) return None
+    if (!(head(0) == 'O' && head(1) == 'g' && head(2) == 'g' && head(3) == 'S'))
+      return None // not an Ogg stream: a full read may still parse (WAV/FLAC)
+    def u8h(i: Int) = head(i) & 0xFF
+    // front matter: page 0 must carry a v1-family OpusHead (same checks
+    // as opusMeta — failing them fails the full parse identically,
+    // because audioMeta dispatches OggS-headed bytes to opusMeta only)
+    if (head.length < 47)
+      return if (fileLen < 47) Some(None) else None // cap smaller than page 0
+    if (u8h(4) != 0) return Some(None)
+    val body = 27 + u8h(26)
+    if (body + 19 > head.length)
+      return if (body + 19 > fileLen) Some(None) else None
+    if (new String(head, body, 8, java.nio.charset.StandardCharsets.ISO_8859_1)
+        != "OpusHead") return Some(None)
+    if ((u8h(body + 8) >> 4) != 0) return Some(None)
+    val channels = u8h(body + 9)
+    val preSkip = u8h(body + 10) | (u8h(body + 11) << 8)
+    val inputRate = u8h(body + 12) | (u8h(body + 13) << 8) |
+      (u8h(body + 14) << 16) | (u8h(body + 15) << 24)
+    if (channels <= 0 || inputRate <= 0) return Some(None)
+    val serial = (0 until 4).map(k => u8h(14 + k).toLong << (8 * k)).reduce(_ | _)
+    val t = if (tail == null) Array.emptyByteArray else tail
+    def u8t(i: Int) = t(i) & 0xFF
+    def markerAt(p: Int): Boolean =
+      p + 27 <= t.length && t(p) == 'O' && t(p + 1) == 'g' &&
+        t(p + 2) == 'g' && t(p + 3) == 'S' && u8t(p + 4) == 0
+    var o = 0
+    while (o + 27 <= t.length) {
+      if (markerAt(o)) {
+        // forward walk from the candidate; valid iff it lands on EOF
+        var p = o
+        var granule = -1L
+        var ok = true
+        while (ok && p < t.length) {
+          if (!markerAt(p)) ok = false
+          else {
+            val ns = u8t(p + 26)
+            if (p + 27 + ns > t.length) ok = false
+            else {
+              val g = (0 until 8).map(k => u8t(p + 6 + k).toLong << (8 * k))
+                .reduce(_ | _)
+              val ser = (0 until 4).map(k => u8t(p + 14 + k).toLong << (8 * k))
+                .reduce(_ | _)
+              if (g >= 0 && ser == serial) granule = g
+              var bodyLen = 0
+              var k = 0
+              while (k < ns) { bodyLen += u8t(p + 27 + k); k += 1 }
+              p += 27 + ns + bodyLen
+            }
+          }
+        }
+        if (ok && p == t.length && granule >= 0)
+          return Some(Some(("opus", inputRate, channels,
+            math.max(0L, granule - preSkip) * 1000L / 48000L)))
+      }
+      o += 1
+    }
+    None // no validated chain in the tail — full read decides
+  }
+
+  /** The combined head+tail A/V decision a two-phase curation gate
+    * calls on head-undecidable rows. Encoded three-way:
+    * `None` = undecidable (full read required);
+    * `Some((false, null, 0, 0, 0))` = decided-unparseable (a full read
+    * would fail the same way — gate/quarantine without blob I/O);
+    * `Some((true, format, sampleRate, channels, durationMs))` =
+    * decided with exact metadata. Images return `None`: JPEG SOF
+    * offsets are not tail-anchored, a full read is the only exact
+    * decision there.
+    */
+  def headTailAvMeta(modality: String, head: Array[Byte],
+      tail: Array[Byte], fileLen: Long)
+      : Option[(Boolean, String, Int, Int, Long)] = modality match {
+    case "video" => videoMetaHeadTail(head, tail, fileLen).map {
+      case Some((f, d)) => (true, f, 0, 0, d)
+      case None => (false, null, 0, 0, 0L)
+    }
+    case "audio" => opusMetaHeadTail(head, tail, fileLen).map {
+      case Some((f, r, c, d)) => (true, f, r, c, d)
+      case None => (false, null, 0, 0, 0L)
+    }
+    case _ => None
+  }
+
   /** Parsed (video_format, duration_ms) columns for video rows — NULL
     * for non-video or unparseable bytes.
     */
@@ -510,6 +730,7 @@ object Multimodal {
 private[graft] object MediaIo {
   val fullBytes = new java.util.concurrent.atomic.AtomicLong()
   val headBytes = new java.util.concurrent.atomic.AtomicLong()
+  val tailBytes = new java.util.concurrent.atomic.AtomicLong()
   val fullReadPaths: java.util.Set[String] =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
@@ -518,7 +739,8 @@ private[graft] object MediaIo {
     fullReadPaths.add(path)
   }
   def recordHead(n: Long): Unit = { headBytes.addAndGet(n); () }
+  def recordTail(n: Long): Unit = { tailBytes.addAndGet(n); () }
   def reset(): Unit = {
-    fullBytes.set(0L); headBytes.set(0L); fullReadPaths.clear()
+    fullBytes.set(0L); headBytes.set(0L); tailBytes.set(0L); fullReadPaths.clear()
   }
 }

@@ -134,46 +134,83 @@ object MediaStream {
     *     content-digest dedup and the corpus append.
     *
     * Same commit discipline, same state/corpus/quarantine layout, same
-    * replay idempotence as [[processBatch]] (both phases are
+    * replay idempotence as [[processBatch]] (all phases are
     * deterministic functions of the discovered file set). Per-batch
-    * blob I/O is head-capped discovery + survivor bytes, instead of
-    * the full-read source's every-blob materialization — the streaming
-    * mirror of q_media_curate_head. The quarantine row for a rejected
-    * file is decided on its head: front-loaded container metadata is
-    * exact under the cap ([[Multimodal.fromBinaryFilesHead]] documents
-    * the tail-anchored caveat).
+    * blob I/O is head-capped discovery + bounded tail reads for the
+    * head-undecidable rows + survivor bytes, instead of the full-read
+    * source's every-blob materialization — the streaming mirror of
+    * q_media_curate_head. Quarantine rows are decided on bounded
+    * windows wherever that is exact (front-loaded metadata from the
+    * head; trailing-moov MP4 / Opus duration / provably-absent `ftyp`
+    * from head+tail); only window-undecidable rows pay a full read to
+    * be decided.
     */
   def processBatchHead(paths: Dataset[Row], batchId: Long, stateDir: String,
       outDir: String, rejectDir: String, headBytes: Int = 65536,
-      autoCompactEvery: Int = 0): Unit = {
+      autoCompactEvery: Int = 0, tailBytes: Int = 65536): Unit = {
     val heads = annotateMedia(toCanonical(
       Multimodal.withHeadBytes(
         paths.select(col("path"), col("length")), "path", headBytes)
         .withColumnRenamed("bytes", "content")))
     // a file LARGER than the cap whose container did not parse from
     // its head is UNDECIDABLE there (trailing-moov MP4, SOF-past-EXIF
-    // JPEG) — quarantining it on the head parse would be wrong. Those
-    // rows take a full re-read + re-annotation BEFORE the quarantine
-    // decision; junk extensions stay head-only however large.
+    // JPEG) — quarantining it on the head parse would be wrong. Opus
+    // is undecidable even when the head PARSES: duration lives in the
+    // LAST Ogg page's granule, so a head parse under-reports it and
+    // the under-reported value must never reach the corpus (the same
+    // predicate as Media.curateRowsHead).
     val undecidable = element_at(col("meta"), "length").cast("long") > headBytes &&
-      col("modality") =!= "unknown" && col("format").isNull
+      col("modality") =!= "unknown" &&
+      (col("format").isNull || col("format") === "opus")
     val decided = heads.filter(!undecidable)
+    // head-undecidable rows take a bounded TAIL read next: the
+    // two-window parsers decide tail-anchored A/V metadata exactly
+    // (trailing-moov MP4 box walk across the gap, Opus last-page
+    // granule by validated re-sync). Decided-unparseable rows
+    // quarantine at head+tail cost — a full parse would fail on the
+    // same bytes; only window-undecidable rows (mid-file moov,
+    // non-Ogg audio, JPEG SOF past the cap) pay a full re-read +
+    // re-annotation BEFORE the quarantine decision. Junk extensions
+    // stay head-only however large.
+    val htUdf = udf(Multimodal.headTailAvMeta _)
+    val withTail = Multimodal.withTailBytes(
+        heads.filter(undecidable)
+          .withColumn("path", element_at(col("meta"), "path")),
+        "path", tailBytes)
+      .withColumn("ht", htUdf(col("modality"), col("bytes"), col("tail_bytes"),
+        element_at(col("meta"), "length").cast("long")))
+      .localCheckpoint()
+    val isA = col("modality") === "audio"
+    val isV = col("modality") === "video"
+    val tailDecided = withTail.filter(col("ht").isNotNull)
+      .withColumn("format", col("ht._2"))
+      .withColumn("duration_ms", when(col("ht._1"), col("ht._5")))
+      .withColumn("audio_duration_ms",
+        when(col("ht._1") && isA, col("ht._5")).otherwise(col("audio_duration_ms")))
+      .withColumn("video_format",
+        when(col("ht._1") && isV, col("ht._2")).otherwise(col("video_format")))
+      .drop("ht", "tail_bytes", "path")
     val redone = annotateMedia(
       Multimodal.withFullBytes(
-          heads.filter(undecidable)
-            .select(col("media_id"), col("modality"), col("meta"))
-            .withColumn("path", element_at(col("meta"), "path")),
+          withTail.filter(col("ht").isNull)
+            .select(col("media_id"), col("modality"), col("meta"), col("path")),
           "path")
         .drop("path"))
-    quarantineRows(decided).unionByName(quarantineRows(redone))
+    quarantineRows(decided).unionByName(quarantineRows(tailDecided))
+      .unionByName(quarantineRows(redone))
       .write.mode("overwrite").parquet(s"$rejectDir/batch_id=$batchId")
-    // phase 2: head-decided survivors swap the head slice for the full
-    // blob; re-read survivors already carry theirs
+    // phase 2: head- and tail-decided survivors swap the head slice for
+    // the full blob; re-read survivors already carry theirs
     val decidedSurvivors = Multimodal.withFullBytes(
       decided.filter(isWellFormed).drop("bytes")
         .withColumn("path", element_at(col("meta"), "path")),
       "path").drop("path")
+    val tailSurvivors = Multimodal.withFullBytes(
+      tailDecided.filter(isWellFormed).drop("bytes")
+        .withColumn("path", element_at(col("meta"), "path")),
+      "path").drop("path")
     val survivors = decidedSurvivors
+      .unionByName(tailSurvivors.select(decidedSurvivors.columns.map(col).toSeq: _*))
       .unionByName(redone.filter(isWellFormed)
         .select(decidedSurvivors.columns.map(col).toSeq: _*))
     dedupAndAppend(survivors,
@@ -262,7 +299,8 @@ object MediaStream {
     */
   def watchDirectoryHead(spark: SparkSession, dir: String, stateDir: String,
       outDir: String, rejectDir: String, checkpointDir: String,
-      headBytes: Int = 65536, autoCompactEvery: Int = 16): StreamingQuery = {
+      headBytes: Int = 65536, autoCompactEvery: Int = 16,
+      tailBytes: Int = 65536): StreamingQuery = {
     val binaryFileSchema = StructType(Seq(
       StructField("path", StringType),
       StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
@@ -275,7 +313,7 @@ object MediaStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatchHead(batch, batchId, stateDir, outDir, rejectDir,
-          headBytes, autoCompactEvery)
+          headBytes, autoCompactEvery, tailBytes)
       }
       .start()
   }

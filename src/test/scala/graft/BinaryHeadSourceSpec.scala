@@ -111,6 +111,64 @@ class BinaryHeadSourceSpec extends AnyFunSuite {
     assert(perPart.sum == 19000L)
   }
 
+  test("tail option adds a bounded tail column: exactly the last " +
+    "min(tail, length) bytes, pruned like head") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_head_tail")
+    val bytes = Array.tabulate(10000)(i => (i * 13 + 5).toByte)
+    java.nio.file.Files.write(dir.resolve("blob.bin"), bytes)
+    java.nio.file.Files.write(dir.resolve("tiny.bin"), bytes.take(50))
+    val rows = spark.read.format("binary-head")
+      .option("head", 128).option("tail", 256)
+      .load(dir.toString + "/*").collect()
+      .map(r => (r.getAs[String]("path").split('/').last,
+        r.getAs[Array[Byte]]("head").toSeq, r.getAs[Array[Byte]]("tail").toSeq))
+      .sortBy(_._1).toSeq
+    assert(rows.map(_._1) == Seq("blob.bin", "tiny.bin"))
+    assert(rows(0)._2 == bytes.take(128).toSeq)
+    assert(rows(0)._3 == bytes.takeRight(256).toSeq)
+    // a file smaller than both caps arrives whole in both columns
+    assert(rows(1)._2 == bytes.take(50).toSeq)
+    assert(rows(1)._3 == bytes.take(50).toSeq)
+    // without the option the schema stays the classic 3 columns
+    val classic = spark.read.format("binary-head").option("head", 128)
+      .load(dir.toString + "/*")
+    assert(classic.schema.fieldNames.toSeq == Seq("path", "length", "head"))
+  }
+
+  test("sharded dir-stripe planning yields identical rows to the exact " +
+    "per-file mode, and a huge dir splits across partitions") {
+    val base = java.nio.file.Files.createTempDirectory("graft_head_stripe")
+    // one HUGE shard (40 files) among small ones: the stripe planner
+    // must split it instead of serializing it into one task
+    (0 until 6).foreach { d =>
+      val sub = base.resolve(f"shard=$d%02d")
+      java.nio.file.Files.createDirectories(sub)
+      val n = if (d == 0) 40 else 3
+      (0 until n).foreach { i =>
+        java.nio.file.Files.write(sub.resolve(f"f$i%02d.bin"),
+          Array.tabulate(100 + d + i)(j => (j * 7 + d).toByte))
+      }
+    }
+    def scan(thresh: Int) = spark.read.format("binary-head")
+      .option("head", 64).option("partitions", 8)
+      .option("distributedListingDirs", thresh)
+      .load(base.toString + "/*")
+    val striped = scan(4)   // 6 dirs >= 4 → dir-stripe mode
+    val exact = scan(100)   // driver loop → exact per-file mode
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[Long]("length"),
+        r.getAs[Array[Byte]]("head").toSeq)).toSet
+    assert(rowsOf(striped) == rowsOf(exact))
+    assert(rowsOf(striped).size == 55)
+    // the dominant shard's rows must span more than one partition
+    val hugePerPart = striped
+      .where(col("path").contains("shard=00"))
+      .select(spark_partition_id().as("pid"))
+      .distinct().count()
+    assert(hugePerPart > 1,
+      s"the 40-file shard should stripe across partitions, got $hugePerPart")
+  }
+
   test("zero-byte files survive the head scan (binaryFile drops them)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_head_zero")
     java.nio.file.Files.write(dir.resolve("empty.bin"), Array.emptyByteArray)

@@ -208,6 +208,44 @@ class BpeTrainerSpec extends AnyFunSuite {
       "an unreachable target defers to the round budget")
   }
 
+  test("train past the 8-round oracle ceiling: 300 merges on a seeded " +
+    "fixture corpus match the scalar reference merge-for-merge") {
+    // the DuckDB oracle unrolls at most 8 rounds (documented cost
+    // ceiling), so realistic merge counts rest on this spec: a corpus
+    // rich enough to sustain hundreds of merges, validated against the
+    // same independent scalar trainer the 8-round oracles cross-check
+    val rnd = new scala.util.Random(1234)
+    val letters = "abcdefghijkl"
+    val lexicon = (0 until 180).map { _ =>
+      val len = 3 + rnd.nextInt(8)
+      (0 until len).map(_ => letters(rnd.nextInt(letters.length))).mkString
+    }
+    // skewed pick (min of two uniforms) → Zipf-ish repetition, so pair
+    // counts separate and the argmax is exercised, not just ties
+    def word() = lexicon(
+      math.min(rnd.nextInt(lexicon.length), rnd.nextInt(lexicon.length)))
+    val docTexts = (0 until 3).map(_ => (0 until 400).map(_ => word()).mkString(" "))
+    val docs = docTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val vocab0 = docTexts.flatMap { t =>
+        t.split(" ", -1).zipWithIndex
+          .map { case (w, i) => if (i == 0) w else "Ġ" + w }
+      }.groupBy(identity).map { case (w, ws) =>
+        w.map(_.toString).toVector -> ws.length.toLong }
+    val ref = referenceTrain(vocab0, rounds = 300)
+    assert(ref.length == 300, s"fixture must sustain 300 merges, got ${ref.length}")
+    val t0 = System.nanoTime()
+    val got = BpeTrainer.train(
+        BpeTrainer.weightedVocab(docs, col("text")), rounds = 300)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"300 merges in $secs%.1fs (${secs / 300 * 1000}%.0f ms/round)")
+    assert(got == ref,
+      "engine schedule diverged from the scalar reference past round 8")
+  }
+
   test("q_bpe_train_vocab and q_bpe_train_floor at sf0.001 are prefixes of " +
     "q_bpe_train's schedule under their own stopping rules") {
     val d = TestSpark.sf0001

@@ -145,8 +145,8 @@ class MediaStreamSpec extends AnyFunSuite {
       "the rejected junk blob's bytes leaked into a full read")
   }
 
-  test("processBatchHead: a head-undecidable trailing-moov MP4 is re-read " +
-    "in full and ingested, never quarantined off its head parse") {
+  test("processBatchHead: a head-undecidable trailing-moov MP4 is decided " +
+    "exactly and ingested, never quarantined off its head parse") {
     import graft.sources.{MediaCorpus, MediaIo}
     val cap = 2048
     val watch = java.nio.file.Files.createTempDirectory("graft_msh3_in")
@@ -184,6 +184,63 @@ class MediaStreamSpec extends AnyFunSuite {
     }
     assert(fullReads == Set("tm.mp4"),
       s"only the undecidable/surviving file may be fully read: $fullReads")
+  }
+
+  test("processBatchHead: an over-cap Opus whose head PARSES is decided " +
+    "from the tail — duration comes from the LAST page's granule") {
+    import graft.sources.{MediaCorpus, MediaIo}
+    val cap = 2048
+    val watch = java.nio.file.Files.createTempDirectory("graft_msh4_in")
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_msh4_state").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_msh4_out").toString
+    val rejDir = java.nio.file.Files.createTempDirectory("graft_msh4_rej").toString
+    // head pages parse fine (OpusHead + an early audio page at granule
+    // 4800 → a head parse would report 93 ms); the TRUE duration lives
+    // in the final page's granule: (480312 − 312)/48 = 10000 ms
+    val pad = Array.tabulate(200)(i => (i * 7 + 1).toByte)
+    val longOpus = MediaCorpus.opus(48000, channels = 1, preSkip = 312,
+        granule = 4800L) ++
+      (1 to 24).map(i => MediaCorpus.oggPage(4800L * (i + 1), serial = 7, pad))
+        .reduce(_ ++ _) ++
+      MediaCorpus.oggPage(480312L, serial = 7, Array[Byte](9))
+    assert(longOpus.length > cap, "fixture must exceed the head cap")
+    java.nio.file.Files.write(watch.resolve("long.opus"), longOpus)
+    val paths = new java.io.File(watch.toString).listFiles().toSeq
+      .map(f => (f.getPath, f.length)).toDF("path", "length")
+    MediaIo.reset()
+    MediaStream.processBatchHead(paths, 0L, stateDir, outDir, rejDir,
+      headBytes = cap)
+    val kept = spark.read.parquet(outDir)
+      .select(element_at(col("meta"), "path"), col("format"), col("duration_ms"))
+      .collect().map(r => (r.getString(0).split('/').last, r.getString(1),
+        r.getLong(2))).toSet
+    assert(kept == Set(("long.opus", "opus", 10000L)),
+      s"Opus must ingest with the exact last-granule duration: $kept")
+    assert(spark.read.parquet(rejDir).count() == 0)
+  }
+
+  test("processBatchHead: a big mp4 with provably no ftyp quarantines at " +
+    "head+tail cost — decided-unparseable never full-reads") {
+    import graft.sources.MediaIo
+    val cap = 2048
+    val watch = java.nio.file.Files.createTempDirectory("graft_msh5_in")
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_msh5_state").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_msh5_out").toString
+    val rejDir = java.nio.file.Files.createTempDirectory("graft_msh5_rej").toString
+    java.nio.file.Files.write(watch.resolve("junk.mp4"),
+      Array.tabulate(10240)(i => (i * 31 + 5).toByte))
+    val paths = new java.io.File(watch.toString).listFiles().toSeq
+      .map(f => (f.getPath, f.length)).toDF("path", "length")
+    MediaIo.reset()
+    MediaStream.processBatchHead(paths, 0L, stateDir, outDir, rejDir,
+      headBytes = cap, tailBytes = cap)
+    val rejected = spark.read.parquet(rejDir).select("reason")
+      .collect().map(_.getString(0)).toSeq
+    assert(rejected == Seq("container_parse_failed"), s"got $rejected")
+    assert(MediaIo.fullReadPaths.isEmpty,
+      "a provably-unparseable blob must never be fully read")
+    assert(MediaIo.tailBytes.get > 0 && MediaIo.tailBytes.get <= cap.toLong,
+      "the decision should have cost one bounded tail read")
   }
 
   test("processBatchHead replay reproduces the same kept set (overwrite, " +

@@ -448,4 +448,156 @@ class PqSpec extends AnyFunSuite {
     // should always survive compression into the top-10
     assert(pq.contains(0L), "query vector fell out of its own PQ top-10")
   }
+
+  /** Coarse quantizer replay (k=8, 2-round integer Lloyd) shared by the
+    * batch-dataflow tests: (centroids, vec_id -> cell).
+    */
+  private def referenceCoarse(vecs: Map[Long, Array[Long]])
+      : (Seq[(Long, Array[Long])], Map[Long, Long]) = {
+    def dist(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val sorted = vecs.toSeq.sortBy(_._1)
+    var cents: Seq[(Long, Array[Long])] = sorted.take(8).map(v => v._1 -> v._2)
+    def assign() = sorted.map { case (id, v) =>
+      id -> cents.map { case (c, cv) => (c, dist(v, cv)) }
+        .minBy { case (c, dd) => (dd, c) }._1
+    }
+    for (_ <- 1 to 2) {
+      cents = assign().groupBy(_._2).toSeq.map { case (cid, members) =>
+        val vs = members.map(m => vecs(m._1))
+        cid -> Array.tabulate(vs.head.length)(j =>
+          math.floor(vs.map(_(j)).sum.toDouble / vs.length).toLong)
+      }.sortBy(_._1)
+    }
+    (cents, assign().toMap)
+  }
+
+  /** 300 deterministic probes off the sf0.001 corpus (perturbed corpus
+    * vectors under fresh qids).
+    */
+  private def generatedProbes(vecs: Map[Long, Array[Long]])
+      : Seq[(Long, Array[Long])] = {
+    val sorted = vecs.toSeq.sortBy(_._1)
+    (0 until 300).map { i =>
+      val base = sorted((i * 7) % sorted.length)._2
+      (10000L + i) -> base.map(_ + ((i % 13) - 6))
+    }
+  }
+
+  test("annIvfPqBatch dataflow at 300 generated probes matches a scalar " +
+    "replay; exchanges stay bounded regardless of probe count") {
+    import spark.implicits._
+    val d = TestSpark.sf0001
+    val (vecs, books, codes) = referencePq(d)
+    val subDim = 16
+    def dist(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val (cents, cellOf) = referenceCoarse(vecs)
+    val probes = generatedProbes(vecs)
+    val expect = probes.flatMap { case (qid, qv) =>
+      val probed = cents.map { case (cid, c) => (cid, dist(c, qv)) }
+        .sortBy { case (cid, dd) => (dd, cid) }.take(2).map(_._1).toSet
+      val luts = books.zipWithIndex.map { case (book, s) =>
+        val qs = qv.slice(s * subDim, (s + 1) * subDim)
+        book.map { case (cid, c) => cid -> dist(c, qs) }.toMap
+      }
+      codes.toSeq
+        .filter { case (id, _) => probed.contains(cellOf(id)) }
+        .map { case (id, cs) =>
+          id -> cs.zipWithIndex.map { case (c, s) => luts(s)(c) }.sum }
+        .sortBy { case (id, adc) => (adc, id) }.take(3).zipWithIndex
+        .map { case ((id, adc), i) => (qid, (i + 1).toLong, id, adc) }
+    }
+    val vecsDf = Tables.embeddings(spark, d).select(col("vec_id"),
+      KMeansOp.intVec(col("embedding")).as("v"))
+    val probesDf = probes.map { case (q, v) => (q, v.toSeq) }.toDF("qid", "v")
+    val df = queries.SemanticQ.annIvfPqBatch(vecsDf, probesDf,
+      queries.SemanticQ.trainedCentroids(spark, d),
+      queries.SemanticQ.pqCodebooks(spark, d), nProbe = 2, topK = 3)
+    // probe-side work must not add shuffles: exchanges stay at the
+    // (qid, vec) aggregation + the qid rank window (plan captured
+    // BEFORE execution — the post-AQE string duplicates every node
+    // across its Final/Initial sections)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"probe-side dataflow added shuffles:\n$plan")
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+  }
+
+  test("nProbe sweep {1,2,4,8}: each width matches its scalar replay, " +
+    "candidate coverage of the exact top-3 is monotone, and probing " +
+    "every cell equals unfiltered PQ") {
+    import spark.implicits._
+    val d = TestSpark.sf0001
+    val (vecs, books, codes) = referencePq(d)
+    val subDim = 16
+    def dist(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val (cents, cellOf) = referenceCoarse(vecs)
+    val probes = generatedProbes(vecs).take(50)
+    val exact3 = probes.map { case (qid, qv) =>
+      qid -> vecs.toSeq.map { case (id, v) => (id, dist(v, qv)) }
+        .sortBy { case (id, dd) => (dd, id) }.take(3).map(_._1).toSet
+    }.toMap
+    val vecsDf = Tables.embeddings(spark, d).select(col("vec_id"),
+      KMeansOp.intVec(col("embedding")).as("v"))
+    val probesDf = probes.map { case (q, v) => (q, v.toSeq) }.toDF("qid", "v")
+    val tcents = queries.SemanticQ.trainedCentroids(spark, d)
+    val bks = queries.SemanticQ.pqCodebooks(spark, d)
+    def scalarAt(nProbe: Int): Seq[(Long, Long, Long, Long)] =
+      probes.flatMap { case (qid, qv) =>
+        val probed = cents.map { case (cid, c) => (cid, dist(c, qv)) }
+          .sortBy { case (cid, dd) => (dd, cid) }.take(nProbe).map(_._1).toSet
+        val luts = books.zipWithIndex.map { case (book, s) =>
+          val qs = qv.slice(s * subDim, (s + 1) * subDim)
+          book.map { case (cid, c) => cid -> dist(c, qs) }.toMap
+        }
+        codes.toSeq
+          .filter { case (id, _) => probed.contains(cellOf(id)) }
+          .map { case (id, cs) =>
+            id -> cs.zipWithIndex.map { case (c, s) => luts(s)(c) }.sum }
+          .sortBy { case (id, adc) => (adc, id) }.take(3).zipWithIndex
+          .map { case ((id, adc), i) => (qid, (i + 1).toLong, id, adc) }
+      }
+    // candidate coverage: how much of the exact top-3 the probed cells
+    // even CONTAIN — the loss nProbe buys back. Probed-cell sets nest
+    // as nProbe widens, so this IS monotone (end recall is not: a wider
+    // candidate pool can displace a true hit on approximate distance).
+    def coverageAt(nProbe: Int): Int = probes.map { case (qid, qv) =>
+      val probed = cents.map { case (cid, c) => (cid, dist(c, qv)) }
+        .sortBy { case (cid, dd) => (dd, cid) }.take(nProbe).map(_._1).toSet
+      exact3(qid).count(id => probed.contains(cellOf(id)))
+    }.sum
+    val sweep = Seq(1, 2, 4, 8).map { nProbe =>
+      val got = queries.SemanticQ
+        .annIvfPqBatch(vecsDf, probesDf, tcents, bks, nProbe, topK = 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == scalarAt(nProbe), s"engine != scalar replay at nProbe=$nProbe")
+      nProbe -> coverageAt(nProbe)
+    }
+    sweep.sliding(2).foreach {
+      case Seq((np1, c1), (np2, c2)) =>
+        assert(c1 <= c2, s"coverage regressed widening nProbe $np1→$np2: $c1 > $c2")
+      case _ => ()
+    }
+    // nProbe = k: the coarse filter is vacuous — the result must equal
+    // the plain (unfiltered) PQ ADC top-3 per probe
+    val full = queries.SemanticQ
+      .annIvfPqBatch(vecsDf, probesDf, tcents, bks, nProbe = 8, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val plainPq = probes.flatMap { case (qid, qv) =>
+      val luts = books.zipWithIndex.map { case (book, s) =>
+        val qs = qv.slice(s * subDim, (s + 1) * subDim)
+        book.map { case (cid, c) => cid -> dist(c, qs) }.toMap
+      }
+      codes.toSeq.map { case (id, cs) =>
+        id -> cs.zipWithIndex.map { case (c, s) => luts(s)(c) }.sum }
+        .sortBy { case (id, adc) => (adc, id) }.take(3).zipWithIndex
+        .map { case ((id, adc), i) => (qid, (i + 1).toLong, id, adc) }
+    }
+    assert(full == plainPq)
+  }
 }
