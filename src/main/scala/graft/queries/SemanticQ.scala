@@ -361,7 +361,12 @@ object SemanticQ {
     * per-(qid, vec) ADC sum is one map-side-combined aggregation and
     * the per-qid cutoff a qid-partitioned rank — ONE corpus-scan
     * lineage regardless of probe count, the same discipline as
-    * q_multi_query_topk over raw vectors.
+    * q_multi_query_topk over raw vectors. The declared 3-probe form
+    * builds its Q·m·k LUT rows in a bounded driver loop; at fleet
+    * probe counts use [[annIvfPqBatch]], whose probe side (cells AND
+    * LUTs) is itself a dataflow — at nProbe = k the coarse filter is
+    * vacuous and it serves exactly this query's unfiltered contract
+    * (pinned by PqSpec's sweep test).
     */
   def annPqBatchQ(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

@@ -74,9 +74,11 @@ object Multimodal {
     * UNDER-reported (granule of the last head-complete page) and a
     * trailing-moov MP4 parses to NULL. Front-loaded formats (PNG/JPEG/
     * GIF/BMP/WEBP dims, WAV/FLAC headers, faststart MP4) are exact. A
-    * production curation gate on clip duration should therefore either
-    * use `length`-based bounds at the head stage or re-read the gated
-    * tail-anchored rows through [[fromBinaryFiles]].
+    * production curation gate on clip duration therefore decides
+    * head-undecidable rows from a bounded TAIL read next — the
+    * two-window deciders [[videoMetaHeadTail]]/[[opusMetaHeadTail]]
+    * (as `Media.curateRowsHead` does) — and full-reads only the
+    * window-undecidable residue.
     */
   def fromBinaryFilesHead(spark: SparkSession, glob: String,
       headBytes: Int = 65536): DataFrame =
