@@ -101,6 +101,24 @@ class IndexStreamSpec extends AnyFunSuite {
     assert(servedBatch == declaredBatch,
       "batch serving from maintained state diverged from the batch query")
 
+    // the reference's bulk-shortlist contract served from the MAINTAINED
+    // index: score-project the committed-state ADC top-5 — must equal
+    // the declared q_shortlist_ann row for row (the headline route off
+    // the continuously-maintained compressed index, not a fresh build)
+    val servedShortlist = IndexStream.searchCommitted(spark, stateDir, q, qv,
+        nProbe = 2, k = 5)
+      .select(
+        concat(lit("vec_"), lpad(col("vec_id").cast("string"), 6, "0"))
+          .as("file_name"),
+        round(lit(10.0) / (lit(1.0) +
+          col("adc_scaled").cast("double") / lit(1e12)), 2).as("score"),
+        concat(lit("doc "), col("vec_id").cast("string")).as("content"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getString(2))).toSeq
+    val declaredShortlist = queries.SemanticQ.queries("q_shortlist_ann")(spark, d)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(servedShortlist == declaredShortlist,
+      "shortlist over the maintained index diverged from q_shortlist_ann")
+
     // replay of a committed batch: deterministic overwrite, not append
     IndexStream.processBatch(
       waves(1).toDF("vec_id", "embedding"), 1L, q, stateDir)
