@@ -134,4 +134,69 @@ object ProductQuantizer {
         }.reduce(_ + _).as("adc_scaled"))
       .orderBy(col("adc_scaled").asc, col("vec_id").asc)
       .limit(k)
+
+  /** Batch IVFADC serving over an INDEXED code table — the whole
+    * serving dataflow with BOTH sides distributed, shared by the batch
+    * query tier (SemanticQ) and the committed-state serving tier
+    * (IndexStream). `indexed` must carry (vec_id, cell, code_0 …);
+    * `probes` is any (qid, v) frame — a probe fleet is a DataFrame, not
+    * a driver loop:
+    *
+    *  - per-qid nProbe-nearest coarse cells: the same literal-argmin
+    *    the corpus side's [[indexProjection]] uses, generalized to
+    *    argmin-n via `array_sort` over (dist, cid) structs (ties to
+    *    the lower cid — the shared engine/oracle convention), then a
+    *    bounded explode. Shuffle-free; centroids are k·d literals.
+    *  - per-qid ADC LUTs: the probes joined against the BOUNDED
+    *    codebook-entry relation (m·k rows, broadcast) with a
+    *    per-subspace slice — Q·m·k LUT rows built by executors.
+    *  - both probe-side relations ship as BROADCASTS; the cell join
+    *    prunes the code table BEFORE the per-subspace melt, so only
+    *    probed-cell rows reach the LUT join and the (qid, vec)
+    *    aggregation. Exchanges stay at the aggregation + the qid rank
+    *    window regardless of probe count (plan-pinned in PqSpec).
+    *
+    * Output (qid, rnk, vec_id, adc_scaled), top-k per qid, ordered.
+    */
+  def adcBatchServe(indexed: DataFrame, probes: DataFrame,
+      coarse: Seq[(Long, Seq[Long])], books: Seq[Seq[(Long, Seq[Long])]],
+      subDim: Int, nProbe: Int, topK: Int): DataFrame = {
+    val s = indexed.sparkSession
+    import s.implicits._
+    val m = books.size
+    val cellArr = array_sort(array(coarse.map { case (cid, cv) =>
+      struct(KMeansOp.intDist(col("v"), typedLit(cv)).as("dist"),
+        lit(cid).as("cid"))
+    }: _*))
+    val probeCells = probes
+      .select(col("qid"), explode(slice(cellArr, 1, nProbe)).as("pc"))
+      .select(col("qid"), col("pc.cid").as("cell"))
+    val bookRows = (for {
+      (book, sub) <- books.zipWithIndex
+      (cid, c) <- book
+    } yield (sub, cid, c)).toDF("sub", "code", "c")
+    val luts = probes.crossJoin(broadcast(bookRows))
+      .select(col("qid"), col("sub"), col("code"),
+        KMeansOp.intDist(
+          slice(col("v"), col("sub") * lit(subDim) + lit(1), lit(subDim)),
+          col("c")).as("d"))
+    // coarse filter FIRST: the broadcast (qid, cell) join prunes the
+    // code table to probed cells before any per-subspace work
+    val cand = indexed.join(broadcast(probeCells), Seq("cell"))
+    val codesLong = cand.select(col("qid"), col("vec_id"), posexplode(
+      array((0 until m).map(i => col(s"code_$i")): _*)).as(Seq("sub", "code")))
+    val adc = codesLong
+      .join(broadcast(luts), Seq("qid", "sub", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("d")).as("adc_scaled"), count(lit(1)).as("nsub"))
+      .where(col("nsub") === m)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("adc_scaled").asc, col("vec_id").asc)
+    adc.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= topK)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"),
+        col("vec_id"), col("adc_scaled"))
+      .orderBy(col("qid").asc, col("rnk").asc)
+  }
 }

@@ -438,46 +438,11 @@ object SemanticQ {
     */
   private[graft] def annIvfPqBatch(vecs: DataFrame, probes: DataFrame,
       coarse: Seq[(Long, Seq[Long])], books: Seq[Seq[(Long, Seq[Long])]],
-      nProbe: Int, topK: Int): DataFrame = {
-    val s = vecs.sparkSession
-    import s.implicits._
-    val cellArr = array_sort(array(coarse.map { case (cid, cv) =>
-      struct(KMeansOp.intDist(col("v"), typedLit(cv)).as("dist"),
-        lit(cid).as("cid"))
-    }: _*))
-    val probeCells = probes
-      .select(col("qid"), explode(slice(cellArr, 1, nProbe)).as("pc"))
-      .select(col("qid"), col("pc.cid").as("cell"))
-    val bookRows = (for {
-      (book, m) <- books.zipWithIndex
-      (cid, c) <- book
-    } yield (m, cid, c)).toDF("sub", "code", "c")
-    val luts = probes.crossJoin(broadcast(bookRows))
-      .select(col("qid"), col("sub"), col("code"),
-        KMeansOp.intDist(
-          slice(col("v"), col("sub") * lit(PqSubDim) + lit(1), lit(PqSubDim)),
-          col("c")).as("d"))
-    val indexed = graft.operators.ProductQuantizer
-      .indexProjection(vecs, coarse, books, PqSubDim)
-    // coarse filter FIRST: the broadcast (qid, cell) join prunes the
-    // code table to probed cells before any per-subspace work
-    val cand = indexed.join(broadcast(probeCells), Seq("cell"))
-    val codesLong = cand.select(col("qid"), col("vec_id"), posexplode(
-      array((0 until PqM).map(m => col(s"code_$m")): _*)).as(Seq("sub", "code")))
-    val adc = codesLong
-      .join(broadcast(luts), Seq("qid", "sub", "code"))
-      .groupBy(col("qid"), col("vec_id"))
-      .agg(sum(col("d")).as("adc_scaled"), count(lit(1)).as("nsub"))
-      .where(col("nsub") === PqM)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid"))
-      .orderBy(col("adc_scaled").asc, col("vec_id").asc)
-    adc.withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= topK)
-      .select(col("qid"), col("rnk").cast("long").as("rnk"),
-        col("vec_id"), col("adc_scaled"))
-      .orderBy(col("qid").asc, col("rnk").asc)
-  }
+      nProbe: Int, topK: Int): DataFrame =
+    graft.operators.ProductQuantizer.adcBatchServe(
+      graft.operators.ProductQuantizer
+        .indexProjection(vecs, coarse, books, PqSubDim),
+      probes, coarse, books, PqSubDim, nProbe, topK)
 
   /** The reference's bulk shortlist served from the COMPRESSED index —
     * q_shortlist's contract (`/root/reference/rag_model_mass.py:17-47`:

@@ -278,40 +278,19 @@ object IndexStream {
   def searchCommittedBatch(s: SparkSession, stateDir: String, q: Quantizers,
       queries: Seq[(Long, Seq[Long])], nProbe: Int, k: Int): DataFrame = {
     import s.implicits._
-    val subDim = q.subDim
-    val cellRows = for {
-      (qid, qv) <- queries
-      cid <- q.coarse
-        .map { case (c, cv) => (c, KMeansOp.intDistLocal(cv, qv)) }
-        .sortBy { case (c, dd) => (dd, c) }.take(nProbe).map(_._1)
-    } yield (qid, cid)
-    val probeCells = cellRows.toDF("qid", "cell")
-    val lutRows = for {
-      (qid, qv) <- queries
-      (book, m) <- q.books.zipWithIndex
-      qSub = qv.slice(m * subDim, (m + 1) * subDim)
-      (cid, c) <- book
-    } yield (qid, m, cid, KMeansOp.intDistLocal(c, qSub))
-    val luts = lutRows.toDF("qid", "sub", "code", "d")
-    val m = q.books.size
-    val codes = StreamState.readCommitted(s, stateDir, "codes", codesSchema(m))
-    val cand = codes.join(broadcast(probeCells), Seq("cell"))
-    val codesLong = cand.select(col("qid"), col("vec_id"), posexplode(
-      array((0 until m).map(i => col(s"code_$i")): _*)).as(Seq("sub", "code")))
-    val adc = codesLong
-      .join(broadcast(luts), Seq("qid", "sub", "code"))
-      .groupBy(col("qid"), col("vec_id"))
-      .agg(sum(col("d")).as("adc_scaled"), count(lit(1)).as("nsub"))
-      .where(col("nsub") === m)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid"))
-      .orderBy(col("adc_scaled").asc, col("vec_id").asc)
-    adc.withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select(col("qid"), col("rnk").cast("long").as("rnk"),
-        col("vec_id"), col("adc_scaled"))
-      .orderBy(col("qid").asc, col("rnk").asc)
+    searchCommittedBatch(s, stateDir, q, queries.toDF("qid", "v"), nProbe, k)
   }
+
+  /** The probe-fleet form: `probes` is any (qid, scaled-vector) FRAME —
+    * per-qid coarse cells and ADC LUTs are built by executors (the
+    * shared [[ProductQuantizer.adcBatchServe]] dataflow), so thousands
+    * of concurrent probes never touch the driver.
+    */
+  def searchCommittedBatch(s: SparkSession, stateDir: String, q: Quantizers,
+      probes: DataFrame, nProbe: Int, k: Int): DataFrame =
+    ProductQuantizer.adcBatchServe(
+      StreamState.readCommitted(s, stateDir, "codes", codesSchema(q.books.size)),
+      probes, q.coarse, q.books, q.subDim, nProbe, k)
 
   /** Quantizer-staleness monitor: committed cell occupancy. A healthy
     * index keeps cells balanced near the training distribution; a
