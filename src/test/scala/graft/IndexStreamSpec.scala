@@ -139,6 +139,31 @@ class IndexStreamSpec extends AnyFunSuite {
     assert(served2 == batch, "post-compaction search diverged")
   }
 
+  test("committed-state batch serving over a probe FRAME keeps the " +
+    "exchange bound: probe side adds no shuffles at 200 probes") {
+    import spark.implicits._
+    val q = quantizers
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_ix_plan").toString
+    IndexStream.processBatch(
+      fullRows.toDF("vec_id", "embedding"), 0L, q, stateDir)
+    val probes = (0 until 200).map { i =>
+      val base = fullRows((i * 7) % fullRows.length)._2
+      (20000L + i,
+        base.map(x => math.floor(x.toDouble * 1e6).toLong + ((i % 13) - 6)))
+    }.toDF("qid", "v")
+    val df = IndexStream.searchCommittedBatch(spark, stateDir, q, probes,
+      nProbe = 2, k = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"probe-cell list and LUT relation must both broadcast:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"probe-side work added shuffles over the committed state:\n$plan")
+    // and it actually serves: 3 ranked rows per probe
+    val got = df.collect()
+    assert(got.length == 600)
+    assert(got.map(_.getLong(0)).distinct.length == 200)
+  }
+
   test("an empty micro-batch commits cleanly and changes nothing") {
     import spark.implicits._
     val q = quantizers
