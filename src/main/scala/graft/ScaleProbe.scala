@@ -63,8 +63,10 @@ object ScaleProbe {
     // aggregation; the recall adds one exact broadcast-probe scan
     "q_ann_ivfpq_batch", "q_recall_ivfpq_batch",
     // round 16: the reference's shortlist served from the compressed
-    // index — probed-cells ADC top-5 + score projection, near-linear
-    "q_shortlist_ann")
+    // index — probed-cells ADC top-5 + score projection, near-linear —
+    // and batch serving over the residual encoding (same scan shape as
+    // q_ann_ivfpq_batch plus the residual projection)
+    "q_shortlist_ann", "q_ann_ivfpq_res_batch")
 
   private def mix(a: Long, b: Long, c: Long): Long = {
     var h = a * 0x9E3779B97F4A7C15L + b * 0xC2B2AE3D27D4EB4FL + c * 0x165667B19E3779F9L

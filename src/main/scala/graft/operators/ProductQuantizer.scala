@@ -199,4 +199,86 @@ object ProductQuantizer {
         col("vec_id"), col("adc_scaled"))
       .orderBy(col("qid").asc, col("rnk").asc)
   }
+
+  /** The residual-index projection a residual-IVFADC build persists:
+    * (vec_id, cell, code_0 …) where the codes quantize v −
+    * centroid[cell] ([[residuals]]) against the residual-trained
+    * codebooks — one shuffle-free pass, the residual twin of
+    * [[indexProjection]].
+    */
+  def residualIndexProjection(vecs: DataFrame, coarse: Seq[(Long, Seq[Long])],
+      books: Seq[Seq[(Long, Seq[Long])]], subDim: Int): DataFrame = {
+    val res = residuals(vecs, coarse)
+    res.select(
+      col("vec_id") +: col("cell") +:
+      books.zipWithIndex.map { case (book, s) =>
+        nearestCid(slice(col("r"), s * subDim + 1, subDim), book)
+          .as(s"code_$s")
+      }: _*)
+  }
+
+  /** Batch serving over the RESIDUAL index — [[adcBatchServe]] for
+    * FAISS's default encoding, where the ADC tables are PER PROBED
+    * CELL (the query's residual differs per cell, Jégou et al. §IV.B).
+    * All probe-side relations are dataflows:
+    *
+    *  - per-qid nProbe-nearest cells exactly as [[adcBatchServe]];
+    *  - per-(qid, cell) query residuals: the probe-cell relation
+    *    re-joined to the probes, with the cell centroid looked up in a
+    *    bounded broadcast map literal — `rv = v − centroid[cell]` is
+    *    one zip_with projection;
+    *  - per-(qid, cell) LUTs: the residual rows against the broadcast
+    *    codebook-entry relation — Q·nProbe·m·k rows, executor-built.
+    *
+    * The scan joins the LUT on (qid, CELL, sub, code) — the cell key
+    * doubles as the probed-cell filter, the same trick the
+    * single-probe q_ann_ivfpq_res plays with its chained-when LUTs.
+    * Exchanges stay at the aggregation + the qid rank window.
+    */
+  def adcBatchServeResidual(indexed: DataFrame, probes: DataFrame,
+      coarse: Seq[(Long, Seq[Long])], books: Seq[Seq[(Long, Seq[Long])]],
+      subDim: Int, nProbe: Int, topK: Int): DataFrame = {
+    val s = indexed.sparkSession
+    import s.implicits._
+    val m = books.size
+    val cellArr = array_sort(array(coarse.map { case (cid, cv) =>
+      struct(KMeansOp.intDist(col("v"), typedLit(cv)).as("dist"),
+        lit(cid).as("cid"))
+    }: _*))
+    val probeCells = probes
+      .select(col("qid"), col("v"),
+        explode(slice(cellArr, 1, nProbe)).as("pc"))
+      .select(col("qid"), col("v"), col("pc.cid").as("cell"))
+    val centsMap = typedLit(coarse.toMap)
+    val qres = probeCells.select(col("qid"), col("cell"),
+      zip_with(col("v"), element_at(centsMap, col("cell")),
+        (x, c) => x - c).as("rv"))
+    val bookRows = (for {
+      (book, sub) <- books.zipWithIndex
+      (cid, c) <- book
+    } yield (sub, cid, c)).toDF("sub", "code", "c")
+    val luts = qres.crossJoin(broadcast(bookRows))
+      .select(col("qid"), col("cell"), col("sub"), col("code"),
+        KMeansOp.intDist(
+          slice(col("rv"), col("sub") * lit(subDim) + lit(1), lit(subDim)),
+          col("c")).as("d"))
+    val cand = indexed.join(
+      broadcast(probeCells.select(col("qid"), col("cell"))), Seq("cell"))
+    val codesLong = cand.select(col("qid"), col("cell"), col("vec_id"),
+      posexplode(array((0 until m).map(i => col(s"code_$i")): _*))
+        .as(Seq("sub", "code")))
+    val adc = codesLong
+      .join(broadcast(luts), Seq("qid", "cell", "sub", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("d")).as("adc_scaled"), count(lit(1)).as("nsub"))
+      .where(col("nsub") === m)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("adc_scaled").asc, col("vec_id").asc)
+    adc.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= topK)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"),
+        col("vec_id"), col("adc_scaled"))
+      .orderBy(col("qid").asc, col("rnk").asc)
+  }
 }

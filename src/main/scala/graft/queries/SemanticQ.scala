@@ -330,14 +330,8 @@ object SemanticQ {
       val qr = qv.zip(centById(c)).map { case (x, cc) => x - cc }
       c -> graft.operators.ProductQuantizer.adcTables(qr, books, PqSubDim)
     }.toMap
-    val res = graft.operators.ProductQuantizer.residuals(vecs, coarse)
-    val codes = res.select(
-      col("vec_id") +: col("cell") +:
-      books.zipWithIndex.map { case (book, m) =>
-        graft.operators.ProductQuantizer
-          .nearestCid(slice(col("r"), m * PqSubDim + 1, PqSubDim), book)
-          .as(s"code_$m")
-      }: _*)
+    val codes = graft.operators.ProductQuantizer
+      .residualIndexProjection(vecs, coarse, books, PqSubDim)
     val adc = (0 until PqM).map { m =>
       probeCells.tail.foldLeft(
         when(col("cell") === probeCells.head,
@@ -350,6 +344,29 @@ object SemanticQ {
       .select(col("vec_id"), adc.as("adc_scaled"))
       .orderBy(col("adc_scaled").asc, col("vec_id").asc)
       .limit(10)
+  }
+
+  /** BATCH serving over the RESIDUAL index — [[annIvfPqResQ]]'s
+    * encoding (FAISS's default, Jégou et al. §IV.B) at the batch tier:
+    * per-qid probe cells, per-(qid, cell) query residuals, and the
+    * per-(qid, cell) ADC tables are ALL dataflows
+    * ([[graft.operators.ProductQuantizer.adcBatchServeResidual]] —
+    * the LUT's cell key doubles as the probed-cell filter). Declared
+    * at the 3-probe / nProbe=2 / top-3 contract; integer-exact end to
+    * end, so the oracle replays the residual chains + batch LUT CTEs
+    * bit-for-bit. Reference tie: the bulk route's fan-in
+    * (`/root/reference/rag_model_mass.py:37`, `app.py:138`) over the
+    * encoding a production FAISS deployment actually persists.
+    */
+  def annIvfPqResBatchQ(s: SparkSession, d: String): DataFrame = {
+    val coarse = trainedCentroids(s, d)
+    val books = resCodebooks(s, d)
+    val probes = intVecs(s, d).where(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("qid"), col("v"))
+    graft.operators.ProductQuantizer.adcBatchServeResidual(
+      graft.operators.ProductQuantizer
+        .residualIndexProjection(intVecs(s, d), coarse, books, PqSubDim),
+      probes, coarse, books, PqSubDim, nProbe = 2, topK = 3)
   }
 
   /** Batch ADC serving: top-3 per probe for a probe SET (vec_ids
@@ -619,6 +636,7 @@ object SemanticQ {
     "q_ann_pq" -> annPqQ,
     "q_ann_ivfpq" -> annIvfPqQ,
     "q_ann_ivfpq_res" -> annIvfPqResQ,
+    "q_ann_ivfpq_res_batch" -> annIvfPqResBatchQ,
     "q_ann_pq_batch" -> annPqBatchQ,
     "q_ann_ivfpq_batch" -> annIvfPqBatchQ,
     "q_recall_ivfpq_batch" -> recallIvfPqBatchQ,
@@ -835,7 +853,10 @@ object SemanticQ {
          |        ORDER BY ${idistSql("q.v", "qb.v")} ASC, q.vec_id ASC) AS rn
          |    FROM q CROSS JOIN qb) WHERE rn <= 3)
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
-         |  CAST(COUNT(*) * 1000000 / 9 AS BIGINT) AS recall_ppm
+         |  -- integer division (//): Spark's BIGINT / truncates, DuckDB's
+         |  -- float / would round 5e6/9 UP on the cast — a latent
+         |  -- mismatch masked whenever n_hits divides 9
+         |  CAST(COUNT(*) * 1000000 // 9 AS BIGINT) AS recall_ppm
          |FROM exact JOIN approx USING (qid, vec_id)""".stripMargin,
     "q_pq_codes" -> {
       val codeCols = (0 until PqM)
@@ -928,6 +949,49 @@ object SemanticQ {
          |$pqResAdcSql
          |SELECT vec_id, adc_scaled FROM adcres
          |ORDER BY adc_scaled ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_ann_ivfpq_res_batch" -> {
+      val lutrbs = (0 until PqM).map { s =>
+        val lo = s * PqSubDim + 1
+        val hi = (s + 1) * PqSubDim
+        s"""lutrb$s AS (SELECT qr.qid, qr.cell, $s AS sub, b.cid AS code,
+           |  ${idistSql(s"qr.rv[$lo:$hi]", "b.c")} AS d
+           |  FROM qresb qr CROSS JOIN c2_r$s b)""".stripMargin
+      }
+      val lutUnion = (0 until PqM).map(s => s"SELECT * FROM lutrb$s")
+        .mkString(" UNION ALL ")
+      val codesUnion = (0 until PqM)
+        .map(s => s"SELECT vec_id, $s AS sub, cid AS code FROM a3_r$s")
+        .mkString(" UNION ALL ")
+      s"""WITH $lloydSql,
+         |$pqResSql,
+         |$pqResChainsSql,
+         |qb AS (SELECT vec_id AS qid, v FROM q WHERE vec_id IN (0, 1, 2)),
+         |pcb AS (SELECT qid, cid FROM (
+         |    SELECT qb.qid, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY qb.qid
+         |        ORDER BY ${idistSql("c.c", "qb.v")} ASC, c.cid ASC) AS rn
+         |    FROM c2 c CROSS JOIN qb) WHERE rn <= 2),
+         |qresb AS (SELECT pcb.qid, pcb.cid AS cell,
+         |    list_transform(range(1, len(qb.v) + 1), i -> qb.v[i] - cc.c[i]) AS rv
+         |  FROM pcb JOIN c2 cc ON pcb.cid = cc.cid JOIN qb ON qb.qid = pcb.qid),
+         |${lutrbs.mkString(",\n")},
+         |lutsb AS ($lutUnion),
+         |codesb AS ($codesUnion),
+         |cand AS (SELECT pcb.qid, r.vec_id, r.cell
+         |  FROM res r JOIN pcb ON r.cell = pcb.cid),
+         |adcb AS (SELECT cand.qid, cand.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc_scaled
+         |  FROM cand JOIN codesb c USING (vec_id)
+         |  JOIN lutsb l ON l.qid = cand.qid AND l.cell = cand.cell
+         |    AND l.sub = c.sub AND l.code = c.code
+         |  GROUP BY cand.qid, cand.vec_id HAVING COUNT(*) = $PqM),
+         |ranked AS (SELECT qid, vec_id, adc_scaled,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY adc_scaled ASC, vec_id ASC) AS rnk
+         |  FROM adcb)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, adc_scaled
+         |FROM ranked WHERE rnk <= 3
+         |ORDER BY qid ASC, rnk ASC""".stripMargin
+    },
     "q_recall_ivfpq" ->
       s"""WITH $lloydSql,
          |$pqChainsSql,

@@ -392,6 +392,77 @@ class PqSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("q_ann_ivfpq_res_batch at sf0.001 matches a scalar replay probe " +
+    "for probe; plan keeps broadcasts + the exchange bound") {
+    val d = TestSpark.sf0001
+    val (vecs, _, _) = referencePq(d)
+    val subDim = 16
+    def dist(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val (cents, cellOf) = referenceCoarse(vecs)
+    val centById = cents.toMap
+    val residual: Map[Long, Array[Long]] = vecs.map { case (id, v) =>
+      id -> v.zip(centById(cellOf(id))).map { case (x, c) => x - c }
+    }
+    val resSorted = residual.toSeq.sortBy(_._1)
+    val books = (0 until 4).map { s =>
+      val sub = resSorted.map { case (id, r) =>
+        id -> r.slice(s * subDim, (s + 1) * subDim) }
+      val subById = sub.toMap
+      var bc: Seq[(Long, Array[Long])] = sub.take(8).map(v => v._1 -> v._2)
+      def asg() = sub.map { case (id, r) =>
+        id -> bc.map { case (c, cv) => (c, dist(r, cv)) }
+          .minBy { case (c, dd) => (dd, c) }._1
+      }
+      for (_ <- 1 to 2) {
+        bc = asg().groupBy(_._2).toSeq.map { case (cid, members) =>
+          val rs = members.map(m => subById(m._1))
+          cid -> Array.tabulate(subDim)(j =>
+            math.floor(rs.map(_(j)).sum.toDouble / rs.length).toLong)
+        }.sortBy(_._1)
+      }
+      bc
+    }
+    val codes = residual.map { case (id, r) =>
+      id -> Array.tabulate(4) { s =>
+        val rv = r.slice(s * subDim, (s + 1) * subDim)
+        books(s).map { case (c, cv) => (c, dist(rv, cv)) }
+          .minBy { case (c, dd) => (dd, c) }._1
+      }
+    }
+    val expect = Seq(0L, 1L, 2L).flatMap { qid =>
+      val qv = vecs(qid)
+      val probed = cents.map { case (cid, c) => (cid, dist(c, qv)) }
+        .sortBy { case (cid, dd) => (dd, cid) }.take(2).map(_._1)
+      val lutByCell = probed.map { c =>
+        val qr = qv.zip(centById(c)).map { case (x, cc) => x - cc }
+        c -> books.zipWithIndex.map { case (book, s) =>
+          val qs = qr.slice(s * subDim, (s + 1) * subDim)
+          book.map { case (cid, cv) => cid -> dist(cv, qs) }.toMap
+        }
+      }.toMap
+      codes.toSeq
+        .filter { case (id, _) => probed.contains(cellOf(id)) }
+        .map { case (id, cs) =>
+          id -> cs.zipWithIndex.map { case (c, s) => lutByCell(cellOf(id))(s)(c) }.sum }
+        .sortBy { case (id, adc) => (adc, id) }.take(3).zipWithIndex
+        .map { case ((id, adc), i) => (qid, (i + 1).toLong, id, adc) }
+    }
+    val df = queries.SemanticQ.queries("q_ann_ivfpq_res_batch")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"probe-cell list and per-cell LUT relation must both broadcast:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"probe-side residual work added shuffles:\n$plan")
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+    // qid 0's rows must equal the single-probe residual search's head
+    val single = queries.SemanticQ.queries("q_ann_ivfpq_res")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.take(3)
+    assert(got.filter(_._1 == 0L).map(r => (r._3, r._4)) == single)
+  }
+
   test("code table partitioned by cell: ADC probe prunes to the probed " +
     "directories and serves the same top-10") {
     import graft.operators.{KMeansOp, ProductQuantizer}
