@@ -87,6 +87,7 @@ object Bench {
       "trade_edges" -> (() => { queries.GraphQ.tradeEdges(spark, sfDir).count(); () }),
       "quantizer_fixed_k" -> (() => { queries.SemanticQ.trainedCentroids(spark, sfDir); () }),
       "quantizer_sqrt_n" -> (() => { queries.SemanticQ.scaledCentroids(spark, sfDir); () }),
+      "quantizer_sqrt_n_sampled" -> (() => { queries.SemanticQ.sampledCentroids(spark, sfDir); () }),
       "bpe_merges" -> (() => { queries.Analysis.cachedMergeSchedule(spark, sfDir); () }),
     )
     val derivSecs: Seq[(String, Double)] = derivationBuilds.map { case (n, f) =>

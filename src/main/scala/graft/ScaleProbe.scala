@@ -39,7 +39,7 @@ object ScaleProbe {
     "q_dup_gram_ppm", "q_decontaminate", "q_edit_distance_dedup",
     "q_dup_clusters", "q_dup_clusters_lsh", "q_vocab_growth", "q_tpch_q21", "q_tpch_q20",
     "q_repeated_spans", "q_tpch_q2", "q_interval_join", "q_mmr_batch",
-    "q_semdedup_scaled", "q_corpus_build_v3", "q_corpus_build_lsh",
+    "q_semdedup_scaled", "q_semdedup_sampled", "q_corpus_build_v3", "q_corpus_build_lsh",
     // round 12: every remaining >1 s-median query — the pairwise dedup
     // relations especially, whose boundedness was previously argued
     // from the CC family's measurements rather than measured
@@ -298,6 +298,10 @@ object ScaleProbe100 {
 
   val linear: Seq[String] = Seq(
     "q_corpus_build_lsh", "q_dup_clusters_lsh", "q_semdedup_scaled", "q_bm25_topk",
+    // round 17: the sample-trained sibling whose training derivation
+    // is the point of the rerun — quantizer_sqrt_n_sampled should be
+    // near-linear where quantizer_sqrt_n was ~72x at 100x rows
+    "q_semdedup_sampled",
     // round 14: the most expensive bench query (~5.8 s median) had sf1
     // evidence only — reads documents exclusively, so the docs-only
     // probe dirs cover it; expected ~linear (distinct-bigram growth is
@@ -329,7 +333,8 @@ object ScaleProbe100 {
       (tag, d) <- dirs
       (dn, f) <- Seq[(String, () => Unit)](
         "shingle_sets" -> (() => { queries.Analysis.shingleSets(spark, d).count(); () }),
-        "quantizer_sqrt_n" -> (() => { queries.SemanticQ.scaledCentroids(spark, d); () }))
+        "quantizer_sqrt_n" -> (() => { queries.SemanticQ.scaledCentroids(spark, d); () }),
+        "quantizer_sqrt_n_sampled" -> (() => { queries.SemanticQ.sampledCentroids(spark, d); () }))
     } yield {
       val t0 = System.nanoTime()
       try f() catch { case _: Throwable => () }

@@ -157,12 +157,27 @@ object ProductQuantizer {
     *    window regardless of probe count (plan-pinned in PqSpec).
     *
     * Output (qid, rnk, vec_id, adc_scaled), top-k per qid, ordered.
+    *
+    * The probe frame is deduplicated on qid first (one bounded
+    * exchange over Q rows): a duplicated probe row would otherwise
+    * duplicate both its probe-cell rows and its LUT rows, making every
+    * candidate's per-subspace join fan out and fail the `nsub === m`
+    * exactness filter — zero results for that qid instead of its
+    * top-k. Distinct VECTORS under one qid remain a caller error (the
+    * dedup keeps one arbitrarily, as the replaced driver-side `.toMap`
+    * did).
     */
-  def adcBatchServe(indexed: DataFrame, probes: DataFrame,
+  def adcBatchServe(indexed: DataFrame, probesIn: DataFrame,
       coarse: Seq[(Long, Seq[Long])], books: Seq[Seq[(Long, Seq[Long])]],
       subDim: Int, nProbe: Int, topK: Int): DataFrame = {
     val s = indexed.sparkSession
     import s.implicits._
+    // dedup ONCE and pin the result: the probe frame feeds two
+    // broadcast relations (cells and LUTs), so an un-pinned dedup would
+    // re-execute per subtree and a nondeterministic duplicate pick
+    // could even disagree between them; the checkpoint also spares the
+    // probe lineage its second execution. Bounded: Q rows.
+    val probes = probesIn.dropDuplicates("qid").localCheckpoint()
     val m = books.size
     val cellArr = array_sort(array(coarse.map { case (cid, cv) =>
       struct(KMeansOp.intDist(col("v"), typedLit(cv)).as("dist"),
@@ -234,12 +249,21 @@ object ProductQuantizer {
     * doubles as the probed-cell filter, the same trick the
     * single-probe q_ann_ivfpq_res plays with its chained-when LUTs.
     * Exchanges stay at the aggregation + the qid rank window.
+    *
+    * Probes are deduplicated on qid first, for the same fan-out
+    * exactness reason as [[adcBatchServe]].
     */
-  def adcBatchServeResidual(indexed: DataFrame, probes: DataFrame,
+  def adcBatchServeResidual(indexed: DataFrame, probesIn: DataFrame,
       coarse: Seq[(Long, Seq[Long])], books: Seq[Seq[(Long, Seq[Long])]],
       subDim: Int, nProbe: Int, topK: Int): DataFrame = {
     val s = indexed.sparkSession
     import s.implicits._
+    // dedup ONCE and pin the result: the probe frame feeds two
+    // broadcast relations (cells and LUTs), so an un-pinned dedup would
+    // re-execute per subtree and a nondeterministic duplicate pick
+    // could even disagree between them; the checkpoint also spares the
+    // probe lineage its second execution. Bounded: Q rows.
+    val probes = probesIn.dropDuplicates("qid").localCheckpoint()
     val m = books.size
     val cellArr = array_sort(array(coarse.map { case (cid, cv) =>
       struct(KMeansOp.intDist(col("v"), typedLit(cv)).as("dist"),

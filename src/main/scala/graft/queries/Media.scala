@@ -188,8 +188,21 @@ object Media {
       headBytes: Int = 65536, tailBytes: Int = 65536): DataFrame = {
     val annHead = annotateMeta(Multimodal.fromBinaryFilesHead(s, glob, headBytes))
     val fileLen = element_at(col("meta"), "length").cast("long")
-    val undecidable = fileLen > headBytes && col("modality") =!= "unknown" &&
-      (col("format").isNull || col("format") === "opus")
+    // metadata-only precondition: a row can only be head-undecidable if
+    // its file is over the cap AND its extension maps to a modality —
+    // both visible in the LISTING. The probe scan prunes to
+    // (path, length), so the DSv2 source never opens a file; when it
+    // comes back empty the undecidable predicate folds to false and
+    // Catalyst collapses the whole tail branch (localCheckpoint
+    // included) to an empty relation — an all-under-cap corpus pays
+    // one listing instead of a second head scan.
+    val overCapExists = !s.read.format("binary-head")
+      .option("head", headBytes).load(glob)
+      .where(col("length") > headBytes && col("path").rlike(Multimodal.mediaExtRe))
+      .isEmpty
+    val undecidable = if (!overCapExists) lit(false) else
+      fileLen > headBytes && col("modality") =!= "unknown" &&
+        (col("format").isNull || col("format") === "opus")
     // head-decided rows: gate on head metadata, survivors re-read in
     // full for the whole-blob stages
     val decidedSurvivors = Multimodal.withFullBytes(

@@ -378,44 +378,25 @@ object SemanticQ {
     * per-(qid, vec) ADC sum is one map-side-combined aggregation and
     * the per-qid cutoff a qid-partitioned rank — ONE corpus-scan
     * lineage regardless of probe count, the same discipline as
-    * q_multi_query_topk over raw vectors. The declared 3-probe form
-    * builds its Q·m·k LUT rows in a bounded driver loop; at fleet
-    * probe counts use [[annIvfPqBatch]], whose probe side (cells AND
-    * LUTs) is itself a dataflow — at nProbe = k the coarse filter is
-    * vacuous and it serves exactly this query's unfiltered contract
-    * (pinned by PqSpec's sweep test).
+    * q_multi_query_topk over raw vectors. Served by the shared
+    * [[graft.operators.ProductQuantizer.adcBatchServe]] dataflow at
+    * its DEGENERATE coarse quantizer — flat PQ is IVFADC with ONE
+    * coarse cell: the per-row cell argmin folds to a constant, the
+    * probe-cell join passes every code row, and the ADC sums depend
+    * only on the sub-codebooks, so the unfiltered contract is served
+    * byte-for-byte with ZERO `.collect()` anywhere on the path (this
+    * replaced the last bounded probe-side driver loop; the probe
+    * vectors stay a DataFrame end-to-end).
     */
   def annPqBatchQ(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val books = pqCodebooks(s, d)
-    val vecs = intVecs(s, d)
-    val qids = Seq(0L, 1L, 2L)
-    val probes = vecs.where(col("vec_id").isin(qids: _*))
-      .select(col("vec_id"), col("v")).as[(Long, Seq[Long])].collect().toMap
-    val lutRows = for {
-      qid <- qids
-      (book, m) <- books.zipWithIndex
-      qSub = probes(qid).slice(m * PqSubDim, (m + 1) * PqSubDim)
-      (cid, c) <- book
-    } yield (qid, m, cid, KMeansOp.intDistLocal(c, qSub))
-    val luts = lutRows.toDF("qid", "sub", "code", "d")
-    val codes = graft.operators.ProductQuantizer
-      .encode(vecs, books, PqSubDim)
-    val codesLong = codes.select(col("vec_id"), posexplode(
-      array((0 until PqM).map(m => col(s"code_$m")): _*)).as(Seq("sub", "code")))
-    val adc = codesLong
-      .join(broadcast(luts), Seq("sub", "code"))
-      .groupBy(col("qid"), col("vec_id"))
-      .agg(sum(col("d")).as("adc_scaled"), count(lit(1)).as("nsub"))
-      .where(col("nsub") === PqM)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid"))
-      .orderBy(col("adc_scaled").asc, col("vec_id").asc)
-    adc.withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= 3)
-      .select(col("qid"), col("rnk").cast("long").as("rnk"),
-        col("vec_id"), col("adc_scaled"))
-      .orderBy(col("qid").asc, col("rnk").asc)
+    val probes = intVecs(s, d).where(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("qid"), col("v"))
+    val flatCoarse = Seq(0L -> Seq.fill(PqM * PqSubDim)(0L))
+    graft.operators.ProductQuantizer.adcBatchServe(
+      graft.operators.ProductQuantizer
+        .indexProjection(intVecs(s, d), flatCoarse, books, PqSubDim),
+      probes, flatCoarse, books, PqSubDim, nProbe = 1, topK = 3)
   }
 
   /** Batch IVFADC serving — [[annPqBatchQ]] composed with the coarse
@@ -499,6 +480,25 @@ object SemanticQ {
         col("adc_scaled"), col("vec_id"))
       .orderBy(col("adc_scaled").asc, col("vec_id").asc)
       .select(col("file_name"), col("score"), col("content"))
+  }
+
+  /** Recall envelope for the REFERENCE-CONTRACT composition: the
+    * compressed-index shortlist's top-5 file set ([[shortlistAnnQ]])
+    * against the exact flat-scan shortlist's (q_shortlist, the
+    * reference's own bulk route) — one BIGINT ppm over the 5 slots.
+    * The generic ANN paths already publish recall monitors
+    * (q_recall_ivfpq etc.); this one watches the exact surface a
+    * reference user would swap: "does serving the headline shortlist
+    * from the 4-byte code table still return the files the raw-float
+    * scan would?" A deployment alerts when it drifts below its floor.
+    */
+  def recallShortlistAnnQ(s: SparkSession, d: String): DataFrame = {
+    val exact = PipelineQ.shortlist(s, d).select(col("file_name"))
+    val ann = shortlistAnnQ(s, d).select(col("file_name"))
+    exact.join(ann, Seq("file_name"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("n_hits"),
+        (col("n_hits") * lit(1000000L) / lit(5L)).cast("long").as("recall_ppm"))
   }
 
   /** Recall@10 of the COMPOSED IVFADC search vs the integer-exact
@@ -602,10 +602,54 @@ object SemanticQ {
       KMeansOp.lloydCentroidsLocal(emb, "vec_id", col("embedding"), k, Iters)
     }
 
-  def semdedupScaledQ(s: SparkSession, d: String): DataFrame = {
+  /** SAMPLE-trained √N quantizer — the production form of
+    * [[scaledCentroids]] and the fix for the one measured superlinear
+    * term on the 100× board: full-corpus Lloyd at k = ⌈√N⌉ costs
+    * O(N·k) = O(N^1.5) PER ROUND (quantizer_sqrt_n: 342.5 s at 100×
+    * rows vs 4.8 s base, BENCH_SF10_PROBE), while FAISS and every
+    * production IVF train the coarse quantizer on a bounded SAMPLE and
+    * assign the full corpus once. Here the training set is the
+    * min(N, 16·k) vectors ranked by the multiplicative hash
+    * `(vec_id · 2654435761) mod 2^32` (Knuth's 2^32/φ constant —
+    * exact BIGINT arithmetic both engines replay, no engine-specific
+    * hash function), ties to the lower vec_id; k still derives from
+    * the FULL count. Per-round training cost becomes
+    * O(16k·k) = O(16·N) — linear — and the only remaining O(N·√N)
+    * stage is the single final full-corpus assignment every IVF build
+    * pays by definition. Deterministic: the sample, the seeds (the k
+    * lowest vec_ids OF the sample), and the integer Lloyd rounds are
+    * all pure functions of the snapshot, so the DuckDB oracle replays
+    * the whole derivation (sampled chain + one full assign) exactly.
+    */
+  private[graft] def sampledCentroids(s: SparkSession, d: String): Seq[(Long, Seq[Long])] =
+    cachedCentroids(s, d, "sqrtNSampled") {
+      val n = Tables.embeddings(s, d).count()
+      val k = math.ceil(math.sqrt(n.toDouble)).toInt
+      val sampleN = math.min(n, 16L * k).toInt
+      val sample = intVecs(s, d)
+        .orderBy(((col("vec_id") * lit(2654435761L)) % lit(4294967296L)).asc,
+          col("vec_id").asc)
+        .limit(sampleN)
+      KMeansOp.lloydCentroidsLocalInt(sample, k, Iters)
+    }
+
+  def semdedupScaledQ(s: SparkSession, d: String): DataFrame =
+    semdedupWith(s, d, scaledCentroids(s, d))
+
+  /** SemDeDup over the SAMPLE-trained √N quantizer
+    * ([[sampledCentroids]]) — identical dedup semantics to
+    * q_semdedup_scaled, with the quantizer training cost linear in N
+    * instead of O(N^1.5). Same cluster granularity (~√N populations),
+    * so the within-cluster pairwise term keeps the SemDeDup scale
+    * shape; only the training derivation changed.
+    */
+  def semdedupSampledQ(s: SparkSession, d: String): DataFrame =
+    semdedupWith(s, d, sampledCentroids(s, d))
+
+  private def semdedupWith(s: SparkSession, d: String,
+      cents: Seq[(Long, Seq[Long])]): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
-    val cents = scaledCentroids(s, d)
     val asg = KMeansOp.assign(intVecs(s, d), cents.toDF("cid", "c"))
       .select(col("vec_id"), col("cid").as("cluster"))
     val ve = asg.join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
@@ -630,6 +674,7 @@ object SemanticQ {
     "q_kmeans" -> kmeansQ,
     "q_semdedup" -> semdedupQ,
     "q_semdedup_scaled" -> semdedupScaledQ,
+    "q_semdedup_sampled" -> semdedupSampledQ,
     "q_ann_ivf_trained" -> annIvfTrainedQ,
     "q_recall_ivf" -> recallIvfQ,
     "q_pq_codes" -> pqCodesQ,
@@ -641,6 +686,7 @@ object SemanticQ {
     "q_ann_ivfpq_batch" -> annIvfPqBatchQ,
     "q_recall_ivfpq_batch" -> recallIvfPqBatchQ,
     "q_shortlist_ann" -> shortlistAnnQ,
+    "q_recall_shortlist_ann" -> recallShortlistAnnQ,
     "q_recall_pq" -> recallPqQ,
     "q_recall_ivfpq" -> recallIvfPqQ,
   )
@@ -711,6 +757,31 @@ object SemanticQ {
     */
   private[queries] val lloydSqlScaled: String =
     lloydSqlWithSeed("(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM q)")
+
+  /** The SAMPLE-trained √N chain ([[sampledCentroids]] in SQL): the
+    * training rounds run over `qsmp` — the min(N, 16·⌈√N⌉) vectors
+    * ranked by the multiplicative hash (vec_id·2654435761) mod 2^32,
+    * ties to the lower vec_id — seeded by the sample's k lowest
+    * vec_ids, then ONE final assignment of the FULL corpus against the
+    * trained c2smp. Ends in a3 like the other chains, so downstream
+    * CTEs compose unchanged.
+    */
+  private[queries] val lloydSqlSampled: String = {
+    val kExpr = "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM q)"
+    val sExpr = "(SELECT LEAST(COUNT(*), " +
+      "16 * CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) FROM q)"
+    s"""q AS ($qFullExpr),
+       |qsmp AS (SELECT vec_id, v FROM q
+       |  ORDER BY (vec_id * 2654435761) % 4294967296 ASC, vec_id ASC
+       |  LIMIT $sExpr),
+       |c0smp AS (SELECT vec_id AS cid, v AS c FROM qsmp
+       |  ORDER BY vec_id ASC LIMIT $kExpr),
+       |${assignSql(1, "c0smp", "smp")},
+       |${updateSql(1, "smp")},
+       |${assignSql(2, "c1smp", "smp")},
+       |${updateSql(2, "smp")},
+       |${assignSql(3, "c2smp", "")}""".stripMargin
+  }
 
   // ---- PQ oracle: one suffixed Lloyd chain per subspace over the
   // SLICED scaled-integer vectors (DuckDB list slicing is 1-based
@@ -936,6 +1007,28 @@ object SemanticQ {
          |  ROUND(10.0 / (1.0 + CAST(adc_scaled AS DOUBLE) / 1000000000000.0), 2) AS score,
          |  'doc ' || CAST(vec_id AS VARCHAR) AS content
          |FROM top ORDER BY adc_scaled ASC, vec_id ASC""".stripMargin,
+    "q_recall_shortlist_ann" ->
+      s"""WITH $lloydSql,
+         |$pqChainsSql,
+         |$pqLutSql,
+         |qvc AS (SELECT v FROM q WHERE vec_id = 0),
+         |pc AS (SELECT cid FROM (
+         |    SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${idistSql("c.c", "qv.v")} ASC,
+         |      c.cid ASC) AS rn
+         |    FROM c2 c CROSS JOIN qvc qv) WHERE rn <= 2),
+         |cand AS (SELECT a3.vec_id FROM a3 JOIN pc ON a3.cid = pc.cid),
+         |$pqAdcSql,
+         |anntop AS (SELECT adc.vec_id FROM adc JOIN cand USING (vec_id)
+         |  ORDER BY adc_scaled ASC, vec_id ASC LIMIT 5),
+         |qe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |extop AS (SELECT e.vec_id FROM embeddings e CROSS JOIN qe qq
+         |  ORDER BY list_reduce(list_transform(range(1, len(e.embedding) + 1),
+         |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(qq.qe[i] AS DOUBLE))
+         |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(qq.qe[i] AS DOUBLE))),
+         |      (acc, v) -> acc + v) ASC, e.vec_id ASC LIMIT 5)
+         |SELECT count(*) AS n_hits,
+         |  count(*) * 1000000 // 5 AS recall_ppm
+         |FROM extop WHERE vec_id IN (SELECT vec_id FROM anntop)""".stripMargin,
     "q_ann_ivfpq_res" ->
       s"""WITH $lloydSql,
          |$pqResSql,
@@ -1025,6 +1118,16 @@ object SemanticQ {
          |FROM exact WHERE vec_id IN (SELECT vec_id FROM pq)""".stripMargin,
     "q_semdedup_scaled" ->
       s"""WITH $lloydSqlScaled,
+         |ve AS (SELECT a3.vec_id, a3.cid AS cluster, e.embedding
+         |  FROM a3 JOIN embeddings e USING (vec_id)),
+         |drops AS (SELECT DISTINCT b.vec_id
+         |  FROM ve a JOIN ve b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE ${Analysis.cosineSql("a.embedding", "b.embedding")} >= 0.4)
+         |SELECT v.vec_id, v.cluster, (d.vec_id IS NULL) AS kept
+         |FROM ve v LEFT JOIN drops d ON v.vec_id = d.vec_id
+         |ORDER BY v.vec_id ASC""".stripMargin,
+    "q_semdedup_sampled" ->
+      s"""WITH $lloydSqlSampled,
          |ve AS (SELECT a3.vec_id, a3.cid AS cluster, e.embedding
          |  FROM a3 JOIN embeddings e USING (vec_id)),
          |drops AS (SELECT DISTINCT b.vec_id

@@ -112,6 +112,20 @@ object BinaryHeadSource {
       .filter { case (p, _) => visible(p) }
       .sortBy(_._1)
 
+  /** Order-sensitive fingerprint of a sorted directory listing —
+    * captured at PLAN time in each [[DirSummary]] and re-checked by
+    * every stripe reader against its own execution-time re-listing.
+    * Directory-stripe reads assume a FIXED directory state between
+    * planning and reading (stripes of one dir must agree on the same
+    * snapshot or they can duplicate/drop files relative to each
+    * other); a mismatch fails the task loudly instead of returning a
+    * silently inconsistent row set.
+    */
+  private[graft] def listingFingerprint(fs: Seq[(String, Long)]): Long =
+    fs.foldLeft(fs.size.toLong) { case (acc, (p, len)) =>
+      acc * 1000003L + (p.hashCode.toLong * 31L + len)
+    }
+
   /** Glob expansion: (matched directories, loose matched files). One
     * driver metadata call; directories expand one level (non-recursive,
     * like `binaryFile` given a dir-slash-star glob).
@@ -183,18 +197,20 @@ private[sources] class BinaryHeadScanBuilder(path: String, headBytes: Int,
 private[sources] sealed trait HeadTask
 private[sources] case class FileListTask(files: Seq[(String, Long)]) extends HeadTask
 private[sources] case class DirStripeTask(dir: String, stripe: Int,
-    stride: Int) extends HeadTask
+    stride: Int, expectFp: Long) extends HeadTask
 
 private[sources] case class BinaryHeadSplit(tasks: Seq[HeadTask])
   extends InputPartition
 
 /** Per-directory listing summary — all the driver holds per dir in the
-  * sharded mode: file count, Σ min(head, length) (the bounded read
-  * cost that drives split packing and the `head` stats term), and the
-  * Σ path+fixed metadata bytes for the pruned-scan stats term.
+  * sharded mode: file count, Σ min(head, length) and Σ min(tail,
+  * length) (the bounded read costs that drive split packing and the
+  * `head`/`tail` stats terms), the Σ path+fixed metadata bytes for the
+  * pruned-scan stats term, and the listing fingerprint stripe readers
+  * verify ([[BinaryHeadSource.listingFingerprint]]).
   */
 private[sources] case class DirSummary(dir: String, nFiles: Long,
-    cost: Long, metaBytes: Long)
+    headCost: Long, tailCost: Long, metaBytes: Long, fp: Long)
 
 private[sources] class BinaryHeadScan(path: String, headBytes: Int,
     tailBytes: Int, partitions: Int, distListDirs: Int, required: StructType)
@@ -222,13 +238,16 @@ private[sources] class BinaryHeadScan(path: String, headBytes: Int,
       val bc = sc.broadcast(
         new org.apache.spark.util.SerializableConfiguration(hadoopConf))
       val hb = headBytes
+      val tb = tailBytes
       val summaries = sc.parallelize(dirs.map(_.toString),
           math.min(dirs.length, 64))
         .map { d =>
           val fs = BinaryHeadSource.listDir(new Path(d), bc.value.value)
           DirSummary(d, fs.size.toLong,
-            fs.map(f => math.min(hb.toLong, f._2) + 1L).sum,
-            fs.map(f => 48L + f._1.length).sum)
+            fs.map(f => math.min(hb.toLong, f._2)).sum,
+            fs.map(f => math.min(tb.toLong, f._2)).sum,
+            fs.map(f => 48L + f._1.length).sum,
+            BinaryHeadSource.listingFingerprint(fs))
         }
         .collect().toSeq.sortBy(_.dir)
       Right((loose, summaries))
@@ -237,19 +256,33 @@ private[sources] class BinaryHeadScan(path: String, headBytes: Int,
         .sortBy(_._1))
   }
 
+  // the per-file bounded-read cost the scan will actually pay, given
+  // the pruned schema: head and tail terms count only when projected
+  private def readsHead = required.fieldNames.contains("head")
+  private def readsTail = required.fieldNames.contains("tail")
+  private def fileCost(len: Long): Long =
+    (if (readsHead) math.min(headBytes.toLong, len) else 0L) +
+      (if (readsTail) math.min(tailBytes.toLong, len) else 0L) + 1L
+  private def dirCost(s: DirSummary): Long =
+    (if (readsHead) s.headCost else 0L) +
+      (if (readsTail) s.tailCost else 0L) + s.nFiles
+
   override def estimateStatistics(): Statistics = new Statistics {
-    private val (nRows, metaBytes, headTotal) = planned match {
+    private val (nRows, metaBytes, headTotal, tailTotal) = planned match {
       case Left(files) => (files.size.toLong,
         files.map(f => 48L + f._1.length).sum,
-        files.map(f => math.min(headBytes.toLong, f._2)).sum)
+        files.map(f => math.min(headBytes.toLong, f._2)).sum,
+        files.map(f => math.min(tailBytes.toLong, f._2)).sum)
       case Right((loose, sums)) => (
         loose.size.toLong + sums.map(_.nFiles).sum,
         loose.map(f => 48L + f._1.length).sum + sums.map(_.metaBytes).sum,
         loose.map(f => math.min(headBytes.toLong, f._2)).sum +
-          sums.map(s => s.cost - s.nFiles).sum) // cost carries +1/file
+          sums.map(_.headCost).sum,
+        loose.map(f => math.min(tailBytes.toLong, f._2)).sum +
+          sums.map(_.tailCost).sum)
     }
     private val boundedTotal =
-      if (required.fieldNames.contains("head")) headTotal else 0L
+      (if (readsHead) headTotal else 0L) + (if (readsTail) tailTotal else 0L)
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(metaBytes + boundedTotal)
     override def numRows(): java.util.OptionalLong =
@@ -279,26 +312,24 @@ private[sources] class BinaryHeadScan(path: String, headBytes: Int,
     case Left(files) =>
       // exact per-file LPT: one task per file
       packLpt(files.map(f =>
-        (FileListTask(Seq(f)): HeadTask,
-          math.min(headBytes.toLong, f._2) + 1L)))
+        (FileListTask(Seq(f)): HeadTask, fileCost(f._2))))
     case Right((loose, sums)) =>
       // directory stripes: a dir whose bounded cost exceeds its fair
       // share splits into k stripes (every k-th file of the sorted
       // listing), so one huge shard cannot skew a split while the
       // driver still holds only O(dirs + splits) state
-      val totalCost = sums.map(_.cost).sum +
-        loose.map(f => math.min(headBytes.toLong, f._2) + 1L).sum
+      val totalCost = sums.map(dirCost).sum + loose.map(f => fileCost(f._2)).sum
       val target = math.max(1L, totalCost / math.max(1, partitions))
       val dirTasks = sums.filter(_.nFiles > 0).flatMap { s =>
+        val cost = dirCost(s)
         val k = math.max(1L, math.min(
           math.min(s.nFiles, partitions.toLong),
-          (s.cost + target - 1) / target)).toInt
+          (cost + target - 1) / target)).toInt
         (0 until k).map(r =>
-          (DirStripeTask(s.dir, r, k): HeadTask, s.cost / k))
+          (DirStripeTask(s.dir, r, k, s.fp): HeadTask, cost / k))
       }
       val looseTasks = loose.map(f =>
-        (FileListTask(Seq(f)): HeadTask,
-          math.min(headBytes.toLong, f._2) + 1L))
+        (FileListTask(Seq(f)): HeadTask, fileCost(f._2)))
       packLpt(dirTasks ++ looseTasks)
   }
 
@@ -323,9 +354,19 @@ private[sources] class BinaryHeadReaderFactory(headBytes: Int, tailBytes: Int,
       // executor and takes every stride-th file of the sorted listing
       private val files: Iterator[(String, Long)] = tasks.iterator.flatMap {
         case FileListTask(fs) => fs.iterator
-        case DirStripeTask(d, r, k) =>
-          BinaryHeadSource.listDir(new Path(d), conf).iterator
-            .zipWithIndex
+        case DirStripeTask(d, r, k, expectFp) =>
+          // execution-time re-list MUST match the plan-time snapshot:
+          // stripes of one dir partition its SORTED listing by index,
+          // so a dir that changed between planning and reading (or
+          // between a task and its retry) would silently duplicate or
+          // drop files across stripes — fail loudly instead
+          val listed = BinaryHeadSource.listDir(new Path(d), conf)
+          val fp = BinaryHeadSource.listingFingerprint(listed)
+          if (fp != expectFp) throw new java.io.IOException(
+            s"binary-head: directory $d changed between split planning " +
+              s"and reading (listing fingerprint $fp != planned $expectFp); " +
+              "directory-stripe scans require a fixed directory state")
+          listed.iterator.zipWithIndex
             .collect { case (f, i) if i % k == r => f }
       }
       private var cur: (String, Long) = null

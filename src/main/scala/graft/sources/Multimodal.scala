@@ -37,6 +37,16 @@ object Multimodal {
       mediaSchema)
   }
 
+  /** Every extension the modality dispatch maps to a real modality —
+    * the METADATA-ONLY precondition for "could any row be
+    * head-undecidable?": undecidability requires a known-modality
+    * extension AND length over the head cap, both readable from the
+    * listing alone. Curation paths test this before building their
+    * tail-read branch so an all-under-cap batch never pays it.
+    */
+  val mediaExtRe: String =
+    "(?i)\\.(png|jpe?g|gif|bmp|webp|wav|mp3|flac|ogg|opus|mp4|avi|mkv|webm)$"
+
   /** Wrap a binaryFile scan into the canonical media schema; modality is
     * dispatched on file extension (reference format-dispatch analog,
     * `utils.py:12-19`).

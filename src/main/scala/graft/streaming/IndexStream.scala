@@ -21,9 +21,12 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * a corpus that outlives one request).
   *
   * Per micro-batch of (vec_id, embedding):
-  *  1. one shuffle-free [[ProductQuantizer.indexProjection]] computes
-  *     each vector's coarse cell and PQ codes against the frozen
-  *     quantizers (literal argmins, broadcast by value);
+  *  1. one shuffle-free projection computes each vector's coarse cell
+  *     and PQ codes against the frozen quantizers (literal argmins,
+  *     broadcast by value) — [[ProductQuantizer.indexProjection]] for
+  *     plain PQ, [[ProductQuantizer.residualIndexProjection]] when the
+  *     artifact's codebooks quantize v − centroid[cell] (FAISS's
+  *     default residual encoding; `Quantizers.residual`);
   *  2. vectors whose vec_id an EARLIER committed batch already indexed
   *     are dropped by one anti-join against the committed code table
   *     (new↔existing only; the index is never re-scanned pairwise);
@@ -48,10 +51,22 @@ object IndexStream {
   /** The frozen index artifact: coarse centroids + per-subspace PQ
     * codebooks (all driver-local and bounded — k·d + m·k·subDim
     * BIGINTs), as trained by KMeansOp/ProductQuantizer on the build
-    * snapshot.
+    * snapshot. `residual` = true means the codebooks quantize
+    * v − centroid[cell] (FAISS's default IVFADC encoding,
+    * [[ProductQuantizer.residualIndexProjection]]) instead of v
+    * itself; assignment and serving dispatch on it, and the flag
+    * persists with the generation artifact so a restarted maintainer
+    * can never mix encodings.
     */
   final case class Quantizers(coarse: Seq[(Long, Seq[Long])],
-      books: Seq[Seq[(Long, Seq[Long])]], subDim: Int)
+      books: Seq[Seq[(Long, Seq[Long])]], subDim: Int,
+      residual: Boolean = false)
+
+  /** The per-batch/per-rebuild corpus projection for this encoding. */
+  private def project(vecs: DataFrame, q: Quantizers): DataFrame =
+    if (q.residual)
+      ProductQuantizer.residualIndexProjection(vecs, q.coarse, q.books, q.subDim)
+    else ProductQuantizer.indexProjection(vecs, q.coarse, q.books, q.subDim)
 
   private def codesSchema(m: Int): StructType =
     StructType(
@@ -66,8 +81,7 @@ object IndexStream {
     val s = batch.sparkSession
     val vecs = batch.select(col("vec_id"),
       KMeansOp.intVec(col("embedding")).as("v"))
-    val indexed0 = ProductQuantizer
-      .indexProjection(vecs, q.coarse, q.books, q.subDim)
+    val indexed0 = project(vecs, q)
     // collapse duplicate vec_ids WITHIN the micro-batch to one
     // deterministic row (min over the (cell, codes) struct): the
     // anti-join below only dedups against EARLIER committed batches,
@@ -151,6 +165,15 @@ object IndexStream {
     */
   def searchCommitted(s: SparkSession, stateDir: String, q: Quantizers,
       query: Seq[Long], nProbe: Int, k: Int): DataFrame = {
+    if (q.residual) {
+      // residual ADC tables are per probed cell — serve the single
+      // probe through the shared residual batch dataflow and strip the
+      // probe bookkeeping back off
+      import s.implicits._
+      return searchCommittedBatch(s, stateDir, q,
+          Seq((0L, query)).toDF("qid", "v"), nProbe, k)
+        .select(col("vec_id"), col("adc_scaled"))
+    }
     val probeCells = q.coarse
       .map { case (cid, c) => (cid, KMeansOp.intDistLocal(c, query)) }
       .sortBy { case (cid, dd) => (dd, cid) }
@@ -194,11 +217,15 @@ object IndexStream {
     */
   private[graft] def saveQuantizers(s: SparkSession, dir: String,
       q: Quantizers): Unit = {
+    // the encoding flag rides as a marker row (kind = "residual"), so
+    // pre-flag artifacts load as plain-PQ without a schema migration
+    val meta = if (q.residual)
+      Seq(Row("residual", -1, 0L, Seq.empty[Long], q.subDim)) else Nil
     val rows =
       q.coarse.map { case (cid, c) => Row("coarse", -1, cid, c, q.subDim) } ++
       q.books.zipWithIndex.flatMap { case (book, m) =>
         book.map { case (cid, c) => Row("book", m, cid, c, q.subDim) }
-      }
+      } ++ meta
     s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), quantizersSchema)
       .write.mode("overwrite").parquet(s"$dir/quantizers")
   }
@@ -215,7 +242,8 @@ object IndexStream {
       rows.filter(r => r.getString(0) == "book" && r.getInt(1) == sub)
         .map(r => (r.getLong(2), r.getSeq[Long](3))).sortBy(_._1).toSeq
     }
-    Quantizers(coarse, books, subDim)
+    Quantizers(coarse, books, subDim,
+      residual = rows.exists(_.getString(0) == "residual"))
   }
 
   /** REBUILD: retrain both quantizers on a corpus snapshot (the raw
@@ -231,18 +259,29 @@ object IndexStream {
     * no-op in search results — the equivalence the spec pins.
     */
   def rebuild(s: SparkSession, indexRoot: String, corpus: DataFrame,
-      k: Int, iters: Int, m: Int, subDim: Int): Quantizers = {
+      k: Int, iters: Int, m: Int, subDim: Int,
+      residual: Boolean = false): Quantizers = {
     val next = StreamState.markerIdsIn(s, s"$indexRoot/_current")
       .lastOption.getOrElse(-1L) + 1L
     val dir = genDir(indexRoot, next)
     val coarse = KMeansOp.lloydCentroidsLocal(
       corpus, "vec_id", col("embedding"), k, iters)
-    val books = ProductQuantizer.train(
-      corpus, "vec_id", col("embedding"), m, subDim, k, iters)
-    val q = Quantizers(coarse, books, subDim)
     val vecs = corpus.select(col("vec_id"),
       KMeansOp.intVec(col("embedding")).as("v"))
-    ProductQuantizer.indexProjection(vecs, coarse, books, subDim)
+    // residual codebooks train on v − centroid[cell] — already-integer
+    // vectors, so the fits enter Lloyd through the pre-scaled door
+    // (the same derivation as the batch tier's resCodebooks)
+    val books =
+      if (residual) {
+        lazy val res = ProductQuantizer.residuals(vecs, coarse)
+        (0 until m).map(sub => KMeansOp.lloydCentroidsLocalInt(
+          res.select(col("vec_id"),
+            slice(col("r"), sub * subDim + 1, subDim).as("v")),
+          k, iters))
+      } else ProductQuantizer.train(
+        corpus, "vec_id", col("embedding"), m, subDim, k, iters)
+    val q = Quantizers(coarse, books, subDim, residual)
+    project(vecs, q)
       .write.mode("overwrite").parquet(s"$dir/codes/batch_id=0")
     saveQuantizers(s, dir, q)
     StreamState.commitMarker(s, dir, 0L)
@@ -287,10 +326,16 @@ object IndexStream {
     * of concurrent probes never touch the driver.
     */
   def searchCommittedBatch(s: SparkSession, stateDir: String, q: Quantizers,
-      probes: DataFrame, nProbe: Int, k: Int): DataFrame =
-    ProductQuantizer.adcBatchServe(
-      StreamState.readCommitted(s, stateDir, "codes", codesSchema(q.books.size)),
-      probes, q.coarse, q.books, q.subDim, nProbe, k)
+      probes: DataFrame, nProbe: Int, k: Int): DataFrame = {
+    val committed = StreamState.readCommitted(
+      s, stateDir, "codes", codesSchema(q.books.size))
+    if (q.residual)
+      ProductQuantizer.adcBatchServeResidual(
+        committed, probes, q.coarse, q.books, q.subDim, nProbe, k)
+    else
+      ProductQuantizer.adcBatchServe(
+        committed, probes, q.coarse, q.books, q.subDim, nProbe, k)
+  }
 
   /** Quantizer-staleness monitor: committed cell occupancy. A healthy
     * index keeps cells balanced near the training distribution; a

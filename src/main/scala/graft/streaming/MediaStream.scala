@@ -159,9 +159,21 @@ object MediaStream {
     // LAST Ogg page's granule, so a head parse under-reports it and
     // the under-reported value must never reach the corpus (the same
     // predicate as Media.curateRowsHead).
-    val undecidable = element_at(col("meta"), "length").cast("long") > headBytes &&
-      col("modality") =!= "unknown" &&
-      (col("format").isNull || col("format") === "opus")
+    //
+    // Gate the whole tail branch on a METADATA-ONLY precondition
+    // first: no file over the head cap with a media extension → no row
+    // can be undecidable, and the predicate folds to false so Catalyst
+    // propagates an empty relation through the branch — its
+    // localCheckpoint, tail reads, and re-reads all collapse to
+    // zero-I/O instead of paying a second head scan of the batch.
+    // The check reads only the discovery rows' (path, length).
+    val overCapExists = !paths
+      .where(col("length") > headBytes && col("path").rlike(Multimodal.mediaExtRe))
+      .isEmpty
+    val undecidable = if (!overCapExists) lit(false) else
+      element_at(col("meta"), "length").cast("long") > headBytes &&
+        col("modality") =!= "unknown" &&
+        (col("format").isNull || col("format") === "opus")
     val decided = heads.filter(!undecidable)
     // head-undecidable rows take a bounded TAIL read next: the
     // two-window parsers decide tail-anchored A/V metadata exactly
@@ -187,6 +199,16 @@ object MediaStream {
       .withColumn("duration_ms", when(col("ht._1"), col("ht._5")))
       .withColumn("audio_duration_ms",
         when(col("ht._1") && isA, col("ht._5")).otherwise(col("audio_duration_ms")))
+      // the two-window decision re-derives rate/channels exactly, so a
+      // decided audio row whose HEAD parse failed (e.g. header pages
+      // carrying granule -1) still lands in the corpus with the values
+      // a full read would have produced — mirror the duration handling
+      .withColumn("sample_rate",
+        when(col("ht._1") && isA, col("ht._3")).otherwise(col("sample_rate")))
+      .withColumn("channels",
+        when(col("ht._1") && isA, col("ht._4")).otherwise(col("channels")))
+      .withColumn("audio_format",
+        when(col("ht._1") && isA, col("ht._2")).otherwise(col("audio_format")))
       .withColumn("video_format",
         when(col("ht._1") && isV, col("ht._2")).otherwise(col("video_format")))
       .drop("ht", "tail_bytes", "path")

@@ -99,8 +99,12 @@ class BinaryHeadSourceSpec extends AnyFunSuite {
       java.nio.file.Files.write(dir.resolve(f"s$i.bin"), new Array[Byte](1000)))
     val df = spark.read.format("binary-head")
       .option("head", 1 << 20).option("partitions", 3).load(dir.toString + "/*")
-    val perPart = df.select(spark_partition_id().as("pid"), col("length"))
-      .groupBy("pid").agg(sum("length").as("bytes")).collect()
+    // packing follows the PRUNED read cost, so the scan must actually
+    // read heads for size-based LPT to apply (a path/length-only scan
+    // correctly packs by file count instead)
+    val perPart = df.select(spark_partition_id().as("pid"), col("length"),
+        octet_length(col("head")).as("hb"))
+      .groupBy("pid").agg(sum("length").as("bytes"), sum("hb")).collect()
       .map(_.getAs[Long]("bytes"))
     assert(perPart.length == 3)
     // LPT isolates the dominant file (its split gets nothing else — the
@@ -262,5 +266,62 @@ class BinaryHeadSourceSpec extends AnyFunSuite {
       Multimodal.fromBinaryFilesHead(spark, dir + "/*")).collect().toSeq
     assert(head == full)
     assert(head.nonEmpty)
+  }
+
+  test("tail-projected statistics count the bounded tail term; packing " +
+    "costs follow the pruned schema") {
+    val (dir, _, len) = bigFileDir()
+    def stats(df: org.apache.spark.sql.DataFrame): Long = {
+      val relation = df.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.get
+      relation.scan.asInstanceOf[
+        org.apache.spark.sql.connector.read.SupportsReportStatistics]
+        .estimateStatistics().sizeInBytes().getAsLong
+    }
+    val scan = spark.read.format("binary-head")
+      .option("head", 65536).option("tail", 32768).load(dir + "/*")
+    // head+tail projected: both bounded terms count
+    val both = stats(scan.select(col("path"), col("head"), col("tail")))
+    assert(both >= 65536L + 32768L && both < 2L * (65536 + 32768),
+      s"head+tail size should be ~the two caps, got $both (file is $len)")
+    // only the tail projected: the head term must NOT inflate the scan
+    val tailOnly = stats(scan.select(col("path"), col("tail")))
+    assert(tailOnly >= 32768L && tailOnly < 2L * 32768,
+      s"tail-only size should be ~the tail cap, got $tailOnly")
+    // neither projected: metadata only
+    assert(stats(scan.select(col("path"))) < 4096L)
+  }
+
+  test("dir-stripe reader fails loudly when the directory changes " +
+    "between split planning and reading") {
+    val base = java.nio.file.Files.createTempDirectory("graft_head_fp")
+    (0 until 3).foreach { d =>
+      val sub = base.resolve(s"shard=$d")
+      java.nio.file.Files.createDirectories(sub)
+      (0 until 4).foreach { i =>
+        java.nio.file.Files.write(sub.resolve(s"f$i.bin"),
+          Array.tabulate(64)(j => (j + d + i).toByte))
+      }
+    }
+    val df = spark.read.format("binary-head").option("head", 64)
+      .option("distributedListingDirs", 2) // 3 dirs -> stripe mode
+      .load(base.toString + "/*")
+    // force split planning NOW (listing fingerprints captured)...
+    val rdd = df.queryExecution.toRdd
+    assert(rdd.partitions.nonEmpty)
+    // ...then mutate one directory before the read executes
+    java.nio.file.Files.write(base.resolve("shard=1").resolve("late.bin"),
+      Array[Byte](1, 2, 3))
+    val e = intercept[org.apache.spark.SparkException] { rdd.count() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("changed between split planning")),
+      s"expected the fingerprint mismatch error, got: ${messages(e)}")
+    // a fresh scan over the settled directory state works again
+    val again = spark.read.format("binary-head").option("head", 64)
+      .option("distributedListingDirs", 2)
+      .load(base.toString + "/*")
+    assert(again.count() == 13L)
   }
 }

@@ -156,6 +156,9 @@ class IndexStreamSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
       s"probe-cell list and LUT relation must both broadcast:\n$plan")
+    // the bounded probe-frame qid-dedup is checkpointed before the
+    // serving plan, so exchanges stay at the (qid, vec) ADC
+    // aggregation + the qid rank window
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
       s"probe-side work added shuffles over the committed state:\n$plan")
     // and it actually serves: 3 ranked rows per probe
@@ -318,5 +321,99 @@ class IndexStreamSpec extends AnyFunSuite {
     val plan = ProductQuantizer.indexProjection(vecs, q.coarse, q.books, q.subDim)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"index projection shuffled:\n$plan")
+  }
+
+  private def resQuantizers: IndexStream.Quantizers =
+    IndexStream.Quantizers(
+      queries.SemanticQ.trainedCentroids(spark, d),
+      queries.SemanticQ.resCodebooks(spark, d),
+      subDim = 16, residual = true)
+
+  test("RESIDUAL maintenance across batches + restart equals the " +
+    "one-shot residual build; committed serving equals the declared " +
+    "residual queries; torn writes unread; compaction preserves it") {
+    implicit val sqlCtx = spark.sqlContext
+    val q = resQuantizers
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_ixr_state").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ixr_ck").toString
+    val rows = fullRows
+    // two waves with a kill/restart between them; wave 2 re-ships vec 0
+    // and 1 (already indexed in wave 1 — the anti-join must drop them)
+    val waves = Seq(
+      rows.filter(_._1 < 200L),
+      rows.filter(_._1 >= 200L) ++ rows.take(2))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    def runWave(w: Seq[(Long, Seq[Float])]): Unit = {
+      val sq = IndexStream.maintain(
+        mem.toDF().toDF("vec_id", "embedding"), q, stateDir, ckDir)
+      try { mem.addData(w: _*); sq.processAllAvailable() } finally sq.stop()
+    }
+    waves.foreach(runWave)
+    val got = committedCodes(stateDir)
+    assert(got.map(_._1) == rows.map(_._1), "one row per vec_id, no dups")
+    // one-shot residual build twin
+    val expect = ProductQuantizer.residualIndexProjection(
+        Tables.embeddings(spark, d).select(col("vec_id"),
+          KMeansOp.intVec(col("embedding")).as("v")),
+        q.coarse, q.books, q.subDim)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Seq(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toSeq.sortBy(_._1)
+    assert(got == expect, "streamed residual index diverges from the one-shot build")
+    // single-probe serving == the declared residual search
+    val qv = rows.head._2.map(x => math.floor(x.toDouble * 1e6).toLong)
+    def servedSingle() = IndexStream.searchCommitted(spark, stateDir, q, qv,
+        nProbe = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val declared = queries.SemanticQ.queries("q_ann_ivfpq_res")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(servedSingle() == declared)
+    // batch serving over the committed residual state == the declared
+    // residual batch query, probe for probe
+    val probes = rows.filter(_._1 < 3L).map { case (id, e) =>
+      (id, e.map(x => math.floor(x.toDouble * 1e6).toLong)) }
+    def servedBatch() = IndexStream.searchCommittedBatch(
+        spark, stateDir, q, probes, nProbe = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val declaredBatch = queries.SemanticQ.queries("q_ann_ivfpq_res_batch")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(servedBatch() == declaredBatch)
+    // a torn write (partition without its commit marker) is never read
+    import spark.implicits._
+    Seq((999999L, 0L, 0L, 0L, 0L, 0L))
+      .toDF("vec_id", "cell", "code_0", "code_1", "code_2", "code_3")
+      .write.mode("overwrite").parquet(s"$stateDir/codes/batch_id=99")
+    assert(committedCodes(stateDir) == got, "torn write leaked into reads")
+    assert(servedBatch() == declaredBatch)
+    // compaction folds the residual state without changing decisions
+    assert(IndexStream.compactState(spark, stateDir).nonEmpty)
+    assert(committedCodes(stateDir).filter(_._1 != 999999L) == got)
+    assert(servedSingle() == declared)
+  }
+
+  test("residual rebuild persists the encoding flag: a restarted server " +
+    "loads the artifact and serves the declared residual results") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ixr_root").toString
+    val corpus = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))
+    val q = IndexStream.rebuild(spark, root, corpus,
+      k = 8, iters = 2, m = 4, subDim = 16, residual = true)
+    assert(q.residual)
+    val dir = IndexStream.currentRoot(spark, root).get
+    val loaded = IndexStream.loadQuantizers(spark, dir)
+    assert(loaded.residual, "the residual flag must survive the artifact roundtrip")
+    // loadQuantizers returns cid-sorted entries; compare as sets
+    assert(loaded.coarse.sortBy(_._1) == q.coarse.sortBy(_._1))
+    assert(loaded.books.map(_.sortBy(_._1)) == q.books.map(_.sortBy(_._1)))
+    val qv = fullRows.head._2.map(x => math.floor(x.toDouble * 1e6).toLong)
+    val served = IndexStream.searchCurrent(spark, root, qv, nProbe = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val declared = queries.SemanticQ.queries("q_ann_ivfpq_res")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served == declared,
+      "rebuild(residual) + searchCurrent must reproduce q_ann_ivfpq_res")
   }
 }

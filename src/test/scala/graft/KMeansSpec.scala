@@ -118,6 +118,68 @@ class KMeansSpec extends AnyFunSuite {
     }
   }
 
+  test("q_semdedup_sampled at sf0.001: the sample-trained quantizer " +
+    "matches a scalar replay (hash-ranked sample, sample seeds, 2 Lloyd " +
+    "rounds, one full assign); drops are the lower-id cosine hits") {
+    val d = TestSpark.sf0001
+    val vecs: Map[Long, Array[Long]] = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Double](1).map(x => math.floor(x * 1e6).toLong).toArray)
+      .toMap
+    val n = vecs.size
+    val k = math.ceil(math.sqrt(n.toDouble)).toInt
+    val sN = math.min(n.toLong, 16L * k).toInt
+    assert(sN < n, "the sample must actually bite at this SF")
+    def dist(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val sample = vecs.toSeq
+      .sortBy { case (id, _) => ((id * 2654435761L) % 4294967296L, id) }
+      .take(sN)
+    var cents: Seq[(Long, Array[Long])] = sample.sortBy(_._1).take(k)
+      .map { case (id, v) => id -> v }
+    for (_ <- 1 to 2) {
+      val asg = sample.map { case (id, v) =>
+        (cents.map { case (c, cv) => (dist(v, cv), c) }.min._2, v)
+      }
+      cents = asg.groupBy(_._1).toSeq.map { case (cid, members) =>
+        cid -> Array.tabulate(members.head._2.length)(j =>
+          math.floor(members.map(_._2(j)).sum.toDouble / members.length).toLong)
+      }.sortBy(_._1)
+    }
+    val got = queries.SemanticQ.sampledCentroids(spark, d)
+      .map { case (cid, c) => (cid, c.toSeq) }.sortBy(_._1)
+    assert(got == cents.map { case (cid, c) => (cid, c.toSeq) },
+      "engine sampled centroids diverge from the scalar replay")
+    // the query itself: full-corpus assignment against the sampled
+    // quantizer, kept = no lower-id cosine mate within the cluster
+    val rows = queries.SemanticQ.queries("q_semdedup_sampled")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.length == n)
+    val expectCluster = vecs.map { case (id, v) =>
+      id -> cents.map { case (c, cv) => (dist(v, cv), c) }.min._2
+    }
+    rows.foreach { case (id, cl, _) =>
+      assert(cl == expectCluster(id), s"vec $id assigned $cl") }
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na * nb == 0.0) 0.0 else dot / (na * nb)
+    }
+    val byCluster = rows.groupBy(_._2)
+    for ((_, members) <- byCluster; (id, _, kept) <- members) {
+      val hasLowerMate = members.exists { case (other, _, _) =>
+        other < id && cos(emb(other), emb(id)) >= 0.4
+      }
+      assert(kept == !hasLowerMate, s"vec $id kept=$kept but lowerMate=$hasLowerMate")
+    }
+  }
+
   test("q_semdedup at sf0.001: drop decisions match brute force within clusters") {
     val d = TestSpark.sf0001
     val out = queries.SemanticQ.queries("q_semdedup")(spark, d)

@@ -219,6 +219,41 @@ class MediaStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(rejDir).count() == 0)
   }
 
+  test("processBatchHead: a tail-decided audio row whose HEAD parse " +
+    "failed still lands with exact sample_rate/channels from the " +
+    "two-window decision") {
+    import graft.sources.MediaCorpus
+    val cap = 2048
+    val watch = java.nio.file.Files.createTempDirectory("graft_msh6_in")
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_msh6_state").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_msh6_out").toString
+    val rejDir = java.nio.file.Files.createTempDirectory("graft_msh6_rej").toString
+    // the head's first audio page carries granule -1 (a wild but legal
+    // encoding), so opusMeta(head) returns None -> format NULL after the
+    // head annotate -> undecidable; the tail decision re-derives
+    // rate/channels from OpusHead and duration from the last page
+    val pad = Array.tabulate(200)(i => (i * 7 + 1).toByte)
+    val wildOpus = MediaCorpus.opus(48000, channels = 1, preSkip = 312,
+        granule = -1L) ++
+      (1 to 24).map(i => MediaCorpus.oggPage(4800L * (i + 1), serial = 7, pad))
+        .reduce(_ ++ _) ++
+      MediaCorpus.oggPage(480312L, serial = 7, Array[Byte](9))
+    assert(wildOpus.length > cap, "fixture must exceed the head cap")
+    java.nio.file.Files.write(watch.resolve("wild.opus"), wildOpus)
+    val paths = new java.io.File(watch.toString).listFiles().toSeq
+      .map(f => (f.getPath, f.length)).toDF("path", "length")
+    MediaStream.processBatchHead(paths, 0L, stateDir, outDir, rejDir,
+      headBytes = cap)
+    val kept = spark.read.parquet(outDir)
+      .select(col("format"), col("audio_format"), col("sample_rate"),
+        col("channels"), col("duration_ms"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getInt(2), r.getInt(3), r.getLong(4))).toSet
+    assert(kept == Set(("opus", "opus", 48000, 1, 10000L)),
+      s"tail-decided audio must carry the exact meta a full read would: $kept")
+    assert(spark.read.parquet(rejDir).count() == 0)
+  }
+
   test("processBatchHead: a big mp4 with provably no ftyp quarantines at " +
     "head+tail cost — decided-unparseable never full-reads") {
     import graft.sources.MediaIo

@@ -211,6 +211,9 @@ class PqSpec extends AnyFunSuite {
       s"LUT relation did not broadcast:\n$plan")
     // the (qid, vec) ADC aggregation is the only hash exchange; the rank
     // window reuses its partitioning or adds at most one more
+    // the bounded probe-frame qid-dedup is checkpointed before the
+    // serving plan, so exchanges stay at the (qid, vec) ADC
+    // aggregation + the qid rank window
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
       s"unexpected extra shuffles:\n$plan")
   }
@@ -310,6 +313,9 @@ class PqSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
       s"probe-cell list and LUT relation must both broadcast:\n$plan")
+    // the bounded probe-frame qid-dedup is checkpointed before the
+    // serving plan, so exchanges stay at the (qid, vec) ADC
+    // aggregation + the qid rank window
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
       s"unexpected extra shuffles:\n$plan")
     // the coarse filter must prune the scan before the per-subspace
@@ -452,6 +458,9 @@ class PqSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
       s"probe-cell list and per-cell LUT relation must both broadcast:\n$plan")
+    // the bounded probe-frame qid-dedup is checkpointed before the
+    // serving plan, so exchanges stay at the (qid, vec) ADC
+    // aggregation + the qid rank window
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
       s"probe-side residual work added shuffles:\n$plan")
     val got = df.collect()
@@ -590,6 +599,9 @@ class PqSpec extends AnyFunSuite {
     // BEFORE execution — the post-AQE string duplicates every node
     // across its Final/Initial sections)
     val plan = df.queryExecution.executedPlan.toString
+    // the bounded probe-frame qid-dedup is checkpointed before the
+    // serving plan, so exchanges stay at the (qid, vec) ADC
+    // aggregation + the qid rank window
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
       s"probe-side dataflow added shuffles:\n$plan")
     val got = df.collect()
@@ -670,5 +682,52 @@ class PqSpec extends AnyFunSuite {
         .map { case ((id, adc), i) => (qid, (i + 1).toLong, id, adc) }
     }
     assert(full == plainPq)
+  }
+
+  test("duplicated probe rows are deduped, not silently dropped: batch " +
+    "serving over a probe frame with repeats equals the unique frame " +
+    "on BOTH encodings") {
+    import spark.implicits._
+    val d = TestSpark.sf0001
+    val vecsDf = Tables.embeddings(spark, d).select(col("vec_id"),
+      KMeansOp.intVec(col("embedding")).as("v"))
+    val probes = vecsDf.where(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("qid"), col("v"))
+    // each qid appears 3x — without the qid-dedup, probe-cell and LUT
+    // rows fan out and the nsub === m exactness filter drops EVERY
+    // candidate for the duplicated qids (zero rows instead of top-3)
+    val dup = probes.unionAll(probes).unionAll(probes)
+    val coarse = queries.SemanticQ.trainedCentroids(spark, d)
+    val plainBooks = queries.SemanticQ.pqCodebooks(spark, d)
+    val resBooks = queries.SemanticQ.resCodebooks(spark, d)
+    val subDim = 16
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val plainIdx = ProductQuantizer.indexProjection(vecsDf, coarse, plainBooks, subDim)
+    assert(rows(ProductQuantizer.adcBatchServe(
+        plainIdx, dup, coarse, plainBooks, subDim, 2, 3)) ==
+      rows(ProductQuantizer.adcBatchServe(
+        plainIdx, probes, coarse, plainBooks, subDim, 2, 3)))
+    assert(rows(ProductQuantizer.adcBatchServe(
+      plainIdx, dup, coarse, plainBooks, subDim, 2, 3)).nonEmpty)
+    val resIdx = ProductQuantizer.residualIndexProjection(
+      vecsDf, coarse, resBooks, subDim)
+    assert(rows(ProductQuantizer.adcBatchServeResidual(
+        resIdx, dup, coarse, resBooks, subDim, 2, 3)) ==
+      rows(ProductQuantizer.adcBatchServeResidual(
+        resIdx, probes, coarse, resBooks, subDim, 2, 3)))
+  }
+
+  test("q_recall_shortlist_ann: the compressed-index shortlist's recall " +
+    "against the exact flat shortlist, replayed from the two queries") {
+    val d = TestSpark.sf0001
+    val exact = queries.PipelineQ.shortlist(spark, d).collect()
+      .map(_.getString(0)).toSet
+    val ann = queries.SemanticQ.queries("q_shortlist_ann")(spark, d).collect()
+      .map(_.getString(0)).toSet
+    val hits = (exact & ann).size.toLong
+    val row = queries.SemanticQ.queries("q_recall_shortlist_ann")(spark, d).head()
+    assert(row.getLong(0) == hits)
+    assert(row.getLong(1) == hits * 1000000L / 5L)
   }
 }
