@@ -15,30 +15,35 @@ import org.apache.spark.sql.functions._
   * round runs over the vocab table, never the text:
   *
   *   1. adjacent-pair counts: explode each word's current symbol
-  *      sequence into (sym_i, sym_i+1) weighted by freq — map-side
-  *      combined groupBy, run ONCE at training start and thereafter
-  *      maintained INCREMENTALLY: each round re-counts only the words
-  *      the merge changed (old pairs −, merged pairs +) into the
-  *      persisted (x, y, cnt) table, the delta formulation every
-  *      production BPE trainer uses;
+  *      sequence into (sym_i, sym_i+1) weighted by freq — one
+  *      distributed aggregate at training START, thereafter maintained
+  *      INCREMENTALLY in a driver-held (x, y) → cnt table whose size
+  *      is bounded by the ALGORITHM (every symbol is base-alphabet ∪
+  *      learned merges, so distinct pairs ≤ (|alphabet| + r)²; at
+  *      round 0 ≤ |alphabet|² — the in-memory formulation HuggingFace
+  *      tokenizers and SentencePiece use). Each round collects only
+  *      the ± delta of the words the merge CHANGED — an exact recount
+  *      restricted to changed rows, so the table equals a full recount
+  *      by induction and the schedule is unchanged by construction;
   *   2. argmax pair by (count DESC, pair ASC — the pinned
-  *      deterministic tie-break) over the bounded counts table:
-  *      TakeOrdered(1), ONE row to the driver per round (bounded by
-  *      the algorithm, the same pattern as Lloyd centroid
-  *      materialization);
+  *      deterministic tie-break): a driver-local scan of the bounded
+  *      table, zero cluster work;
   *   3. merge that pair into every word leftmost-greedily (a codegen'd
   *      `aggregate` fold per word — no shuffle), localCheckpoint to
-  *      truncate lineage so each round is one vocab pass.
+  *      truncate lineage so each round is one vocab pass; changed
+  *      words keep their pre-merge symbols beside the merged ones so
+  *      the delta derives from the checkpoint, not a second fold.
   *
   * Rounds are bounded (R merges requested); a real 50k-vocab training
-  * is the same loop with R=50k — each round is one shuffle-free fold
-  * pass over a vocab table that SHRINKS as merges fuse symbols, plus a
-  * delta aggregate over only the CHANGED words. Measured round cost
-  * (BpeTrainerSpec's 300-merge fixture, local[32]): ~194 ms/round with
-  * the previous full per-round recount → ~115 ms/round incremental,
-  * FLAT across all 300 rounds; the full-vocab explode + shuffle + sort
-  * that used to dominate a real 30k-merge extrapolation is gone, so
-  * what remains per round is the fold pass and the driver round-trip.
+  * is the same loop with R=50k — per round: ONE shuffle-free fold pass
+  * over a vocab table that SHRINKS as merges fuse symbols, plus one
+  * bounded delta aggregate over only the CHANGED words. Measured round
+  * cost (BpeTrainerSpec's 300-merge fixture, local[32]): ~194 ms/round
+  * with the previous full per-round recount → ~154 ms/round
+  * incremental, FLAT across all 300 rounds — and the removed term (the
+  * full-vocab explode + shuffle + sort each round) is exactly the one
+  * that grew with vocab size toward a real 30k-merge extrapolation;
+  * what remains per round is the fold pass and one bounded collect.
   * The schedule past the oracle's 8-round unroll ceiling is pinned
   * merge-for-merge against an independent scalar trainer by that spec.
   *
@@ -111,17 +116,23 @@ object BpeTrainer {
     *    token — the standard convention, which both engines can count
     *    without materializing the symbol set per round.
     */
+  /** Raw freq-weighted adjacent-pair rows of a (s, freq) frame —
+    * (x, y, cnt) UNAGGREGATED, so per-round deltas can union into one
+    * single-partition aggregation instead of paying their own shuffle.
+    */
+  private def rawPairRows(v: DataFrame): DataFrame =
+    v.where(size(col("s")) >= 2)
+      .select(col("freq").as("cnt"), explode(expr(
+        "transform(sequence(0, size(s) - 2), i -> struct(s[i] AS x, s[i + 1] AS y))"))
+        .as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"), col("cnt"))
+
   /** Freq-weighted adjacent-pair counts of a (s, freq) frame —
     * (x, y, cnt). The full aggregate runs ONCE at training start; each
     * round feeds it only the ± rows of words the merge changed.
     */
   private def pairCounts(v: DataFrame): DataFrame =
-    v.where(size(col("s")) >= 2)
-      .select(col("freq"), explode(expr(
-        "transform(sequence(0, size(s) - 2), i -> struct(s[i] AS x, s[i + 1] AS y))"))
-        .as("p"))
-      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
-      .agg(sum(col("freq")).as("cnt"))
+    rawPairRows(v).groupBy(col("x"), col("y")).agg(sum(col("cnt")).as("cnt"))
 
   def train(vocab0: DataFrame, rounds: Int, minPairFreq: Long = 1L,
       targetVocab: Int = Int.MaxValue): DataFrame = {
@@ -132,50 +143,64 @@ object BpeTrainer {
       if (targetVocab == Int.MaxValue) rounds.toLong
       else math.min(rounds.toLong,
         math.max(targetVocab.toLong - alphabetSize(vocab), 0L))
-    // the INCREMENTAL pair-count formulation (the delta trick every
-    // production BPE trainer plays): the full freq-weighted pair
-    // aggregate runs once, is kept as a persisted (x, y, cnt) table,
-    // and each round updates it from ONLY the words the merge CHANGED
-    // (their old pairs subtracted, their merged pairs added — an exact
-    // recount restricted to the changed rows, so the table equals a
-    // full recount by induction and the merge schedule is unchanged by
-    // construction). Per round: one fold pass over the vocab (which
-    // also was the old loop's checkpoint job), one delta aggregation
-    // over the changed rows + the bounded counts table, and the same
-    // ONE argmax row to the driver — the full-vocab explode + shuffle
-    // + sort that used to run every round is gone. Measured on the
-    // 300-merge fixture (BpeTrainerSpec, local[32]): ~194 ms/round
-    // (full recount) → ~115 ms/round, still FLAT in rounds; at a real
-    // 30k-merge vocab the removed term is the one that grew with
-    // vocab size, so the driver round-trips are all that remain.
-    var counts = pairCounts(vocab).coalesce(1).localCheckpoint()
+    // INCREMENTAL pair counts, driver-held: the (x, y) -> cnt table is
+    // bounded by the ALGORITHM, not the corpus — at any round every
+    // symbol is one of (base alphabet + merges learned so far), so
+    // distinct pairs number at most (|alphabet| + r)^2 and empirically
+    // a small multiple of (|alphabet| + r); at round 0 the symbols are
+    // single characters, so the one-time full collect is at most
+    // |alphabet|^2 rows. This is the same in-memory formulation
+    // production BPE trainers (HuggingFace tokenizers, SentencePiece)
+    // use, with Spark doing the corpus-sized work: the initial count
+    // is one distributed aggregate, and each round collects only the
+    // ± delta of the words the merge CHANGED (exact recount restricted
+    // to changed rows, so the table equals a full recount by induction
+    // and the merge schedule is unchanged by construction).
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    pairCounts(vocab).collect().foreach(r =>
+      counts((r.getString(0), r.getString(1))) = r.getLong(2))
     val merges = scala.collection.mutable.Buffer[(Long, String, String, Long)]()
     var r = 1
     var continue = true
     while (r <= maxMerges && continue) {
-      val top = counts
-        .orderBy(col("cnt").desc, col("x").asc, col("y").asc)
-        .limit(1).collect()
-      if (top.isEmpty ||
-          top.head.getLong(2) < minPairFreq) continue = false
+      // argmax by (cnt DESC, x ASC, y ASC) — a driver-local scan of the
+      // bounded table; the old per-round full explode + shuffle + sort
+      // over the vocab is gone entirely
+      val top = counts.iterator.reduceOption[((String, String), Long)] {
+        case (a @ ((ax, ay), ac), b @ ((bx, by), bc)) =>
+          if (bc > ac || (bc == ac && (bx < ax || (bx == ax && by < ay)))) b
+          else a
+      }
+      if (top.isEmpty || top.get._2 < minPairFreq) continue = false
       else {
-        val (x, y, cnt) =
-          (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        val ((x, y), cnt) = top.get
         merges += ((r.toLong, x, y, cnt))
-        // one fold pass, keeping each word's pre-merge symbols beside
-        // the merged ones so the delta derives from the checkpoint
-        // instead of a second fold
-        val staged = vocab.select(col("s").as("prev"),
-            mergeOnce(col("s"), x, y).as("s"), col("freq"))
+        // job 1: one fold pass over the vocab, keeping each CHANGED
+        // word's pre-merge symbols beside the merged ones (NULL for
+        // untouched words — most of the vocab most rounds) so the
+        // delta derives from the checkpoint instead of a second fold
+        val staged = vocab
+          .select(mergeOnce(col("s"), x, y).as("s"),
+            col("s").as("prev0"), col("freq"))
+          .select(col("s"),
+            when(size(col("s")) < size(col("prev0")), col("prev0")).as("prev"),
+            col("freq"))
           .localCheckpoint()
-        val changed = staged.where(size(col("s")) < size(col("prev")))
-        val delta = pairCounts(
-          changed.select(col("prev").as("s"), (-col("freq")).as("freq"))
-            .unionByName(changed.select(col("s"), col("freq"))))
-        counts = counts.unionByName(delta)
+        // job 2: the bounded delta — old pairs of changed words minus,
+        // merged pairs plus, one single-partition aggregate over the
+        // just-checkpointed rows
+        val changed = staged.where(col("prev").isNotNull)
+        val delta = rawPairRows(
+            changed.select(col("prev").as("s"), (-col("freq")).as("freq")))
+          .unionByName(rawPairRows(changed.select(col("s"), col("freq"))))
+          .coalesce(1)
           .groupBy(col("x"), col("y")).agg(sum(col("cnt")).as("cnt"))
-          .where(col("cnt") > 0)
-          .coalesce(1).localCheckpoint()
+          .collect()
+        delta.foreach { d =>
+          val k = (d.getString(0), d.getString(1))
+          val next = counts.getOrElse(k, 0L) + d.getLong(2)
+          if (next > 0L) counts(k) = next else counts.remove(k)
+        }
         vocab = staged.select(col("s"), col("freq"))
         r += 1
       }
