@@ -186,23 +186,22 @@ object Media {
     */
   private[graft] def curateRowsHead(s: SparkSession, glob: String,
       headBytes: Int = 65536, tailBytes: Int = 65536): DataFrame = {
-    val annHead = annotateMeta(Multimodal.fromBinaryFilesHead(s, glob, headBytes))
+    // ONE bounded head scan, checkpointed: the decided path, the
+    // undecidable filter, and the tail branch all read the cached
+    // head-annotated rows instead of re-scanning the source — the
+    // empty-undecidable tail branch costs one near-free job over
+    // cached rows (zero blob I/O) rather than a second full head scan
+    // (the r16 +0.26 s). Memory shape is bounded by construction:
+    // ≤ headBytes per file, MEMORY_AND_DISK, freed when the frame is
+    // dereferenced — at the 100 TB design point this is "read each
+    // header once per curation pass", the minimum any two-phase gate
+    // pays.
+    val annHead = annotateMeta(
+        Multimodal.fromBinaryFilesHead(s, glob, headBytes))
+      .localCheckpoint()
     val fileLen = element_at(col("meta"), "length").cast("long")
-    // metadata-only precondition: a row can only be head-undecidable if
-    // its file is over the cap AND its extension maps to a modality —
-    // both visible in the LISTING. The probe scan prunes to
-    // (path, length), so the DSv2 source never opens a file; when it
-    // comes back empty the undecidable predicate folds to false and
-    // Catalyst collapses the whole tail branch (localCheckpoint
-    // included) to an empty relation — an all-under-cap corpus pays
-    // one listing instead of a second head scan.
-    val overCapExists = !s.read.format("binary-head")
-      .option("head", headBytes).load(glob)
-      .where(col("length") > headBytes && col("path").rlike(Multimodal.mediaExtRe))
-      .isEmpty
-    val undecidable = if (!overCapExists) lit(false) else
-      fileLen > headBytes && col("modality") =!= "unknown" &&
-        (col("format").isNull || col("format") === "opus")
+    val undecidable = fileLen > headBytes && col("modality") =!= "unknown" &&
+      (col("format").isNull || col("format") === "opus")
     // head-decided rows: gate on head metadata, survivors re-read in
     // full for the whole-blob stages
     val decidedSurvivors = Multimodal.withFullBytes(
@@ -210,9 +209,13 @@ object Media {
           col("media_id"), element_at(col("meta"), "path").as("path"),
           col("file_name"), col("modality"), col("format")))
       .drop("path")
-    // undecidable rows: bounded tail read + two-window decision.
-    // Checkpointed so the (small) undecidable set pays its tail reads
-    // once across the decided/residual consumers.
+    // undecidable rows: bounded tail read + two-window decision off
+    // the CACHED head rows — no second head scan of the source (the
+    // r16 shape re-scanned every head here, +0.26 s even when the
+    // undecidable set was empty). Checkpointed so the (small)
+    // undecidable set pays its tail reads once across the
+    // decided/residual consumers; on an all-decidable corpus this job
+    // filters cached rows and reads zero blob bytes.
     val htUdf = udf(Multimodal.headTailAvMeta _)
     val withTail = Multimodal.withTailBytes(
         annHead.filter(undecidable)

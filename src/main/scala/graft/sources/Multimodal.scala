@@ -47,6 +47,23 @@ object Multimodal {
   val mediaExtRe: String =
     "(?i)\\.(png|jpe?g|gif|bmp|webp|wav|mp3|flac|ogg|opus|mp4|avi|mkv|webm)$"
 
+  /** (path, length, <bytesCol>) file rows → the canonical media schema
+    * (media_id, modality, bytes, meta); modality is dispatched on file
+    * extension (reference format-dispatch analog, `utils.py:12-19`).
+    * Shared by the scan wrappers below, the streaming discovery path,
+    * and row-selective probe frames built from a listing.
+    */
+  def toCanonical(files: DataFrame, bytesCol: String = "content"): DataFrame =
+    files.select(
+      xxhash64(col("path")).as("media_id"),
+      when(col("path").rlike("(?i)\\.(png|jpe?g|gif|bmp|webp)$"), "image")
+        .when(col("path").rlike("(?i)\\.(wav|mp3|flac|ogg|opus)$"), "audio")
+        .when(col("path").rlike("(?i)\\.(mp4|avi|mkv|webm)$"), "video")
+        .otherwise("unknown").as("modality"),
+      col(bytesCol).as("bytes"),
+      map(lit("path"), col("path"),
+        lit("length"), col("length").cast("string")).as("meta"))
+
   /** Wrap a binaryFile scan into the canonical media schema; modality is
     * dispatched on file extension (reference format-dispatch analog,
     * `utils.py:12-19`).

@@ -298,15 +298,8 @@ object MediaStream {
     * modality is dispatched on file extension (reference
     * format-dispatch analog, `utils.py:12-19`).
     */
-  private def toCanonical(files: DataFrame): DataFrame = files.select(
-    xxhash64(col("path")).as("media_id"),
-    when(col("path").rlike("(?i)\\.(png|jpe?g|gif|bmp|webp)$"), "image")
-      .when(col("path").rlike("(?i)\\.(wav|mp3|flac|ogg|opus)$"), "audio")
-      .when(col("path").rlike("(?i)\\.(mp4|avi|mkv|webm)$"), "video")
-      .otherwise("unknown").as("modality"),
-    col("content").as("bytes"),
-    map(lit("path"), col("path"),
-      lit("length"), col("length").cast("string")).as("meta"))
+  private def toCanonical(files: DataFrame): DataFrame =
+    Multimodal.toCanonical(files)
 
   /** HEAD-GATED [[watchDirectory]]: the file stream source ships only
     * (path, length) — `binaryFile`'s reader materializes a column only
