@@ -333,20 +333,24 @@ object Clustering {
   }
 
   /** The PRODUCTION corpus build — v2 with the SemDeDup quantizer at
-    * k = ⌈√N⌉ (ad-hoc 2-round integer Lloyd, as q_semdedup_scaled):
-    * cluster populations stay ~√N as the corpus grows, so the
-    * within-cluster pairwise term is ~N^1.5·density instead of (N/8)².
-    * This closes the last quadratic stage of the flagship pipeline —
-    * the sf1 probe measured the fixed-k v2 at 10.7× under 10× rows vs
-    * 2.7× for the √N stage standalone. k derives from the embeddings
-    * COUNT, which the oracle reproduces as a scalar-subquery seed
-    * LIMIT (SemanticQ.lloydSqlScaled), so the composition stays exact.
+    * k = ⌈√N⌉ (2-round integer Lloyd, as q_semdedup_scaled): cluster
+    * populations stay ~√N as the corpus grows, so the within-cluster
+    * pairwise term is ~N^1.5·density instead of (N/8)². This closes
+    * the last quadratic stage of the flagship pipeline — the sf1 probe
+    * measured the fixed-k v2 at 10.7× under 10× rows vs 2.7× for the
+    * √N stage standalone. Since round 17 the quantizer TRAINS ON A
+    * BOUNDED SAMPLE ([[SemanticQ.sampledCentroids]] — full-corpus
+    * Lloyd at k=⌈√N⌉ was the pipeline's one remaining superlinear
+    * term, O(N^1.5) per round; the sampled fit is O(16·N)). k derives
+    * from the embeddings COUNT and the sample from a cross-engine
+    * multiplicative hash, both replayed by the oracle
+    * (SemanticQ.lloydSqlSampled), so the composition stays exact.
     */
   def corpusBuildV3(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val canon = canonIds(s, d)
     val kept3 = canon.join(
-      semDropIds(s, d, canon, SemanticQ.scaledCentroids(s, d)),
+      semDropIds(s, d, canon, SemanticQ.sampledCentroids(s, d)),
       Seq("doc_id"), "left_anti")
     gateChunkSplit(docs, kept3)
   }
@@ -428,7 +432,8 @@ object Clustering {
        |canon AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING id = MIN(label))""".stripMargin
 
   /** semDropIds + kept3 in SQL, parameterized on the Lloyd CTE chain
-    * (fixed-k lloydSql for v2, √N lloydSqlScaled for v3).
+    * (fixed-k lloydSql for v2, sample-trained √N lloydSqlSampled for
+    * v3).
     */
   private def semStageSql(lloyd: String): String =
     s"""$lloyd,
@@ -509,7 +514,7 @@ object Clustering {
     "q_corpus_build_v3" ->
       s"""WITH RECURSIVE $kept1Sql,
          |$exactCcSql,
-         |${semStageSql(SemanticQ.lloydSqlScaled)},
+         |${semStageSql(SemanticQ.lloydSqlSampled)},
          |${corpusTailSql("kept3")}""".stripMargin,
     "q_corpus_build_lsh" ->
       s"""WITH RECURSIVE $kept1Sql,
