@@ -65,6 +65,22 @@ object KMeansOp {
       .select(col("vec_id"), col("m.cid").as("cid"),
         col("m.dist").as("dist"), col("m.v").as("v"))
 
+  /** [[assign]] for callers that need only the CLUSTER (and its
+    * distance), not the vector back: the argmin struct carries just
+    * (dist, cid), so the N·k candidate rows flowing through the
+    * aggregate are 16 B each instead of hauling a copy of the d-dim
+    * vector per candidate — at k = ⌈√N⌉ that payload was the dominant
+    * cost of the full-corpus assignment (N·k·d·8 B of transient array
+    * churn). Same (dist, cid) tie-break, identical cluster decisions.
+    */
+  def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        struct(intDist(col("v"), col("c")).as("dist"), col("cid")).as("cand"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("cand")).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
+
   /** Recompute centroids from an assignment: per (cluster, dim) exact
     * integer mean, floor-divided through an exact double (see contract).
     * Emits (cid, c); clusters that lost every member simply disappear.
@@ -100,7 +116,7 @@ object KMeansOp {
     import spark.implicits._
     val vecs = emb.select(col(idCol).as("vec_id"), intVec(embCol).as("v"))
     val cents = lloydCentroidsLocal(emb, idCol, embCol, k, iters)
-    assign(vecs, cents.toDF("cid", "c"))
+    assignCells(vecs, cents.toDF("cid", "c"))
       .select(col("vec_id"), col("cid").as("cluster"),
         col("dist").as("dist_scaled"))
   }
@@ -142,4 +158,57 @@ object KMeansOp {
     */
   def intDistLocal(a: Seq[Long], b: Seq[Long]): Long =
     a.iterator.zip(b.iterator).map { case (x, y) => (x - y) * (x - y) }.sum
+
+  /** [[lloydCentroidsLocalInt]] computed entirely IN MEMORY over an
+    * already-collected point set — bit-identical semantics (seed = the
+    * k lowest ids, assignment min by (dist, cid), update = floor of
+    * the exact-double per-dim mean, empty clusters disappear), so the
+    * DuckDB oracle chains replay it unchanged.
+    *
+    * This is how production IVF builds actually train (FAISS runs
+    * k-means on a bounded in-memory sample on one node, then assigns
+    * the corpus): when the training set is algorithm-bounded — e.g.
+    * the 16·⌈√N⌉ hash-ranked sample of the √N quantizer, 16·√N·d·8 B ≈
+    * 3.7 MB at the 100× probe and ~260 MB at N = 10^9 — a distributed
+    * Lloyd round pays S·k row materialization + a shuffle per round
+    * for work a single JVM does in milliseconds. The corpus-sized
+    * stages (the sample ranking and the final full assignment) stay
+    * distributed.
+    */
+  def lloydCentroidsInMemory(pts: Seq[(Long, Seq[Long])], k: Int,
+      iters: Int): Seq[(Long, Seq[Long])] = {
+    val sorted = pts.sortBy(_._1).map { case (id, v) => (id, v.toArray) }
+    require(sorted.size >= k,
+      s"k-means needs k=$k seed vectors but the input has only ${sorted.size}")
+    def dist(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    var cents: Seq[(Long, Array[Long])] =
+      sorted.take(k).map { case (id, v) => (id, v.clone()) }
+    for (_ <- 1 to iters) {
+      val assigned = sorted.map { case (_, v) =>
+        var bestCid = 0L; var bestDist = Long.MaxValue
+        cents.foreach { case (cid, c) =>
+          val dd = dist(v, c)
+          if (dd < bestDist || (dd == bestDist && cid < bestCid)) {
+            bestDist = dd; bestCid = cid
+          }
+        }
+        (bestCid, v)
+      }
+      cents = assigned.groupBy(_._1).toSeq.map { case (cid, members) =>
+        val dim = members.head._2.length
+        cid -> Array.tabulate(dim) { j =>
+          var s = 0L
+          members.foreach(m => s += m._2(j))
+          // exact LONG sum through one exact double division, floored —
+          // identical to update()'s floor(double(Σ) / n)
+          math.floor(s.toDouble / members.length).toLong
+        }
+      }.sortBy(_._1)
+    }
+    cents.map { case (cid, c) => (cid, c.toSeq) }
+  }
 }

@@ -262,7 +262,7 @@ object Clustering {
     val vecs = Tables.embeddings(s, d)
       .select(col("vec_id"), graft.operators.KMeansOp.intVec(col("embedding")).as("v"))
       .join(canon.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
-    val ve = graft.operators.KMeansOp.assign(vecs, cents.toDF("cid", "c"))
+    val ve = graft.operators.KMeansOp.assignCells(vecs, cents.toDF("cid", "c"))
       .select(col("vec_id"), col("cid").as("cluster"))
       .join(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
         Seq("vec_id"))

@@ -122,7 +122,7 @@ object SemanticQ {
     */
   def kmeansQ(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    KMeansOp.assign(intVecs(s, d), trainedCentroids(s, d).toDF("cid", "c"))
+    KMeansOp.assignCells(intVecs(s, d), trainedCentroids(s, d).toDF("cid", "c"))
       .select(col("vec_id"), col("cid").as("cluster"),
         col("dist").as("dist_scaled"))
       .orderBy(col("vec_id").asc)
@@ -139,7 +139,7 @@ object SemanticQ {
     */
   def semdedupQ(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val asg = KMeansOp.assign(intVecs(s, d),
+    val asg = KMeansOp.assignCells(intVecs(s, d),
         trainedCentroids(s, d).toDF("cid", "c"))
       .select(col("vec_id"), col("cid").as("cluster"))
     val ve = asg.join(
@@ -621,17 +621,27 @@ object SemanticQ {
     * all pure functions of the snapshot, so the DuckDB oracle replays
     * the whole derivation (sampled chain + one full assign) exactly.
     */
-  private[graft] def sampledCentroids(s: SparkSession, d: String): Seq[(Long, Seq[Long])] =
+  private[graft] def sampledCentroids(s: SparkSession, d: String): Seq[(Long, Seq[Long])] = {
+    import s.implicits._
     cachedCentroids(s, d, "sqrtNSampled") {
       val n = Tables.embeddings(s, d).count()
       val k = math.ceil(math.sqrt(n.toDouble)).toInt
       val sampleN = math.min(n, 16L * k).toInt
+      // rank + collect the bounded sample ONCE (16·√N·d·8 B — 3.7 MB at
+      // the 100× probe), then run the exact integer Lloyd in memory:
+      // FAISS's own shape — distributed Lloyd on a set this small pays
+      // S·k row materialization + a shuffle PER ROUND for work one JVM
+      // does in milliseconds. The corpus-sized stages (the hash
+      // ranking here, the final full assignment in the queries) stay
+      // distributed.
       val sample = intVecs(s, d)
         .orderBy(((col("vec_id") * lit(2654435761L)) % lit(4294967296L)).asc,
           col("vec_id").asc)
         .limit(sampleN)
-      KMeansOp.lloydCentroidsLocalInt(sample, k, Iters)
+        .as[(Long, Seq[Long])].collect().toSeq
+      KMeansOp.lloydCentroidsInMemory(sample, k, Iters)
     }
+  }
 
   def semdedupScaledQ(s: SparkSession, d: String): DataFrame =
     semdedupWith(s, d, scaledCentroids(s, d))
@@ -650,7 +660,7 @@ object SemanticQ {
       cents: Seq[(Long, Seq[Long])]): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
-    val asg = KMeansOp.assign(intVecs(s, d), cents.toDF("cid", "c"))
+    val asg = KMeansOp.assignCells(intVecs(s, d), cents.toDF("cid", "c"))
       .select(col("vec_id"), col("cid").as("cluster"))
     val ve = asg.join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
     val a = ve.select(col("cluster"), col("vec_id").as("id_a"),

@@ -180,6 +180,21 @@ class KMeansSpec extends AnyFunSuite {
     }
   }
 
+  test("lloydCentroidsInMemory equals the distributed lloydCentroidsLocalInt " +
+    "on the same point set (seed, ties, floor-mean, empty-cluster drop)") {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, TestSpark.sf0001)
+      .select(col("vec_id"), graft.operators.KMeansOp.intVec(col("embedding")).as("v"))
+    val pts = vecs.as[(Long, Seq[Long])].collect().toSeq
+    for (k <- Seq(3, 8, 23)) {
+      val dist = graft.operators.KMeansOp.lloydCentroidsLocalInt(vecs, k, 2)
+        .sortBy(_._1)
+      val mem = graft.operators.KMeansOp.lloydCentroidsInMemory(pts, k, 2)
+        .sortBy(_._1)
+      assert(mem == dist, s"in-memory Lloyd diverged at k=$k")
+    }
+  }
+
   test("q_semdedup at sf0.001: drop decisions match brute force within clusters") {
     val d = TestSpark.sf0001
     val out = queries.SemanticQ.queries("q_semdedup")(spark, d)
