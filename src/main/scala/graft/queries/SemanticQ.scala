@@ -525,6 +525,31 @@ object SemanticQ {
         (col("n_hits") * lit(1000000L) / lit(10L)).cast("long").as("recall_ppm"))
   }
 
+  /** Recall@10 of the RESIDUAL-encoded IVFADC vs the integer-exact
+    * top-10 — the monitor for FAISS's default encoding, completing the
+    * recall family (q_recall_ivf isolates coarse loss, q_recall_pq
+    * compression loss, q_recall_ivfpq the plain composition; this one
+    * watches the residual composition the batch tier and the
+    * maintained streaming index actually serve). Deterministic BIGINT
+    * ppm.
+    */
+  def recallIvfPqResQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vecs = intVecs(s, d)
+    val qv = vecs.where(col("vec_id") === 0L).select(col("v"))
+      .as[Seq[Long]].head()
+    val exact = vecs
+      .select(col("vec_id"), KMeansOp.intDist(col("v"), typedLit(qv)).as("dist_scaled"))
+      .orderBy(col("dist_scaled").asc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"))
+    val approx = annIvfPqResQ(s, d).select(col("vec_id"))
+    exact.join(approx, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("n_hits"),
+        (col("n_hits") * lit(1000000L) / lit(10L)).cast("long").as("recall_ppm"))
+  }
+
   /** Recall of the BATCH IVFADC path, aggregated over the probe SET —
     * the monitor a serving tier actually publishes (per-probe recall is
     * noise; the fleet metric is the mean): hits of the coarse-filtered
@@ -699,6 +724,7 @@ object SemanticQ {
     "q_recall_shortlist_ann" -> recallShortlistAnnQ,
     "q_recall_pq" -> recallPqQ,
     "q_recall_ivfpq" -> recallIvfPqQ,
+    "q_recall_ivfpq_res" -> recallIvfPqResQ,
   )
 
   // ---- DuckDB oracle: the two Lloyd rounds unrolled as CTEs ----
@@ -1108,6 +1134,24 @@ object SemanticQ {
          |$pqAdcSql,
          |approx AS (SELECT adc.vec_id FROM adc JOIN cand USING (vec_id)
          |  ORDER BY adc.adc_scaled ASC, adc.vec_id ASC LIMIT 10),
+         |exact AS (SELECT q.vec_id FROM q CROSS JOIN qvc qv
+         |  ORDER BY ${idistSql("q.v", "qv.v")} ASC, q.vec_id ASC LIMIT 10)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
+         |  CAST(COUNT(*) * 1000000 / 10 AS BIGINT) AS recall_ppm
+         |FROM exact WHERE vec_id IN (SELECT vec_id FROM approx)""".stripMargin,
+    "q_recall_ivfpq_res" ->
+      s"""WITH $lloydSql,
+         |$pqResSql,
+         |$pqResChainsSql,
+         |qvc AS (SELECT v FROM q WHERE vec_id = 0),
+         |pc AS (SELECT cid FROM (
+         |    SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${idistSql("c.c", "qv.v")} ASC,
+         |      c.cid ASC) AS rn
+         |    FROM c2 c CROSS JOIN qvc qv) WHERE rn <= 2),
+         |$pqResLutSql,
+         |$pqResAdcSql,
+         |approx AS (SELECT vec_id FROM adcres
+         |  ORDER BY adc_scaled ASC, vec_id ASC LIMIT 10),
          |exact AS (SELECT q.vec_id FROM q CROSS JOIN qvc qv
          |  ORDER BY ${idistSql("q.v", "qv.v")} ASC, q.vec_id ASC LIMIT 10)
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,

@@ -730,4 +730,24 @@ class PqSpec extends AnyFunSuite {
     assert(row.getLong(0) == hits)
     assert(row.getLong(1) == hits * 1000000L / 5L)
   }
+
+  test("q_recall_ivfpq_res at sf0.001: hits recomputed from the exact " +
+    "and residual-ADC sides") {
+    import spark.implicits._
+    val d = TestSpark.sf0001
+    val vecs = Tables.embeddings(spark, d).select(col("vec_id"),
+      KMeansOp.intVec(col("embedding")).as("v"))
+    val qv = vecs.where(col("vec_id") === 0L).select(col("v"))
+      .as[Seq[Long]].head()
+    val exact = vecs
+      .select(col("vec_id"), KMeansOp.intDist(col("v"), typedLit(qv)).as("dd"))
+      .orderBy(col("dd").asc, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = queries.SemanticQ.queries("q_ann_ivfpq_res")(spark, d)
+      .collect().map(_.getLong(0)).toSet
+    val hits = (exact & approx).size.toLong
+    val row = queries.SemanticQ.queries("q_recall_ivfpq_res")(spark, d).head()
+    assert(row.getLong(0) == hits)
+    assert(row.getLong(1) == hits * 1000000L / 10L)
+  }
 }
