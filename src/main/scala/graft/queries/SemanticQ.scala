@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.VectorOps
 import graft.operators.KMeansOp
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Embedding-space clustering and semantic dedup — the SemDeDup shape
@@ -550,6 +550,204 @@ object SemanticQ {
         (col("n_hits") * lit(1000000L) / lit(10L)).cast("long").as("recall_ppm"))
   }
 
+  /** Content-addressed CELL-PARTITIONED code table on scratch disk —
+    * the layout a production IVFADC deployment actually persists: the
+    * index write is `partitionBy(cell)`, so a probed-cell predicate is
+    * answered by DIRECTORY PRUNING at plan time (the listing never
+    * opens a non-probed cell's files — `PartitionFilters` in the scan,
+    * pinned by PqPartSpec). At 100 TB this is the difference between
+    * "scan the whole 4-byte code table and filter" and "read exactly
+    * |probed cells|/k of its FILES": the filter moves from row-group
+    * evaluation to the file listing. Keyed to the dataset content
+    * fingerprint like every trained artifact here (a stale snapshot
+    * rebuilds; an unchanged one reuses the `_SUCCESS`-marked write,
+    * also across sessions — the write is a pure function of the
+    * snapshot). Reference tie: `/root/reference/vectorDB.py:38` — the
+    * persisted index whose build the reference redoes per request.
+    */
+  private val partIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private[graft] def partitionedCodesPath(s: SparkSession, d: String): String = {
+    val fp = snapshotKey(s, d)
+    partIndexCache.compute(d, (_, prev) =>
+      if (prev != null && prev._1 == fp) prev
+      else {
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          s"graft_ivfpq_part_$h").toString
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(dir, "_SUCCESS"))) {
+          graft.operators.ProductQuantizer
+            .indexProjection(intVecs(s, d), trainedCentroids(s, d),
+              pqCodebooks(s, d), PqSubDim)
+            .write.mode("overwrite").partitionBy("cell").parquet(dir)
+        }
+        (fp, dir)
+      })._2
+  }
+
+  /** The persisted-index schema (explicit so the partition column keeps
+    * its written LongType instead of riding directory-value inference —
+    * the probe filter then compares long-to-long and prunes directly).
+    */
+  private[graft] val partCodesSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType) +:
+      (0 until PqM).map(m => org.apache.spark.sql.types.StructField(
+        s"code_$m", org.apache.spark.sql.types.LongType)) :+
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.LongType))
+
+  /** q_ann_ivfpq served from the PERSISTED cell-partitioned code table —
+    * identical contract and results (the oracle IS q_ann_ivfpq's), but
+    * the probed-cell filter is now a PARTITION filter over the written
+    * index: the scan lists only the nProbe cell directories and opens
+    * no other file (PqPartSpec pins `selectedPartitions == nProbe` on
+    * the physical scan). This is the at-rest form of the IVFADC story
+    * the in-flight queries tell — build the index ONCE (one projection,
+    * one partitioned write), then every probe reads |probed cells|/k of
+    * the index BYTES at the listing level, which is what "query touches
+    * 2/8ths of the table" has to mean at 100 TB where even a
+    * filter-everything scan of the code table is terabytes.
+    */
+  def annIvfPqPartQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cents = trainedCentroids(s, d)
+    val books = pqCodebooks(s, d)
+    val qv = intVecs(s, d).where(col("vec_id") === 0L).select(col("v"))
+      .as[Seq[Long]].head()
+    val probeCells = cents
+      .map { case (cid, c) => (cid, KMeansOp.intDistLocal(c, qv)) }
+      .sortBy { case (cid, dd) => (dd, cid) }
+      .take(2).map(_._1)
+    val luts = graft.operators.ProductQuantizer.adcTables(qv, books, PqSubDim)
+    val codes = s.read.schema(partCodesSchema)
+      .parquet(partitionedCodesPath(s, d))
+    graft.operators.ProductQuantizer.adcTopK(
+      codes.where(col("cell").isin(probeCells: _*)), luts, 10)
+  }
+
+  /** IVFADC + exact REFINE (FAISS's `IndexRefineFlat`, Jégou et al.
+    * §V.C): the compressed index proposes a top-R shortlist (R=10, ADC
+    * over codes — cheap, approximate), then ONLY those R candidates are
+    * re-ranked by the integer-exact distance over their raw vectors,
+    * and the exact top-3 is served. The standard production composition:
+    * recall@3 is bought back from the 4-byte codes at the cost of R raw
+    * rows instead of N. The candidate set ships as a BROADCAST semi-join
+    * back into the vector table (at 100 TB the raw table is bucketed by
+    * vec_id, so the fetch is a co-located pruned probe, never a
+    * shuffle); integer-exact end to end, so the oracle replays the ADC
+    * chain + the exact re-rank bit-for-bit.
+    */
+  def annIvfPqRerankQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vecs = intVecs(s, d)
+    val qv = vecs.where(col("vec_id") === 0L).select(col("v"))
+      .as[Seq[Long]].head()
+    val shortlist = annIvfPqQ(s, d).select(col("vec_id"))
+    vecs.join(broadcast(shortlist), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"),
+        KMeansOp.intDist(col("v"), typedLit(qv)).as("dist_scaled"))
+      .orderBy(col("dist_scaled").asc, col("vec_id").asc)
+      .limit(3)
+  }
+
+  /** Recall@3 of the REFINED search vs the integer-exact top-3 — the
+    * monitor that sizes the refine stage's R and the probe's nProbe:
+    * refine recovers EVERY exact-top-3 member the shortlist contains
+    * (it re-ranks by the exact distance, so hits = |exact3 ∩
+    * shortlist| ≥ the unrefined ADC top-3's hits — pinned as a theorem
+    * in ServingTiersSpec), and what it cannot buy back is a neighbour
+    * the nProbe cells never shortlisted. A deployment reads a low value
+    * here against a high q_recall_pq as "raise nProbe", and the
+    * converse as "raise R". Deterministic BIGINT ppm over the 3 slots.
+    */
+  def recallIvfPqRerankQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vecs = intVecs(s, d)
+    val qv = vecs.where(col("vec_id") === 0L).select(col("v"))
+      .as[Seq[Long]].head()
+    val exact = vecs
+      .select(col("vec_id"),
+        KMeansOp.intDist(col("v"), typedLit(qv)).as("dist_scaled"))
+      .orderBy(col("dist_scaled").asc, col("vec_id").asc)
+      .limit(3)
+      .select(col("vec_id"))
+    val refined = annIvfPqRerankQ(s, d).select(col("vec_id"))
+    exact.join(refined, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("n_hits"),
+        (col("n_hits") * lit(1000000L) / lit(3L)).cast("long").as("recall_ppm"))
+  }
+
+  /** int8 code array under the GLOBAL symmetric scale (amax/127) — the
+    * scalar-quantization (SQ8) encoding: one trained scalar (the corpus
+    * max |coordinate|) instead of per-subspace codebooks. The scale is
+    * SHARED by corpus and query, so integer L2 over the codes is exact
+    * BIGINT and rank-equivalent to the dequantized distance. floor(x/s
+    * + 0.5) mirrors q_quantize_embeddings' convention (ROUND-on-double
+    * differs across engines; floor does not).
+    */
+  private def sq8Codes(vec: Column, amax: Column): Column =
+    transform(vec, e =>
+      when(amax === 0.0, lit(0L))
+        .otherwise(floor(e.cast("double") / (amax / lit(127.0)) + lit(0.5))
+          .cast("long")))
+
+  /** Scalar-quantized (SQ8) brute-force top-10 — the remaining member
+    * of the FAISS encoding family (Flat → SQ8 → PQ → IVFPQ → residual):
+    * 1 byte/dim instead of 4, no codebooks, distances computed directly
+    * on codes. The global amax is the trained artifact (one broadcast
+    * scalar row — a dataflow, not a collect); one corpus projection
+    * computes each vector's integer code-space distance to the vec_id=0
+    * probe and TakeOrderedAndProject keeps the 10 lowest. At 100 TB
+    * this is the 4× scan cut a serving tier takes when PQ's recall loss
+    * is unacceptable but raw floats don't fit the I/O budget.
+    */
+  def sq8TopkQ(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val g = emb.agg(
+      max(array_max(transform(col("embedding"), e => abs(e.cast("double")))))
+        .as("amax"))
+    val q = emb.where(col("vec_id") === 0L).select(col("embedding").as("qe"))
+    emb.crossJoin(broadcast(g)).crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        aggregate(
+          zip_with(sq8Codes(col("embedding"), col("amax")),
+            sq8Codes(col("qe"), col("amax")),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("qdist"))
+      .orderBy(col("qdist").asc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** Recall@10 of the SQ8 search vs the integer-exact top-10 — the
+    * quantization-loss monitor for the 1-byte encoding, completing the
+    * per-encoding recall family (q_recall_pq watches the PQ codes,
+    * q_recall_ivfpq* the composed indexes; this one prices the SQ8
+    * memory/recall trade). Deterministic BIGINT ppm.
+    */
+  def recallSq8Q(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vecs = intVecs(s, d)
+    val qv = vecs.where(col("vec_id") === 0L).select(col("v"))
+      .as[Seq[Long]].head()
+    val exact = vecs
+      .select(col("vec_id"),
+        KMeansOp.intDist(col("v"), typedLit(qv)).as("dist_scaled"))
+      .orderBy(col("dist_scaled").asc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"))
+    val approx = sq8TopkQ(s, d).select(col("vec_id"))
+    exact.join(approx, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("n_hits"),
+        (col("n_hits") * lit(1000000L) / lit(10L)).cast("long").as("recall_ppm"))
+  }
+
   /** Recall of the BATCH IVFADC path, aggregated over the probe SET —
     * the monitor a serving tier actually publishes (per-probe recall is
     * noise; the fleet metric is the mean): hits of the coarse-filtered
@@ -715,6 +913,11 @@ object SemanticQ {
     "q_pq_codes" -> pqCodesQ,
     "q_ann_pq" -> annPqQ,
     "q_ann_ivfpq" -> annIvfPqQ,
+    "q_ann_ivfpq_part" -> annIvfPqPartQ,
+    "q_ann_ivfpq_rerank" -> annIvfPqRerankQ,
+    "q_recall_ivfpq_rerank" -> recallIvfPqRerankQ,
+    "q_sq8_topk" -> sq8TopkQ,
+    "q_recall_sq8" -> recallSq8Q,
     "q_ann_ivfpq_res" -> annIvfPqResQ,
     "q_ann_ivfpq_res_batch" -> annIvfPqResBatchQ,
     "q_ann_pq_batch" -> annPqBatchQ,
@@ -950,7 +1153,79 @@ object SemanticQ {
        |  FROM adc JOIN cand ON adc.qid = cand.qid AND adc.vec_id = cand.vec_id)""".stripMargin
   }
 
+  /** The single-probe IVFADC WITH-body (coarse chain + subspace chains
+    * + query LUTs + probe cells + candidate filter + ADC scan) — shared
+    * by q_ann_ivfpq, its partitioned-index twin, and the refine tier.
+    */
+  private lazy val ivfPqSingleSql: String =
+    s"""$lloydSql,
+       |$pqChainsSql,
+       |$pqLutSql,
+       |qvc AS (SELECT v FROM q WHERE vec_id = 0),
+       |pc AS (SELECT cid FROM (
+       |    SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${idistSql("c.c", "qv.v")} ASC,
+       |      c.cid ASC) AS rn
+       |    FROM c2 c CROSS JOIN qvc qv) WHERE rn <= 2),
+       |cand AS (SELECT a3.vec_id FROM a3 JOIN pc ON a3.cid = pc.cid),
+       |$pqAdcSql""".stripMargin
+
+  /** q_ann_ivfpq's contract SQL — also the oracle of the
+    * partitioned-index serving twin (same results, different layout).
+    */
+  private lazy val annIvfPqOracle: String =
+    s"""WITH $ivfPqSingleSql
+       |SELECT adc.vec_id, adc.adc_scaled FROM adc JOIN cand USING (vec_id)
+       |ORDER BY adc_scaled ASC, vec_id ASC LIMIT 10""".stripMargin
+
+  /** The SQ8 code CTEs: global amax, query codes, corpus codes. */
+  private lazy val sq8ChainSql: String = {
+    val codeExpr =
+      """list_transform(embedding, e -> CASE WHEN g.amax = 0.0 THEN 0
+        |    ELSE CAST(floor(CAST(e AS DOUBLE) / (g.amax / 127.0) + 0.5) AS BIGINT)
+        |    END)""".stripMargin
+    s"""g AS (SELECT max(list_max(list_transform(embedding,
+       |    e -> abs(CAST(e AS DOUBLE))))) AS amax FROM embeddings),
+       |qc AS (SELECT $codeExpr AS qv FROM embeddings, g WHERE vec_id = 0),
+       |cod AS (SELECT vec_id, $codeExpr AS cv FROM embeddings, g)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_ann_ivfpq_part" -> annIvfPqOracle,
+    "q_ann_ivfpq_rerank" ->
+      s"""WITH $ivfPqSingleSql,
+         |rtop AS (SELECT adc.vec_id FROM adc JOIN cand USING (vec_id)
+         |  ORDER BY adc_scaled ASC, vec_id ASC LIMIT 10)
+         |SELECT q.vec_id, ${idistSql("q.v", "qv.v")} AS dist_scaled
+         |FROM q JOIN rtop USING (vec_id) CROSS JOIN qvc qv
+         |ORDER BY dist_scaled ASC, vec_id ASC LIMIT 3""".stripMargin,
+    "q_recall_ivfpq_rerank" ->
+      s"""WITH $ivfPqSingleSql,
+         |rtop AS (SELECT adc.vec_id FROM adc JOIN cand USING (vec_id)
+         |  ORDER BY adc_scaled ASC, vec_id ASC LIMIT 10),
+         |refined AS (SELECT q.vec_id FROM q JOIN rtop USING (vec_id)
+         |  CROSS JOIN qvc qv
+         |  ORDER BY ${idistSql("q.v", "qv.v")} ASC, q.vec_id ASC LIMIT 3),
+         |exact AS (SELECT q.vec_id FROM q CROSS JOIN qvc qv
+         |  ORDER BY ${idistSql("q.v", "qv.v")} ASC, q.vec_id ASC LIMIT 3)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
+         |  CAST(COUNT(*) * 1000000 // 3 AS BIGINT) AS recall_ppm
+         |FROM exact WHERE vec_id IN (SELECT vec_id FROM refined)""".stripMargin,
+    "q_sq8_topk" ->
+      s"""WITH $sq8ChainSql
+         |SELECT c.vec_id, ${idistSql("c.cv", "qc.qv")} AS qdist
+         |FROM cod c CROSS JOIN qc
+         |ORDER BY qdist ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_recall_sq8" ->
+      s"""WITH $sq8ChainSql,
+         |approx AS (SELECT c.vec_id FROM cod c CROSS JOIN qc
+         |  ORDER BY ${idistSql("c.cv", "qc.qv")} ASC, c.vec_id ASC LIMIT 10),
+         |qfull AS ($qFullExpr),
+         |qvfull AS (SELECT v FROM qfull WHERE vec_id = 0),
+         |exact AS (SELECT q.vec_id FROM qfull q CROSS JOIN qvfull qv
+         |  ORDER BY ${idistSql("q.v", "qv.v")} ASC, q.vec_id ASC LIMIT 10)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
+         |  CAST(COUNT(*) * 1000000 / 10 AS BIGINT) AS recall_ppm
+         |FROM exact WHERE vec_id IN (SELECT vec_id FROM approx)""".stripMargin,
     "q_recall_ivfpq_batch" ->
       s"""WITH $ivfPqBatchChainSql,
          |approx AS (SELECT qid, vec_id FROM ranked WHERE rnk <= 3),
@@ -981,19 +1256,7 @@ object SemanticQ {
          |$pqAdcSql
          |SELECT vec_id, adc_scaled FROM adc
          |ORDER BY adc_scaled ASC, vec_id ASC LIMIT 10""".stripMargin,
-    "q_ann_ivfpq" ->
-      s"""WITH $lloydSql,
-         |$pqChainsSql,
-         |$pqLutSql,
-         |qvc AS (SELECT v FROM q WHERE vec_id = 0),
-         |pc AS (SELECT cid FROM (
-         |    SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${idistSql("c.c", "qv.v")} ASC,
-         |      c.cid ASC) AS rn
-         |    FROM c2 c CROSS JOIN qvc qv) WHERE rn <= 2),
-         |cand AS (SELECT a3.vec_id FROM a3 JOIN pc ON a3.cid = pc.cid),
-         |$pqAdcSql
-         |SELECT adc.vec_id, adc.adc_scaled FROM adc JOIN cand USING (vec_id)
-         |ORDER BY adc_scaled ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_ann_ivfpq" -> annIvfPqOracle,
     "q_ann_pq_batch" -> {
       val lutbs = (0 until PqM).map { m =>
         s"""lutb$m AS (SELECT qb.vec_id AS qid, $m AS sub, c.cid AS code,

@@ -1,0 +1,138 @@
+package graft
+
+import graft.operators.KMeansOp
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The round-17 serving tiers over the declared queries: the
+  * cell-partitioned persisted index (partition pruning at the listing),
+  * the IVFADC + exact-refine composition, and the SQ8 scalar-quantized
+  * scan — each pinned against an independent driver-side replay and,
+  * where the point IS the physical plan, against the plan itself.
+  */
+class ServingTiersSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val d = TestSpark.sf0001
+
+  private def fileScans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] = {
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collect { case f: FileSourceScanExec => f }.toSeq
+  }
+
+  private def intVecsLocal(): Map[Long, Seq[Long]] =
+    Tables.embeddings(spark, d)
+      .select(col("vec_id"), KMeansOp.intVec(col("embedding")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+
+  private def idist(a: Seq[Long], b: Seq[Long]): Long =
+    a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+  test("q_ann_ivfpq_part: the persisted index scan prunes to the probed " +
+    "cell directories and serves the flat query's exact top-10") {
+    val df = queries.SemanticQ.queries("q_ann_ivfpq_part")(spark, d)
+    val scans = fileScans(df)
+    assert(scans.nonEmpty, "expected a parquet scan over the persisted index")
+    val scan = scans.head
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "cell")),
+      s"probe-cell predicate must be a PARTITION filter:\n${scan.toString}")
+    // nProbe = 2: the listing itself must stop at the two probed cells
+    assert(scan.selectedPartitions.partitionCount == 2,
+      s"scan listed ${scan.selectedPartitions.partitionCount} partitions, " +
+        "expected exactly the 2 probed cells")
+    // ... out of the K = 8 cell directories the write laid down
+    val base = queries.SemanticQ.partitionedCodesPath(spark, d)
+    val cellDirs = new java.io.File(base).listFiles()
+      .count(_.getName.startsWith("cell="))
+    assert(cellDirs == 8, s"expected 8 cell= directories, found $cellDirs")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val flat = queries.SemanticQ.queries("q_ann_ivfpq")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == flat, "partitioned-index serving diverged from q_ann_ivfpq")
+  }
+
+  test("q_ann_ivfpq_rerank: exact re-rank of the ADC shortlist, " +
+    "candidates broadcast back into the vector table") {
+    val vecs = intVecsLocal()
+    val qv = vecs(0L)
+    val shortlist = queries.SemanticQ.queries("q_ann_ivfpq")(spark, d)
+      .collect().map(_.getLong(0)).toSet
+    val expect = shortlist.toSeq
+      .map(id => (id, idist(vecs(id), qv)))
+      .sortBy { case (id, dd) => (dd, id) }.take(3)
+    val df = queries.SemanticQ.queries("q_ann_ivfpq_rerank")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"the R-candidate fetch must be a broadcast semi-join:\n$plan")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect, "refined top-3 diverged from the scalar replay")
+  }
+
+  test("q_recall_ivfpq_rerank: ppm recomputed from the two sides") {
+    val vecs = intVecsLocal()
+    val qv = vecs(0L)
+    val exact3 = vecs.toSeq.map { case (id, v) => (id, idist(v, qv)) }
+      .sortBy { case (id, dd) => (dd, id) }.take(3).map(_._1).toSet
+    val refined = queries.SemanticQ.queries("q_ann_ivfpq_rerank")(spark, d)
+      .collect().map(_.getLong(0)).toSet
+    val hits = exact3.count(refined.contains)
+    val row = queries.SemanticQ.queries("q_recall_ivfpq_rerank")(spark, d).head()
+    assert(row.getLong(0) == hits.toLong)
+    assert(row.getLong(1) == hits.toLong * 1000000L / 3L)
+    // the refine theorem: refined top-3 is the exact-best of the
+    // shortlist, so every exact-top-3 member the shortlist CONTAINS is
+    // recovered — hits(refined) = |exact3 ∩ shortlist| ≥ hits(plain
+    // ADC top-3). What refine cannot buy back is a candidate the
+    // nProbe=2 probe never shortlisted (here 2 of 3 — the R/nProbe
+    // trade this monitor exists to surface).
+    val shortlist = queries.SemanticQ.queries("q_ann_ivfpq")(spark, d)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == exact3.count(shortlist.contains),
+      "refine failed to recover a shortlisted exact-top-3 member")
+    val adc3 = queries.SemanticQ.queries("q_ann_ivfpq")(spark, d)
+      .collect().take(3).map(_.getLong(0)).toSet
+    assert(hits >= exact3.count(adc3.contains),
+      "refined recall fell below the unrefined ADC top-3's")
+  }
+
+  test("q_sq8_topk: global-scale int8 codes and code-space distances " +
+    "match an independent scalar replay") {
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    val amax = emb.valuesIterator.flatMap(_.iterator).map(e => math.abs(e.toDouble)).max
+    def codes(v: Seq[Float]): Seq[Long] =
+      v.map(e => if (amax == 0.0) 0L
+        else math.floor(e.toDouble / (amax / 127.0) + 0.5).toLong)
+    val all = emb.map { case (id, v) => id -> codes(v) }
+    assert(all.valuesIterator.flatMap(_.iterator).forall(c => c >= -127L && c <= 127L),
+      "codes must fit int8")
+    val qc = all(0L)
+    val expect = all.toSeq
+      .map { case (id, cv) => (id, idist(cv, qc)) }
+      .sortBy { case (id, dd) => (dd, id) }.take(10)
+    val got = queries.SemanticQ.queries("q_sq8_topk")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect, "SQ8 top-10 diverged from the scalar replay")
+  }
+
+  test("q_recall_sq8: ppm recomputed from the exact and SQ8 sides") {
+    val vecs = intVecsLocal()
+    val qv = vecs(0L)
+    val exact10 = vecs.toSeq.map { case (id, v) => (id, idist(v, qv)) }
+      .sortBy { case (id, dd) => (dd, id) }.take(10).map(_._1).toSet
+    val sq8 = queries.SemanticQ.queries("q_sq8_topk")(spark, d)
+      .collect().map(_.getLong(0)).toSet
+    val hits = exact10.count(sq8.contains)
+    val row = queries.SemanticQ.queries("q_recall_sq8")(spark, d).head()
+    assert(row.getLong(0) == hits.toLong)
+    assert(row.getLong(1) == hits.toLong * 1000000L / 10L)
+    // 1 byte/dim keeps ≥ 8/10 of the exact neighbours on this corpus —
+    // the floor a deployment would alert on
+    assert(row.getLong(0) >= 8L, s"SQ8 recall dropped to ${row.getLong(0)}/10")
+  }
+}
