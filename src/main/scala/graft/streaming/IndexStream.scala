@@ -337,6 +337,171 @@ object IndexStream {
         committed, probes, q.coarse, q.books, q.subDim, nProbe, k)
   }
 
+  // ---- CDC maintenance: deletes and re-inserts ----------------------
+  //
+  // The append path above is insert-once (a re-shipped vec_id is
+  // dropped); a production index also takes DELETES — FAISS's
+  // remove_ids, Milvus/Lucene tombstones — and re-inserts after them.
+  // Physical deletion from immutable committed partitions is
+  // compaction's business; the live path appends TOMBSTONES:
+  //
+  //  - a delete writes (vec_id, del_batch=N) to `tombs/batch_id=N`;
+  //  - a code row is LIVE iff no tombstone with del_batch > src_batch
+  //    exists for its id (src_batch rides IN the row, so identity
+  //    compaction folds both tables without losing the ordering);
+  //  - an insert is blocked only by a LIVE earlier row (first-write-
+  //    wins, as in the append path) that this batch does not itself
+  //    delete — so delete+insert of a live id in one batch REPLACES it
+  //    (the CDC re-key convention), and an insert after a delete
+  //    RESURRECTS the id with its new codes.
+  //
+  // Replay-idempotence is inherited: both writes are batch-id-keyed
+  // overwrites behind the shared commit marker, and the liveness check
+  // reads strictly-earlier state (upTo = batchId), so a replayed
+  // committed batch recomputes its rows bit-for-bit. A state dir is
+  // EITHER append-only (processBatch) or CDC (processBatchCdc) — the
+  // CDC codes schema carries src_batch, and StreamState.compact's
+  // all-tables guard refuses a mixed-discipline fold loudly.
+
+  /** The CDC op column: rows with `__op = "delete"` are tombstones
+    * (embedding ignored); anything else — including a missing column —
+    * is an insert. The Merge operator's `__op` convention, reused.
+    */
+  val OpColumn = "__op"
+
+  private def cdcCodesSchema(m: Int): StructType =
+    StructType(codesSchema(m).fields :+ StructField("src_batch", LongType))
+
+  private val tombSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("del_batch", LongType)))
+
+  /** The LIVE code table as of (strictly before) `upTo`: committed
+    * codes minus the rows a STRICTLY LATER tombstone kills — a
+    * same-batch tombstone does not kill the same batch's insert
+    * (delete-then-insert order within a batch). One anti-join on
+    * (vec_id, del_batch > src_batch); tombstone state never grows past
+    * the delete stream itself, and compaction may resolve-and-drop both
+    * sides (see [[compactStateCdc]]).
+    */
+  def liveCodes(s: SparkSession, stateDir: String, m: Int,
+      upTo: Long = Long.MaxValue): DataFrame = {
+    val codes = StreamState.readCommitted(
+      s, stateDir, "codes", cdcCodesSchema(m), upTo)
+    val tombs = StreamState.readCommitted(
+      s, stateDir, "tombs", tombSchema, upTo)
+    codes.join(tombs,
+      codes("vec_id") === tombs("vec_id") &&
+        tombs("del_batch") > codes("src_batch"),
+      "left_anti")
+  }
+
+  /** One CDC micro-batch of (vec_id, embedding, __op) rows. Inserts are
+    * assigned against the frozen quantizers exactly as [[processBatch]];
+    * deletes append tombstones. Within a batch, duplicate insert ids
+    * collapse to one deterministic row and a delete+insert pair
+    * resolves to the insert (applied over the delete).
+    */
+  def processBatchCdc(batch: Dataset[Row], batchId: Long, q: Quantizers,
+      stateDir: String, autoCompactEvery: Int = 0): Unit = {
+    val s = batch.sparkSession
+    val ops =
+      if (batch.columns.contains(OpColumn)) batch
+      else batch.withColumn(OpColumn, lit("insert"))
+    val dels = ops.where(col(OpColumn) === "delete")
+      .select(col("vec_id")).distinct()
+    val ins = ops.where(coalesce(col(OpColumn), lit("insert")) =!= "delete")
+      .select(col("vec_id"), KMeansOp.intVec(col("embedding")).as("v"))
+    val indexed0 = project(ins, q)
+    val codeCols = indexed0.columns.filter(_ != "vec_id").toSeq
+    val indexed = indexed0.groupBy(col("vec_id"))
+      .agg(min(struct(codeCols.map(col): _*)).as("k"))
+      .select(col("vec_id") +: codeCols.map(c => col("k." + c)): _*)
+    // an insert is blocked by an id that is live BEFORE this batch and
+    // NOT deleted by it — so re-insert-after-delete lands, and
+    // delete+insert replaces
+    val blocked = liveCodes(s, stateDir, q.books.size, upTo = batchId)
+      .select(col("vec_id"))
+      .join(dels, Seq("vec_id"), "left_anti")
+    indexed.join(blocked, Seq("vec_id"), "left_anti")
+      .withColumn("src_batch", lit(batchId))
+      .write.mode("overwrite").parquet(s"$stateDir/codes/batch_id=$batchId")
+    dels.withColumn("del_batch", lit(batchId))
+      .write.mode("overwrite").parquet(s"$stateDir/tombs/batch_id=$batchId")
+    StreamState.commitMarker(s, stateDir, batchId)
+    StreamState.maybeCompact(s, stateDir, autoCompactEvery)(
+      compactStateCdc(s, stateDir, q.books.size))
+  }
+
+  /** Continuous CDC maintenance over a streaming (vec_id, embedding,
+    * __op) frame.
+    */
+  def maintainCdc(emb: DataFrame, q: Quantizers, stateDir: String,
+      checkpointDir: String, autoCompactEvery: Int = 16): StreamingQuery =
+    emb.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        processBatchCdc(batch, batchId, q, stateDir, autoCompactEvery)
+      }
+      .start()
+
+  /** Fold a CDC state dir — BOTH tables under the one marker (the
+    * all-tables contract). Identity merges: src_batch/del_batch ride in
+    * the rows, so the folded base preserves the liveness ordering
+    * bit-for-bit. (A resolve-at-compaction variant — fold to live rows
+    * and drop spent tombstones, sound because every surviving row
+    * outranks every folded tombstone — is the next size valve; identity
+    * keeps the crash contract trivially inherited.)
+    */
+  def compactStateCdc(s: SparkSession, stateDir: String, m: Int): Option[Long] =
+    StreamState.compact(s, stateDir, Seq(
+      ("codes", cdcCodesSchema(m), (df: DataFrame) => df),
+      ("tombs", tombSchema, (df: DataFrame) => df)))
+
+  /** [[searchCommitted]] over the LIVE rows of a CDC state dir —
+    * deleted ids never surface, re-inserted ids serve their newest
+    * codes. Same probed-cells-only scan either way.
+    */
+  def searchCommittedCdc(s: SparkSession, stateDir: String, q: Quantizers,
+      query: Seq[Long], nProbe: Int, k: Int): DataFrame = {
+    if (q.residual) {
+      import s.implicits._
+      return searchCommittedBatchCdc(s, stateDir, q,
+          Seq((0L, query)).toDF("qid", "v"), nProbe, k)
+        .select(col("vec_id"), col("adc_scaled"))
+    }
+    val probeCells = q.coarse
+      .map { case (cid, c) => (cid, KMeansOp.intDistLocal(c, query)) }
+      .sortBy { case (cid, dd) => (dd, cid) }
+      .take(nProbe).map(_._1)
+    val luts = ProductQuantizer.adcTables(query, q.books, q.subDim)
+    ProductQuantizer.adcTopK(
+      liveCodes(s, stateDir, q.books.size)
+        .where(col("cell").isin(probeCells: _*)),
+      luts, k)
+  }
+
+  /** [[searchCommittedBatch]] over the LIVE rows of a CDC state dir. */
+  def searchCommittedBatchCdc(s: SparkSession, stateDir: String,
+      q: Quantizers, probes: DataFrame, nProbe: Int, k: Int): DataFrame = {
+    val live = liveCodes(s, stateDir, q.books.size).drop("src_batch")
+    if (q.residual)
+      ProductQuantizer.adcBatchServeResidual(
+        live, probes, q.coarse, q.books, q.subDim, nProbe, k)
+    else
+      ProductQuantizer.adcBatchServe(
+        live, probes, q.coarse, q.books, q.subDim, nProbe, k)
+  }
+
+  /** [[cellHistogram]] over the LIVE rows of a CDC state dir — the
+    * staleness monitor must not count tombstoned mass.
+    */
+  def cellHistogramCdc(s: SparkSession, stateDir: String): DataFrame = {
+    val m = persistedM(s, stateDir).getOrElse(0)
+    liveCodes(s, stateDir, m)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .orderBy(col("cell").asc)
+  }
+
   /** Quantizer-staleness monitor: committed cell occupancy. A healthy
     * index keeps cells balanced near the training distribution; a
     * drifting ingest concentrates mass in few cells (probe recall

@@ -1,0 +1,233 @@
+package graft
+
+import graft.operators.{KMeansOp, ProductQuantizer}
+import graft.streaming.{IndexStream, StreamState}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CDC maintenance of the vector index: deletes tombstone, re-inserts
+  * resurrect with their new codes, delete+insert replaces in one batch,
+  * a pure-insert CDC stream is bit-identical to the append-only path,
+  * replay of a committed batch is idempotent, torn writes are invisible,
+  * and compaction folds both tables without changing a single search
+  * result.
+  */
+class CdcIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val d = TestSpark.sf0001
+
+  private def quantizers: IndexStream.Quantizers =
+    IndexStream.Quantizers(
+      queries.SemanticQ.trainedCentroids(spark, d),
+      queries.SemanticQ.pqCodebooks(spark, d),
+      subDim = 16)
+
+  private def fullRows: Seq[(Long, Seq[Float])] =
+    Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+
+  private def cdcDf(rs: Seq[(Long, Seq[Float], String)]): DataFrame =
+    rs.toDF("vec_id", "embedding", "__op")
+
+  private def intVecOf(e: Seq[Float]): Seq[Long] =
+    e.map(x => math.floor(x.toDouble * 1e6).toLong)
+
+  /** (vec_id, cell, codes) of the live rows, sorted. */
+  private def liveRows(stateDir: String): Seq[(Long, Long, Seq[Long])] =
+    IndexStream.liveCodes(spark, stateDir, 4)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
+        Seq(r.getAs[Long]("code_0"), r.getAs[Long]("code_1"),
+          r.getAs[Long]("code_2"), r.getAs[Long]("code_3"))))
+      .toSeq.sortBy(_._1)
+
+  /** The one-shot projection of (id, embedding) pairs through `q`. */
+  private def projected(q: IndexStream.Quantizers,
+      rs: Seq[(Long, Seq[Float])]): Seq[(Long, Long, Seq[Long])] =
+    ProductQuantizer.indexProjection(
+        rs.toDF("vec_id", "embedding").select(col("vec_id"),
+          KMeansOp.intVec(col("embedding")).as("v")),
+        q.coarse, q.books, q.subDim)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Seq(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toSeq.sortBy(_._1)
+
+  test("delete tombstones, re-insert resurrects with new codes, " +
+    "delete+insert replaces, compaction and replay change nothing") {
+    val q = quantizers
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_cdc_state").toString
+    val rows = fullRows
+    val byId = rows.toMap
+
+    // batch 0: insert every id < 400
+    IndexStream.processBatchCdc(
+      cdcDf(rows.filter(_._1 < 400L).map(r => (r._1, r._2, "insert"))),
+      0L, q, stateDir)
+    // batch 1: delete 0/1/2, insert the rest of the corpus
+    IndexStream.processBatchCdc(
+      cdcDf(rows.filter(_._1 >= 400L).map(r => (r._1, r._2, "insert")) ++
+        Seq(0L, 1L, 2L).map(id => (id, Seq.empty[Float], "delete"))),
+      1L, q, stateDir)
+
+    val live1 = liveRows(stateDir).map(_._1).toSet
+    assert(!live1.contains(0L) && !live1.contains(1L) && !live1.contains(2L))
+    assert(live1.contains(3L) && live1.contains(399L) && live1.contains(400L))
+    // serving: vec 0's own embedding can no longer find vec 0
+    val qv0 = intVecOf(byId(0L))
+    val served1 = IndexStream.searchCommittedCdc(spark, stateDir, q, qv0,
+        nProbe = 2, k = 10).collect().map(_.getLong(0)).toSeq
+    assert(!served1.contains(0L), "deleted id surfaced in search")
+    // the histogram counts live rows only
+    val histN = IndexStream.cellHistogramCdc(spark, stateDir)
+      .collect().map(_.getAs[Long]("n")).sum
+    assert(histN == rows.length - 3)
+
+    // batch 2: re-insert 0 under vec 450's embedding (resurrection with
+    // NEW codes), delete+insert live id 10 under vec 451's embedding
+    // (one-batch replace), delete 399, and re-ship live id 20 unchanged
+    // (must stay first-write-wins blocked)
+    IndexStream.processBatchCdc(
+      cdcDf(Seq(
+        (0L, byId(450L), "insert"),
+        (10L, Seq.empty[Float], "delete"),
+        (10L, byId(451L), "insert"),
+        (399L, Seq.empty[Float], "delete"),
+        (20L, byId(20L), "insert"))),
+      2L, q, stateDir)
+
+    val live2 = liveRows(stateDir)
+    val live2Ids = live2.map(_._1).toSet
+    assert(live2Ids.contains(0L) && !live2Ids.contains(399L))
+    val codesOf = live2.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(codesOf(0L) == projected(q, Seq((0L, byId(450L))))
+      .map(r => (r._2, r._3)).head, "resurrected id must carry NEW codes")
+    assert(codesOf(10L) == projected(q, Seq((10L, byId(451L))))
+      .map(r => (r._2, r._3)).head, "delete+insert must replace the codes")
+    assert(codesOf(20L) == projected(q, Seq((20L, byId(20L))))
+      .map(r => (r._2, r._3)).head)
+    // exactly one LIVE row per id
+    assert(live2.map(_._1).distinct.size == live2.size)
+
+    // torn write: unmarked partitions are invisible garbage
+    liveRows(stateDir) // force nothing pending
+    cdcDf(Seq((9999L, byId(0L), "insert")))
+      .select(col("vec_id"), lit(0L).as("cell"),
+        lit(0L).as("code_0"), lit(0L).as("code_1"),
+        lit(0L).as("code_2"), lit(0L).as("code_3"),
+        lit(99L).as("src_batch"))
+      .write.mode("overwrite").parquet(s"$stateDir/codes/batch_id=99")
+    assert(liveRows(stateDir) == live2, "unmarked partition was read")
+
+    // replay of committed batch 2 recomputes the same state
+    val servedBefore = IndexStream.searchCommittedCdc(spark, stateDir, q,
+        qv0, 2, 10).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    IndexStream.processBatchCdc(
+      cdcDf(Seq(
+        (0L, byId(450L), "insert"),
+        (10L, Seq.empty[Float], "delete"),
+        (10L, byId(451L), "insert"),
+        (399L, Seq.empty[Float], "delete"),
+        (20L, byId(20L), "insert"))),
+      2L, q, stateDir)
+    assert(liveRows(stateDir) == live2, "replay diverged")
+
+    // compaction folds codes AND tombs under one marker, liveness intact
+    val base = IndexStream.compactStateCdc(spark, stateDir, 4)
+    assert(base.nonEmpty)
+    assert(liveRows(stateDir) == live2, "compaction changed liveness")
+    val servedAfter = IndexStream.searchCommittedCdc(spark, stateDir, q,
+        qv0, 2, 10).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(servedAfter == servedBefore, "compaction changed search results")
+  }
+
+  test("a pure-insert CDC stream is bit-identical to the append-only " +
+    "path, including batch serving") {
+    val q = quantizers
+    val rows = fullRows
+    val appendDir = java.nio.file.Files
+      .createTempDirectory("graft_cdc_append").toString
+    val cdcDirS = java.nio.file.Files
+      .createTempDirectory("graft_cdc_pure").toString
+    val waves = Seq(rows.filter(_._1 < 300L), rows.filter(_._1 >= 300L))
+    waves.zipWithIndex.foreach { case (w, i) =>
+      IndexStream.processBatch(
+        w.toDF("vec_id", "embedding"), i.toLong, q, appendDir)
+      IndexStream.processBatchCdc(
+        cdcDf(w.map(r => (r._1, r._2, "insert"))), i.toLong, q, cdcDirS)
+    }
+    val appendCodes = StreamState.readCommitted(spark, appendDir, "codes",
+        org.apache.spark.sql.types.StructType(
+          Seq("vec_id", "cell", "code_0", "code_1", "code_2", "code_3")
+            .map(n => org.apache.spark.sql.types.StructField(n,
+              org.apache.spark.sql.types.LongType))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq.sortBy(_._1)
+    val cdcCodes = IndexStream.liveCodes(spark, cdcDirS, 4)
+      .drop("src_batch")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq.sortBy(_._1)
+    assert(cdcCodes == appendCodes)
+    // batch serving parity over a probe frame
+    val probes = Seq((0L, intVecOf(rows(0)._2)), (1L, intVecOf(rows(1)._2)))
+      .toDF("qid", "v")
+    val a = IndexStream.searchCommittedBatch(spark, appendDir, q,
+        probes, 2, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val c = IndexStream.searchCommittedBatchCdc(spark, cdcDirS, q,
+        probes, 2, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(c == a)
+  }
+
+  test("RESIDUAL CDC: delete excluded from the residual batch serving " +
+    "path") {
+    val base = quantizers
+    val q = IndexStream.Quantizers(base.coarse,
+      queries.SemanticQ.resCodebooks(spark, d), base.subDim, residual = true)
+    val rows = fullRows
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_cdc_res").toString
+    IndexStream.processBatchCdc(
+      cdcDf(rows.map(r => (r._1, r._2, "insert"))), 0L, q, stateDir)
+    val qv = intVecOf(rows.head._2)
+    val before = IndexStream.searchCommittedCdc(spark, stateDir, q, qv, 2, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(before.nonEmpty)
+    val victim = before.head
+    IndexStream.processBatchCdc(
+      cdcDf(Seq((victim, Seq.empty[Float], "delete"))), 1L, q, stateDir)
+    val after = IndexStream.searchCommittedCdc(spark, stateDir, q, qv, 2, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(!after.contains(victim), "deleted id surfaced in residual serving")
+    assert(after == before.filterNot(_ == victim).take(10) ||
+      after.size == 10, "top-10 must refill from the remaining candidates")
+  }
+
+  test("maintainCdc: the streaming wrapper drives the same per-batch " +
+    "mechanics") {
+    implicit val sqlCtx = spark.sqlContext
+    val q = quantizers
+    val rows = fullRows
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_cdc_stream").toString
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("graft_cdc_stream_ck").toString
+    val mem = MemoryStream[(Long, Seq[Float], String)]
+    val sq = IndexStream.maintainCdc(
+      mem.toDF().toDF("vec_id", "embedding", "__op"), q, stateDir, ckDir)
+    try {
+      mem.addData(rows.filter(_._1 < 100L).map(r => (r._1, r._2, "insert")): _*)
+      sq.processAllAvailable()
+      mem.addData((0L, Seq.empty[Float], "delete"))
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val live = liveRows(stateDir).map(_._1).toSet
+    assert(!live.contains(0L) && live.contains(1L) && live.size == 99)
+  }
+}
