@@ -66,7 +66,14 @@ object ScaleProbe {
     // index — probed-cells ADC top-5 + score projection, near-linear —
     // and batch serving over the residual encoding (same scan shape as
     // q_ann_ivfpq_batch plus the residual projection)
-    "q_shortlist_ann", "q_ann_ivfpq_res_batch")
+    "q_shortlist_ann", "q_ann_ivfpq_res_batch",
+    // round 17: serving-tier completion — the partitioned-index probe
+    // (directory-pruned scan: rows-per-cell grow 10×, so ~linear with a
+    // smaller constant than the filter-everything scan), the exact
+    // refine (ADC scan + a 10-row broadcast fetch — the fetch is
+    // fixed-cost, the scan linear), and the SQ8 code-space scan
+    // (one projection, linear)
+    "q_ann_ivfpq_part", "q_ann_ivfpq_rerank", "q_sq8_topk")
 
   private def mix(a: Long, b: Long, c: Long): Long = {
     var h = a * 0x9E3779B97F4A7C15L + b * 0xC2B2AE3D27D4EB4FL + c * 0x165667B19E3779F9L

@@ -428,8 +428,10 @@ object IndexStream {
     dels.withColumn("del_batch", lit(batchId))
       .write.mode("overwrite").parquet(s"$stateDir/tombs/batch_id=$batchId")
     StreamState.commitMarker(s, stateDir, batchId)
+    // the auto valve RESOLVES: continuous maintenance should never let
+    // state size track the delete history instead of the live set
     StreamState.maybeCompact(s, stateDir, autoCompactEvery)(
-      compactStateCdc(s, stateDir, q.books.size))
+      compactStateCdcResolve(s, stateDir, q.books.size))
   }
 
   /** Continuous CDC maintenance over a streaming (vec_id, embedding,
@@ -447,15 +449,52 @@ object IndexStream {
   /** Fold a CDC state dir — BOTH tables under the one marker (the
     * all-tables contract). Identity merges: src_batch/del_batch ride in
     * the rows, so the folded base preserves the liveness ordering
-    * bit-for-bit. (A resolve-at-compaction variant — fold to live rows
-    * and drop spent tombstones, sound because every surviving row
-    * outranks every folded tombstone — is the next size valve; identity
-    * keeps the crash contract trivially inherited.)
+    * bit-for-bit. The RESOLVING variant below is the production valve;
+    * this one exists to pin that resolution is an optimization, not a
+    * semantic (CdcIndexSpec serves identical results through both).
     */
   def compactStateCdc(s: SparkSession, stateDir: String, m: Int): Option[Long] =
     StreamState.compact(s, stateDir, Seq(
       ("codes", cdcCodesSchema(m), (df: DataFrame) => df),
       ("tombs", tombSchema, (df: DataFrame) => df)))
+
+  /** RESOLVE-at-compaction — the tombstone GC a log-structured index
+    * runs at merge time (Lucene segment merges, LSM compaction): the
+    * folded codes keep only rows no folded tombstone kills, and the
+    * folded tombstones drop entirely. Every folded tombstone is SPENT
+    * once the fold resolves: surviving folded rows outrank it by
+    * construction, and every unfolded or future row carries src_batch
+    * above the fold point. Replay stays exact because the newest
+    * committed batch is never folded and its strictly-earlier liveness
+    * view over (resolved base + unfolded partitions) equals the
+    * pre-fold computation — the same rows survive either way. State
+    * size now tracks the LIVE set + batches-since-compaction, not the
+    * delete history. Crash contract inherited from [[StreamState
+    * .compact]] (base written first, marker last, torn fold invisible).
+    * Single-maintainer discipline assumed (as everywhere in this
+    * module): the fold horizon is re-derived from the same marker
+    * listing compact itself reads.
+    */
+  def compactStateCdcResolve(s: SparkSession, stateDir: String,
+      m: Int): Option[Long] = {
+    val committed = StreamState.committedIds(s, stateDir)
+    if (committed.size < 2) return None
+    val prevBase = StreamState.compactedIds(s, stateDir).lastOption
+    val eligible = committed
+      .filter(id => id < committed.max && prevBase.forall(id > _))
+    if (eligible.isEmpty) return None
+    val fold = eligible.max
+    StreamState.compact(s, stateDir, Seq(
+      ("codes", cdcCodesSchema(m), (codes: DataFrame) => {
+        val tombs = StreamState.readCommitted(
+          s, stateDir, "tombs", tombSchema, upTo = fold + 1)
+        codes.join(tombs,
+          codes("vec_id") === tombs("vec_id") &&
+            tombs("del_batch") > codes("src_batch"),
+          "left_anti")
+      }),
+      ("tombs", tombSchema, (t: DataFrame) => t.limit(0))))
+  }
 
   /** [[searchCommitted]] over the LIVE rows of a CDC state dir —
     * deleted ids never surface, re-inserted ids serve their newest

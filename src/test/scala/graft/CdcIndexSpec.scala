@@ -209,6 +209,58 @@ class CdcIndexSpec extends AnyFunSuite {
       after.size == 10, "top-10 must refill from the remaining candidates")
   }
 
+  test("resolve-at-compaction drops dead rows and spent tombstones " +
+    "without changing liveness, search, or future delete cycles") {
+    val q = quantizers
+    val rows = fullRows
+    val byId = rows.toMap
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_cdc_resolve").toString
+    val tombSchema = org.apache.spark.sql.types.StructType(
+      Seq("vec_id", "del_batch").map(n =>
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.LongType)))
+    val cdcSchema = org.apache.spark.sql.types.StructType(
+      Seq("vec_id", "cell", "code_0", "code_1", "code_2", "code_3",
+        "src_batch").map(n => org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.LongType)))
+    // 0: insert all; 1: delete five; 2: resurrect one; 3: unrelated
+    // newest batch, so every tombstone sits BELOW the fold point
+    IndexStream.processBatchCdc(
+      cdcDf(rows.map(r => (r._1, r._2, "insert"))), 0L, q, stateDir)
+    IndexStream.processBatchCdc(
+      cdcDf((0L to 4L).map(id => (id, Seq.empty[Float], "delete"))),
+      1L, q, stateDir)
+    IndexStream.processBatchCdc(
+      cdcDf(Seq((0L, byId(450L), "insert"))), 2L, q, stateDir)
+    IndexStream.processBatchCdc(
+      cdcDf(Seq((9000L, byId(451L), "insert"))), 3L, q, stateDir)
+
+    val qv0 = intVecOf(byId(0L))
+    val liveBefore = liveRows(stateDir)
+    val servedBefore = IndexStream.searchCommittedCdc(spark, stateDir, q,
+        qv0, 2, 10).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    val base = IndexStream.compactStateCdcResolve(spark, stateDir, 4)
+    assert(base.nonEmpty)
+    assert(liveRows(stateDir) == liveBefore, "resolve changed liveness")
+    val servedAfter = IndexStream.searchCommittedCdc(spark, stateDir, q,
+        qv0, 2, 10).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(servedAfter == servedBefore, "resolve changed search results")
+    // physically GONE: zero tombstones anywhere, zero dead code rows —
+    // total persisted rows equal the live set
+    assert(StreamState.readCommitted(spark, stateDir, "tombs", tombSchema)
+      .count() == 0L, "spent tombstones survived the resolve")
+    assert(StreamState.readCommitted(spark, stateDir, "codes", cdcSchema)
+      .count() == liveBefore.size.toLong, "dead rows survived the resolve")
+
+    // the lifecycle continues over the resolved base
+    IndexStream.processBatchCdc(
+      cdcDf(Seq((3L, Seq.empty[Float], "delete"))), 4L, q, stateDir)
+    val live4 = liveRows(stateDir).map(_._1).toSet
+    assert(!live4.contains(3L) && live4.contains(0L))
+  }
+
   test("maintainCdc: the streaming wrapper drives the same per-batch " +
     "mechanics") {
     implicit val sqlCtx = spark.sqlContext
