@@ -683,6 +683,37 @@ object SemanticQ {
         (col("n_hits") * lit(1000000L) / lit(3L)).cast("long").as("recall_ppm"))
   }
 
+  /** The refine stage at the BATCH tier — [[annIvfPqRerankQ]]'s
+    * composition over a probe FRAME: the collect-free batch IVFADC
+    * proposes a per-qid top-10 shortlist from the code table, the
+    * ≤ Q·10-row candidate relation broadcasts back into the raw vector
+    * table (joined with the probe frame for the exact distances), and a
+    * qid-partitioned rank serves the exact top-3 per probe. ONE
+    * corpus-scan lineage for the shortlist regardless of probe count +
+    * one bounded raw fetch — the production serving stack FAISS calls
+    * IndexIVFPQ + RefineFlat, at fleet scale. Integer-exact end to end;
+    * the oracle replays the batch ADC chain and the exact re-rank.
+    */
+  def annIvfPqRerankBatchQ(s: SparkSession, d: String): DataFrame = {
+    val vecs = intVecs(s, d)
+    val probes = vecs.where(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("qid"), col("v"))
+    val shortlist = annIvfPqBatch(vecs, probes, trainedCentroids(s, d),
+        pqCodebooks(s, d), nProbe = 2, topK = 10)
+      .select(col("qid"), col("vec_id"))
+    val cand = vecs.join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(probes.select(col("qid"), col("v").as("qv"))), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        KMeansOp.intDist(col("v"), col("qv")).as("dist_scaled"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("dist_scaled").asc, col("vec_id").asc)
+    cand.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("dist_scaled"))
+      .orderBy(col("qid").asc, col("rnk").asc)
+  }
+
   /** int8 code array under the GLOBAL symmetric scale (amax/127) — the
     * scalar-quantization (SQ8) encoding: one trained scalar (the corpus
     * max |coordinate|) instead of per-subspace codebooks. The scale is
@@ -915,6 +946,7 @@ object SemanticQ {
     "q_ann_ivfpq" -> annIvfPqQ,
     "q_ann_ivfpq_part" -> annIvfPqPartQ,
     "q_ann_ivfpq_rerank" -> annIvfPqRerankQ,
+    "q_ann_ivfpq_rerank_batch" -> annIvfPqRerankBatchQ,
     "q_recall_ivfpq_rerank" -> recallIvfPqRerankQ,
     "q_sq8_topk" -> sq8TopkQ,
     "q_recall_sq8" -> recallSq8Q,
@@ -1210,6 +1242,19 @@ object SemanticQ {
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
          |  CAST(COUNT(*) * 1000000 // 3 AS BIGINT) AS recall_ppm
          |FROM exact WHERE vec_id IN (SELECT vec_id FROM refined)""".stripMargin,
+    "q_ann_ivfpq_rerank_batch" ->
+      s"""WITH $ivfPqBatchChainSql,
+         |rtopb AS (SELECT qid, vec_id FROM ranked WHERE rnk <= 10),
+         |rex AS (SELECT r.qid, r.vec_id, ${idistSql("q.v", "qb.v")} AS dist_scaled
+         |  FROM rtopb r JOIN q ON q.vec_id = r.vec_id
+         |  JOIN qb ON qb.qid = r.qid),
+         |rr AS (SELECT qid, vec_id, dist_scaled,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY dist_scaled ASC, vec_id ASC) AS rnk
+         |  FROM rex)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, dist_scaled
+         |FROM rr WHERE rnk <= 3
+         |ORDER BY qid ASC, rnk ASC""".stripMargin,
     "q_sq8_topk" ->
       s"""WITH $sq8ChainSql
          |SELECT c.vec_id, ${idistSql("c.cv", "qc.qv")} AS qdist

@@ -99,6 +99,35 @@ class ServingTiersSpec extends AnyFunSuite {
       "refined recall fell below the unrefined ADC top-3's")
   }
 
+  test("q_ann_ivfpq_rerank_batch: per-qid exact re-rank of the batch " +
+    "shortlist matches a scalar replay over the served shortlist") {
+    val vecs = intVecsLocal()
+    // the declared batch query serves topK=3; rebuild the topK=10
+    // shortlist through the same private dataflow the rerank composes
+    val vdf = Tables.embeddings(spark, d).select(col("vec_id"),
+      graft.operators.KMeansOp.intVec(col("embedding")).as("v"))
+    val probes = vdf.where(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("qid"), col("v"))
+    val shortlist = queries.SemanticQ.annIvfPqBatch(vdf, probes,
+        queries.SemanticQ.trainedCentroids(spark, d),
+        queries.SemanticQ.pqCodebooks(spark, d), nProbe = 2, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val expect = Seq(0L, 1L, 2L).flatMap { qid =>
+      shortlist.filter(_._1 == qid)
+        .map { case (_, id) => (id, idist(vecs(id), vecs(qid))) }
+        .sortBy { case (id, dd) => (dd, id) }.take(3).zipWithIndex
+        .map { case ((id, dd), i) => (qid, (i + 1).toLong, id, dd) }
+    }
+    val got = queries.SemanticQ.queries("q_ann_ivfpq_rerank_batch")(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect, "batch refine diverged from the scalar replay")
+    // qid 0's refined head must equal the single-probe refine
+    val single = queries.SemanticQ.queries("q_ann_ivfpq_rerank")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.filter(_._1 == 0L).map(r => (r._3, r._4)) == single)
+  }
+
   test("q_sq8_topk: global-scale int8 codes and code-space distances " +
     "match an independent scalar replay") {
     val emb = Tables.embeddings(spark, d)
