@@ -118,8 +118,13 @@ class ServingTiersSpec extends AnyFunSuite {
         .sortBy { case (id, dd) => (dd, id) }.take(3).zipWithIndex
         .map { case ((id, dd), i) => (qid, (i + 1).toLong, id, dd) }
     }
-    val got = queries.SemanticQ.queries("q_ann_ivfpq_rerank_batch")(spark, d)
-      .collect()
+    val df = queries.SemanticQ.queries("q_ann_ivfpq_rerank_batch")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"shortlist and probe relations must broadcast into the fetch:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 4,
+      s"batch refine added shuffles beyond the ADC agg + rank windows:\n$plan")
+    val got = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got == expect, "batch refine diverged from the scalar replay")
     // qid 0's refined head must equal the single-probe refine
