@@ -313,7 +313,13 @@ object ScaleProbe100 {
     // evidence only — reads documents exclusively, so the docs-only
     // probe dirs cover it; expected ~linear (distinct-bigram growth is
     // sub-linear in occurrences by Zipf, joins run on compressed grain)
-    "q_bigram_lm")
+    "q_bigram_lm",
+    // round 17: the serving tier at 100× rows — embeddings-only, so the
+    // docs-only dirs cover them. The partitioned-index probe should
+    // track |probed cells|/k of the 100× code table (the quantizers and
+    // the one-time index write are derivations, recorded separately);
+    // SQ8 and the refine are one corpus scan + fixed work
+    "q_sq8_topk", "q_ann_ivfpq_part", "q_ann_ivfpq_rerank")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -341,7 +347,14 @@ object ScaleProbe100 {
       (dn, f) <- Seq[(String, () => Unit)](
         "shingle_sets" -> (() => { queries.Analysis.shingleSets(spark, d).count(); () }),
         "quantizer_sqrt_n" -> (() => { queries.SemanticQ.scaledCentroids(spark, d); () }),
-        "quantizer_sqrt_n_sampled" -> (() => { queries.SemanticQ.sampledCentroids(spark, d); () }))
+        "quantizer_sqrt_n_sampled" -> (() => { queries.SemanticQ.sampledCentroids(spark, d); () }),
+        // the serving-tier trained artifacts: the fixed-k coarse
+        // quantizer + PQ codebooks (bounded Lloyd fits, linear corpus
+        // passes) and the ONE-TIME cell-partitioned index write the
+        // q_ann_ivfpq_part probe then serves from
+        "quantizer_fixed_k" -> (() => { queries.SemanticQ.trainedCentroids(spark, d); () }),
+        "pq_codebooks" -> (() => { queries.SemanticQ.pqCodebooks(spark, d); () }),
+        "ivfpq_part_index" -> (() => { queries.SemanticQ.partitionedCodesPath(spark, d); () }))
     } yield {
       val t0 = System.nanoTime()
       try f() catch { case _: Throwable => () }
