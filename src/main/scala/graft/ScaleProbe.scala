@@ -235,6 +235,19 @@ object ScaleProbe {
         df.limit(1).count()
       } catch { case _: Throwable => () }
     }
+    // pre-build the session-cached trained artifacts per dir (the
+    // ScaleProbe100 discipline): without this, whichever ANN query runs
+    // FIRST at each dir is charged for quantizer training — and
+    // q_ann_ivfpq_part for its one-time partitionBy(cell) index
+    // write — inflating its ratio into the >12x tripwire this harness
+    // exists to keep trustworthy
+    for (d <- Seq(src, dst)) {
+      try {
+        queries.SemanticQ.trainedCentroids(spark, d)
+        queries.SemanticQ.pqCodebooks(spark, d)
+        queries.SemanticQ.partitionedCodesPath(spark, d)
+      } catch { case _: Throwable => () }
+    }
     // Timing executes a noop-format WRITE, not .count(): a count lets
     // Catalyst prune unreferenced projections and drop sorts, so a
     // projection-only stage (BPE counts, cosine projections) would be

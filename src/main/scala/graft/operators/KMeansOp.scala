@@ -159,6 +159,18 @@ object KMeansOp {
   def intDistLocal(a: Seq[Long], b: Seq[Long]): Long =
     a.iterator.zip(b.iterator).map { case (x, y) => (x - y) * (x - y) }.sum
 
+  /** The `n` nearest coarse cells to a driver-local query vector —
+    * THE probe-cell selection convention, in one place: order by
+    * (distance, cid) ascending, ties to the LOWER cid (the shared
+    * engine/oracle contract every IVF query and the DuckDB `rn <= n`
+    * chains encode). Bounded: |cents| entries, driver-side.
+    */
+  def nearestCells(cents: Seq[(Long, Seq[Long])], query: Seq[Long],
+      n: Int): Seq[Long] =
+    cents.map { case (cid, c) => (cid, intDistLocal(c, query)) }
+      .sortBy { case (cid, d) => (d, cid) }
+      .take(n).map(_._1)
+
   /** [[lloydCentroidsLocalInt]] computed entirely IN MEMORY over an
     * already-collected point set — bit-identical semantics (seed = the
     * k lowest ids, assignment min by (dist, cid), update = floor of

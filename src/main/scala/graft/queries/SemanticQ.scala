@@ -178,10 +178,7 @@ object SemanticQ {
     val vecs = intVecs(s, d)
     val qv = vecs.where(col("vec_id") === 0L).select(col("v"))
       .as[Seq[Long]].head()
-    val probeCells = cents
-      .map { case (cid, c) => (cid, KMeansOp.intDistLocal(c, qv)) }
-      .sortBy { case (cid, dd) => (dd, cid) }
-      .take(2).map(_._1)
+    val probeCells = KMeansOp.nearestCells(cents, qv, 2)
     KMeansOp.assign(vecs, cents.toDF("cid", "c"))
       .where(col("cid").isin(probeCells: _*))
       .select(col("vec_id"),
@@ -276,10 +273,7 @@ object SemanticQ {
     val vecs = intVecs(s, d)
     val qv = vecs.where(col("vec_id") === 0L).select(col("v"))
       .as[Seq[Long]].head()
-    val probeCells = cents
-      .map { case (cid, c) => (cid, KMeansOp.intDistLocal(c, qv)) }
-      .sortBy { case (cid, dd) => (dd, cid) }
-      .take(2).map(_._1)
+    val probeCells = KMeansOp.nearestCells(cents, qv, 2)
     val luts = graft.operators.ProductQuantizer.adcTables(qv, books, PqSubDim)
     val indexed = graft.operators.ProductQuantizer
       .indexProjection(vecs, cents, books, PqSubDim)
@@ -321,10 +315,7 @@ object SemanticQ {
     val vecs = intVecs(s, d)
     val qv = vecs.where(col("vec_id") === 0L).select(col("v"))
       .as[Seq[Long]].head()
-    val probeCells = coarse
-      .map { case (cid, c) => (cid, KMeansOp.intDistLocal(c, qv)) }
-      .sortBy { case (cid, dd) => (dd, cid) }
-      .take(2).map(_._1)
+    val probeCells = KMeansOp.nearestCells(coarse, qv, 2)
     val centById = coarse.toMap
     val lutsByCell: Map[Long, Seq[Map[Long, Long]]] = probeCells.map { c =>
       val qr = qv.zip(centById(c)).map { case (x, cc) => x - cc }
@@ -462,10 +453,7 @@ object SemanticQ {
     val vecs = intVecs(s, d)
     val qv = vecs.where(col("vec_id") === 0L).select(col("v"))
       .as[Seq[Long]].head()
-    val probeCells = coarse
-      .map { case (cid, c) => (cid, KMeansOp.intDistLocal(c, qv)) }
-      .sortBy { case (cid, dd) => (dd, cid) }
-      .take(2).map(_._1)
+    val probeCells = KMeansOp.nearestCells(coarse, qv, 2)
     val luts = graft.operators.ProductQuantizer.adcTables(qv, books, PqSubDim)
     val indexed = graft.operators.ProductQuantizer
       .indexProjection(vecs, coarse, books, PqSubDim)
@@ -573,6 +561,13 @@ object SemanticQ {
     partIndexCache.compute(d, (_, prev) =>
       if (prev != null && prev._1 == fp) prev
       else {
+        // a replaced snapshot ORPHANS its index copy — delete it (the
+        // superseded artifact is a full code-table copy on scratch
+        // disk; the centroid cache evicts, this must too)
+        if (prev != null) scala.util.Try {
+          val p = new org.apache.hadoop.fs.Path(prev._2)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
         val h = java.security.MessageDigest.getInstance("MD5")
           .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString
         val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
@@ -619,10 +614,7 @@ object SemanticQ {
     val books = pqCodebooks(s, d)
     val qv = intVecs(s, d).where(col("vec_id") === 0L).select(col("v"))
       .as[Seq[Long]].head()
-    val probeCells = cents
-      .map { case (cid, c) => (cid, KMeansOp.intDistLocal(c, qv)) }
-      .sortBy { case (cid, dd) => (dd, cid) }
-      .take(2).map(_._1)
+    val probeCells = KMeansOp.nearestCells(cents, qv, 2)
     val luts = graft.operators.ProductQuantizer.adcTables(qv, books, PqSubDim)
     val codes = s.read.schema(partCodesSchema)
       .parquet(partitionedCodesPath(s, d))

@@ -174,10 +174,7 @@ object IndexStream {
           Seq((0L, query)).toDF("qid", "v"), nProbe, k)
         .select(col("vec_id"), col("adc_scaled"))
     }
-    val probeCells = q.coarse
-      .map { case (cid, c) => (cid, KMeansOp.intDistLocal(c, query)) }
-      .sortBy { case (cid, dd) => (dd, cid) }
-      .take(nProbe).map(_._1)
+    val probeCells = KMeansOp.nearestCells(q.coarse, query, nProbe)
     val luts = ProductQuantizer.adcTables(query, q.books, q.subDim)
     ProductQuantizer.adcTopK(
       StreamState.readCommitted(s, stateDir, "codes", codesSchema(q.books.size))
@@ -471,21 +468,15 @@ object IndexStream {
     * size now tracks the LIVE set + batches-since-compaction, not the
     * delete history. Crash contract inherited from [[StreamState
     * .compact]] (base written first, marker last, torn fold invisible).
-    * Single-maintainer discipline assumed (as everywhere in this
-    * module): the fold horizon is re-derived from the same marker
-    * listing compact itself reads.
+    * The tombstone horizon is the FOLD ID the compaction itself hands
+    * to the merge ([[StreamState.compactWith]]) — codes and tombs can
+    * never resolve against different horizons, even if another batch
+    * commits mid-compaction.
     */
   def compactStateCdcResolve(s: SparkSession, stateDir: String,
-      m: Int): Option[Long] = {
-    val committed = StreamState.committedIds(s, stateDir)
-    if (committed.size < 2) return None
-    val prevBase = StreamState.compactedIds(s, stateDir).lastOption
-    val eligible = committed
-      .filter(id => id < committed.max && prevBase.forall(id > _))
-    if (eligible.isEmpty) return None
-    val fold = eligible.max
-    StreamState.compact(s, stateDir, Seq(
-      ("codes", cdcCodesSchema(m), (codes: DataFrame) => {
+      m: Int): Option[Long] =
+    StreamState.compactWith(s, stateDir, Seq(
+      ("codes", cdcCodesSchema(m), (codes: DataFrame, fold: Long) => {
         val tombs = StreamState.readCommitted(
           s, stateDir, "tombs", tombSchema, upTo = fold + 1)
         codes.join(tombs,
@@ -493,8 +484,7 @@ object IndexStream {
             tombs("del_batch") > codes("src_batch"),
           "left_anti")
       }),
-      ("tombs", tombSchema, (t: DataFrame) => t.limit(0))))
-  }
+      ("tombs", tombSchema, (t: DataFrame, _: Long) => t.limit(0))))
 
   /** [[searchCommitted]] over the LIVE rows of a CDC state dir —
     * deleted ids never surface, re-inserted ids serve their newest
@@ -508,10 +498,7 @@ object IndexStream {
           Seq((0L, query)).toDF("qid", "v"), nProbe, k)
         .select(col("vec_id"), col("adc_scaled"))
     }
-    val probeCells = q.coarse
-      .map { case (cid, c) => (cid, KMeansOp.intDistLocal(c, query)) }
-      .sortBy { case (cid, dd) => (dd, cid) }
-      .take(nProbe).map(_._1)
+    val probeCells = KMeansOp.nearestCells(q.coarse, query, nProbe)
     val luts = ProductQuantizer.adcTables(query, q.books, q.subDim)
     ProductQuantizer.adcTopK(
       liveCodes(s, stateDir, q.books.size)

@@ -148,7 +148,21 @@ private[graft] object StreamState {
     * committed batch sits below the newest (nothing to fold).
     */
   def compact(s: SparkSession, stateDir: String,
-      tables: Seq[(String, StructType, DataFrame => DataFrame)]): Option[Long] = {
+      tables: Seq[(String, StructType, DataFrame => DataFrame)]): Option[Long] =
+    compactWith(s, stateDir, tables.map { case (t, sch, f) =>
+      (t, sch, (df: DataFrame, _: Long) => f(df))
+    })
+
+  /** [[compact]] whose merge functions also receive the FOLD ID (the
+    * largest folded batch id) — for cross-table merges that must read a
+    * sibling table at exactly the fold horizon (e.g. the CDC index's
+    * resolve-at-compaction, which applies tombstones to codes). Passing
+    * the id the fold itself uses removes the race a second listing
+    * would open: a batch committing mid-compaction can never make the
+    * sibling read see a different horizon than the folded table.
+    */
+  def compactWith(s: SparkSession, stateDir: String,
+      tables: Seq[(String, StructType, (DataFrame, Long) => DataFrame)]): Option[Long] = {
     val committed = committedIds(s, stateDir)
     if (committed.size < 2) return None
     // the commit markers are shared by every table of this state dir —
@@ -171,7 +185,7 @@ private[graft] object StreamState {
     if (eligible.isEmpty) return None
     val m = eligible.max
     tables.foreach { case (table, schema, merge) =>
-      merge(readCommitted(s, stateDir, table, schema, upTo = m + 1))
+      merge(readCommitted(s, stateDir, table, schema, upTo = m + 1), m)
         .write.mode("overwrite").parquet(s"$stateDir/$table/base_id=$m")
     }
     // marker LAST: the single atomic point where readers switch bases
