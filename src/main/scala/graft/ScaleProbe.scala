@@ -73,7 +73,10 @@ object ScaleProbe {
     // refine (ADC scan + a 10-row broadcast fetch — the fetch is
     // fixed-cost, the scan linear), and the SQ8 code-space scan
     // (one projection, linear)
-    "q_ann_ivfpq_part", "q_ann_ivfpq_rerank", "q_sq8_topk")
+    "q_ann_ivfpq_part", "q_ann_ivfpq_rerank", "q_sq8_topk",
+    // IVF_SQ8: the probed-cell scan over scalar codes — linear in the
+    // probed fraction, fixed costs dominating at these sizes
+    "q_ann_ivf_sq8")
 
   private def mix(a: Long, b: Long, c: Long): Long = {
     var h = a * 0x9E3779B97F4A7C15L + b * 0xC2B2AE3D27D4EB4FL + c * 0x165667B19E3779F9L

@@ -747,6 +747,65 @@ object SemanticQ {
       .limit(10)
   }
 
+  /** IVF + SQ8 — FAISS's IndexIVFScalarQuantizer (QT_8bit), the most
+    * widely DEPLOYED IVF variant: the trained coarse quantizer
+    * restricts the scan to the probed cells, and 1-byte-per-dim scalar
+    * codes carry the distances — no codebooks, no per-subspace
+    * structure. The coarse side lives in the shared scaled-integer
+    * domain (same trained centroids and probe pick as every IVF query
+    * here); the code side shares [[sq8TopkQ]]'s global-amax encoding,
+    * so the probed-cell scan is an exact integer code-space L2 that
+    * never reads raw floats at query time. ONE projection computes
+    * cell and code-distance together — shuffle-free until the top-k.
+    */
+  def annIvfSq8Q(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cents = trainedCentroids(s, d)
+    val emb = Tables.embeddings(s, d)
+    val qv = intVecs(s, d).where(col("vec_id") === 0L).select(col("v"))
+      .as[Seq[Long]].head()
+    val probeCells = KMeansOp.nearestCells(cents, qv, 2)
+    val g = emb.agg(
+      max(array_max(transform(col("embedding"), e => abs(e.cast("double")))))
+        .as("amax"))
+    val q = emb.where(col("vec_id") === 0L).select(col("embedding").as("qe"))
+    emb.crossJoin(broadcast(g)).crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        graft.operators.ProductQuantizer
+          .nearestCid(KMeansOp.intVec(col("embedding")), cents).as("cell"),
+        aggregate(
+          zip_with(sq8Codes(col("embedding"), col("amax")),
+            sq8Codes(col("qe"), col("amax")),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("qdist"))
+      .where(col("cell").isin(probeCells: _*))
+      .select(col("vec_id"), col("qdist"))
+      .orderBy(col("qdist").asc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** Recall@10 of IVF_SQ8 vs the integer-exact top-10 — folds the
+    * cell-miss and scalar-quantization losses into one monitor, the
+    * IVF_SQ8 row of the per-encoding recall family. BIGINT ppm.
+    */
+  def recallIvfSq8Q(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vecs = intVecs(s, d)
+    val qv = vecs.where(col("vec_id") === 0L).select(col("v"))
+      .as[Seq[Long]].head()
+    val exact = vecs
+      .select(col("vec_id"),
+        KMeansOp.intDist(col("v"), typedLit(qv)).as("dist_scaled"))
+      .orderBy(col("dist_scaled").asc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"))
+    val approx = annIvfSq8Q(s, d).select(col("vec_id"))
+    exact.join(approx, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("n_hits"),
+        (col("n_hits") * lit(1000000L) / lit(10L)).cast("long").as("recall_ppm"))
+  }
+
   /** Recall@10 of the SQ8 search vs the integer-exact top-10 — the
     * quantization-loss monitor for the 1-byte encoding, completing the
     * per-encoding recall family (q_recall_pq watches the PQ codes,
@@ -942,6 +1001,8 @@ object SemanticQ {
     "q_recall_ivfpq_rerank" -> recallIvfPqRerankQ,
     "q_sq8_topk" -> sq8TopkQ,
     "q_recall_sq8" -> recallSq8Q,
+    "q_ann_ivf_sq8" -> annIvfSq8Q,
+    "q_recall_ivf_sq8" -> recallIvfSq8Q,
     "q_ann_ivfpq_res" -> annIvfPqResQ,
     "q_ann_ivfpq_res_batch" -> annIvfPqResBatchQ,
     "q_ann_pq_batch" -> annPqBatchQ,
@@ -1252,6 +1313,35 @@ object SemanticQ {
          |SELECT c.vec_id, ${idistSql("c.cv", "qc.qv")} AS qdist
          |FROM cod c CROSS JOIN qc
          |ORDER BY qdist ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_ann_ivf_sq8" ->
+      s"""WITH $lloydSql,
+         |$sq8ChainSql,
+         |qvc AS (SELECT v FROM q WHERE vec_id = 0),
+         |pc AS (SELECT cid FROM (
+         |    SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${idistSql("c.c", "qv.v")} ASC,
+         |      c.cid ASC) AS rn
+         |    FROM c2 c CROSS JOIN qvc qv) WHERE rn <= 2),
+         |cand AS (SELECT a3.vec_id FROM a3 JOIN pc ON a3.cid = pc.cid)
+         |SELECT c.vec_id, ${idistSql("c.cv", "qc.qv")} AS qdist
+         |FROM cod c JOIN cand USING (vec_id) CROSS JOIN qc
+         |ORDER BY qdist ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_recall_ivf_sq8" ->
+      s"""WITH $lloydSql,
+         |$sq8ChainSql,
+         |qvc AS (SELECT v FROM q WHERE vec_id = 0),
+         |pc AS (SELECT cid FROM (
+         |    SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${idistSql("c.c", "qv.v")} ASC,
+         |      c.cid ASC) AS rn
+         |    FROM c2 c CROSS JOIN qvc qv) WHERE rn <= 2),
+         |cand AS (SELECT a3.vec_id FROM a3 JOIN pc ON a3.cid = pc.cid),
+         |approx AS (SELECT c.vec_id FROM cod c JOIN cand USING (vec_id)
+         |  CROSS JOIN qc
+         |  ORDER BY ${idistSql("c.cv", "qc.qv")} ASC, c.vec_id ASC LIMIT 10),
+         |exact AS (SELECT q.vec_id FROM q CROSS JOIN qvc qv
+         |  ORDER BY ${idistSql("q.v", "qv.v")} ASC, q.vec_id ASC LIMIT 10)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
+         |  CAST(COUNT(*) * 1000000 / 10 AS BIGINT) AS recall_ppm
+         |FROM exact WHERE vec_id IN (SELECT vec_id FROM approx)""".stripMargin,
     "q_recall_sq8" ->
       s"""WITH $sq8ChainSql,
          |approx AS (SELECT c.vec_id FROM cod c CROSS JOIN qc

@@ -154,6 +154,37 @@ class ServingTiersSpec extends AnyFunSuite {
     assert(got == expect, "SQ8 top-10 diverged from the scalar replay")
   }
 
+  test("q_ann_ivf_sq8: probed-cell SQ8 scan matches a scalar replay " +
+    "over cells and codes") {
+    val ivecs = intVecsLocal()
+    val qv = ivecs(0L)
+    val cents = queries.SemanticQ.trainedCentroids(spark, d)
+    val probed = KMeansOp.nearestCells(cents, qv, 2).toSet
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    val amax = emb.valuesIterator.flatMap(_.iterator)
+      .map(e => math.abs(e.toDouble)).max
+    def codes(v: Seq[Float]): Seq[Long] =
+      v.map(e => if (amax == 0.0) 0L
+        else math.floor(e.toDouble / (amax / 127.0) + 0.5).toLong)
+    val qc = codes(emb(0L))
+    val expect = ivecs.toSeq
+      .filter { case (id, v) => probed.contains(KMeansOp.nearestCells(cents, v, 1).head) }
+      .map { case (id, _) => (id, idist(codes(emb(id)), qc)) }
+      .sortBy { case (id, dd) => (dd, id) }.take(10)
+    val got = queries.SemanticQ.queries("q_ann_ivf_sq8")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect, "IVF_SQ8 top-10 diverged from the scalar replay")
+    // the monitor agrees with a recount
+    val exact10 = ivecs.toSeq.map { case (id, v) => (id, idist(v, qv)) }
+      .sortBy { case (id, dd) => (dd, id) }.take(10).map(_._1).toSet
+    val hits = exact10.count(got.map(_._1).toSet.contains)
+    val row = queries.SemanticQ.queries("q_recall_ivf_sq8")(spark, d).head()
+    assert(row.getLong(0) == hits.toLong &&
+      row.getLong(1) == hits.toLong * 1000000L / 10L)
+  }
+
   test("q_recall_sq8: ppm recomputed from the exact and SQ8 sides") {
     val vecs = intVecsLocal()
     val qv = vecs(0L)
