@@ -302,6 +302,61 @@ object IndexStream {
     searchCommitted(s, dir, loadQuantizers(s, dir), query, nProbe, k)
   }
 
+  /** [[rebuild]] for a CDC-disciplined index root: identical retrain +
+    * re-encode + atomic swap, but the fresh generation is written in
+    * the CDC layout (codes carry `src_batch = 0`, an empty tombstone
+    * partition rides under the same commit marker) so a CDC maintainer
+    * CONTINUES over the new generation — delete/re-insert cycles pick
+    * up where the rebuild left off. The continuing stream must keep its
+    * checkpoint (batch ids strictly above 0, as in the append flow);
+    * the rebuild consumes the corpus snapshot, which a deployment
+    * derives from the previous generation's live set plus the raw
+    * vector store.
+    */
+  def rebuildCdc(s: SparkSession, indexRoot: String, corpus: DataFrame,
+      k: Int, iters: Int, m: Int, subDim: Int,
+      residual: Boolean = false): Quantizers = {
+    val next = StreamState.markerIdsIn(s, s"$indexRoot/_current")
+      .lastOption.getOrElse(-1L) + 1L
+    val dir = genDir(indexRoot, next)
+    val coarse = KMeansOp.lloydCentroidsLocal(
+      corpus, "vec_id", col("embedding"), k, iters)
+    val vecs = corpus.select(col("vec_id"),
+      KMeansOp.intVec(col("embedding")).as("v"))
+    val books =
+      if (residual) {
+        lazy val res = ProductQuantizer.residuals(vecs, coarse)
+        (0 until m).map(sub => KMeansOp.lloydCentroidsLocalInt(
+          res.select(col("vec_id"),
+            slice(col("r"), sub * subDim + 1, subDim).as("v")),
+          k, iters))
+      } else ProductQuantizer.train(
+        corpus, "vec_id", col("embedding"), m, subDim, k, iters)
+    val q = Quantizers(coarse, books, subDim, residual)
+    project(vecs, q).withColumn("src_batch", lit(0L))
+      .write.mode("overwrite").parquet(s"$dir/codes/batch_id=0")
+    s.createDataFrame(s.sparkContext.emptyRDD[Row], tombSchema)
+      .write.mode("overwrite").parquet(s"$dir/tombs/batch_id=0")
+    saveQuantizers(s, dir, q)
+    StreamState.commitMarker(s, dir, 0L)
+    val fsPath = new org.apache.hadoop.fs.Path(s"$indexRoot/_current")
+    val fs = fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(fsPath)
+    fs.create(new org.apache.hadoop.fs.Path(fsPath, next.toString), true).close()
+    q
+  }
+
+  /** [[searchCommittedCdc]] against the ACTIVE generation of a
+    * CDC-disciplined index root — the restarted-server entry point for
+    * the delete-aware layout.
+    */
+  def searchCurrentCdc(s: SparkSession, indexRoot: String, query: Seq[Long],
+      nProbe: Int, k: Int): DataFrame = {
+    val dir = currentRoot(s, indexRoot).getOrElse(
+      throw new IllegalStateException(s"no committed generation under $indexRoot"))
+    searchCommittedCdc(s, dir, loadQuantizers(s, dir), query, nProbe, k)
+  }
+
   /** Batch IVFADC serving from the COMMITTED code table — the
     * q_ann_ivfpq_batch shape (per-qid coarse cell lists + per-qid LUTs
     * as broadcast relations, probed-cells-only scan, one aggregation +

@@ -261,6 +261,44 @@ class CdcIndexSpec extends AnyFunSuite {
     assert(!live4.contains(3L) && live4.contains(0L))
   }
 
+  test("rebuildCdc: a rebuilt generation continues the CDC lifecycle — " +
+    "deletes land, a restarted server resolves the swap and the flag") {
+    val rows = fullRows
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cdc_root").toString
+    val corpus = rows.toDF("vec_id", "embedding")
+    val q = IndexStream.rebuildCdc(spark, root, corpus,
+      k = 8, iters = 2, m = 4, subDim = 16)
+    val gen = IndexStream.currentRoot(spark, root).get
+    // the rebuilt generation serves every row live
+    assert(IndexStream.liveCodes(spark, gen, 4).count() == rows.length.toLong)
+    val qv = intVecOf(rows.head._2)
+    val before = IndexStream.searchCurrentCdc(spark, root, qv, 2, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(before.nonEmpty && before.contains(0L))
+    // CDC continues on the generation (same-checkpoint discipline:
+    // batch ids strictly above the rebuild's 0)
+    IndexStream.processBatchCdc(
+      cdcDf(Seq((0L, Seq.empty[Float], "delete"))), 1L, q, gen)
+    val after = IndexStream.searchCurrentCdc(spark, root, qv, 2, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(!after.contains(0L), "deleted id served from rebuilt generation")
+    // a fresh server loads the persisted quantizers and agrees
+    val loaded = IndexStream.loadQuantizers(spark, gen)
+    assert(loaded.coarse.sortBy(_._1).map { case (c, v) => (c, v.toSeq) } ==
+      q.coarse.sortBy(_._1).map { case (c, v) => (c, v.toSeq) } &&
+      loaded.residual == q.residual)
+    // a second rebuild swaps atomically; the old deletes are consumed
+    // by rebuilding from the new corpus snapshot (here: corpus minus 0)
+    IndexStream.rebuildCdc(spark, root,
+      rows.filter(_._1 != 0L).toDF("vec_id", "embedding"),
+      k = 8, iters = 2, m = 4, subDim = 16)
+    val after2 = IndexStream.searchCurrentCdc(spark, root, qv, 2, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(!after2.contains(0L))
+    assert(IndexStream.currentRoot(spark, root).get != gen)
+  }
+
   test("maintainCdc: the streaming wrapper drives the same per-batch " +
     "mechanics") {
     implicit val sqlCtx = spark.sqlContext
