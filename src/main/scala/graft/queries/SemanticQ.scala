@@ -747,6 +747,38 @@ object SemanticQ {
       .limit(10)
   }
 
+  /** Batch SQ8 serving — [[sq8TopkQ]] over a probe FRAME (vec_ids
+    * 0/1/2): the probe rows broadcast with their embeddings, ONE corpus
+    * projection computes every (qid, vec) integer code-space distance
+    * under the shared global scale, and a qid-partitioned rank serves
+    * the top-3 per probe — the q_multi_query_topk discipline at the
+    * 1-byte encoding, completing the batch tier for every declared
+    * encoding (flat, PQ, IVFPQ, residual, SQ8). One corpus-scan
+    * lineage regardless of probe count.
+    */
+  def sq8BatchQ(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val g = emb.agg(
+      max(array_max(transform(col("embedding"), e => abs(e.cast("double")))))
+        .as("amax"))
+    val probes = emb.where(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = emb.crossJoin(broadcast(g)).crossJoin(broadcast(probes))
+      .select(col("qid"), col("vec_id"),
+        aggregate(
+          zip_with(sq8Codes(col("embedding"), col("amax")),
+            sq8Codes(col("qe"), col("amax")),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("qdist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("qdist").asc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("qdist"))
+      .orderBy(col("qid").asc, col("rnk").asc)
+  }
+
   /** IVF + SQ8 — FAISS's IndexIVFScalarQuantizer (QT_8bit), the most
     * widely DEPLOYED IVF variant: the trained coarse quantizer
     * restricts the scan to the probed cells, and 1-byte-per-dim scalar
@@ -1001,6 +1033,7 @@ object SemanticQ {
     "q_recall_ivfpq_rerank" -> recallIvfPqRerankQ,
     "q_sq8_topk" -> sq8TopkQ,
     "q_recall_sq8" -> recallSq8Q,
+    "q_sq8_batch" -> sq8BatchQ,
     "q_ann_ivf_sq8" -> annIvfSq8Q,
     "q_recall_ivf_sq8" -> recallIvfSq8Q,
     "q_ann_ivfpq_res" -> annIvfPqResQ,
@@ -1313,6 +1346,18 @@ object SemanticQ {
          |SELECT c.vec_id, ${idistSql("c.cv", "qc.qv")} AS qdist
          |FROM cod c CROSS JOIN qc
          |ORDER BY qdist ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_sq8_batch" ->
+      s"""WITH $sq8ChainSql,
+         |qb8 AS (SELECT vec_id AS qid, cv AS qv FROM cod WHERE vec_id IN (0, 1, 2)),
+         |sc AS (SELECT qb8.qid, c.vec_id, ${idistSql("c.cv", "qb8.qv")} AS qdist
+         |  FROM cod c CROSS JOIN qb8),
+         |rr AS (SELECT qid, vec_id, qdist,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY qdist ASC, vec_id ASC) AS rnk
+         |  FROM sc)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, qdist
+         |FROM rr WHERE rnk <= 3
+         |ORDER BY qid ASC, rnk ASC""".stripMargin,
     "q_ann_ivf_sq8" ->
       s"""WITH $lloydSql,
          |$sq8ChainSql,

@@ -154,6 +154,31 @@ class ServingTiersSpec extends AnyFunSuite {
     assert(got == expect, "SQ8 top-10 diverged from the scalar replay")
   }
 
+  test("q_sq8_batch: per-qid SQ8 top-3 matches a scalar replay; head " +
+    "agrees with the single-probe query") {
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    val amax = emb.valuesIterator.flatMap(_.iterator)
+      .map(e => math.abs(e.toDouble)).max
+    def codes(v: Seq[Float]): Seq[Long] =
+      v.map(e => if (amax == 0.0) 0L
+        else math.floor(e.toDouble / (amax / 127.0) + 0.5).toLong)
+    val all = emb.map { case (id, v) => id -> codes(v) }
+    val expect = Seq(0L, 1L, 2L).flatMap { qid =>
+      all.toSeq.map { case (id, cv) => (id, idist(cv, all(qid))) }
+        .sortBy { case (id, dd) => (dd, id) }.take(3).zipWithIndex
+        .map { case ((id, dd), i) => (qid, (i + 1).toLong, id, dd) }
+    }
+    val got = queries.SemanticQ.queries("q_sq8_batch")(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect, "batch SQ8 diverged from the scalar replay")
+    val single = queries.SemanticQ.queries("q_sq8_topk")(spark, d)
+      .collect().take(3).map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.filter(_._1 == 0L).map(r => (r._3, r._4)) == single)
+  }
+
   test("q_ann_ivf_sq8: probed-cell SQ8 scan matches a scalar replay " +
     "over cells and codes") {
     val ivecs = intVecsLocal()
