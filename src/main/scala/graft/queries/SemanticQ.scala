@@ -316,13 +316,28 @@ object SemanticQ {
     val qv = vecs.where(col("vec_id") === 0L).select(col("v"))
       .as[Seq[Long]].head()
     val probeCells = KMeansOp.nearestCells(coarse, qv, 2)
+    val codes = graft.operators.ProductQuantizer
+      .residualIndexProjection(vecs, coarse, books, PqSubDim)
+    resAdcTopK(codes, coarse, books, qv, probeCells, 10)
+  }
+
+  /** The residual-ADC probed-cell scan shared by the in-flight and
+    * persisted serving tiers: per-probed-cell query residuals and their
+    * LUTs built driver-side (bounded: nProbe·m·k BIGINTs), folded into
+    * the scan as a chained `when` over the probed cells, top-k by the
+    * summed ADC. `codes` carries (vec_id, cell, code_0 …) in EITHER
+    * layout — an in-flight projection (filter pushed to row predicate)
+    * or the cell-partitioned persisted table (filter answered by
+    * directory pruning).
+    */
+  private def resAdcTopK(codes: DataFrame, coarse: Seq[(Long, Seq[Long])],
+      books: Seq[Seq[(Long, Seq[Long])]], qv: Seq[Long],
+      probeCells: Seq[Long], k: Int): DataFrame = {
     val centById = coarse.toMap
     val lutsByCell: Map[Long, Seq[Map[Long, Long]]] = probeCells.map { c =>
       val qr = qv.zip(centById(c)).map { case (x, cc) => x - cc }
       c -> graft.operators.ProductQuantizer.adcTables(qr, books, PqSubDim)
     }.toMap
-    val codes = graft.operators.ProductQuantizer
-      .residualIndexProjection(vecs, coarse, books, PqSubDim)
     val adc = (0 until PqM).map { m =>
       probeCells.tail.foldLeft(
         when(col("cell") === probeCells.head,
@@ -334,7 +349,7 @@ object SemanticQ {
     codes.where(col("cell").isin(probeCells: _*))
       .select(col("vec_id"), adc.as("adc_scaled"))
       .orderBy(col("adc_scaled").asc, col("vec_id").asc)
-      .limit(10)
+      .limit(k)
   }
 
   /** BATCH serving over the RESIDUAL index — [[annIvfPqResQ]]'s
@@ -543,7 +558,7 @@ object SemanticQ {
     * index write is `partitionBy(cell)`, so a probed-cell predicate is
     * answered by DIRECTORY PRUNING at plan time (the listing never
     * opens a non-probed cell's files — `PartitionFilters` in the scan,
-    * pinned by PqPartSpec). At 100 TB this is the difference between
+    * pinned by ServingTiersSpec). At 100 TB this is the difference between
     * "scan the whole 4-byte code table and filter" and "read exactly
     * |probed cells|/k of its FILES": the filter moves from row-group
     * evaluation to the file listing. Keyed to the dataset content
@@ -556,32 +571,77 @@ object SemanticQ {
   private val partIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
-  private[graft] def partitionedCodesPath(s: SparkSession, d: String): String = {
-    val fp = snapshotKey(s, d)
-    partIndexCache.compute(d, (_, prev) =>
+  /** Code/layout version folded into every content-addressed index key
+    * (ADVICE r17): a change to quantizer training, the projection, or
+    * the on-disk layout bumps this, so a `_SUCCESS`-marked dir built by
+    * an OLDER code version can never be reused across sessions — the
+    * content fingerprint alone only sees the DATA snapshot.
+    */
+  private val IndexLayoutVersion = 2
+
+  /** Superseded index dirs are parked here and deleted at JVM exit, not
+    * inline (ADVICE r17): a same-session lazy plan may still hold the
+    * old path, and an inline delete would fail it at scan time. The
+    * husks are bounded by the number of in-place snapshot rewrites in
+    * one session; cross-session leftovers live under java.io.tmpdir and
+    * die with it.
+    */
+  private val supersededDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val supersededCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      supersededDirs.forEach { dir =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        scala.util.Try(rm(new java.io.File(dir))); ()
+      }))
+
+  /** Content-addressed persisted-index dir under `tag`: reuse the
+    * `_SUCCESS`-marked write when (layout version, tag, data snapshot)
+    * all match — also across sessions, the write being a pure function
+    * of the three — else run `build` into a fresh dir derived from the
+    * key's MD5. One live dir per (dataset dir, tag); a replaced
+    * snapshot parks its superseded copy for shutdown deletion.
+    */
+  private def persistedIndexPath(s: SparkSession, d: String, tag: String)
+      (build: String => Unit): String = {
+    val fp = s"v$IndexLayoutVersion|$tag|${snapshotKey(s, d)}"
+    partIndexCache.compute(s"$d|$tag", (_, prev) =>
       if (prev != null && prev._1 == fp) prev
       else {
-        // a replaced snapshot ORPHANS its index copy — delete it (the
-        // superseded artifact is a full code-table copy on scratch
-        // disk; the centroid cache evicts, this must too)
-        if (prev != null) scala.util.Try {
-          val p = new org.apache.hadoop.fs.Path(prev._2)
-          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-        }
+        if (prev != null) { supersededCleanupHook; supersededDirs.add(prev._2); () }
         val h = java.security.MessageDigest.getInstance("MD5")
           .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString
         val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-          s"graft_ivfpq_part_$h").toString
+          s"graft_idx_${tag}_$h").toString
         if (!java.nio.file.Files.exists(
-            java.nio.file.Paths.get(dir, "_SUCCESS"))) {
-          graft.operators.ProductQuantizer
-            .indexProjection(intVecs(s, d), trainedCentroids(s, d),
-              pqCodebooks(s, d), PqSubDim)
-            .write.mode("overwrite").partitionBy("cell").parquet(dir)
-        }
+            java.nio.file.Paths.get(dir, "_SUCCESS"))) build(dir)
         (fp, dir)
       })._2
   }
+
+  private[graft] def partitionedCodesPath(s: SparkSession, d: String): String =
+    persistedIndexPath(s, d, "ivfpq") { dir =>
+      graft.operators.ProductQuantizer
+        .indexProjection(intVecs(s, d), trainedCentroids(s, d),
+          pqCodebooks(s, d), PqSubDim)
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    }
+
+  /** The RESIDUAL encoding's persisted cell-partitioned code table —
+    * [[partitionedCodesPath]] for FAISS's default encoding
+    * ([[graft.operators.ProductQuantizer.residualIndexProjection]]):
+    * same content-addressed lifecycle, same `partitionBy("cell")`
+    * layout, codes quantizing v − centroid[cell].
+    */
+  private[graft] def partitionedResCodesPath(s: SparkSession, d: String): String =
+    persistedIndexPath(s, d, "ivfpqres") { dir =>
+      graft.operators.ProductQuantizer
+        .residualIndexProjection(intVecs(s, d), trainedCentroids(s, d),
+          resCodebooks(s, d), PqSubDim)
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    }
 
   /** The persisted-index schema (explicit so the partition column keeps
     * its written LongType instead of riding directory-value inference —
@@ -600,8 +660,8 @@ object SemanticQ {
     * identical contract and results (the oracle IS q_ann_ivfpq's), but
     * the probed-cell filter is now a PARTITION filter over the written
     * index: the scan lists only the nProbe cell directories and opens
-    * no other file (PqPartSpec pins `selectedPartitions == nProbe` on
-    * the physical scan). This is the at-rest form of the IVFADC story
+    * no other file (ServingTiersSpec pins `selectedPartitions == nProbe`
+    * on the physical scan). This is the at-rest form of the IVFADC story
     * the in-flight queries tell — build the index ONCE (one projection,
     * one partitioned write), then every probe reads |probed cells|/k of
     * the index BYTES at the listing level, which is what "query touches
@@ -620,6 +680,31 @@ object SemanticQ {
       .parquet(partitionedCodesPath(s, d))
     graft.operators.ProductQuantizer.adcTopK(
       codes.where(col("cell").isin(probeCells: _*)), luts, 10)
+  }
+
+  /** q_ann_ivfpq_res served from a PERSISTED cell-partitioned residual
+    * code table — the r17 verdict's top item: the in-flight
+    * q_ann_ivfpq_res pays a corpus-linear re-encode per query (the one
+    * projection recomputes every vector's cell + residual codes), which
+    * the sf1 probe priced at 10.8× per 10× rows. Here the residual
+    * index is built ONCE (content-addressed `partitionBy("cell")`
+    * write, [[partitionedResCodesPath]]) and every probe reads exactly
+    * the nProbe cell DIRECTORIES — the same listing-level cut
+    * q_ann_ivfpq_part takes for the plain encoding, now at FAISS's
+    * default encoding. Identical contract and results to
+    * q_ann_ivfpq_res (the oracle IS its residual CTE chain);
+    * ServingTiersSpec pins `selectedPartitions == nProbe` on the scan.
+    */
+  def annIvfPqResPartQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val coarse = trainedCentroids(s, d)
+    val books = resCodebooks(s, d)
+    val qv = intVecs(s, d).where(col("vec_id") === 0L).select(col("v"))
+      .as[Seq[Long]].head()
+    val probeCells = KMeansOp.nearestCells(coarse, qv, 2)
+    val codes = s.read.schema(partCodesSchema)
+      .parquet(partitionedResCodesPath(s, d))
+    resAdcTopK(codes, coarse, books, qv, probeCells, 10)
   }
 
   /** IVFADC + exact REFINE (FAISS's `IndexRefineFlat`, Jégou et al.
@@ -838,6 +923,208 @@ object SemanticQ {
         (col("n_hits") * lit(1000000L) / lit(10L)).cast("long").as("recall_ppm"))
   }
 
+  /** The persisted-SQ8-index schema: 1-byte-per-dim codes as an array
+    * column (BIGINT here for the exact integer contract; the byte story
+    * is the encoding's, not the container's), the trained global scale
+    * riding IN each row (constant, so parquet RLE stores it once per
+    * row group — and the artifact stays a single atomic write, no
+    * side-car meta table to torn-write), and the coarse cell as the
+    * partition column.
+    */
+  private[graft] val sq8PartSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("code",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.types.StructField("amax",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.LongType)))
+
+  /** The persisted cell-partitioned IVF_SQ8 index
+    * ([[partitionedCodesPath]]'s lifecycle at the 1-byte encoding):
+    * one corpus pass computes each vector's coarse cell and SQ8 code
+    * array under the trained global scale, written `partitionBy(cell)`
+    * so a probe reads only its cell directories.
+    */
+  private[graft] def sq8IndexPath(s: SparkSession, d: String): String =
+    persistedIndexPath(s, d, "ivfsq8") { dir =>
+      val emb = Tables.embeddings(s, d)
+      val cents = trainedCentroids(s, d)
+      val g = emb.agg(
+        max(array_max(transform(col("embedding"), e => abs(e.cast("double")))))
+          .as("amax"))
+      emb.crossJoin(broadcast(g))
+        .select(col("vec_id"),
+          sq8Codes(col("embedding"), col("amax")).as("code"),
+          col("amax"),
+          graft.operators.ProductQuantizer
+            .nearestCid(KMeansOp.intVec(col("embedding")), cents).as("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    }
+
+  /** q_ann_ivf_sq8 served from the PERSISTED cell-partitioned SQ8 index
+    * — closing the same encode-at-query-time gap for IVF_SQ8 that
+    * [[annIvfPqResPartQ]] closes for the residual encoding: the
+    * in-flight [[annIvfSq8Q]] recomputes every vector's cell AND code
+    * per query; here both are read from the content-addressed index and
+    * the probed-cell predicate is answered by DIRECTORY pruning
+    * (ServingTiersSpec pins `selectedPartitions == nProbe`). Only the
+    * QUERY is encoded at query time — against the one-row `amax`
+    * relation (a bounded limit-1 read of the index, broadcast), never a
+    * corpus scan. Identical results to q_ann_ivf_sq8 (shared oracle).
+    */
+  def annIvfSq8PartQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cents = trainedCentroids(s, d)
+    val qv = intVecs(s, d).where(col("vec_id") === 0L).select(col("v"))
+      .as[Seq[Long]].head()
+    val probeCells = KMeansOp.nearestCells(cents, qv, 2)
+    val codes = s.read.schema(sq8PartSchema).parquet(sq8IndexPath(s, d))
+    val amax1 = codes.select(col("amax")).limit(1)
+    val qc = Tables.embeddings(s, d).where(col("vec_id") === 0L)
+      .select(col("embedding").as("qe"))
+      .crossJoin(broadcast(amax1))
+      .select(sq8Codes(col("qe"), col("amax")).as("qcode"))
+    codes.where(col("cell").isin(probeCells: _*))
+      .crossJoin(broadcast(qc))
+      .select(col("vec_id"),
+        aggregate(zip_with(col("code"), col("qcode"),
+          (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("qdist"))
+      .orderBy(col("qdist").asc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** BATCH serving over the persisted SQ8 index — the q_ann_ivfpq_batch
+    * discipline at the 1-byte encoding: per-qid nProbe-nearest coarse
+    * cells via the literal-argmin array (shuffle-free, centroids are
+    * k·d literals), query codes built once per probe against the
+    * broadcast one-row `amax` relation, the (qid, cell) relation
+    * broadcast into the partitioned code table so only probed-cell
+    * rows are scored, one qid-partitioned rank for the per-probe
+    * top-3. ONE index-scan lineage regardless of probe count; raw
+    * floats are touched only for the Q probe rows.
+    */
+  def annIvfSq8BatchQ(s: SparkSession, d: String): DataFrame = {
+    val cents = trainedCentroids(s, d)
+    val codes = s.read.schema(sq8PartSchema).parquet(sq8IndexPath(s, d))
+    val amax1 = codes.select(col("amax")).limit(1)
+    val cellArr = array_sort(array(cents.map { case (cid, cv) =>
+      struct(KMeansOp.intDist(KMeansOp.intVec(col("qe")), typedLit(cv))
+        .as("dist"), lit(cid).as("cid"))
+    }: _*))
+    val probes = Tables.embeddings(s, d)
+      .where(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(broadcast(amax1))
+      .select(col("qid"), col("qe"), sq8Codes(col("qe"), col("amax")).as("qcode"))
+    val probeCells = probes
+      .select(col("qid"), col("qcode"), explode(slice(cellArr, 1, 2)).as("pc"))
+      .select(col("qid"), col("qcode"), col("pc.cid").as("cell"))
+    val scored = codes.join(broadcast(probeCells), Seq("cell"))
+      .select(col("qid"), col("vec_id"),
+        aggregate(zip_with(col("code"), col("qcode"),
+          (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("qdist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("qdist").asc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("qdist"))
+      .orderBy(col("qid").asc, col("rnk").asc)
+  }
+
+  /** Per-DIMENSION SQ8 training — FAISS's actual ScalarQuantizer
+    * (QT_8bit trains a [vmin, vmax] interval PER DIMENSION; the global
+    * single-scale [[sq8Codes]] is its QT_8bit_uniform cousin), which
+    * matters on anisotropic embeddings: a dimension with 100× the
+    * spread of another no longer burns the narrow dimension's 8 bits
+    * on empty range. Codes are `floor((x − vmin_d)/Δ_d + 0.5)` with
+    * Δ_d = (vmax_d − vmin_d)/255; search is ASYMMETRIC (FAISS's DC
+    * convention): the corpus code is DEQUANTIZED back to
+    * `vmin_d + c·Δ_d`, scaled into the shared ×10^6 integer domain,
+    * and compared against the query's own scaled-integer vector — the
+    * query is never quantized, so quantization error enters once, not
+    * twice. The trained artifact is the 2×d scale table: one bounded
+    * per-dimension min/max aggregate (posexplode → 64-row aggregate →
+    * collected back to two array literals in ONE row, broadcast), a
+    * dataflow, not a collect. Everything after the (deterministic)
+    * double-arithmetic scale derivation is exact BIGINT, and the scale
+    * expressions are written with IDENTICAL operation order in both
+    * engines, so the oracle replays the whole derivation bit-for-bit.
+    */
+  private def sq8DimScales(emb: DataFrame): DataFrame =
+    emb.select(posexplode(col("embedding")).as(Seq("pos", "e")))
+      .groupBy(col("pos"))
+      .agg(min(col("e").cast("double")).as("mn"),
+        max(col("e").cast("double")).as("mx"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mn"), col("mx"))))
+        .as("a"))
+      .select(transform(col("a"), x => x.getField("mn")).as("vmn"),
+        transform(col("a"), x => x.getField("mx")).as("vmx"))
+
+  /** Dequantized scaled-integer corpus vector under the per-dim scales:
+    * dim i's code floor((x−vmn)/Δ+0.5) decoded to floor((vmn + c·Δ)·10^6).
+    */
+  private def sq8DimDequant(vec: Column): Column =
+    transform(vec, (e, i) => {
+      val mn = element_at(col("vmn"), i + 1)
+      val mx = element_at(col("vmx"), i + 1)
+      val delta = (mx - mn) / lit(255.0)
+      val c = when(mx === mn, lit(0L))
+        .otherwise(floor((e.cast("double") - mn) / delta + lit(0.5)))
+      floor((mn + c.cast("double") * delta) * lit(1000000.0))
+    })
+
+  /** Top-10 under the per-dim-trained SQ8 encoding ([[sq8DimScales]]):
+    * one corpus projection dequantizes each vector's codes into the
+    * shared integer domain and ranks by exact integer L2 against the
+    * query's unquantized scaled vector. The recall twin
+    * [[recallSq8DimQ]] is the acceptance gate: per-dim training must
+    * not lose recall against the global-amax encoding (pinned ≥ in
+    * ServingTiersSpec).
+    */
+  def sq8DimTopkQ(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = intVecs(s, d).where(col("vec_id") === 0L)
+      .select(col("v").as("qv"))
+    emb.crossJoin(broadcast(sq8DimScales(emb))).crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        aggregate(
+          zip_with(sq8DimDequant(col("embedding")), col("qv"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("qdist"))
+      .orderBy(col("qdist").asc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** Recall@10 of the per-dim SQ8 search vs the integer-exact top-10 —
+    * the monitor that justifies per-dim training: on anisotropic data
+    * it must meet or beat [[recallSq8Q]] at identical scan cost.
+    * Deterministic BIGINT ppm.
+    */
+  def recallSq8DimQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vecs = intVecs(s, d)
+    val qv = vecs.where(col("vec_id") === 0L).select(col("v"))
+      .as[Seq[Long]].head()
+    val exact = vecs
+      .select(col("vec_id"),
+        KMeansOp.intDist(col("v"), typedLit(qv)).as("dist_scaled"))
+      .orderBy(col("dist_scaled").asc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"))
+    val approx = sq8DimTopkQ(s, d).select(col("vec_id"))
+    exact.join(approx, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("n_hits"),
+        (col("n_hits") * lit(1000000L) / lit(10L)).cast("long").as("recall_ppm"))
+  }
+
   /** Recall@10 of the SQ8 search vs the integer-exact top-10 — the
     * quantization-loss monitor for the 1-byte encoding, completing the
     * per-encoding recall family (q_recall_pq watches the PQ codes,
@@ -1017,25 +1304,163 @@ object SemanticQ {
       .orderBy(col("vec_id").asc)
   }
 
+  /** Per-bucket population cap for [[semdedupCappedQ]]: small enough to
+    * split several cells at the sf0.001 contract scale (N=500 at
+    * k=⌈√N⌉=23 puts mean cell population ~22 — the cap is exercised,
+    * not vacuous), large enough that a bucket still holds a dup
+    * cluster's neighbourhood.
+    */
+  private val SemCap = 16
+
+  /** SemDeDup with BOUNDED bucket populations — the r17 scale fix for
+    * the Σ|c|² = N^1.5 prune term (53–58× at 100× rows on the SF10
+    * probe): after the sample-trained √N assignment
+    * ([[sampledCentroids]] — training already linear), any cell is
+    * CHUNKED into runs of at most [[SemCap]] members, so the pairwise
+    * stage is Σ|bucket|² ≤ N·Cap — LINEAR in N with the cap a
+    * constant, whatever the cluster skew. The chunking key is the
+    * member's rank by (distance-to-centroid, vec_id) WITHIN its cell:
+    * deterministic (both orderings are exact BIGINTs the assignment
+    * already computed), one window over the assignment relation, and
+    * — unlike a hash split — locality-preserving: near-identical
+    * vectors sit at near-identical centroid distances, so dup pairs
+    * land in the same or adjacent ranks and mostly survive the split.
+    * What the cap trades is recall across chunk boundaries (a dup pair
+    * straddling two runs is not compared) — the same within-partition
+    * approximation SemDeDup itself makes at cluster grain, taken one
+    * level deeper; a production pipeline prices it against the hard
+    * per-task bound. Lowest-id-keep semantics unchanged within each
+    * bucket; the DuckDB oracle replays the sampled chain, the rank
+    * window, and the prune bit-for-bit.
+    */
+  def semdedupCappedQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val asg = KMeansOp.assignCells(intVecs(s, d),
+        sampledCentroids(s, d).toDF("cid", "c"))
+      .select(col("vec_id"), col("cid").as("cluster"), col("dist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    val sub = asg
+      .withColumn("rn", row_number().over(w))
+      .selectExpr("vec_id", "cluster",
+        s"CAST((rn - 1) div $SemCap AS BIGINT) AS sb")
+    val ve = sub.join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val a = ve.select(col("cluster"), col("sb"), col("vec_id").as("id_a"),
+      col("embedding").as("ea"))
+    val b = ve.select(col("cluster"), col("sb"), col("vec_id").as("id_b"),
+      col("embedding").as("eb"))
+    val drops = a.join(b, Seq("cluster", "sb"))
+      .where(col("id_a") < col("id_b"))
+      .where(VectorOps.cosine(col("ea"), col("eb")) >= 0.4)
+      .select(col("id_b").as("vec_id"))
+      .distinct()
+    ve.select(col("vec_id"), col("cluster"))
+      .join(drops.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("dropped"), lit(false)) === false)
+      .toDF("vec_id", "cluster", "kept")
+      .orderBy(col("vec_id").asc)
+  }
+
+  // ---- CDC-index lifecycle + recall monitor (r17 verdict #6) --------
+
+  /** A deterministic CDC index LIFECYCLE over the dataset — insert the
+    * full corpus, delete every vec_id ≡ 3 (mod 10), re-insert the half
+    * of them ≡ 3 (mod 20) — driven through the real
+    * [[graft.streaming.IndexStream.processBatchCdc]] against the
+    * session's frozen quantizers, materialized once per content
+    * snapshot (the same `_SUCCESS`-gated lifecycle as every persisted
+    * index here; a partial run without the marker is wiped and
+    * redriven). This is the fixture the CDC recall monitor serves
+    * from: a maintained index that has actually taken deletes and
+    * resurrections, not a fresh build.
+    */
+  private[graft] def cdcLifecycleDir(s: SparkSession, d: String): String =
+    persistedIndexPath(s, d, "cdclife") { dir =>
+      def rmrf(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+      }
+      rmrf(new java.io.File(dir))
+      val qz = graft.streaming.IndexStream.Quantizers(
+        trainedCentroids(s, d), pqCodebooks(s, d), PqSubDim)
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      graft.streaming.IndexStream.processBatchCdc(emb, 1L, qz, dir)
+      graft.streaming.IndexStream.processBatchCdc(
+        emb.where(col("vec_id") % 10 === 3)
+          .withColumn(graft.streaming.IndexStream.OpColumn, lit("delete")),
+        2L, qz, dir)
+      graft.streaming.IndexStream.processBatchCdc(
+        emb.where(col("vec_id") % 20 === 3), 3L, qz, dir)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "_SUCCESS"))
+      ()
+    }
+
+  /** Recall@10 of the MAINTAINED CDC index mid-lifecycle
+    * ([[cdcLifecycleDir]]: full insert → delete 10% → resurrect half)
+    * against the integer-exact top-10 over the LIVE rows — the monitor
+    * the batch tiers already publish ten of (q_recall_*), extended to
+    * the index that takes deletes: a tombstone bug (deleted ids
+    * surfacing, resurrected ids missing) moves this ppm, where the
+    * static monitors stay green. Serving side is the real
+    * [[graft.streaming.IndexStream.searchCommittedCdc]] (live-rows
+    * probed-cell ADC scan); the exact side restricts the flat scan to
+    * the same live set. Deterministic BIGINT ppm; the oracle replays
+    * the IVFADC chain with the lifecycle's live-set predicate.
+    */
+  def recallCdcQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qz = graft.streaming.IndexStream.Quantizers(
+      trainedCentroids(s, d), pqCodebooks(s, d), PqSubDim)
+    val dir = cdcLifecycleDir(s, d)
+    val vecs = intVecs(s, d)
+    val qv = vecs.where(col("vec_id") === 0L).select(col("v"))
+      .as[Seq[Long]].head()
+    val approx = graft.streaming.IndexStream
+      .searchCommittedCdc(s, dir, qz, qv, 2, 10)
+      .select(col("vec_id"))
+    val live = vecs.where(
+      !(col("vec_id") % 10 === 3 && col("vec_id") % 20 =!= 3))
+    val exact = live
+      .select(col("vec_id"),
+        KMeansOp.intDist(col("v"), typedLit(qv)).as("dist_scaled"))
+      .orderBy(col("dist_scaled").asc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"))
+    exact.join(approx, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("n_hits"),
+        (col("n_hits") * lit(1000000L) / lit(10L)).cast("long").as("recall_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmeans" -> kmeansQ,
     "q_semdedup" -> semdedupQ,
     "q_semdedup_scaled" -> semdedupScaledQ,
     "q_semdedup_sampled" -> semdedupSampledQ,
+    "q_semdedup_capped" -> semdedupCappedQ,
     "q_ann_ivf_trained" -> annIvfTrainedQ,
     "q_recall_ivf" -> recallIvfQ,
     "q_pq_codes" -> pqCodesQ,
     "q_ann_pq" -> annPqQ,
     "q_ann_ivfpq" -> annIvfPqQ,
     "q_ann_ivfpq_part" -> annIvfPqPartQ,
+    "q_ann_ivfpq_res_part" -> annIvfPqResPartQ,
     "q_ann_ivfpq_rerank" -> annIvfPqRerankQ,
     "q_ann_ivfpq_rerank_batch" -> annIvfPqRerankBatchQ,
     "q_recall_ivfpq_rerank" -> recallIvfPqRerankQ,
     "q_sq8_topk" -> sq8TopkQ,
     "q_recall_sq8" -> recallSq8Q,
     "q_sq8_batch" -> sq8BatchQ,
+    "q_sq8_dim" -> sq8DimTopkQ,
+    "q_recall_sq8_dim" -> recallSq8DimQ,
     "q_ann_ivf_sq8" -> annIvfSq8Q,
+    "q_ann_ivf_sq8_part" -> annIvfSq8PartQ,
+    "q_ann_ivf_sq8_batch" -> annIvfSq8BatchQ,
     "q_recall_ivf_sq8" -> recallIvfSq8Q,
+    "q_recall_cdc" -> recallCdcQ,
     "q_ann_ivfpq_res" -> annIvfPqResQ,
     "q_ann_ivfpq_res_batch" -> annIvfPqResBatchQ,
     "q_ann_pq_batch" -> annPqBatchQ,
@@ -1307,8 +1732,131 @@ object SemanticQ {
        |cod AS (SELECT vec_id, $codeExpr AS cv FROM embeddings, g)""".stripMargin
   }
 
+  /** q_ann_ivf_sq8's contract SQL — also the oracle of its
+    * partitioned-index serving twin (same results, different layout).
+    */
+  private lazy val annIvfSq8Oracle: String =
+    s"""WITH $lloydSql,
+       |$sq8ChainSql,
+       |qvc AS (SELECT v FROM q WHERE vec_id = 0),
+       |pc AS (SELECT cid FROM (
+       |    SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${idistSql("c.c", "qv.v")} ASC,
+       |      c.cid ASC) AS rn
+       |    FROM c2 c CROSS JOIN qvc qv) WHERE rn <= 2),
+       |cand AS (SELECT a3.vec_id FROM a3 JOIN pc ON a3.cid = pc.cid)
+       |SELECT c.vec_id, ${idistSql("c.cv", "qc.qv")} AS qdist
+       |FROM cod c JOIN cand USING (vec_id) CROSS JOIN qc
+       |ORDER BY qdist ASC, vec_id ASC LIMIT 10""".stripMargin
+
+  /** q_ann_ivfpq_res's contract SQL — also the oracle of its
+    * partitioned-index serving twin (same results, different layout).
+    */
+  private lazy val annIvfPqResOracle: String =
+    s"""WITH $lloydSql,
+       |$pqResSql,
+       |$pqResChainsSql,
+       |qvc AS (SELECT v FROM q WHERE vec_id = 0),
+       |pc AS (SELECT cid FROM (
+       |    SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${idistSql("c.c", "qv.v")} ASC,
+       |      c.cid ASC) AS rn
+       |    FROM c2 c CROSS JOIN qvc qv) WHERE rn <= 2),
+       |$pqResLutSql,
+       |$pqResAdcSql
+       |SELECT vec_id, adc_scaled FROM adcres
+       |ORDER BY adc_scaled ASC, vec_id ASC LIMIT 10""".stripMargin
+
+  /** The per-dim SQ8 derivation ([[sq8DimScales]]/[[sq8DimDequant]] in
+    * SQL, operation order aligned expression-for-expression): per-dim
+    * min/max, the two scale arrays as one row, and the dequantized
+    * scaled-integer corpus table `dq(vec_id, dv)`.
+    */
+  private lazy val sq8DimChainSql: String =
+    """dims AS (SELECT li.i AS pos,
+      |    min(CAST(e.embedding[li.i] AS DOUBLE)) AS mn,
+      |    max(CAST(e.embedding[li.i] AS DOUBLE)) AS mx
+      |  FROM embeddings e CROSS JOIN LATERAL
+      |    (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) li
+      |  GROUP BY li.i),
+      |sc8 AS (SELECT list(mn ORDER BY pos) AS vmn, list(mx ORDER BY pos) AS vmx
+      |  FROM dims),
+      |dq AS (SELECT e.vec_id, list_transform(range(1, len(e.embedding) + 1), i ->
+      |    CAST(floor((sq.vmn[i] + (CASE WHEN sq.vmx[i] = sq.vmn[i] THEN 0
+      |        ELSE floor((CAST(e.embedding[i] AS DOUBLE) - sq.vmn[i])
+      |          / ((sq.vmx[i] - sq.vmn[i]) / 255.0) + 0.5)
+      |      END) * ((sq.vmx[i] - sq.vmn[i]) / 255.0)) * 1000000.0) AS BIGINT))
+      |    AS dv
+      |  FROM embeddings e CROSS JOIN sc8 sq)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_ann_ivfpq_part" -> annIvfPqOracle,
+    "q_ann_ivfpq_res_part" -> annIvfPqResOracle,
+    "q_ann_ivf_sq8_part" -> annIvfSq8Oracle,
+    "q_ann_ivf_sq8_batch" ->
+      s"""WITH $lloydSql,
+         |$sq8ChainSql,
+         |qb AS (SELECT vec_id AS qid, v FROM q WHERE vec_id IN (0, 1, 2)),
+         |pcb AS (SELECT qid, cid FROM (
+         |    SELECT qb.qid, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY qb.qid
+         |        ORDER BY ${idistSql("c.c", "qb.v")} ASC, c.cid ASC) AS rn
+         |    FROM c2 c CROSS JOIN qb) WHERE rn <= 2),
+         |qc8 AS (SELECT vec_id AS qid, cv AS qcode FROM cod WHERE vec_id IN (0, 1, 2)),
+         |cand AS (SELECT pcb.qid, a3.vec_id FROM a3 JOIN pcb ON a3.cid = pcb.cid),
+         |sc AS (SELECT cand.qid, cand.vec_id, ${idistSql("c.cv", "q8.qcode")} AS qdist
+         |  FROM cand JOIN cod c USING (vec_id) JOIN qc8 q8 ON q8.qid = cand.qid),
+         |rr AS (SELECT qid, vec_id, qdist,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY qdist ASC, vec_id ASC) AS rnk
+         |  FROM sc)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, qdist
+         |FROM rr WHERE rnk <= 3
+         |ORDER BY qid ASC, rnk ASC""".stripMargin,
+    "q_sq8_dim" ->
+      s"""WITH $sq8DimChainSql,
+         |qfull AS ($qFullExpr),
+         |qvfull AS (SELECT v FROM qfull WHERE vec_id = 0)
+         |SELECT d.vec_id, ${idistSql("d.dv", "qv.v")} AS qdist
+         |FROM dq d CROSS JOIN qvfull qv
+         |ORDER BY qdist ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_recall_sq8_dim" ->
+      s"""WITH $sq8DimChainSql,
+         |qfull AS ($qFullExpr),
+         |qvfull AS (SELECT v FROM qfull WHERE vec_id = 0),
+         |approx AS (SELECT d.vec_id FROM dq d CROSS JOIN qvfull qv
+         |  ORDER BY ${idistSql("d.dv", "qv.v")} ASC, d.vec_id ASC LIMIT 10),
+         |exact AS (SELECT q.vec_id FROM qfull q CROSS JOIN qvfull qv
+         |  ORDER BY ${idistSql("q.v", "qv.v")} ASC, q.vec_id ASC LIMIT 10)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
+         |  CAST(COUNT(*) * 1000000 / 10 AS BIGINT) AS recall_ppm
+         |FROM exact WHERE vec_id IN (SELECT vec_id FROM approx)""".stripMargin,
+    "q_semdedup_capped" ->
+      s"""WITH $lloydSqlSampled,
+         |sub AS (SELECT vec_id, cid AS cluster,
+         |    CAST((ROW_NUMBER() OVER (PARTITION BY cid
+         |      ORDER BY dist ASC, vec_id ASC) - 1) // $SemCap AS BIGINT) AS sb
+         |  FROM a3),
+         |ve AS (SELECT su.vec_id, su.cluster, su.sb, e.embedding
+         |  FROM sub su JOIN embeddings e USING (vec_id)),
+         |drops AS (SELECT DISTINCT b.vec_id
+         |  FROM ve a JOIN ve b ON a.cluster = b.cluster AND a.sb = b.sb
+         |    AND a.vec_id < b.vec_id
+         |  WHERE ${Analysis.cosineSql("a.embedding", "b.embedding")} >= 0.4)
+         |SELECT v.vec_id, v.cluster, (d.vec_id IS NULL) AS kept
+         |FROM ve v LEFT JOIN drops d ON v.vec_id = d.vec_id
+         |ORDER BY v.vec_id ASC""".stripMargin,
+    "q_recall_cdc" ->
+      s"""WITH $ivfPqSingleSql,
+         |live AS (SELECT vec_id FROM q
+         |  WHERE NOT (vec_id % 10 = 3 AND vec_id % 20 <> 3)),
+         |approx AS (SELECT adc.vec_id FROM adc JOIN cand USING (vec_id)
+         |  JOIN live USING (vec_id)
+         |  ORDER BY adc_scaled ASC, vec_id ASC LIMIT 10),
+         |exact AS (SELECT q.vec_id FROM q JOIN live USING (vec_id)
+         |  CROSS JOIN qvc qv
+         |  ORDER BY ${idistSql("q.v", "qv.v")} ASC, q.vec_id ASC LIMIT 10)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
+         |  CAST(COUNT(*) * 1000000 / 10 AS BIGINT) AS recall_ppm
+         |FROM exact WHERE vec_id IN (SELECT vec_id FROM approx)""".stripMargin,
     "q_ann_ivfpq_rerank" ->
       s"""WITH $ivfPqSingleSql,
          |rtop AS (SELECT adc.vec_id FROM adc JOIN cand USING (vec_id)
@@ -1358,18 +1906,7 @@ object SemanticQ {
          |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, qdist
          |FROM rr WHERE rnk <= 3
          |ORDER BY qid ASC, rnk ASC""".stripMargin,
-    "q_ann_ivf_sq8" ->
-      s"""WITH $lloydSql,
-         |$sq8ChainSql,
-         |qvc AS (SELECT v FROM q WHERE vec_id = 0),
-         |pc AS (SELECT cid FROM (
-         |    SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${idistSql("c.c", "qv.v")} ASC,
-         |      c.cid ASC) AS rn
-         |    FROM c2 c CROSS JOIN qvc qv) WHERE rn <= 2),
-         |cand AS (SELECT a3.vec_id FROM a3 JOIN pc ON a3.cid = pc.cid)
-         |SELECT c.vec_id, ${idistSql("c.cv", "qc.qv")} AS qdist
-         |FROM cod c JOIN cand USING (vec_id) CROSS JOIN qc
-         |ORDER BY qdist ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_ann_ivf_sq8" -> annIvfSq8Oracle,
     "q_recall_ivf_sq8" ->
       s"""WITH $lloydSql,
          |$sq8ChainSql,
@@ -1500,19 +2037,7 @@ object SemanticQ {
          |SELECT count(*) AS n_hits,
          |  count(*) * 1000000 // 5 AS recall_ppm
          |FROM extop WHERE vec_id IN (SELECT vec_id FROM anntop)""".stripMargin,
-    "q_ann_ivfpq_res" ->
-      s"""WITH $lloydSql,
-         |$pqResSql,
-         |$pqResChainsSql,
-         |qvc AS (SELECT v FROM q WHERE vec_id = 0),
-         |pc AS (SELECT cid FROM (
-         |    SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${idistSql("c.c", "qv.v")} ASC,
-         |      c.cid ASC) AS rn
-         |    FROM c2 c CROSS JOIN qvc qv) WHERE rn <= 2),
-         |$pqResLutSql,
-         |$pqResAdcSql
-         |SELECT vec_id, adc_scaled FROM adcres
-         |ORDER BY adc_scaled ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_ann_ivfpq_res" -> annIvfPqResOracle,
     "q_ann_ivfpq_res_batch" -> {
       val lutrbs = (0 until PqM).map { s =>
         val lo = s * PqSubDim + 1

@@ -309,9 +309,12 @@ object IndexStream {
     * CONTINUES over the new generation — delete/re-insert cycles pick
     * up where the rebuild left off. The continuing stream must keep its
     * checkpoint (batch ids strictly above 0, as in the append flow);
-    * the rebuild consumes the corpus snapshot, which a deployment
-    * derives from the previous generation's live set plus the raw
-    * vector store.
+    * this is ENFORCED, not just documented: a `_rebuilt` flag rides
+    * with the generation and [[processBatchCdc]] refuses a
+    * fresh-checkpoint batchId=0 against it instead of letting the
+    * replay overwrite the rebuilt code table. The rebuild consumes the
+    * corpus snapshot, which a deployment derives from the previous
+    * generation's live set plus the raw vector store.
     */
   def rebuildCdc(s: SparkSession, indexRoot: String, corpus: DataFrame,
       k: Int, iters: Int, m: Int, subDim: Int,
@@ -338,6 +341,13 @@ object IndexStream {
     s.createDataFrame(s.sparkContext.emptyRDD[Row], tombSchema)
       .write.mode("overwrite").parquet(s"$dir/tombs/batch_id=0")
     saveQuantizers(s, dir, q)
+    // flag that batch 0 carries a REBUILT corpus, not a stream batch —
+    // processBatchCdc refuses a fresh-checkpoint batchId=0 against it
+    val (mfs, mpath) = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/_rebuilt")
+      (p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
+    }
+    mfs.create(mpath, true).close()
     StreamState.commitMarker(s, dir, 0L)
     val fsPath = new org.apache.hadoop.fs.Path(s"$indexRoot/_current")
     val fs = fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -421,6 +431,14 @@ object IndexStream {
     */
   val OpColumn = "__op"
 
+  /** True when this state dir's batch 0 is a [[rebuildCdc]] generation
+    * base (the `_rebuilt` flag written beside the quantizers).
+    */
+  private def hasRebuildBase(s: SparkSession, stateDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/_rebuilt")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   private def cdcCodesSchema(m: Int): StructType =
     StructType(codesSchema(m).fields :+ StructField("src_batch", LongType))
 
@@ -452,10 +470,34 @@ object IndexStream {
     * deletes append tombstones. Within a batch, duplicate insert ids
     * collapse to one deterministic row and a delete+insert pair
     * resolves to the insert (applied over the delete).
+    *
+    * INTRA-BATCH ORDER CONTRACT (ADVICE r17): ops within one
+    * micro-batch are a SET, not a sequence — there is no ordering
+    * column, so a delete and an insert for the same id in one batch
+    * ALWAYS resolve delete-then-insert (the re-key convention above),
+    * regardless of the order the producer emitted them. A producer
+    * whose last op for an id in a batch is a DELETE (ordered-CDC /
+    * Debezium semantics: insert-then-delete ⇒ dead) must not ship both
+    * in one batch — split them across batches, or pre-resolve to the
+    * final op before handing the batch over. This engine-side
+    * convention is deliberate: resolving by arrival order would make
+    * replay results depend on intra-batch row order, which Spark does
+    * not preserve.
     */
   def processBatchCdc(batch: Dataset[Row], batchId: Long, q: Quantizers,
       stateDir: String, autoCompactEvery: Int = 0): Unit = {
     val s = batch.sparkSession
+    // a rebuilt generation's batch 0 IS the rebuilt corpus
+    // ([[rebuildCdc]]); only a maintainCdc stream started with a FRESH
+    // checkpoint would ever present batchId=0 against it, and its
+    // overwrite would silently drop the entire rebuilt code table.
+    // Refuse loudly (ADVICE r17) — a CONTINUING stream keeps its
+    // checkpoint and only ever presents ids above its own history.
+    if (batchId == 0L && hasRebuildBase(s, stateDir))
+      throw new IllegalStateException(
+        s"$stateDir holds a rebuilt generation at batch_id=0; a CDC " +
+          "stream with a fresh checkpoint (batchId=0) would overwrite " +
+          "it — continue the existing checkpoint instead")
     val ops =
       if (batch.columns.contains(OpColumn)) batch
       else batch.withColumn(OpColumn, lit("insert"))

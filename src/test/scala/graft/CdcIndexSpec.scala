@@ -299,6 +299,56 @@ class CdcIndexSpec extends AnyFunSuite {
     assert(IndexStream.currentRoot(spark, root).get != gen)
   }
 
+  test("rebuildCdc guard: a fresh-checkpoint stream (batchId=0) against " +
+    "a rebuilt generation is refused instead of overwriting the rebuild") {
+    val rows = fullRows
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cdc_guard").toString
+    val q = IndexStream.rebuildCdc(spark, root,
+      rows.toDF("vec_id", "embedding"), k = 8, iters = 2, m = 4, subDim = 16)
+    val gen = IndexStream.currentRoot(spark, root).get
+    val before = IndexStream.liveCodes(spark, gen, 4).count()
+    val ex = intercept[IllegalStateException] {
+      IndexStream.processBatchCdc(
+        cdcDf(Seq((0L, Seq.empty[Float], "delete"))), 0L, q, gen)
+    }
+    assert(ex.getMessage.contains("fresh checkpoint"))
+    // the rebuilt code table is untouched, and a CONTINUING stream
+    // (ids above the rebuild's 0) still lands normally
+    assert(IndexStream.liveCodes(spark, gen, 4).count() == before)
+    IndexStream.processBatchCdc(
+      cdcDf(Seq((0L, Seq.empty[Float], "delete"))), 1L, q, gen)
+    assert(IndexStream.liveCodes(spark, gen, 4).count() == before - 1)
+  }
+
+  test("q_recall_cdc: the mid-lifecycle monitor (insert all, delete 10%, " +
+    "resurrect half) matches a scalar recount over the live set") {
+    val rows = fullRows
+    val vecs = rows.map { case (id, e) => id -> intVecOf(e).toArray }.toMap
+    def dist(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val qv = vecs(0L)
+    val live = rows.map(_._1).filter(id => !(id % 10 == 3 && id % 20 != 3))
+    assert(live.size < rows.size, "the lifecycle's deletes must bite")
+    val exact10 = live.map(id => (id, dist(vecs(id), qv)))
+      .sortBy { case (id, dd) => (dd, id) }.take(10).map(_._1).toSet
+    // the served side, straight from the maintained state dir
+    val dir = queries.SemanticQ.cdcLifecycleDir(spark, d)
+    val served = IndexStream.searchCommittedCdc(spark, dir, quantizers,
+      qv.toSeq, 2, 10).collect().map(_.getLong(0)).toSeq
+    assert(served.toSet.subsetOf(live.toSet),
+      "CDC serving surfaced a deleted (non-resurrected) id")
+    val hits = exact10.count(served.toSet.contains)
+    val row = queries.SemanticQ.queries("q_recall_cdc")(spark, d).head()
+    assert(row.getLong(0) == hits.toLong)
+    assert(row.getLong(1) == hits.toLong * 1000000L / 10L)
+    // resurrected ids are genuinely live in the monitored index
+    val allLive = IndexStream.liveCodes(spark, dir, 4)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(allLive == live.toSet,
+      "lifecycle live set diverged from the delete/resurrect spec")
+  }
+
   test("maintainCdc: the streaming wrapper drives the same per-batch " +
     "mechanics") {
     implicit val sqlCtx = spark.sqlContext

@@ -180,6 +180,67 @@ class KMeansSpec extends AnyFunSuite {
     }
   }
 
+  test("q_semdedup_capped at sf0.001: buckets are dist-rank chunks of at " +
+    "most 16 members; kept flags match brute force within buckets; the " +
+    "cap only ADDS keeps relative to the uncapped sampled prune") {
+    val d = TestSpark.sf0001
+    val cents = queries.SemanticQ.sampledCentroids(spark, d)
+      .map { case (c, v) => c -> v.toArray }
+    val vecs: Map[Long, Array[Long]] = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Double](1).map(x => math.floor(x * 1e6).toLong).toArray)
+      .toMap
+    def dist(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // scalar replay of (cluster, bucket): argmin assignment (ties to the
+    // lower cid), then rank by (dist, vec_id) within the cluster, chunked
+    // into runs of 16
+    val asg = vecs.toSeq.map { case (id, v) =>
+      val (dd, c) = cents.map { case (c, cv) => (dist(v, cv), c) }.min
+      (id, c, dd)
+    }
+    val bucketOf: Map[Long, (Long, Long)] = asg.groupBy(_._2).toSeq.flatMap {
+      case (c, members) =>
+        members.sortBy { case (id, _, dd) => (dd, id) }.zipWithIndex
+          .map { case ((id, _, _), rk) => id -> (c, (rk / 16).toLong) }
+    }.toMap
+    assert(bucketOf.groupBy(_._2).forall(_._2.size <= 16),
+      "a bucket exceeded the population cap")
+    assert(bucketOf.values.map(_._2).max >= 1L,
+      "the cap never bit at this SF — the spec is vacuous")
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na * nb == 0.0) 0.0 else dot / (na * nb)
+    }
+    val rows = queries.SemanticQ.queries("q_semdedup_capped")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.length == vecs.size)
+    rows.foreach { case (id, cl, _) =>
+      assert(cl == bucketOf(id)._1, s"vec $id assigned $cl") }
+    val byBucket = rows.groupBy { case (id, _, _) => bucketOf(id) }
+    for ((_, members) <- byBucket; (id, _, kept) <- members) {
+      val hasLowerMate = members.exists { case (other, _, _) =>
+        other < id && cos(emb(other), emb(id)) >= 0.4
+      }
+      assert(kept == !hasLowerMate,
+        s"vec $id kept=$kept but lowerMate=$hasLowerMate")
+    }
+    // monotonicity: capping can only LOSE drop decisions (pairs split
+    // across bucket boundaries), never invent one
+    val keptSampled = queries.SemanticQ.queries("q_semdedup_sampled")(spark, d)
+      .collect().filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    val droppedCapped = rows.filterNot(_._3).map(_._1).toSet
+    assert(droppedCapped.intersect(keptSampled).isEmpty,
+      "the capped prune dropped a vector the uncapped prune kept")
+  }
+
   test("lloydCentroidsInMemory equals the distributed lloydCentroidsLocalInt " +
     "on the same point set (seed, ties, floor-mean, empty-cluster drop)") {
     import spark.implicits._

@@ -210,6 +210,108 @@ class ServingTiersSpec extends AnyFunSuite {
       row.getLong(1) == hits.toLong * 1000000L / 10L)
   }
 
+  test("q_ann_ivfpq_res_part: the persisted RESIDUAL index scan prunes " +
+    "to the probed cell directories and matches the in-flight query") {
+    val df = queries.SemanticQ.queries("q_ann_ivfpq_res_part")(spark, d)
+    val scans = fileScans(df).filter(
+      _.partitionFilters.exists(_.references.exists(_.name == "cell")))
+    assert(scans.nonEmpty,
+      "probe-cell predicate must be a PARTITION filter on the index scan")
+    assert(scans.head.selectedPartitions.partitionCount == 2,
+      s"scan listed ${scans.head.selectedPartitions.partitionCount} " +
+        "partitions, expected exactly the 2 probed cells")
+    val base = queries.SemanticQ.partitionedResCodesPath(spark, d)
+    val cellDirs = new java.io.File(base).listFiles()
+      .count(_.getName.startsWith("cell="))
+    assert(cellDirs == 8, s"expected 8 cell= directories, found $cellDirs")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val flight = queries.SemanticQ.queries("q_ann_ivfpq_res")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == flight,
+      "partitioned residual serving diverged from q_ann_ivfpq_res")
+  }
+
+  test("q_ann_ivf_sq8_part: the persisted SQ8 index scan prunes to the " +
+    "probed cells; only the one-row amax read escapes the pruning") {
+    val df = queries.SemanticQ.queries("q_ann_ivf_sq8_part")(spark, d)
+    val scans = fileScans(df).filter(
+      _.partitionFilters.exists(_.references.exists(_.name == "cell")))
+    assert(scans.nonEmpty,
+      "probe-cell predicate must be a PARTITION filter on the index scan")
+    assert(scans.head.selectedPartitions.partitionCount == 2,
+      s"scan listed ${scans.head.selectedPartitions.partitionCount} " +
+        "partitions, expected exactly the 2 probed cells")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val flight = queries.SemanticQ.queries("q_ann_ivf_sq8")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == flight,
+      "partitioned SQ8 serving diverged from q_ann_ivf_sq8")
+  }
+
+  test("q_ann_ivf_sq8_batch: per-qid probed-cell SQ8 top-3 matches a " +
+    "scalar replay; qid 0 head agrees with the single-probe tier") {
+    val ivecs = intVecsLocal()
+    val cents = queries.SemanticQ.trainedCentroids(spark, d)
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    val amax = emb.valuesIterator.flatMap(_.iterator)
+      .map(e => math.abs(e.toDouble)).max
+    def codes(v: Seq[Float]): Seq[Long] =
+      v.map(e => if (amax == 0.0) 0L
+        else math.floor(e.toDouble / (amax / 127.0) + 0.5).toLong)
+    val expect = Seq(0L, 1L, 2L).flatMap { qid =>
+      val probed = KMeansOp.nearestCells(cents, ivecs(qid), 2).toSet
+      val qc = codes(emb(qid))
+      ivecs.toSeq
+        .filter { case (_, v) => probed.contains(KMeansOp.nearestCells(cents, v, 1).head) }
+        .map { case (id, _) => (id, idist(codes(emb(id)), qc)) }
+        .sortBy { case (id, dd) => (dd, id) }.take(3).zipWithIndex
+        .map { case ((id, dd), i) => (qid, (i + 1).toLong, id, dd) }
+    }
+    val got = queries.SemanticQ.queries("q_ann_ivf_sq8_batch")(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect, "batch IVF_SQ8 diverged from the scalar replay")
+    val single = queries.SemanticQ.queries("q_ann_ivf_sq8")(spark, d)
+      .collect().take(3).map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.filter(_._1 == 0L).map(r => (r._3, r._4)) == single)
+  }
+
+  test("q_sq8_dim: per-dim scales match a scalar replay; recall meets " +
+    "or beats the global-amax encoding") {
+    val ivecs = intVecsLocal()
+    val qv = ivecs(0L)
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    val dim = emb(0L).length
+    val mn = (0 until dim).map(i => emb.valuesIterator.map(_(i).toDouble).min)
+    val mx = (0 until dim).map(i => emb.valuesIterator.map(_(i).toDouble).max)
+    def dequant(v: Seq[Float]): Seq[Long] =
+      v.zipWithIndex.map { case (e, i) =>
+        val delta = (mx(i) - mn(i)) / 255.0
+        val c = if (mx(i) == mn(i)) 0.0
+          else math.floor((e.toDouble - mn(i)) / delta + 0.5)
+        math.floor((mn(i) + c * delta) * 1000000.0).toLong
+      }
+    val expect = emb.toSeq
+      .map { case (id, v) => (id, idist(dequant(v), qv)) }
+      .sortBy { case (id, dd) => (dd, id) }.take(10)
+    val got = queries.SemanticQ.queries("q_sq8_dim")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect, "per-dim SQ8 top-10 diverged from the scalar replay")
+    // the acceptance gate for per-dim training: recall ≥ the global
+    // single-scale encoding's on the same corpus (FAISS's motivation
+    // for training per-dim intervals)
+    val rDim = queries.SemanticQ.queries("q_recall_sq8_dim")(spark, d)
+      .head().getLong(1)
+    val rGlobal = queries.SemanticQ.queries("q_recall_sq8")(spark, d)
+      .head().getLong(1)
+    assert(rDim >= rGlobal,
+      s"per-dim SQ8 recall $rDim fell below the global encoding's $rGlobal")
+  }
+
   test("q_recall_sq8: ppm recomputed from the exact and SQ8 sides") {
     val vecs = intVecsLocal()
     val qv = vecs(0L)
