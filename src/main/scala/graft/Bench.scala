@@ -89,6 +89,14 @@ object Bench {
       "quantizer_sqrt_n" -> (() => { queries.SemanticQ.scaledCentroids(spark, sfDir); () }),
       "quantizer_sqrt_n_sampled" -> (() => { queries.SemanticQ.sampledCentroids(spark, sfDir); () }),
       "bpe_merges" -> (() => { queries.Analysis.cachedMergeSchedule(spark, sfDir); () }),
+      "bigram_score" -> (() => { queries.Retrieval.bigramScore(spark, sfDir).count(); () }),
+      // the persisted serving artifacts: one-time content-addressed
+      // index writes the partitioned tiers then serve from, and the CDC
+      // lifecycle fixture the recall monitor reads
+      "ivfpq_part_index" -> (() => { queries.SemanticQ.partitionedCodesPath(spark, sfDir); () }),
+      "ivfpqres_part_index" -> (() => { queries.SemanticQ.partitionedResCodesPath(spark, sfDir); () }),
+      "ivfsq8_index" -> (() => { queries.SemanticQ.sq8IndexPath(spark, sfDir); () }),
+      "cdc_lifecycle" -> (() => { queries.SemanticQ.cdcLifecycleDir(spark, sfDir); () }),
     )
     val derivSecs: Seq[(String, Double)] = derivationBuilds.map { case (n, f) =>
       val t0 = System.nanoTime()

@@ -76,7 +76,15 @@ object ScaleProbe {
     "q_ann_ivfpq_part", "q_ann_ivfpq_rerank", "q_sq8_topk",
     // IVF_SQ8: the probed-cell scan over scalar codes — linear in the
     // probed fraction, fixed costs dominating at these sizes
-    "q_ann_ivf_sq8")
+    "q_ann_ivf_sq8",
+    // round 18: the persisted-partitioned serving tiers (directory-
+    // pruned reads of pre-built indexes — the index writes are
+    // derivations, pre-built below), the per-dim SQ8 scan, batch
+    // IVF_SQ8, the capped SemDeDup (pairwise Σ|bucket|² ≤ N·cap —
+    // should land ~linear where scaled/sampled are N^1.5), and the CDC
+    // recall monitor over the pre-built lifecycle state
+    "q_ann_ivfpq_res_part", "q_ann_ivf_sq8_part", "q_ann_ivf_sq8_batch",
+    "q_sq8_dim", "q_semdedup_capped", "q_recall_cdc")
 
   private def mix(a: Long, b: Long, c: Long): Long = {
     var h = a * 0x9E3779B97F4A7C15L + b * 0xC2B2AE3D27D4EB4FL + c * 0x165667B19E3779F9L
@@ -249,6 +257,9 @@ object ScaleProbe {
         queries.SemanticQ.trainedCentroids(spark, d)
         queries.SemanticQ.pqCodebooks(spark, d)
         queries.SemanticQ.partitionedCodesPath(spark, d)
+        queries.SemanticQ.partitionedResCodesPath(spark, d)
+        queries.SemanticQ.sq8IndexPath(spark, d)
+        queries.SemanticQ.cdcLifecycleDir(spark, d)
       } catch { case _: Throwable => () }
     }
     // Timing executes a noop-format WRITE, not .count(): a count lets
@@ -335,7 +346,13 @@ object ScaleProbe100 {
     // track |probed cells|/k of the 100× code table (the quantizers and
     // the one-time index write are derivations, recorded separately);
     // SQ8 and the refine are one corpus scan + fixed work
-    "q_sq8_topk", "q_ann_ivfpq_part", "q_ann_ivfpq_rerank")
+    "q_sq8_topk", "q_ann_ivfpq_part", "q_ann_ivfpq_rerank",
+    // round 18: the capped SemDeDup (the linear replacement for the
+    // N^1.5 scaled/sampled prune — this probe measures exactly that
+    // claim), the residual + SQ8 partitioned serving tiers (index
+    // writes are derivations below), and the per-dim SQ8 scan
+    "q_semdedup_capped", "q_ann_ivfpq_res_part", "q_ann_ivf_sq8_part",
+    "q_sq8_dim")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -370,7 +387,9 @@ object ScaleProbe100 {
         // q_ann_ivfpq_part probe then serves from
         "quantizer_fixed_k" -> (() => { queries.SemanticQ.trainedCentroids(spark, d); () }),
         "pq_codebooks" -> (() => { queries.SemanticQ.pqCodebooks(spark, d); () }),
-        "ivfpq_part_index" -> (() => { queries.SemanticQ.partitionedCodesPath(spark, d); () }))
+        "ivfpq_part_index" -> (() => { queries.SemanticQ.partitionedCodesPath(spark, d); () }),
+        "ivfpqres_part_index" -> (() => { queries.SemanticQ.partitionedResCodesPath(spark, d); () }),
+        "ivfsq8_index" -> (() => { queries.SemanticQ.sq8IndexPath(spark, d); () }))
     } yield {
       val t0 = System.nanoTime()
       try f() catch { case _: Throwable => () }

@@ -175,36 +175,83 @@ object Retrieval {
     * w2 axis.
     */
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: Column): DataFrame = {
-    val toks = TA.tokens(textCol)
-    val bg = docs.select(col(idCol), explode(
-        when(size(toks) >= 2,
-          transform(sequence(lit(1), size(toks) - 1), i =>
-            struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
-          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
-        .as("p"))
-      .select(col(idCol), col("p.w1"), col("p.w2"))
     // Everything derives from the per-(doc, bigram) multiplicity relation:
     // the raw occurrence stream collapses by Zipf long before any join
     // (one map-side-combined shuffle), corpus counts are rollups of it,
     // the score table (cxy ⋈ cx) is distinct-bigram-sized, and the probe
     // join + weighted mean run on the compressed relation — the exploded
     // stream itself is never shuffled twice or joined at occurrence grain.
-    val bgDoc = bg.groupBy(col(idCol), col("w1"), col("w2"))
+    // The checkpoint pins the relation because BOTH the model derivation
+    // and the probe consume it here; the declared query instead consumes
+    // a session-cached score table ([[bigramScore]]), whose single-use
+    // multiplicity pass needs no checkpoint.
+    val bgDoc = bigramMult(docs, idCol, textCol).localCheckpoint()
+    bigramProbe(bgDoc, bigramScoreOf(bgDoc), idCol)
+  }
+
+  /** The per-(doc, w1, w2) multiplicity relation — the compressed form
+    * of the exploded bigram stream (one map-side-combined aggregate).
+    */
+  private def bigramMult(docs: DataFrame, idCol: String,
+      textCol: Column): DataFrame = {
+    val toks = TA.tokens(textCol)
+    docs.select(col(idCol), explode(
+        when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1), i =>
+            struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("p"))
+      .select(col(idCol), col("p.w1"), col("p.w2"))
+      .groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).as("m"))
-      .localCheckpoint()
+  }
+
+  /** The (w1, w2) → p_ppm conditional-probability table from a
+    * multiplicity relation: corpus bigram counts, their w1-grain rollup,
+    * and the ppm division — distinct-bigram-sized. The w1 join here is
+    * the Zipf-head skew site PlanSpec pins (broadcast at small SF,
+    * AQE-skew-eligible shuffle equi-join at vocab scale).
+    */
+  private def bigramScoreOf(bgDoc: DataFrame): DataFrame = {
     val cxy = bgDoc.groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("c_xy"))
     val cx = cxy.groupBy(col("w1")).agg(sum(col("c_xy")).as("c_x"))
-    val score = cxy.join(cx, Seq("w1"))
+    cxy.join(cx, Seq("w1"))
       .select(col("w1"), col("w2"),
         expr("(c_xy * 1000000L) div c_x").as("p_ppm"))
+  }
+
+  /** The probe side: join the per-doc multiplicities to the score table
+    * on (w1, w2) — where Zipf mass is already spread across the w2 axis
+    * — and take the weighted integer mean per document.
+    */
+  private def bigramProbe(bgDoc: DataFrame, score: DataFrame,
+      idCol: String): DataFrame =
     bgDoc.join(score, Seq("w1", "w2"))
       .groupBy(col(idCol))
       .agg(sum(col("m")).as("n_bigrams"),
         expr("sum(m * p_ppm) div sum(m)").as("lm_score_ppm"))
-  }
+
+  /** The corpus bigram LANGUAGE MODEL as a round-shared persisted
+    * derivation (the canon_ids discipline, r17 ADVICE #7): the
+    * (w1, w2) → p_ppm table is a pure function of the documents
+    * snapshot — exactly what a production pipeline trains ONCE and
+    * serves to every scoring job — so it lives in the
+    * content-fingerprint-keyed session catalog ([[CachedViews]]) and
+    * each q_bigram_lm invocation pays only the probe side: one
+    * multiplicity pass over the documents plus the (w1, w2) join.
+    * Bench stamps the build into `derivations_sec` like every shared
+    * fact table.
+    */
+  private[graft] def bigramScore(s: SparkSession, d: String): DataFrame =
+    CachedViews.cached(s, "graft_bigram_score", d,
+        SemanticQ.snapshotKey(s, d, "documents")) {
+      bigramScoreOf(bigramMult(Tables.documents(s, d), "doc_id", col("text")))
+    }
 
   def bigramLm(s: SparkSession, d: String): DataFrame =
-    bigramLmScore(Tables.documents(s, d), "doc_id", col("text"))
+    bigramProbe(
+      bigramMult(Tables.documents(s, d), "doc_id", col("text")),
+      bigramScore(s, d), "doc_id")
       .orderBy(col("doc_id").asc)
 
   /** Per-document corpus-duplication fraction — the doc-level signal

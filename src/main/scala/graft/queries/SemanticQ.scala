@@ -577,7 +577,7 @@ object SemanticQ {
     * an OLDER code version can never be reused across sessions — the
     * content fingerprint alone only sees the DATA snapshot.
     */
-  private val IndexLayoutVersion = 2
+  private val IndexLayoutVersion = 3
 
   /** Superseded index dirs are parked here and deleted at JVM exit, not
     * inline (ADVICE r17): a same-session lazy plan may still hold the

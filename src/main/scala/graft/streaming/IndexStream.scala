@@ -42,9 +42,15 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * Scale shape: per-batch cost tracks the batch — the projection is
   * map-side, the anti-join is one equi-join probing committed state,
   * and state is (vec_id, cell, m codes) BIGINTs per vector regardless
-  * of dimension: the 64-float embedding never enters the state. Search
-  * over the committed index ([[searchCommitted]]) reads only the code
-  * table, filtered to the probed cells.
+  * of dimension: the 64-float embedding never enters the state. Every
+  * code write — per-batch, rebuild generation, compacted base — lays
+  * the rows out `partitionBy(cell)`, so the MAINTAINED index IS the
+  * pruned serving artifact (the same layout the batch tier persists,
+  * SemanticQ.partitionedCodesPath): search over the committed index
+  * ([[searchCommitted]]/[[searchCommittedCdc]]) answers its probed-cell
+  * predicate by DIRECTORY pruning at the listing, never by scanning
+  * non-probed cells' files, and compaction's tombstone GC preserves the
+  * partitioning (IndexStreamSpec pins the pruned plan).
   */
 object IndexStream {
 
@@ -99,9 +105,10 @@ object IndexStream {
     // in earlier state and drops it. (Key-based supersede would
     // conflate those two cases here, because the dedup key IS vec_id.)
     val existing = StreamState.readCommitted(s, stateDir, "codes",
-      codesSchema(q.books.size), upTo = batchId)
+      codesSchema(q.books.size), upTo = batchId, partitioned = true)
     indexed.join(existing.select(col("vec_id")), Seq("vec_id"), "left_anti")
-      .write.mode("overwrite").parquet(s"$stateDir/codes/batch_id=$batchId")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$stateDir/codes/batch_id=$batchId")
     StreamState.commitMarker(s, stateDir, batchId)
     StreamState.maybeCompact(s, stateDir, autoCompactEvery)(
       compactState(s, stateDir, q.books.size))
@@ -136,7 +143,8 @@ object IndexStream {
     */
   def compactState(s: SparkSession, stateDir: String, m: Int): Option[Long] =
     StreamState.compact(s, stateDir, Seq(
-      ("codes", codesSchema(m), (df: DataFrame) => df)))
+      ("codes", codesSchema(m), (df: DataFrame) => df)),
+      partitionCols = Map("codes" -> Seq("cell")))
 
   /** [[compactState]] with m derived from the persisted state itself —
     * for operational callers that hold no quantizer handle. No-op on an
@@ -177,7 +185,8 @@ object IndexStream {
     val probeCells = KMeansOp.nearestCells(q.coarse, query, nProbe)
     val luts = ProductQuantizer.adcTables(query, q.books, q.subDim)
     ProductQuantizer.adcTopK(
-      StreamState.readCommitted(s, stateDir, "codes", codesSchema(q.books.size))
+      StreamState.readCommitted(s, stateDir, "codes", codesSchema(q.books.size),
+          partitioned = true)
         .where(col("cell").isin(probeCells: _*)),
       luts, k)
   }
@@ -279,7 +288,8 @@ object IndexStream {
         corpus, "vec_id", col("embedding"), m, subDim, k, iters)
     val q = Quantizers(coarse, books, subDim, residual)
     project(vecs, q)
-      .write.mode("overwrite").parquet(s"$dir/codes/batch_id=0")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/codes/batch_id=0")
     saveQuantizers(s, dir, q)
     StreamState.commitMarker(s, dir, 0L)
     // the atomic reader switch: _current marker LAST
@@ -337,7 +347,8 @@ object IndexStream {
         corpus, "vec_id", col("embedding"), m, subDim, k, iters)
     val q = Quantizers(coarse, books, subDim, residual)
     project(vecs, q).withColumn("src_batch", lit(0L))
-      .write.mode("overwrite").parquet(s"$dir/codes/batch_id=0")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/codes/batch_id=0")
     s.createDataFrame(s.sparkContext.emptyRDD[Row], tombSchema)
       .write.mode("overwrite").parquet(s"$dir/tombs/batch_id=0")
     saveQuantizers(s, dir, q)
@@ -390,7 +401,7 @@ object IndexStream {
   def searchCommittedBatch(s: SparkSession, stateDir: String, q: Quantizers,
       probes: DataFrame, nProbe: Int, k: Int): DataFrame = {
     val committed = StreamState.readCommitted(
-      s, stateDir, "codes", codesSchema(q.books.size))
+      s, stateDir, "codes", codesSchema(q.books.size), partitioned = true)
     if (q.residual)
       ProductQuantizer.adcBatchServeResidual(
         committed, probes, q.coarse, q.books, q.subDim, nProbe, k)
@@ -456,7 +467,7 @@ object IndexStream {
   def liveCodes(s: SparkSession, stateDir: String, m: Int,
       upTo: Long = Long.MaxValue): DataFrame = {
     val codes = StreamState.readCommitted(
-      s, stateDir, "codes", cdcCodesSchema(m), upTo)
+      s, stateDir, "codes", cdcCodesSchema(m), upTo, partitioned = true)
     val tombs = StreamState.readCommitted(
       s, stateDir, "tombs", tombSchema, upTo)
     codes.join(tombs,
@@ -518,7 +529,8 @@ object IndexStream {
       .join(dels, Seq("vec_id"), "left_anti")
     indexed.join(blocked, Seq("vec_id"), "left_anti")
       .withColumn("src_batch", lit(batchId))
-      .write.mode("overwrite").parquet(s"$stateDir/codes/batch_id=$batchId")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$stateDir/codes/batch_id=$batchId")
     dels.withColumn("del_batch", lit(batchId))
       .write.mode("overwrite").parquet(s"$stateDir/tombs/batch_id=$batchId")
     StreamState.commitMarker(s, stateDir, batchId)
@@ -550,7 +562,8 @@ object IndexStream {
   def compactStateCdc(s: SparkSession, stateDir: String, m: Int): Option[Long] =
     StreamState.compact(s, stateDir, Seq(
       ("codes", cdcCodesSchema(m), (df: DataFrame) => df),
-      ("tombs", tombSchema, (df: DataFrame) => df)))
+      ("tombs", tombSchema, (df: DataFrame) => df)),
+      partitionCols = Map("codes" -> Seq("cell")))
 
   /** RESOLVE-at-compaction — the tombstone GC a log-structured index
     * runs at merge time (Lucene segment merges, LSM compaction): the
@@ -581,7 +594,8 @@ object IndexStream {
             tombs("del_batch") > codes("src_batch"),
           "left_anti")
       }),
-      ("tombs", tombSchema, (t: DataFrame, _: Long) => t.limit(0))))
+      ("tombs", tombSchema, (t: DataFrame, _: Long) => t.limit(0))),
+      partitionCols = Map("codes" -> Seq("cell")))
 
   /** [[searchCommitted]] over the LIVE rows of a CDC state dir —
     * deleted ids never surface, re-inserted ids serve their newest
@@ -636,7 +650,8 @@ object IndexStream {
     // a read-only monitor must not require the quantizer handle, and a
     // hardcoded default would mis-read a state with a different m
     val m = persistedM(s, stateDir).getOrElse(0)
-    StreamState.readCommitted(s, stateDir, "codes", codesSchema(m))
+    StreamState.readCommitted(s, stateDir, "codes", codesSchema(m),
+        partitioned = true)
       .groupBy(col("cell")).agg(count(lit(1)).as("n"))
       .orderBy(col("cell").asc)
   }

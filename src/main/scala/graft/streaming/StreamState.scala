@@ -88,10 +88,19 @@ private[graft] object StreamState {
     * the read. The residual race — cleanup deleting a batch directory
     * while the parquet scan is in flight — fails the scan loudly, never
     * silently.
+    *
+    * `partitioned` = true means each committed directory internally
+    * lays its rows out by partition subdirectories (the CDC index's
+    * `cell=` layout): the dirs are then loaded separately and unioned —
+    * one multi-root load would make Spark parse `batch_id=N` itself as
+    * a partition level and refuse the mixed structure. Each per-dir
+    * scan keeps its own partition pruning; compaction bounds the dir
+    * count, so the union stays O(base + batches-since-compaction) wide.
     */
   def readCommitted(s: SparkSession, stateDir: String, table: String,
-      schema: StructType, upTo: Long = Long.MaxValue): DataFrame =
-    readCommittedWith(s, stateDir, table, schema, upTo, () => ())
+      schema: StructType, upTo: Long = Long.MaxValue,
+      partitioned: Boolean = false): DataFrame =
+    readCommittedWith(s, stateDir, table, schema, upTo, () => (), partitioned)
 
   /** [[readCommitted]] with a hook run between the committed-marker
     * listing and the compacted-floor listing — a test seam for pinning
@@ -100,7 +109,8 @@ private[graft] object StreamState {
     */
   private[graft] def readCommittedWith(s: SparkSession, stateDir: String,
       table: String, schema: StructType, upTo: Long,
-      afterCommittedListing: () => Unit): DataFrame = {
+      afterCommittedListing: () => Unit,
+      partitioned: Boolean = false): DataFrame = {
     val committed = committedIds(s, stateDir)
     afterCommittedListing()
     val base = compactedIds(s, stateDir).filter(_ < upTo).lastOption
@@ -109,9 +119,12 @@ private[graft] object StreamState {
       .filter(id => id < upTo && id > floor)
       .map(id => s"$stateDir/$table/batch_id=$id") ++
       base.map(b => s"$stateDir/$table/base_id=$b")
+    val ordered = schema.fieldNames.map(col).toSeq
     if (dirs.isEmpty) s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
-    else s.read.schema(schema).parquet(dirs: _*)
-      .select(schema.fieldNames.map(col).toSeq: _*)
+    else if (partitioned)
+      dirs.map(dir => s.read.schema(schema).parquet(dir).select(ordered: _*))
+        .reduce(_ union _)
+    else s.read.schema(schema).parquet(dirs: _*).select(ordered: _*)
   }
 
   /** Auto-compaction policy shared by the streaming monitors: run
@@ -148,10 +161,11 @@ private[graft] object StreamState {
     * committed batch sits below the newest (nothing to fold).
     */
   def compact(s: SparkSession, stateDir: String,
-      tables: Seq[(String, StructType, DataFrame => DataFrame)]): Option[Long] =
+      tables: Seq[(String, StructType, DataFrame => DataFrame)],
+      partitionCols: Map[String, Seq[String]] = Map.empty): Option[Long] =
     compactWith(s, stateDir, tables.map { case (t, sch, f) =>
       (t, sch, (df: DataFrame, _: Long) => f(df))
-    })
+    }, partitionCols)
 
   /** [[compact]] whose merge functions also receive the FOLD ID (the
     * largest folded batch id) — for cross-table merges that must read a
@@ -162,7 +176,8 @@ private[graft] object StreamState {
     * sibling read see a different horizon than the folded table.
     */
   def compactWith(s: SparkSession, stateDir: String,
-      tables: Seq[(String, StructType, (DataFrame, Long) => DataFrame)]): Option[Long] = {
+      tables: Seq[(String, StructType, (DataFrame, Long) => DataFrame)],
+      partitionCols: Map[String, Seq[String]] = Map.empty): Option[Long] = {
     val committed = committedIds(s, stateDir)
     if (committed.size < 2) return None
     // the commit markers are shared by every table of this state dir —
@@ -185,8 +200,16 @@ private[graft] object StreamState {
     if (eligible.isEmpty) return None
     val m = eligible.max
     tables.foreach { case (table, schema, merge) =>
-      merge(readCommitted(s, stateDir, table, schema, upTo = m + 1), m)
-        .write.mode("overwrite").parquet(s"$stateDir/$table/base_id=$m")
+      // a table whose batch partitions are laid out by a partition
+      // column (the CDC index's cell= dirs) keeps that layout in the
+      // folded base, so compaction never costs a reader its pruning
+      val w = merge(readCommitted(s, stateDir, table, schema, upTo = m + 1,
+          partitioned = partitionCols.get(table).exists(_.nonEmpty)), m)
+        .write.mode("overwrite")
+      partitionCols.getOrElse(table, Nil) match {
+        case Nil => w.parquet(s"$stateDir/$table/base_id=$m")
+        case cols => w.partitionBy(cols: _*).parquet(s"$stateDir/$table/base_id=$m")
+      }
     }
     // marker LAST: the single atomic point where readers switch bases
     val (fs, cdir) = hadoopFs(s, s"$stateDir/_compacted")

@@ -165,7 +165,8 @@ class CdcIndexSpec extends AnyFunSuite {
         org.apache.spark.sql.types.StructType(
           Seq("vec_id", "cell", "code_0", "code_1", "code_2", "code_3")
             .map(n => org.apache.spark.sql.types.StructField(n,
-              org.apache.spark.sql.types.LongType))))
+              org.apache.spark.sql.types.LongType))),
+        partitioned = true)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getLong(5))).toSeq.sortBy(_._1)
     val cdcCodes = IndexStream.liveCodes(spark, cdcDirS, 4)
@@ -251,7 +252,8 @@ class CdcIndexSpec extends AnyFunSuite {
     // total persisted rows equal the live set
     assert(StreamState.readCommitted(spark, stateDir, "tombs", tombSchema)
       .count() == 0L, "spent tombstones survived the resolve")
-    assert(StreamState.readCommitted(spark, stateDir, "codes", cdcSchema)
+    assert(StreamState.readCommitted(spark, stateDir, "codes", cdcSchema,
+        partitioned = true)
       .count() == liveBefore.size.toLong, "dead rows survived the resolve")
 
     // the lifecycle continues over the resolved base
@@ -347,6 +349,38 @@ class CdcIndexSpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("vec_id")).toSet
     assert(allLive == live.toSet,
       "lifecycle live set diverged from the delete/resurrect spec")
+  }
+
+  test("cell-partitioned maintained state: searchCommittedCdc answers " +
+    "the probe by DIRECTORY pruning over the cell= layout") {
+    val q = quantizers
+    val dir = queries.SemanticQ.cdcLifecycleDir(spark, d)
+    // the layout itself: every committed codes batch is laid out by cell
+    val b1 = new java.io.File(s"$dir/codes/batch_id=1")
+    assert(b1.listFiles().exists(_.getName.startsWith("cell=")),
+      "committed codes batches must be partitionBy(cell) directories")
+    val qv = intVecOf(fullRows.head._2)
+    val probed = KMeansOp.nearestCells(q.coarse, qv, 2).toSet
+    val df = IndexStream.searchCommittedCdc(spark, dir, q, qv, 2, 10)
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val codeScans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.partitionFilters.exists(_.references.exists(_.name == "cell")) => f
+    }
+    assert(codeScans.nonEmpty,
+      s"probe-cell predicate must be a PARTITION filter on the state scan:\n$plan")
+    val listedCells = codeScans.head.selectedPartitions
+      .filePartitionIterator.map(_.values.getLong(0)).toSet
+    assert(listedCells == probed,
+      s"listing opened cells $listedCells, expected exactly the probed $probed")
+    // and the results still match the flat-scan contract (the monitor
+    // query's oracle pins the values; here: deleted ids stay invisible)
+    val served = df.collect().map(_.getLong(0)).toSet
+    assert(served.forall(id => !(id % 10 == 3 && id % 20 != 3)))
   }
 
   test("maintainCdc: the streaming wrapper drives the same per-batch " +

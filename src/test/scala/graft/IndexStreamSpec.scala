@@ -34,7 +34,8 @@ class IndexStreamSpec extends AnyFunSuite {
         org.apache.spark.sql.types.LongType)))
 
   private def committedCodes(stateDir: String): Seq[(Long, Long, Seq[Long])] =
-    StreamState.readCommitted(spark, stateDir, "codes", codesSchema)
+    StreamState.readCommitted(spark, stateDir, "codes", codesSchema,
+        partitioned = true)
       .collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
         Seq(r.getAs[Long]("code_0"), r.getAs[Long]("code_1"),
@@ -229,7 +230,8 @@ class IndexStreamSpec extends AnyFunSuite {
       Seq("vec_id", "cell", "code_0", "code_1")
         .map(n => org.apache.spark.sql.types.StructField(n,
           org.apache.spark.sql.types.LongType)))
-    def state() = StreamState.readCommitted(spark, stateDir, "codes", schema2)
+    def state() = StreamState.readCommitted(spark, stateDir, "codes", schema2,
+        partitioned = true)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(_._1).toSeq
     val before = state()
@@ -240,8 +242,10 @@ class IndexStreamSpec extends AnyFunSuite {
     assert(state() == before, "compaction changed the m=2 index")
     val baseDir = s"$stateDir/codes/base_id=" +
       StreamState.compactedIds(spark, stateDir).last
-    assert(spark.read.parquet(baseDir).schema.fieldNames.toSeq ==
-      Seq("vec_id", "cell", "code_0", "code_1"),
+    // cell rides as the partition directory, so inference appends it
+    // last — the m-derivation contract is the FIELD SET
+    assert(spark.read.parquet(baseDir).schema.fieldNames.toSet ==
+      Set("vec_id", "cell", "code_0", "code_1"),
       "compacted base schema must match the persisted m")
     val hist = IndexStream.cellHistogram(spark, stateDir).collect()
     assert(hist.map(_.getAs[Long]("n")).sum == rows.length)

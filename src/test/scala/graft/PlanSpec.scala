@@ -155,12 +155,12 @@ class PlanSpec extends AnyFunSuite {
   test("bigram LM: aggregates before the probe join; no occurrence-grain re-join") {
     val plan = formatted(graft.queries.Retrieval.queries("q_bigram_lm")(spark, TestSpark.sf0001))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
-    // the probe joins the checkpointed per-(doc,bigram) relation; the raw
-    // exploded stream must appear only beneath its single aggregate (the
-    // localCheckpoint scan is what the join consumes)
-    assert(plan.contains("Scan ExistingRDD") || plan.contains("LocalTableScan") ||
-      plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin") ||
-      plan.contains("BroadcastHashJoin"))
+    // the probe joins the per-(doc,bigram) multiplicity relation against
+    // the SESSION-CACHED score table — the query's plan must consume the
+    // cached derivation, not rebuild the corpus counts
+    assert(plan.contains("In-memory table graft_bigram_score") ||
+        plan.contains("InMemoryTableScan"),
+      s"q_bigram_lm must consume the cached score table:\n$plan")
   }
 
   test("bigram LM: Zipf-head w1 join is adaptive + AQE-skew-eligible") {
@@ -174,7 +174,12 @@ class PlanSpec extends AnyFunSuite {
       "AQE must be on (session default) for the skew-join path")
     assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true",
       "AQE skew-join handling must be on")
-    val plan = formatted(graft.queries.Retrieval.queries("q_bigram_lm")(spark, TestSpark.sf0001))
+    // pin on the OPERATOR (bigramLmScore): the declared query consumes
+    // the session-cached score table, so the w1-grain join lives in the
+    // cached derivation's build, not the per-query plan
+    def operatorPlan() = formatted(graft.queries.Retrieval.bigramLmScore(
+      Tables.documents(spark, TestSpark.sf0001), "doc_id", org.apache.spark.sql.functions.col("text")))
+    val plan = operatorPlan()
     assert(plan.contains("AdaptiveSparkPlan"),
       "bigram LM must execute under an adaptive plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
@@ -190,7 +195,7 @@ class PlanSpec extends AnyFunSuite {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val big = formatted(graft.queries.Retrieval.queries("q_bigram_lm")(spark, TestSpark.sf0001))
+      val big = operatorPlan()
       assert("SortMergeJoin|ShuffledHashJoin".r.findFirstIn(big).isDefined,
         "w1-grain join must be a shuffle join when broadcast is unavailable")
       assert("hashpartitioning\\(w1#\\d+, \\d+\\)".r.findFirstIn(big).isDefined,
