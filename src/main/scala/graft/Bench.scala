@@ -88,6 +88,7 @@ object Bench {
       "quantizer_fixed_k" -> (() => { queries.SemanticQ.trainedCentroids(spark, sfDir); () }),
       "quantizer_sqrt_n" -> (() => { queries.SemanticQ.scaledCentroids(spark, sfDir); () }),
       "quantizer_sqrt_n_sampled" -> (() => { queries.SemanticQ.sampledCentroids(spark, sfDir); () }),
+      "res_codebooks" -> (() => { queries.SemanticQ.resCodebooks(spark, sfDir); () }),
       "bpe_merges" -> (() => { queries.Analysis.cachedMergeSchedule(spark, sfDir); () }),
       "bigram_score" -> (() => { queries.Retrieval.bigramScore(spark, sfDir).count(); () }),
       // the persisted serving artifacts: one-time content-addressed

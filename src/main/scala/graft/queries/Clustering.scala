@@ -355,6 +355,64 @@ object Clustering {
     gateChunkSplit(docs, kept3)
   }
 
+  /** [[semDropIds]] with the r18 POPULATION CAP
+    * ([[SemanticQ.semdedupCappedQ]]'s prune): canon survivors rank by
+    * (distance-to-centroid, vec_id) within their cell and chunk into
+    * runs of at most SemanticQ.SemCap members before the pairwise
+    * stage — Σ|bucket|² ≤ N·cap, linear in N, with the fixed-k
+    * quantizer keeping the assignment linear too.
+    */
+  private def semDropIdsCapped(s: SparkSession, d: String, canon: DataFrame,
+      cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, d)
+      .select(col("vec_id"), graft.operators.KMeansOp.intVec(col("embedding")).as("v"))
+      .join(canon.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    val asg = graft.operators.KMeansOp.assignCells(vecs, cents.toDF("cid", "c"))
+      .select(col("vec_id"), col("cid").as("cluster"), col("dist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    val sub = asg
+      .withColumn("rn", row_number().over(w))
+      .selectExpr("vec_id", "cluster",
+        s"CAST((rn - 1) div ${SemanticQ.SemCap} AS BIGINT) AS sb")
+    val ve = sub.join(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      Seq("vec_id"))
+    val a = ve.select(col("cluster"), col("sb"), col("vec_id").as("id_a"),
+      col("embedding").as("ea"))
+    val b = ve.select(col("cluster"), col("sb"), col("vec_id").as("id_b"),
+      col("embedding").as("eb"))
+    a.join(b, Seq("cluster", "sb"))
+      .where(col("id_a") < col("id_b"))
+      .where(graft.functions.VectorOps.cosine(col("ea"), col("eb")) >= 0.4)
+      .select(col("id_b").as("doc_id"))
+      .distinct()
+  }
+
+  /** The LINEAR SEMANTIC corpus build — v2 with the SemDeDup stage's
+    * populations CAPPED ([[semDropIdsCapped]]): where v3 holds
+    * populations ~√N (leaving the N·√N assignment term — measured
+    * 53–63× at 100× rows), the cap bounds every bucket at a CONSTANT,
+    * so assignment (fixed k=8), rank window, and pairwise prune are
+    * ALL linear in N. This is the semantic-dedup twin of
+    * [[corpusBuildLsh]]'s trajectory (the lsh build is linear via
+    * minhash banding; this one via distance-rank chunking), trading
+    * dup pairs that straddle a chunk boundary — kept docs are a
+    * SUPERSET of v2's (pinned in ClusteringSpec). At fleet scale k
+    * tracks executor count, never corpus size; the cap carries the
+    * population bound.
+    */
+  def corpusBuildCapped(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val canon = canonIds(s, d)
+    val kept3 = canon.join(
+      semDropIdsCapped(s, d, canon, SemanticQ.trainedCentroids(s, d)),
+      Seq("doc_id"), "left_anti")
+    gateChunkSplit(docs, kept3)
+  }
+
   /** The fully LINEAR corpus build — near-dup resolution by LSH
     * bucket-union components (q_dup_clusters_lsh's stage) instead of
     * exact pairwise Jaccard: exact dedup → band the survivors' shingle
@@ -392,6 +450,7 @@ object Clustering {
     "q_corpus_build" -> corpusBuild,
     "q_corpus_build_v2" -> corpusBuildV2,
     "q_corpus_build_v3" -> corpusBuildV3,
+    "q_corpus_build_capped" -> corpusBuildCapped,
     "q_corpus_build_lsh" -> corpusBuildLsh,
     "q_edit_distance_dedup" -> editDistancePairs,
     "q_stratified_sample" -> stratifiedSample,
@@ -435,6 +494,28 @@ object Clustering {
     * (fixed-k lloydSql for v2, sample-trained √N lloydSqlSampled for
     * v3).
     */
+  /** [[semDropIdsCapped]] + kept3 in SQL: the Lloyd chain's a3 carries
+    * dist, so the rank window and the ≤SemCap chunking replay exactly;
+    * ranks run over the canon SUBSET on both sides.
+    */
+  private def semStageCappedSql(lloyd: String): String =
+    s"""$lloyd,
+       |sva AS (SELECT a3.vec_id, a3.cid AS cluster, a3.dist
+       |  FROM a3 JOIN canon c ON a3.vec_id = c.doc_id),
+       |svb AS (SELECT vec_id, cluster,
+       |    CAST((ROW_NUMBER() OVER (PARTITION BY cluster
+       |      ORDER BY dist ASC, vec_id ASC) - 1) // ${SemanticQ.SemCap}
+       |      AS BIGINT) AS sb
+       |  FROM sva),
+       |sv AS (SELECT s.vec_id, s.cluster, s.sb, e.embedding
+       |  FROM svb s JOIN embeddings e USING (vec_id)),
+       |semdrops AS (SELECT DISTINCT b.vec_id
+       |  FROM sv a JOIN sv b ON a.cluster = b.cluster AND a.sb = b.sb
+       |    AND a.vec_id < b.vec_id
+       |  WHERE ${Analysis.cosineSql("a.embedding", "b.embedding")} >= 0.4),
+       |kept3 AS (SELECT doc_id FROM canon
+       |  WHERE doc_id NOT IN (SELECT vec_id FROM semdrops))""".stripMargin
+
   private def semStageSql(lloyd: String): String =
     s"""$lloyd,
        |sv AS (SELECT a3.vec_id, a3.cid AS cluster, e.embedding
@@ -515,6 +596,11 @@ object Clustering {
       s"""WITH RECURSIVE $kept1Sql,
          |$exactCcSql,
          |${semStageSql(SemanticQ.lloydSqlSampled)},
+         |${corpusTailSql("kept3")}""".stripMargin,
+    "q_corpus_build_capped" ->
+      s"""WITH RECURSIVE $kept1Sql,
+         |$exactCcSql,
+         |${semStageCappedSql(SemanticQ.lloydSql)},
          |${corpusTailSql("kept3")}""".stripMargin,
     "q_corpus_build_lsh" ->
       s"""WITH RECURSIVE $kept1Sql,

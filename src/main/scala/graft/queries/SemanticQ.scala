@@ -1305,39 +1305,48 @@ object SemanticQ {
   }
 
   /** Per-bucket population cap for [[semdedupCappedQ]]: small enough to
-    * split several cells at the sf0.001 contract scale (N=500 at
-    * k=⌈√N⌉=23 puts mean cell population ~22 — the cap is exercised,
-    * not vacuous), large enough that a bucket still holds a dup
-    * cluster's neighbourhood.
+    * split every cell several ways at the sf0.001 contract scale
+    * (N=500 at k=8 puts mean cell population ~62 — the cap is heavily
+    * exercised, not vacuous), large enough that a bucket still holds a
+    * dup cluster's neighbourhood.
     */
-  private val SemCap = 16
+  private[queries] val SemCap = 16
 
   /** SemDeDup with BOUNDED bucket populations — the r17 scale fix for
     * the Σ|c|² = N^1.5 prune term (53–58× at 100× rows on the SF10
-    * probe): after the sample-trained √N assignment
-    * ([[sampledCentroids]] — training already linear), any cell is
-    * CHUNKED into runs of at most [[SemCap]] members, so the pairwise
-    * stage is Σ|bucket|² ≤ N·Cap — LINEAR in N with the cap a
-    * constant, whatever the cluster skew. The chunking key is the
-    * member's rank by (distance-to-centroid, vec_id) WITHIN its cell:
-    * deterministic (both orderings are exact BIGINTs the assignment
-    * already computed), one window over the assignment relation, and
-    * — unlike a hash split — locality-preserving: near-identical
-    * vectors sit at near-identical centroid distances, so dup pairs
-    * land in the same or adjacent ranks and mostly survive the split.
-    * What the cap trades is recall across chunk boundaries (a dup pair
-    * straddling two runs is not compared) — the same within-partition
+    * probe): after assignment, any cell is CHUNKED into runs of at most
+    * [[SemCap]] members, so the pairwise stage is Σ|bucket|² ≤ N·Cap —
+    * LINEAR in N with the cap a constant, whatever the cluster skew.
+    * The chunking key is the member's rank by (distance-to-centroid,
+    * vec_id) WITHIN its cell: deterministic (both orderings are exact
+    * BIGINTs the assignment already computed), one window over the
+    * assignment relation, and — unlike a hash split —
+    * locality-preserving: near-identical vectors sit at near-identical
+    * centroid distances, so dup pairs land in the same or adjacent
+    * ranks and mostly survive the split.
+    *
+    * Because the CAP now bounds populations, the quantizer's only
+    * remaining job is locality + parallelism — so this query assigns
+    * against the FIXED k=8 quantizer ([[trainedCentroids]]), not the
+    * √N one: the √N family's OTHER N^1.5 term is the assignment itself
+    * (N·√N distance evaluations — measured 53× at 100× rows even with
+    * sampled training), while k constant makes assignment, window,
+    * and pairwise ALL linear. At fleet scale k tracks the executor
+    * count (a parallelism knob, constant in N), never the corpus size;
+    * the cap carries the population bound either way. What the cap
+    * trades is recall across chunk boundaries (a dup pair straddling
+    * two runs is not compared) — the same within-partition
     * approximation SemDeDup itself makes at cluster grain, taken one
     * level deeper; a production pipeline prices it against the hard
     * per-task bound. Lowest-id-keep semantics unchanged within each
-    * bucket; the DuckDB oracle replays the sampled chain, the rank
+    * bucket; the DuckDB oracle replays the Lloyd chain, the rank
     * window, and the prune bit-for-bit.
     */
   def semdedupCappedQ(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
     val asg = KMeansOp.assignCells(intVecs(s, d),
-        sampledCentroids(s, d).toDF("cid", "c"))
+        trainedCentroids(s, d).toDF("cid", "c"))
       .select(col("vec_id"), col("cid").as("cluster"), col("dist"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster"))
@@ -1830,7 +1839,7 @@ object SemanticQ {
          |  CAST(COUNT(*) * 1000000 / 10 AS BIGINT) AS recall_ppm
          |FROM exact WHERE vec_id IN (SELECT vec_id FROM approx)""".stripMargin,
     "q_semdedup_capped" ->
-      s"""WITH $lloydSqlSampled,
+      s"""WITH $lloydSql,
          |sub AS (SELECT vec_id, cid AS cluster,
          |    CAST((ROW_NUMBER() OVER (PARTITION BY cid
          |      ORDER BY dist ASC, vec_id ASC) - 1) // $SemCap AS BIGINT) AS sb

@@ -178,6 +178,15 @@ class ClusteringSpec extends AnyFunSuite {
     assert(v3.subsetOf(base),
       "the √N SemDeDup stage may only REMOVE docs from the exact build")
     assert(v3.nonEmpty, "v3 must keep a non-trivial corpus")
+    // the capped build refines the SAME k=8 quantizer's clusters into
+    // ≤16-member buckets, so its prune pairs ⊆ v2's — it may only KEEP
+    // MORE than v2 (and still only remove from the exact build)
+    val v2 = keptDocs(Clustering.corpusBuildV2(spark, d))
+    val capped = keptDocs(Clustering.corpusBuildCapped(spark, d))
+    assert(v2.subsetOf(capped),
+      "the capped prune dropped a doc the uncapped k=8 prune kept")
+    assert(capped.subsetOf(base),
+      "the capped SemDeDup stage may only REMOVE docs from the exact build")
     val lsh = keptDocs(Clustering.corpusBuildLsh(spark, d))
     assert(lsh.nonEmpty)
     // a verified minhash pair shares a band bucket → one LSH component →

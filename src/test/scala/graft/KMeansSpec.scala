@@ -184,7 +184,7 @@ class KMeansSpec extends AnyFunSuite {
     "most 16 members; kept flags match brute force within buckets; the " +
     "cap only ADDS keeps relative to the uncapped sampled prune") {
     val d = TestSpark.sf0001
-    val cents = queries.SemanticQ.sampledCentroids(spark, d)
+    val cents = queries.SemanticQ.trainedCentroids(spark, d)
       .map { case (c, v) => c -> v.toArray }
     val vecs: Map[Long, Array[Long]] = Tables.embeddings(spark, d)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
@@ -232,12 +232,13 @@ class KMeansSpec extends AnyFunSuite {
       assert(kept == !hasLowerMate,
         s"vec $id kept=$kept but lowerMate=$hasLowerMate")
     }
-    // monotonicity: capping can only LOSE drop decisions (pairs split
+    // monotonicity vs the SAME-quantizer uncapped prune (q_semdedup,
+    // fixed k=8): capping can only LOSE drop decisions (pairs split
     // across bucket boundaries), never invent one
-    val keptSampled = queries.SemanticQ.queries("q_semdedup_sampled")(spark, d)
+    val keptUncapped = queries.SemanticQ.queries("q_semdedup")(spark, d)
       .collect().filter(_.getBoolean(2)).map(_.getLong(0)).toSet
     val droppedCapped = rows.filterNot(_._3).map(_._1).toSet
-    assert(droppedCapped.intersect(keptSampled).isEmpty,
+    assert(droppedCapped.intersect(keptUncapped).isEmpty,
       "the capped prune dropped a vector the uncapped prune kept")
   }
 
