@@ -84,7 +84,9 @@ object ScaleProbe {
     // should land ~linear where scaled/sampled are N^1.5), and the CDC
     // recall monitor over the pre-built lifecycle state
     "q_ann_ivfpq_res_part", "q_ann_ivf_sq8_part", "q_ann_ivf_sq8_batch",
-    "q_sq8_dim", "q_semdedup_capped", "q_recall_cdc")
+    "q_sq8_dim", "q_semdedup_capped", "q_recall_cdc",
+    "q_ann_ivfpq_batch_part", "q_ann_ivfpq_res_batch_part",
+    "q_corpus_build_capped")
 
   private def mix(a: Long, b: Long, c: Long): Long = {
     var h = a * 0x9E3779B97F4A7C15L + b * 0xC2B2AE3D27D4EB4FL + c * 0x165667B19E3779F9L

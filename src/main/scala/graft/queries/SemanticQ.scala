@@ -418,6 +418,42 @@ object SemanticQ {
       pqCodebooks(s, d), nProbe = 2, topK = 3)
   }
 
+  /** Batch IVFADC over the PERSISTED cell-partitioned code table —
+    * [[annIvfPqBatchQ]]'s contract with the corpus-side encode removed:
+    * the in-flight batch query recomputes every vector's cell + codes
+    * per invocation (fine when the index is being built in the same
+    * lineage; wasteful when it already exists), while this tier reads
+    * [[partitionedCodesPath]] and pays only the probed-cell join + ADC
+    * melt + rank. The per-qid probe-cell relation broadcasts into the
+    * partitioned scan, so only probed cells' rows are scored; with
+    * dynamic partition pruning the cell join prunes the LISTING too.
+    * Identical results to q_ann_ivfpq_batch (shared oracle).
+    */
+  def annIvfPqBatchPartQ(s: SparkSession, d: String): DataFrame = {
+    val probes = intVecs(s, d).where(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("qid"), col("v"))
+    graft.operators.ProductQuantizer.adcBatchServe(
+      s.read.schema(partCodesSchema).parquet(partitionedCodesPath(s, d)),
+      probes, trainedCentroids(s, d), pqCodebooks(s, d), PqSubDim,
+      nProbe = 2, topK = 3)
+  }
+
+  /** Batch serving for the RESIDUAL encoding over its PERSISTED
+    * cell-partitioned code table — [[annIvfPqResBatchQ]]'s contract
+    * served from [[partitionedResCodesPath]] instead of a per-query
+    * re-encode (the same gap q_ann_ivfpq_res_part closes for the
+    * single-probe tier, at the batch tier). Identical results to
+    * q_ann_ivfpq_res_batch (shared oracle).
+    */
+  def annIvfPqResBatchPartQ(s: SparkSession, d: String): DataFrame = {
+    val probes = intVecs(s, d).where(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("qid"), col("v"))
+    graft.operators.ProductQuantizer.adcBatchServeResidual(
+      s.read.schema(partCodesSchema).parquet(partitionedResCodesPath(s, d)),
+      probes, trainedCentroids(s, d), resCodebooks(s, d), PqSubDim,
+      nProbe = 2, topK = 3)
+  }
+
   /** The batch IVFADC serving DATAFLOW over an arbitrary probe frame
     * (qid, v) — the FAISS batch-query path over the persisted index,
     * with BOTH sides distributed (the reference's bulk fan-in,
@@ -1474,6 +1510,8 @@ object SemanticQ {
     "q_ann_ivfpq_res_batch" -> annIvfPqResBatchQ,
     "q_ann_pq_batch" -> annPqBatchQ,
     "q_ann_ivfpq_batch" -> annIvfPqBatchQ,
+    "q_ann_ivfpq_batch_part" -> annIvfPqBatchPartQ,
+    "q_ann_ivfpq_res_batch_part" -> annIvfPqResBatchPartQ,
     "q_recall_ivfpq_batch" -> recallIvfPqBatchQ,
     "q_shortlist_ann" -> shortlistAnnQ,
     "q_recall_shortlist_ann" -> recallShortlistAnnQ,
@@ -1774,6 +1812,62 @@ object SemanticQ {
        |SELECT vec_id, adc_scaled FROM adcres
        |ORDER BY adc_scaled ASC, vec_id ASC LIMIT 10""".stripMargin
 
+  /** q_ann_ivfpq_batch's contract SQL — also the oracle of its
+    * persisted-partitioned serving twin (same results, no re-encode).
+    */
+  private lazy val annIvfPqBatchOracle: String =
+    s"""WITH $ivfPqBatchChainSql
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, adc_scaled
+       |FROM ranked WHERE rnk <= 3
+       |ORDER BY qid ASC, rnk ASC""".stripMargin
+
+  /** q_ann_ivfpq_res_batch's contract SQL — also the oracle of its
+    * persisted-partitioned serving twin.
+    */
+  private lazy val annIvfPqResBatchOracle: String = {
+    val lutrbs = (0 until PqM).map { s =>
+      val lo = s * PqSubDim + 1
+      val hi = (s + 1) * PqSubDim
+      s"""lutrb$s AS (SELECT qr.qid, qr.cell, $s AS sub, b.cid AS code,
+         |  ${idistSql(s"qr.rv[$lo:$hi]", "b.c")} AS d
+         |  FROM qresb qr CROSS JOIN c2_r$s b)""".stripMargin
+    }
+    val lutUnion = (0 until PqM).map(s => s"SELECT * FROM lutrb$s")
+      .mkString(" UNION ALL ")
+    val codesUnion = (0 until PqM)
+      .map(s => s"SELECT vec_id, $s AS sub, cid AS code FROM a3_r$s")
+      .mkString(" UNION ALL ")
+    s"""WITH $lloydSql,
+       |$pqResSql,
+       |$pqResChainsSql,
+       |qb AS (SELECT vec_id AS qid, v FROM q WHERE vec_id IN (0, 1, 2)),
+       |pcb AS (SELECT qid, cid FROM (
+       |    SELECT qb.qid, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY qb.qid
+       |        ORDER BY ${idistSql("c.c", "qb.v")} ASC, c.cid ASC) AS rn
+       |    FROM c2 c CROSS JOIN qb) WHERE rn <= 2),
+       |qresb AS (SELECT pcb.qid, pcb.cid AS cell,
+       |    list_transform(range(1, len(qb.v) + 1), i -> qb.v[i] - cc.c[i]) AS rv
+       |  FROM pcb JOIN c2 cc ON pcb.cid = cc.cid JOIN qb ON qb.qid = pcb.qid),
+       |${lutrbs.mkString(",\n")},
+       |lutsb AS ($lutUnion),
+       |codesb AS ($codesUnion),
+       |cand AS (SELECT pcb.qid, r.vec_id, r.cell
+       |  FROM res r JOIN pcb ON r.cell = pcb.cid),
+       |adcb AS (SELECT cand.qid, cand.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc_scaled
+       |  FROM cand JOIN codesb c USING (vec_id)
+       |  JOIN lutsb l ON l.qid = cand.qid AND l.cell = cand.cell
+       |    AND l.sub = c.sub AND l.code = c.code
+       |  GROUP BY cand.qid, cand.vec_id HAVING COUNT(*) = $PqM),
+       |ranked AS (SELECT qid, vec_id, adc_scaled,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY adc_scaled ASC, vec_id ASC) AS rnk
+       |  FROM adcb)
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, adc_scaled
+       |FROM ranked WHERE rnk <= 3
+       |ORDER BY qid ASC, rnk ASC""".stripMargin
+  }
+
   /** The per-dim SQ8 derivation ([[sq8DimScales]]/[[sq8DimDequant]] in
     * SQL, operation order aligned expression-for-expression): per-dim
     * min/max, the two scale arrays as one row, and the dequantized
@@ -2002,11 +2096,8 @@ object SemanticQ {
          |FROM ranked WHERE rnk <= 3
          |ORDER BY qid ASC, rnk ASC""".stripMargin
     },
-    "q_ann_ivfpq_batch" ->
-      s"""WITH $ivfPqBatchChainSql
-         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, adc_scaled
-         |FROM ranked WHERE rnk <= 3
-         |ORDER BY qid ASC, rnk ASC""".stripMargin,
+    "q_ann_ivfpq_batch" -> annIvfPqBatchOracle,
+    "q_ann_ivfpq_batch_part" -> annIvfPqBatchOracle,
     "q_shortlist_ann" ->
       s"""WITH $lloydSql,
          |$pqChainsSql,
@@ -2047,49 +2138,8 @@ object SemanticQ {
          |  count(*) * 1000000 // 5 AS recall_ppm
          |FROM extop WHERE vec_id IN (SELECT vec_id FROM anntop)""".stripMargin,
     "q_ann_ivfpq_res" -> annIvfPqResOracle,
-    "q_ann_ivfpq_res_batch" -> {
-      val lutrbs = (0 until PqM).map { s =>
-        val lo = s * PqSubDim + 1
-        val hi = (s + 1) * PqSubDim
-        s"""lutrb$s AS (SELECT qr.qid, qr.cell, $s AS sub, b.cid AS code,
-           |  ${idistSql(s"qr.rv[$lo:$hi]", "b.c")} AS d
-           |  FROM qresb qr CROSS JOIN c2_r$s b)""".stripMargin
-      }
-      val lutUnion = (0 until PqM).map(s => s"SELECT * FROM lutrb$s")
-        .mkString(" UNION ALL ")
-      val codesUnion = (0 until PqM)
-        .map(s => s"SELECT vec_id, $s AS sub, cid AS code FROM a3_r$s")
-        .mkString(" UNION ALL ")
-      s"""WITH $lloydSql,
-         |$pqResSql,
-         |$pqResChainsSql,
-         |qb AS (SELECT vec_id AS qid, v FROM q WHERE vec_id IN (0, 1, 2)),
-         |pcb AS (SELECT qid, cid FROM (
-         |    SELECT qb.qid, c.cid,
-         |      ROW_NUMBER() OVER (PARTITION BY qb.qid
-         |        ORDER BY ${idistSql("c.c", "qb.v")} ASC, c.cid ASC) AS rn
-         |    FROM c2 c CROSS JOIN qb) WHERE rn <= 2),
-         |qresb AS (SELECT pcb.qid, pcb.cid AS cell,
-         |    list_transform(range(1, len(qb.v) + 1), i -> qb.v[i] - cc.c[i]) AS rv
-         |  FROM pcb JOIN c2 cc ON pcb.cid = cc.cid JOIN qb ON qb.qid = pcb.qid),
-         |${lutrbs.mkString(",\n")},
-         |lutsb AS ($lutUnion),
-         |codesb AS ($codesUnion),
-         |cand AS (SELECT pcb.qid, r.vec_id, r.cell
-         |  FROM res r JOIN pcb ON r.cell = pcb.cid),
-         |adcb AS (SELECT cand.qid, cand.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc_scaled
-         |  FROM cand JOIN codesb c USING (vec_id)
-         |  JOIN lutsb l ON l.qid = cand.qid AND l.cell = cand.cell
-         |    AND l.sub = c.sub AND l.code = c.code
-         |  GROUP BY cand.qid, cand.vec_id HAVING COUNT(*) = $PqM),
-         |ranked AS (SELECT qid, vec_id, adc_scaled,
-         |    ROW_NUMBER() OVER (PARTITION BY qid
-         |      ORDER BY adc_scaled ASC, vec_id ASC) AS rnk
-         |  FROM adcb)
-         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, adc_scaled
-         |FROM ranked WHERE rnk <= 3
-         |ORDER BY qid ASC, rnk ASC""".stripMargin
-    },
+    "q_ann_ivfpq_res_batch" -> annIvfPqResBatchOracle,
+    "q_ann_ivfpq_res_batch_part" -> annIvfPqResBatchOracle,
     "q_recall_ivfpq" ->
       s"""WITH $lloydSql,
          |$pqChainsSql,

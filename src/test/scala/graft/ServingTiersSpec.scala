@@ -278,6 +278,23 @@ class ServingTiersSpec extends AnyFunSuite {
     assert(got.filter(_._1 == 0L).map(r => (r._3, r._4)) == single)
   }
 
+  test("batch part tiers: persisted-table batch serving equals the " +
+    "in-flight batch queries and scans the index, not a re-encode") {
+    def rows(k: String) = queries.SemanticQ.queries(k)(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows("q_ann_ivfpq_batch_part") == rows("q_ann_ivfpq_batch"),
+      "partitioned batch serving diverged from q_ann_ivfpq_batch")
+    assert(rows("q_ann_ivfpq_res_batch_part") == rows("q_ann_ivfpq_res_batch"),
+      "partitioned residual batch serving diverged from q_ann_ivfpq_res_batch")
+    def scansIndex(k: String, tag: String): Boolean =
+      fileScans(queries.SemanticQ.queries(k)(spark, d)).exists(
+        _.relation.location.rootPaths.exists(_.toString.contains(tag)))
+    assert(scansIndex("q_ann_ivfpq_batch_part", "graft_idx_ivfpq_"),
+      "plain batch part tier must scan the persisted ivfpq index")
+    assert(scansIndex("q_ann_ivfpq_res_batch_part", "graft_idx_ivfpqres_"),
+      "residual batch part tier must scan the persisted residual index")
+  }
+
   test("q_sq8_dim: per-dim scales match a scalar replay; recall meets " +
     "or beats the global-amax encoding") {
     val ivecs = intVecsLocal()
