@@ -90,6 +90,7 @@ object Bench {
       "quantizer_sqrt_n_sampled" -> (() => { queries.SemanticQ.sampledCentroids(spark, sfDir); () }),
       "res_codebooks" -> (() => { queries.SemanticQ.resCodebooks(spark, sfDir); () }),
       "bpe_merges" -> (() => { queries.Analysis.cachedMergeSchedule(spark, sfDir); () }),
+      "bigram_mult" -> (() => { queries.Retrieval.bigramDocMult(spark, sfDir).count(); () }),
       "bigram_score" -> (() => { queries.Retrieval.bigramScore(spark, sfDir).count(); () }),
       // the persisted serving artifacts: one-time content-addressed
       // index writes the partitioned tiers then serve from, and the CDC
@@ -97,7 +98,9 @@ object Bench {
       "ivfpq_part_index" -> (() => { queries.SemanticQ.partitionedCodesPath(spark, sfDir); () }),
       "ivfpqres_part_index" -> (() => { queries.SemanticQ.partitionedResCodesPath(spark, sfDir); () }),
       "ivfsq8_index" -> (() => { queries.SemanticQ.sq8IndexPath(spark, sfDir); () }),
+      "sq8dim_index" -> (() => { queries.SemanticQ.sq8DimIndexPath(spark, sfDir); () }),
       "cdc_lifecycle" -> (() => { queries.SemanticQ.cdcLifecycleDir(spark, sfDir); () }),
+      "cdc_lifecycle_sq8" -> (() => { queries.SemanticQ.cdcLifecycleSq8Dir(spark, sfDir); () }),
     )
     val derivSecs: Seq[(String, Double)] = derivationBuilds.map { case (n, f) =>
       val t0 = System.nanoTime()

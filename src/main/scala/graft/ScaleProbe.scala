@@ -86,7 +86,11 @@ object ScaleProbe {
     "q_ann_ivfpq_res_part", "q_ann_ivf_sq8_part", "q_ann_ivf_sq8_batch",
     "q_sq8_dim", "q_semdedup_capped", "q_recall_cdc",
     "q_ann_ivfpq_batch_part", "q_ann_ivfpq_res_batch_part",
-    "q_corpus_build_capped")
+    "q_corpus_build_capped",
+    // round 19: the per-dim SQ8 persisted/batch tiers (directory-pruned
+    // reads; the index write is a derivation below) and the SQ8 CDC
+    // recall monitor over its pre-built lifecycle state
+    "q_sq8_dim_part", "q_sq8_dim_batch", "q_recall_cdc_sq8")
 
   private def mix(a: Long, b: Long, c: Long): Long = {
     var h = a * 0x9E3779B97F4A7C15L + b * 0xC2B2AE3D27D4EB4FL + c * 0x165667B19E3779F9L
@@ -249,27 +253,39 @@ object ScaleProbe {
       } catch { case _: Throwable => () }
     }
     // pre-build the session-cached trained artifacts per dir (the
-    // ScaleProbe100 discipline): without this, whichever ANN query runs
-    // FIRST at each dir is charged for quantizer training — and
-    // q_ann_ivfpq_part for its one-time partitionBy(cell) index
-    // write — inflating its ratio into the >12x tripwire this harness
-    // exists to keep trustworthy
-    for (d <- Seq(src, dst)) {
-      try {
-        queries.SemanticQ.trainedCentroids(spark, d)
-        queries.SemanticQ.pqCodebooks(spark, d)
+    // ScaleProbe100 discipline), RECORDING each build's wall time into
+    // the artifact ("derivations_sec", r18 verdict #3/#4): without the
+    // pre-build, whichever ANN query runs FIRST at each dir is charged
+    // for quantizer training — and q_ann_ivfpq_part for its one-time
+    // partitionBy(cell) index write — inflating its ratio into the
+    // >12x tripwire this harness exists to keep trustworthy; without
+    // the STAMP, a derivation regression hides in whichever rep ran
+    // first (q_bpe_train probed 31.7x at r18 precisely because the
+    // merge-schedule build was unstamped here while Bench stamps it)
+    val derivSecs: Seq[(String, Double)] = (for {
+      (tag, d) <- Seq("base" -> src, "probe" -> dst)
+      (dn, f) <- Seq[(String, () => Unit)](
+        "quantizer_fixed_k" -> (() => { queries.SemanticQ.trainedCentroids(spark, d); () }),
+        "pq_codebooks" -> (() => { queries.SemanticQ.pqCodebooks(spark, d); () }),
         // resCodebooks EXPLICITLY, not only via the index build: a
         // _SUCCESS-cached index dir skips its build closure, and the
         // first residual query of the session would then be charged
         // the codebook training (a build-time derivation)
-        queries.SemanticQ.resCodebooks(spark, d)
-        queries.SemanticQ.partitionedCodesPath(spark, d)
-        queries.SemanticQ.partitionedResCodesPath(spark, d)
-        queries.SemanticQ.sq8IndexPath(spark, d)
-        queries.SemanticQ.cdcLifecycleDir(spark, d)
-        queries.Retrieval.bigramScore(spark, d).count()
-      } catch { case _: Throwable => () }
-    }
+        "res_codebooks" -> (() => { queries.SemanticQ.resCodebooks(spark, d); () }),
+        "ivfpq_part_index" -> (() => { queries.SemanticQ.partitionedCodesPath(spark, d); () }),
+        "ivfpqres_part_index" -> (() => { queries.SemanticQ.partitionedResCodesPath(spark, d); () }),
+        "ivfsq8_index" -> (() => { queries.SemanticQ.sq8IndexPath(spark, d); () }),
+        "sq8dim_index" -> (() => { queries.SemanticQ.sq8DimIndexPath(spark, d); () }),
+        "cdc_lifecycle" -> (() => { queries.SemanticQ.cdcLifecycleDir(spark, d); () }),
+        "cdc_lifecycle_sq8" -> (() => { queries.SemanticQ.cdcLifecycleSq8Dir(spark, d); () }),
+        "bpe_merges" -> (() => { queries.Analysis.cachedMergeSchedule(spark, d); () }),
+        "bigram_mult" -> (() => { queries.Retrieval.bigramDocMult(spark, d).count(); () }),
+        "bigram_score" -> (() => { queries.Retrieval.bigramScore(spark, d).count(); () }))
+    } yield {
+      val t0 = System.nanoTime()
+      try f() catch { case _: Throwable => () }
+      s"$dn.$tag" -> (System.nanoTime() - t0) / 1e9
+    })
     // Timing executes a noop-format WRITE, not .count(): a count lets
     // Catalyst prune unreferenced projections and drop sorts, so a
     // projection-only stage (BPE counts, cosine projections) would be
@@ -301,12 +317,14 @@ object ScaleProbe {
       println(f"[probe] $name%-24s base=$base%7.2fs probe=$probe%8.2fs ratio=$ratio%6.2fx")
       (name, base, probe, ratio)
     }
+    val djson = derivSecs.map { case (k, v) => s"${Jsons.escape(k)}:$v" }
+      .mkString(",")
     val json = rows.map { case (n, b, p, r) =>
       s"${Jsons.escape(n)}:{" + s""""base_sec":$b,"probe_sec":$p,"ratio":$r}"""
     }.mkString(
       s"""{"probe":"sf1","rows_ratio":10,"base":${Jsons.escape(src)},""" +
         s""""probe_dir":${Jsons.escape(dst)},"cpus":$cpus,"reps":$reps,""" +
-        s""""timing":"noop_write","queries":{""",
+        s""""timing":"noop_write","derivations_sec":{$djson},"queries":{""",
       ",", "}}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     spark.sparkContext.setLogLevel("OFF")
@@ -360,7 +378,11 @@ object ScaleProbe100 {
     // claim), the residual + SQ8 partitioned serving tiers (index
     // writes are derivations below), and the per-dim SQ8 scan
     "q_semdedup_capped", "q_ann_ivfpq_res_part", "q_ann_ivf_sq8_part",
-    "q_sq8_dim")
+    "q_sq8_dim",
+    // round 19: the per-dim SQ8 persisted tier — should track
+    // |probed cells|/k of the 100× code table like the other _part
+    // queries (the index write is a derivation below)
+    "q_sq8_dim_part")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -399,10 +421,12 @@ object ScaleProbe100 {
         // index skips its build closure, and the first residual query
         // would otherwise be charged the codebook training
         "res_codebooks" -> (() => { queries.SemanticQ.resCodebooks(spark, d); () }),
+        "bigram_mult" -> (() => { queries.Retrieval.bigramDocMult(spark, d).count(); () }),
         "bigram_score" -> (() => { queries.Retrieval.bigramScore(spark, d).count(); () }),
         "ivfpq_part_index" -> (() => { queries.SemanticQ.partitionedCodesPath(spark, d); () }),
         "ivfpqres_part_index" -> (() => { queries.SemanticQ.partitionedResCodesPath(spark, d); () }),
-        "ivfsq8_index" -> (() => { queries.SemanticQ.sq8IndexPath(spark, d); () }))
+        "ivfsq8_index" -> (() => { queries.SemanticQ.sq8IndexPath(spark, d); () }),
+        "sq8dim_index" -> (() => { queries.SemanticQ.sq8DimIndexPath(spark, d); () }))
     } yield {
       val t0 = System.nanoTime()
       try f() catch { case _: Throwable => () }

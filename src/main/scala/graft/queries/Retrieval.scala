@@ -245,13 +245,30 @@ object Retrieval {
   private[graft] def bigramScore(s: SparkSession, d: String): DataFrame =
     CachedViews.cached(s, "graft_bigram_score", d,
         SemanticQ.snapshotKey(s, d, "documents")) {
-      bigramScoreOf(bigramMult(Tables.documents(s, d), "doc_id", col("text")))
+      bigramScoreOf(bigramDocMult(s, d))
+    }
+
+  /** The per-(doc, w1, w2) multiplicity relation as a round-shared
+    * persisted derivation (r18 verdict #5 — the second bigram shave):
+    * like [[bigramScore]] it is a pure function of the documents
+    * snapshot, and it is the COMMON input of both the model derivation
+    * (its (w1,w2)/(w1) rollups) and every scoring job's probe side —
+    * exactly the shape of the session-cached token/shingle signature
+    * tables (`tokenSets`/`shingleSets`), which a production pipeline
+    * materializes once per corpus snapshot. With it cached, a
+    * q_bigram_lm invocation pays only the (w1, w2) probe join + the
+    * per-doc weighted mean; the tokenize-explode-aggregate pass over
+    * the corpus text happens once per snapshot, stamped into
+    * `derivations_sec` by Bench like every shared fact table.
+    */
+  private[graft] def bigramDocMult(s: SparkSession, d: String): DataFrame =
+    CachedViews.cached(s, "graft_bigram_mult", d,
+        SemanticQ.snapshotKey(s, d, "documents")) {
+      bigramMult(Tables.documents(s, d), "doc_id", col("text"))
     }
 
   def bigramLm(s: SparkSession, d: String): DataFrame =
-    bigramProbe(
-      bigramMult(Tables.documents(s, d), "doc_id", col("text")),
-      bigramScore(s, d), "doc_id")
+    bigramProbe(bigramDocMult(s, d), bigramScore(s, d), "doc_id")
       .orderBy(col("doc_id").asc)
 
   /** Per-document corpus-duplication fraction — the doc-level signal

@@ -425,8 +425,14 @@ object SemanticQ {
     * lineage; wasteful when it already exists), while this tier reads
     * [[partitionedCodesPath]] and pays only the probed-cell join + ADC
     * melt + rank. The per-qid probe-cell relation broadcasts into the
-    * partitioned scan, so only probed cells' rows are scored; with
-    * dynamic partition pruning the cell join prunes the LISTING too.
+    * partitioned scan, so rows are SCORED only for probed cells — the
+    * join filter, not the file listing: Spark does not plant a dynamic
+    * partition-pruning subquery for this broadcast shape (verified
+    * against the physical plan, ADVICE r18 — `PartitionFilters` carries
+    * only the isnotnull guard), so a probe fleet wide enough to touch
+    * most cells reads the whole index once, which is also what it
+    * scores. The single-probe tier ([[annIvfPqPartQ]]) is the
+    * listing-pruned path and stays pinned in ServingTiersSpec.
     * Identical results to q_ann_ivfpq_batch (shared oracle).
     */
   def annIvfPqBatchPartQ(s: SparkSession, d: String): DataFrame = {
@@ -624,24 +630,53 @@ object SemanticQ {
     */
   private val supersededDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def rmrfDir(dir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    scala.util.Try(rm(new java.io.File(dir))); ()
+  }
   private lazy val supersededCleanupHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      supersededDirs.forEach { dir =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        scala.util.Try(rm(new java.io.File(dir))); ()
-      }))
+      supersededDirs.forEach(rmrfDir(_))))
+
+  /** One-time-per-JVM sweep of STALE persisted-index dirs (ADVICE r18):
+    * layout-version bumps and dir-prefix renames orphan prior sessions'
+    * content-addressed dirs permanently (their key can never be
+    * recomputed, so the `_SUCCESS` reuse path never touches them), and
+    * on hosts where java.io.tmpdir persists those full code-table
+    * copies accumulate forever. Age them out at 24 h: a dir REUSED
+    * within the window keeps its write-time mtime but is at most one
+    * rebuild away, while every active same-session dir is younger than
+    * the sweep by construction. Crashed `.build-*` staging dirs share
+    * the prefix and age out the same way.
+    */
+  private lazy val staleIndexSweep: Unit = {
+    val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+    Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory &&
+        (f.getName.startsWith("graft_idx_") ||
+          f.getName.startsWith("graft_ivfpq_part_")) &&
+        f.lastModified() < cutoff)
+      .foreach(f => rmrfDir(f.getPath))
+  }
 
   /** Content-addressed persisted-index dir under `tag`: reuse the
     * `_SUCCESS`-marked write when (layout version, tag, data snapshot)
     * all match — also across sessions, the write being a pure function
-    * of the three — else run `build` into a fresh dir derived from the
-    * key's MD5. One live dir per (dataset dir, tag); a replaced
-    * snapshot parks its superseded copy for shutdown deletion.
+    * of the three — else run `build` into a SESSION-UNIQUE staging dir
+    * and atomically rename it into the content-addressed name (ADVICE
+    * r18: two concurrent JVMs on the same host/data race on the same
+    * MD5-named dir; with build-then-rename each builds privately, the
+    * loser discards its finished copy, and no reader can ever observe
+    * a half-built dir under the final name). One live dir per (dataset
+    * dir, tag); a replaced snapshot parks its superseded copy for
+    * shutdown deletion.
     */
   private def persistedIndexPath(s: SparkSession, d: String, tag: String)
       (build: String => Unit): String = {
+    staleIndexSweep
     val fp = s"v$IndexLayoutVersion|$tag|${snapshotKey(s, d)}"
     partIndexCache.compute(s"$d|$tag", (_, prev) =>
       if (prev != null && prev._1 == fp) prev
@@ -652,7 +687,29 @@ object SemanticQ {
         val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
           s"graft_idx_${tag}_$h").toString
         if (!java.nio.file.Files.exists(
-            java.nio.file.Paths.get(dir, "_SUCCESS"))) build(dir)
+            java.nio.file.Paths.get(dir, "_SUCCESS"))) {
+          val tmp = dir + ".build-" + java.util.UUID.randomUUID().toString.take(8)
+          build(tmp)
+          try java.nio.file.Files.move(
+            java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(dir),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.FileSystemException
+                if java.nio.file.Files.exists(
+                  java.nio.file.Paths.get(dir, "_SUCCESS")) =>
+              // a concurrent session completed the same key first —
+              // serve its copy, discard ours
+              rmrfDir(tmp)
+            case _: java.nio.file.FileSystemException =>
+              // the target exists WITHOUT a marker: a torn dir from a
+              // crashed pre-rename-era build — replace it with ours
+              rmrfDir(dir)
+              java.nio.file.Files.move(
+                java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(dir),
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              ()
+          }
+        }
         (fp, dir)
       })._2
   }
@@ -1116,6 +1173,37 @@ object SemanticQ {
       floor((mn + c.cast("double") * delta) * lit(1000000.0))
     })
 
+  /** The per-dim scalar CODE array under the trained [vmn, vmx]
+    * intervals — the 1-byte-per-dim payload the per-dim index persists
+    * (requires `vmn`/`vmx` columns in scope): dim i's code is
+    * floor((x − vmn_i)/Δ_i + 0.5), Δ_i = (vmax_i − vmin_i)/255 — the
+    * same expression [[sq8DimDequant]] folds inline, split out so the
+    * build can STORE the code and the serving side can decode it.
+    */
+  private def sq8DimCode(vec: Column): Column =
+    transform(vec, (e, i) => {
+      val mn = element_at(col("vmn"), i + 1)
+      val mx = element_at(col("vmx"), i + 1)
+      val delta = (mx - mn) / lit(255.0)
+      when(mx === mn, lit(0L))
+        .otherwise(floor((e.cast("double") - mn) / delta + lit(0.5))
+          .cast("long"))
+    })
+
+  /** Dequantize a PERSISTED per-dim code array back into the shared
+    * ×10^6 integer domain (asymmetric DC: the corpus code is decoded,
+    * the query never quantized) — operation-for-operation the tail of
+    * [[sq8DimDequant]], so a persisted-code decode is bit-identical to
+    * the in-flight encode-then-decode.
+    */
+  private def sq8DimDecode(code: Column): Column =
+    transform(code, (c, i) => {
+      val mn = element_at(col("vmn"), i + 1)
+      val mx = element_at(col("vmx"), i + 1)
+      val delta = (mx - mn) / lit(255.0)
+      floor((mn + c.cast("double") * delta) * lit(1000000.0)).cast("long")
+    })
+
   /** Top-10 under the per-dim-trained SQ8 encoding ([[sq8DimScales]]):
     * one corpus projection dequantizes each vector's codes into the
     * shared integer domain and ranks by exact integer L2 against the
@@ -1155,6 +1243,135 @@ object SemanticQ {
       .limit(10)
       .select(col("vec_id"))
     val approx = sq8DimTopkQ(s, d).select(col("vec_id"))
+    exact.join(approx, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("n_hits"),
+        (col("n_hits") * lit(1000000L) / lit(10L)).cast("long").as("recall_ppm"))
+  }
+
+  /** The persisted per-dim-SQ8 index schema: per-dim codes plus the
+    * trained 2×d scale table riding IN each row (constant → parquet RLE
+    * stores it once per row group; the artifact stays one atomic
+    * write), coarse cell as the partition column.
+    */
+  private[graft] val sq8DimPartSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("code",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.types.StructField("vmn",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.types.StructField("vmx",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.LongType)))
+
+  /** The persisted cell-partitioned PER-DIM SQ8 index (r18 verdict #2:
+    * every other encoding graduated to a `partitionBy(cell)` index;
+    * q_sq8_dim still encoded the corpus at query time): one corpus
+    * pass computes each vector's coarse cell and per-dim codes under
+    * the trained [vmn, vmx] scale table, written `partitionBy(cell)`
+    * so a probe reads only its cell directories.
+    */
+  private[graft] def sq8DimIndexPath(s: SparkSession, d: String): String =
+    persistedIndexPath(s, d, "sq8dim") { dir =>
+      val emb = Tables.embeddings(s, d)
+      val cents = trainedCentroids(s, d)
+      emb.crossJoin(broadcast(sq8DimScales(emb)))
+        .select(col("vec_id"),
+          sq8DimCode(col("embedding")).as("code"),
+          col("vmn"), col("vmx"),
+          graft.operators.ProductQuantizer
+            .nearestCid(KMeansOp.intVec(col("embedding")), cents).as("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    }
+
+  /** IVF + per-dim SQ8 served from the PERSISTED cell-partitioned
+    * index — the composition FAISS ships as
+    * IndexIVFScalarQuantizer(QT_8bit) with per-dim trained intervals,
+    * at rest: the probed-cell predicate is answered by DIRECTORY
+    * pruning (ServingTiersSpec pins `selectedPartitions == nProbe`),
+    * the scanned rows decode their persisted codes into the shared
+    * integer domain (asymmetric DC — the query is never quantized, so
+    * quantization error enters once), and the top-10 ranks by exact
+    * BIGINT L2. Nothing of the corpus is encoded at query time; the
+    * oracle replays the per-dim scale chain over the probed cells.
+    */
+  def sq8DimPartQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cents = trainedCentroids(s, d)
+    val qv = intVecs(s, d).where(col("vec_id") === 0L).select(col("v"))
+      .as[Seq[Long]].head()
+    val probeCells = KMeansOp.nearestCells(cents, qv, 2)
+    s.read.schema(sq8DimPartSchema).parquet(sq8DimIndexPath(s, d))
+      .where(col("cell").isin(probeCells: _*))
+      .select(col("vec_id"),
+        aggregate(
+          zip_with(sq8DimDecode(col("code")), typedLit(qv),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("qdist"))
+      .orderBy(col("qdist").asc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** BATCH serving over the persisted per-dim SQ8 index — the
+    * q_ann_ivfpq_batch discipline at this encoding: per-qid
+    * nProbe-nearest coarse cells via the literal-argmin array
+    * (shuffle-free), the (qid, cell) relation broadcast into the
+    * partitioned index so only probed-cell rows decode and score, one
+    * qid-partitioned rank for the per-probe top-3. ONE index-scan
+    * lineage regardless of probe count; the probe vectors stay in the
+    * scaled-integer domain end to end (asymmetric DC).
+    */
+  def sq8DimBatchQ(s: SparkSession, d: String): DataFrame = {
+    val cents = trainedCentroids(s, d)
+    val codes = s.read.schema(sq8DimPartSchema).parquet(sq8DimIndexPath(s, d))
+    val cellArr = array_sort(array(cents.map { case (cid, cv) =>
+      struct(KMeansOp.intDist(col("qv"), typedLit(cv)).as("dist"),
+        lit(cid).as("cid"))
+    }: _*))
+    val probes = intVecs(s, d).where(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val probeCells = probes
+      .select(col("qid"), col("qv"), explode(slice(cellArr, 1, 2)).as("pc"))
+      .select(col("qid"), col("qv"), col("pc.cid").as("cell"))
+    val scored = codes.join(broadcast(probeCells), Seq("cell"))
+      .select(col("qid"), col("vec_id"),
+        aggregate(
+          zip_with(sq8DimDecode(col("code")), col("qv"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("qdist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("qdist").asc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("qdist"))
+      .orderBy(col("qid").asc, col("rnk").asc)
+  }
+
+  /** Recall@10 of the persisted IVF + per-dim SQ8 serving vs the
+    * integer-exact top-10 — folds the cell-miss and per-dim
+    * quantization losses into one monitor, completing the recall
+    * family for the last encoding to graduate to a persisted tier.
+    * Deterministic BIGINT ppm.
+    */
+  def recallSq8DimPartQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vecs = intVecs(s, d)
+    val qv = vecs.where(col("vec_id") === 0L).select(col("v"))
+      .as[Seq[Long]].head()
+    val exact = vecs
+      .select(col("vec_id"),
+        KMeansOp.intDist(col("v"), typedLit(qv)).as("dist_scaled"))
+      .orderBy(col("dist_scaled").asc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"))
+    val approx = sq8DimPartQ(s, d).select(col("vec_id"))
     exact.join(approx, Seq("vec_id"), "left_semi")
       .agg(count(lit(1)).as("n_hits"))
       .select(col("n_hits"),
@@ -1411,34 +1628,52 @@ object SemanticQ {
 
   // ---- CDC-index lifecycle + recall monitor (r17 verdict #6) --------
 
+  /** The CDC lifecycle fixture's delete/resurrect predicates, CENTRAL
+    * (ADVICE r18: the `%10==3 deleted, %20==3 resurrected` convention
+    * was hardcoded independently in the fixture, the monitor's exact
+    * side, the oracle SQL, and CdcIndexSpec — four sites that could
+    * drift on edit). The Scala Columns and the generated SQL fragment
+    * are the single source: batch 2 deletes [[cdcDeleted]] ids, batch 3
+    * re-inserts [[cdcResurrected]] ids, and a vec_id is LIVE
+    * mid-lifecycle iff [[cdcLiveSql]] holds.
+    */
+  private[graft] val CdcDeleteMod = 10
+  private[graft] val CdcResurrectMod = 20
+  private[graft] val CdcResidue = 3
+  private[graft] def cdcDeleted(id: Column): Column =
+    id % CdcDeleteMod === CdcResidue
+  private[graft] def cdcResurrected(id: Column): Column =
+    id % CdcResurrectMod === CdcResidue
+  private[graft] def cdcLive(id: Column): Column =
+    !(cdcDeleted(id) && !cdcResurrected(id))
+  private[graft] def cdcLiveSql(idExpr: String): String =
+    s"NOT ($idExpr % $CdcDeleteMod = $CdcResidue AND " +
+      s"$idExpr % $CdcResurrectMod <> $CdcResidue)"
+
   /** A deterministic CDC index LIFECYCLE over the dataset — insert the
-    * full corpus, delete every vec_id ≡ 3 (mod 10), re-insert the half
-    * of them ≡ 3 (mod 20) — driven through the real
+    * full corpus, delete every [[cdcDeleted]] vec_id, re-insert the
+    * [[cdcResurrected]] half of them — driven through the real
     * [[graft.streaming.IndexStream.processBatchCdc]] against the
     * session's frozen quantizers, materialized once per content
     * snapshot (the same `_SUCCESS`-gated lifecycle as every persisted
-    * index here; a partial run without the marker is wiped and
-    * redriven). This is the fixture the CDC recall monitor serves
-    * from: a maintained index that has actually taken deletes and
-    * resurrections, not a fresh build.
+    * index here; the staging dir is session-unique, so a torn partial
+    * run is never visible under the served name). This is the fixture
+    * the CDC recall monitor serves from: a maintained index that has
+    * actually taken deletes and resurrections, not a fresh build.
     */
   private[graft] def cdcLifecycleDir(s: SparkSession, d: String): String =
     persistedIndexPath(s, d, "cdclife") { dir =>
-      def rmrf(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
-      }
-      rmrf(new java.io.File(dir))
       val qz = graft.streaming.IndexStream.Quantizers(
         trainedCentroids(s, d), pqCodebooks(s, d), PqSubDim)
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"))
       graft.streaming.IndexStream.processBatchCdc(emb, 1L, qz, dir)
       graft.streaming.IndexStream.processBatchCdc(
-        emb.where(col("vec_id") % 10 === 3)
+        emb.where(cdcDeleted(col("vec_id")))
           .withColumn(graft.streaming.IndexStream.OpColumn, lit("delete")),
         2L, qz, dir)
       graft.streaming.IndexStream.processBatchCdc(
-        emb.where(col("vec_id") % 20 === 3), 3L, qz, dir)
+        emb.where(cdcResurrected(col("vec_id"))), 3L, qz, dir)
       java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "_SUCCESS"))
       ()
     }
@@ -1466,8 +1701,92 @@ object SemanticQ {
     val approx = graft.streaming.IndexStream
       .searchCommittedCdc(s, dir, qz, qv, 2, 10)
       .select(col("vec_id"))
-    val live = vecs.where(
-      !(col("vec_id") % 10 === 3 && col("vec_id") % 20 =!= 3))
+    val live = vecs.where(cdcLive(col("vec_id")))
+    val exact = live
+      .select(col("vec_id"),
+        KMeansOp.intDist(col("v"), typedLit(qv)).as("dist_scaled"))
+      .orderBy(col("dist_scaled").asc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"))
+    exact.join(approx, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("n_hits"),
+        (col("n_hits") * lit(1000000L) / lit(10L)).cast("long").as("recall_ppm"))
+  }
+
+  /** The trained SQ8 global scale (corpus max |coordinate|) memoized
+    * per dataset CONTENT — the scalar artifact the SQ8 family freezes,
+    * on the [[cachedCentroids]] lifecycle (one bounded aggregate; a
+    * changed snapshot retrains, an unchanged one reuses).
+    */
+  private val amaxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Double)]()
+  private[graft] def trainedAmax(s: SparkSession, d: String): Double = {
+    val fp = snapshotKey(s, d)
+    amaxCache.compute(d, (_, prev) =>
+      if (prev != null && prev._1 == fp) prev
+      else (fp, Tables.embeddings(s, d).agg(
+        max(array_max(transform(col("embedding"),
+          e => abs(e.cast("double")))))).head().getDouble(0)))._2
+  }
+
+  /** The session's frozen IVF_SQ8 quantizer handle: the shared fixed-k
+    * coarse centroids + the trained global scale — what a maintained
+    * SQ8 index freezes at build time ([[graft.streaming.IndexStream
+    * .Quantizers]] at the 1-byte encoding).
+    */
+  private[graft] def sq8Quantizers(s: SparkSession, d: String)
+      : graft.streaming.IndexStream.Quantizers =
+    graft.streaming.IndexStream.Quantizers(
+      trainedCentroids(s, d), Seq.empty, PqSubDim,
+      sq8Amax = Some(trainedAmax(s, d)))
+
+  /** [[cdcLifecycleDir]] at the SQ8 encoding (r18 verdict #1: the
+    * maintained index previously dispatched plain-PQ vs residual only,
+    * leaving FAISS's most-deployed variant without streaming
+    * maintenance): the SAME insert-all / delete / resurrect lifecycle
+    * driven through the real processBatchCdc against the frozen
+    * IVF_SQ8 quantizer, serving the q_recall_cdc_sq8 monitor.
+    */
+  private[graft] def cdcLifecycleSq8Dir(s: SparkSession, d: String): String =
+    persistedIndexPath(s, d, "cdclifesq8") { dir =>
+      val qz = sq8Quantizers(s, d)
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      graft.streaming.IndexStream.processBatchCdc(emb, 1L, qz, dir)
+      graft.streaming.IndexStream.processBatchCdc(
+        emb.where(cdcDeleted(col("vec_id")))
+          .withColumn(graft.streaming.IndexStream.OpColumn, lit("delete")),
+        2L, qz, dir)
+      graft.streaming.IndexStream.processBatchCdc(
+        emb.where(cdcResurrected(col("vec_id"))), 3L, qz, dir)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "_SUCCESS"))
+      ()
+    }
+
+  /** Recall@10 of the maintained SQ8 CDC index mid-lifecycle against
+    * the integer-exact top-10 over the live set — [[recallCdcQ]] at the
+    * 1-byte encoding, closing the one encoding the streaming index
+    * couldn't maintain (r18 verdict #1). Serving side is the real
+    * [[graft.streaming.IndexStream.searchCommittedCdcSq8]] (live-rows
+    * probed-cell scalar-code scan, query encoded from its raw
+    * embedding against the frozen amax). Deterministic BIGINT ppm; the
+    * oracle replays the IVF_SQ8 chain with the lifecycle's live-set
+    * predicate.
+    */
+  def recallCdcSq8Q(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qz = sq8Quantizers(s, d)
+    val dir = cdcLifecycleSq8Dir(s, d)
+    val qEmb = Tables.embeddings(s, d).where(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>")).as[Seq[Double]].head()
+    val approx = graft.streaming.IndexStream
+      .searchCommittedCdcSq8(s, dir, qz, qEmb, 2, 10)
+      .select(col("vec_id"))
+    val vecs = intVecs(s, d)
+    val qv = vecs.where(col("vec_id") === 0L).select(col("v"))
+      .as[Seq[Long]].head()
+    val live = vecs.where(cdcLive(col("vec_id")))
     val exact = live
       .select(col("vec_id"),
         KMeansOp.intDist(col("v"), typedLit(qv)).as("dist_scaled"))
@@ -1500,12 +1819,16 @@ object SemanticQ {
     "q_recall_sq8" -> recallSq8Q,
     "q_sq8_batch" -> sq8BatchQ,
     "q_sq8_dim" -> sq8DimTopkQ,
+    "q_sq8_dim_part" -> sq8DimPartQ,
+    "q_sq8_dim_batch" -> sq8DimBatchQ,
     "q_recall_sq8_dim" -> recallSq8DimQ,
+    "q_recall_sq8_dim_part" -> recallSq8DimPartQ,
     "q_ann_ivf_sq8" -> annIvfSq8Q,
     "q_ann_ivf_sq8_part" -> annIvfSq8PartQ,
     "q_ann_ivf_sq8_batch" -> annIvfSq8BatchQ,
     "q_recall_ivf_sq8" -> recallIvfSq8Q,
     "q_recall_cdc" -> recallCdcQ,
+    "q_recall_cdc_sq8" -> recallCdcSq8Q,
     "q_ann_ivfpq_res" -> annIvfPqResQ,
     "q_ann_ivfpq_res_batch" -> annIvfPqResBatchQ,
     "q_ann_pq_batch" -> annPqBatchQ,
@@ -1921,6 +2244,54 @@ object SemanticQ {
          |SELECT d.vec_id, ${idistSql("d.dv", "qv.v")} AS qdist
          |FROM dq d CROSS JOIN qvfull qv
          |ORDER BY qdist ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_sq8_dim_part" ->
+      s"""WITH $lloydSql,
+         |$sq8DimChainSql,
+         |qvc AS (SELECT v FROM q WHERE vec_id = 0),
+         |pc AS (SELECT cid FROM (
+         |    SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${idistSql("c.c", "qv.v")} ASC,
+         |      c.cid ASC) AS rn
+         |    FROM c2 c CROSS JOIN qvc qv) WHERE rn <= 2),
+         |cand AS (SELECT a3.vec_id FROM a3 JOIN pc ON a3.cid = pc.cid)
+         |SELECT d.vec_id, ${idistSql("d.dv", "qv.v")} AS qdist
+         |FROM dq d JOIN cand USING (vec_id) CROSS JOIN qvc qv
+         |ORDER BY qdist ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_sq8_dim_batch" ->
+      s"""WITH $lloydSql,
+         |$sq8DimChainSql,
+         |qb AS (SELECT vec_id AS qid, v FROM q WHERE vec_id IN (0, 1, 2)),
+         |pcb AS (SELECT qid, cid FROM (
+         |    SELECT qb.qid, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY qb.qid
+         |        ORDER BY ${idistSql("c.c", "qb.v")} ASC, c.cid ASC) AS rn
+         |    FROM c2 c CROSS JOIN qb) WHERE rn <= 2),
+         |cand AS (SELECT pcb.qid, a3.vec_id FROM a3 JOIN pcb ON a3.cid = pcb.cid),
+         |sc AS (SELECT cand.qid, cand.vec_id, ${idistSql("d.dv", "qb.v")} AS qdist
+         |  FROM cand JOIN dq d USING (vec_id) JOIN qb ON qb.qid = cand.qid),
+         |rr AS (SELECT qid, vec_id, qdist,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY qdist ASC, vec_id ASC) AS rnk
+         |  FROM sc)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, qdist
+         |FROM rr WHERE rnk <= 3
+         |ORDER BY qid ASC, rnk ASC""".stripMargin,
+    "q_recall_sq8_dim_part" ->
+      s"""WITH $lloydSql,
+         |$sq8DimChainSql,
+         |qvc AS (SELECT v FROM q WHERE vec_id = 0),
+         |pc AS (SELECT cid FROM (
+         |    SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${idistSql("c.c", "qv.v")} ASC,
+         |      c.cid ASC) AS rn
+         |    FROM c2 c CROSS JOIN qvc qv) WHERE rn <= 2),
+         |cand AS (SELECT a3.vec_id FROM a3 JOIN pc ON a3.cid = pc.cid),
+         |approx AS (SELECT d.vec_id FROM dq d JOIN cand USING (vec_id)
+         |  CROSS JOIN qvc qv
+         |  ORDER BY ${idistSql("d.dv", "qv.v")} ASC, d.vec_id ASC LIMIT 10),
+         |exact AS (SELECT q.vec_id FROM q CROSS JOIN qvc qv
+         |  ORDER BY ${idistSql("q.v", "qv.v")} ASC, q.vec_id ASC LIMIT 10)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
+         |  CAST(COUNT(*) * 1000000 / 10 AS BIGINT) AS recall_ppm
+         |FROM exact WHERE vec_id IN (SELECT vec_id FROM approx)""".stripMargin,
     "q_recall_sq8_dim" ->
       s"""WITH $sq8DimChainSql,
          |qfull AS ($qFullExpr),
@@ -1950,10 +2321,30 @@ object SemanticQ {
     "q_recall_cdc" ->
       s"""WITH $ivfPqSingleSql,
          |live AS (SELECT vec_id FROM q
-         |  WHERE NOT (vec_id % 10 = 3 AND vec_id % 20 <> 3)),
+         |  WHERE ${cdcLiveSql("vec_id")}),
          |approx AS (SELECT adc.vec_id FROM adc JOIN cand USING (vec_id)
          |  JOIN live USING (vec_id)
          |  ORDER BY adc_scaled ASC, vec_id ASC LIMIT 10),
+         |exact AS (SELECT q.vec_id FROM q JOIN live USING (vec_id)
+         |  CROSS JOIN qvc qv
+         |  ORDER BY ${idistSql("q.v", "qv.v")} ASC, q.vec_id ASC LIMIT 10)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
+         |  CAST(COUNT(*) * 1000000 / 10 AS BIGINT) AS recall_ppm
+         |FROM exact WHERE vec_id IN (SELECT vec_id FROM approx)""".stripMargin,
+    "q_recall_cdc_sq8" ->
+      s"""WITH $lloydSql,
+         |$sq8ChainSql,
+         |qvc AS (SELECT v FROM q WHERE vec_id = 0),
+         |pc AS (SELECT cid FROM (
+         |    SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${idistSql("c.c", "qv.v")} ASC,
+         |      c.cid ASC) AS rn
+         |    FROM c2 c CROSS JOIN qvc qv) WHERE rn <= 2),
+         |cand AS (SELECT a3.vec_id FROM a3 JOIN pc ON a3.cid = pc.cid),
+         |live AS (SELECT vec_id FROM q
+         |  WHERE ${cdcLiveSql("vec_id")}),
+         |approx AS (SELECT c.vec_id FROM cod c JOIN cand USING (vec_id)
+         |  JOIN live USING (vec_id) CROSS JOIN qc
+         |  ORDER BY ${idistSql("c.cv", "qc.qv")} ASC, c.vec_id ASC LIMIT 10),
          |exact AS (SELECT q.vec_id FROM q JOIN live USING (vec_id)
          |  CROSS JOIN qvc qv
          |  ORDER BY ${idistSql("q.v", "qv.v")} ASC, q.vec_id ASC LIMIT 10)

@@ -60,19 +60,54 @@ object IndexStream {
     * snapshot. `residual` = true means the codebooks quantize
     * v − centroid[cell] (FAISS's default IVFADC encoding,
     * [[ProductQuantizer.residualIndexProjection]]) instead of v
-    * itself; assignment and serving dispatch on it, and the flag
-    * persists with the generation artifact so a restarted maintainer
-    * can never mix encodings.
+    * itself. `sq8Amax` = Some(a) selects the IVF_SQ8 encoding
+    * (FAISS's IndexIVFScalarQuantizer QT_8bit under the global
+    * symmetric scale a/127 — the batch tier's q_ann_ivf_sq8): no
+    * codebooks, one 1-byte scalar code PER DIMENSION, with `a` the
+    * trained corpus max |coordinate| riding the artifact exactly like
+    * the codebooks do. Assignment and serving dispatch on the
+    * encoding, and both flags persist with the generation artifact so
+    * a restarted maintainer can never mix encodings.
     */
   final case class Quantizers(coarse: Seq[(Long, Seq[Long])],
       books: Seq[Seq[(Long, Seq[Long])]], subDim: Int,
-      residual: Boolean = false)
+      residual: Boolean = false, sq8Amax: Option[Double] = None) {
+    /** Vector dimensionality, from the coarse centroids. */
+    def dim: Int = coarse.head._2.size
+    /** Code-column count of this encoding's persisted state: one code
+      * per PQ subspace, or one per DIMENSION for SQ8.
+      */
+    def m: Int = if (sq8Amax.isDefined) dim else books.size
+  }
 
-  /** The per-batch/per-rebuild corpus projection for this encoding. */
-  private def project(vecs: DataFrame, q: Quantizers): DataFrame =
-    if (q.residual)
-      ProductQuantizer.residualIndexProjection(vecs, q.coarse, q.books, q.subDim)
-    else ProductQuantizer.indexProjection(vecs, q.coarse, q.books, q.subDim)
+  /** The per-batch/per-rebuild corpus projection for this encoding —
+    * takes the RAW (vec_id, embedding) rows: the PQ encodings code the
+    * ×10^6 scaled-integer vector, while SQ8 codes the raw double
+    * coordinates under the frozen global scale (the exact expression
+    * the batch tier's q_ann_ivf_sq8 index write uses, so a maintained
+    * SQ8 index is bit-identical to the persisted batch one).
+    */
+  private def project(batch: DataFrame, q: Quantizers): DataFrame = {
+    val vecs = batch.select(col("vec_id"),
+      KMeansOp.intVec(col("embedding")).as("v"))
+    q.sq8Amax match {
+      case Some(amax) =>
+        val codeCols = (0 until q.dim).map { i =>
+          val e = element_at(col("embedding"), i + 1).cast("double")
+          (if (amax == 0.0) lit(0L)
+           else floor(e / lit(amax / 127.0) + lit(0.5)).cast("long"))
+            .as(s"code_$i")
+        }
+        batch.select(col("vec_id") +:
+          ProductQuantizer.nearestCid(
+            KMeansOp.intVec(col("embedding")), q.coarse).as("cell") +:
+          codeCols: _*)
+      case None if q.residual =>
+        ProductQuantizer.residualIndexProjection(vecs, q.coarse, q.books, q.subDim)
+      case None =>
+        ProductQuantizer.indexProjection(vecs, q.coarse, q.books, q.subDim)
+    }
+  }
 
   private def codesSchema(m: Int): StructType =
     StructType(
@@ -85,9 +120,8 @@ object IndexStream {
   def processBatch(batch: Dataset[Row], batchId: Long, q: Quantizers,
       stateDir: String, autoCompactEvery: Int = 0): Unit = {
     val s = batch.sparkSession
-    val vecs = batch.select(col("vec_id"),
-      KMeansOp.intVec(col("embedding")).as("v"))
-    val indexed0 = project(vecs, q)
+    val indexed0 = project(
+      batch.select(col("vec_id"), col("embedding")), q)
     // collapse duplicate vec_ids WITHIN the micro-batch to one
     // deterministic row (min over the (cell, codes) struct): the
     // anti-join below only dedups against EARLIER committed batches,
@@ -105,13 +139,13 @@ object IndexStream {
     // in earlier state and drops it. (Key-based supersede would
     // conflate those two cases here, because the dedup key IS vec_id.)
     val existing = StreamState.readCommitted(s, stateDir, "codes",
-      codesSchema(q.books.size), upTo = batchId, partitioned = true)
+      codesSchema(q.m), upTo = batchId, partitioned = true)
     indexed.join(existing.select(col("vec_id")), Seq("vec_id"), "left_anti")
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$stateDir/codes/batch_id=$batchId")
     StreamState.commitMarker(s, stateDir, batchId)
     StreamState.maybeCompact(s, stateDir, autoCompactEvery)(
-      compactState(s, stateDir, q.books.size))
+      compactState(s, stateDir, q.m))
   }
 
   /** The code-column count (m) of the PERSISTED state, from the newest
@@ -138,8 +172,8 @@ object IndexStream {
     * match the persisted quantizer's subspace count — compacting with a
     * smaller m would silently drop code columns from the base, which is
     * permanent index corruption; [[processBatch]] passes its quantizer's
-    * `books.size`, and the no-`m` overload derives it from the
-    * persisted schema.
+    * code-column count (`Quantizers.m`), and the no-`m` overload derives
+    * it from the persisted schema.
     */
   def compactState(s: SparkSession, stateDir: String, m: Int): Option[Long] =
     StreamState.compact(s, stateDir, Seq(
@@ -173,6 +207,9 @@ object IndexStream {
     */
   def searchCommitted(s: SparkSession, stateDir: String, q: Quantizers,
       query: Seq[Long], nProbe: Int, k: Int): DataFrame = {
+    require(q.sq8Amax.isEmpty,
+      "SQ8 state serves through searchCommittedSq8 (the query must be " +
+        "encoded from its RAW embedding, not the scaled-integer vector)")
     if (q.residual) {
       // residual ADC tables are per probed cell — serve the single
       // probe through the shared residual batch dataflow and strip the
@@ -185,10 +222,66 @@ object IndexStream {
     val probeCells = KMeansOp.nearestCells(q.coarse, query, nProbe)
     val luts = ProductQuantizer.adcTables(query, q.books, q.subDim)
     ProductQuantizer.adcTopK(
-      StreamState.readCommitted(s, stateDir, "codes", codesSchema(q.books.size),
+      StreamState.readCommitted(s, stateDir, "codes", codesSchema(q.m),
           partitioned = true)
         .where(col("cell").isin(probeCells: _*)),
       luts, k)
+  }
+
+  /** The SQ8 query projection, driver-side: the scaled-integer vector
+    * (for the coarse probe) and the per-dimension scalar codes under
+    * the frozen global scale — the same floor conventions as the
+    * distributed projection, applied to the one probe row.
+    */
+  private def sq8Query(q: Quantizers, emb: Seq[Double]): (Seq[Long], Seq[Long]) = {
+    val amax = q.sq8Amax.get
+    val v = emb.map(e => math.floor(e * 1000000d).toLong)
+    val code = emb.map(e =>
+      if (amax == 0.0) 0L else math.floor(e / (amax / 127.0) + 0.5).toLong)
+    (v, code)
+  }
+
+  /** Integer code-space squared L2 of the persisted code COLUMNS
+    * against a literal query code — one codegen'd expression, no
+    * arrays rebuilt at scan time.
+    */
+  private def sq8Dist(qCode: Seq[Long]): org.apache.spark.sql.Column =
+    qCode.zipWithIndex.map { case (qc, i) =>
+      (col(s"code_$i") - lit(qc)) * (col(s"code_$i") - lit(qc))
+    }.reduce(_ + _)
+
+  /** IVF_SQ8 search over the committed (append-only) state: probe the
+    * nProbe nearest coarse cells, then integer code-space top-k over
+    * the probed cells' scalar codes — [[searchCommitted]] at the
+    * 1-byte-per-dim encoding. `emb` is the probe's RAW embedding (the
+    * query is encoded against the frozen amax exactly as the corpus
+    * was). Returns (vec_id, qdist), the q_ann_ivf_sq8 contract shape.
+    */
+  def searchCommittedSq8(s: SparkSession, stateDir: String, q: Quantizers,
+      emb: Seq[Double], nProbe: Int, k: Int): DataFrame = {
+    val (v, qCode) = sq8Query(q, emb)
+    val probeCells = KMeansOp.nearestCells(q.coarse, v, nProbe)
+    StreamState.readCommitted(s, stateDir, "codes", codesSchema(q.m),
+        partitioned = true)
+      .where(col("cell").isin(probeCells: _*))
+      .select(col("vec_id"), sq8Dist(qCode).as("qdist"))
+      .orderBy(col("qdist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** [[searchCommittedSq8]] over the LIVE rows of a CDC state dir —
+    * IVF_SQ8 serving from the maintained delete-aware index: deleted
+    * ids never surface, re-inserted ids serve their newest codes.
+    */
+  def searchCommittedCdcSq8(s: SparkSession, stateDir: String, q: Quantizers,
+      emb: Seq[Double], nProbe: Int, k: Int): DataFrame = {
+    val (v, qCode) = sq8Query(q, emb)
+    val probeCells = KMeansOp.nearestCells(q.coarse, v, nProbe)
+    liveCodes(s, stateDir, q.m)
+      .where(col("cell").isin(probeCells: _*))
+      .select(col("vec_id"), sq8Dist(qCode).as("qdist"))
+      .orderBy(col("qdist").asc, col("vec_id").asc)
+      .limit(k)
   }
 
   // ---- Rebuild flow: generations + atomic swap ----------------------
@@ -223,10 +316,16 @@ object IndexStream {
     */
   private[graft] def saveQuantizers(s: SparkSession, dir: String,
       q: Quantizers): Unit = {
-    // the encoding flag rides as a marker row (kind = "residual"), so
-    // pre-flag artifacts load as plain-PQ without a schema migration
-    val meta = if (q.residual)
-      Seq(Row("residual", -1, 0L, Seq.empty[Long], q.subDim)) else Nil
+    // the encoding flags ride as marker rows (kind = "residual" /
+    // "sq8"), so pre-flag artifacts load as plain-PQ without a schema
+    // migration; the sq8 global scale persists EXACTLY via its IEEE-754
+    // bits in the BIGINT cid slot (a decimal round-trip could perturb
+    // the code arithmetic's last ulp)
+    val meta =
+      (if (q.residual)
+        Seq(Row("residual", -1, 0L, Seq.empty[Long], q.subDim)) else Nil) ++
+      q.sq8Amax.map(a => Row("sq8", -1,
+        java.lang.Double.doubleToRawLongBits(a), Seq.empty[Long], q.subDim))
     val rows =
       q.coarse.map { case (cid, c) => Row("coarse", -1, cid, c, q.subDim) } ++
       q.books.zipWithIndex.flatMap { case (book, m) =>
@@ -243,13 +342,16 @@ object IndexStream {
     val subDim = rows.head.getInt(4)
     val coarse = rows.filter(_.getString(0) == "coarse")
       .map(r => (r.getLong(2), r.getSeq[Long](3))).sortBy(_._1).toSeq
-    val m = rows.filter(_.getString(0) == "book").map(_.getInt(1)).max + 1
+    val bookRows = rows.filter(_.getString(0) == "book")
+    val m = if (bookRows.isEmpty) 0 else bookRows.map(_.getInt(1)).max + 1
     val books = (0 until m).map { sub =>
-      rows.filter(r => r.getString(0) == "book" && r.getInt(1) == sub)
+      bookRows.filter(_.getInt(1) == sub)
         .map(r => (r.getLong(2), r.getSeq[Long](3))).sortBy(_._1).toSeq
     }
     Quantizers(coarse, books, subDim,
-      residual = rows.exists(_.getString(0) == "residual"))
+      residual = rows.exists(_.getString(0) == "residual"),
+      sq8Amax = rows.find(_.getString(0) == "sq8")
+        .map(r => java.lang.Double.longBitsToDouble(r.getLong(2))))
   }
 
   /** REBUILD: retrain both quantizers on a corpus snapshot (the raw
@@ -287,7 +389,7 @@ object IndexStream {
       } else ProductQuantizer.train(
         corpus, "vec_id", col("embedding"), m, subDim, k, iters)
     val q = Quantizers(coarse, books, subDim, residual)
-    project(vecs, q)
+    project(corpus.select(col("vec_id"), col("embedding")), q)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/codes/batch_id=0")
     saveQuantizers(s, dir, q)
@@ -346,7 +448,8 @@ object IndexStream {
       } else ProductQuantizer.train(
         corpus, "vec_id", col("embedding"), m, subDim, k, iters)
     val q = Quantizers(coarse, books, subDim, residual)
-    project(vecs, q).withColumn("src_batch", lit(0L))
+    project(corpus.select(col("vec_id"), col("embedding")), q)
+      .withColumn("src_batch", lit(0L))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/codes/batch_id=0")
     s.createDataFrame(s.sparkContext.emptyRDD[Row], tombSchema)
@@ -400,8 +503,10 @@ object IndexStream {
     */
   def searchCommittedBatch(s: SparkSession, stateDir: String, q: Quantizers,
       probes: DataFrame, nProbe: Int, k: Int): DataFrame = {
+    require(q.sq8Amax.isEmpty,
+      "SQ8 state serves through searchCommittedSq8")
     val committed = StreamState.readCommitted(
-      s, stateDir, "codes", codesSchema(q.books.size), partitioned = true)
+      s, stateDir, "codes", codesSchema(q.m), partitioned = true)
     if (q.residual)
       ProductQuantizer.adcBatchServeResidual(
         committed, probes, q.coarse, q.books, q.subDim, nProbe, k)
@@ -515,7 +620,7 @@ object IndexStream {
     val dels = ops.where(col(OpColumn) === "delete")
       .select(col("vec_id")).distinct()
     val ins = ops.where(coalesce(col(OpColumn), lit("insert")) =!= "delete")
-      .select(col("vec_id"), KMeansOp.intVec(col("embedding")).as("v"))
+      .select(col("vec_id"), col("embedding"))
     val indexed0 = project(ins, q)
     val codeCols = indexed0.columns.filter(_ != "vec_id").toSeq
     val indexed = indexed0.groupBy(col("vec_id"))
@@ -524,7 +629,7 @@ object IndexStream {
     // an insert is blocked by an id that is live BEFORE this batch and
     // NOT deleted by it — so re-insert-after-delete lands, and
     // delete+insert replaces
-    val blocked = liveCodes(s, stateDir, q.books.size, upTo = batchId)
+    val blocked = liveCodes(s, stateDir, q.m, upTo = batchId)
       .select(col("vec_id"))
       .join(dels, Seq("vec_id"), "left_anti")
     indexed.join(blocked, Seq("vec_id"), "left_anti")
@@ -537,7 +642,7 @@ object IndexStream {
     // the auto valve RESOLVES: continuous maintenance should never let
     // state size track the delete history instead of the live set
     StreamState.maybeCompact(s, stateDir, autoCompactEvery)(
-      compactStateCdcResolve(s, stateDir, q.books.size))
+      compactStateCdcResolve(s, stateDir, q.m))
   }
 
   /** Continuous CDC maintenance over a streaming (vec_id, embedding,
@@ -603,6 +708,9 @@ object IndexStream {
     */
   def searchCommittedCdc(s: SparkSession, stateDir: String, q: Quantizers,
       query: Seq[Long], nProbe: Int, k: Int): DataFrame = {
+    require(q.sq8Amax.isEmpty,
+      "SQ8 CDC state serves through searchCommittedCdcSq8 (the query " +
+        "must be encoded from its RAW embedding)")
     if (q.residual) {
       import s.implicits._
       return searchCommittedBatchCdc(s, stateDir, q,
@@ -612,7 +720,7 @@ object IndexStream {
     val probeCells = KMeansOp.nearestCells(q.coarse, query, nProbe)
     val luts = ProductQuantizer.adcTables(query, q.books, q.subDim)
     ProductQuantizer.adcTopK(
-      liveCodes(s, stateDir, q.books.size)
+      liveCodes(s, stateDir, q.m)
         .where(col("cell").isin(probeCells: _*)),
       luts, k)
   }
@@ -620,7 +728,9 @@ object IndexStream {
   /** [[searchCommittedBatch]] over the LIVE rows of a CDC state dir. */
   def searchCommittedBatchCdc(s: SparkSession, stateDir: String,
       q: Quantizers, probes: DataFrame, nProbe: Int, k: Int): DataFrame = {
-    val live = liveCodes(s, stateDir, q.books.size).drop("src_batch")
+    require(q.sq8Amax.isEmpty,
+      "SQ8 CDC state serves through searchCommittedCdcSq8")
+    val live = liveCodes(s, stateDir, q.m).drop("src_batch")
     if (q.residual)
       ProductQuantizer.adcBatchServeResidual(
         live, probes, q.coarse, q.books, q.subDim, nProbe, k)

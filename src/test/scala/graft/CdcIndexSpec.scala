@@ -36,6 +36,13 @@ class CdcIndexSpec extends AnyFunSuite {
   private def intVecOf(e: Seq[Float]): Seq[Long] =
     e.map(x => math.floor(x.toDouble * 1e6).toLong)
 
+  /** The lifecycle live-set predicate, from the ONE shared constant set
+    * (ADVICE r18) — the scalar twin of SemanticQ.cdcLive.
+    */
+  private def liveId(id: Long): Boolean =
+    !(id % queries.SemanticQ.CdcDeleteMod == queries.SemanticQ.CdcResidue &&
+      id % queries.SemanticQ.CdcResurrectMod != queries.SemanticQ.CdcResidue)
+
   /** (vec_id, cell, codes) of the live rows, sorted. */
   private def liveRows(stateDir: String): Seq[(Long, Long, Seq[Long])] =
     IndexStream.liveCodes(spark, stateDir, 4)
@@ -330,7 +337,7 @@ class CdcIndexSpec extends AnyFunSuite {
     def dist(a: Array[Long], b: Array[Long]): Long =
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
     val qv = vecs(0L)
-    val live = rows.map(_._1).filter(id => !(id % 10 == 3 && id % 20 != 3))
+    val live = rows.map(_._1).filter(liveId)
     assert(live.size < rows.size, "the lifecycle's deletes must bite")
     val exact10 = live.map(id => (id, dist(vecs(id), qv)))
       .sortBy { case (id, dd) => (dd, id) }.take(10).map(_._1).toSet
@@ -380,7 +387,7 @@ class CdcIndexSpec extends AnyFunSuite {
     // and the results still match the flat-scan contract (the monitor
     // query's oracle pins the values; here: deleted ids stay invisible)
     val served = df.collect().map(_.getLong(0)).toSet
-    assert(served.forall(id => !(id % 10 == 3 && id % 20 != 3)))
+    assert(served.forall(liveId))
   }
 
   test("maintainCdc: the streaming wrapper drives the same per-batch " +
@@ -403,5 +410,104 @@ class CdcIndexSpec extends AnyFunSuite {
     } finally sq.stop()
     val live = liveRows(stateDir).map(_._1).toSet
     assert(!live.contains(0L) && live.contains(1L) && live.size == 99)
+  }
+
+  // ---- SQ8 maintenance (r18 verdict #1): the 1-byte encoding the CDC
+  // index previously could not maintain ------------------------------
+
+  test("SQ8 CDC: a pure-insert stream through processBatchCdc serves " +
+    "BIT-IDENTICAL results to the persisted batch IVF_SQ8 index") {
+    val q = queries.SemanticQ.sq8Quantizers(spark, d)
+    assert(q.m == q.dim, "SQ8 codes one scalar per dimension")
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_cdc_sq8_pure").toString
+    IndexStream.processBatchCdc(
+      Tables.embeddings(spark, d).select(col("vec_id"), col("embedding")),
+      0L, q, stateDir)
+    val qEmb = fullRows.head._2.map(_.toDouble)
+    val served = IndexStream.searchCommittedCdcSq8(
+        spark, stateDir, q, qEmb, nProbe = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batchTier = queries.SemanticQ.queries("q_ann_ivf_sq8_part")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served == batchTier,
+      "maintained SQ8 serving diverged from the persisted batch index")
+  }
+
+  test("SQ8 CDC lifecycle: deletes tombstone, resurrection carries new " +
+    "codes, and q_recall_cdc_sq8 matches a scalar recount over the live " +
+    "set") {
+    val q = queries.SemanticQ.sq8Quantizers(spark, d)
+    val amax = q.sq8Amax.get
+    val rows = fullRows
+    val vecs = rows.map { case (id, e) => id -> intVecOf(e).toArray }.toMap
+    def code(e: Seq[Float]): Seq[Long] = e.map(x =>
+      if (amax == 0.0) 0L
+      else math.floor(x.toDouble / (amax / 127.0) + 0.5).toLong)
+    def cdist(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val live = rows.filter(r => liveId(r._1))
+    assert(live.size < rows.size, "the lifecycle's deletes must bite")
+    val dir = queries.SemanticQ.cdcLifecycleSq8Dir(spark, d)
+    // served side: probed-cell scalar-code scan over the live rows
+    val qEmb = rows.head._2.map(_.toDouble)
+    val served = IndexStream.searchCommittedCdcSq8(
+        spark, dir, q, qEmb, 2, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served.map(_._1).forall(liveId),
+      "SQ8 CDC serving surfaced a deleted (non-resurrected) id")
+    // scalar replay: probe cells by scaled-int distance, then code-space
+    // top-10 among live ∩ probed
+    val qv = vecs(0L).toSeq
+    val probed = KMeansOp.nearestCells(q.coarse, qv, 2).toSet
+    val qCode = code(rows.head._2)
+    val expect = live
+      .map { case (id, e) =>
+        val cell = q.coarse.map { case (cid, c) =>
+          (cid, KMeansOp.intDistLocal(c, vecs(id).toSeq)) }
+          .minBy { case (cid, dd) => (dd, cid) }._1
+        (id, cell, cdist(code(e), qCode))
+      }
+      .filter(r => probed.contains(r._2))
+      .sortBy { case (id, _, dd) => (dd, id) }
+      .take(10).map(r => (r._1, r._3))
+    assert(served == expect, "SQ8 CDC serving diverged from scalar replay")
+    // the monitor row
+    def dist(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact10 = live.map { case (id, _) => (id, dist(vecs(id), vecs(0L))) }
+      .sortBy { case (id, dd) => (dd, id) }.take(10).map(_._1).toSet
+    val hits = exact10.count(served.map(_._1).toSet.contains)
+    val row = queries.SemanticQ.queries("q_recall_cdc_sq8")(spark, d).head()
+    assert(row.getLong(0) == hits.toLong)
+    assert(row.getLong(1) == hits.toLong * 1000000L / 10L)
+  }
+
+  test("SQ8 quantizer artifact round-trips through save/loadQuantizers " +
+    "with the global scale bit-exact, and the PQ search entries refuse " +
+    "an SQ8 handle") {
+    val q = queries.SemanticQ.sq8Quantizers(spark, d)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sq8_artifact").toString
+    IndexStream.saveQuantizers(spark, dir, q)
+    val loaded = IndexStream.loadQuantizers(spark, dir)
+    assert(loaded.sq8Amax.isDefined)
+    assert(java.lang.Double.doubleToRawLongBits(loaded.sq8Amax.get) ==
+      java.lang.Double.doubleToRawLongBits(q.sq8Amax.get),
+      "the frozen scale must round-trip bit-exact")
+    // loadQuantizers returns the centroids cid-sorted; every consumer
+    // is order-independent (argmin over (dist, cid))
+    assert(loaded.coarse.sortBy(_._1) == q.coarse.sortBy(_._1) &&
+      loaded.books.isEmpty)
+    // misuse guard: the scaled-integer-query entries cannot serve SQ8
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_cdc_sq8_guard").toString
+    IndexStream.processBatchCdc(
+      cdcDf(fullRows.take(5).map(r => (r._1, r._2, "insert"))),
+      0L, q, stateDir)
+    intercept[IllegalArgumentException] {
+      IndexStream.searchCommittedCdc(spark, stateDir, q,
+        intVecOf(fullRows.head._2), 2, 10)
+    }
   }
 }

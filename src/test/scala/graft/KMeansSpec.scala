@@ -182,7 +182,7 @@ class KMeansSpec extends AnyFunSuite {
 
   test("q_semdedup_capped at sf0.001: buckets are dist-rank chunks of at " +
     "most 16 members; kept flags match brute force within buckets; the " +
-    "cap only ADDS keeps relative to the uncapped sampled prune") {
+    "cap only ADDS keeps relative to the uncapped fixed-k prune") {
     val d = TestSpark.sf0001
     val cents = queries.SemanticQ.trainedCentroids(spark, d)
       .map { case (c, v) => c -> v.toArray }

@@ -278,6 +278,55 @@ class ServingTiersSpec extends AnyFunSuite {
     assert(got.filter(_._1 == 0L).map(r => (r._3, r._4)) == single)
   }
 
+  test("q_sq8_dim_part: the persisted per-dim index scan prunes to the " +
+    "probed cells, decoded codes match a scalar replay, and the batch " +
+    "tier's qid-0 head agrees") {
+    val df = queries.SemanticQ.queries("q_sq8_dim_part")(spark, d)
+    val scans = fileScans(df).filter(
+      _.partitionFilters.exists(_.references.exists(_.name == "cell")))
+    assert(scans.nonEmpty,
+      "probe-cell predicate must be a PARTITION filter on the index scan")
+    assert(scans.head.selectedPartitions.partitionCount == 2,
+      s"scan listed ${scans.head.selectedPartitions.partitionCount} " +
+        "partitions, expected exactly the 2 probed cells")
+    // scalar replay: per-dim codes → dequantized ints → probed-cell top-10
+    val ivecs = intVecsLocal()
+    val cents = queries.SemanticQ.trainedCentroids(spark, d)
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    val dims = emb.head._2.indices
+    val mn = dims.map(i => emb.valuesIterator.map(_(i).toDouble).min)
+    val mx = dims.map(i => emb.valuesIterator.map(_(i).toDouble).max)
+    def dequant(v: Seq[Float]): Seq[Long] = dims.map { i =>
+      val delta = (mx(i) - mn(i)) / 255.0
+      val c = if (mx(i) == mn(i)) 0.0
+        else math.floor((v(i).toDouble - mn(i)) / delta + 0.5)
+      math.floor((mn(i) + c * delta) * 1000000.0).toLong
+    }
+    val probed = KMeansOp.nearestCells(cents, ivecs(0L), 2).toSet
+    val expect = ivecs.toSeq
+      .filter { case (_, v) =>
+        probed.contains(KMeansOp.nearestCells(cents, v, 1).head) }
+      .map { case (id, _) => (id, idist(dequant(emb(id)), ivecs(0L))) }
+      .sortBy { case (id, dd) => (dd, id) }.take(10)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect, "per-dim partitioned serving diverged from replay")
+    // the batch tier serves the same head for qid 0
+    val batch = queries.SemanticQ.queries("q_sq8_dim_batch")(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(batch.filter(_._1 == 0L).map(r => (r._3, r._4)) == got.take(3))
+    // the recall monitor recomputes from the two sides
+    val exact10 = ivecs.toSeq
+      .map { case (id, v) => (id, idist(v, ivecs(0L))) }
+      .sortBy { case (id, dd) => (dd, id) }.take(10).map(_._1).toSet
+    val hits = exact10.count(got.map(_._1).toSet.contains)
+    val row = queries.SemanticQ.queries("q_recall_sq8_dim_part")(spark, d).head()
+    assert(row.getLong(0) == hits.toLong)
+    assert(row.getLong(1) == hits.toLong * 1000000L / 10L)
+  }
+
   test("batch part tiers: persisted-table batch serving equals the " +
     "in-flight batch queries and scans the index, not a re-encode") {
     def rows(k: String) = queries.SemanticQ.queries(k)(spark, d).collect()
