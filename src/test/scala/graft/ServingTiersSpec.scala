@@ -278,6 +278,56 @@ class ServingTiersSpec extends AnyFunSuite {
     assert(got.filter(_._1 == 0L).map(r => (r._3, r._4)) == single)
   }
 
+  test("q_ann_opq: the allocation permutation is the energy snake-free " +
+    "round-robin deal, codes match a scalar replay, and OPQ beats plain " +
+    "PQ on both recall (this corpus) and total distortion (the paper's " +
+    "objective)") {
+    val ivecs = intVecsLocal()
+    // the permutation: rank dims by exact Σ|v_d|, deal round-robin
+    val dims = ivecs.head._2.indices
+    val energy = dims.map(i => ivecs.valuesIterator.map(v => math.abs(v(i))).sum)
+    val ranked = dims.sortBy(i => (-energy(i), i))
+    val perm = (0 until 4).map(sub =>
+      ranked.zipWithIndex.collect { case (pos, r) if r % 4 == sub => pos })
+    assert(queries.SemanticQ.opqPerm(spark, d) == perm,
+      "allocation diverged from the scalar energy ranking")
+    // every dim lands in exactly one subspace (it IS a permutation)
+    assert(perm.flatten.sorted == dims, "allocation must be a permutation")
+    // scalar replay of the ADC top-10 over the permuted subspaces
+    val books = queries.SemanticQ.opqBooks(spark, d)
+    def subVec(v: Seq[Long], m: Int): Seq[Long] = perm(m).map(v(_))
+    def code(v: Seq[Long], m: Int): Long =
+      books(m).map { case (cid, c) => (idist(c, subVec(v, m)), cid) }.min._2
+    val qv = ivecs(0L)
+    val luts = (0 until 4).map(m =>
+      books(m).map { case (cid, c) => cid -> idist(c, subVec(qv, m)) }.toMap)
+    val expect = ivecs.toSeq
+      .map { case (id, v) =>
+        (id, (0 until 4).map(m => luts(m)(code(v, m))).sum) }
+      .sortBy { case (id, dd) => (dd, id) }.take(10)
+    val got = queries.SemanticQ.queries("q_ann_opq")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect, "OPQ ADC diverged from the scalar replay")
+    // acceptance gate 1: recall ≥ plain PQ's on this corpus
+    val rOpq = queries.SemanticQ.queries("q_recall_opq")(spark, d)
+      .head().getLong(1)
+    val rPq = queries.SemanticQ.queries("q_recall_pq")(spark, d)
+      .head().getLong(1)
+    assert(rOpq >= rPq,
+      s"OPQ recall $rOpq ppm fell below plain PQ's $rPq ppm")
+    // acceptance gate 2 (noise-free — the objective OPQ minimizes):
+    // total integer quantization distortion must not exceed the
+    // contiguous split's
+    val pqBooks = queries.SemanticQ.pqCodebooks(spark, d)
+    def pqSub(v: Seq[Long], m: Int): Seq[Long] = v.slice(m * 16, m * 16 + 16)
+    val dOpq = ivecs.valuesIterator.map(v => (0 until 4).map(m =>
+      books(m).map { case (_, c) => idist(c, subVec(v, m)) }.min).sum).sum
+    val dPq = ivecs.valuesIterator.map(v => (0 until 4).map(m =>
+      pqBooks(m).map { case (_, c) => idist(c, pqSub(v, m)) }.min).sum).sum
+    assert(dOpq <= dPq,
+      s"OPQ total distortion $dOpq exceeds the contiguous split's $dPq")
+  }
+
   test("q_sq8_dim_part: the persisted per-dim index scan prunes to the " +
     "probed cells, decoded codes match a scalar replay, and the batch " +
     "tier's qid-0 head agrees") {
