@@ -89,6 +89,7 @@ object Bench {
       "quantizer_sqrt_n" -> (() => { queries.SemanticQ.scaledCentroids(spark, sfDir); () }),
       "quantizer_sqrt_n_sampled" -> (() => { queries.SemanticQ.sampledCentroids(spark, sfDir); () }),
       "res_codebooks" -> (() => { queries.SemanticQ.resCodebooks(spark, sfDir); () }),
+      "opq_books" -> (() => { queries.SemanticQ.opqBooks(spark, sfDir); () }),
       "bpe_merges" -> (() => { queries.Analysis.cachedMergeSchedule(spark, sfDir); () }),
       "bigram_mult" -> (() => { queries.Retrieval.bigramDocMult(spark, sfDir).count(); () }),
       "bigram_score" -> (() => { queries.Retrieval.bigramScore(spark, sfDir).count(); () }),
