@@ -284,6 +284,59 @@ object IndexStream {
       .limit(k)
   }
 
+  /** BATCH IVF_SQ8 serving over a maintained code table — the
+    * probe-fleet form at the 1-byte encoding ([[searchCommittedBatch]]'s
+    * role for the PQ encodings): `probes` is any (qid, embedding) frame
+    * of RAW embeddings; per-qid nProbe-nearest coarse cells come from
+    * the literal-argmin array (shuffle-free), each probe's scalar codes
+    * are built in-flight against the frozen amax literal, the
+    * (qid, cell, qcode) relation broadcasts into the code scan so only
+    * probed-cell rows are scored, and one qid-partitioned rank serves
+    * the per-probe top-k — ONE state-scan lineage for any probe count,
+    * no driver work per probe. Returns (qid, rnk, vec_id, qdist).
+    */
+  private def sq8BatchOver(codes: DataFrame, q: Quantizers,
+      probes: DataFrame, nProbe: Int, k: Int): DataFrame = {
+    val amax = q.sq8Amax.get
+    val qCodeExpr = transform(col("embedding"), e =>
+      if (amax == 0.0) lit(0L)
+      else floor(e.cast("double") / lit(amax / 127.0) + lit(0.5)).cast("long"))
+    val cellArr = array_sort(array(q.coarse.map { case (cid, cv) =>
+      struct(KMeansOp.intDist(KMeansOp.intVec(col("embedding")), typedLit(cv))
+        .as("dist"), lit(cid).as("cid"))
+    }: _*))
+    val probeCells = probes
+      .select(col("qid"), qCodeExpr.as("qcode"),
+        explode(slice(cellArr, 1, nProbe)).as("pc"))
+      .select(col("qid"), col("qcode"), col("pc.cid").as("cell"))
+    val dist = (0 until q.m).map { i =>
+      (col(s"code_$i") - element_at(col("qcode"), i + 1)) *
+        (col(s"code_$i") - element_at(col("qcode"), i + 1))
+    }.reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("qdist").asc, col("vec_id").asc)
+    codes.join(broadcast(probeCells), Seq("cell"))
+      .select(col("qid"), col("vec_id"), dist.as("qdist"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("qdist"))
+      .orderBy(col("qid").asc, col("rnk").asc)
+  }
+
+  /** [[sq8BatchOver]] the committed (append-only) SQ8 state. */
+  def searchCommittedBatchSq8(s: SparkSession, stateDir: String,
+      q: Quantizers, probes: DataFrame, nProbe: Int, k: Int): DataFrame =
+    sq8BatchOver(
+      StreamState.readCommitted(s, stateDir, "codes", codesSchema(q.m),
+        partitioned = true),
+      q, probes, nProbe, k)
+
+  /** [[sq8BatchOver]] the LIVE rows of an SQ8 CDC state dir. */
+  def searchCommittedBatchCdcSq8(s: SparkSession, stateDir: String,
+      q: Quantizers, probes: DataFrame, nProbe: Int, k: Int): DataFrame =
+    sq8BatchOver(liveCodes(s, stateDir, q.m), q, probes, nProbe, k)
+
   // ---- Rebuild flow: generations + atomic swap ----------------------
   //
   // cellHistogram is the staleness SIGNAL; rebuild is its CONSUMER.
@@ -430,7 +483,8 @@ object IndexStream {
     */
   def rebuildCdc(s: SparkSession, indexRoot: String, corpus: DataFrame,
       k: Int, iters: Int, m: Int, subDim: Int,
-      residual: Boolean = false): Quantizers = {
+      residual: Boolean = false, sq8: Boolean = false): Quantizers = {
+    require(!(residual && sq8), "residual and sq8 are exclusive encodings")
     val next = StreamState.markerIdsIn(s, s"$indexRoot/_current")
       .lastOption.getOrElse(-1L) + 1L
     val dir = genDir(indexRoot, next)
@@ -445,9 +499,15 @@ object IndexStream {
           res.select(col("vec_id"),
             slice(col("r"), sub * subDim + 1, subDim).as("v")),
           k, iters))
-      } else ProductQuantizer.train(
+      } else if (sq8) Nil
+      else ProductQuantizer.train(
         corpus, "vec_id", col("embedding"), m, subDim, k, iters)
-    val q = Quantizers(coarse, books, subDim, residual)
+    // the SQ8 generation retrains its global scale on the snapshot —
+    // the amax artifact rides the generation exactly like the codebooks
+    val q = Quantizers(coarse, books, subDim, residual,
+      sq8Amax = if (sq8) Some(corpus.agg(
+        max(array_max(transform(col("embedding"),
+          e => abs(e.cast("double")))))).head().getDouble(0)) else None)
     project(corpus.select(col("vec_id"), col("embedding")), q)
       .withColumn("src_batch", lit(0L))
       .write.mode("overwrite").partitionBy("cell")
@@ -479,6 +539,19 @@ object IndexStream {
     val dir = currentRoot(s, indexRoot).getOrElse(
       throw new IllegalStateException(s"no committed generation under $indexRoot"))
     searchCommittedCdc(s, dir, loadQuantizers(s, dir), query, nProbe, k)
+  }
+
+  /** [[searchCommittedCdcSq8]] against the ACTIVE generation of an SQ8
+    * CDC index root — the restarted-server entry point at the 1-byte
+    * encoding: no driver state survives, the generation's persisted
+    * quantizers (coarse centroids + the frozen amax) are the whole
+    * serving artifact.
+    */
+  def searchCurrentCdcSq8(s: SparkSession, indexRoot: String,
+      emb: Seq[Double], nProbe: Int, k: Int): DataFrame = {
+    val dir = currentRoot(s, indexRoot).getOrElse(
+      throw new IllegalStateException(s"no committed generation under $indexRoot"))
+    searchCommittedCdcSq8(s, dir, loadQuantizers(s, dir), emb, nProbe, k)
   }
 
   /** Batch IVFADC serving from the COMMITTED code table — the

@@ -483,6 +483,67 @@ class CdcIndexSpec extends AnyFunSuite {
     assert(row.getLong(1) == hits.toLong * 1000000L / 10L)
   }
 
+  test("SQ8 batch CDC serving: pure-insert state serves bit-identical " +
+    "rows to q_ann_ivf_sq8_batch; post-lifecycle batch serving is " +
+    "live-only") {
+    val q = queries.SemanticQ.sq8Quantizers(spark, d)
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_cdc_sq8_batch").toString
+    IndexStream.processBatchCdc(
+      Tables.embeddings(spark, d).select(col("vec_id"), col("embedding")),
+      0L, q, stateDir)
+    val probes = Tables.embeddings(spark, d)
+      .where(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val got = IndexStream.searchCommittedBatchCdcSq8(
+        spark, stateDir, q, probes, nProbe = 2, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val want = queries.SemanticQ.queries("q_ann_ivf_sq8_batch")(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want,
+      "maintained SQ8 batch serving diverged from the persisted batch tier")
+    val lifecycle = queries.SemanticQ.cdcLifecycleSq8Dir(spark, d)
+    val served = IndexStream.searchCommittedBatchCdcSq8(
+        spark, lifecycle, q, probes, nProbe = 2, k = 10)
+      .collect().map(_.getLong(2)).toSeq
+    assert(served.forall(liveId),
+      "SQ8 batch CDC serving surfaced a deleted (non-resurrected) id")
+  }
+
+  test("SQ8 rebuildCdc: the generation freezes the snapshot's amax, a " +
+    "restarted server serves via searchCurrentCdcSq8 identically to the " +
+    "persisted batch index, and the CDC lifecycle continues over the " +
+    "rebuilt base") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cdc_sq8_rebuild").toString
+    val q = IndexStream.rebuildCdc(spark, root,
+      Tables.embeddings(spark, d).select(col("vec_id"), col("embedding")),
+      k = 8, iters = 2, m = 4, subDim = 16, sq8 = true)
+    assert(q.sq8Amax.isDefined && q.books.isEmpty)
+    val gen = IndexStream.currentRoot(spark, root).get
+    val loaded = IndexStream.loadQuantizers(spark, gen)
+    assert(java.lang.Double.doubleToRawLongBits(loaded.sq8Amax.get) ==
+      java.lang.Double.doubleToRawLongBits(q.sq8Amax.get))
+    // rebuilt-corpus serving == the persisted batch IVF_SQ8 index
+    val qEmb = fullRows.head._2.map(_.toDouble)
+    val served = IndexStream.searchCurrentCdcSq8(spark, root, qEmb, 2, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batchTier = queries.SemanticQ.queries("q_ann_ivf_sq8_part")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served == batchTier,
+      "rebuilt SQ8 generation diverged from the persisted batch index")
+    // the lifecycle CONTINUES: a delete lands against the rebuilt base
+    // (batch ids strictly above the rebuild's 0, enforced by _rebuilt)
+    IndexStream.processBatchCdc(
+      cdcDf(Seq((served.head._1, Seq.empty[Float], "delete"))), 1L, q, gen)
+    val after = IndexStream.searchCurrentCdcSq8(spark, root, qEmb, 2, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(!after.contains(served.head._1),
+      "delete against the rebuilt SQ8 generation did not land")
+  }
+
   test("SQ8 quantizer artifact round-trips through save/loadQuantizers " +
     "with the global scale bit-exact, and the PQ search entries refuse " +
     "an SQ8 handle") {
