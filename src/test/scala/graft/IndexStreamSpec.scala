@@ -420,4 +420,38 @@ class IndexStreamSpec extends AnyFunSuite {
     assert(served == declared,
       "rebuild(residual) + searchCurrent must reproduce q_ann_ivfpq_res")
   }
+
+  test("SQ8 APPEND-path maintenance: batched inserts serve bit-identical " +
+    "single-probe AND batch results to the persisted IVF_SQ8 tiers") {
+    val q = queries.SemanticQ.sq8Quantizers(spark, d)
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_ix_sq8").toString
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))
+    // two batches with an overlapping id range — the anti-join dedup
+    // must keep the FIRST write (frozen quantizers: codes identical
+    // either way, so liveness is the only thing at stake)
+    IndexStream.processBatch(emb.where(col("vec_id") < 100L), 0L, q, stateDir)
+    IndexStream.processBatch(emb.where(col("vec_id") >= 50L), 1L, q, stateDir)
+    val qEmb = fullRows.head._2.map(_.toDouble)
+    val single = IndexStream.searchCommittedSq8(
+        spark, stateDir, q, qEmb, nProbe = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val part = queries.SemanticQ.queries("q_ann_ivf_sq8_part")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(single == part,
+      "append-path SQ8 single-probe serving diverged from q_ann_ivf_sq8_part")
+    val probes = Tables.embeddings(spark, d)
+      .where(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val batch = IndexStream.searchCommittedBatchSq8(
+        spark, stateDir, q, probes, nProbe = 2, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val declared = queries.SemanticQ.queries("q_ann_ivf_sq8_batch")(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(batch == declared,
+      "append-path SQ8 batch serving diverged from q_ann_ivf_sq8_batch")
+  }
 }
