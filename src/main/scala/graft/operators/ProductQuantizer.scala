@@ -55,6 +55,17 @@ object ProductQuantizer {
       emb.select(col(idCol), slice(embCol, s * subDim + 1, subDim).as("e")),
       idCol, col("e"), k, iters)
 
+  /** The SQ8 global-scale TRAINING aggregate — the corpus max
+    * |coordinate| as an exact double. One spelling shared by the batch
+    * tier's in-flight SQ8 queries, the persisted IVF_SQ8 index build,
+    * the session quantizer handle, and a rebuilt CDC generation's amax
+    * refit: their bit-identity is a pinned serving contract (a
+    * last-ulp drift in the scale flips floor() boundary codes), so the
+    * expression must never be re-spelled inline.
+    */
+  def amaxExpr(emb: Column): Column =
+    max(array_max(transform(emb, e => abs(e.cast("double")))))
+
   /** Nearest-codebook-entry argmin against a DRIVER-LOCAL codebook: min
     * over the k-element literal candidate array of (dist, cid) structs —
     * struct ordering compares dist first, then cid, so ties break to the

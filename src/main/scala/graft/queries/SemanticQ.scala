@@ -645,20 +645,31 @@ object SemanticQ {
     * content-addressed dirs permanently (their key can never be
     * recomputed, so the `_SUCCESS` reuse path never touches them), and
     * on hosts where java.io.tmpdir persists those full code-table
-    * copies accumulate forever. Age them out at 24 h: a dir REUSED
-    * within the window keeps its write-time mtime but is at most one
-    * rebuild away, while every active same-session dir is younger than
-    * the sweep by construction. Crashed `.build-*` staging dirs share
-    * the prefix and age out the same way.
+    * copies accumulate forever. Age classes are deliberately tiered so
+    * the sweep can never yank a dir out from under a CONCURRENT
+    * long-lived JVM (the race the atomic-rename fix exists to close):
+    * `.build-*` staging dirs and legacy `graft_ivfpq_part_*` dirs go at
+    * 24 h (a build takes minutes, and no current-layout code can ever
+    * key the legacy prefix), while live-layout `graft_idx_*` dirs only
+    * go after 7 IDLE days — [[persistedIndexPath]] bumps a dir's mtime
+    * on every cross-session reuse, so "old" means a week with no
+    * session keying it; only a JVM that stays up past a week while
+    * never re-keying its index races the sweep, the accepted trade of
+    * parking shared artifacts on scratch tmpdir.
     */
   private lazy val staleIndexSweep: Unit = {
-    val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+    val now = System.currentTimeMillis()
+    val day = 24L * 3600 * 1000
     Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())
       .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory &&
-        (f.getName.startsWith("graft_idx_") ||
-          f.getName.startsWith("graft_ivfpq_part_")) &&
-        f.lastModified() < cutoff)
+      .filter { f =>
+        val n = f.getName
+        f.isDirectory && (
+          ((n.contains(".build-") && n.startsWith("graft_idx_")) ||
+            n.startsWith("graft_ivfpq_part_")) && f.lastModified() < now - day ||
+          (n.startsWith("graft_idx_") && !n.contains(".build-") &&
+            f.lastModified() < now - 7 * day))
+      }
       .foreach(f => rmrfDir(f.getPath))
   }
 
@@ -686,8 +697,16 @@ object SemanticQ {
           .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString
         val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
           s"graft_idx_${tag}_$h").toString
-        if (!java.nio.file.Files.exists(
+        if (java.nio.file.Files.exists(
             java.nio.file.Paths.get(dir, "_SUCCESS"))) {
+          // cross-session reuse: refresh the dir's idle clock so the
+          // 7-day sweep only ever reaps indexes NO session keys anymore
+          scala.util.Try(java.nio.file.Files.setLastModifiedTime(
+            java.nio.file.Paths.get(dir),
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis())))
+          ()
+        } else {
           val tmp = dir + ".build-" + java.util.UUID.randomUUID().toString.take(8)
           build(tmp)
           try java.nio.file.Files.move(
@@ -911,7 +930,7 @@ object SemanticQ {
   def sq8TopkQ(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val g = emb.agg(
-      max(array_max(transform(col("embedding"), e => abs(e.cast("double")))))
+      graft.operators.ProductQuantizer.amaxExpr(col("embedding"))
         .as("amax"))
     val q = emb.where(col("vec_id") === 0L).select(col("embedding").as("qe"))
     emb.crossJoin(broadcast(g)).crossJoin(broadcast(q))
@@ -937,7 +956,7 @@ object SemanticQ {
   def sq8BatchQ(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val g = emb.agg(
-      max(array_max(transform(col("embedding"), e => abs(e.cast("double")))))
+      graft.operators.ProductQuantizer.amaxExpr(col("embedding"))
         .as("amax"))
     val probes = emb.where(col("vec_id").isin(0L, 1L, 2L))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -976,7 +995,7 @@ object SemanticQ {
       .as[Seq[Long]].head()
     val probeCells = KMeansOp.nearestCells(cents, qv, 2)
     val g = emb.agg(
-      max(array_max(transform(col("embedding"), e => abs(e.cast("double")))))
+      graft.operators.ProductQuantizer.amaxExpr(col("embedding"))
         .as("amax"))
     val q = emb.where(col("vec_id") === 0L).select(col("embedding").as("qe"))
     emb.crossJoin(broadcast(g)).crossJoin(broadcast(q))
@@ -1047,7 +1066,7 @@ object SemanticQ {
       val emb = Tables.embeddings(s, d)
       val cents = trainedCentroids(s, d)
       val g = emb.agg(
-        max(array_max(transform(col("embedding"), e => abs(e.cast("double")))))
+        graft.operators.ProductQuantizer.amaxExpr(col("embedding"))
           .as("amax"))
       emb.crossJoin(broadcast(g))
         .select(col("vec_id"),
@@ -1161,17 +1180,15 @@ object SemanticQ {
         transform(col("a"), x => x.getField("mx")).as("vmx"))
 
   /** Dequantized scaled-integer corpus vector under the per-dim scales:
-    * dim i's code floor((x−vmn)/Δ+0.5) decoded to floor((vmn + c·Δ)·10^6).
+    * dim i's code floor((x−vmn)/Δ+0.5) decoded to floor((vmn + c·Δ)·10^6)
+    * — STRUCTURALLY the [[sq8DimDecode]] ∘ [[sq8DimCode]] composition
+    * (codes are small integers, so the long round-trip is exact), so
+    * the in-flight q_sq8_dim and the persisted q_sq8_dim_part can never
+    * drift: there is exactly one spelling of the code and one of the
+    * decode.
     */
   private def sq8DimDequant(vec: Column): Column =
-    transform(vec, (e, i) => {
-      val mn = element_at(col("vmn"), i + 1)
-      val mx = element_at(col("vmx"), i + 1)
-      val delta = (mx - mn) / lit(255.0)
-      val c = when(mx === mn, lit(0L))
-        .otherwise(floor((e.cast("double") - mn) / delta + lit(0.5)))
-      floor((mn + c.cast("double") * delta) * lit(1000000.0))
-    })
+    sq8DimDecode(sq8DimCode(vec))
 
   /** The per-dim scalar CODE array under the trained [vmn, vmx]
     * intervals — the 1-byte-per-dim payload the per-dim index persists
@@ -1777,22 +1794,31 @@ object SemanticQ {
     * the CDC recall monitor serves from: a maintained index that has
     * actually taken deletes and resurrections, not a fresh build.
     */
-  private[graft] def cdcLifecycleDir(s: SparkSession, d: String): String =
-    persistedIndexPath(s, d, "cdclife") { dir =>
-      val qz = graft.streaming.IndexStream.Quantizers(
-        trainedCentroids(s, d), pqCodebooks(s, d), PqSubDim)
+  /** The one three-batch lifecycle drive (insert all → delete →
+    * resurrect), shared by every encoding's fixture so the monitored
+    * lifecycles can never drift apart (the same single-source rule as
+    * the predicates above).
+    */
+  private def cdcLifecycleWith(s: SparkSession, d: String, tag: String)
+      (qz: => graft.streaming.IndexStream.Quantizers): String =
+    persistedIndexPath(s, d, tag) { dir =>
+      val q = qz
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"))
-      graft.streaming.IndexStream.processBatchCdc(emb, 1L, qz, dir)
+      graft.streaming.IndexStream.processBatchCdc(emb, 1L, q, dir)
       graft.streaming.IndexStream.processBatchCdc(
         emb.where(cdcDeleted(col("vec_id")))
           .withColumn(graft.streaming.IndexStream.OpColumn, lit("delete")),
-        2L, qz, dir)
+        2L, q, dir)
       graft.streaming.IndexStream.processBatchCdc(
-        emb.where(cdcResurrected(col("vec_id"))), 3L, qz, dir)
+        emb.where(cdcResurrected(col("vec_id"))), 3L, q, dir)
       java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "_SUCCESS"))
       ()
     }
+
+  private[graft] def cdcLifecycleDir(s: SparkSession, d: String): String =
+    cdcLifecycleWith(s, d, "cdclife")(graft.streaming.IndexStream.Quantizers(
+      trainedCentroids(s, d), pqCodebooks(s, d), PqSubDim))
 
   /** Recall@10 of the MAINTAINED CDC index mid-lifecycle
     * ([[cdcLifecycleDir]]: full insert → delete 10% → resurrect half)
@@ -1841,9 +1867,9 @@ object SemanticQ {
     val fp = snapshotKey(s, d)
     amaxCache.compute(d, (_, prev) =>
       if (prev != null && prev._1 == fp) prev
-      else (fp, Tables.embeddings(s, d).agg(
-        max(array_max(transform(col("embedding"),
-          e => abs(e.cast("double")))))).head().getDouble(0)))._2
+      else (fp, Tables.embeddings(s, d)
+        .agg(graft.operators.ProductQuantizer.amaxExpr(col("embedding")))
+        .head().getDouble(0)))._2
   }
 
   /** The session's frozen IVF_SQ8 quantizer handle: the shared fixed-k
@@ -1865,20 +1891,7 @@ object SemanticQ {
     * IVF_SQ8 quantizer, serving the q_recall_cdc_sq8 monitor.
     */
   private[graft] def cdcLifecycleSq8Dir(s: SparkSession, d: String): String =
-    persistedIndexPath(s, d, "cdclifesq8") { dir =>
-      val qz = sq8Quantizers(s, d)
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"))
-      graft.streaming.IndexStream.processBatchCdc(emb, 1L, qz, dir)
-      graft.streaming.IndexStream.processBatchCdc(
-        emb.where(cdcDeleted(col("vec_id")))
-          .withColumn(graft.streaming.IndexStream.OpColumn, lit("delete")),
-        2L, qz, dir)
-      graft.streaming.IndexStream.processBatchCdc(
-        emb.where(cdcResurrected(col("vec_id"))), 3L, qz, dir)
-      java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "_SUCCESS"))
-      ()
-    }
+    cdcLifecycleWith(s, d, "cdclifesq8")(sq8Quantizers(s, d))
 
   /** Recall@10 of the maintained SQ8 CDC index mid-lifecycle against
     * the integer-exact top-10 over the live set — [[recallCdcQ]] at the

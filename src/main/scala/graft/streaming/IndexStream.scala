@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.{KMeansOp, ProductQuantizer}
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -22,11 +22,13 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *
   * Per micro-batch of (vec_id, embedding):
   *  1. one shuffle-free projection computes each vector's coarse cell
-  *     and PQ codes against the frozen quantizers (literal argmins,
+  *     and codes against the frozen quantizers (literal argmins,
   *     broadcast by value) — [[ProductQuantizer.indexProjection]] for
   *     plain PQ, [[ProductQuantizer.residualIndexProjection]] when the
   *     artifact's codebooks quantize v − centroid[cell] (FAISS's
-  *     default residual encoding; `Quantizers.residual`);
+  *     default residual encoding; `Quantizers.residual`), or the
+  *     per-dimension scalar codes under the frozen global scale when
+  *     the artifact is IVF_SQ8 (`Quantizers.sq8Amax`);
   *  2. vectors whose vec_id an EARLIER committed batch already indexed
   *     are dropped by one anti-join against the committed code table
   *     (new↔existing only; the index is never re-scanned pairwise);
@@ -87,16 +89,35 @@ object IndexStream {
     * the batch tier's q_ann_ivf_sq8 index write uses, so a maintained
     * SQ8 index is bit-identical to the persisted batch one).
     */
+  // ---- The SQ8 encode expression, in ONE spelling ------------------
+  //
+  // Corpus codes, single-probe query codes, and batch-probe query
+  // codes must agree bit-for-bit with each other AND with the batch
+  // tier's persisted index (the CdcIndexSpec/IndexStreamSpec parity
+  // pins) — so the floor(e / (amax/127) + 0.5) expression exists once
+  // as a Column (per element / per array) and once as its driver-side
+  // IEEE mirror, never inline.
+
+  /** One dimension's scalar code under the frozen global scale. */
+  private def sq8CodeElem(e: Column, amax: Double): Column =
+    if (amax == 0.0) lit(0L)
+    else floor(e.cast("double") / lit(amax / 127.0) + lit(0.5)).cast("long")
+
+  /** The full per-dim code array of an embedding column. */
+  private def sq8CodeArr(emb: Column, amax: Double): Column =
+    transform(emb, e => sq8CodeElem(e, amax))
+
+  /** Driver-side mirror of [[sq8CodeElem]] — identical IEEE ops. */
+  private def sq8CodeLocal(e: Double, amax: Double): Long =
+    if (amax == 0.0) 0L else math.floor(e / (amax / 127.0) + 0.5).toLong
+
   private def project(batch: DataFrame, q: Quantizers): DataFrame = {
     val vecs = batch.select(col("vec_id"),
       KMeansOp.intVec(col("embedding")).as("v"))
     q.sq8Amax match {
       case Some(amax) =>
         val codeCols = (0 until q.dim).map { i =>
-          val e = element_at(col("embedding"), i + 1).cast("double")
-          (if (amax == 0.0) lit(0L)
-           else floor(e / lit(amax / 127.0) + lit(0.5)).cast("long"))
-            .as(s"code_$i")
+          sq8CodeElem(element_at(col("embedding"), i + 1), amax).as(s"code_$i")
         }
         batch.select(col("vec_id") +:
           ProductQuantizer.nearestCid(
@@ -234,11 +255,12 @@ object IndexStream {
     * distributed projection, applied to the one probe row.
     */
   private def sq8Query(q: Quantizers, emb: Seq[Double]): (Seq[Long], Seq[Long]) = {
+    require(q.sq8Amax.isDefined,
+      "this entry serves SQ8 state only — a PQ/residual handle serves " +
+        "through searchCommitted/searchCommittedCdc")
     val amax = q.sq8Amax.get
     val v = emb.map(e => math.floor(e * 1000000d).toLong)
-    val code = emb.map(e =>
-      if (amax == 0.0) 0L else math.floor(e / (amax / 127.0) + 0.5).toLong)
-    (v, code)
+    (v, emb.map(sq8CodeLocal(_, amax)))
   }
 
   /** Integer code-space squared L2 of the persisted code COLUMNS
@@ -297,10 +319,11 @@ object IndexStream {
     */
   private def sq8BatchOver(codes: DataFrame, q: Quantizers,
       probes: DataFrame, nProbe: Int, k: Int): DataFrame = {
+    require(q.sq8Amax.isDefined,
+      "this entry serves SQ8 state only — a PQ/residual handle serves " +
+        "through searchCommittedBatch/searchCommittedBatchCdc")
     val amax = q.sq8Amax.get
-    val qCodeExpr = transform(col("embedding"), e =>
-      if (amax == 0.0) lit(0L)
-      else floor(e.cast("double") / lit(amax / 127.0) + lit(0.5)).cast("long"))
+    val qCodeExpr = sq8CodeArr(col("embedding"), amax)
     val cellArr = array_sort(array(q.coarse.map { case (cid, cv) =>
       struct(KMeansOp.intDist(KMeansOp.intVec(col("embedding")), typedLit(cv))
         .as("dist"), lit(cid).as("cid"))
@@ -504,10 +527,11 @@ object IndexStream {
         corpus, "vec_id", col("embedding"), m, subDim, k, iters)
     // the SQ8 generation retrains its global scale on the snapshot —
     // the amax artifact rides the generation exactly like the codebooks
+    // (the shared aggregate spelling: ProductQuantizer.amaxExpr)
     val q = Quantizers(coarse, books, subDim, residual,
-      sq8Amax = if (sq8) Some(corpus.agg(
-        max(array_max(transform(col("embedding"),
-          e => abs(e.cast("double")))))).head().getDouble(0)) else None)
+      sq8Amax = if (sq8) Some(
+        corpus.agg(ProductQuantizer.amaxExpr(col("embedding")))
+          .head().getDouble(0)) else None)
     project(corpus.select(col("vec_id"), col("embedding")), q)
       .withColumn("src_batch", lit(0L))
       .write.mode("overwrite").partitionBy("cell")
