@@ -660,13 +660,22 @@ object SemanticQ {
   private lazy val staleIndexSweep: Unit = {
     val now = System.currentTimeMillis()
     val day = 24L * 3600 * 1000
+    // a staging dir is STALE only when nothing under it moved for 24 h:
+    // an in-progress build (even a day-long one on a loaded host) keeps
+    // writing part files, so its newest child mtime stays fresh — the
+    // root mtime alone only reflects the last file CREATION
+    def newestMtime(f: java.io.File): Long =
+      (f.lastModified() +: Option(f.listFiles()).getOrElse(Array.empty)
+        .map(c => if (c.isDirectory) newestMtime(c) else c.lastModified())
+        .toSeq).max
     Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter { f =>
         val n = f.getName
         f.isDirectory && (
           ((n.contains(".build-") && n.startsWith("graft_idx_")) ||
-            n.startsWith("graft_ivfpq_part_")) && f.lastModified() < now - day ||
+            n.startsWith("graft_ivfpq_part_")) &&
+            newestMtime(f) < now - day ||
           (n.startsWith("graft_idx_") && !n.contains(".build-") &&
             f.lastModified() < now - 7 * day))
       }
@@ -685,51 +694,62 @@ object SemanticQ {
     * dir, tag); a replaced snapshot parks its superseded copy for
     * shutdown deletion.
     */
+  private def marked(dir: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))
+
   private def persistedIndexPath(s: SparkSession, d: String, tag: String)
       (build: String => Unit): String = {
     staleIndexSweep
     val fp = s"v$IndexLayoutVersion|$tag|${snapshotKey(s, d)}"
     partIndexCache.compute(s"$d|$tag", (_, prev) =>
-      if (prev != null && prev._1 == fp) prev
+      // the fast path re-stats the marker (one stat per query build):
+      // an EXTERNALLY deleted dir — a racing sweep, a tmpdir cleaner,
+      // an operator rm — heals by rebuilding instead of serving a
+      // cached path into FileNotFoundException for the session's life
+      if (prev != null && prev._1 == fp && marked(prev._2)) prev
       else {
         if (prev != null) { supersededCleanupHook; supersededDirs.add(prev._2); () }
         val h = java.security.MessageDigest.getInstance("MD5")
           .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString
         val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
           s"graft_idx_${tag}_$h").toString
-        if (java.nio.file.Files.exists(
-            java.nio.file.Paths.get(dir, "_SUCCESS"))) {
+        if (marked(dir)) {
           // cross-session reuse: refresh the dir's idle clock so the
           // 7-day sweep only ever reaps indexes NO session keys anymore
           scala.util.Try(java.nio.file.Files.setLastModifiedTime(
             java.nio.file.Paths.get(dir),
             java.nio.file.attribute.FileTime.fromMillis(
               System.currentTimeMillis())))
-          ()
+          (fp, dir)
         } else {
           val tmp = dir + ".build-" + java.util.UUID.randomUUID().toString.take(8)
           build(tmp)
-          try java.nio.file.Files.move(
-            java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(dir),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          catch {
-            case _: java.nio.file.FileSystemException
-                if java.nio.file.Files.exists(
-                  java.nio.file.Paths.get(dir, "_SUCCESS")) =>
+          try {
+            java.nio.file.Files.move(
+              java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(dir),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            (fp, dir)
+          } catch {
+            case _: java.nio.file.FileSystemException if marked(dir) =>
               // a concurrent session completed the same key first —
               // serve its copy, discard ours
               rmrfDir(tmp)
+              (fp, dir)
             case _: java.nio.file.FileSystemException =>
-              // the target exists WITHOUT a marker: a torn dir from a
-              // crashed pre-rename-era build — replace it with ours
-              rmrfDir(dir)
-              java.nio.file.Files.move(
-                java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(dir),
-                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-              ()
+              // the target exists WITHOUT a marker (a torn dir from a
+              // crashed pre-rename-era build, or a concurrent install
+              // mid-flight). Deleting or renaming a shared path here
+              // could yank a sibling session's just-installed index out
+              // from under its readers — so NEVER touch it: serve THIS
+              // session from its own complete staging copy (the build
+              // is a pure function of the key, so the copies are
+              // equivalent) and park it for shutdown deletion; the
+              // age-based sweep reclaims the torn dir.
+              supersededCleanupHook
+              supersededDirs.add(tmp)
+              (fp, tmp)
           }
         }
-        (fp, dir)
       })._2
   }
 
@@ -1783,21 +1803,17 @@ object SemanticQ {
     s"NOT ($idExpr % $CdcDeleteMod = $CdcResidue AND " +
       s"$idExpr % $CdcResurrectMod <> $CdcResidue)"
 
-  /** A deterministic CDC index LIFECYCLE over the dataset — insert the
-    * full corpus, delete every [[cdcDeleted]] vec_id, re-insert the
-    * [[cdcResurrected]] half of them — driven through the real
-    * [[graft.streaming.IndexStream.processBatchCdc]] against the
-    * session's frozen quantizers, materialized once per content
-    * snapshot (the same `_SUCCESS`-gated lifecycle as every persisted
-    * index here; the staging dir is session-unique, so a torn partial
-    * run is never visible under the served name). This is the fixture
-    * the CDC recall monitor serves from: a maintained index that has
-    * actually taken deletes and resurrections, not a fresh build.
-    */
-  /** The one three-batch lifecycle drive (insert all → delete →
-    * resurrect), shared by every encoding's fixture so the monitored
-    * lifecycles can never drift apart (the same single-source rule as
-    * the predicates above).
+  /** The one three-batch lifecycle drive — a deterministic CDC index
+    * LIFECYCLE over the dataset: insert the full corpus, delete every
+    * [[cdcDeleted]] vec_id, re-insert the [[cdcResurrected]] half of
+    * them, through the real
+    * [[graft.streaming.IndexStream.processBatchCdc]] against the given
+    * frozen quantizers, materialized once per content snapshot (the
+    * same `_SUCCESS`-gated lifecycle as every persisted index here;
+    * the staging dir is session-unique, so a torn partial run is never
+    * visible under the served name). ONE body shared by every
+    * encoding's fixture, so the monitored lifecycles can never drift
+    * apart (the same single-source rule as the predicates above).
     */
   private def cdcLifecycleWith(s: SparkSession, d: String, tag: String)
       (qz: => graft.streaming.IndexStream.Quantizers): String =
@@ -1816,6 +1832,10 @@ object SemanticQ {
       ()
     }
 
+  /** The plain-PQ lifecycle fixture — what [[recallCdcQ]] serves from:
+    * a maintained index that has actually taken deletes and
+    * resurrections, not a fresh build.
+    */
   private[graft] def cdcLifecycleDir(s: SparkSession, d: String): String =
     cdcLifecycleWith(s, d, "cdclife")(graft.streaming.IndexStream.Quantizers(
       trainedCentroids(s, d), pqCodebooks(s, d), PqSubDim))
