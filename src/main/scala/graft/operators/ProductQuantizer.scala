@@ -178,6 +178,40 @@ object ProductQuantizer {
     * dedup keeps one arbitrarily, as the replaced driver-side `.toMap`
     * did).
     */
+  /** The sorted (dist, cid) coarse-argmin array for a probe's vector
+    * column — ONE spelling of the per-qid probe-cell derivation, shared
+    * by the batch serving dataflows and [[collectProbeCells]] (ties to
+    * the lower cid, the engine/oracle convention): `slice(_, 1, nProbe)`
+    * of this array IS the probe's cell list.
+    */
+  private[graft] def probeCellArr(coarse: Seq[(Long, Seq[Long])],
+      v: Column): Column =
+    array_sort(array(coarse.map { case (cid, cv) =>
+      struct(KMeansOp.intDist(v, typedLit(cv)).as("dist"),
+        lit(cid).as("cid"))
+    }: _*))
+
+  /** The DISTINCT probed cells of a (qid, vector) probe frame,
+    * collected — ≤ Q·nProbe longs, algorithm-bounded the way the k
+    * collected centroids are — so a serving tier over a PERSISTED
+    * cell-partitioned table can push a static partition predicate into
+    * its file listing: the broadcast (qid, cell) join inside the batch
+    * dataflows scopes which rows are SCORED per qid, but Spark plants
+    * no dynamic-partition-pruning subquery for that shape (verified
+    * r18), so without this predicate a batch read LISTS every cell
+    * directory it will never score. Evaluates the same
+    * [[probeCellArr]] expression the dataflows join on, so the pruned
+    * listing is a superset of every (qid, cell) the join touches by
+    * construction. `v` names the vector column (default `v`; SQ8
+    * callers pass the int-scaled view of their raw-embedding column).
+    */
+  def collectProbeCells(probes: DataFrame, coarse: Seq[(Long, Seq[Long])],
+      nProbe: Int, v: Column = col("v")): Seq[Long] =
+    probes
+      .select(explode(slice(probeCellArr(coarse, v), 1, nProbe)).as("pc"))
+      .select(col("pc.cid")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+
   def adcBatchServe(indexed: DataFrame, probesIn: DataFrame,
       coarse: Seq[(Long, Seq[Long])], books: Seq[Seq[(Long, Seq[Long])]],
       subDim: Int, nProbe: Int, topK: Int): DataFrame = {
@@ -190,10 +224,7 @@ object ProductQuantizer {
     // probe lineage its second execution. Bounded: Q rows.
     val probes = probesIn.dropDuplicates("qid").localCheckpoint()
     val m = books.size
-    val cellArr = array_sort(array(coarse.map { case (cid, cv) =>
-      struct(KMeansOp.intDist(col("v"), typedLit(cv)).as("dist"),
-        lit(cid).as("cid"))
-    }: _*))
+    val cellArr = probeCellArr(coarse, col("v"))
     val probeCells = probes
       .select(col("qid"), explode(slice(cellArr, 1, nProbe)).as("pc"))
       .select(col("qid"), col("pc.cid").as("cell"))
@@ -276,10 +307,7 @@ object ProductQuantizer {
     // probe lineage its second execution. Bounded: Q rows.
     val probes = probesIn.dropDuplicates("qid").localCheckpoint()
     val m = books.size
-    val cellArr = array_sort(array(coarse.map { case (cid, cv) =>
-      struct(KMeansOp.intDist(col("v"), typedLit(cv)).as("dist"),
-        lit(cid).as("cid"))
-    }: _*))
+    val cellArr = probeCellArr(coarse, col("v"))
     val probeCells = probes
       .select(col("qid"), col("v"),
         explode(slice(cellArr, 1, nProbe)).as("pc"))

@@ -424,22 +424,27 @@ object SemanticQ {
     * per invocation (fine when the index is being built in the same
     * lineage; wasteful when it already exists), while this tier reads
     * [[partitionedCodesPath]] and pays only the probed-cell join + ADC
-    * melt + rank. The per-qid probe-cell relation broadcasts into the
-    * partitioned scan, so rows are SCORED only for probed cells — the
-    * join filter, not the file listing: Spark does not plant a dynamic
-    * partition-pruning subquery for this broadcast shape (verified
-    * against the physical plan, ADVICE r18 — `PartitionFilters` carries
-    * only the isnotnull guard), so a probe fleet wide enough to touch
-    * most cells reads the whole index once, which is also what it
-    * scores. The single-probe tier ([[annIvfPqPartQ]]) is the
-    * listing-pruned path and stays pinned in ServingTiersSpec.
-    * Identical results to q_ann_ivfpq_batch (shared oracle).
+    * melt + rank. TWO prunings stack: the union of the batch's probed
+    * cells — collected via
+    * [[graft.operators.ProductQuantizer.collectProbeCells]], ≤ Q·nProbe
+    * longs, the same argmin expression the serving join evaluates — is
+    * pushed as a STATIC partition predicate so the file LISTING stops
+    * at the probed directories (Spark plants no dynamic-partition-
+    * pruning subquery for the broadcast join shape, verified r18;
+    * ServingTiersSpec pins `selectedPartitions == |distinct probed
+    * cells|` on this plan), and the broadcast (qid, cell) join then
+    * scopes which of those rows each qid SCORES. Identical results to
+    * q_ann_ivfpq_batch (shared oracle) — the static predicate is a
+    * superset of the join's cells by construction.
     */
   def annIvfPqBatchPartQ(s: SparkSession, d: String): DataFrame = {
     val probes = intVecs(s, d).where(col("vec_id").isin(0L, 1L, 2L))
       .select(col("vec_id").as("qid"), col("v"))
+    val cells = graft.operators.ProductQuantizer.collectProbeCells(
+      probes, trainedCentroids(s, d), nProbe = 2)
     graft.operators.ProductQuantizer.adcBatchServe(
-      s.read.schema(partCodesSchema).parquet(partitionedCodesPath(s, d)),
+      s.read.schema(partCodesSchema).parquet(partitionedCodesPath(s, d))
+        .where(col("cell").isin(cells: _*)),
       probes, trainedCentroids(s, d), pqCodebooks(s, d), PqSubDim,
       nProbe = 2, topK = 3)
   }
@@ -448,14 +453,20 @@ object SemanticQ {
     * cell-partitioned code table — [[annIvfPqResBatchQ]]'s contract
     * served from [[partitionedResCodesPath]] instead of a per-query
     * re-encode (the same gap q_ann_ivfpq_res_part closes for the
-    * single-probe tier, at the batch tier). Identical results to
-    * q_ann_ivfpq_res_batch (shared oracle).
+    * single-probe tier, at the batch tier), with the same stacked
+    * pruning as [[annIvfPqBatchPartQ]]: the collected probed-cell union
+    * stops the file LISTING (plan-pinned in ServingTiersSpec), the
+    * broadcast (qid, cell) join scopes per-qid scoring. Identical
+    * results to q_ann_ivfpq_res_batch (shared oracle).
     */
   def annIvfPqResBatchPartQ(s: SparkSession, d: String): DataFrame = {
     val probes = intVecs(s, d).where(col("vec_id").isin(0L, 1L, 2L))
       .select(col("vec_id").as("qid"), col("v"))
+    val cells = graft.operators.ProductQuantizer.collectProbeCells(
+      probes, trainedCentroids(s, d), nProbe = 2)
     graft.operators.ProductQuantizer.adcBatchServeResidual(
-      s.read.schema(partCodesSchema).parquet(partitionedResCodesPath(s, d)),
+      s.read.schema(partCodesSchema).parquet(partitionedResCodesPath(s, d))
+        .where(col("cell").isin(cells: _*)),
       probes, trainedCentroids(s, d), resCodebooks(s, d), PqSubDim,
       nProbe = 2, topK = 3)
   }
@@ -1138,11 +1149,19 @@ object SemanticQ {
     * broadcast into the partitioned code table so only probed-cell
     * rows are scored, one qid-partitioned rank for the per-probe
     * top-3. ONE index-scan lineage regardless of probe count; raw
-    * floats are touched only for the Q probe rows.
+    * floats are touched only for the Q probe rows. The collected
+    * probed-cell union additionally stops the file LISTING at the
+    * probed directories ([[graft.operators.ProductQuantizer
+    * .collectProbeCells]], plan-pinned in ServingTiersSpec) — the
+    * one-row amax read rides the pruned scan (the scale is constant
+    * across rows, so any surviving cell serves it).
     */
   def annIvfSq8BatchQ(s: SparkSession, d: String): DataFrame = {
     val cents = trainedCentroids(s, d)
+    val cells = graft.operators.ProductQuantizer.collectProbeCells(
+      intVecs(s, d).where(col("vec_id").isin(0L, 1L, 2L)), cents, nProbe = 2)
     val codes = s.read.schema(sq8PartSchema).parquet(sq8IndexPath(s, d))
+      .where(col("cell").isin(cells: _*))
     val amax1 = codes.select(col("amax")).limit(1)
     val cellArr = array_sort(array(cents.map { case (cid, cv) =>
       struct(KMeansOp.intDist(KMeansOp.intVec(col("qe")), typedLit(cv))
@@ -1362,11 +1381,17 @@ object SemanticQ {
     * partitioned index so only probed-cell rows decode and score, one
     * qid-partitioned rank for the per-probe top-3. ONE index-scan
     * lineage regardless of probe count; the probe vectors stay in the
-    * scaled-integer domain end to end (asymmetric DC).
+    * scaled-integer domain end to end (asymmetric DC). The collected
+    * probed-cell union additionally stops the file LISTING at the
+    * probed directories ([[graft.operators.ProductQuantizer
+    * .collectProbeCells]], plan-pinned in ServingTiersSpec).
     */
   def sq8DimBatchQ(s: SparkSession, d: String): DataFrame = {
     val cents = trainedCentroids(s, d)
+    val cells = graft.operators.ProductQuantizer.collectProbeCells(
+      intVecs(s, d).where(col("vec_id").isin(0L, 1L, 2L)), cents, nProbe = 2)
     val codes = s.read.schema(sq8DimPartSchema).parquet(sq8DimIndexPath(s, d))
+      .where(col("cell").isin(cells: _*))
     val cellArr = array_sort(array(cents.map { case (cid, cv) =>
       struct(KMeansOp.intDist(col("qv"), typedLit(cv)).as("dist"),
         lit(cid).as("cid"))

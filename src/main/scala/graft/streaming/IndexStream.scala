@@ -315,7 +315,11 @@ object IndexStream {
     * (qid, cell, qcode) relation broadcasts into the code scan so only
     * probed-cell rows are scored, and one qid-partitioned rank serves
     * the per-probe top-k — ONE state-scan lineage for any probe count,
-    * no driver work per probe. Returns (qid, rnk, vec_id, qdist).
+    * the only per-batch driver work the ≤ Q·nProbe collected distinct
+    * probed cells, pushed as a static partition predicate so the state
+    * table's file LISTING also stops at the probed `cell=` directories
+    * ([[ProductQuantizer.collectProbeCells]] over the same argmin the
+    * join evaluates). Returns (qid, rnk, vec_id, qdist).
     */
   private def sq8BatchOver(codes: DataFrame, q: Quantizers,
       probes: DataFrame, nProbe: Int, k: Int): DataFrame = {
@@ -324,10 +328,11 @@ object IndexStream {
         "through searchCommittedBatch/searchCommittedBatchCdc")
     val amax = q.sq8Amax.get
     val qCodeExpr = sq8CodeArr(col("embedding"), amax)
-    val cellArr = array_sort(array(q.coarse.map { case (cid, cv) =>
-      struct(KMeansOp.intDist(KMeansOp.intVec(col("embedding")), typedLit(cv))
-        .as("dist"), lit(cid).as("cid"))
-    }: _*))
+    val prunedCodes = codes.where(col("cell").isin(
+      ProductQuantizer.collectProbeCells(probes, q.coarse, nProbe,
+        KMeansOp.intVec(col("embedding"))): _*))
+    val cellArr = ProductQuantizer.probeCellArr(q.coarse,
+      KMeansOp.intVec(col("embedding")))
     val probeCells = probes
       .select(col("qid"), qCodeExpr.as("qcode"),
         explode(slice(cellArr, 1, nProbe)).as("pc"))
@@ -339,7 +344,7 @@ object IndexStream {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid"))
       .orderBy(col("qdist").asc, col("vec_id").asc)
-    codes.join(broadcast(probeCells), Seq("cell"))
+    prunedCodes.join(broadcast(probeCells), Seq("cell"))
       .select(col("qid"), col("vec_id"), dist.as("qdist"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
@@ -596,14 +601,20 @@ object IndexStream {
   /** The probe-fleet form: `probes` is any (qid, scaled-vector) FRAME —
     * per-qid coarse cells and ADC LUTs are built by executors (the
     * shared [[ProductQuantizer.adcBatchServe]] dataflow), so thousands
-    * of concurrent probes never touch the driver.
+    * of concurrent probes never touch the driver beyond the ≤ Q·nProbe
+    * collected DISTINCT probed cells, which ride back as a static
+    * partition predicate so the committed table's file LISTING stops at
+    * the probed `cell=` directories (the broadcast join alone scopes
+    * scoring, not listing — [[ProductQuantizer.collectProbeCells]]).
     */
   def searchCommittedBatch(s: SparkSession, stateDir: String, q: Quantizers,
       probes: DataFrame, nProbe: Int, k: Int): DataFrame = {
     require(q.sq8Amax.isEmpty,
       "SQ8 state serves through searchCommittedSq8")
+    val cells = ProductQuantizer.collectProbeCells(probes, q.coarse, nProbe)
     val committed = StreamState.readCommitted(
       s, stateDir, "codes", codesSchema(q.m), partitioned = true)
+      .where(col("cell").isin(cells: _*))
     if (q.residual)
       ProductQuantizer.adcBatchServeResidual(
         committed, probes, q.coarse, q.books, q.subDim, nProbe, k)
@@ -822,12 +833,20 @@ object IndexStream {
       luts, k)
   }
 
-  /** [[searchCommittedBatch]] over the LIVE rows of a CDC state dir. */
+  /** [[searchCommittedBatch]] over the LIVE rows of a CDC state dir.
+    * The collected probed-cell union prunes the code scan's listing
+    * here too: a row's liveness is decided per row against the
+    * (unpruned) tombstone relation, never by rows in other cells, so
+    * filtering the live view on `cell` pushes to the codes scan and
+    * changes nothing the join would have scored.
+    */
   def searchCommittedBatchCdc(s: SparkSession, stateDir: String,
       q: Quantizers, probes: DataFrame, nProbe: Int, k: Int): DataFrame = {
     require(q.sq8Amax.isEmpty,
       "SQ8 CDC state serves through searchCommittedCdcSq8")
+    val cells = ProductQuantizer.collectProbeCells(probes, q.coarse, nProbe)
     val live = liveCodes(s, stateDir, q.m).drop("src_batch")
+      .where(col("cell").isin(cells: _*))
     if (q.residual)
       ProductQuantizer.adcBatchServeResidual(
         live, probes, q.coarse, q.books, q.subDim, nProbe, k)

@@ -443,4 +443,42 @@ class ServingTiersSpec extends AnyFunSuite {
     // the floor a deployment would alert on
     assert(row.getLong(0) >= 8L, s"SQ8 recall dropped to ${row.getLong(0)}/10")
   }
+
+  test("batch persisted tiers: the index LISTING prunes to the union of " +
+    "probed cells; results identical to the in-flight twins") {
+    val ivecs = intVecsLocal()
+    val cents = queries.SemanticQ.trainedCentroids(spark, d)
+    // the independent replay of collectProbeCells: per-qid 2-nearest
+    // cells for the declared probe batch (vec_ids 0/1/2), unioned
+    val expectCells = Seq(0L, 1L, 2L)
+      .flatMap(q => KMeansOp.nearestCells(cents, ivecs(q), 2))
+      .distinct.size
+    val tiers = Seq(
+      "q_ann_ivfpq_batch_part" -> Some("q_ann_ivfpq_batch"),
+      "q_ann_ivfpq_res_batch_part" -> Some("q_ann_ivfpq_res_batch"),
+      "q_ann_ivf_sq8_batch" -> None,
+      "q_sq8_dim_batch" -> None)
+    for ((part, twin) <- tiers) {
+      val df = queries.SemanticQ.queries(part)(spark, d)
+      val scans = fileScans(df).filter(
+        _.partitionFilters.exists(_.references.exists(_.name == "cell")))
+      assert(scans.nonEmpty,
+        s"$part: the probed-cell predicate must be a PARTITION filter " +
+          "on the index scan")
+      // every cell-filtered scan (the SQ8 tier also reads its one-row
+      // amax off the pruned table) must stop its listing at the union
+      // of probed cells, not the full directory set
+      scans.foreach { scan =>
+        assert(scan.selectedPartitions.partitionCount == expectCells,
+          s"$part listed ${scan.selectedPartitions.partitionCount} " +
+            s"partitions, expected the $expectCells distinct probed cells")
+      }
+      twin.foreach { t =>
+        val got = df.collect().map(_.toSeq).toSeq
+        val want = queries.SemanticQ.queries(t)(spark, d)
+          .collect().map(_.toSeq).toSeq
+        assert(got == want, s"$part diverged from $t")
+      }
+    }
+  }
 }
