@@ -102,6 +102,7 @@ object Bench {
       "sq8dim_index" -> (() => { queries.SemanticQ.sq8DimIndexPath(spark, sfDir); () }),
       "cdc_lifecycle" -> (() => { queries.SemanticQ.cdcLifecycleDir(spark, sfDir); () }),
       "cdc_lifecycle_sq8" -> (() => { queries.SemanticQ.cdcLifecycleSq8Dir(spark, sfDir); () }),
+      "cdc_lifecycle_sq8dim" -> (() => { queries.SemanticQ.cdcLifecycleSq8DimDir(spark, sfDir); () }),
     )
     val derivSecs: Seq[(String, Double)] = derivationBuilds.map { case (n, f) =>
       val t0 = System.nanoTime()

@@ -92,7 +92,11 @@ object ScaleProbe {
     // recall monitor over its pre-built lifecycle state, and the OPQ
     // ADC scan (one code projection + map-literal lookups — the
     // q_ann_pq shape over permuted slices, expected near-linear)
-    "q_sq8_dim_part", "q_sq8_dim_batch", "q_recall_cdc_sq8", "q_ann_opq")
+    "q_sq8_dim_part", "q_sq8_dim_batch", "q_recall_cdc_sq8", "q_ann_opq",
+    // round 19, late: the per-dim SQ8 CDC recall monitor over its
+    // pre-built lifecycle state (same probed-cell live-scan shape as
+    // q_recall_cdc_sq8, decode instead of query-encode)
+    "q_recall_cdc_sq8dim")
 
   private def mix(a: Long, b: Long, c: Long): Long = {
     var h = a * 0x9E3779B97F4A7C15L + b * 0xC2B2AE3D27D4EB4FL + c * 0x165667B19E3779F9L
@@ -280,6 +284,7 @@ object ScaleProbe {
         "sq8dim_index" -> (() => { queries.SemanticQ.sq8DimIndexPath(spark, d); () }),
         "cdc_lifecycle" -> (() => { queries.SemanticQ.cdcLifecycleDir(spark, d); () }),
         "cdc_lifecycle_sq8" -> (() => { queries.SemanticQ.cdcLifecycleSq8Dir(spark, d); () }),
+        "cdc_lifecycle_sq8dim" -> (() => { queries.SemanticQ.cdcLifecycleSq8DimDir(spark, d); () }),
         "opq_books" -> (() => { queries.SemanticQ.opqBooks(spark, d); () }),
         "bpe_merges" -> (() => { queries.Analysis.cachedMergeSchedule(spark, d); () }),
         "bigram_mult" -> (() => { queries.Retrieval.bigramDocMult(spark, d).count(); () }),

@@ -1973,6 +1973,81 @@ object SemanticQ {
         (col("n_hits") * lit(1000000L) / lit(10L)).cast("long").as("recall_ppm"))
   }
 
+  /** The trained PER-DIM SQ8 scale tables, collected — the 2×d-double
+    * artifact a maintained per-dim index freezes (the bounded
+    * [[sq8DimScales]] aggregate brought driver-side: d mins + d maxes,
+    * the same values the persisted tier's rows carry), memoized per
+    * dataset content like [[trainedAmax]].
+    */
+  private val sq8DimScalesCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, (Seq[Double], Seq[Double]))]()
+  private[graft] def trainedSq8DimScales(s: SparkSession, d: String)
+      : (Seq[Double], Seq[Double]) = {
+    val fp = snapshotKey(s, d)
+    sq8DimScalesCache.compute(d, (_, prev) =>
+      if (prev != null && prev._1 == fp) prev
+      else (fp, {
+        val r = sq8DimScales(Tables.embeddings(s, d)).head()
+        (r.getSeq[Double](0).toSeq, r.getSeq[Double](1).toSeq)
+      }))._2
+  }
+
+  /** The session's frozen per-dim SQ8 quantizer handle: the shared
+    * fixed-k coarse centroids + the trained [vmn, vmx] interval tables
+    * — what a maintained per-dim index freezes at build time
+    * ([[sq8Quantizers]] at FAISS's actual QT_8bit).
+    */
+  private[graft] def sq8DimQuantizers(s: SparkSession, d: String)
+      : graft.streaming.IndexStream.Quantizers =
+    graft.streaming.IndexStream.Quantizers(
+      trainedCentroids(s, d), Seq.empty, PqSubDim,
+      sq8Dims = Some(trainedSq8DimScales(s, d)))
+
+  /** [[cdcLifecycleDir]] at the PER-DIM SQ8 encoding — the last
+    * encoding asymmetry in the index family: the batch tiers serve
+    * per-dim codes from a persisted partitioned index
+    * (q_sq8_dim_part), and with this fixture the streaming maintainer
+    * takes the same insert-all / delete / resurrect lifecycle through
+    * the real processBatchCdc against the frozen per-dim quantizer,
+    * serving the q_recall_cdc_sq8dim monitor.
+    */
+  private[graft] def cdcLifecycleSq8DimDir(s: SparkSession, d: String): String =
+    cdcLifecycleWith(s, d, "cdclifesq8d")(sq8DimQuantizers(s, d))
+
+  /** Recall@10 of the maintained per-dim SQ8 CDC index mid-lifecycle
+    * against the integer-exact top-10 over the live set —
+    * [[recallCdcSq8Q]] at the per-dim-trained encoding, completing the
+    * maintained-index recall family (plain PQ, global SQ8, per-dim
+    * SQ8). Serving side is the real [[graft.streaming.IndexStream
+    * .searchCommittedCdcSq8Dim]] (live-rows probed-cell ASYMMETRIC
+    * decode scan — the query is never quantized, so the monitor folds
+    * cell-miss, per-dim quantization, and tombstone-liveness into one
+    * ppm). Deterministic BIGINT; the oracle replays the per-dim scale
+    * chain with the lifecycle's live-set predicate.
+    */
+  def recallCdcSq8DimQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qz = sq8DimQuantizers(s, d)
+    val dir = cdcLifecycleSq8DimDir(s, d)
+    val vecs = intVecs(s, d)
+    val qv = vecs.where(col("vec_id") === 0L).select(col("v"))
+      .as[Seq[Long]].head()
+    val approx = graft.streaming.IndexStream
+      .searchCommittedCdcSq8Dim(s, dir, qz, qv, 2, 10)
+      .select(col("vec_id"))
+    val live = vecs.where(cdcLive(col("vec_id")))
+    val exact = live
+      .select(col("vec_id"),
+        KMeansOp.intDist(col("v"), typedLit(qv)).as("dist_scaled"))
+      .orderBy(col("dist_scaled").asc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"))
+    exact.join(approx, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("n_hits"),
+        (col("n_hits") * lit(1000000L) / lit(10L)).cast("long").as("recall_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmeans" -> kmeansQ,
     "q_semdedup" -> semdedupQ,
@@ -2005,6 +2080,7 @@ object SemanticQ {
     "q_recall_ivf_sq8" -> recallIvfSq8Q,
     "q_recall_cdc" -> recallCdcQ,
     "q_recall_cdc_sq8" -> recallCdcSq8Q,
+    "q_recall_cdc_sq8dim" -> recallCdcSq8DimQ,
     "q_ann_ivfpq_res" -> annIvfPqResQ,
     "q_ann_ivfpq_res_batch" -> annIvfPqResBatchQ,
     "q_ann_pq_batch" -> annPqBatchQ,
@@ -2565,6 +2641,26 @@ object SemanticQ {
          |approx AS (SELECT c.vec_id FROM cod c JOIN cand USING (vec_id)
          |  JOIN live USING (vec_id) CROSS JOIN qc
          |  ORDER BY ${idistSql("c.cv", "qc.qv")} ASC, c.vec_id ASC LIMIT 10),
+         |exact AS (SELECT q.vec_id FROM q JOIN live USING (vec_id)
+         |  CROSS JOIN qvc qv
+         |  ORDER BY ${idistSql("q.v", "qv.v")} ASC, q.vec_id ASC LIMIT 10)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
+         |  CAST(COUNT(*) * 1000000 / 10 AS BIGINT) AS recall_ppm
+         |FROM exact WHERE vec_id IN (SELECT vec_id FROM approx)""".stripMargin,
+    "q_recall_cdc_sq8dim" ->
+      s"""WITH $lloydSql,
+         |$sq8DimChainSql,
+         |qvc AS (SELECT v FROM q WHERE vec_id = 0),
+         |pc AS (SELECT cid FROM (
+         |    SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${idistSql("c.c", "qv.v")} ASC,
+         |      c.cid ASC) AS rn
+         |    FROM c2 c CROSS JOIN qvc qv) WHERE rn <= 2),
+         |cand AS (SELECT a3.vec_id FROM a3 JOIN pc ON a3.cid = pc.cid),
+         |live AS (SELECT vec_id FROM q
+         |  WHERE ${cdcLiveSql("vec_id")}),
+         |approx AS (SELECT d.vec_id FROM dq d JOIN cand USING (vec_id)
+         |  JOIN live USING (vec_id) CROSS JOIN qvc qv
+         |  ORDER BY ${idistSql("d.dv", "qv.v")} ASC, d.vec_id ASC LIMIT 10),
          |exact AS (SELECT q.vec_id FROM q JOIN live USING (vec_id)
          |  CROSS JOIN qvc qv
          |  ORDER BY ${idistSql("q.v", "qv.v")} ASC, q.vec_id ASC LIMIT 10)

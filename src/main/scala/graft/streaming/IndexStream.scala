@@ -67,19 +67,29 @@ object IndexStream {
     * symmetric scale a/127 — the batch tier's q_ann_ivf_sq8): no
     * codebooks, one 1-byte scalar code PER DIMENSION, with `a` the
     * trained corpus max |coordinate| riding the artifact exactly like
-    * the codebooks do. Assignment and serving dispatch on the
-    * encoding, and both flags persist with the generation artifact so
+    * the codebooks do. `sq8Dims` = Some((vmn, vmx)) selects the
+    * PER-DIMENSION variant (FAISS's actual QT_8bit, trained [vmin,
+    * vmax] intervals per dimension — the batch tier's q_sq8_dim_part):
+    * codes are floor((x − vmn_d)/Δ_d + 0.5) with Δ_d = (vmx_d −
+    * vmn_d)/255, search is ASYMMETRIC (the persisted code is
+    * dequantized into the shared ×10^6 integer domain; the query is
+    * never quantized). Assignment and serving dispatch on the
+    * encoding, and every flag persists with the generation artifact so
     * a restarted maintainer can never mix encodings.
     */
   final case class Quantizers(coarse: Seq[(Long, Seq[Long])],
       books: Seq[Seq[(Long, Seq[Long])]], subDim: Int,
-      residual: Boolean = false, sq8Amax: Option[Double] = None) {
+      residual: Boolean = false, sq8Amax: Option[Double] = None,
+      sq8Dims: Option[(Seq[Double], Seq[Double])] = None) {
+    require(!(sq8Amax.isDefined && sq8Dims.isDefined),
+      "global-amax and per-dimension SQ8 are exclusive encodings")
     /** Vector dimensionality, from the coarse centroids. */
     def dim: Int = coarse.head._2.size
     /** Code-column count of this encoding's persisted state: one code
-      * per PQ subspace, or one per DIMENSION for SQ8.
+      * per PQ subspace, or one per DIMENSION for the SQ8 variants.
       */
-    def m: Int = if (sq8Amax.isDefined) dim else books.size
+    def m: Int =
+      if (sq8Amax.isDefined || sq8Dims.isDefined) dim else books.size
   }
 
   /** The per-batch/per-rebuild corpus projection for this encoding —
@@ -111,11 +121,32 @@ object IndexStream {
   private def sq8CodeLocal(e: Double, amax: Double): Long =
     if (amax == 0.0) 0L else math.floor(e / (amax / 127.0) + 0.5).toLong
 
+  /** One dimension's PER-DIM scalar code under the frozen trained
+    * [vmn, vmx] interval — operation-for-operation the column spelling
+    * the batch tier's per-dim index write uses (delta computed as
+    * (mx − mn)/255.0 first, then floor((e − mn)/Δ + 0.5)), with the
+    * frozen scales folded in as literals, so a maintained per-dim
+    * index is bit-identical to the persisted q_sq8_dim_part one.
+    */
+  private def sq8DimCodeElem(e: Column, mn: Double, mx: Double): Column =
+    if (mx == mn) lit(0L)
+    else floor((e.cast("double") - lit(mn)) / lit((mx - mn) / 255.0)
+      + lit(0.5)).cast("long")
+
+  /** Dequantize one persisted per-dim code back into the shared ×10^6
+    * integer domain (asymmetric DC: the corpus code decodes, the query
+    * is never quantized) — the literal-scale twin of the batch tier's
+    * decode, same operation order.
+    */
+  private def sq8DimDecodeElem(c: Column, mn: Double, mx: Double): Column =
+    floor((lit(mn) + c.cast("double") * lit((mx - mn) / 255.0))
+      * lit(1000000.0)).cast("long")
+
   private def project(batch: DataFrame, q: Quantizers): DataFrame = {
     val vecs = batch.select(col("vec_id"),
       KMeansOp.intVec(col("embedding")).as("v"))
-    q.sq8Amax match {
-      case Some(amax) =>
+    (q.sq8Amax, q.sq8Dims) match {
+      case (Some(amax), _) =>
         val codeCols = (0 until q.dim).map { i =>
           sq8CodeElem(element_at(col("embedding"), i + 1), amax).as(s"code_$i")
         }
@@ -123,9 +154,18 @@ object IndexStream {
           ProductQuantizer.nearestCid(
             KMeansOp.intVec(col("embedding")), q.coarse).as("cell") +:
           codeCols: _*)
-      case None if q.residual =>
+      case (None, Some((vmn, vmx))) =>
+        val codeCols = (0 until q.dim).map { i =>
+          sq8DimCodeElem(element_at(col("embedding"), i + 1),
+            vmn(i), vmx(i)).as(s"code_$i")
+        }
+        batch.select(col("vec_id") +:
+          ProductQuantizer.nearestCid(
+            KMeansOp.intVec(col("embedding")), q.coarse).as("cell") +:
+          codeCols: _*)
+      case (None, None) if q.residual =>
         ProductQuantizer.residualIndexProjection(vecs, q.coarse, q.books, q.subDim)
-      case None =>
+      case (None, None) =>
         ProductQuantizer.indexProjection(vecs, q.coarse, q.books, q.subDim)
     }
   }
@@ -228,9 +268,9 @@ object IndexStream {
     */
   def searchCommitted(s: SparkSession, stateDir: String, q: Quantizers,
       query: Seq[Long], nProbe: Int, k: Int): DataFrame = {
-    require(q.sq8Amax.isEmpty,
-      "SQ8 state serves through searchCommittedSq8 (the query must be " +
-        "encoded from its RAW embedding, not the scaled-integer vector)")
+    require(q.sq8Amax.isEmpty && q.sq8Dims.isEmpty,
+      "SQ8 state serves through searchCommittedSq8/searchCommittedSq8Dim " +
+        "(this entry's query is the scaled-integer vector of a PQ probe)")
     if (q.residual) {
       // residual ADC tables are per probed cell — serve the single
       // probe through the shared residual batch dataflow and strip the
@@ -365,6 +405,61 @@ object IndexStream {
       q: Quantizers, probes: DataFrame, nProbe: Int, k: Int): DataFrame =
     sq8BatchOver(liveCodes(s, stateDir, q.m), q, probes, nProbe, k)
 
+  /** Asymmetric per-dim code-space squared L2 of the persisted code
+    * COLUMNS against a literal scaled-integer query: each code decodes
+    * under its dimension's frozen [vmn, vmx] interval
+    * ([[sq8DimDecodeElem]]); the query enters exact — quantization
+    * error once, never twice (FAISS's DC convention, the same
+    * asymmetric discipline as the batch tier's q_sq8_dim family).
+    */
+  private def sq8DimDist(q: Quantizers, query: Seq[Long]): Column = {
+    val (vmn, vmx) = q.sq8Dims.get
+    (0 until q.dim).map { i =>
+      val dv = sq8DimDecodeElem(col(s"code_$i"), vmn(i), vmx(i)) -
+        lit(query(i))
+      dv * dv
+    }.reduce(_ + _)
+  }
+
+  /** Per-dimension SQ8 search over the committed (append-only) state —
+    * [[searchCommittedSq8]] at the per-dim-trained encoding: probe the
+    * nProbe nearest coarse cells, then asymmetric decoded top-k over
+    * the probed cells' codes. `query` is the probe's SCALED-INTEGER
+    * vector (never quantized — the asymmetric side needs no encode).
+    * Returns (vec_id, qdist), the q_sq8_dim_part contract shape.
+    */
+  def searchCommittedSq8Dim(s: SparkSession, stateDir: String,
+      q: Quantizers, query: Seq[Long], nProbe: Int, k: Int): DataFrame = {
+    require(q.sq8Dims.isDefined,
+      "this entry serves per-dimension SQ8 state only — global-amax " +
+        "handles serve through searchCommittedSq8")
+    val probeCells = KMeansOp.nearestCells(q.coarse, query, nProbe)
+    StreamState.readCommitted(s, stateDir, "codes", codesSchema(q.m),
+        partitioned = true)
+      .where(col("cell").isin(probeCells: _*))
+      .select(col("vec_id"), sq8DimDist(q, query).as("qdist"))
+      .orderBy(col("qdist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** [[searchCommittedSq8Dim]] over the LIVE rows of a CDC state dir —
+    * per-dim SQ8 serving from the maintained delete-aware index:
+    * deleted ids never surface, re-inserted ids serve their newest
+    * codes.
+    */
+  def searchCommittedCdcSq8Dim(s: SparkSession, stateDir: String,
+      q: Quantizers, query: Seq[Long], nProbe: Int, k: Int): DataFrame = {
+    require(q.sq8Dims.isDefined,
+      "this entry serves per-dimension SQ8 state only — global-amax " +
+        "handles serve through searchCommittedCdcSq8")
+    val probeCells = KMeansOp.nearestCells(q.coarse, query, nProbe)
+    liveCodes(s, stateDir, q.m)
+      .where(col("cell").isin(probeCells: _*))
+      .select(col("vec_id"), sq8DimDist(q, query).as("qdist"))
+      .orderBy(col("qdist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
   // ---- Rebuild flow: generations + atomic swap ----------------------
   //
   // cellHistogram is the staleness SIGNAL; rebuild is its CONSUMER.
@@ -398,15 +493,22 @@ object IndexStream {
   private[graft] def saveQuantizers(s: SparkSession, dir: String,
       q: Quantizers): Unit = {
     // the encoding flags ride as marker rows (kind = "residual" /
-    // "sq8"), so pre-flag artifacts load as plain-PQ without a schema
-    // migration; the sq8 global scale persists EXACTLY via its IEEE-754
-    // bits in the BIGINT cid slot (a decimal round-trip could perturb
-    // the code arithmetic's last ulp)
+    // "sq8" / "sq8dim_*"), so pre-flag artifacts load as plain-PQ
+    // without a schema migration; the sq8 global scale persists EXACTLY
+    // via its IEEE-754 bits in the BIGINT cid slot, and the per-dim
+    // [vmn, vmx] interval tables via their bits in the BIGINT array
+    // slot (a decimal round-trip could perturb the code arithmetic's
+    // last ulp)
     val meta =
       (if (q.residual)
         Seq(Row("residual", -1, 0L, Seq.empty[Long], q.subDim)) else Nil) ++
       q.sq8Amax.map(a => Row("sq8", -1,
-        java.lang.Double.doubleToRawLongBits(a), Seq.empty[Long], q.subDim))
+        java.lang.Double.doubleToRawLongBits(a), Seq.empty[Long], q.subDim)) ++
+      q.sq8Dims.toSeq.flatMap { case (vmn, vmx) => Seq(
+        Row("sq8dim_mn", -1, 0L,
+          vmn.map(java.lang.Double.doubleToRawLongBits), q.subDim),
+        Row("sq8dim_mx", -1, 0L,
+          vmx.map(java.lang.Double.doubleToRawLongBits), q.subDim)) }
     val rows =
       q.coarse.map { case (cid, c) => Row("coarse", -1, cid, c, q.subDim) } ++
       q.books.zipWithIndex.flatMap { case (book, m) =>
@@ -432,7 +534,14 @@ object IndexStream {
     Quantizers(coarse, books, subDim,
       residual = rows.exists(_.getString(0) == "residual"),
       sq8Amax = rows.find(_.getString(0) == "sq8")
-        .map(r => java.lang.Double.longBitsToDouble(r.getLong(2))))
+        .map(r => java.lang.Double.longBitsToDouble(r.getLong(2))),
+      sq8Dims = rows.find(_.getString(0) == "sq8dim_mn").map { mnRow =>
+        val mxRow = rows.find(_.getString(0) == "sq8dim_mx").getOrElse(
+          throw new IllegalStateException(
+            "per-dim SQ8 artifact persisted vmn without vmx"))
+        (mnRow.getSeq[Long](3).map(java.lang.Double.longBitsToDouble).toSeq,
+          mxRow.getSeq[Long](3).map(java.lang.Double.longBitsToDouble).toSeq)
+      })
   }
 
   /** REBUILD: retrain both quantizers on a corpus snapshot (the raw
@@ -609,8 +718,9 @@ object IndexStream {
     */
   def searchCommittedBatch(s: SparkSession, stateDir: String, q: Quantizers,
       probes: DataFrame, nProbe: Int, k: Int): DataFrame = {
-    require(q.sq8Amax.isEmpty,
-      "SQ8 state serves through searchCommittedSq8")
+    require(q.sq8Amax.isEmpty && q.sq8Dims.isEmpty,
+      "SQ8 state serves through searchCommittedBatchSq8 or the " +
+        "per-dim single-probe entries")
     val cells = ProductQuantizer.collectProbeCells(probes, q.coarse, nProbe)
     val committed = StreamState.readCommitted(
       s, stateDir, "codes", codesSchema(q.m), partitioned = true)
@@ -816,9 +926,9 @@ object IndexStream {
     */
   def searchCommittedCdc(s: SparkSession, stateDir: String, q: Quantizers,
       query: Seq[Long], nProbe: Int, k: Int): DataFrame = {
-    require(q.sq8Amax.isEmpty,
-      "SQ8 CDC state serves through searchCommittedCdcSq8 (the query " +
-        "must be encoded from its RAW embedding)")
+    require(q.sq8Amax.isEmpty && q.sq8Dims.isEmpty,
+      "SQ8 CDC state serves through searchCommittedCdcSq8/" +
+        "searchCommittedCdcSq8Dim")
     if (q.residual) {
       import s.implicits._
       return searchCommittedBatchCdc(s, stateDir, q,
@@ -842,8 +952,9 @@ object IndexStream {
     */
   def searchCommittedBatchCdc(s: SparkSession, stateDir: String,
       q: Quantizers, probes: DataFrame, nProbe: Int, k: Int): DataFrame = {
-    require(q.sq8Amax.isEmpty,
-      "SQ8 CDC state serves through searchCommittedCdcSq8")
+    require(q.sq8Amax.isEmpty && q.sq8Dims.isEmpty,
+      "SQ8 CDC state serves through searchCommittedBatchCdcSq8 or the " +
+        "per-dim single-probe entries")
     val cells = ProductQuantizer.collectProbeCells(probes, q.coarse, nProbe)
     val live = liveCodes(s, stateDir, q.m).drop("src_batch")
       .where(col("cell").isin(cells: _*))

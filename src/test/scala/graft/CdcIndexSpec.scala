@@ -571,4 +571,108 @@ class CdcIndexSpec extends AnyFunSuite {
         intVecOf(fullRows.head._2), 2, 10)
     }
   }
+
+  // ---- Per-dim SQ8 maintenance: the last encoding asymmetry — the
+  // batch tiers serve per-dim codes from a persisted index
+  // (q_sq8_dim_part) while the maintainer could not take them --------
+
+  test("per-dim SQ8 CDC: a pure-insert stream through processBatchCdc " +
+    "serves BIT-IDENTICAL results to the persisted q_sq8_dim_part index") {
+    val q = queries.SemanticQ.sq8DimQuantizers(spark, d)
+    assert(q.m == q.dim, "per-dim SQ8 codes one scalar per dimension")
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_cdc_sq8dim_pure").toString
+    IndexStream.processBatchCdc(
+      Tables.embeddings(spark, d).select(col("vec_id"), col("embedding")),
+      0L, q, stateDir)
+    val qv = intVecOf(fullRows.head._2)
+    val served = IndexStream.searchCommittedCdcSq8Dim(
+        spark, stateDir, q, qv, nProbe = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batchTier = queries.SemanticQ.queries("q_sq8_dim_part")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served == batchTier,
+      "maintained per-dim SQ8 serving diverged from the persisted index")
+  }
+
+  test("per-dim SQ8 CDC lifecycle: deletes tombstone, and " +
+    "q_recall_cdc_sq8dim matches a scalar recount over the live set") {
+    val q = queries.SemanticQ.sq8DimQuantizers(spark, d)
+    val (vmn, vmx) = q.sq8Dims.get
+    val rows = fullRows
+    val vecs = rows.map { case (id, e) => id -> intVecOf(e).toArray }.toMap
+    // the driver-side IEEE mirror of the encode-then-decode chain
+    def dimDequant(e: Seq[Float]): Seq[Long] = e.zipWithIndex.map {
+      case (x, i) =>
+        val mn = vmn(i); val mx = vmx(i)
+        val delta = (mx - mn) / 255.0
+        val c = if (mx == mn) 0L
+          else math.floor((x.toDouble - mn) / delta + 0.5).toLong
+        math.floor((mn + c.toDouble * delta) * 1000000.0).toLong
+    }
+    def adist(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val live = rows.filter(r => liveId(r._1))
+    assert(live.size < rows.size, "the lifecycle's deletes must bite")
+    val dir = queries.SemanticQ.cdcLifecycleSq8DimDir(spark, d)
+    val qv = vecs(0L).toSeq
+    val served = IndexStream.searchCommittedCdcSq8Dim(
+        spark, dir, q, qv, 2, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served.map(_._1).forall(liveId),
+      "per-dim SQ8 CDC serving surfaced a deleted (non-resurrected) id")
+    // scalar replay: probe cells by scaled-int distance, then asymmetric
+    // decoded top-10 among live ∩ probed
+    val probed = KMeansOp.nearestCells(q.coarse, qv, 2).toSet
+    val expect = live
+      .map { case (id, e) =>
+        val cell = q.coarse.map { case (cid, c) =>
+          (cid, KMeansOp.intDistLocal(c, vecs(id).toSeq)) }
+          .minBy { case (cid, dd) => (dd, cid) }._1
+        (id, cell, adist(dimDequant(e), qv))
+      }
+      .filter(r => probed.contains(r._2))
+      .sortBy { case (id, _, dd) => (dd, id) }
+      .take(10).map(r => (r._1, r._3))
+    assert(served == expect,
+      "per-dim SQ8 CDC serving diverged from the scalar replay")
+    // the monitor row
+    def dist(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact10 = live.map { case (id, _) => (id, dist(vecs(id), vecs(0L))) }
+      .sortBy { case (id, dd) => (dd, id) }.take(10).map(_._1).toSet
+    val hits = exact10.count(served.map(_._1).toSet.contains)
+    val row = queries.SemanticQ.queries("q_recall_cdc_sq8dim")(spark, d).head()
+    assert(row.getLong(0) == hits.toLong)
+    assert(row.getLong(1) == hits.toLong * 1000000L / 10L)
+  }
+
+  test("per-dim SQ8 quantizer artifact round-trips with both interval " +
+    "tables bit-exact, and the other encodings' entries refuse the handle") {
+    val q = queries.SemanticQ.sq8DimQuantizers(spark, d)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sq8dim_artifact").toString
+    IndexStream.saveQuantizers(spark, dir, q)
+    val loaded = IndexStream.loadQuantizers(spark, dir)
+    assert(loaded.sq8Dims.isDefined && loaded.sq8Amax.isEmpty)
+    val (lmn, lmx) = loaded.sq8Dims.get
+    val (qmn, qmx) = q.sq8Dims.get
+    def bits(xs: Seq[Double]) = xs.map(java.lang.Double.doubleToRawLongBits)
+    assert(bits(lmn) == bits(qmn) && bits(lmx) == bits(qmx),
+      "the frozen interval tables must round-trip bit-exact")
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_cdc_sq8dim_guard").toString
+    IndexStream.processBatchCdc(
+      cdcDf(fullRows.take(5).map(r => (r._1, r._2, "insert"))),
+      0L, q, stateDir)
+    // the PQ scaled-integer entry and the global-amax entry both refuse
+    intercept[IllegalArgumentException] {
+      IndexStream.searchCommittedCdc(spark, stateDir, q,
+        intVecOf(fullRows.head._2), 2, 10)
+    }
+    intercept[IllegalArgumentException] {
+      IndexStream.searchCommittedCdcSq8(spark, stateDir, q,
+        fullRows.head._2.map(_.toDouble), 2, 10)
+    }
+  }
 }
