@@ -191,6 +191,21 @@ object ProductQuantizer {
         lit(cid).as("cid"))
     }: _*))
 
+  /** Deduplicate a probe frame on qid and PIN it (one bounded exchange
+    * + checkpoint over Q rows) — the ONE probe-pinning spelling every
+    * batch serving consumer shares: the pinned frame feeds multiple
+    * subtrees (the collected listing-prune cells, the broadcast cell
+    * relation, the broadcast LUTs), and an un-pinned lineage would
+    * re-execute per consumer — so a nondeterministic probe source
+    * (sample, rand-ordered dedup pick, a table gaining files between
+    * jobs) could disagree between them, which for the listing prune
+    * means cells the join probes could be missing from the pruned
+    * listing. Pinning once makes every consumer read the same Q rows.
+    * Idempotent-cheap: re-pinning a pinned frame scans Q rows.
+    */
+  def pinProbes(probesIn: DataFrame): DataFrame =
+    probesIn.dropDuplicates("qid").localCheckpoint()
+
   /** The DISTINCT probed cells of a (qid, vector) probe frame,
     * collected — ≤ Q·nProbe longs, algorithm-bounded the way the k
     * collected centroids are — so a serving tier over a PERSISTED
@@ -200,9 +215,12 @@ object ProductQuantizer {
     * no dynamic-partition-pruning subquery for that shape (verified
     * r18), so without this predicate a batch read LISTS every cell
     * directory it will never score. Evaluates the same
-    * [[probeCellArr]] expression the dataflows join on, so the pruned
-    * listing is a superset of every (qid, cell) the join touches by
-    * construction. `v` names the vector column (default `v`; SQ8
+    * [[probeCellArr]] expression the dataflows join on; pass a
+    * [[pinProbes]]-pinned frame (and serve from the SAME pinned frame)
+    * and the pruned listing is a superset of every (qid, cell) the
+    * join touches by construction — an un-pinned nondeterministic
+    * lineage could re-execute differently between this collect and the
+    * serving join. `v` names the vector column (default `v`; SQ8
     * callers pass the int-scaled view of their raw-embedding column).
     */
   def collectProbeCells(probes: DataFrame, coarse: Seq[(Long, Seq[Long])],
@@ -217,12 +235,13 @@ object ProductQuantizer {
       subDim: Int, nProbe: Int, topK: Int): DataFrame = {
     val s = indexed.sparkSession
     import s.implicits._
-    // dedup ONCE and pin the result: the probe frame feeds two
-    // broadcast relations (cells and LUTs), so an un-pinned dedup would
+    // dedup ONCE and pin the result ([[pinProbes]] — idempotent-cheap
+    // on an already-pinned frame): the probe frame feeds two broadcast
+    // relations (cells and LUTs), so an un-pinned dedup would
     // re-execute per subtree and a nondeterministic duplicate pick
     // could even disagree between them; the checkpoint also spares the
     // probe lineage its second execution. Bounded: Q rows.
-    val probes = probesIn.dropDuplicates("qid").localCheckpoint()
+    val probes = pinProbes(probesIn)
     val m = books.size
     val cellArr = probeCellArr(coarse, col("v"))
     val probeCells = probes
@@ -300,12 +319,13 @@ object ProductQuantizer {
       subDim: Int, nProbe: Int, topK: Int): DataFrame = {
     val s = indexed.sparkSession
     import s.implicits._
-    // dedup ONCE and pin the result: the probe frame feeds two
-    // broadcast relations (cells and LUTs), so an un-pinned dedup would
+    // dedup ONCE and pin the result ([[pinProbes]] — idempotent-cheap
+    // on an already-pinned frame): the probe frame feeds two broadcast
+    // relations (cells and LUTs), so an un-pinned dedup would
     // re-execute per subtree and a nondeterministic duplicate pick
     // could even disagree between them; the checkpoint also spares the
     // probe lineage its second execution. Bounded: Q rows.
-    val probes = probesIn.dropDuplicates("qid").localCheckpoint()
+    val probes = pinProbes(probesIn)
     val m = books.size
     val cellArr = probeCellArr(coarse, col("v"))
     val probeCells = probes

@@ -438,8 +438,9 @@ object SemanticQ {
     * superset of the join's cells by construction.
     */
   def annIvfPqBatchPartQ(s: SparkSession, d: String): DataFrame = {
-    val probes = intVecs(s, d).where(col("vec_id").isin(0L, 1L, 2L))
-      .select(col("vec_id").as("qid"), col("v"))
+    val probes = graft.operators.ProductQuantizer.pinProbes(
+      intVecs(s, d).where(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id").as("qid"), col("v")))
     val cells = graft.operators.ProductQuantizer.collectProbeCells(
       probes, trainedCentroids(s, d), nProbe = 2)
     graft.operators.ProductQuantizer.adcBatchServe(
@@ -460,8 +461,9 @@ object SemanticQ {
     * results to q_ann_ivfpq_res_batch (shared oracle).
     */
   def annIvfPqResBatchPartQ(s: SparkSession, d: String): DataFrame = {
-    val probes = intVecs(s, d).where(col("vec_id").isin(0L, 1L, 2L))
-      .select(col("vec_id").as("qid"), col("v"))
+    val probes = graft.operators.ProductQuantizer.pinProbes(
+      intVecs(s, d).where(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id").as("qid"), col("v")))
     val cells = graft.operators.ProductQuantizer.collectProbeCells(
       probes, trainedCentroids(s, d), nProbe = 2)
     graft.operators.ProductQuantizer.adcBatchServeResidual(
@@ -1158,18 +1160,21 @@ object SemanticQ {
     */
   def annIvfSq8BatchQ(s: SparkSession, d: String): DataFrame = {
     val cents = trainedCentroids(s, d)
+    // ONE pinned probe frame feeds the collected listing-prune cells
+    // AND the serving relations, so they can never disagree; the cell
+    // argmin is the shared probeCellArr spelling
+    val rawProbes = graft.operators.ProductQuantizer.pinProbes(
+      Tables.embeddings(s, d)
+        .where(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")))
     val cells = graft.operators.ProductQuantizer.collectProbeCells(
-      intVecs(s, d).where(col("vec_id").isin(0L, 1L, 2L)), cents, nProbe = 2)
+      rawProbes, cents, nProbe = 2, KMeansOp.intVec(col("qe")))
     val codes = s.read.schema(sq8PartSchema).parquet(sq8IndexPath(s, d))
       .where(col("cell").isin(cells: _*))
     val amax1 = codes.select(col("amax")).limit(1)
-    val cellArr = array_sort(array(cents.map { case (cid, cv) =>
-      struct(KMeansOp.intDist(KMeansOp.intVec(col("qe")), typedLit(cv))
-        .as("dist"), lit(cid).as("cid"))
-    }: _*))
-    val probes = Tables.embeddings(s, d)
-      .where(col("vec_id").isin(0L, 1L, 2L))
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cellArr = graft.operators.ProductQuantizer.probeCellArr(
+      cents, KMeansOp.intVec(col("qe")))
+    val probes = rawProbes
       .crossJoin(broadcast(amax1))
       .select(col("qid"), col("qe"), sq8Codes(col("qe"), col("amax")).as("qcode"))
     val probeCells = probes
@@ -1388,16 +1393,18 @@ object SemanticQ {
     */
   def sq8DimBatchQ(s: SparkSession, d: String): DataFrame = {
     val cents = trainedCentroids(s, d)
+    // ONE pinned probe frame feeds the collected listing-prune cells
+    // AND the serving relation; the cell argmin is the shared
+    // probeCellArr spelling
+    val probes = graft.operators.ProductQuantizer.pinProbes(
+      intVecs(s, d).where(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id").as("qid"), col("v").as("qv")))
     val cells = graft.operators.ProductQuantizer.collectProbeCells(
-      intVecs(s, d).where(col("vec_id").isin(0L, 1L, 2L)), cents, nProbe = 2)
+      probes, cents, nProbe = 2, col("qv"))
     val codes = s.read.schema(sq8DimPartSchema).parquet(sq8DimIndexPath(s, d))
       .where(col("cell").isin(cells: _*))
-    val cellArr = array_sort(array(cents.map { case (cid, cv) =>
-      struct(KMeansOp.intDist(col("qv"), typedLit(cv)).as("dist"),
-        lit(cid).as("cid"))
-    }: _*))
-    val probes = intVecs(s, d).where(col("vec_id").isin(0L, 1L, 2L))
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val cellArr = graft.operators.ProductQuantizer.probeCellArr(
+      cents, col("qv"))
     val probeCells = probes
       .select(col("qid"), col("qv"), explode(slice(cellArr, 1, 2)).as("pc"))
       .select(col("qid"), col("qv"), col("pc.cid").as("cell"))

@@ -296,8 +296,10 @@ object IndexStream {
     */
   private def sq8Query(q: Quantizers, emb: Seq[Double]): (Seq[Long], Seq[Long]) = {
     require(q.sq8Amax.isDefined,
-      "this entry serves SQ8 state only — a PQ/residual handle serves " +
-        "through searchCommitted/searchCommittedCdc")
+      "this entry serves global-amax SQ8 state only — PQ/residual " +
+        "handles serve through searchCommitted/searchCommittedCdc, " +
+        "per-dim handles through searchCommittedSq8Dim/" +
+        "searchCommittedCdcSq8Dim")
     val amax = q.sq8Amax.get
     val v = emb.map(e => math.floor(e * 1000000d).toLong)
     (v, emb.map(sq8CodeLocal(_, amax)))
@@ -368,12 +370,18 @@ object IndexStream {
         "through searchCommittedBatch/searchCommittedBatchCdc")
     val amax = q.sq8Amax.get
     val qCodeExpr = sq8CodeArr(col("embedding"), amax)
+    // pin ONCE ([[ProductQuantizer.pinProbes]] — dedup on qid +
+    // checkpoint, the adcBatchServe discipline): the collected
+    // listing-prune cells and the broadcast probe relation read the
+    // same Q rows, and a duplicated probe row can't double its
+    // candidates under the rank window
+    val pinned = ProductQuantizer.pinProbes(probes)
     val prunedCodes = codes.where(col("cell").isin(
-      ProductQuantizer.collectProbeCells(probes, q.coarse, nProbe,
+      ProductQuantizer.collectProbeCells(pinned, q.coarse, nProbe,
         KMeansOp.intVec(col("embedding"))): _*))
     val cellArr = ProductQuantizer.probeCellArr(q.coarse,
       KMeansOp.intVec(col("embedding")))
-    val probeCells = probes
+    val probeCells = pinned
       .select(col("qid"), qCodeExpr.as("qcode"),
         explode(slice(cellArr, 1, nProbe)).as("pc"))
       .select(col("qid"), col("qcode"), col("pc.cid").as("cell"))
@@ -620,8 +628,10 @@ object IndexStream {
     */
   def rebuildCdc(s: SparkSession, indexRoot: String, corpus: DataFrame,
       k: Int, iters: Int, m: Int, subDim: Int,
-      residual: Boolean = false, sq8: Boolean = false): Quantizers = {
-    require(!(residual && sq8), "residual and sq8 are exclusive encodings")
+      residual: Boolean = false, sq8: Boolean = false,
+      sq8dim: Boolean = false): Quantizers = {
+    require(Seq(residual, sq8, sq8dim).count(identity) <= 1,
+      "residual, sq8, and sq8dim are exclusive encodings")
     val next = StreamState.markerIdsIn(s, s"$indexRoot/_current")
       .lastOption.getOrElse(-1L) + 1L
     val dir = genDir(indexRoot, next)
@@ -636,16 +646,20 @@ object IndexStream {
           res.select(col("vec_id"),
             slice(col("r"), sub * subDim + 1, subDim).as("v")),
           k, iters))
-      } else if (sq8) Nil
+      } else if (sq8 || sq8dim) Nil
       else ProductQuantizer.train(
         corpus, "vec_id", col("embedding"), m, subDim, k, iters)
-    // the SQ8 generation retrains its global scale on the snapshot —
-    // the amax artifact rides the generation exactly like the codebooks
-    // (the shared aggregate spelling: ProductQuantizer.amaxExpr)
+    // the SQ8 generations retrain their scales on the snapshot — the
+    // amax / per-dim interval artifacts ride the generation exactly
+    // like the codebooks (amax via the shared aggregate spelling
+    // ProductQuantizer.amaxExpr; the per-dim tables are exact double
+    // min/max per dimension — order-insensitive, so no spelling can
+    // drift them)
     val q = Quantizers(coarse, books, subDim, residual,
       sq8Amax = if (sq8) Some(
         corpus.agg(ProductQuantizer.amaxExpr(col("embedding")))
-          .head().getDouble(0)) else None)
+          .head().getDouble(0)) else None,
+      sq8Dims = if (sq8dim) Some(trainSq8DimScales(corpus)) else None)
     project(corpus.select(col("vec_id"), col("embedding")), q)
       .withColumn("src_batch", lit(0L))
       .write.mode("overwrite").partitionBy("cell")
@@ -692,6 +706,37 @@ object IndexStream {
     searchCommittedCdcSq8(s, dir, loadQuantizers(s, dir), emb, nProbe, k)
   }
 
+  /** The per-dim SQ8 interval TRAINING aggregate over a rebuild
+    * snapshot: exact double min/max per dimension, collected as the
+    * 2×d scale tables. min/max of doubles is order-insensitive (unlike
+    * a sum, no op-order ulp risk), so this and the batch tier's
+    * sq8DimScales derivation can never disagree on the same rows.
+    */
+  private def trainSq8DimScales(corpus: DataFrame)
+      : (Seq[Double], Seq[Double]) = {
+    val rows = corpus
+      .select(posexplode(col("embedding")).as(Seq("pos", "e")))
+      .groupBy(col("pos"))
+      .agg(min(col("e").cast("double")).as("mn"),
+        max(col("e").cast("double")).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    (rows.map(_._2).toSeq, rows.map(_._3).toSeq)
+  }
+
+  /** [[searchCommittedCdcSq8Dim]] against the ACTIVE generation of a
+    * per-dim SQ8 CDC index root — the restarted-server entry point at
+    * the per-dim-trained encoding: no driver state survives, the
+    * generation's persisted quantizers (coarse centroids + the frozen
+    * [vmn, vmx] interval tables) are the whole serving artifact.
+    */
+  def searchCurrentCdcSq8Dim(s: SparkSession, indexRoot: String,
+      query: Seq[Long], nProbe: Int, k: Int): DataFrame = {
+    val dir = currentRoot(s, indexRoot).getOrElse(
+      throw new IllegalStateException(s"no committed generation under $indexRoot"))
+    searchCommittedCdcSq8Dim(s, dir, loadQuantizers(s, dir), query, nProbe, k)
+  }
+
   /** Batch IVFADC serving from the COMMITTED code table — the
     * q_ann_ivfpq_batch shape (per-qid coarse cell lists + per-qid LUTs
     * as broadcast relations, probed-cells-only scan, one aggregation +
@@ -721,16 +766,20 @@ object IndexStream {
     require(q.sq8Amax.isEmpty && q.sq8Dims.isEmpty,
       "SQ8 state serves through searchCommittedBatchSq8 or the " +
         "per-dim single-probe entries")
-    val cells = ProductQuantizer.collectProbeCells(probes, q.coarse, nProbe)
+    // pin ONCE; the collected listing-prune cells and the serving
+    // dataflow read the same Q rows (adcBatchServe's internal re-pin
+    // of the pinned frame is a Q-row scan)
+    val pinned = ProductQuantizer.pinProbes(probes)
+    val cells = ProductQuantizer.collectProbeCells(pinned, q.coarse, nProbe)
     val committed = StreamState.readCommitted(
       s, stateDir, "codes", codesSchema(q.m), partitioned = true)
       .where(col("cell").isin(cells: _*))
     if (q.residual)
       ProductQuantizer.adcBatchServeResidual(
-        committed, probes, q.coarse, q.books, q.subDim, nProbe, k)
+        committed, pinned, q.coarse, q.books, q.subDim, nProbe, k)
     else
       ProductQuantizer.adcBatchServe(
-        committed, probes, q.coarse, q.books, q.subDim, nProbe, k)
+        committed, pinned, q.coarse, q.books, q.subDim, nProbe, k)
   }
 
   // ---- CDC maintenance: deletes and re-inserts ----------------------
@@ -955,15 +1004,17 @@ object IndexStream {
     require(q.sq8Amax.isEmpty && q.sq8Dims.isEmpty,
       "SQ8 CDC state serves through searchCommittedBatchCdcSq8 or the " +
         "per-dim single-probe entries")
-    val cells = ProductQuantizer.collectProbeCells(probes, q.coarse, nProbe)
+    // pin ONCE; prune cells and serving read the same Q rows
+    val pinned = ProductQuantizer.pinProbes(probes)
+    val cells = ProductQuantizer.collectProbeCells(pinned, q.coarse, nProbe)
     val live = liveCodes(s, stateDir, q.m).drop("src_batch")
       .where(col("cell").isin(cells: _*))
     if (q.residual)
       ProductQuantizer.adcBatchServeResidual(
-        live, probes, q.coarse, q.books, q.subDim, nProbe, k)
+        live, pinned, q.coarse, q.books, q.subDim, nProbe, k)
     else
       ProductQuantizer.adcBatchServe(
-        live, probes, q.coarse, q.books, q.subDim, nProbe, k)
+        live, pinned, q.coarse, q.books, q.subDim, nProbe, k)
   }
 
   /** [[cellHistogram]] over the LIVE rows of a CDC state dir — the

@@ -675,4 +675,38 @@ class CdcIndexSpec extends AnyFunSuite {
         fullRows.head._2.map(_.toDouble), 2, 10)
     }
   }
+
+  test("per-dim SQ8 rebuildCdc: the generation freezes the snapshot's " +
+    "interval tables, a restarted server serves via " +
+    "searchCurrentCdcSq8Dim identically to the persisted index, and the " +
+    "CDC lifecycle continues over the rebuilt base") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cdc_sq8dim_rebuild").toString
+    val q = IndexStream.rebuildCdc(spark, root,
+      Tables.embeddings(spark, d).select(col("vec_id"), col("embedding")),
+      k = 8, iters = 2, m = 4, subDim = 16, sq8dim = true)
+    assert(q.sq8Dims.isDefined && q.sq8Amax.isEmpty && q.books.isEmpty)
+    val gen = IndexStream.currentRoot(spark, root).get
+    val loaded = IndexStream.loadQuantizers(spark, gen)
+    def bits(xs: Seq[Double]) = xs.map(java.lang.Double.doubleToRawLongBits)
+    assert(bits(loaded.sq8Dims.get._1) == bits(q.sq8Dims.get._1) &&
+      bits(loaded.sq8Dims.get._2) == bits(q.sq8Dims.get._2))
+    // the rebuilt generation's scale refit saw the same rows the batch
+    // tier trained on (min/max is order-insensitive), so a restarted
+    // server serves the persisted q_sq8_dim_part results bit-for-bit
+    val qv = intVecOf(fullRows.head._2)
+    val served = IndexStream.searchCurrentCdcSq8Dim(spark, root, qv, 2, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batchTier = queries.SemanticQ.queries("q_sq8_dim_part")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served == batchTier,
+      "rebuilt per-dim SQ8 generation diverged from the persisted index")
+    // the lifecycle CONTINUES: a delete lands against the rebuilt base
+    IndexStream.processBatchCdc(
+      cdcDf(Seq((served.head._1, Seq.empty[Float], "delete"))), 1L, q, gen)
+    val after = IndexStream.searchCurrentCdcSq8Dim(spark, root, qv, 2, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(!after.contains(served.head._1),
+      "delete against the rebuilt per-dim SQ8 generation did not land")
+  }
 }
