@@ -390,6 +390,41 @@ class CdcIndexSpec extends AnyFunSuite {
     assert(served.forall(liveId))
   }
 
+  test("cell-partitioned maintained state: searchCommittedBatchCdc prunes " +
+    "every codes-batch LISTING to (a subset of) the fleet's probed-cell " +
+    "union, and serves live rows only") {
+    val q = quantizers
+    val dir = queries.SemanticQ.cdcLifecycleDir(spark, d)
+    val vecs = fullRows.map { case (id, e) => id -> intVecOf(e) }.toMap
+    val qids = Seq(0L, 1L, 2L)
+    val expected = qids
+      .flatMap(id => KMeansOp.nearestCells(q.coarse, vecs(id), 2)).toSet
+    val probesDf = qids.map(id => (id, vecs(id))).toDF("qid", "v")
+    val df = IndexStream.searchCommittedBatchCdc(spark, dir, q, probesDf, 2, 3)
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val codeScans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.partitionFilters.exists(_.references.exists(_.name == "cell")) => f
+    }
+    assert(codeScans.nonEmpty,
+      s"probed-cell predicate must be a PARTITION filter on the state scans:\n$plan")
+    // each committed batch dir holds only the cells its rows landed in,
+    // so per-scan listings are SUBSETS of the probed union — never more
+    codeScans.foreach { scan =>
+      val listed = scan.selectedPartitions
+        .filePartitionIterator.map(_.values.getLong(0)).toSet
+      assert(listed.subsetOf(expected),
+        s"listing opened cells $listed outside the probed union $expected")
+    }
+    val served = df.collect().map(_.getLong(2)).toSeq
+    assert(served.nonEmpty && served.forall(liveId),
+      "batch CDC serving surfaced a deleted (non-resurrected) id")
+  }
+
   test("maintainCdc: the streaming wrapper drives the same per-batch " +
     "mechanics") {
     implicit val sqlCtx = spark.sqlContext
