@@ -49,7 +49,7 @@ object ConnectedComponents {
     */
   def assign(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 25,
              checkpointDir: Option[String] = None): DataFrame = {
-    val (labels, converged) = propagate(nodes, edges, maxRounds, checkpointDir)
+    val (labels, converged, _) = propagate(nodes, edges, maxRounds, checkpointDir)
     if (!converged) throw new IllegalStateException(
       s"connected components did not converge in $maxRounds rounds — " +
         "graph diameter exceeds the bound; raise maxRounds or use " +
@@ -73,7 +73,7 @@ object ConnectedComponents {
   def assignAdaptive(nodes: DataFrame, edges: DataFrame,
                      quickRounds: Int = 6, maxRounds: Int = 60,
                      checkpointDir: Option[String] = None): DataFrame = {
-    val (labels, converged) = propagate(nodes, edges, quickRounds, checkpointDir)
+    val (labels, converged, _) = propagate(nodes, edges, quickRounds, checkpointDir)
     if (converged) labels
     else {
       val la = labels.select(col("id").as("id_a"), col("cluster_id").as("l_a"))
@@ -89,14 +89,18 @@ object ConnectedComponents {
     }
   }
 
-  /** Min-label propagation core: `(labels, true)` at fixpoint, or
-    * `(partial labels, false)` if still changing after `maxRounds` —
-    * partial labels are valid min-so-far labels (every node's label is
-    * the min id of some subset of its component) and feed the adaptive
-    * path's graph contraction.
+  /** Min-label propagation core: `(labels, true, rounds)` at fixpoint,
+    * or `(partial labels, false, maxRounds)` if still changing after
+    * `maxRounds` — partial labels are valid min-so-far labels (every
+    * node's label is the min id of some subset of its component) and
+    * feed the adaptive path's graph contraction. The round count is
+    * diagnostic surface (package-private): probe tooling reads it to
+    * adjudicate whether a CC wall-clock drift is iteration growth
+    * (diameter tracking corpus size — benign, each round stays linear)
+    * or per-round cost growth (an edge-build regression).
     */
-  private def propagate(nodes: DataFrame, edges: DataFrame, maxRounds: Int,
-                        checkpointDir: Option[String]): (DataFrame, Boolean) = {
+  private[graft] def propagate(nodes: DataFrame, edges: DataFrame, maxRounds: Int,
+                        checkpointDir: Option[String]): (DataFrame, Boolean, Int) = {
     val ck = Iterate.cap(checkpointDir) _
     // Symmetrize once: propagation below only follows src -> dst.
     val adj = ck(edges.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -121,10 +125,10 @@ object ConnectedComponents {
           col("cluster_id").as("prev")))
       val changed = next.where(col("cluster_id") =!= col("prev")).limit(1).count()
       labels = next.select(col("id"), col("cluster_id"))
-      if (changed == 0L) return (labels, true)
+      if (changed == 0L) return (labels, true, round + 1)
       round += 1
     }
-    (labels, false)
+    (labels, false, round)
   }
 
   /** Alternating large-star/small-star connected components (Kiveris et

@@ -191,6 +191,18 @@ object ProductQuantizer {
         lit(cid).as("cid"))
     }: _*))
 
+  /** A probe frame that [[pinProbes]] has deduplicated on qid and
+    * checkpointed — the type-level witness the batch dataflows accept
+    * so a caller that already pinned never pays a second checkpoint
+    * job (the r19 double-pin: `searchCommittedBatch` pinned, then
+    * `adcBatchServe` unconditionally re-pinned the same frame — a
+    * redundant Q-row job per batch query). The constructor is private
+    * to this object, so the ONLY way to mint the witness is the one
+    * pinning spelling below; holding a `PinnedProbes` IS the proof the
+    * checkpoint happened.
+    */
+  final class PinnedProbes private[ProductQuantizer] (val df: DataFrame)
+
   /** Deduplicate a probe frame on qid and PIN it (one bounded exchange
     * + checkpoint over Q rows) — the ONE probe-pinning spelling every
     * batch serving consumer shares: the pinned frame feeds multiple
@@ -201,10 +213,9 @@ object ProductQuantizer {
     * jobs) could disagree between them, which for the listing prune
     * means cells the join probes could be missing from the pruned
     * listing. Pinning once makes every consumer read the same Q rows.
-    * Idempotent-cheap: re-pinning a pinned frame scans Q rows.
     */
-  def pinProbes(probesIn: DataFrame): DataFrame =
-    probesIn.dropDuplicates("qid").localCheckpoint()
+  def pinProbes(probesIn: DataFrame): PinnedProbes =
+    new PinnedProbes(probesIn.dropDuplicates("qid").localCheckpoint())
 
   /** The DISTINCT probed cells of a (qid, vector) probe frame,
     * collected — ≤ Q·nProbe longs, algorithm-bounded the way the k
@@ -216,32 +227,42 @@ object ProductQuantizer {
     * r18), so without this predicate a batch read LISTS every cell
     * directory it will never score. Evaluates the same
     * [[probeCellArr]] expression the dataflows join on; pass a
-    * [[pinProbes]]-pinned frame (and serve from the SAME pinned frame)
-    * and the pruned listing is a superset of every (qid, cell) the
-    * join touches by construction — an un-pinned nondeterministic
-    * lineage could re-execute differently between this collect and the
-    * serving join. `v` names the vector column (default `v`; SQ8
-    * callers pass the int-scaled view of their raw-embedding column).
+    * [[pinProbes]]-pinned frame (enforced by the [[PinnedProbes]]
+    * witness type — serve from the SAME pinned frame) and the pruned
+    * listing is a superset of every (qid, cell) the join touches by
+    * construction — an un-pinned nondeterministic lineage could
+    * re-execute differently between this collect and the serving
+    * join. `v` names the vector column (default `v`; SQ8 callers pass
+    * the int-scaled view of their raw-embedding column).
     */
-  def collectProbeCells(probes: DataFrame, coarse: Seq[(Long, Seq[Long])],
+  def collectProbeCells(probes: PinnedProbes, coarse: Seq[(Long, Seq[Long])],
       nProbe: Int, v: Column = col("v")): Seq[Long] =
-    probes
+    probes.df
       .select(explode(slice(probeCellArr(coarse, v), 1, nProbe)).as("pc"))
       .select(col("pc.cid")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
 
+  /** Public entry for an un-pinned probe frame: dedup + pin once
+    * ([[pinProbes]] — the probe frame feeds two broadcast relations,
+    * cells and LUTs, so an un-pinned dedup would re-execute per
+    * subtree and a nondeterministic duplicate pick could disagree
+    * between them), then serve. A caller that already holds the
+    * [[PinnedProbes]] witness (because it collected listing-prune
+    * cells from the same frame) calls the pinned overload directly —
+    * exactly one checkpoint job on every batch path.
+    */
   def adcBatchServe(indexed: DataFrame, probesIn: DataFrame,
+      coarse: Seq[(Long, Seq[Long])], books: Seq[Seq[(Long, Seq[Long])]],
+      subDim: Int, nProbe: Int, topK: Int): DataFrame =
+    adcBatchServe(indexed, pinProbes(probesIn), coarse, books, subDim,
+      nProbe, topK)
+
+  def adcBatchServe(indexed: DataFrame, pinned: PinnedProbes,
       coarse: Seq[(Long, Seq[Long])], books: Seq[Seq[(Long, Seq[Long])]],
       subDim: Int, nProbe: Int, topK: Int): DataFrame = {
     val s = indexed.sparkSession
     import s.implicits._
-    // dedup ONCE and pin the result ([[pinProbes]] — idempotent-cheap
-    // on an already-pinned frame): the probe frame feeds two broadcast
-    // relations (cells and LUTs), so an un-pinned dedup would
-    // re-execute per subtree and a nondeterministic duplicate pick
-    // could even disagree between them; the checkpoint also spares the
-    // probe lineage its second execution. Bounded: Q rows.
-    val probes = pinProbes(probesIn)
+    val probes = pinned.df
     val m = books.size
     val cellArr = probeCellArr(coarse, col("v"))
     val probeCells = probes
@@ -312,20 +333,22 @@ object ProductQuantizer {
     * Exchanges stay at the aggregation + the qid rank window.
     *
     * Probes are deduplicated on qid first, for the same fan-out
-    * exactness reason as [[adcBatchServe]].
+    * exactness reason as [[adcBatchServe]]; the DataFrame entry pins
+    * once and delegates, the [[PinnedProbes]] overload serves a frame
+    * the caller already pinned (no second checkpoint job).
     */
   def adcBatchServeResidual(indexed: DataFrame, probesIn: DataFrame,
+      coarse: Seq[(Long, Seq[Long])], books: Seq[Seq[(Long, Seq[Long])]],
+      subDim: Int, nProbe: Int, topK: Int): DataFrame =
+    adcBatchServeResidual(indexed, pinProbes(probesIn), coarse, books,
+      subDim, nProbe, topK)
+
+  def adcBatchServeResidual(indexed: DataFrame, pinned: PinnedProbes,
       coarse: Seq[(Long, Seq[Long])], books: Seq[Seq[(Long, Seq[Long])]],
       subDim: Int, nProbe: Int, topK: Int): DataFrame = {
     val s = indexed.sparkSession
     import s.implicits._
-    // dedup ONCE and pin the result ([[pinProbes]] — idempotent-cheap
-    // on an already-pinned frame): the probe frame feeds two broadcast
-    // relations (cells and LUTs), so an un-pinned dedup would
-    // re-execute per subtree and a nondeterministic duplicate pick
-    // could even disagree between them; the checkpoint also spares the
-    // probe lineage its second execution. Bounded: Q rows.
-    val probes = pinProbes(probesIn)
+    val probes = pinned.df
     val m = books.size
     val cellArr = probeCellArr(coarse, col("v"))
     val probeCells = probes

@@ -53,17 +53,26 @@ object Clustering {
     */
   def dupClustersLsh(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    ConnectedComponents.assignAdaptive(docs.select(col("doc_id").as("id")),
+        lshEdges(s, d), checkpointDir = graft.operators.Iterate.envDir)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** The bucket-union star-edge relation [[dupClustersLsh]] resolves:
+    * per band bucket, every member points at the bucket's min-id anchor
+    * — O(N·bands) edges total. Exposed package-private so probe tooling
+    * can time the edge build and the component resolution separately
+    * (the r19→r20 drift adjudication needs the stage split).
+    */
+  private[graft] def lshEdges(s: SparkSession, d: String): DataFrame = {
     val banded = Dedup.bandTable(Analysis.shingleSets(s, d),
       bands = 4, rowsPerBand = 3)
     val anchors = banded.groupBy(col("bkey")).agg(min(col("id")).as("anchor"))
-    val edges = banded.join(anchors, Seq("bkey"))
+    banded.join(anchors, Seq("bkey"))
       .where(col("id") =!= col("anchor"))
       .select(col("anchor").as("id_a"), col("id").as("id_b"))
       .distinct()
-    ConnectedComponents.assignAdaptive(docs.select(col("doc_id").as("id")), edges,
-        checkpointDir = graft.operators.Iterate.envDir)
-      .select(col("id").as("doc_id"), col("cluster_id"))
-      .orderBy(col("doc_id").asc)
   }
 
   /** All distinct strings obtainable from `s` by deleting at most

@@ -1174,7 +1174,7 @@ object SemanticQ {
     val amax1 = codes.select(col("amax")).limit(1)
     val cellArr = graft.operators.ProductQuantizer.probeCellArr(
       cents, KMeansOp.intVec(col("qe")))
-    val probes = rawProbes
+    val probes = rawProbes.df
       .crossJoin(broadcast(amax1))
       .select(col("qid"), col("qe"), sq8Codes(col("qe"), col("amax")).as("qcode"))
     val probeCells = probes
@@ -1405,7 +1405,7 @@ object SemanticQ {
       .where(col("cell").isin(cells: _*))
     val cellArr = graft.operators.ProductQuantizer.probeCellArr(
       cents, col("qv"))
-    val probeCells = probes
+    val probeCells = probes.df
       .select(col("qid"), col("qv"), explode(slice(cellArr, 1, 2)).as("pc"))
       .select(col("qid"), col("qv"), col("pc.cid").as("cell"))
     val scored = codes.join(broadcast(probeCells), Seq("cell"))

@@ -381,7 +381,7 @@ object IndexStream {
         KMeansOp.intVec(col("embedding"))): _*))
     val cellArr = ProductQuantizer.probeCellArr(q.coarse,
       KMeansOp.intVec(col("embedding")))
-    val probeCells = pinned
+    val probeCells = pinned.df
       .select(col("qid"), qCodeExpr.as("qcode"),
         explode(slice(cellArr, 1, nProbe)).as("pc"))
       .select(col("qid"), col("qcode"), col("pc.cid").as("cell"))
@@ -767,8 +767,9 @@ object IndexStream {
       "SQ8 state serves through searchCommittedBatchSq8 or the " +
         "per-dim single-probe entries")
     // pin ONCE; the collected listing-prune cells and the serving
-    // dataflow read the same Q rows (adcBatchServe's internal re-pin
-    // of the pinned frame is a Q-row scan)
+    // dataflow read the same Q rows — the PinnedProbes witness routes
+    // to the pre-pinned adcBatchServe overload, so the checkpoint job
+    // runs exactly once on this path
     val pinned = ProductQuantizer.pinProbes(probes)
     val cells = ProductQuantizer.collectProbeCells(pinned, q.coarse, nProbe)
     val committed = StreamState.readCommitted(

@@ -718,6 +718,73 @@ class PqSpec extends AnyFunSuite {
         resIdx, probes, coarse, resBooks, subDim, 2, 3)))
   }
 
+  test("exactly ONE checkpoint job on the pre-pinned batch path: serving " +
+    "a PinnedProbes frame triggers zero eager jobs at construction, and " +
+    "matches the DataFrame entry's results on both encodings") {
+    import spark.implicits._
+    val d = TestSpark.sf0001
+    val vecsDf = Tables.embeddings(spark, d).select(col("vec_id"),
+      KMeansOp.intVec(col("embedding")).as("v"))
+    val probes = vecsDf.where(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("qid"), col("v"))
+    val coarse = queries.SemanticQ.trainedCentroids(spark, d)
+    val plainBooks = queries.SemanticQ.pqCodebooks(spark, d)
+    val resBooks = queries.SemanticQ.resCodebooks(spark, d)
+    val subDim = 16
+    val plainIdx = ProductQuantizer.indexProjection(
+      vecsDf, coarse, plainBooks, subDim)
+    val resIdx = ProductQuantizer.residualIndexProjection(
+      vecsDf, coarse, resBooks, subDim)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // the r19 regression shape: pin for the listing prune, then serve.
+      // The pin is ONE eager job; collectProbeCells is ONE collect job;
+      // handing the witness to the serve overloads must add ZERO eager
+      // jobs (the r19 code re-pinned here — a third job per batch query)
+      // the listener bus is async — poll until the count stops moving
+      def settled(): Int = {
+        var prev = -1
+        var cur = jobs.get()
+        var waited = 0
+        while (cur != prev && waited < 5000) {
+          prev = cur; Thread.sleep(100); waited += 100; cur = jobs.get()
+        }
+        cur
+      }
+      val pinned = ProductQuantizer.pinProbes(probes)
+      val cells = ProductQuantizer.collectProbeCells(pinned, coarse, 2)
+      assert(cells.nonEmpty)
+      val afterPin = settled()
+      assert(afterPin > 0, "the pin itself is eager")
+      val servedPlain = ProductQuantizer.adcBatchServe(
+        plainIdx, pinned, coarse, plainBooks, subDim, 2, 3)
+      val servedRes = ProductQuantizer.adcBatchServeResidual(
+        resIdx, pinned, coarse, resBooks, subDim, 2, 3)
+      assert(settled() == afterPin,
+        s"constructing the pre-pinned serves must trigger no eager job " +
+          s"(saw ${jobs.get() - afterPin} extra) — the r19 double-pin " +
+          s"is back if this fires")
+      // the DataFrame entry PAYS the pin at construction — the delta
+      // the witness overload shaves off every already-pinned batch query
+      val viaWrapper = ProductQuantizer.adcBatchServe(
+        plainIdx, probes, coarse, plainBooks, subDim, 2, 3)
+      assert(settled() > afterPin,
+        "the un-pinned entry should have pinned eagerly at construction")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(rows(servedPlain) == rows(viaWrapper))
+      assert(rows(servedRes) == rows(ProductQuantizer.adcBatchServeResidual(
+        resIdx, probes, coarse, resBooks, subDim, 2, 3)))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("q_recall_shortlist_ann: the compressed-index shortlist's recall " +
     "against the exact flat shortlist, replayed from the two queries") {
     val d = TestSpark.sf0001
