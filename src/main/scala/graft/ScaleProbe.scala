@@ -96,7 +96,12 @@ object ScaleProbe {
     // round 19, late: the per-dim SQ8 CDC recall monitor over its
     // pre-built lifecycle state (same probed-cell live-scan shape as
     // q_recall_cdc_sq8, decode instead of query-encode)
-    "q_recall_cdc_sq8dim")
+    "q_recall_cdc_sq8dim",
+    // round 20: the OPQ serving tiers (directory-pruned reads of the
+    // pre-built permuted index — the same _part/_batch shapes as the
+    // plain-PQ tiers) and the OPQ CDC recall monitor over its
+    // pre-built lifecycle state
+    "q_ann_opq_part", "q_ann_opq_batch", "q_recall_cdc_opq")
 
   private def mix(a: Long, b: Long, c: Long): Long = {
     var h = a * 0x9E3779B97F4A7C15L + b * 0xC2B2AE3D27D4EB4FL + c * 0x165667B19E3779F9L
@@ -286,6 +291,8 @@ object ScaleProbe {
         "cdc_lifecycle_sq8" -> (() => { queries.SemanticQ.cdcLifecycleSq8Dir(spark, d); () }),
         "cdc_lifecycle_sq8dim" -> (() => { queries.SemanticQ.cdcLifecycleSq8DimDir(spark, d); () }),
         "opq_books" -> (() => { queries.SemanticQ.opqBooks(spark, d); () }),
+        "ivfopq_part_index" -> (() => { queries.SemanticQ.partitionedOpqCodesPath(spark, d); () }),
+        "cdc_lifecycle_opq" -> (() => { queries.SemanticQ.cdcLifecycleOpqDir(spark, d); () }),
         "bpe_merges" -> (() => { queries.Analysis.cachedMergeSchedule(spark, d); () }),
         "bigram_mult" -> (() => { queries.Retrieval.bigramDocMult(spark, d).count(); () }),
         "bigram_score" -> (() => { queries.Retrieval.bigramScore(spark, d).count(); () }))
@@ -390,7 +397,15 @@ object ScaleProbe100 {
     // round 19: the per-dim SQ8 persisted tier — should track
     // |probed cells|/k of the 100× code table like the other _part
     // queries (the index write is a derivation below)
-    "q_sq8_dim_part")
+    "q_sq8_dim_part",
+    // round 20 (r19 verdict #6): the CDC recall monitors at 100× rows
+    // (the lifecycle fixtures are pre-built derivations below — the
+    // monitors then pay the probed-cell LIVE scan + the exact
+    // broadcast-probe scan, both linear) and the OPQ serving tiers
+    // (the same directory-pruned _part/_batch shapes as plain PQ;
+    // allocation + permuted books + index write are derivations)
+    "q_recall_cdc", "q_recall_cdc_sq8", "q_recall_cdc_sq8dim",
+    "q_recall_cdc_opq", "q_ann_opq", "q_ann_opq_part", "q_ann_opq_batch")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -434,7 +449,18 @@ object ScaleProbe100 {
         "ivfpq_part_index" -> (() => { queries.SemanticQ.partitionedCodesPath(spark, d); () }),
         "ivfpqres_part_index" -> (() => { queries.SemanticQ.partitionedResCodesPath(spark, d); () }),
         "ivfsq8_index" -> (() => { queries.SemanticQ.sq8IndexPath(spark, d); () }),
-        "sq8dim_index" -> (() => { queries.SemanticQ.sq8DimIndexPath(spark, d); () }))
+        "sq8dim_index" -> (() => { queries.SemanticQ.sq8DimIndexPath(spark, d); () }),
+        // round 20: the OPQ artifacts and every CDC lifecycle fixture —
+        // the monitors' state builds are derivations, so their 100×
+        // rows measure the SERVING scan, not the fixture drive (the
+        // r19 _SUCCESS-cache lesson: an unbuilt fixture charges its
+        // whole lifecycle to the first timed rep)
+        "opq_books" -> (() => { queries.SemanticQ.opqBooks(spark, d); () }),
+        "ivfopq_part_index" -> (() => { queries.SemanticQ.partitionedOpqCodesPath(spark, d); () }),
+        "cdc_lifecycle" -> (() => { queries.SemanticQ.cdcLifecycleDir(spark, d); () }),
+        "cdc_lifecycle_sq8" -> (() => { queries.SemanticQ.cdcLifecycleSq8Dir(spark, d); () }),
+        "cdc_lifecycle_sq8dim" -> (() => { queries.SemanticQ.cdcLifecycleSq8DimDir(spark, d); () }),
+        "cdc_lifecycle_opq" -> (() => { queries.SemanticQ.cdcLifecycleOpqDir(spark, d); () }))
     } yield {
       val t0 = System.nanoTime()
       try f() catch { case _: Throwable => () }

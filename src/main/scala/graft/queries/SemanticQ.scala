@@ -661,14 +661,13 @@ object SemanticQ {
     * copies accumulate forever. Age classes are deliberately tiered so
     * the sweep can never yank a dir out from under a CONCURRENT
     * long-lived JVM (the race the atomic-rename fix exists to close):
-    * `.build-*` staging dirs and legacy `graft_ivfpq_part_*` dirs go at
-    * 24 h (a build takes minutes, and no current-layout code can ever
-    * key the legacy prefix), while live-layout `graft_idx_*` dirs only
-    * go after 7 IDLE days — [[persistedIndexPath]] bumps a dir's mtime
-    * on every cross-session reuse, so "old" means a week with no
-    * session keying it; only a JVM that stays up past a week while
-    * never re-keying its index races the sweep, the accepted trade of
-    * parking shared artifacts on scratch tmpdir.
+    * `.build-` staging dirs, parked `.torn-` repair husks, and legacy
+    * `graft_ivfpq_part_*` dirs go at 24 h (a build takes minutes, and
+    * no current-layout code can ever key the legacy prefix), while
+    * live-layout `graft_idx_*` dirs only go after 7 IDLE days —
+    * [[persistedIndexPath]] bumps a dir's mtime on EVERY reuse,
+    * cross-session misses and in-session fast-path hits alike (ADVICE
+    * r19), so "old" means a week with no session keying it at all.
     */
   private lazy val staleIndexSweep: Unit = {
     val now = System.currentTimeMillis()
@@ -686,10 +685,12 @@ object SemanticQ {
       .filter { f =>
         val n = f.getName
         f.isDirectory && (
-          ((n.contains(".build-") && n.startsWith("graft_idx_")) ||
+          (((n.contains(".build-") || n.contains(".torn-")) &&
+            n.startsWith("graft_idx_")) ||
             n.startsWith("graft_ivfpq_part_")) &&
             newestMtime(f) < now - day ||
           (n.startsWith("graft_idx_") && !n.contains(".build-") &&
+            !n.contains(".torn-") &&
             f.lastModified() < now - 7 * day))
       }
       .foreach(f => rmrfDir(f.getPath))
@@ -719,7 +720,19 @@ object SemanticQ {
       // an EXTERNALLY deleted dir — a racing sweep, a tmpdir cleaner,
       // an operator rm — heals by rebuilding instead of serving a
       // cached path into FileNotFoundException for the session's life
-      if (prev != null && prev._1 == fp && marked(prev._2)) prev
+      if (prev != null && prev._1 == fp && marked(prev._2)) {
+        // refresh the idle clock on the fast path too (ADVICE r19):
+        // without this only a cache MISS bumped mtime, so a JVM alive
+        // past the sweep's 7-day horizon while serving cache hits
+        // could have its live index reaped by a newly started
+        // session's sweep — one setLastModifiedTime beside the stat
+        // the marker check already pays closes that window
+        scala.util.Try(java.nio.file.Files.setLastModifiedTime(
+          java.nio.file.Paths.get(prev._2),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis())))
+        prev
+      }
       else {
         if (prev != null) { supersededCleanupHook; supersededDirs.add(prev._2); () }
         val h = java.security.MessageDigest.getInstance("MD5")
@@ -749,18 +762,44 @@ object SemanticQ {
               rmrfDir(tmp)
               (fp, dir)
             case _: java.nio.file.FileSystemException =>
-              // the target exists WITHOUT a marker (a torn dir from a
-              // crashed pre-rename-era build, or a concurrent install
-              // mid-flight). Deleting or renaming a shared path here
-              // could yank a sibling session's just-installed index out
-              // from under its readers — so NEVER touch it: serve THIS
-              // session from its own complete staging copy (the build
-              // is a pure function of the key, so the copies are
-              // equivalent) and park it for shutdown deletion; the
-              // age-based sweep reclaims the torn dir.
+              // the target exists WITHOUT a marker. Installs are
+              // atomic-with-marker, so this can only be a crashed
+              // PRE-RENAME-ERA build's torn dir — never a concurrent
+              // install mid-flight (a concurrent winner appears fully
+              // marked or not at all). Repair it (ADVICE r19): rename
+              // the torn dir aside to a parked .torn- name (the 24 h
+              // sweep class) and retry the install ONCE; if the
+              // rename-aside loses a race, fall back to the old
+              // behavior — serve this session from its own complete
+              // staging copy (the build is a pure function of the
+              // key, so the copies are equivalent).
               supersededCleanupHook
-              supersededDirs.add(tmp)
-              (fp, tmp)
+              val parked =
+                dir + ".torn-" + java.util.UUID.randomUUID().toString.take(8)
+              val repaired = scala.util.Try {
+                java.nio.file.Files.move(
+                  java.nio.file.Paths.get(dir),
+                  java.nio.file.Paths.get(parked),
+                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                java.nio.file.Files.move(
+                  java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(dir),
+                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              }
+              if (repaired.isSuccess) {
+                supersededDirs.add(parked)
+                (fp, dir)
+              } else if (marked(dir)) {
+                // a concurrent session completed the key mid-repair
+                rmrfDir(tmp)
+                scala.util.Try(rmrfDir(parked))
+                (fp, dir)
+              } else {
+                // if the rename-aside half succeeded, the parked torn
+                // copy is ours to reclaim at shutdown too
+                supersededDirs.add(parked)
+                supersededDirs.add(tmp)
+                (fp, tmp)
+              }
           }
         }
       })._2
@@ -1611,6 +1650,98 @@ object SemanticQ {
     graft.operators.ProductQuantizer.adcTopK(codes, luts, 10)
   }
 
+  /** The full OPQ permutation, subspace-major: concatenating each
+    * subspace's allocated dims (rank order) gives a layout where
+    * `slice(w, m·subDim + 1, subDim)` of the permuted vector IS
+    * [[opqSubVec]](v, perm(m)) — so the ENTIRE existing IVFADC
+    * machinery (indexProjection, adcTables/adcTopK, adcBatchServe,
+    * collectProbeCells) serves OPQ unchanged over permuted vectors. A
+    * permutation is orthogonal: L2 distances — including the coarse
+    * cell argmin against equally-permuted centroids — are preserved
+    * exactly, ties and all.
+    */
+  private[graft] def opqFlatPerm(s: SparkSession, d: String): Seq[Int] =
+    opqPerm(s, d).flatten
+
+  /** The corpus in the permuted layout: (vec_id, w). */
+  private def opqVecs(s: SparkSession, d: String): DataFrame = {
+    val p = opqFlatPerm(s, d)
+    intVecs(s, d).select(col("vec_id"), opqSubVec(col("v"), p).as("v"))
+  }
+
+  /** The coarse centroids permuted into the OPQ layout — cell
+    * assignment over (opqVecs, opqCoarse) is bit-identical to the raw
+    * assignment (orthogonality), so the IVF_OPQ index's `cell` equals
+    * the plain IVFADC index's and the oracle replays cells in the RAW
+    * domain.
+    */
+  private def opqCoarse(s: SparkSession, d: String): Seq[(Long, Seq[Long])] = {
+    val p = opqFlatPerm(s, d)
+    trainedCentroids(s, d).map { case (cid, c) => (cid, p.map(c(_))) }
+  }
+
+  /** The persisted cell-partitioned IVF_OPQ code table — the r19
+    * symmetry gap (OPQ was the only encoding served in-flight only):
+    * same content-addressed `partitionBy(cell)` lifecycle as
+    * [[partitionedCodesPath]], codes quantizing the PERMUTED vector
+    * against the permuted-slice codebooks ([[opqBooks]], which already
+    * ride the session derivation cache).
+    */
+  private[graft] def partitionedOpqCodesPath(s: SparkSession, d: String): String =
+    persistedIndexPath(s, d, "ivfopq") { dir =>
+      graft.operators.ProductQuantizer
+        .indexProjection(opqVecs(s, d), opqCoarse(s, d), opqBooks(s, d),
+          PqSubDim)
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    }
+
+  /** Single-probe IVF + OPQ over the PERSISTED cell-partitioned code
+    * table — [[annIvfPqPartQ]]'s tier at the OPQ encoding: the probed
+    * cells are a PARTITION filter (the listing opens exactly nProbe
+    * cell directories; ServingTiersSpec pins `selectedPartitions ==
+    * nProbe`), the query's LUTs are built from its permuted
+    * subvectors, and the ADC sum is integer-exact end to end — the
+    * oracle replays the energy ranking, the permuted Lloyd chains, the
+    * raw-domain probe cells, and the ADC joins bit-for-bit.
+    */
+  def annOpqPartQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = opqFlatPerm(s, d)
+    val coarse = opqCoarse(s, d)
+    val books = opqBooks(s, d)
+    val qv = intVecs(s, d).where(col("vec_id") === 0L).select(col("v"))
+      .as[Seq[Long]].head()
+    val qw = p.map(qv(_))
+    val probeCells = KMeansOp.nearestCells(coarse, qw, 2)
+    val luts = graft.operators.ProductQuantizer.adcTables(qw, books, PqSubDim)
+    val codes = s.read.schema(partCodesSchema)
+      .parquet(partitionedOpqCodesPath(s, d))
+    graft.operators.ProductQuantizer.adcTopK(
+      codes.where(col("cell").isin(probeCells: _*)), luts, 10)
+  }
+
+  /** BATCH serving over the persisted IVF_OPQ index —
+    * [[annIvfPqBatchPartQ]]'s discipline at the OPQ encoding, entirely
+    * through the shared machinery: ONE pinned permuted probe frame
+    * feeds the collected listing-prune cells AND the serving dataflow
+    * (the [[graft.operators.ProductQuantizer.PinnedProbes]] witness —
+    * one checkpoint on the path), the probed-cell union stops the file
+    * LISTING at the probed directories, and the broadcast (qid, cell)
+    * join scopes per-qid scoring.
+    */
+  def annOpqBatchQ(s: SparkSession, d: String): DataFrame = {
+    val coarse = opqCoarse(s, d)
+    val probes = graft.operators.ProductQuantizer.pinProbes(
+      opqVecs(s, d).where(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id").as("qid"), col("v")))
+    val cells = graft.operators.ProductQuantizer.collectProbeCells(
+      probes, coarse, nProbe = 2)
+    graft.operators.ProductQuantizer.adcBatchServe(
+      s.read.schema(partCodesSchema).parquet(partitionedOpqCodesPath(s, d))
+        .where(col("cell").isin(cells: _*)),
+      probes, coarse, opqBooks(s, d), PqSubDim, nProbe = 2, topK = 3)
+  }
+
   /** Recall@10 of the OPQ search vs the integer-exact top-10.
     * Acceptance is TWO-sided (ServingTiersSpec): recall ≥ plain PQ's on
     * the spec corpus, and — the noise-free gate, since one probe's
@@ -1908,6 +2039,61 @@ object SemanticQ {
         (col("n_hits") * lit(1000000L) / lit(10L)).cast("long").as("recall_ppm"))
   }
 
+  /** The session's frozen OPQ quantizer handle: the permuted coarse
+    * centroids + permuted-slice codebooks + the flat allocation — what
+    * a maintained OPQ index freezes at build time (the
+    * [[graft.streaming.IndexStream.Quantizers]] convention: all
+    * artifact geometry lives in the permuted domain; vectors and
+    * probes are permuted once at the stream entries).
+    */
+  private[graft] def opqQuantizers(s: SparkSession, d: String)
+      : graft.streaming.IndexStream.Quantizers =
+    graft.streaming.IndexStream.Quantizers(
+      opqCoarse(s, d), opqBooks(s, d), PqSubDim,
+      opqPerm = Some(opqFlatPerm(s, d)))
+
+  /** [[cdcLifecycleDir]] at the OPQ encoding — the r19 symmetry gap's
+    * streaming half ("every encoding the batch/persisted tiers serve
+    * is also MAINTAINED" went stale when OPQ landed): the SAME
+    * insert-all / delete / resurrect lifecycle driven through the real
+    * processBatchCdc against the frozen allocation + permuted-slice
+    * codebooks, serving the q_recall_cdc_opq monitor.
+    */
+  private[graft] def cdcLifecycleOpqDir(s: SparkSession, d: String): String =
+    cdcLifecycleWith(s, d, "cdclifeopq")(opqQuantizers(s, d))
+
+  /** Recall@10 of the maintained OPQ CDC index mid-lifecycle against
+    * the integer-exact top-10 over the live set — [[recallCdcQ]] at
+    * the OPQ encoding, completing the maintained-encoding family
+    * again. Serving side is the real [[graft.streaming.IndexStream
+    * .searchCommittedCdc]] (the handle's permutation is applied at the
+    * entry; live-rows probed-cell ADC scan). Deterministic BIGINT ppm;
+    * the oracle replays the allocation, the permuted Lloyd chains, and
+    * the live-set predicate.
+    */
+  def recallCdcOpqQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qz = opqQuantizers(s, d)
+    val dir = cdcLifecycleOpqDir(s, d)
+    val vecs = intVecs(s, d)
+    val qv = vecs.where(col("vec_id") === 0L).select(col("v"))
+      .as[Seq[Long]].head()
+    val approx = graft.streaming.IndexStream
+      .searchCommittedCdc(s, dir, qz, qv, 2, 10)
+      .select(col("vec_id"))
+    val live = vecs.where(cdcLive(col("vec_id")))
+    val exact = live
+      .select(col("vec_id"),
+        KMeansOp.intDist(col("v"), typedLit(qv)).as("dist_scaled"))
+      .orderBy(col("dist_scaled").asc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"))
+    exact.join(approx, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("n_hits"),
+        (col("n_hits") * lit(1000000L) / lit(10L)).cast("long").as("recall_ppm"))
+  }
+
   /** The trained SQ8 global scale (corpus max |coordinate|) memoized
     * per dataset CONTENT — the scalar artifact the SQ8 family freezes,
     * on the [[cachedCentroids]] lifecycle (one bounded aggregate; a
@@ -2066,6 +2252,8 @@ object SemanticQ {
     "q_pq_codes" -> pqCodesQ,
     "q_ann_pq" -> annPqQ,
     "q_ann_opq" -> annOpqQ,
+    "q_ann_opq_part" -> annOpqPartQ,
+    "q_ann_opq_batch" -> annOpqBatchQ,
     "q_recall_opq" -> recallOpqQ,
     "q_ann_ivfpq" -> annIvfPqQ,
     "q_ann_ivfpq_part" -> annIvfPqPartQ,
@@ -2086,6 +2274,7 @@ object SemanticQ {
     "q_ann_ivf_sq8_batch" -> annIvfSq8BatchQ,
     "q_recall_ivf_sq8" -> recallIvfSq8Q,
     "q_recall_cdc" -> recallCdcQ,
+    "q_recall_cdc_opq" -> recallCdcOpqQ,
     "q_recall_cdc_sq8" -> recallCdcSq8Q,
     "q_recall_cdc_sq8dim" -> recallCdcSq8DimQ,
     "q_ann_ivfpq_res" -> annIvfPqResQ,
@@ -2385,6 +2574,64 @@ object SemanticQ {
        |cand AS (SELECT a3.vec_id FROM a3 JOIN pc ON a3.cid = pc.cid),
        |$pqAdcSql""".stripMargin
 
+  /** q_ann_opq_part's contract SQL: the OPQ ADC chain gated by the
+    * RAW-domain probe cells (the engine assigns cells over permuted
+    * vectors vs permuted centroids — a permutation preserves every
+    * distance, so the raw-domain replay is exact, ties included).
+    */
+  private lazy val annOpqIvfOracle: String =
+    s"""WITH $lloydSql,
+       |$opqChainSql,
+       |$opqAdcSql,
+       |qvc AS (SELECT v FROM q WHERE vec_id = 0),
+       |pc AS (SELECT cid FROM (
+       |    SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${idistSql("c.c", "qv.v")} ASC,
+       |      c.cid ASC) AS rn
+       |    FROM c2 c CROSS JOIN qvc qv) WHERE rn <= 2),
+       |cand AS (SELECT a3.vec_id FROM a3 JOIN pc ON a3.cid = pc.cid)
+       |SELECT adco.vec_id, adco.adc_scaled FROM adco JOIN cand USING (vec_id)
+       |ORDER BY adc_scaled ASC, vec_id ASC LIMIT 10""".stripMargin
+
+  /** q_ann_opq_batch's contract SQL — [[ivfPqBatchChainSql]]'s shape
+    * over the _o (permuted-slice) chains, cells in the raw domain.
+    */
+  private lazy val annOpqBatchOracle: String = {
+    val lutobs = (0 until PqM).map { m =>
+      s"""lutob$m AS (SELECT qb.vec_id AS qid, $m AS sub, c.cid AS code,
+         |  ${idistSql("c.c", "qb.v")} AS d
+         |  FROM c2_o$m c CROSS JOIN
+         |    (SELECT vec_id, v FROM q_o$m WHERE vec_id IN (0, 1, 2)) qb)""".stripMargin
+    }
+    val lutUnion = (0 until PqM).map(m => s"SELECT * FROM lutob$m")
+      .mkString(" UNION ALL ")
+    val codesUnion = (0 until PqM)
+      .map(m => s"SELECT vec_id, $m AS sub, cid AS code FROM a3_o$m")
+      .mkString(" UNION ALL ")
+    s"""WITH $lloydSql,
+       |$opqChainSql,
+       |${lutobs.mkString(",\n")},
+       |lutso AS ($lutUnion),
+       |codeso AS ($codesUnion),
+       |qb AS (SELECT vec_id AS qid, v FROM q WHERE vec_id IN (0, 1, 2)),
+       |pcb AS (SELECT qid, cid FROM (
+       |    SELECT qb.qid, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY qb.qid
+       |        ORDER BY ${idistSql("c.c", "qb.v")} ASC, c.cid ASC) AS rn
+       |    FROM c2 c CROSS JOIN qb) WHERE rn <= 2),
+       |cand AS (SELECT pcb.qid, a3.vec_id FROM a3 JOIN pcb ON a3.cid = pcb.cid),
+       |adcob AS (SELECT l.qid, c.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc_scaled
+       |  FROM codeso c JOIN lutso l ON c.sub = l.sub AND c.code = l.code
+       |  GROUP BY l.qid, c.vec_id HAVING COUNT(*) = $PqM),
+       |ranked AS (SELECT adcob.qid, adcob.vec_id, adcob.adc_scaled,
+       |    ROW_NUMBER() OVER (PARTITION BY adcob.qid
+       |      ORDER BY adcob.adc_scaled ASC, adcob.vec_id ASC) AS rnk
+       |  FROM adcob JOIN cand ON adcob.qid = cand.qid
+       |    AND adcob.vec_id = cand.vec_id)
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, adc_scaled
+       |FROM ranked WHERE rnk <= 3
+       |ORDER BY qid ASC, rnk ASC""".stripMargin
+  }
+
   /** q_ann_ivfpq's contract SQL — also the oracle of the
     * partitioned-index serving twin (same results, different layout).
     */
@@ -2634,6 +2881,27 @@ object SemanticQ {
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
          |  CAST(COUNT(*) * 1000000 / 10 AS BIGINT) AS recall_ppm
          |FROM exact WHERE vec_id IN (SELECT vec_id FROM approx)""".stripMargin,
+    "q_recall_cdc_opq" ->
+      s"""WITH $lloydSql,
+         |$opqChainSql,
+         |$opqAdcSql,
+         |qvc AS (SELECT v FROM q WHERE vec_id = 0),
+         |pc AS (SELECT cid FROM (
+         |    SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${idistSql("c.c", "qv.v")} ASC,
+         |      c.cid ASC) AS rn
+         |    FROM c2 c CROSS JOIN qvc qv) WHERE rn <= 2),
+         |cand AS (SELECT a3.vec_id FROM a3 JOIN pc ON a3.cid = pc.cid),
+         |live AS (SELECT vec_id FROM q
+         |  WHERE ${cdcLiveSql("vec_id")}),
+         |approx AS (SELECT adco.vec_id FROM adco JOIN cand USING (vec_id)
+         |  JOIN live USING (vec_id)
+         |  ORDER BY adc_scaled ASC, vec_id ASC LIMIT 10),
+         |exact AS (SELECT q.vec_id FROM q JOIN live USING (vec_id)
+         |  CROSS JOIN qvc qv
+         |  ORDER BY ${idistSql("q.v", "qv.v")} ASC, q.vec_id ASC LIMIT 10)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
+         |  CAST(COUNT(*) * 1000000 / 10 AS BIGINT) AS recall_ppm
+         |FROM exact WHERE vec_id IN (SELECT vec_id FROM approx)""".stripMargin,
     "q_recall_cdc_sq8" ->
       s"""WITH $lloydSql,
          |$sq8ChainSql,
@@ -2787,6 +3055,8 @@ object SemanticQ {
          |$opqAdcSql
          |SELECT vec_id, adc_scaled FROM adco
          |ORDER BY adc_scaled ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_ann_opq_part" -> annOpqIvfOracle,
+    "q_ann_opq_batch" -> annOpqBatchOracle,
     "q_recall_opq" ->
       s"""WITH $opqChainSql,
          |$opqAdcSql,

@@ -80,9 +80,25 @@ object IndexStream {
   final case class Quantizers(coarse: Seq[(Long, Seq[Long])],
       books: Seq[Seq[(Long, Seq[Long])]], subDim: Int,
       residual: Boolean = false, sq8Amax: Option[Double] = None,
-      sq8Dims: Option[(Seq[Double], Seq[Double])] = None) {
+      sq8Dims: Option[(Seq[Double], Seq[Double])] = None,
+      opqPerm: Option[Seq[Int]] = None) {
     require(!(sq8Amax.isDefined && sq8Dims.isDefined),
       "global-amax and per-dimension SQ8 are exclusive encodings")
+    // `opqPerm` = Some(p) selects the OPQ encoding (Ge et al.'s
+    // dimension allocation, the permutation subgroup of the rotation
+    // family — the batch tier's q_ann_opq_part): p is the FLAT
+    // subspace-major permutation, and BY CONVENTION the artifact's
+    // coarse centroids and codebooks live in the PERMUTED domain
+    // (books trained on permuted slices; centroids permuted entry-wise
+    // — a permutation preserves every L2 distance, so cell assignment
+    // matches the raw domain exactly). Every vector or probe entering
+    // assignment/serving is permuted at ONE choke point each, then the
+    // plain-PQ machinery applies unchanged.
+    require(opqPerm.isEmpty ||
+      (!residual && sq8Amax.isEmpty && sq8Dims.isEmpty),
+      "OPQ composes with the plain-PQ encoding only")
+    opqPerm.foreach(p => require(p.sorted == p.indices,
+      "opqPerm must be a permutation of the dimension indices"))
     /** Vector dimensionality, from the coarse centroids. */
     def dim: Int = coarse.head._2.size
     /** Code-column count of this encoding's persisted state: one code
@@ -91,6 +107,18 @@ object IndexStream {
     def m: Int =
       if (sq8Amax.isDefined || sq8Dims.isDefined) dim else books.size
   }
+
+  /** The permuted view of a scaled-integer vector column — the one
+    * Column spelling of the OPQ pre-rotation (subspace-major, so
+    * `slice(w, m·subDim + 1, subDim)` is subspace m's allocated dims in
+    * rank order, matching the codebooks' training slices).
+    */
+  private def permuteVec(v: Column, p: Seq[Int]): Column =
+    array(p.map(i => element_at(v, i + 1)): _*)
+
+  /** Driver-side mirror of [[permuteVec]] for single-probe queries. */
+  private def permuteLocal(v: Seq[Long], p: Seq[Int]): Seq[Long] =
+    p.map(v(_))
 
   /** The per-batch/per-rebuild corpus projection for this encoding —
     * takes the RAW (vec_id, embedding) rows: the PQ encodings code the
@@ -166,7 +194,11 @@ object IndexStream {
       case (None, None) if q.residual =>
         ProductQuantizer.residualIndexProjection(vecs, q.coarse, q.books, q.subDim)
       case (None, None) =>
-        ProductQuantizer.indexProjection(vecs, q.coarse, q.books, q.subDim)
+        // OPQ = plain PQ over the permuted domain: permute each vector
+        // once here (the artifact's coarse/books are already permuted)
+        val w = q.opqPerm.map(p => vecs.select(col("vec_id"),
+          permuteVec(col("v"), p).as("v"))).getOrElse(vecs)
+        ProductQuantizer.indexProjection(w, q.coarse, q.books, q.subDim)
     }
   }
 
@@ -280,8 +312,10 @@ object IndexStream {
           Seq((0L, query)).toDF("qid", "v"), nProbe, k)
         .select(col("vec_id"), col("adc_scaled"))
     }
-    val probeCells = KMeansOp.nearestCells(q.coarse, query, nProbe)
-    val luts = ProductQuantizer.adcTables(query, q.books, q.subDim)
+    // OPQ probes enter the permuted domain once, here
+    val qw = q.opqPerm.map(permuteLocal(query, _)).getOrElse(query)
+    val probeCells = KMeansOp.nearestCells(q.coarse, qw, nProbe)
+    val luts = ProductQuantizer.adcTables(qw, q.books, q.subDim)
     ProductQuantizer.adcTopK(
       StreamState.readCommitted(s, stateDir, "codes", codesSchema(q.m),
           partitioned = true)
@@ -510,6 +544,8 @@ object IndexStream {
     val meta =
       (if (q.residual)
         Seq(Row("residual", -1, 0L, Seq.empty[Long], q.subDim)) else Nil) ++
+      q.opqPerm.map(p =>
+        Row("opq_perm", -1, 0L, p.map(_.toLong), q.subDim)) ++
       q.sq8Amax.map(a => Row("sq8", -1,
         java.lang.Double.doubleToRawLongBits(a), Seq.empty[Long], q.subDim)) ++
       q.sq8Dims.toSeq.flatMap { case (vmn, vmx) => Seq(
@@ -541,6 +577,8 @@ object IndexStream {
     }
     Quantizers(coarse, books, subDim,
       residual = rows.exists(_.getString(0) == "residual"),
+      opqPerm = rows.find(_.getString(0) == "opq_perm")
+        .map(_.getSeq[Long](3).map(_.toInt).toSeq),
       sq8Amax = rows.find(_.getString(0) == "sq8")
         .map(r => java.lang.Double.longBitsToDouble(r.getLong(2))),
       sq8Dims = rows.find(_.getString(0) == "sq8dim_mn").map { mnRow =>
@@ -629,9 +667,9 @@ object IndexStream {
   def rebuildCdc(s: SparkSession, indexRoot: String, corpus: DataFrame,
       k: Int, iters: Int, m: Int, subDim: Int,
       residual: Boolean = false, sq8: Boolean = false,
-      sq8dim: Boolean = false): Quantizers = {
-    require(Seq(residual, sq8, sq8dim).count(identity) <= 1,
-      "residual, sq8, and sq8dim are exclusive encodings")
+      sq8dim: Boolean = false, opq: Boolean = false): Quantizers = {
+    require(Seq(residual, sq8, sq8dim, opq).count(identity) <= 1,
+      "residual, sq8, sq8dim, and opq are exclusive encodings")
     val next = StreamState.markerIdsIn(s, s"$indexRoot/_current")
       .lastOption.getOrElse(-1L) + 1L
     val dir = genDir(indexRoot, next)
@@ -639,6 +677,21 @@ object IndexStream {
       corpus, "vec_id", col("embedding"), k, iters)
     val vecs = corpus.select(col("vec_id"),
       KMeansOp.intVec(col("embedding")).as("v"))
+    // an OPQ rebuild REFITS the allocation on the snapshot: rank dims
+    // by the exact-BIGINT Σ|v_d| energy (ties to the lower index),
+    // deal round-robin across subspaces, flatten subspace-major — the
+    // same derivation as the batch tier's allocation, so a rebuild on
+    // the tier's corpus reproduces its permutation exactly
+    val opqPermFlat: Option[Seq[Int]] =
+      if (!opq) None
+      else Some {
+        val en = vecs.select(posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("pos")).agg(sum(abs(col("x"))).as("e"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+        val ranked = en.sortBy { case (pos, e) => (-e, pos) }.map(_._1)
+        (0 until m).flatMap(sub => ranked.zipWithIndex.collect {
+          case (pos, r) if r % m == sub => pos })
+      }
     val books =
       if (residual) {
         lazy val res = ProductQuantizer.residuals(vecs, coarse)
@@ -647,6 +700,16 @@ object IndexStream {
             slice(col("r"), sub * subDim + 1, subDim).as("v")),
           k, iters))
       } else if (sq8 || sq8dim) Nil
+      else if (opq) {
+        // permuted-slice codebooks: subspace m trains on its allocated
+        // dims in rank order (the permuted domain's contiguous slice)
+        val p = opqPermFlat.get
+        (0 until m).map(sub => KMeansOp.lloydCentroidsLocalInt(
+          vecs.select(col("vec_id"),
+            permuteVec(col("v"),
+              p.slice(sub * subDim, (sub + 1) * subDim)).as("v")),
+          k, iters))
+      }
       else ProductQuantizer.train(
         corpus, "vec_id", col("embedding"), m, subDim, k, iters)
     // the SQ8 generations retrain their scales on the snapshot — the
@@ -655,11 +718,17 @@ object IndexStream {
     // ProductQuantizer.amaxExpr; the per-dim tables are exact double
     // min/max per dimension — order-insensitive, so no spelling can
     // drift them)
-    val q = Quantizers(coarse, books, subDim, residual,
+    val q = Quantizers(
+      // the OPQ artifact stores the PERMUTED centroids (the Quantizers
+      // convention: all artifact geometry lives in the permuted domain)
+      opqPermFlat.map(p => coarse.map { case (cid, c) =>
+        (cid, p.map(c(_))) }).getOrElse(coarse),
+      books, subDim, residual,
       sq8Amax = if (sq8) Some(
         corpus.agg(ProductQuantizer.amaxExpr(col("embedding")))
           .head().getDouble(0)) else None,
-      sq8Dims = if (sq8dim) Some(trainSq8DimScales(corpus)) else None)
+      sq8Dims = if (sq8dim) Some(trainSq8DimScales(corpus)) else None,
+      opqPerm = opqPermFlat)
     project(corpus.select(col("vec_id"), col("embedding")), q)
       .withColumn("src_batch", lit(0L))
       .write.mode("overwrite").partitionBy("cell")
@@ -766,11 +835,15 @@ object IndexStream {
     require(q.sq8Amax.isEmpty && q.sq8Dims.isEmpty,
       "SQ8 state serves through searchCommittedBatchSq8 or the " +
         "per-dim single-probe entries")
+    // OPQ probe frames enter the permuted domain once, here (the
+    // artifact's coarse/books are already permuted)
+    val w = q.opqPerm.map(p => probes.select(col("qid"),
+      permuteVec(col("v"), p).as("v"))).getOrElse(probes)
     // pin ONCE; the collected listing-prune cells and the serving
     // dataflow read the same Q rows — the PinnedProbes witness routes
     // to the pre-pinned adcBatchServe overload, so the checkpoint job
     // runs exactly once on this path
-    val pinned = ProductQuantizer.pinProbes(probes)
+    val pinned = ProductQuantizer.pinProbes(w)
     val cells = ProductQuantizer.collectProbeCells(pinned, q.coarse, nProbe)
     val committed = StreamState.readCommitted(
       s, stateDir, "codes", codesSchema(q.m), partitioned = true)
@@ -985,8 +1058,10 @@ object IndexStream {
           Seq((0L, query)).toDF("qid", "v"), nProbe, k)
         .select(col("vec_id"), col("adc_scaled"))
     }
-    val probeCells = KMeansOp.nearestCells(q.coarse, query, nProbe)
-    val luts = ProductQuantizer.adcTables(query, q.books, q.subDim)
+    // OPQ probes enter the permuted domain once, here
+    val qw = q.opqPerm.map(permuteLocal(query, _)).getOrElse(query)
+    val probeCells = KMeansOp.nearestCells(q.coarse, qw, nProbe)
+    val luts = ProductQuantizer.adcTables(qw, q.books, q.subDim)
     ProductQuantizer.adcTopK(
       liveCodes(s, stateDir, q.m)
         .where(col("cell").isin(probeCells: _*)),
@@ -1005,8 +1080,11 @@ object IndexStream {
     require(q.sq8Amax.isEmpty && q.sq8Dims.isEmpty,
       "SQ8 CDC state serves through searchCommittedBatchCdcSq8 or the " +
         "per-dim single-probe entries")
+    // OPQ probe frames enter the permuted domain once, here
+    val w = q.opqPerm.map(p => probes.select(col("qid"),
+      permuteVec(col("v"), p).as("v"))).getOrElse(probes)
     // pin ONCE; prune cells and serving read the same Q rows
-    val pinned = ProductQuantizer.pinProbes(probes)
+    val pinned = ProductQuantizer.pinProbes(w)
     val cells = ProductQuantizer.collectProbeCells(pinned, q.coarse, nProbe)
     val live = liveCodes(s, stateDir, q.m).drop("src_batch")
       .where(col("cell").isin(cells: _*))

@@ -744,4 +744,145 @@ class CdcIndexSpec extends AnyFunSuite {
     assert(!after.contains(served.head._1),
       "delete against the rebuilt per-dim SQ8 generation did not land")
   }
+
+  // ---- OPQ maintenance: the r19 symmetry gap — the persisted/batch
+  // tiers serve the allocation-permuted encoding (q_ann_opq_part)
+  // while the maintainer could not take it -----------------------------
+
+  test("OPQ CDC: a pure-insert stream through processBatchCdc serves " +
+    "BIT-IDENTICAL results to the persisted q_ann_opq_part index, " +
+    "single-probe and batch") {
+    val q = queries.SemanticQ.opqQuantizers(spark, d)
+    assert(q.opqPerm.isDefined && q.books.nonEmpty)
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_cdc_opq_pure").toString
+    IndexStream.processBatchCdc(
+      Tables.embeddings(spark, d).select(col("vec_id"), col("embedding")),
+      0L, q, stateDir)
+    // single probe: the entry permutes the RAW-domain query itself
+    val qv = intVecOf(fullRows.head._2)
+    val served = IndexStream.searchCommittedCdc(
+        spark, stateDir, q, qv, nProbe = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val partTier = queries.SemanticQ.queries("q_ann_opq_part")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served == partTier,
+      "maintained OPQ serving diverged from the persisted part tier")
+    // batch probes: RAW-domain (qid, v) frame, permuted at the entry
+    val probes = Tables.embeddings(spark, d)
+      .where(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("qid"),
+        KMeansOp.intVec(col("embedding")).as("v"))
+    val got = IndexStream.searchCommittedBatchCdc(
+        spark, stateDir, q, probes, nProbe = 2, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val want = queries.SemanticQ.queries("q_ann_opq_batch")(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want,
+      "maintained OPQ batch serving diverged from the persisted batch tier")
+  }
+
+  test("OPQ CDC lifecycle: deletes tombstone, serving is live-only, and " +
+    "q_recall_cdc_opq matches a scalar recount over the live set") {
+    val q = queries.SemanticQ.opqQuantizers(spark, d)
+    val perm = q.opqPerm.get
+    val rows = fullRows
+    val vecs = rows.map { case (id, e) => id -> intVecOf(e) }.toMap
+    val live = rows.filter(r => liveId(r._1))
+    assert(live.size < rows.size, "the lifecycle's deletes must bite")
+    val dir = queries.SemanticQ.cdcLifecycleOpqDir(spark, d)
+    val qv = vecs(0L)
+    val served = IndexStream.searchCommittedCdc(spark, dir, q, qv, 2, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served.map(_._1).forall(liveId),
+      "OPQ CDC serving surfaced a deleted (non-resurrected) id")
+    // scalar replay in the permuted domain (the artifact convention)
+    def pv(v: Seq[Long]): Seq[Long] = perm.map(v(_))
+    def idist(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val qw = pv(qv)
+    val probed = KMeansOp.nearestCells(q.coarse, qw, 2).toSet
+    def sub(v: Seq[Long], m: Int): Seq[Long] =
+      v.slice(m * q.subDim, (m + 1) * q.subDim)
+    def code(w: Seq[Long], m: Int): Long =
+      q.books(m).map { case (cid, c) => (idist(c, sub(w, m)), cid) }.min._2
+    val luts = q.books.indices.map(m =>
+      q.books(m).map { case (cid, c) => cid -> idist(c, sub(qw, m)) }.toMap)
+    val expect = live
+      .map { case (id, _) =>
+        val w = pv(vecs(id))
+        val cell = q.coarse.map { case (cid, c) =>
+          (cid, idist(c, w)) }.minBy { case (cid, dd) => (dd, cid) }._1
+        (id, cell, q.books.indices.map(m => luts(m)(code(w, m))).sum)
+      }
+      .filter(r => probed.contains(r._2))
+      .sortBy { case (id, _, dd) => (dd, id) }
+      .take(10).map(r => (r._1, r._3))
+    assert(served == expect, "OPQ CDC serving diverged from scalar replay")
+    // the monitor row
+    val exact10 = live.map { case (id, _) => (id, idist(vecs(id), qv)) }
+      .sortBy { case (id, dd) => (dd, id) }.take(10).map(_._1).toSet
+    val hits = exact10.count(served.map(_._1).toSet.contains)
+    val row = queries.SemanticQ.queries("q_recall_cdc_opq")(spark, d).head()
+    assert(row.getLong(0) == hits.toLong)
+    assert(row.getLong(1) == hits.toLong * 1000000L / 10L)
+  }
+
+  test("OPQ rebuildCdc: the generation refits the allocation on the " +
+    "snapshot, a restarted server serves via searchCurrentCdc " +
+    "identically to the persisted part tier, and the lifecycle " +
+    "continues over the rebuilt base") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cdc_opq_rebuild").toString
+    val q = IndexStream.rebuildCdc(spark, root,
+      Tables.embeddings(spark, d).select(col("vec_id"), col("embedding")),
+      k = 8, iters = 2, m = 4, subDim = 16, opq = true)
+    // the refit reproduces the batch tier's allocation (same corpus,
+    // same exact-BIGINT energy ranking)
+    assert(q.opqPerm.get == queries.SemanticQ.opqFlatPerm(spark, d),
+      "rebuild's allocation refit diverged from the tier's derivation")
+    val gen = IndexStream.currentRoot(spark, root).get
+    val loaded = IndexStream.loadQuantizers(spark, gen)
+    assert(loaded.opqPerm == q.opqPerm,
+      "the allocation must round-trip through the persisted artifact")
+    assert(loaded.coarse.sortBy(_._1) == q.coarse.sortBy(_._1))
+    val qv = intVecOf(fullRows.head._2)
+    val served = IndexStream.searchCurrentCdc(spark, root, qv, 2, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val partTier = queries.SemanticQ.queries("q_ann_opq_part")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served == partTier,
+      "rebuilt OPQ generation diverged from the persisted part tier")
+    // the lifecycle CONTINUES: a delete lands against the rebuilt base
+    IndexStream.processBatchCdc(
+      cdcDf(Seq((served.head._1, Seq.empty[Float], "delete"))), 1L, q, gen)
+    val after = IndexStream.searchCurrentCdc(spark, root, qv, 2, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(!after.contains(served.head._1),
+      "delete against the rebuilt OPQ generation did not land")
+  }
+
+  test("OPQ quantizer artifact: the permutation round-trips through " +
+    "save/loadQuantizers, and a non-permutation is refused") {
+    val q = queries.SemanticQ.opqQuantizers(spark, d)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_opq_artifact").toString
+    IndexStream.saveQuantizers(spark, dir, q)
+    val loaded = IndexStream.loadQuantizers(spark, dir)
+    assert(loaded.opqPerm == q.opqPerm)
+    // loadQuantizers returns cid-sorted entries; every consumer is
+    // order-independent (argmin over (dist, cid))
+    assert(loaded.coarse.sortBy(_._1) == q.coarse.sortBy(_._1) &&
+      loaded.books.map(_.sortBy(_._1)) == q.books.map(_.sortBy(_._1)))
+    intercept[IllegalArgumentException] {
+      IndexStream.Quantizers(q.coarse, q.books, q.subDim,
+        opqPerm = Some(Seq(0, 0, 1)))
+    }
+    intercept[IllegalArgumentException] {
+      IndexStream.Quantizers(q.coarse, q.books, q.subDim,
+        residual = true, opqPerm = q.opqPerm)
+    }
+  }
 }

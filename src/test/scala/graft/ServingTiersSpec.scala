@@ -317,15 +317,125 @@ class ServingTiersSpec extends AnyFunSuite {
       s"OPQ recall $rOpq ppm fell below plain PQ's $rPq ppm")
     // acceptance gate 2 (noise-free — the objective OPQ minimizes):
     // total integer quantization distortion must not exceed the
-    // contiguous split's
+    // contiguous split's. NOTE: the bound is corpus-specific, not a
+    // theorem — the round-robin deal of |v_d|-energy-ranked dims is a
+    // heuristic, and on this NEAR-ISOTROPIC corpus the two splits are
+    // nearly equivalent (measured 0.9995×/0.9977× at sf0.001/sf0.01),
+    // so a regenerated or rescaled dataset could flip the raw
+    // inequality with no code defect. Gate with a 1% tolerance here;
+    // the ANISOTROPIC fixture test below pins the material margin on
+    // the case the operator exists for.
     val pqBooks = queries.SemanticQ.pqCodebooks(spark, d)
     def pqSub(v: Seq[Long], m: Int): Seq[Long] = v.slice(m * 16, m * 16 + 16)
     val dOpq = ivecs.valuesIterator.map(v => (0 until 4).map(m =>
       books(m).map { case (_, c) => idist(c, subVec(v, m)) }.min).sum).sum
     val dPq = ivecs.valuesIterator.map(v => (0 until 4).map(m =>
       pqBooks(m).map { case (_, c) => idist(c, pqSub(v, m)) }.min).sum).sum
-    assert(dOpq <= dPq,
-      s"OPQ total distortion $dOpq exceeds the contiguous split's $dPq")
+    assert(dOpq <= dPq + dPq / 100,
+      s"OPQ total distortion $dOpq exceeds the contiguous split's $dPq " +
+        "beyond the isotropic-corpus tolerance")
+  }
+
+  test("OPQ on an ANISOTROPIC corpus: the allocation's distortion is " +
+    "MATERIALLY below the contiguous split's (the case OPQ exists for)") {
+    // Deterministic fixture: 512 vectors × 64 dims with per-dimension
+    // scales spanning 100× (geometric decay 1.0 → 0.01, monotone in
+    // dim index). The contiguous split then loads subspace 0 with
+    // every high-energy dimension — k=8 centroids must quantize 16
+    // effective dimensions — while the energy-ranked round-robin deal
+    // gives each subspace 4 high-energy dims and 12 near-zero ones,
+    // which 8 centroids quantize far better (Ge et al.'s eigenvalue
+    // allocation argument, in its permutation form). Values come from
+    // a seeded integer mix, not Math.random (replayable).
+    val n = 512
+    val dims = 64
+    def mix(a: Long, b: Long): Long = {
+      var h = a * 0x9E3779B97F4A7C15L + b * 0xC2B2AE3D27D4EB4FL
+      h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 33); h
+    }
+    def scaleOf(j: Int): Double = math.pow(10.0, -2.0 * j / (dims - 1))
+    val rows = (0 until n).map { i =>
+      (i.toLong, (0 until dims).map { j =>
+        val u = (math.floorMod(mix(i.toLong, j.toLong), 2001L) - 1000L) / 1000.0
+        (u * scaleOf(j)).toFloat
+      })
+    }
+    import spark.implicits._
+    val corpus = rows.toDF("vec_id", "embedding")
+    val subDim = dims / 4
+    // the OPQ fit (allocation + permuted-slice books) via the rebuild
+    // trainer — the same derivation the tiers and the CDC maintainer
+    // share; the contiguous fit via the plain PQ trainer
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_opq_aniso").toString
+    val q = graft.streaming.IndexStream.rebuildCdc(spark, root, corpus,
+      k = 8, iters = 2, m = 4, subDim = subDim, opq = true)
+    val perm = q.opqPerm.get
+    val pqBooks = graft.operators.ProductQuantizer.train(
+      corpus, "vec_id", col("embedding"), 4, subDim, 8, 2)
+    // the deal is balanced: each subspace gets exactly 4 of the 16
+    // highest-scale dims (the empirical Σ|v_d| ranking tracks the
+    // monotone scales up to sampling noise between adjacent dims),
+    // where the contiguous split gives subspace 0 all 16
+    (0 until 4).foreach { m =>
+      val hi = perm.slice(m * subDim, (m + 1) * subDim).count(_ < 16)
+      assert(hi == 4,
+        s"subspace $m got $hi of the 16 high-energy dims, expected 4")
+    }
+    val ivecs = rows.map { case (id, e) =>
+      id -> e.map(x => math.floor(x.toDouble * 1e6).toLong).toSeq }.toMap
+    def pv(v: Seq[Long], m: Int): Seq[Long] =
+      perm.slice(m * subDim, (m + 1) * subDim).map(v(_))
+    def cSub(v: Seq[Long], m: Int): Seq[Long] =
+      v.slice(m * subDim, (m + 1) * subDim)
+    val dOpq = ivecs.valuesIterator.map(v => (0 until 4).map(m =>
+      q.books(m).map { case (_, c) => idist(c, pv(v, m)) }.min).sum).sum
+    val dPq = ivecs.valuesIterator.map(v => (0 until 4).map(m =>
+      pqBooks(m).map { case (_, c) => idist(c, cSub(v, m)) }.min).sum).sum
+    // the material margin: allocation must cut total distortion by
+    // >20% where the contiguous split concentrates the energy
+    assert(dOpq * 5 <= dPq * 4,
+      s"anisotropic OPQ distortion $dOpq is not materially below the " +
+        s"contiguous split's $dPq (ratio ${dOpq.toDouble / dPq})")
+  }
+
+  test("q_ann_opq_part: the persisted IVF_OPQ scan prunes to the probed " +
+    "cells, matches a scalar replay, and the batch tier's qid-0 head " +
+    "agrees") {
+    val df = queries.SemanticQ.queries("q_ann_opq_part")(spark, d)
+    val scans = fileScans(df).filter(
+      _.partitionFilters.exists(_.references.exists(_.name == "cell")))
+    assert(scans.nonEmpty,
+      "probe-cell predicate must be a PARTITION filter on the index scan")
+    assert(scans.head.selectedPartitions.partitionCount == 2,
+      s"scan listed ${scans.head.selectedPartitions.partitionCount} " +
+        "partitions, expected exactly the 2 probed cells")
+    // scalar replay: probed cells in the RAW domain (a permutation
+    // preserves the coarse argmin), ADC over the permuted subspaces
+    val ivecs = intVecsLocal()
+    val cents = queries.SemanticQ.trainedCentroids(spark, d)
+    val perm = queries.SemanticQ.opqPerm(spark, d)
+    val books = queries.SemanticQ.opqBooks(spark, d)
+    def subVec(v: Seq[Long], m: Int): Seq[Long] = perm(m).map(v(_))
+    def code(v: Seq[Long], m: Int): Long =
+      books(m).map { case (cid, c) => (idist(c, subVec(v, m)), cid) }.min._2
+    val qv = ivecs(0L)
+    val luts = books.indices.map(m =>
+      books(m).map { case (cid, c) => cid -> idist(c, subVec(qv, m)) }.toMap)
+    val probed = KMeansOp.nearestCells(cents, qv, 2).toSet
+    val expect = ivecs.toSeq
+      .filter { case (_, v) =>
+        probed.contains(KMeansOp.nearestCells(cents, v, 1).head) }
+      .map { case (id, v) =>
+        (id, books.indices.map(m => luts(m)(code(v, m))).sum) }
+      .sortBy { case (id, dd) => (dd, id) }.take(10)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect, "IVF_OPQ partitioned serving diverged from replay")
+    // the batch tier serves the same head for qid 0
+    val batch = queries.SemanticQ.queries("q_ann_opq_batch")(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(batch.filter(_._1 == 0L).map(r => (r._3, r._4)) == got.take(3))
   }
 
   test("q_sq8_dim_part: the persisted per-dim index scan prunes to the " +
@@ -457,7 +567,11 @@ class ServingTiersSpec extends AnyFunSuite {
       "q_ann_ivfpq_batch_part" -> Some("q_ann_ivfpq_batch"),
       "q_ann_ivfpq_res_batch_part" -> Some("q_ann_ivfpq_res_batch"),
       "q_ann_ivf_sq8_batch" -> None,
-      "q_sq8_dim_batch" -> None)
+      "q_sq8_dim_batch" -> None,
+      // OPQ probes cells in the permuted domain; a permutation
+      // preserves every distance, so the raw-domain replay above
+      // counts the same cells
+      "q_ann_opq_batch" -> None)
     for ((part, twin) <- tiers) {
       val df = queries.SemanticQ.queries(part)(spark, d)
       val scans = fileScans(df).filter(
