@@ -39,11 +39,7 @@ object LshDriftProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     ScaleProbe.buildSf1(spark, src, dst)
-    def medianOf(xs: Seq[Double]): Double = {
-      val s = xs.sorted; val n = s.length
-      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
-    }
-    def timed(f: => Unit): Double = medianOf((1 to reps).map { _ =>
+    def timed(f: => Unit): Double = ScaleProbe.medianOf((1 to reps).map { _ =>
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     })
     val parts = for ((tag, d) <- Seq("base" -> src, "probe" -> dst)) yield {

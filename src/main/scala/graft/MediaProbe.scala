@@ -65,13 +65,9 @@ object MediaProbe {
       (System.nanoTime() - t0) / 1e9
     }
     val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "1").toInt.max(1)
-    def medianOf(xs: Seq[Double]): Double = {
-      val s = xs.sorted; val n = s.length
-      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
-    }
     val rows = pipelines(spark).map { case (name, f) =>
       val secs = dirs.map { case (tag, _, d) =>
-        tag -> medianOf((1 to reps).map(_ => time(f, d)))
+        tag -> ScaleProbe.medianOf((1 to reps).map(_ => time(f, d)))
       }.toMap
       // tracked I/O of one probe-scale pass (local-mode truthful): head
       // bytes from the binary-head reader, full bytes from per-path
@@ -96,7 +92,7 @@ object MediaProbe {
     val tailVariant = Seq(("small", 1 << 20), ("large", 8 << 20)).map {
       case (tag, payload) =>
         val d = sources.MediaScaleCorpus.ensureTailAnchored(100, payload)
-        val secs = medianOf((1 to reps).map(_ =>
+        val secs = ScaleProbe.medianOf((1 to reps).map(_ =>
           time(dir => queries.Media.curateRowsHead(spark, dir + "/*"), d)))
         sources.MediaIo.reset()
         time(dir => queries.Media.curateRowsHead(spark, dir + "/*"), d)

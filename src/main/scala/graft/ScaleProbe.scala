@@ -30,6 +30,15 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
+  /** Median of reps — the ONE spelling every probe main shares
+    * (ScaleProbe, ScaleProbe100, MediaProbe, LshDriftProbe; review
+    * r20: four drifting copies collapsed to this).
+    */
+  private[graft] def medianOf(xs: Seq[Double]): Double = {
+    val s = xs.sorted; val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   /** The heaviest queries by the medians artifact, plus the scale-path
     * corpus builds (v3 = √N SemDeDup, lsh = bucket-union components)
     * whose ratios gate the round-11 composition work.
@@ -318,15 +327,11 @@ object ScaleProbe {
     // ratios varied up to 2x across runs — the flagged tail re-probes at
     // reps=3 so round-over-round ratio deltas are trustworthy.
     val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "1").toInt.max(1)
-    def medianOf(xs: Seq[Double]): Double = {
-      val s = xs.sorted; val n = s.length
-      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
-    }
     val rows = selected.map { name =>
       // base twice per rep (take the min: cheap insurance against a
       // stall window), probe `reps` times with the median reported —
       // the 10× runs are the expensive part
-      val base = medianOf((1 to reps).map(_ => math.min(time(name, src), time(name, src))))
+      val base = ScaleProbe.medianOf((1 to reps).map(_ => math.min(time(name, src), time(name, src))))
       val probe = medianOf((1 to reps).map(_ => time(name, dst)))
       val ratio = if (base > 0) probe / base else -1.0
       println(f"[probe] $name%-24s base=$base%7.2fs probe=$probe%8.2fs ratio=$ratio%6.2fx")
@@ -473,14 +478,10 @@ object ScaleProbe100 {
       (System.nanoTime() - t0) / 1e9
     }
     val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "1").toInt.max(1)
-    def medianOf(xs: Seq[Double]): Double = {
-      val s = xs.sorted; val n = s.length
-      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
-    }
     val rows = selected.map { name =>
-      val base = medianOf((1 to reps).map(_ => math.min(time(name, src), time(name, src))))
-      val m = medianOf((1 to reps).map(_ => time(name, mid)))
-      val p = medianOf((1 to reps).map(_ => time(name, dst)))
+      val base = ScaleProbe.medianOf((1 to reps).map(_ => math.min(time(name, src), time(name, src))))
+      val m = ScaleProbe.medianOf((1 to reps).map(_ => time(name, mid)))
+      val p = ScaleProbe.medianOf((1 to reps).map(_ => time(name, dst)))
       val rm = if (base > 0) m / base else -1.0
       val rp = if (base > 0) p / base else -1.0
       println(f"[probe100] $name%-22s base=$base%7.2fs mid=$m%8.2fs (${rm}%6.2fx) " +

@@ -776,7 +776,26 @@ object SemanticQ {
               supersededCleanupHook
               val parked =
                 dir + ".torn-" + java.util.UUID.randomUUID().toString.take(8)
+              // repair ONLY a cold, still-unmarked dir, both re-checked
+              // immediately before the rename-aside (review r20): a
+              // sibling session that just completed the same key
+              // appears MARKED, and a sibling mid-anything appears
+              // FRESH (its newest mtime is seconds old) — either way
+              // renaming it aside could yank a live index out from
+              // under its readers, so those fall through to the
+              // serve-from-staging path below. A genuine
+              // pre-rename-era husk is by definition old and cold.
+              def coldTorn(p: String): Boolean = {
+                def newest(f: java.io.File): Long =
+                  (f.lastModified() +: Option(f.listFiles())
+                    .getOrElse(Array.empty).map(newest).toSeq).max
+                scala.util.Try(
+                  newest(new java.io.File(p)) <
+                    System.currentTimeMillis() - 3600L * 1000
+                ).getOrElse(false)
+              }
               val repaired = scala.util.Try {
+                require(!marked(dir) && coldTorn(dir))
                 java.nio.file.Files.move(
                   java.nio.file.Paths.get(dir),
                   java.nio.file.Paths.get(parked),

@@ -97,8 +97,10 @@ object IndexStream {
     require(opqPerm.isEmpty ||
       (!residual && sq8Amax.isEmpty && sq8Dims.isEmpty),
       "OPQ composes with the plain-PQ encoding only")
-    opqPerm.foreach(p => require(p.sorted == p.indices,
-      "opqPerm must be a permutation of the dimension indices"))
+    opqPerm.foreach(p => require(
+      p.length == coarse.head._2.size && p.sorted == p.indices,
+      "opqPerm must be a permutation of ALL dimension indices — a " +
+        "short permutation would silently truncate every permuted vector"))
     /** Vector dimensionality, from the coarse centroids. */
     def dim: Int = coarse.head._2.size
     /** Code-column count of this encoding's persisted state: one code

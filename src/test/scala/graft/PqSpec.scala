@@ -747,13 +747,18 @@ class PqSpec extends AnyFunSuite {
       // The pin is ONE eager job; collectProbeCells is ONE collect job;
       // handing the witness to the serve overloads must add ZERO eager
       // jobs (the r19 code re-pinned here — a third job per batch query)
-      // the listener bus is async — poll until the count stops moving
+      // the listener bus is async (and its waitUntilEmpty is
+      // private[spark]) — poll until the count holds still for a full
+      // 500 ms window, so a loaded host's late event delivery can't
+      // fake stability (review r20)
       def settled(): Int = {
-        var prev = -1
+        var stableFor = 0
         var cur = jobs.get()
         var waited = 0
-        while (cur != prev && waited < 5000) {
-          prev = cur; Thread.sleep(100); waited += 100; cur = jobs.get()
+        while (stableFor < 500 && waited < 10000) {
+          Thread.sleep(100); waited += 100
+          val next = jobs.get()
+          if (next == cur) stableFor += 100 else { stableFor = 0; cur = next }
         }
         cur
       }
