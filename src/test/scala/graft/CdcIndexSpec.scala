@@ -884,5 +884,15 @@ class CdcIndexSpec extends AnyFunSuite {
       IndexStream.Quantizers(q.coarse, q.books, q.subDim,
         residual = true, opqPerm = q.opqPerm)
     }
+    // OPQ composes with plain PQ only — both SQ8 variants refuse too
+    intercept[IllegalArgumentException] {
+      IndexStream.Quantizers(q.coarse, Seq.empty, q.subDim,
+        sq8Amax = Some(1.0), opqPerm = q.opqPerm)
+    }
+    intercept[IllegalArgumentException] {
+      IndexStream.Quantizers(q.coarse, Seq.empty, q.subDim,
+        sq8Dims = Some((Seq.fill(64)(0.0), Seq.fill(64)(1.0))),
+        opqPerm = q.opqPerm)
+    }
   }
 }

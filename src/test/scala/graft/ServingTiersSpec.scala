@@ -410,6 +410,13 @@ class ServingTiersSpec extends AnyFunSuite {
     assert(scans.head.selectedPartitions.partitionCount == 2,
       s"scan listed ${scans.head.selectedPartitions.partitionCount} " +
         "partitions, expected exactly the 2 probed cells")
+    // ... out of the K = 8 cell directories the write laid down — the
+    // permuted index has the SAME cell layout as the raw-domain one
+    // (orthogonality preserves the coarse argmin, ties included)
+    val base = queries.SemanticQ.partitionedOpqCodesPath(spark, d)
+    val cellDirs = new java.io.File(base).listFiles()
+      .count(_.getName.startsWith("cell="))
+    assert(cellDirs == 8, s"expected 8 cell= directories, found $cellDirs")
     // scalar replay: probed cells in the RAW domain (a permutation
     // preserves the coarse argmin), ADC over the permuted subspaces
     val ivecs = intVecsLocal()
