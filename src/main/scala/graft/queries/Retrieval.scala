@@ -45,9 +45,18 @@ object Retrieval {
     */
   def contaminated(grams: DataFrame, trainPred: Column, testPred: Column,
       idCol: String, gramCol: String): DataFrame = {
-    val testGrams = grams.where(testPred).select(col(gramCol)).distinct()
-    grams.where(trainPred)
-      .join(testGrams, Seq(gramCol))
+    // r20: "this gram occurs in the test slice" is a gram-local predicate,
+    // so one window over the gram partition replaces the DISTINCT + self
+    // equi-join (guide §2.4 — the flag and the join-back shared a key
+    // anyway), and the grams relation is consumed exactly once (its
+    // checkpoint is gone). Rows in neither split are dropped before the
+    // exchange (§2.3). At 100 TB the window's gram partitioning is the
+    // same hash distribution the join used; nothing new to skew.
+    import org.apache.spark.sql.expressions.Window
+    grams.where(trainPred || testPred)
+      .withColumn("hit",
+        max(when(testPred, 1).otherwise(0)).over(Window.partitionBy(col(gramCol))))
+      .where(trainPred && col("hit") === 1)
       .groupBy(col(idCol))
       .agg(countDistinct(col(gramCol)).as("n_hits"))
   }
@@ -62,10 +71,10 @@ object Retrieval {
       .select(col("doc_id"), bucket.as("b"),
         explode(TA.shingles(col("text"), n)).as("g"))
       .select(col("doc_id"), col("b"), TA.md5Hash60(col("g")).as("gh"))
-      // both the train and the test branch of the contamination join scan
-      // this relation — materialize the shingle+md5 pass once instead of
-      // once per branch
-      .localCheckpoint()
+      // single consumer since the r20 window rewrite of [[contaminated]]
+      // (the train/test branches collapsed into one gram-partition
+      // window), so no materialization — the shingle+md5 pass runs once
+      // inside the one plan that scans it
   }
 
   /** Maximal cross-document repeated token spans — the exact-substring
@@ -128,14 +137,15 @@ object Retrieval {
   def collocations(s: SparkSession, d: String): DataFrame = {
     val toks = TA.tokens(col("text"))
     val docs = Tables.documents(s, d)
-    val pairs = docs.select(explode(
-        when(size(toks) >= 2,
-          transform(sequence(lit(1), size(toks) - 1), i =>
-            struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
-          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
-        .as("p"))
-      .select(col("p.w1"), col("p.w2"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+    // Corpus bigram counts are a rollup of the round-shared per-(doc,
+    // w1, w2) multiplicity relation ([[bigramDocMult]] — same tokenizer,
+    // same documents snapshot), so consume that instead of re-running the
+    // tokenize-explode pass: the aggregate's input drops from every
+    // bigram OCCURRENCE to the distinct-per-doc relation (guide §2.3
+    // "aggregate before you shuffle"; the build is stamped by Bench as
+    // the `bigram_mult` derivation like every shared fact table).
+    val pairs = bigramDocMult(s, d)
+      .groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("c_xy"))
     val uni = docs.select(explode(toks).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
     val n = uni.agg(sum(col("c")).as("n_tokens"))
@@ -282,13 +292,15 @@ object Retrieval {
     */
   def dupGramPpmScore(docs: DataFrame, idCol: String, textCol: Column,
       n: Int): DataFrame = {
-    val docGrams = docs
+    // r20: the corpus frequency of a gram is a gram-local count, so one
+    // window over the gram partition replaces the checkpoint + frequency
+    // aggregate + join-back (guide §2.4) — the gram relation is computed
+    // and shuffled exactly once, still as 8-byte hashed keys (§2.3).
+    import org.apache.spark.sql.expressions.Window
+    docs
       .select(col(idCol), explode(TA.shingles(textCol, n)).as("g"))
       .select(col(idCol), TA.md5Hash60(col("g")).as("gh"))
-      .localCheckpoint()
-    val df_ = docGrams.groupBy(col("gh"))
-      .agg(count(lit(1)).as("df"))
-    docGrams.join(df_, Seq("gh"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gh"))))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))

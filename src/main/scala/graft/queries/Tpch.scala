@@ -166,9 +166,13 @@ object Tpch {
     val sp = Tables.lineitem(s, d)
       .groupBy(col("l_suppkey"), col("l_partkey"))
       .agg(sum(dec2(col("l_quantity"))).as("qty"))
-    val tot = sp.groupBy(col("l_partkey"))
-      .agg(sum(col("qty")).as("tot_qty"))
-    val hot = sp.join(tot, Seq("l_partkey"))
+    // Part totals via one window over the partkey partition instead of a
+    // second groupBy + join-back: the rollup and its consumers share one
+    // exchange (guide §2.4), and the decimal sum is the same expression
+    // either way so the integer-exact share predicate is unchanged.
+    val hot = sp
+      .withColumn("tot_qty",
+        sum(col("qty")).over(Window.partitionBy(col("l_partkey"))))
       .where(col("qty") * 5 > col("tot_qty"))
       .select(col("l_suppkey")).distinct()
     Tables.supplier(s, d)
@@ -452,22 +456,34 @@ object Tpch {
     * l_partkey — the same plan TPC-H's EXISTS-free rewrite produces.
     */
   def q2MinCostSupplier(s: SparkSession, d: String): DataFrame = {
+    // The (p_size, p_type) part filter is the query's most selective
+    // predicate, but the textbook dataflow applies it AFTER the expensive
+    // distinct over lineitem's (partkey, suppkey) pairs. Broadcast-semi-join
+    // the filtered partkeys into the lineitem projection BEFORE the
+    // distinct, so the exchange carries only qualifying parts' pairs
+    // (guide §2.3 "project before the exchange" / §3.2 pre-filter the big
+    // side). Result-identical: min_bal is a per-partkey aggregate, so
+    // dropping never-joining partkeys early cannot change it.
+    val pFilt = Tables.part(s, d)
+      .where(col("p_size") === 15 && col("p_type") === "PROMO")
     val ps = Tables.lineitem(s, d)
-      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(pFilt.select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .distinct()
     val eu = Tables.supplier(s, d)
       .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, d).where(col("r_name") === "EUROPE")),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
     val sp = ps.join(eu, col("l_suppkey") === col("s_suppkey"))
-    val minBal = sp.groupBy(col("l_partkey"))
-      .agg(min(col("s_acctbal")).as("min_bal"))
-      .withColumnRenamed("l_partkey", "mb_partkey") // disambiguate the self-derived join
-    sp.join(minBal, col("l_partkey") === col("mb_partkey") &&
-        col("s_acctbal") === col("min_bal"))
-      .join(Tables.part(s, d)
-          .where(col("p_size") === 15 && col("p_type") === "PROMO"),
-        col("l_partkey") === col("p_partkey"))
+    // Per-part minimum via one window over the partkey partition instead
+    // of a groupBy + equi-join-back: the min and its join-back share one
+    // exchange (guide §2.4 — window partitioned like the aggregation).
+    sp.withColumn("min_bal",
+        min(col("s_acctbal")).over(Window.partitionBy(col("l_partkey"))))
+      .where(col("s_acctbal") === col("min_bal"))
+      .join(broadcast(pFilt), col("l_partkey") === col("p_partkey"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
         col("p_partkey"), col("p_name"))
       .orderBy(col("s_acctbal").desc, col("n_name").asc, col("s_name").asc,
@@ -520,10 +536,15 @@ object Tpch {
   /** TPC-H Q21 shape (suppliers who kept orders waiting): for each late
     * (order, supplier) pair, EXISTS another supplier in the order (it
     * was a shared order) and NOT EXISTS another LATE supplier (this one
-    * alone held it up) — a semi-join and an anti-join over the same
-    * distinct pair relation, both shuffle equi-joins on orderkey with
-    * the supplier-inequality as residual. Lateness surrogate: shipped
-    * more than 90 days after the order date.
+    * alone held it up). Over the DISTINCT (order, supplier) pair grain
+    * both quantified predicates are order-local counts — "another
+    * supplier exists" ⟺ the order has ≥2 pairs, "no other late one"
+    * ⟺ the order has exactly 1 late pair (this row's own) — so one
+    * window over the orderkey partition replaces the checkpointed
+    * semi-join + anti-join pair and their three re-shuffles of the pair
+    * relation (guide §2.4: operations keyed the same way share one
+    * exchange). Lateness surrogate: shipped more than 90 days after the
+    * order date.
     */
   def q21WaitingSuppliers(s: SparkSession, d: String): DataFrame = {
     val pairs = Tables.lineitem(s, d)
@@ -532,15 +553,11 @@ object Tpch {
         (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("late"))
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(col("late")).as("late"))
-      .localCheckpoint() // base, semi, and anti sides below
-    val latePairs = pairs.where(col("late"))
-    val others = pairs.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
-    val lateOthers = latePairs.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
-    latePairs
-      .join(others, col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
-        "left_semi")
-      .join(lateOthers, col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3"),
-        "left_anti")
+    val w = Window.partitionBy(col("l_orderkey"))
+    pairs
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late", sum(when(col("late"), 1L).otherwise(0L)).over(w))
+      .where(col("late") && col("n_supp") > 1 && col("n_late") === 1)
       .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))

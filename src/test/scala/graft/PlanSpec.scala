@@ -72,6 +72,12 @@ class PlanSpec extends AnyFunSuite {
     val plan = formatted(graft.queries.Tpch.queries("q_tpch_q20")(spark, TestSpark.sf0001))
     assert(plan.contains("LeftSemi"), "supplier filter must stay a semi-join")
     assert(plan.contains("BroadcastExchange"), "nation dim should broadcast")
+    // r20: the part-total rollup is a window over the partkey partition,
+    // not a second groupBy + join-back of the same aggregate
+    assert("(?s)Window.*hashpartitioning\\(l_partkey".r.findFirstIn(plan).isDefined ||
+      plan.contains("Window"), "part totals must come from one partkey window")
+    assert("SortMergeJoin Inner|ShuffledHashJoin Inner".r.findFirstIn(plan).isEmpty,
+      "the rollup must not join back to its own input")
   }
 
   test("Q6: all three predicates push to the lineitem scan; no join, no wide shuffle") {
@@ -205,20 +211,35 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("tpch q2: min-join-back stays equi; region/nation dims broadcast") {
+  test("tpch q2: part filter prunes lineitem before the distinct; min is a window") {
     val plan = formatted(graft.queries.Tpch.queries("q_tpch_q2")(spark, TestSpark.sf0001))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
-      "the decorrelated min subquery must join back on (part, min) equality")
+      "no nested-loop fallback anywhere in q2")
     assert("BroadcastExchange".r.findAllIn(plan).size >= 2,
       "nation and region dims should broadcast")
+    // r20: the (p_size, p_type) filter reaches the part scan and its keys
+    // semi-join the lineitem projection BELOW the distinct's exchange
+    assert(plan.contains("EqualTo(p_size,15)"),
+      "part filter must push to the part scan")
+    assert("(?s)HashAggregate.*BroadcastHashJoin LeftSemi".r.findFirstIn(plan).isDefined,
+      "filtered partkeys must prune the pair stream before the distinct")
+    // and the per-part minimum is one window, not a groupBy + join-back
+    assert(plan.contains("Window"), "min_bal must come from a partkey window")
   }
 
-  test("tpch q21: only-late-supplier logic is semi+anti equi-joins, never a loop") {
+  test("tpch q21: only-late-supplier logic is one orderkey window, never a loop") {
     val plan = formatted(graft.queries.Tpch.queries("q_tpch_q21")(spark, TestSpark.sf0001))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
-      "supplier-inequality must ride the orderkey equi-joins as residual")
-    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
-      "EXISTS/NOT EXISTS must compile to semi and anti joins")
+      "no nested-loop fallback anywhere in q21")
+    // r20: both quantified predicates (EXISTS another supplier / NOT
+    // EXISTS another late one) are counts over the SAME order partition —
+    // one window, and the pair relation is consumed exactly once (no
+    // checkpointed self-semi/anti-join re-shuffles)
+    assert("(?s)Window.*hashpartitioning\\(l_orderkey".r.findFirstIn(plan).isDefined,
+      "the order-local counts must be one window partitioned by orderkey")
+    assert(!plan.contains("LeftSemi") && !plan.contains("LeftAnti") &&
+      !plan.contains("ExistingRDD"),
+      "the pair relation must not be checkpointed and re-joined to itself")
   }
 
   test("knn graph: cell blocking is an equi-join — no cartesian; the only " +
