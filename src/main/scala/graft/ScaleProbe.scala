@@ -285,6 +285,10 @@ object ScaleProbe {
     val derivSecs: Seq[(String, Double)] = (for {
       (tag, d) <- Seq("base" -> src, "probe" -> dst)
       (dn, f) <- Seq[(String, () => Unit)](
+        // r20: q_vocab_growth now consumes the shared shingle-set
+        // signature relation (like the LSH queries always did here) —
+        // pre-build it so no probed row is charged the build
+        "shingle_sets" -> (() => { queries.Analysis.shingleSets(spark, d).count(); () }),
         "quantizer_fixed_k" -> (() => { queries.SemanticQ.trainedCentroids(spark, d); () }),
         "pq_codebooks" -> (() => { queries.SemanticQ.pqCodebooks(spark, d); () }),
         // resCodebooks EXPLICITLY, not only via the index build: a

@@ -386,11 +386,24 @@ object Retrieval {
     * window — never a per-row global window).
     */
   def vocabGrowth(docs: DataFrame, idCol: String, textCol: Column,
-      n: Int, bucketDocs: Int): DataFrame = {
+      n: Int, bucketDocs: Int): DataFrame =
+    vocabCurve(docs
+        .select(col(idCol).as("id"), explode(TA.shingles(textCol, n)).as("w"))
+        .select(col("id"), TA.md5Hash60(col("w")).as("wh")),
+      bucketDocs)
+
+  /** The Heaps curve over a (id, hashed-distinct-gram) occurrence
+    * relation: min-first-occurrence per type, bucket counts, one tiny
+    * running-total window over the bucket axis. Type identity rides the
+    * 60-bit md5 gram hash, not the gram string — the min-first-occurrence
+    * exchange carries 8-byte keys (guide §2.3 "narrower types"; the
+    * q_dup_gram_ppm idiom, mirrored in the oracle so both engines fold
+    * the same ~1e-6-probability collisions identically).
+    */
+  private def vocabCurve(typed: DataFrame, bucketDocs: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val firstSeen = docs
-      .select(col(idCol), explode(TA.shingles(textCol, n)).as("w"))
-      .groupBy(col("w")).agg(min(col(idCol)).as("first_doc"))
+    val firstSeen = typed
+      .groupBy(col("wh")).agg(min(col("id")).as("first_doc"))
     val perBucket = firstSeen
       .groupBy(expr(s"first_doc div $bucketDocs").as("bucket"))
       .agg(count(lit(1)).as("new_tokens"))
@@ -407,8 +420,16 @@ object Retrieval {
     * 3-gram type growth — ≥ 5 curve points at the verify scale.
     */
   def vocabGrowthQ(s: SparkSession, d: String): DataFrame =
-    vocabGrowth(Tables.documents(s, d), "doc_id", col("text"), n = 3,
-        bucketDocs = 20)
+    // r20: the per-doc DISTINCT hashed 3-gram shingles are exactly the
+    // round-shared LSH signature relation (Analysis.shingleSets — same
+    // tokenizer, same array_distinct, same md5Hash60), so the curve
+    // consumes that instead of re-running the tokenize + shingle + md5
+    // pass over the corpus text (guide §2.3; the build is stamped by
+    // Bench as the `shingle_sets` derivation like every shared fact
+    // table, and the oracle mirrors the hashed type identity).
+    vocabCurve(Analysis.shingleSets(s, d)
+        .select(col("id"), explode(col("hsorted")).as("wh")),
+      bucketDocs = 20)
       .orderBy(col("bucket").asc)
 
   /** BM25-ranked disjunctive retrieval — the lexical ranking twin of
@@ -613,9 +634,9 @@ object Retrieval {
     "q_repeated_spans" -> repeatedSpansSql,
     "q_vocab_growth" ->
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
-         |fs AS (SELECT w, MIN(doc_id) AS first_doc FROM (
+         |fs AS (SELECT ${hash60("w")} AS wh, MIN(doc_id) AS first_doc FROM (
          |    SELECT doc_id, unnest(${shinglesNSql("tk", 3)}) AS w
-         |    FROM t WHERE len(tk) >= 3) GROUP BY w),
+         |    FROM t WHERE len(tk) >= 3) GROUP BY wh),
          |pb AS (SELECT first_doc // 20 AS bucket, COUNT(*) AS new_tokens
          |  FROM fs GROUP BY 1)
          |SELECT bucket, new_tokens,

@@ -136,6 +136,23 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got == Seq((0L, 2L, 2L), (1L, 1L, 3L)))
   }
 
+  test("q_vocab_growth over the shared shingle-set relation equals the " +
+    "direct tokenize+shingle form (r20 derivation-reuse pin)") {
+    // the declared query consumes Analysis.shingleSets (per-doc distinct
+    // hashed 3-gram shingles); this pins that the curve is IDENTICAL to
+    // the generic single-pass form over the same corpus snapshot
+    val d = TestSpark.sf0001
+    val got = Retrieval.vocabGrowthQ(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val direct = Retrieval.vocabGrowth(
+        graft.Tables.documents(spark, d), "doc_id", col("text"),
+        n = 3, bucketDocs = 20)
+      .orderBy(col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == direct)
+    assert(got.nonEmpty && got.last._3 == got.map(_._2).sum)
+  }
+
   test("repeated spans match a brute-force reference on a randomized corpus") {
     // tiny alphabet -> dense natural overlaps; df cap disabled so the
     // reference needs no frequency model
