@@ -72,12 +72,6 @@ class PlanSpec extends AnyFunSuite {
     val plan = formatted(graft.queries.Tpch.queries("q_tpch_q20")(spark, TestSpark.sf0001))
     assert(plan.contains("LeftSemi"), "supplier filter must stay a semi-join")
     assert(plan.contains("BroadcastExchange"), "nation dim should broadcast")
-    // r20: the part-total rollup is a window over the partkey partition,
-    // not a second groupBy + join-back of the same aggregate
-    assert("(?s)Window.*hashpartitioning\\(l_partkey".r.findFirstIn(plan).isDefined ||
-      plan.contains("Window"), "part totals must come from one partkey window")
-    assert("SortMergeJoin Inner|ShuffledHashJoin Inner".r.findFirstIn(plan).isEmpty,
-      "the rollup must not join back to its own input")
   }
 
   test("Q6: all three predicates push to the lineitem scan; no join, no wide shuffle") {
