@@ -104,13 +104,26 @@ object Retrieval {
         explode(sequence(lit(1), size(col("tk")) - (k - 1))).as("p"), col("tk"))
       .select(col("id"), col("p").cast("long").as("p"),
         TA.md5Hash60(concat_ws(" ", slice(col("tk"), col("p"), lit(k)))).as("h"))
-      // three consumers below (df cap + both join sides) — one materialization
+      // two consumers below (both self-join sides) — one materialization
       .localCheckpoint()
-    val rare = pg.groupBy(col("h"))
-      .agg(countDistinct(col("id")).as("df"))
+    // r21: the df cap is gram-local, so two stacked windows over the ONE
+    // h exchange the self-join needs anyway replace the countDistinct
+    // aggregate + join-back (guide §2.4 — shared exchange): dense_rank
+    // over (h, id) peaks at countDistinct(id), and the filtered relation
+    // leaves the window already hash-partitioned AND sorted on h, exactly
+    // the distribution/order the equi-join consumes — no aggregate
+    // subtree, no broadcast of the rare-gram set, pg scanned twice not
+    // three times. Skew-safe per the r21 gram-skew probe (GramSkewProbe):
+    // the hottest gram hash owns 4 occurrences at sf0.1 AND at 10× rows
+    // (share 2e-6, max-task/mean-task 1.005), so the window's h partition
+    // has no straggler key for AQE to miss.
+    val wOrd = Window.partitionBy(col("h")).orderBy(col("id"))
+    val wAll = Window.partitionBy(col("h"))
+    val keep = pg
+      .withColumn("dr", dense_rank().over(wOrd))
+      .withColumn("df", max(col("dr")).over(wAll))
       .where(col("df") <= maxDocFreq)
-      .select(col("h"))
-    val keep = pg.join(rare, Seq("h"))
+      .select(col("h"), col("id"), col("p"))
     val m = keep.select(col("h"), col("id").as("id_a"), col("p").as("pa"))
       .join(keep.select(col("h"), col("id").as("id_b"), col("p").as("pb")), Seq("h"))
       .where(col("id_a") < col("id_b"))
