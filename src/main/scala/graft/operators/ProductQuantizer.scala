@@ -242,6 +242,37 @@ object ProductQuantizer {
       .select(col("pc.cid")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
 
+  /** [[pinProbes]] + [[collectProbeCells]] fused into ONE action (r21):
+    * the partition-pruned batch tiers paid two driver jobs per query —
+    * the pin's checkpoint over Q rows, then a second scan of the
+    * checkpointed rows to collect the listing-prune cells. Both outputs
+    * are bounded by the SAME Q·nProbe envelope the cells collect always
+    * carried, so one collect returns the dedup'd probe rows WITH their
+    * probe-cell slices, the pinned frame is rebuilt as a LocalRelation
+    * from the collected rows (pinned BY VALUE — strictly stronger than
+    * the checkpoint: every consumer reads literally the same rows), and
+    * the cells fall out of the extra column. Evaluates the same
+    * [[probeCellArr]] expression the serving joins evaluate, so the
+    * pruned listing remains a superset of every (qid, cell) the join
+    * touches by construction.
+    */
+  def pinProbesWithCells(probesIn: DataFrame, coarse: Seq[(Long, Seq[Long])],
+      nProbe: Int, v: Column = col("v")): (PinnedProbes, Seq[Long]) = {
+    val spark = probesIn.sparkSession
+    val base = probesIn.dropDuplicates("qid")
+    val withCells = base.withColumn("__cells",
+      transform(slice(probeCellArr(coarse, v), 1, nProbe),
+        p => p.getField("cid")))
+    val rows = withCells.collect()
+    val cellIdx = withCells.schema.fieldIndex("__cells")
+    val cells = rows.iterator
+      .flatMap(_.getSeq[Long](cellIdx)).toArray.distinct.sorted.toSeq
+    val pinnedRows = java.util.Arrays.asList(
+      rows.map(r => org.apache.spark.sql.Row.fromSeq(
+        r.toSeq.patch(cellIdx, Nil, 1))): _*)
+    (new PinnedProbes(spark.createDataFrame(pinnedRows, base.schema)), cells)
+  }
+
   /** Public entry for an un-pinned probe frame: dedup + pin once
     * ([[pinProbes]] — the probe frame feeds two broadcast relations,
     * cells and LUTs, so an un-pinned dedup would re-execute per

@@ -438,11 +438,11 @@ object SemanticQ {
     * superset of the join's cells by construction.
     */
   def annIvfPqBatchPartQ(s: SparkSession, d: String): DataFrame = {
-    val probes = graft.operators.ProductQuantizer.pinProbes(
+    // pin + listing-prune cells in ONE action (r21 fused pin)
+    val (probes, cells) = graft.operators.ProductQuantizer.pinProbesWithCells(
       intVecs(s, d).where(col("vec_id").isin(0L, 1L, 2L))
-        .select(col("vec_id").as("qid"), col("v")))
-    val cells = graft.operators.ProductQuantizer.collectProbeCells(
-      probes, trainedCentroids(s, d), nProbe = 2)
+        .select(col("vec_id").as("qid"), col("v")),
+      trainedCentroids(s, d), nProbe = 2)
     graft.operators.ProductQuantizer.adcBatchServe(
       s.read.schema(partCodesSchema).parquet(partitionedCodesPath(s, d))
         .where(col("cell").isin(cells: _*)),
@@ -461,11 +461,11 @@ object SemanticQ {
     * results to q_ann_ivfpq_res_batch (shared oracle).
     */
   def annIvfPqResBatchPartQ(s: SparkSession, d: String): DataFrame = {
-    val probes = graft.operators.ProductQuantizer.pinProbes(
+    // pin + listing-prune cells in ONE action (r21 fused pin)
+    val (probes, cells) = graft.operators.ProductQuantizer.pinProbesWithCells(
       intVecs(s, d).where(col("vec_id").isin(0L, 1L, 2L))
-        .select(col("vec_id").as("qid"), col("v")))
-    val cells = graft.operators.ProductQuantizer.collectProbeCells(
-      probes, trainedCentroids(s, d), nProbe = 2)
+        .select(col("vec_id").as("qid"), col("v")),
+      trainedCentroids(s, d), nProbe = 2)
     graft.operators.ProductQuantizer.adcBatchServeResidual(
       s.read.schema(partCodesSchema).parquet(partitionedResCodesPath(s, d))
         .where(col("cell").isin(cells: _*)),
@@ -1220,13 +1220,13 @@ object SemanticQ {
     val cents = trainedCentroids(s, d)
     // ONE pinned probe frame feeds the collected listing-prune cells
     // AND the serving relations, so they can never disagree; the cell
-    // argmin is the shared probeCellArr spelling
-    val rawProbes = graft.operators.ProductQuantizer.pinProbes(
+    // argmin is the shared probeCellArr spelling (pin + cells fused
+    // into one action, r21)
+    val (rawProbes, cells) = graft.operators.ProductQuantizer.pinProbesWithCells(
       Tables.embeddings(s, d)
         .where(col("vec_id").isin(0L, 1L, 2L))
-        .select(col("vec_id").as("qid"), col("embedding").as("qe")))
-    val cells = graft.operators.ProductQuantizer.collectProbeCells(
-      rawProbes, cents, nProbe = 2, KMeansOp.intVec(col("qe")))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+      cents, nProbe = 2, KMeansOp.intVec(col("qe")))
     val codes = s.read.schema(sq8PartSchema).parquet(sq8IndexPath(s, d))
       .where(col("cell").isin(cells: _*))
     val amax1 = codes.select(col("amax")).limit(1)
@@ -1453,12 +1453,11 @@ object SemanticQ {
     val cents = trainedCentroids(s, d)
     // ONE pinned probe frame feeds the collected listing-prune cells
     // AND the serving relation; the cell argmin is the shared
-    // probeCellArr spelling
-    val probes = graft.operators.ProductQuantizer.pinProbes(
+    // probeCellArr spelling (pin + cells fused into one action, r21)
+    val (probes, cells) = graft.operators.ProductQuantizer.pinProbesWithCells(
       intVecs(s, d).where(col("vec_id").isin(0L, 1L, 2L))
-        .select(col("vec_id").as("qid"), col("v").as("qv")))
-    val cells = graft.operators.ProductQuantizer.collectProbeCells(
-      probes, cents, nProbe = 2, col("qv"))
+        .select(col("vec_id").as("qid"), col("v").as("qv")),
+      cents, nProbe = 2, col("qv"))
     val codes = s.read.schema(sq8DimPartSchema).parquet(sq8DimIndexPath(s, d))
       .where(col("cell").isin(cells: _*))
     val cellArr = graft.operators.ProductQuantizer.probeCellArr(
@@ -1750,11 +1749,11 @@ object SemanticQ {
     */
   def annOpqBatchQ(s: SparkSession, d: String): DataFrame = {
     val coarse = opqCoarse(s, d)
-    val probes = graft.operators.ProductQuantizer.pinProbes(
+    // pin + listing-prune cells in ONE action (r21 fused pin)
+    val (probes, cells) = graft.operators.ProductQuantizer.pinProbesWithCells(
       opqVecs(s, d).where(col("vec_id").isin(0L, 1L, 2L))
-        .select(col("vec_id").as("qid"), col("v")))
-    val cells = graft.operators.ProductQuantizer.collectProbeCells(
-      probes, coarse, nProbe = 2)
+        .select(col("vec_id").as("qid"), col("v")),
+      coarse, nProbe = 2)
     graft.operators.ProductQuantizer.adcBatchServe(
       s.read.schema(partCodesSchema).parquet(partitionedOpqCodesPath(s, d))
         .where(col("cell").isin(cells: _*)),

@@ -406,15 +406,14 @@ object IndexStream {
         "through searchCommittedBatch/searchCommittedBatchCdc")
     val amax = q.sq8Amax.get
     val qCodeExpr = sq8CodeArr(col("embedding"), amax)
-    // pin ONCE ([[ProductQuantizer.pinProbes]] — dedup on qid +
-    // checkpoint, the adcBatchServe discipline): the collected
-    // listing-prune cells and the broadcast probe relation read the
-    // same Q rows, and a duplicated probe row can't double its
-    // candidates under the rank window
-    val pinned = ProductQuantizer.pinProbes(probes)
-    val prunedCodes = codes.where(col("cell").isin(
-      ProductQuantizer.collectProbeCells(pinned, q.coarse, nProbe,
-        KMeansOp.intVec(col("embedding"))): _*))
+    // pin + collect the listing-prune cells in ONE action
+    // ([[ProductQuantizer.pinProbesWithCells]], r21 — dedup on qid, pin
+    // by value, cells from the same pass): the cells and the broadcast
+    // probe relation read the same Q rows, and a duplicated probe row
+    // can't double its candidates under the rank window
+    val (pinned, probedCells) = ProductQuantizer.pinProbesWithCells(
+      probes, q.coarse, nProbe, KMeansOp.intVec(col("embedding")))
+    val prunedCodes = codes.where(col("cell").isin(probedCells: _*))
     val cellArr = ProductQuantizer.probeCellArr(q.coarse,
       KMeansOp.intVec(col("embedding")))
     val probeCells = pinned.df
@@ -841,12 +840,11 @@ object IndexStream {
     // artifact's coarse/books are already permuted)
     val w = q.opqPerm.map(p => probes.select(col("qid"),
       permuteVec(col("v"), p).as("v"))).getOrElse(probes)
-    // pin ONCE; the collected listing-prune cells and the serving
-    // dataflow read the same Q rows — the PinnedProbes witness routes
-    // to the pre-pinned adcBatchServe overload, so the checkpoint job
-    // runs exactly once on this path
-    val pinned = ProductQuantizer.pinProbes(w)
-    val cells = ProductQuantizer.collectProbeCells(pinned, q.coarse, nProbe)
+    // pin + collect the listing-prune cells in ONE action (r21); the
+    // cells and the serving dataflow read the same Q rows — the
+    // PinnedProbes witness routes to the pre-pinned adcBatchServe
+    // overload, so no further pin job runs on this path
+    val (pinned, cells) = ProductQuantizer.pinProbesWithCells(w, q.coarse, nProbe)
     val committed = StreamState.readCommitted(
       s, stateDir, "codes", codesSchema(q.m), partitioned = true)
       .where(col("cell").isin(cells: _*))
@@ -1085,9 +1083,9 @@ object IndexStream {
     // OPQ probe frames enter the permuted domain once, here
     val w = q.opqPerm.map(p => probes.select(col("qid"),
       permuteVec(col("v"), p).as("v"))).getOrElse(probes)
-    // pin ONCE; prune cells and serving read the same Q rows
-    val pinned = ProductQuantizer.pinProbes(w)
-    val cells = ProductQuantizer.collectProbeCells(pinned, q.coarse, nProbe)
+    // pin + cells in one action (r21); prune cells and serving read the
+    // same Q rows
+    val (pinned, cells) = ProductQuantizer.pinProbesWithCells(w, q.coarse, nProbe)
     val live = liveCodes(s, stateDir, q.m).drop("src_batch")
       .where(col("cell").isin(cells: _*))
     if (q.residual)

@@ -790,6 +790,61 @@ class PqSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("pinProbesWithCells: one action replaces pin + collectProbeCells — " +
+    "same cells, same served rows, zero further eager jobs at serve " +
+    "construction (r21 fused pin)") {
+    import spark.implicits._
+    val d = TestSpark.sf0001
+    val vecsDf = Tables.embeddings(spark, d).select(col("vec_id"),
+      KMeansOp.intVec(col("embedding")).as("v"))
+    val probes = vecsDf.where(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("qid"), col("v"))
+    val coarse = queries.SemanticQ.trainedCentroids(spark, d)
+    val plainBooks = queries.SemanticQ.pqCodebooks(spark, d)
+    val subDim = 16
+    val plainIdx = ProductQuantizer.indexProjection(
+      vecsDf, coarse, plainBooks, subDim)
+    // reference: the two-job spelling
+    val refPinned = ProductQuantizer.pinProbes(probes)
+    val refCells = ProductQuantizer.collectProbeCells(refPinned, coarse, 2)
+    // fused: one action; a duplicated probe row must still dedup
+    val (pinned, cells) = ProductQuantizer.pinProbesWithCells(
+      probes.union(probes), coarse, 2)
+    assert(cells == refCells, "fused cells diverged from collectProbeCells")
+    assert(pinned.df.count() == probes.count(), "fused pin must dedup on qid")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def settled(): Int = {
+        var stableFor = 0
+        var cur = jobs.get()
+        var waited = 0
+        while (stableFor < 500 && waited < 10000) {
+          Thread.sleep(100); waited += 100
+          val next = jobs.get()
+          if (next == cur) stableFor += 100 else { stableFor = 0; cur = next }
+        }
+        cur
+      }
+      val before = settled()
+      val served = ProductQuantizer.adcBatchServe(
+        plainIdx, pinned, coarse, plainBooks, subDim, 2, 3)
+      assert(settled() == before,
+        "serving a fused-pinned frame must trigger no eager job at construction")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(rows(served) == rows(ProductQuantizer.adcBatchServe(
+        plainIdx, refPinned, coarse, plainBooks, subDim, 2, 3)),
+        "fused-pinned serve diverged from checkpoint-pinned serve")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("q_recall_shortlist_ann: the compressed-index shortlist's recall " +
     "against the exact flat shortlist, replayed from the two queries") {
     val d = TestSpark.sf0001
