@@ -10,8 +10,12 @@ object Bench {
     * semantics, not individual queries. Unlisted queries are version 1.
     */
   private val queryVersions: Map[String, Int] = Map(
-    // round 7: saturated unigram curve → 3-gram types per 20-doc bucket
-    "q_vocab_growth" -> 2,
+    // round 7: saturated unigram curve → 3-gram types per 20-doc bucket.
+    // v3 (r21) RECORDS the r20 contract edit the r20 verdict flagged as
+    // un-bumped: type identity rides the 60-bit md5 gram hash in BOTH
+    // engines (collision-bound adjudication in BASELINE.md — expected
+    // undercount V²/2^61 types, ~0.4 of 1e9 at 100 TB vocabularies).
+    "q_vocab_growth" -> 3,
     // round 8: raw MLlib LSH rows → exact-top-k envelope + recall_ok
     "q_lsh_brp_topk" -> 2,
   )

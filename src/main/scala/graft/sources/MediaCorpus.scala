@@ -129,19 +129,21 @@ object MediaCorpus {
     ("voice.wav", 0, "431b6126a4d8c81fc9e0d800625b85d2"),
   )
 
-  /** Write the corpus (idempotent, process-temp) and return its dir. */
+  /** Write the corpus (idempotent, process-temp, cross-process-atomic
+    * via [[AtomicDir.publish]] — stage + rename, r21) and return its
+    * dir.
+    */
   def ensure(): String = synchronized {
     // v2: malformed fixtures (broken.png / noise.wav / junk.xyz) + the
-    // photo_copy.png dedup twin. Versioned dir name: the completeness
-    // check only ADDS missing names, so retiring a fixture (empty.bin)
-    // must move to a fresh dir or stale extras pollute the glob.
-    val dir = java.nio.file.Paths.get(
+    // photo_copy.png dedup twin. Versioned dir name: publication is
+    // all-or-nothing now, but retiring a fixture (empty.bin) still
+    // moves to a fresh dir so a pre-rename stale dir can't pollute the
+    // glob with extras.
+    val target = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_media_corpus_v2")
     val names = expected.map(_.fileName).toSet
-    val complete = java.nio.file.Files.isDirectory(dir) &&
-      names.forall(n => java.nio.file.Files.exists(dir.resolve(n)))
-    if (!complete) {
-      java.nio.file.Files.createDirectories(dir)
+    AtomicDir.publish(target)(d => java.nio.file.Files.isDirectory(d) &&
+      names.forall(n => java.nio.file.Files.exists(d.resolve(n)))) { dir =>
       write(dir, "photo.png", png(320, 200))
       write(dir, "scan.jpg", jpeg(640, 480))
       write(dir, "anim.gif", gif(48, 32))
@@ -168,7 +170,6 @@ object MediaCorpus {
       // exact duplicate content under a different name (dedup fixture)
       write(dir, "photo_copy.png", png(320, 200))
     }
-    dir.toString
   }
 
   private def write(dir: java.nio.file.Path, name: String, bytes: Array[Byte]): Unit =

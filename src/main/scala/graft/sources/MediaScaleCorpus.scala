@@ -21,12 +21,13 @@ object MediaScaleCorpus {
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft_media_scale2_$n").toString
 
-  /** Generate (if absent) and return the corpus dir for `n` files. */
+  /** Generate (if absent) and return the corpus dir for `n` files
+    * (cross-process-atomic via [[AtomicDir.publish]], r21).
+    */
   def ensure(n: Int): String = synchronized {
-    val dir = java.nio.file.Paths.get(dirFor(n))
-    val ok = dir.resolve("_GENERATED_OK")
-    if (java.nio.file.Files.exists(ok)) return dir.toString
-    java.nio.file.Files.createDirectories(dir)
+    val target = java.nio.file.Paths.get(dirFor(n))
+    AtomicDir.publish(target)(d =>
+      java.nio.file.Files.exists(d.resolve("_GENERATED_OK"))) { dir =>
     // small files are generated ONCE and reused byte-identically per
     // shape — the probe measures scan/parse cost, not writer cost
     val bigWav = MediaCorpus.wav(16000, channels = 1, bits = 16, dataBytes = 1 << 20)
@@ -54,8 +55,8 @@ object MediaScaleCorpus {
         else (f"v$i%07d.mp4", smallMp4)
       java.nio.file.Files.write(dir.resolve(name), bytes)
     }
-    java.nio.file.Files.createFile(ok)
-    dir.toString
+    java.nio.file.Files.createFile(dir.resolve("_GENERATED_OK"))
+    }
   }
 
   /** Tail-anchored variant corpus: every 2nd file is a LARGE
@@ -68,11 +69,10 @@ object MediaScaleCorpus {
     * changing any decision — the probe's variable.
     */
   def ensureTailAnchored(n: Int, payload: Int): String = synchronized {
-    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+    val target = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft_media_tailvar_${n}_$payload")
-    val ok = dir.resolve("_GENERATED_OK")
-    if (java.nio.file.Files.exists(ok)) return dir.toString
-    java.nio.file.Files.createDirectories(dir)
+    AtomicDir.publish(target)(d =>
+      java.nio.file.Files.exists(d.resolve("_GENERATED_OK"))) { dir =>
     def be32(v: Int) = Array[Byte](
       (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
     val trailingMoov = {
@@ -99,7 +99,7 @@ object MediaScaleCorpus {
         else (f"p$i%07d.png", pngs(i % 8))
       java.nio.file.Files.write(dir.resolve(name), bytes)
     }
-    java.nio.file.Files.createFile(ok)
-    dir.toString
+    java.nio.file.Files.createFile(dir.resolve("_GENERATED_OK"))
+    }
   }
 }

@@ -35,15 +35,16 @@ object SampleCorpus {
     "updated.pdf" -> "Amended figures\nrevision two",
   )
 
-  /** Write the corpus (idempotent, process-temp) and return its dir. */
+  /** Write the corpus (idempotent, process-temp, cross-process-atomic
+    * via [[AtomicDir.publish]] — stage + rename, r21) and return its
+    * dir.
+    */
   def ensure(): String = synchronized {
-    val dir = java.nio.file.Paths.get(
+    val target = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_sample_corpus_v1")
     val names = expected.map(_._1).toSet
-    val complete = java.nio.file.Files.isDirectory(dir) &&
-      names.forall(n => java.nio.file.Files.exists(dir.resolve(n)))
-    if (!complete) {
-      java.nio.file.Files.createDirectories(dir)
+    AtomicDir.publish(target)(d => java.nio.file.Files.isDirectory(d) &&
+      names.forall(n => java.nio.file.Files.exists(d.resolve(n)))) { dir =>
       val texts = expected.toMap
       def pdfLines(name: String): Array[Byte] = {
         val ops = texts(name).split("\n")
@@ -65,7 +66,6 @@ object SampleCorpus {
       write(dir, "updated.pdf",
         pdfIncremental("Original figures\nrevision one", texts("updated.pdf")))
     }
-    dir.toString
   }
 
   private def write(dir: java.nio.file.Path, name: String, bytes: Array[Byte]): Unit =
