@@ -55,4 +55,59 @@ object PageRank {
     }
     ranks.select(col("node"), col("r").as("rank_scaled"))
   }
+
+  /** Driver-local twin of [[run]] for ALGORITHM-BOUNDED graphs (r21):
+    * the same integer recurrence, iterated over the collected edge
+    * list — bit-identical output by construction (every operation is
+    * the same positive-operand BIGINT floor arithmetic, and the only
+    * aggregation is an overflow-free Long sum, order-independent;
+    * PageRankSpec pins equality against [[run]] on randomized graphs).
+    *
+    * Why it exists: each distributed round is 2 joins + 1 aggregate +
+    * a lineage-cap materialization job — pure fixed overhead when the
+    * vertex set is bounded by the SCHEMA rather than the corpus (the
+    * 25-nation trade graph keeps 25 nodes at 100 TB; the data-scale
+    * work is the edge DERIVATION, which happens before this is
+    * called). Guarded by `maxNodes` with the [[Iterate.boundedLocal]]
+    * loudness contract: a violated bound must fail, never silently
+    * collect a large graph — deep/unbounded graphs stay on [[run]].
+    */
+  def runBoundedLocal(vertices: DataFrame, edges: DataFrame,
+      iterations: Int, maxNodes: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    val vRows = vertices.select(col("node")).collect()
+    require(vRows.length <= maxNodes,
+      s"runBoundedLocal: ${vRows.length} vertices exceed the declared " +
+        s"bound $maxNodes — this path is for schema-bounded graphs only")
+    require(vRows.nonEmpty, "empty vertex set")
+    val vs = vRows.map(_.get(0))
+    val es = edges.select(col("src"), col("dst"), col("w")).collect()
+      .map(r => (r.get(0), r.get(1), r.getLong(2)))
+    require(es.length <= maxNodes * maxNodes,
+      s"runBoundedLocal: ${es.length} edges exceed the pre-aggregated " +
+        s"bound $maxNodes² — aggregate multi-edges first")
+    val n = vs.length
+    val base = scale / n
+    val teleport = 15L * base / 100L
+    val ow = es.groupBy(_._1).map { case (s0, g) => s0 -> g.map(_._3).sum }
+    var r: Map[Any, Long] = vs.map(v => (v: Any) -> base).toMap
+    for (_ <- 1 to iterations) {
+      val inflow = scala.collection.mutable.Map.empty[Any, Long]
+        .withDefaultValue(0L)
+      es.foreach { case (s0, d0, w) =>
+        // inner-join semantics of the dataflow: an edge whose src is
+        // outside the vertex spine contributes nothing
+        r.get(s0).foreach(rs => inflow(d0) += rs * w / ow(s0))
+      }
+      r = vs.map(v => (v: Any) -> (teleport + 85L * inflow(v) / 100L)).toMap
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      vertices.select(col("node")).schema.fields.head,
+      org.apache.spark.sql.types.StructField("rank_scaled",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    vertices.sparkSession.createDataFrame(
+      java.util.Arrays.asList(vs.map(v =>
+        org.apache.spark.sql.Row(v, r(v))): _*), outSchema)
+  }
 }

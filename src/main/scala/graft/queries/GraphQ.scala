@@ -46,13 +46,17 @@ object GraphQ {
 
   /** 8-iteration integer PageRank of the nation trade graph; all 25
     * nations form the vertex spine (nations with no inbound trade keep
-    * teleport-only rank).
+    * teleport-only rank). The vertex set is SCHEMA-bounded (25 nations
+    * at any corpus size — the data-scale work is the tradeEdges
+    * derivation, already behind this call), so the iteration runs on
+    * the driver-local twin (r21, [[PageRank.runBoundedLocal]] —
+    * bit-identical recurrence, PageRankSpec-pinned) instead of paying
+    * 8 rounds of join + aggregate + lineage-cap job for ≤ 625 rows.
     */
   def pageRank(s: SparkSession, d: String): DataFrame =
-    PageRank.run(
+    PageRank.runBoundedLocal(
         Tables.nation(s, d).select(col("n_name").as("node")),
-        tradeEdges(s, d), iterations = 8,
-        checkpointDir = graft.operators.Iterate.envDir)
+        tradeEdges(s, d), iterations = 8, maxNodes = 25)
       .select(col("node").as("n_name"), col("rank_scaled"))
       .orderBy(col("n_name").asc)
 

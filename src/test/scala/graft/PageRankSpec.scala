@@ -44,4 +44,40 @@ class PageRankSpec extends AnyFunSuite {
     assert(r("c") == teleport)         // out-edges only: same
     assert(r("a") > teleport && r("b") > teleport) // both receive real mass
   }
+
+  test("runBoundedLocal is bit-identical to the distributed dataflow on " +
+    "randomized graphs, and the node bound fails loudly (r21)") {
+    // the fixture graph across several iteration counts
+    (0 to 4).foreach { it =>
+      val local = PageRank.runBoundedLocal(
+          verts.toDF("node"), edges.toDF("src", "dst", "w"), it, maxNodes = 4)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(local == run(it, 1000000000000L),
+        s"bounded-local diverged at iterations=$it")
+    }
+    // randomized graphs: weights, multi-sources, spine nodes without
+    // edges, edge endpoints outside the spine (inner-join semantics)
+    val rnd = new scala.util.Random(13)
+    (1 to 4).foreach { _ =>
+      val n = 3 + rnd.nextInt(8)
+      val vs = (0 until n).map(i => s"v$i")
+      val es = (0 until n * 2).map { _ =>
+        (s"v${rnd.nextInt(n + 2)}", s"v${rnd.nextInt(n + 2)}",
+          1L + rnd.nextInt(9))
+      }.groupBy(e => (e._1, e._2))
+        .map { case ((s, d), g) => (s, d, g.map(_._3).sum) }.toSeq
+      val distributed = PageRank.run(
+          vs.toDF("node"), es.toDF("src", "dst", "w"), 4)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val local = PageRank.runBoundedLocal(
+          vs.toDF("node"), es.toDF("src", "dst", "w"), 4, maxNodes = 16)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(local == distributed)
+    }
+    // loudness contract: a graph past the declared bound must throw
+    intercept[IllegalArgumentException] {
+      PageRank.runBoundedLocal(
+        verts.toDF("node"), edges.toDF("src", "dst", "w"), 1, maxNodes = 2)
+    }
+  }
 }

@@ -59,6 +59,42 @@ class RerankSpec extends AnyFunSuite {
       (1L, 1L, 4L), (1L, 2L, 3L), (1L, 3L, 2L)))
   }
 
+  test("boundedDeltas driver-local greedy is bit-identical to the " +
+    "distributed loop on randomized batches (r21)") {
+    val rnd = new scala.util.Random(17)
+    def collectAll(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "pick").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).toList
+    (1 to 4).foreach { trial =>
+      val nQ = 1 + rnd.nextInt(3)
+      val cands = for (q <- 0 until nQ; i <- 1 to (3 + rnd.nextInt(6)))
+        yield (q.toLong, i.toLong,
+          math.round(rnd.nextDouble() * 1e4) / 1e4)
+      // sparse sims: ~60% of ordered pairs present, some qids missing
+      // pairs entirely (exercises the inner-join ineligibility path);
+      // deliberately includes exact sim ties
+      val simsB = for {
+        (q, a, _) <- cands; (q2, b, _) <- cands
+        if q2 == q && a != b && rnd.nextDouble() < 0.6
+      } yield (q, a, b, math.round(rnd.nextDouble() * 10) / 10.0)
+      val bc = cands.toDF("qid", "id", "rel")
+      val bs = simsB.toDF("qid", "ia", "ib", "sim")
+      val k = 1 + rnd.nextInt(5)
+      val distributed = collectAll(
+        Rerank.mmrSelectBatch(bc, bs, k, lambda = 0.7))
+      val local = collectAll(
+        Rerank.mmrSelectBatch(bc, bs, k, lambda = 0.7,
+          boundedDeltas = Some(10000)))
+      assert(local == distributed, s"diverged at trial=$trial k=$k")
+    }
+    // loudness contract: a relation past the declared bound must throw
+    intercept[IllegalArgumentException] {
+      Rerank.mmrSelect(cand, sims, k = 2, lambda = 0.5,
+        boundedDeltas = Some(3))
+    }
+  }
+
   test("a qid with fewer than k candidates stops contributing rows") {
     val bcand = Seq((0L, 1L, 0.9), (0L, 2L, 0.8), (1L, 7L, 0.5))
       .toDF("qid", "id", "rel")
