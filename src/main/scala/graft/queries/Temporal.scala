@@ -2,7 +2,6 @@ package graft.queries
 
 import graft.Determinism._
 import graft.Tables
-import graft.operators.RangeJoin
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -22,26 +21,45 @@ object Temporal {
 
   /** For each lineitem, the count and summed value of "big" orders
     * (totalprice >= 490k, ~top 2%) whose 7-day fulfillment window
-    * [o_orderdate, +6d] contains the ship date. No join key exists
-    * between the two relations — this is the RangeJoin showcase: 7-day
-    * bins on the date axis (= the interval length, so each interval
-    * explodes to ≤2 bin rows), equi-join on the bin, exact BETWEEN
-    * verify, then a key-shuffled aggregate. The naive plan Spark would
-    * pick for the raw theta join is BroadcastNestedLoopJoin — O(|L|·|O|)
-    * comparisons; binned, each lineitem meets only the big orders of its
-    * own week.
+    * [o_orderdate, +6d] contains the ship date.
+    *
+    * r21 shape: a lineitem ROW's covering intervals are a FUNCTION OF
+    * ITS SHIP DAY ALONE — `pd ∈ [d0, d0+6] ⇔ d0 ∈ [pd−6, pd]`.
+    * Pre-aggregate the tiny interval side per covered day (each 7-day
+    * interval explodes to its 7 days — cardinality bounded by the DATE
+    * DOMAIN, ~2.4k rows at any corpus size, keeping the per-day price
+    * sum DECIMAL so later regrouping stays exact), broadcast-join
+    * lineitem on its ship day, then roll the per-row (count, sum) up to
+    * the (l_orderkey, l_linenumber) grain — the key is NOT unique in
+    * this corpus, so the final aggregate merges a key's rows exactly as
+    * the pair form's GROUP BY did. The O(points·overlap) pair relation
+    * the previous binned-RangeJoin form enumerated (≈9 covering
+    * intervals per lineitem row at sf0.1, ×100 under the probe's 10×
+    * densification) never exists: the join emits ONE row per covered
+    * lineitem row, pre-reduced map-side before the key exchange. Exact
+    * equivalence: the inner join drops no-coverage rows in both shapes,
+    * COUNT is additive over a key's rows, and DECIMAL sums are
+    * associative exact arithmetic regrouped freely, cast to DOUBLE only
+    * at the end as before — TemporalSpec pins equality against the
+    * pair-enumerating RangeJoin form on randomized fixtures WITH
+    * duplicate point keys, and the DuckDB oracle still pays the full
+    * BETWEEN pair join.
     */
   def intervalJoin(s: SparkSession, d: String): DataFrame = {
-    val points = Tables.lineitem(s, d).select(
-      col("l_orderkey"), col("l_linenumber"), epochDay(col("l_shipdate")).as("pd"))
-    val big = Tables.orders(s, d)
+    val cov = Tables.orders(s, d)
       .where(col("o_totalprice") >= 490000.0)
       .select(epochDay(col("o_orderdate")).as("d0"), col("o_totalprice"))
-      .withColumn("d1", col("d0") + 6)
-    RangeJoin.pointInInterval(points, big,
-        point = col("pd"), lo = col("d0"), hi = col("d1"), binWidth = 7L)
+      .select(explode(sequence(col("d0"), col("d0") + 6)).as("pd"),
+        col("o_totalprice"))
+      .groupBy(col("pd"))
+      .agg(count(lit(1)).as("n_day"), sum(dec2(col("o_totalprice"))).as("sum_day"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        epochDay(col("l_shipdate")).as("pd"))
+      .join(broadcast(cov), Seq("pd"))
       .groupBy(col("l_orderkey"), col("l_linenumber"))
-      .agg(count(lit(1)).as("n_big"), dsum(col("o_totalprice")).as("sum_price"))
+      .agg(sum(col("n_day")).as("n_big"),
+        sum(col("sum_day")).cast("double").as("sum_price"))
       .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
   }
 
