@@ -271,10 +271,17 @@ object Clustering {
     val vecs = Tables.embeddings(s, d)
       .select(col("vec_id"), graft.operators.KMeansOp.intVec(col("embedding")).as("v"))
       .join(canon.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
-    val ve = graft.operators.KMeansOp.assignCells(vecs, cents.toDF("cid", "c"))
-      .select(col("vec_id"), col("cid").as("cluster"))
-      .join(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
-        Seq("vec_id"))
+    // materialize the assigned+payload relation ONCE: both pair sides
+    // consume it, and without the cap the whole argmin subtree (corpus
+    // scan → semi-join → k-way distance argmin → payload re-attach) is
+    // planned and EXECUTED once per side (r21 shared-subtree cap;
+    // capping only the narrow assignment measured WORSE — the unsized
+    // ExistingRDD demotes the re-attach joins from broadcast to SMJ)
+    val ve = graft.operators.Iterate.cap(graft.operators.Iterate.envDir)(
+      graft.operators.KMeansOp.assignCells(vecs, cents.toDF("cid", "c"))
+        .select(col("vec_id"), col("cid").as("cluster"))
+        .join(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+          Seq("vec_id")))
     val a = ve.select(col("cluster"), col("vec_id").as("id_a"),
       col("embedding").as("ea"))
     val b = ve.select(col("cluster"), col("vec_id").as("id_b"),
@@ -386,9 +393,12 @@ object Clustering {
       .withColumn("rn", row_number().over(w))
       .selectExpr("vec_id", "cluster",
         s"CAST((rn - 1) div ${SemanticQ.SemCap} AS BIGINT) AS sb")
-    val ve = sub.join(
-      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
-      Seq("vec_id"))
+    // rank-chunked assignment + payload, materialized once for both
+    // pair sides (r21 shared-subtree cap — see semDropIds)
+    val ve = graft.operators.Iterate.cap(graft.operators.Iterate.envDir)(
+      sub.join(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        Seq("vec_id")))
     val a = ve.select(col("cluster"), col("sb"), col("vec_id").as("id_a"),
       col("embedding").as("ea"))
     val b = ve.select(col("cluster"), col("sb"), col("vec_id").as("id_b"),

@@ -139,6 +139,15 @@ object SemanticQ {
     */
   def semdedupQ(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // ve has THREE consumers (both pair sides + the kept projection),
+    // but materializing it (r21 experiment, both the narrow-assignment
+    // and payload-attached variants) measured 1.6-3.7x SLOWER here:
+    // the standalone query's duplicate subtrees run as INDEPENDENT
+    // parallel stages that overlap on idle cores, while a lineage cap
+    // serializes an extra materialization job ahead of them. The
+    // corpus-build compositions (Clustering.semDropIds*), whose copies
+    // compete with the rest of the pipeline for the same cores, keep
+    // the cap — it measured faster there.
     val asg = KMeansOp.assignCells(intVecs(s, d),
         trainedCentroids(s, d).toDF("cid", "c"))
       .select(col("vec_id"), col("cid").as("cluster"))
@@ -1871,6 +1880,10 @@ object SemanticQ {
       cents: Seq[(Long, Seq[Long])]): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
+    // ve has three consumers but stays LAZY — see semdedupQ's note:
+    // the r21 materialization experiment measured 3.7x slower here
+    // (parallel duplicate stages beat a serialized cap job at this
+    // query's size; the corpus-build compositions keep the cap)
     val asg = KMeansOp.assignCells(intVecs(s, d), cents.toDF("cid", "c"))
       .select(col("vec_id"), col("cid").as("cluster"))
     val ve = asg.join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
@@ -1942,6 +1955,8 @@ object SemanticQ {
       .withColumn("rn", row_number().over(w))
       .selectExpr("vec_id", "cluster",
         s"CAST((rn - 1) div $SemCap AS BIGINT) AS sb")
+    // ve stays LAZY despite three consumers — see semdedupQ's note on
+    // the r21 materialization experiment (2x slower here)
     val ve = sub.join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
     val a = ve.select(col("cluster"), col("sb"), col("vec_id").as("id_a"),
       col("embedding").as("ea"))

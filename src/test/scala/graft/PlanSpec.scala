@@ -335,10 +335,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), "no unbroadcast cartesian")
   }
 
-  test("corpus build v2: quantizer broadcasts, semdedup prune joins on cluster, no cartesian") {
+  test("corpus build v2: semdedup assignment materializes once, prune joins on cluster, no cartesian") {
     val plan = formatted(graft.queries.Clustering.queries("q_corpus_build_v2")(spark, TestSpark.sf0001))
-    assert(plan.contains("BroadcastNestedLoopJoin"),
-      "trained-centroid assign must stay a broadcast nested loop over bounded k")
+    // r21: the k-way argmin assignment subtree runs ONCE at the shared-
+    // subtree cap (so the final plan consumes its ExistingRDD on both
+    // pair sides instead of re-planning the BroadcastNestedLoopJoin
+    // argmin per side — OPTIMIZATION_r21.md §9)
+    assert(plan.contains("Scan ExistingRDD"),
+      "assignment+payload relation must be the materialized shared subtree")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "the bounded-k argmin must not be re-planned per pair side")
     assert(!plan.contains("CartesianProduct"), "no unbroadcast cartesian anywhere")
     assert("(?s)Join.*cluster".r.findFirstIn(plan).isDefined,
       "pairwise cosine stage must equi-join on the cluster key")
