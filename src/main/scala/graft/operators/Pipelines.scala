@@ -65,10 +65,16 @@ object Pipelines {
         concat_ws("\n", transform(ordered,
           e => concat(lit("- "), e.getField("s")))).as("section_names_list"))
       .select(col("doc_id"),
-        replacePlaceholders(lit(template), Map(
-          "section_names_list" -> col("section_names_list"),
-          "sections_text" -> col("sections_text"),
-          "jd_text" -> lit(jdText))).as("prompt"))
+        // EvalOnce: every downstream consumer (the scorer's token scan,
+        // the parse generator) references `prompt` several times, and
+        // without the barrier Catalyst inlines this document-sized
+        // replace chain at every reference (guide §4.4; measured in
+        // q_match_single's plan — 16 copies inside one Generate)
+        graft.functions.EvalOnce(
+          replacePlaceholders(lit(template), Map(
+            "section_names_list" -> col("section_names_list"),
+            "sections_text" -> col("sections_text"),
+            "jd_text" -> lit(jdText)))).as("prompt"))
   }
 
   private def replacePlaceholders(tpl: Column, subs: Map[String, Column]): Column =
@@ -101,7 +107,12 @@ object Pipelines {
       .withColumnRenamed(idCol, "doc_id")
     val chunks = SectionChunker.chunkSections(docs, "text", "doc_id")
     val prompts = assembleScoringPrompts(chunks, jdText)
+    // EvalOnce: the parse generator's sub-expressions (block, lines,
+    // parsed, the all-or-nothing guard) reference `response` several
+    // times — pin it so the scorer's expression evaluates once per row
+    // instead of once per reference (guide §4.4)
     val responses = scorer(prompts)
+      .withColumn("response", graft.functions.EvalOnce(col("response")))
     val scores = ScoreParser.parseScores(responses, "response", "doc_id")
     ScoreParser.finalScores(scores, "doc_id")
   }

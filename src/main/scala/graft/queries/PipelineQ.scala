@@ -68,11 +68,17 @@ object PipelineQ {
       val resumePart = element_at(split(col("prompt"), "JOB DESCRIPTION:"), 1)
       val promptTokens = array_distinct(split(regexp_replace(resumePart, "\n", " "), " "))
       val overlap = size(filter(promptTokens, t => t.isInCollection(jdTokens)))
-      prompts.withColumn("response",
-        concat(lit("SCORES:\n"),
-          concat_ws("\n", transform(sectionNames,
-            l => concat(substring(l, 3, 1000), lit(": "),
-              least(overlap, lit(10)).cast("string"))))))
+      // the per-SECTION transform lambda references the clamped overlap,
+      // which scans the whole prompt — EvalOnce pins it to one
+      // evaluation per doc instead of one per section (guide §4.4)
+      prompts
+        .withColumn("ov",
+          graft.functions.EvalOnce(least(overlap, lit(10)).cast("string")))
+        .withColumn("response",
+          concat(lit("SCORES:\n"),
+            concat_ws("\n", transform(sectionNames,
+              l => concat(substring(l, 3, 1000), lit(": "), col("ov"))))))
+        .drop("ov")
     }
     Pipelines.matchSingle(pages, jd, scorer)
       .orderBy(col("doc_id").asc)
