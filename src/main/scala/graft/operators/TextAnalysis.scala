@@ -124,15 +124,14 @@ object TextAnalysis {
 
   /** Distinct n-token shingles ("w1 w2 w3" for consecutive triples at n=3)
     * — the unit of near-dup detection; word-order sensitive where plain
-    * token sets are not.
+    * token sets are not. Served by the compiled single-pass
+    * [[graft.functions.Shingles]] expression (r21): the previous HOF
+    * spelling (`array_distinct(transform(sequence(...), slice+concat))`)
+    * is interpreted per element in Spark 4 — ShinglesSpec pins
+    * bit-equality between the two forms.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n))))))
-  }
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.Shingles(text, n)
 
   /** PII patterns for redaction (Java∩RE2 syntax — no lookarounds, so
     * the same patterns run in any engine): email, NANP-style phone,
