@@ -130,6 +130,110 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer squared L2 over two BIGINT arrays — the compiled twin of the
+  * HOF form `aggregate(zip_with(a, b, (x,y) ⇒ (x−y)·(x−y)), 0L, acc+v)`
+  * that KMeansOp.intDist used through round 20 (r21; IntVectorSpec pins
+  * bit-equality including the null/length edges). This is the inner loop
+  * of the whole integer-ANN tier — every exact-recall scan, every
+  * coarse-cell argmin (k per row), every Lloyd round — and the HOF form
+  * pays interpreted lambda dispatch plus Long boxing per element.
+  * Faithful semantics: null array → NULL; length mismatch or null
+  * element → NULL (zip_with null-pads, the fold then sticks at null);
+  * arithmetic is Long with silent wraparound, exactly like the fold.
+  */
+case class IntSquaredL2(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def prettyName: String = "int_squared_l2"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getLong(i) - b.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  // CodegenFallback, deliberately (MinhashSignature/BpeCount precedent):
+  // argmin folds evaluate this per (row × candidate) — k coarse cells or
+  // m×k sub-codebook entries — and inlining a loop per call site blew
+  // the whole-stage method past the JIT threshold on the flat-PQ batch
+  // path (measured: q_ann_pq_batch 1.06 → 1.34 s with codegen inlining,
+  // back under the fallback). The O(dims) inner work is compiled JVM
+  // either way; the fallback costs one boxed Long per call.
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** ×10⁶ integer projection of a float/double embedding — the compiled
+  * twin of `transform(emb, e ⇒ floor(e.cast(double)·10⁶).cast(long))`
+  * (r21; IntVectorSpec pins equality incl. null elements and the
+  * truncating double→long cast).
+  */
+case class IntVec(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def prettyName: String = "int_vec"
+
+  @transient private lazy val elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  @transient private lazy val containsNull: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
+  override def dataType: DataType = ArrayType(LongType, containsNull)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float|double>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val x = elemType match {
+          case DoubleType => a.getDouble(i)
+          case _ => a.getFloat(i).toDouble
+        }
+        // floor then the non-ANSI double→long cast (truncate/saturate)
+        out(i) = math.floor(x * 1000000d).toLong
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFoldExpression {
   def squaredL2(a: Column, b: Column): Column =
     GraftExpressionBridge.column(SquaredL2Distance(
@@ -138,4 +242,11 @@ object VectorFoldExpression {
   def dot(a: Column, b: Column): Column =
     GraftExpressionBridge.column(DotProduct(
       GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
+
+  def intSquaredL2(a: Column, b: Column): Column =
+    GraftExpressionBridge.column(IntSquaredL2(
+      GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
+
+  def intVec(a: Column): Column =
+    GraftExpressionBridge.column(IntVec(GraftExpressionBridge.expression(a)))
 }

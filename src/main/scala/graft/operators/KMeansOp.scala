@@ -40,12 +40,17 @@ object KMeansOp {
 
   /** floor(x·10^6) per element, BIGINT — the shared integer scale. */
   def intVec(emb: Column): Column =
-    transform(emb, e => floor(e.cast("double") * 1000000d).cast("long"))
+    graft.functions.VectorFoldExpression.intVec(emb)
 
-  /** Integer squared L2 between two equal-length BIGINT array columns. */
+  /** Integer squared L2 between two equal-length BIGINT array columns.
+    * Compiled native (r21): the previous HOF spelling
+    * (`aggregate(zip_with(a,b,(x,y)⇒(x−y)²), 0L, acc+v)`) ran
+    * interpreted per element on the hottest loop of the integer-ANN
+    * tier — IntVectorSpec pins bit-equality between the two forms,
+    * null/length edges included.
+    */
   def intDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+    graft.functions.VectorFoldExpression.intSquaredL2(a, b)
 
   /** Nearest-centroid assignment: one row per vector with its winning
     * (cluster id, integer distance). `vecs` must have (vec_id, v);
